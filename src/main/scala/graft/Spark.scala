@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session construction so Verify, Bench, and tests agree on
+  * the configs that affect semantics (UTC, nanos handling) and local-mode
+  * sizing (shuffle partitions = cores, not the 200 default). */
+object Spark {
+  def session(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+              appName: String = "graft"): SparkSession = {
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.ts is TIMESTAMP(NANOS); read as long, normalized
+      // in Sources.table
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

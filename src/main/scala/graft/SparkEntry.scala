@@ -1,13 +1,398 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Sources
+import graft.ops.{Transform, Validate}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, transposed onto the testdata star schema (role mapping in
+  * FIXTURES.md §B): orders→orders, order_items→lineitem (price
+  * `l_extendedprice`, returned ⇔ `l_returnflag = 'R'`), products→part
+  * (category `p_brand`, lookup `l_partkey = p_partkey`).
+  *
+  * Determinism rules (SURVEY.md §7.3): every query ends with a total-order
+  * ORDER BY; money math goes through exact `DECIMAL(12,2)` casts (inputs
+  * carry ≤2dp so the cast is exact and sums are order-independent —
+  * float-sum nondeterminism never enters); ratios divide exactly-derived
+  * doubles once; `COUNT`/`SUM` of integers cast to BIGINT in the oracle to
+  * dodge DuckDB's HUGEINT widening.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // -------- table + expression helpers --------
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Sources.table(s, d, name)
+
+  /** Exact money representation: inputs have ≤2 decimal places, so this
+    * cast loses nothing and decimal aggregation is order-independent. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def sumMoney(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
+  /** is_returned transposed: lineitem rows with return flag 'R'. */
+  private def isRet: Column = col("l_returnflag") === "R"
+  private def retLong: Column = when(isRet, 1L).otherwise(0L)
+
+  /** lineitem ⋈ orders ⋈ broadcast(part) with the derived KPI columns —
+    * the transposed `merged` frame of reference `Task_2/task_2.py:88-103`. */
+  private def mergedFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand").as("category"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .withColumn("order_date", to_date(col("o_orderdate")))
+
+  /** Flagship (driver smoke-checks rows>0): the order-KPI query end to end
+    * on sf0.001 — scan → join → derive → 5-way agg → sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("agg_order_kpi")(spark, "/root/testdata/sf0.001")
+
+  // -------- declared queries (SURVEY.md §2 ids) --------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.A sources: parquet scan with projection + filter (both must push
+    // into the scan — PushedFilters/ReadSchema checked in PlanSpec).
+    "src_scan" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .filter(col("l_extendedprice") > 1000.0)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // §2.B flt_notnull_orders (Task_1/task_1.py:125)
+    "flt_notnull_orders" -> ((s, d) =>
+      Validate.dropNullsAny(Seq("o_orderkey", "o_custkey", "o_orderdate"))(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))),
+
+    // §2.B flt_price_pos (Task_1/task_1.py:127)
+    "flt_price_pos" -> ((s, d) =>
+      Validate.positive("l_extendedprice")(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // §2.B prj_derive_dates (Task_1/task_1.py:135-136)
+    "prj_derive_dates" -> ((s, d) =>
+      Validate.deriveDate("o_orderdate", "order_date")(
+        t(s, d, "orders").select("o_orderkey", "o_orderdate"))
+        .select("o_orderkey", "order_date")
+        .orderBy(col("o_orderkey"))),
+
+    // §2.B prj_is_returned (Task_2/task_2.py:91)
+    "prj_is_returned" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), isRet.as("is_returned"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("is_returned"))),
+
+    // §2.B prj_total_price (Task_2/task_2.py:103)
+    "prj_total_price" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("total_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("total_price"))),
+
+    // §2.B prj_round_pct (Task_2/task_2.py:118-121) — percent conversion in
+    // exact decimal arithmetic (the engine-internal pandas-parity path uses
+    // bround; see Transform.catKpi).
+    "prj_round_pct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_discount")) * 100).cast(DecimalType(12, 2)).as("discount_pct"),
+          (dec2(col("l_tax")) * 100).cast(DecimalType(12, 2)).as("tax_pct"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("discount_pct"), col("tax_pct"))),
+
+    // §2.C join_semi_ri (Task_1/task_1.py:130-131)
+    "join_semi_ri" -> ((s, d) =>
+      Validate.semiJoinRI(
+        t(s, d, "orders").select(col("o_orderkey").as("l_orderkey")), "l_orderkey")(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // §2.C anti-join complement (data-quality orphan report)
+    "join_anti_orphans" -> ((s, d) =>
+      Validate.antiJoinOrphans(
+        t(s, d, "orders").select(col("o_orderkey").as("l_orderkey")), "l_orderkey")(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // §2.C join_inner_eq (Task_2/task_2.py:94)
+    "join_inner_eq" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // §2.C join_lookup_cat (Task_2/task_2.py:88,97) — broadcast dim lookup
+    "join_lookup_cat" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand").as("category"))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .select("l_orderkey", "l_linenumber", "category")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("category"))),
+
+    // §2.F set_union_all (Task_1/task_1.py:104)
+    "set_union_all" -> ((s, d) => {
+      val base = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      base.filter(col("l_linenumber") <= 3)
+        .unionByName(base.filter(col("l_linenumber") > 3))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // §2.D agg_sum
+    "agg_sum" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // §2.D agg_count
+    "agg_count" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))),
+
+    // §2.D agg_count_distinct (exact, as the reference computes)
+    "agg_count_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .groupBy(col("order_date"))
+        .agg(countDistinct(col("o_custkey")).as("unique_customers"))
+        .orderBy(col("order_date"))),
+
+    // §2.D agg_bool_sum + agg_bool_mean
+    "agg_bool" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(sum(retLong).as("return_count"),
+          (sum(retLong).cast("double") / count(lit(1)).cast("double")).as("return_rate"))
+        .orderBy(col("l_linestatus"))),
+
+    // §2.D agg_cat_kpi (Task_2/task_2.py:106-121) — item-grain semantics,
+    // null category filtered (pandas null-group-drop, SURVEY §2.D ⚠3)
+    "agg_cat_kpi" -> ((s, d) =>
+      mergedFrame(s, d)
+        .filter(col("category").isNotNull)
+        .groupBy(col("category"), col("order_date"))
+        .agg(
+          sumMoney(col("l_extendedprice")).as("daily_revenue"),
+          countDistinct(col("l_orderkey")).as("order_count"),
+          sum(retLong).as("return_count"))
+        .withColumn("avg_order_value",
+          col("daily_revenue").cast("double") / col("order_count").cast("double"))
+        .withColumn("avg_return_rate",
+          col("return_count").cast("double") / col("order_count").cast("double"))
+        .orderBy(col("category"), col("order_date"))),
+
+    // §2.D agg_order_kpi (Task_2/task_2.py:124-137) — the flagship shape
+    "agg_order_kpi" -> ((s, d) =>
+      mergedFrame(s, d)
+        .groupBy(col("order_date"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("total_orders"),
+          sumMoney(col("l_extendedprice")).as("total_revenue"),
+          count(lit(1)).as("total_items_sold"),
+          (sum(retLong).cast("double") / count(lit(1)).cast("double")).as("return_rate"),
+          countDistinct(col("o_custkey")).as("unique_customers"))
+        .orderBy(col("order_date"))),
+
+    // §2.K q_validate_all — the composed Task-1 pipeline (Task_1/task_1.py:106-141)
+    "q_validate_all" -> ((s, d) => {
+      val validOrders = Validate.dropNullsAny(Seq("o_orderkey", "o_custkey", "o_orderdate"))(
+        t(s, d, "orders")).select(col("o_orderkey").as("l_orderkey"))
+      val items = Validate.positive("l_extendedprice")(
+        Validate.dropNullsAny(Seq("l_orderkey", "l_partkey", "l_extendedprice"))(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")))
+      Validate.semiJoinRI(validOrders, "l_orderkey")(items)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+    }),
+
+    // §2.E window top-k (beyond the reference — engine completeness):
+    // top-3 highest-price items per order, deterministic tiebreak.
+    "win_topk_per_order" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("l_orderkey"), col("rn"))
+    }),
+
+    // §2.I streaming shape, batch-equivalent: tumbling 1-day event-time
+    // aggregation over the events stream table.
+    "evt_daily" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumMoney(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("unique_users"))
+        .orderBy(col("day"), col("event_type"))),
+
+    // §2.G JSON scalar function surface over the events props column.
+    "evt_json_props" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+        .orderBy(col("event_type")))
+  )
+
+  // -------- oracle SQL (DuckDB dialect, same tables) --------
+
+  def oracleSql: Map[String, String] = Map(
+    "src_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_extendedprice > 1000.0 ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "flt_notnull_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "flt_price_pos" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_extendedprice > 0 ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "prj_derive_dates" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "prj_is_returned" ->
+      """SELECT l_orderkey, l_linenumber, (l_returnflag = 'R') AS is_returned
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, is_returned""".stripMargin,
+
+    "prj_total_price" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS total_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, total_price""".stripMargin,
+
+    "prj_round_pct" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) AS discount_pct,
+        |  CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) AS tax_pct
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, discount_pct, tax_pct""".stripMargin,
+
+    "join_semi_ri" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "join_anti_orphans" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_inner_eq" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_custkey, o.o_orderstatus
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_extendedprice""".stripMargin,
+
+    "join_lookup_cat" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_brand AS category
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, category NULLS FIRST""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber <= 3
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber > 3
+        |) ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "agg_sum" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_count" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS return_count,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS return_rate
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_cat_kpi" ->
+      """WITH merged AS (
+        |  SELECT p.p_brand AS category, CAST(o.o_orderdate AS DATE) AS order_date,
+        |         l.l_orderkey, l.l_extendedprice, l.l_returnflag
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |)
+        |SELECT category, order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS daily_revenue,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_count,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS return_count,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS avg_order_value,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS avg_return_rate
+        |FROM merged WHERE category IS NOT NULL
+        |GROUP BY category, order_date ORDER BY category, order_date""".stripMargin,
+
+    "agg_order_kpi" ->
+      """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+        |  CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS total_orders,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS total_items_sold,
+        |  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS return_rate,
+        |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS unique_customers
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_validate_all" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM lineitem
+        |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  AND l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        |  AND l_orderkey IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+
+    "win_topk_per_order" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS INT) AS rn
+        |  FROM lineitem
+        |) WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+
+    "evt_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "evt_json_props" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  /** Headline queries for Bench.scala — the shuffling/joining/windowing
+    * heavy hitters, not the trivial projections. */
+  val benchQueries: Seq[String] = Seq(
+    "agg_order_kpi", "agg_cat_kpi", "q_validate_all", "join_inner_eq",
+    "win_topk_per_order", "evt_daily", "agg_count_distinct")
 }

@@ -1,0 +1,140 @@
+package graft.io
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, TimestampType}
+
+/** Sink connectors (SURVEY.md §2.A).
+  *
+  * The reference writes CSVs back to S3 (`Task_1/task_1.py:148-158`,
+  * `Task_2/task_2.py:200-235`) and upserts KPI rows into DynamoDB with a
+  * single-threaded `put_item` row loop (`Task_2/task_2.py:144-197`) — the
+  * slowest path in the whole program. Here the KV sink runs
+  * partition-parallel via `foreachPartition`, so write throughput scales
+  * with executor count instead of being a driver bottleneck.
+  */
+object Sinks {
+
+  /** CSV sink (`snk_csv`, reference `Task_1/task_1.py:148-158`): header,
+    * no row index, overwrite. One file per partition; `coalesce` upstream
+    * if a single object is required. */
+  def csv(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+
+  /** Timestamped CSV sink (`snk_csv_ts`, reference `Task_2/task_2.py:200-235`):
+    * writes under `base/<ts>/name/`. `ts` is a per-batch constant supplied
+    * by the caller (driver-side batch time, formatted like the reference's
+    * `yyyy-MM-dd-T-HH:mm:ss`, `Task_2/task_2.py:215`) — never
+    * `current_timestamp()` inside the plan, which would be nondeterministic
+    * per-row. Returns the directory written. */
+  def csvTimestamped(df: DataFrame, base: String, name: String, ts: String): String = {
+    val dir = s"$base/$ts/$name"
+    csv(df, dir)
+    dir
+  }
+
+  /** Formats a batch time the way the reference names processed folders
+    * (`Task_2/task_2.py:215` strftime("%Y-%m-%d-T-%H:%M:%S") — ':' swapped
+    * for '-' to stay filesystem-safe). */
+  def batchTimestamp(epochMillis: Long): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-'T'-HH-mm-ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    fmt.format(java.time.Instant.ofEpochMilli(epochMillis))
+  }
+
+  // -------- KV sink (`snk_kv`, reference `Task_2/task_2.py:144-197`) --------
+
+  /** Pluggable key-value client. DynamoDB in the reference; tests use
+    * [[InMemoryKv]]. Implementations must be idempotent upserts keyed by
+    * the partition/sort key — re-running a batch overwrites, which is what
+    * makes the whole pipeline safely re-runnable (reference relies on the
+    * same `put_item` upsert semantics, `Task_2/task_2.py:174,193`). */
+  trait KvClient extends Serializable {
+    def put(table: String, key: String, item: Map[String, String]): Unit
+    def close(): Unit = ()
+  }
+
+  /** In-memory KV store for tests; JVM-wide so `foreachPartition` tasks in
+    * local mode and the test thread see the same map. */
+  object InMemoryKv {
+    val stores = new ConcurrentHashMap[String, ConcurrentHashMap[String, Map[String, String]]]()
+    def tableOf(table: String): ConcurrentHashMap[String, Map[String, String]] = {
+      stores.computeIfAbsent(table, _ => new ConcurrentHashMap[String, Map[String, String]]())
+      stores.get(table)
+    }
+    def clear(): Unit = stores.clear()
+  }
+
+  class InMemoryKvClient extends KvClient {
+    def put(table: String, key: String, item: Map[String, String]): Unit =
+      InMemoryKv.tableOf(table).put(key, item)
+  }
+
+  /** Key-value upsert sink: the reference's row loop
+    * (`Task_2/task_2.py:158-175,180-194`), partition-parallel.
+    *
+    * Boundary coercions happen in the plan, not per-row in Scala, mirroring
+    * the reference's sink-side `Decimal(str(round(x,2)))` and `isoformat()`
+    * (`Task_2/task_2.py:163-173,185-192`): doubles → `DECIMAL(12,2)`
+    * (HALF_UP, matching DynamoDB's decimal coercion), dates/timestamps →
+    * ISO strings. One client per partition, not per row.
+    */
+  def kvUpsert(df: DataFrame, table: String, keyCols: Seq[String],
+               clientFactory: () => KvClient): Unit = {
+    val coerced = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case DoubleType | _: DecimalType =>
+          acc.withColumn(f.name, col(f.name).cast(DecimalType(12, 2)).cast("string"))
+        case DateType =>
+          acc.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd"))
+        case TimestampType =>
+          acc.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss"))
+        case _ =>
+          acc.withColumn(f.name, col(f.name).cast("string"))
+      }
+    }
+    val names = coerced.schema.fieldNames
+    coerced.foreachPartition { (rows: Iterator[Row]) =>
+      val client = clientFactory()
+      try rows.foreach { r =>
+        val item = names.zipWithIndex.map { case (n, i) =>
+          n -> (if (r.isNullAt(i)) null else r.getString(i))
+        }.toMap
+        val key = keyCols.map(item(_)).mkString("|")
+        client.put(table, key, item)
+      } finally client.close()
+    }
+  }
+
+  // -------- archive (infra, reference `Task_2/task_2.py:237-263`) --------
+
+  /** Post-success archive: move every file under `srcDir` to
+    * `archiveBase/<ts>/`, preserving relative paths. The reference copies
+    * then deletes object-by-object; on a Hadoop FS a rename is atomic per
+    * file and metadata-only. Must run AFTER sink commit (SURVEY.md §7.5
+    * item 5) — callers sequence it inside `foreachBatch`. */
+  def archive(spark: SparkSession, srcDir: String, archiveBase: String, ts: String): Seq[String] = {
+    val src = new Path(srcDir)
+    val fs: FileSystem = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src)) return Seq.empty
+    val files = listRecursive(fs, src)
+    val moved = files.map { f =>
+      val rel = src.toUri.relativize(f.toUri).getPath
+      val dst = new Path(s"$archiveBase/$ts/$rel")
+      fs.mkdirs(dst.getParent)
+      fs.rename(f, dst)
+      dst.toString
+    }
+    moved
+  }
+
+  private def listRecursive(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) buf += it.next().getPath
+    buf.toSeq
+  }
+}

@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source connectors (SURVEY.md §2.A).
+  *
+  * A logical table is "all files under a prefix" — exactly the reference's
+  * multi-file dataset abstraction (`Task_1/task_1.py:88-104` lists an S3
+  * prefix and concatenates every CSV). Spark's multi-file datasource gives
+  * the same union semantics natively, with splittable parallel reads
+  * instead of a sequential driver loop — this is what lets the same code
+  * path scale from 4 MB of CSVs to a 100 TB lake: each file (and each
+  * parquet row-group) becomes an independent task.
+  *
+  * Paths are Hadoop-FS URIs, so `file:/`, `hdfs:/` and `s3a://` all work
+  * unchanged (the reference is hard-wired to boto3/S3,
+  * `Task_1/task_1.py:25`).
+  */
+object Sources {
+
+  /** Single-CSV scan with declared schema (`src_csv_single`,
+    * reference `Task_1/task_1.py:76-86`). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Schema-inference mode mirroring `pd.read_csv` (`Task_1/task_1.py:86`).
+    * Costs an extra sampling pass — prefer [[csv]] at scale. */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Multi-file CSV scan + union-all (`src_csv_multi`,
+    * reference `Task_1/task_1.py:88-104`): every `*.csv` under `dir` is
+    * one logical table. Spark schedules one task per file split — the
+    * reference's sequential read-and-concat loop, parallelized. */
+  def csvMulti(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .csv(stripTrailingSlash(dir) + "/*.csv")
+
+  /** Columnar scan for the internal/validated layer (typed Parquet end to
+    * end; CSV only at the boundary — SURVEY.md §7.5 item 7). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Testdata star-schema table loader (TESTDATA.md).
+    *
+    * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[graft.Spark.session]]) so it arrives as nanos-since-epoch LongType,
+    * and is normalized here to TimestampType by integer division (micros =
+    * ns DIV 1000 — float division would lose precision above 2^53). DuckDB
+    * truncates ns→µs the same way, keeping oracle parity. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = parquet(spark, s"${stripTrailingSlash(sfDir)}/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000"))))
+      .getOrElse(df)
+  }
+
+  /** File-presence predicate (infra, reference `lambda_trigger.py:44-61`,
+    * `Task_1/task_1.py:34-61`): "does at least one object exist under the
+    * prefix". Used as the trigger availability gate (SURVEY.md §2.I). */
+  def present(spark: SparkSession, pattern: String): Boolean = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(p)
+    matches != null && matches.exists(s => s.isFile && s.getLen > 0)
+  }
+
+  /** The reference's full trigger condition: products file plus at least
+    * one orders and one order_items part (`lambda_trigger.py:44-65`). */
+  def allInputsPresent(spark: SparkSession, rawDir: String): Boolean = {
+    val base = stripTrailingSlash(rawDir)
+    present(spark, s"$base/products.csv") &&
+      present(spark, s"$base/orders/*.csv") &&
+      present(spark, s"$base/order_items/*.csv")
+  }
+
+  private def stripTrailingSlash(s: String): String =
+    if (s.endsWith("/")) s.dropRight(1) else s
+}
