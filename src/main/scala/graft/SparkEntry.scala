@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Sources
-import graft.ops.{Transform, Validate}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, Transform, Validate}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, transposed onto the testdata star schema (role mapping in
@@ -243,7 +243,110 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // ---- training-data extensions (documents / embeddings tables) ----
+
+    // Text analysis: char-class + token statistics, one scan.
+    "txt_stats" -> ((s, d) =>
+      TextAnalysis.docStats(t(s, d, "documents"))
+        .select("doc_id", "n_len", "n_tokens", "n_alpha", "n_digits", "n_punct")
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: quality-score prefilter.
+    "txt_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"))
+        .select("doc_id", "quality_score")
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: content-addressable fingerprint (normalized md5).
+    "txt_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"))
+        .select("doc_id", "fp_md5")
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: heuristic language ID (rows-only check: the
+    // stopword-density heuristic is not ANSI-SQL-expressible).
+    "txt_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"))
+        .select("doc_id", "lang", "lang_pred", "score_en", "score_fr",
+          "score_es", "score_de")
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: rolling-hash fingerprint (custom Catalyst
+    // expression; rows-only check).
+    "txt_fingerprint_rolling" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"))
+        .select("doc_id", "fp_rolling")
+        .orderBy(col("doc_id"))),
+
+    // Dedup: exact, keyed on content fingerprint.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactByFingerprint(t(s, d, "documents"), "doc_id", "text")
+        .select(col("fp"), col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id"))),
+
+    // Dedup: MinHash+LSH near-dup candidate pairs (rows-only: seeded
+    // xxhash64 signatures have no SQL oracle).
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: SimHash banding + Hamming verify (custom expression;
+    // rows-only).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: two-stage MinHash-candidates → exact n-gram Jaccard verify
+    // (rows-only).
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.nearDupNgram(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: embedding-cosine near-dup via hyperplane LSH (rows-only).
+    // Threshold 0.4: this corpus has no truly-duplicate vectors (max
+    // pairwise cosine ≈ 0.51), so the declared query surfaces the top of
+    // the similarity range; production near-dup would use ≥0.9.
+    "dedup_embed_cosine" -> ((s, d) =>
+      Similarity.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Similarity: exact brute-force cosine top-5 for the first 10
+    // vectors as queries (rows-only: float-sum ordering differences make
+    // a SQL oracle flaky; correctness is spec-tested in Scala instead).
+    "sim_topk_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Similarity: hyperplane-LSH bucketed top-5 (the scale path;
+    // rows-only).
+    "sim_topk_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numPlanes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal: typed metadata over opaque binary payloads.
+    "mm_meta" -> ((s, d) =>
+      Multimodal.asMediaTable(t(s, d, "documents"))
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.mime").as("mime"), col("meta.modality").as("modality"))
+        .orderBy(col("media_id"))),
+
+    // Multimodal: decode-stub → byte-histogram features → frame sampling
+    // (rows-only; decode is a deterministic fake, plumbing is real).
+    "mm_extract" -> ((s, d) =>
+      Multimodal.extractAll(Multimodal.asMediaTable(t(s, d, "documents")))
+        .select(col("media_id"), col("decoded.width").as("width"),
+          col("decoded.height").as("height"), col("decoded.channels").as("channels"),
+          col("features"), col("n_frames"))
+        .orderBy(col("media_id")))
   )
 
   // -------- oracle SQL (DuckDB dialect, same tables) --------
@@ -387,7 +490,56 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS INT) AS n_len,
+        |  CAST(LEN(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS INT) AS n_tokens,
+        |  CAST(LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS INT) AS n_alpha,
+        |  CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+        |  CAST(LENGTH(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS INT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS len,
+        |    CAST(LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, len, alpha,
+        |    GREATEST(LEN(toks), 1)::DOUBLE AS ntoks,
+        |    LEN(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for',
+        |       'le','la','les','de','et','un','une','est','que','pour',
+        |       'el','los','y','una','es','por',
+        |       'der','die','das','und','ein','eine','ist','zu','den','für'], t)))::DOUBLE AS stophits
+        |  FROM s
+        |)
+        |SELECT doc_id,
+        |  ROUND(
+        |    LEAST(len / 200.0, 1.0) * 0.3
+        |    + (alpha / GREATEST(len, 1.0)) * 0.3
+        |    + (CASE WHEN alpha / ntoks BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + LEAST(stophits / ntoks * 5.0, 1.0) * 0.2, 4) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY MIN(doc_id)""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        |  'fake/utf8' AS mime,
+        |  CAST(doc_id % 3 AS INT) AS modality
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Headline queries for Bench.scala — the shuffling/joining/windowing

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the training-data extensions — the
+  * operators Spark's built-in function set can't express cleanly
+  * (SURVEY.md §7.4: "only custom-Catalyst candidates").
+  *
+  * Each is a native `Expression` rather than a Scala UDF: no
+  * serialize/deserialize per row, null handling from `UnaryExpression`,
+  * and the door open to `doGenCode` later (CodegenFallback today — the
+  * eval loops are tight primitive loops either way).
+  */
+object GraftExpressions {
+
+  /** 64-bit SimHash of a token array (near-duplicate fingerprint).
+    *
+    * For each token, xxhash64(token, seed=42); each of the 64 hash bits
+    * votes ±1; the sign of each bit's tally becomes that output bit.
+    * Documents differing in a few tokens land within a small Hamming
+    * distance — pair candidates come from matching 16-bit bands (see
+    * `graft.ops.Dedup.simHashPairs`). Deterministic, data-independent.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Karp–Rabin rolling polynomial fingerprint of a string (document
+    * fingerprinting for the text-analysis surface): h = Σ h*B + c over
+    * UTF-8 bytes, natural 64-bit overflow. Cheap, order-sensitive, and
+    * stable across partitions/engines — unlike `hashCode`. */
+  case class RollingHash64(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    private val B = 1000003L
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+      copy(child = newChild)
+  }
+
+  /** 16-bin histogram of a binary payload's high nibbles — the
+    * deterministic stand-in "feature extraction" for the multimodal
+    * surface (real decode libs aren't in this container; the Spark-side
+    * plumbing — binary column in, fixed-width feature vector out — is the
+    * part that must be real, SURVEY.md §7.4). */
+  case class ByteHistogram(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xf0) >>> 4) += 1; i += 1 }
+      new GenericArrayData(hist)
+    }
+    override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+      copy(child = newChild)
+  }
+
+  // -------- Column wrappers --------
+
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def e(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def rolling_hash64(text: Column): Column = c(RollingHash64(e(text)))
+  def byte_histogram(bin: Column): Column = c(ByteHistogram(e(bin)))
+
+  /** SQL registration so the expressions are usable from `spark.sql`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+
+/** Deduplication operators for the training-data surface: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of every choice here):
+  *  - candidate generation is always bucketed (LSH bands / simhash bands /
+  *    hyperplane buckets) so the pair space is ~linear, never the O(n²)
+  *    cross join — at 100 TB the cross join is not an option;
+  *  - signatures are pure column expressions (codegen'd) computed in the
+  *    scan pass; the only shuffles are the bucket join and the final
+  *    pair dedup;
+  *  - all hashes are seeded deterministically, so results are stable
+  *    across runs, partitionings, and cluster sizes.
+  */
+object Dedup {
+
+  // -------- exact --------
+
+  /** Exact dedup: group identical values of `cols`, keep the lowest id.
+    * Hash-groupBy with map-side partial aggregation — the canonical
+    * shuffle-once exact dedup. */
+  def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup keyed on a fingerprint rather than the full payload —
+    * at scale the shuffle moves 16-byte hashes, not document bodies. */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", md5(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  // -------- shingling + MinHash + LSH --------
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace
+    * tokenized). Documents shorter than `n` words collapse to one
+    * whole-text shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: element k is min over shingles of
+    * xxhash64(shingle, k). One nested `transform` + `array_min` — a
+    * single compact expression tree, not numHashes copies of an
+    * aggregate (which blows generated-code size past what Janino
+    * compiles comfortably), computed in one projection with no shuffle. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingleCol, s => xxhash64(s, k))))
+
+  /** Estimated Jaccard similarity from two MinHash signatures: fraction
+    * of agreeing positions. */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * Pipeline: shingle → signature (scan pass) → explode `bands` band
+    * hashes per doc → self-join on (band, bucket) with id_a < id_b →
+    * dedup pairs → estimated Jaccard ≥ threshold.
+    *
+    * With b bands of r rows (b·r = signature length), a pair of true
+    * Jaccard s collides in ≥1 band with p = 1-(1-s^r)^b — the standard
+    * S-curve; defaults (16 bands × 4) put the knee near s ≈ 0.5.
+    * The bucket join shuffles only (id, band, bucket) triples plus
+    * signatures; bodies never move.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // Persist the signatures: the LSH self-join reads this frame twice,
+    // and without it the whole shingle+hash pipeline runs once per side
+    // (at scale you materialize signatures anyway — they are the reusable
+    // artifact of the corpus).
+    val sigs = df
+      .withColumn("sig", minhashSignature(shingles(col(textCol), shingleN), numHashes))
+      .select(col(idCol), col("sig"))
+      .persist()
+    val banded = sigs.select(
+      col(idCol), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
+        .as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  // -------- SimHash --------
+
+  /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom
+    * Catalyst expression), candidates from any matching 16-bit band
+    * (guarantees recall for Hamming distance ≤ 3 by pigeonhole), verified
+    * by exact Hamming distance ≤ `maxHamming`. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = df.withColumn("simhash",
+      GraftExpressions.simhash64(TextAnalysis.tokens(col(textCol))))
+      .select(col(idCol), col("simhash"))
+      .persist() // read twice by the band self-join
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // -------- exact n-gram Jaccard --------
+
+  /** Exact n-gram Jaccard over candidate pairs. `pairs` carries
+    * (id_a, id_b); texts are joined in and compared via distinct-shingle
+    * set intersection/union. Meant as the VERIFY stage after a bucketed
+    * candidate generator — never run it on the full cross product. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+      .persist() // joined twice (a-side and b-side of each pair)
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash candidates re-verified with exact Jaccard — the full
+    * two-stage near-dup pipeline (generate cheap, verify exact). */
+  def nearDupNgram(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.7): DataFrame =
+    ngramJaccard(
+      minhashPairs(df, idCol, textCol, shingleN = n, threshold = 0.3)
+        .select("id_a", "id_b"),
+      df, idCol, textCol, n)
+      .filter(col("jaccard") >= threshold)
+
+  /** Embedding-cosine near-duplicate pairs (delegates candidate
+    * generation to the hyperplane-LSH bucketer in [[Similarity]]). */
+  def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.95): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, per the builder brief:
+  *  - brute-force cosine top-k — the exact baseline: broadcast the query
+  *    set, one scan over the corpus, per-query top-k. Linear in corpus
+  *    size, no corpus shuffle: this is how you'd score 100 TB against a
+  *    few thousand queries;
+  *  - hyperplane-LSH bucketed top-k / near-dup pairs — the sub-linear
+  *    scale path: deterministic random hyperplanes give every vector a
+  *    small integer bucket; only same-bucket pairs are compared.
+  *
+  * All math is double-precision column arithmetic (`zip_with` +
+  * `aggregate`, codegen'd) — no UDFs.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded). `queries` should be small
+    * enough to broadcast (it is hinted); the corpus side streams through
+    * one scan + a per-query top-k shuffle of only (qid, id, sim) triples. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes: plane p, dim d weight
+    * derives from a seeded hash — identical on every run/executor, no
+    * state to ship. */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH bucket id: bit p = (dot(vec, plane_p) > 0). 16 planes →
+    * 65536 buckets; vectors with high cosine land in the same bucket with
+    * high probability. */
+  def lshBucket(vec: Column, numPlanes: Int = 16, dim: Int = 64,
+                seed: Long = 42L): Column = {
+    val ps = planes(numPlanes, dim, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed approximate top-k: compare queries only against corpus
+    * vectors in the same LSH bucket. Recall < 1 by construction (single
+    * probe); raise `numPlanes` down or use multiple seeds for multi-probe.
+    * The join is a plain equi-join on the bucket id — shuffled hash /
+    * broadcast chosen by the planner, never a cross join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bC = corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val bQ = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), lshBucket(col(vecCol), numPlanes, dim).as("bucket")))
+    val scored = bC.join(bQ, Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** All pairs with cosine ≥ threshold, LSH-bucketed (near-duplicate
+    * detection over embeddings). Same-bucket self-join, id_a < id_b. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
+  }
+
+  /** Exact all-pairs cosine ≥ threshold — O(n²), for oracle/tests at tiny
+    * scale only; the LSH path is the production one. */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

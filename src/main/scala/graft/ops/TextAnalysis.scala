@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+
+/** Text-analysis operators for the training-data surface (builder brief):
+  * language ID, quality scoring, token counting, fingerprinting — all
+  * pure column expressions (codegen'd, no UDFs), so they run inside
+  * whole-stage codegen over the scan at any scale.
+  *
+  * The reference has no text ops (its only string work is S3 key
+  * handling, SURVEY.md §2.G); these extend the engine for corpus
+  * preparation over the `documents` table.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Exact whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-count estimate: word-pieces ≈ alnum runs plus
+    * punctuation marks, each ~4 chars of a word becoming one piece —
+    * a cheap regex proxy for tokenizer budgeting (no tokenizer libs in
+    * this container). */
+  def tokenCountBpe(text: Column): Column = {
+    val pieces = size(filter(split(text, "[^\\p{L}\\p{N}]+"), p => length(p) > 0))
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+    val longWordExtra = size(filter(split(text, "[^\\p{L}\\p{N}]+"), p => length(p) > 4))
+    (pieces + punct + longWordExtra).as("token_count_bpe")
+  }
+
+  /** Per-language stopword hit count over the token array. */
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "für"))
+
+  /** Heuristic language ID: argmax of per-language stopword density, with
+    * a CJK-character-ratio gate for zh. Deterministic; ties break by the
+    * fixed language order. Emits `lang_pred` plus the per-language scores
+    * (useful for threshold tuning downstream). */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df
+      .withColumn("score_en", stopwordHits(toks, stopwords("en")))
+      .withColumn("score_fr", stopwordHits(toks, stopwords("fr")))
+      .withColumn("score_es", stopwordHits(toks, stopwords("es")))
+      .withColumn("score_de", stopwordHits(toks, stopwords("de")))
+      .withColumn("cjk_ratio",
+        length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", "")).cast("double") /
+          greatest(length(col(textCol)), lit(1)).cast("double"))
+    val best = greatest(col("score_en"), col("score_fr"), col("score_es"), col("score_de"))
+    scored.withColumn("lang_pred",
+      when(col("cjk_ratio") > 0.3, "zh")
+        .when(best === 0, "und")
+        .when(col("score_en") === best, "en")
+        .when(col("score_fr") === best, "fr")
+        .when(col("score_es") === best, "es")
+        .otherwise("de"))
+  }
+
+  /** Document quality score ∈ [0,1]: blend of length adequacy, alphabetic
+    * ratio, mean-word-length sanity, and stopword presence — the standard
+    * cheap pre-filter shape for corpus cleaning. Pure arithmetic over
+    * codegen'd functions; fully deterministic. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val toks = tokens(text)
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val meanWordLen = alpha / nToks
+    val stopHits = stopwordHits(toks, stopwords.values.flatten.toSeq).cast("double")
+    df.withColumn("len_score", least(len / 200.0, lit(1.0)))
+      .withColumn("alpha_ratio", alpha / greatest(len, lit(1.0)))
+      .withColumn("word_len_score",
+        when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5))
+      .withColumn("stopword_ratio", least(stopHits / nToks * 5.0, lit(1.0)))
+      .withColumn("quality_score",
+        bround(col("len_score") * 0.3 + col("alpha_ratio") * 0.3 +
+          col("word_len_score") * 0.2 + col("stopword_ratio") * 0.2, 4))
+  }
+
+  /** Normalized-text fingerprints: md5 (content-addressable id, matches
+    * DuckDB's md5 for the oracle) and the rolling Karp–Rabin hash (custom
+    * expression — cheap shingling primitive). */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn("fp_rolling", GraftExpressions.rolling_hash64(norm))
+  }
+
+  /** Full document-statistics projection (token counts exact + BPE-ish,
+    * char classes, quality) — one pass, one scan. */
+  def docStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_len", length(text))
+      .withColumn("n_tokens", tokenCount(text))
+      .withColumn("n_alpha", length(regexp_replace(text, "[^\\p{L}]", "")))
+      .withColumn("n_digits", length(regexp_replace(text, "[^0-9]", "")))
+      .withColumn("n_punct", length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), which Spark 4 hid
+  * when the Column API was decoupled from Catalyst. Custom native
+  * expressions (graft.functions) need exactly these two hops and nothing
+  * else from the internal surface. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
