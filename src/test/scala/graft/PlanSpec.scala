@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan shape guards: these assert the SCALE properties the
+  * engine is designed around — filters/projections reaching the parquet
+  * scan, dimension joins broadcasting, exchange counts staying minimal.
+  * A regression here is a 100-TB performance bug even when row-level
+  * results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def planString(df: DataFrame): String = executedPlan(df).toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf001)
+
+  test("src_scan: predicate and projection push into the parquet scan") {
+    val s = planString(q("src_scan"))
+    assert(s.contains("PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice,1000.0)]"),
+      s"missing pushed filter in:\n$s")
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
+      s"scan reads more than the 3 needed columns:\n$s")
+  }
+
+  test("join_lookup_cat: dimension join is broadcast, not shuffled") {
+    val s = planString(q("join_lookup_cat"))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"dim lookup must not sort-merge:\n$s")
+  }
+
+  test("agg_order_kpi: partial aggregation before the shuffle") {
+    val s = planString(q("agg_order_kpi"))
+    assert(s.contains("HashAggregate"), s)
+    // partial_ functions indicate map-side combine is in place
+    assert(s.contains("partial_"), s"no partial aggregation found:\n$s")
+  }
+
+  test("join_semi_ri plans as a semi join (never materializes the id set)") {
+    val s = planString(q("join_semi_ri"))
+    assert(s.contains("LeftSemi"), s"expected LeftSemi join in:\n$s")
+  }
+
+  test("q_validate_all: scan-level filters + single semi join, no extra exchanges") {
+    val plan = executedPlan(q("q_validate_all"))
+    val s = plan.toString
+    assert(s.contains("PushedFilters"), s)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // one exchange for the final global sort at most (semi join broadcasts)
+    assert(shuffles.size <= 1, s"too many shuffles (${shuffles.size}):\n$s")
+  }
+
+  test("whole-stage codegen covers the KPI aggregation pipeline") {
+    // codegen'd spans appear as "*(n) Operator" in the executed plan tree
+    val s = planString(q("agg_order_kpi"))
+    assert(s.contains("*("), s"no whole-stage-codegen span found in:\n$s")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Multimodal
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash64: deterministic, order-sensitive, null-safe") {
+    val df = Seq(("ab"), ("ba"), ("ab")).toDF("s")
+      .select(GraftExpressions.rolling_hash64($"s").as("h")).collect()
+    assert(df(0).getLong(0) == df(2).getLong(0))
+    assert(df(0).getLong(0) != df(1).getLong(0))
+    // known value: h("ab") = ('a' * B + 'b') with B = 1000003
+    assert(df(0).getLong(0) == 97L * 1000003L + 98L)
+    val n = Seq((null: String)).toDF("s")
+      .select(GraftExpressions.rolling_hash64($"s")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("simhash64: equal token arrays hash equal; null-safe") {
+    val df = Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y", "z")
+    ).toDF("t").select(GraftExpressions.simhash64($"t").as("h")).collect()
+    assert(df(0).getLong(0) == df(1).getLong(0))
+    assert(df(0).getLong(0) != df(2).getLong(0))
+  }
+
+  test("byte_histogram: counts sum to payload length, 16 bins") {
+    val df = Seq("hello world!", "").toDF("s")
+      .select(GraftExpressions.byte_histogram($"s".cast("binary")).as("h"))
+      .collect()
+    val h0 = df(0).getSeq[Long](0)
+    assert(h0.length == 16 && h0.sum == 12L)
+    assert(df(1).getSeq[Long](0).sum == 0L)
+  }
+
+  test("expressions are SQL-registered and callable from spark.sql") {
+    GraftExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash64('ab') AS h, simhash64(array('a','b')) AS s").collect().head
+    assert(r.getLong(0) == 97L * 1000003L + 98L)
+  }
+
+  test("multimodal extract pipeline: deterministic decode, frames, features") {
+    val media = Multimodal.asMediaTable(
+      Seq((7L, "some fake binary payload for the decoder")).toDF("doc_id", "text"))
+    val r1 = Multimodal.extractAll(media)
+      .select("decoded.width", "decoded.height", "decoded.channels", "n_frames")
+      .collect().head
+    val r2 = Multimodal.extractAll(media)
+      .select("decoded.width", "decoded.height", "decoded.channels", "n_frames")
+      .collect().head
+    assert(r1 == r2) // decode stub is deterministic
+    assert(r1.getInt(0) >= 1 && r1.getInt(0) <= 1920)
+    assert(r1.getInt(1) >= 1 && r1.getInt(1) <= 1080)
+    assert(r1.getInt(3) == 4)
+    val feats = Multimodal.extractAll(media).select("features").collect()
+      .head.getSeq[Double](0)
+    assert(feats.length == 16 && math.abs(feats.sum - 1.0) < 1e-9)
+  }
+}

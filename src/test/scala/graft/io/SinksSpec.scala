@@ -1,0 +1,52 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kv upsert coerces decimals/dates like the reference sink and is re-runnable") {
+    Sinks.InMemoryKv.clear()
+    val df = Seq(
+      ("2025-03-08", 69188.4712, 286L),
+      ("2025-03-09", 77044.391, 311L)
+    ).toDF("order_date", "total_revenue", "total_orders")
+      .withColumn("order_date", to_date($"order_date"))
+    Sinks.kvUpsert(df, "order_kpi", Seq("order_date"), () => new Sinks.InMemoryKvClient)
+    val t = Sinks.InMemoryKv.tableOf("order_kpi")
+    assert(t.size() == 2)
+    val row = t.get("2025-03-08")
+    assert(row("total_revenue") == "69188.47") // DECIMAL(12,2) coercion
+    assert(row("total_orders") == "286")
+    // idempotence: re-running upserts the same keys, no duplicates
+    Sinks.kvUpsert(df, "order_kpi", Seq("order_date"), () => new Sinks.InMemoryKvClient)
+    assert(Sinks.InMemoryKv.tableOf("order_kpi").size() == 2)
+  }
+
+  test("csv sink round-trips with header; timestamped sink nests under ts") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.csv(df.coalesce(1), s"$dir/plain")
+    val back = spark.read.option("header", "true").csv(s"$dir/plain")
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
+    val ts = Sinks.batchTimestamp(0L)
+    assert(ts == "1970-01-01-T-00-00-00")
+    val written = Sinks.csvTimestamped(df.coalesce(1), s"$dir/base", "kpi", ts)
+    assert(written == s"$dir/base/1970-01-01-T-00-00-00/kpi")
+    assert(spark.read.option("header", "true").csv(written).count() == 2)
+  }
+
+  test("archive moves every file under a prefix into archive/<ts>/") {
+    val dir = Files.createTempDirectory("graft-archive").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    Sinks.csv(df.coalesce(1), s"$dir/raw/orders")
+    val moved = Sinks.archive(spark, s"$dir/raw", s"$dir/archive", "t0")
+    assert(moved.nonEmpty)
+    assert(Sources.present(spark, s"$dir/archive/t0/orders/*"))
+    assert(!Sources.present(spark, s"$dir/raw/orders/*.csv"))
+  }
+}

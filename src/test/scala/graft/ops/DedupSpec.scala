@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val docs = Seq(
+    (0L, base),                                        // original
+    (1L, base),                                        // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),              // near dup of 0
+    (3L, "completely different content about spark partitions and shuffles here"),
+    (4L, "unrelated text mentioning databases indexes and storage engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val d = Dedup.exactByFingerprint(docs, "doc_id", "text")
+    assert(d.count() == 4) // 0+1 merged
+    val merged = d.filter($"dup_count" === 2).collect()
+    assert(merged.length == 1 && merged.head.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("minhash estimates jaccard 1.0 for identical docs, high for near-dup") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.3)
+    assert(!pairs.contains((3L, 4L)) && !pairs.contains((0L, 3L)))
+  }
+
+  test("exact ngram jaccard: identical=1.0, disjoint absent, near-dup correct") {
+    val near = Dedup.nearDupNgram(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(near((0L, 1L)) == 1.0)
+    // base has 11 distinct 3-gram shingles (13 words => 11 shingles, all
+    // distinct); "lazy"->"sleepy" changes 3 of them: |A∩B| = 8,
+    // |A∪B| = 11 + 3 = 14
+    assert(math.abs(near((0L, 2L)) - 8.0 / 14.0) < 1e-12)
+    assert(!near.contains((3L, 4L)))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.get((0L, 2L)).forall(_ <= 16)) // few tokens changed
+    // pair (3,4) shares no 16-bit band unless texts are similar; if
+    // present it must still be far
+    pairs.get((3L, 4L)).foreach(h => assert(h > 10))
+  }
+
+  test("minhash pair generation is deterministic across runs") {
+    def run() = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run() == run())
+  }
+}

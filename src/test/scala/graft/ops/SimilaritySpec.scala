@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-picked vectors: v1 ⊥ v2, v3 = v1 scaled (cosine 1), v4 ≈ v1
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine column computes exact values") {
+    val got = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 3L)) == 1.0)
+    assert(got((1L, 2L)) == 0.0)
+    assert(got((1L, 5L)) == -1.0)
+    assert(math.abs(got((1L, 4L)) - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tiebreak, excludes self") {
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toMap
+    assert(topk(1) == 3L) // cosine 1.0
+    assert(topk(2) == 4L) // ≈0.9939
+    assert(topk(3) == 2L) // 0.0
+  }
+
+  test("lsh bucket: scaled copies share a bucket; topk finds the exact match") {
+    val b = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", numPlanes = 8, dim = 4).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(3L)) // same direction → identical signs
+    val topk = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2, numPlanes = 2, dim = 4).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toMap
+    assert(topk.get(1).contains(3L))
+  }
+
+  test("exact pair generation agrees with LSH on recalled pairs") {
+    val exact = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 3L)))
+    val lsh = Similarity.cosinePairsLsh(vecs, "vec_id", "embedding", 0.99,
+      numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // LSH may lose recall, never precision
+    assert(lsh.contains((1L, 3L))) // identical-direction pair always collides
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat and it is that simple for sure"),
+    (1L, "le chat est sur le tapis et la table pour une heure"),
+    (2L, "der hund und die katze das ist ein gutes zu haus"),
+    (3L, "这是一个中文文档的例子没有空格"),
+    (4L, "xqz kpw vvv 123 999 ---")
+  ).toDF("doc_id", "text")
+
+  test("langId picks the stopword-dominant language; CJK gate catches zh") {
+    val got = TextAnalysis.langId(docs).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en")
+    assert(got(1L) == "fr")
+    assert(got(2L) == "de")
+    assert(got(3L) == "zh")
+    assert(got(4L) == "und")
+  }
+
+  test("token counts: exact whitespace and BPE-ish estimate") {
+    val got = docs.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.tokenCountBpe($"text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(0L)._1 == 13)
+    assert(got(4L)._1 == 6)
+    // BPE-ish ≥ word count for wordy text (punct + long words add pieces)
+    assert(got(0L)._2 >= 12)
+  }
+
+  test("quality score separates clean prose from garbage") {
+    val got = TextAnalysis.qualityScore(docs).select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) > 0.6, s"clean text scored ${got(0L)}")
+    assert(got(4L) < got(0L), "garbage must score below clean prose")
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprints: whitespace/case normalization collapses variants") {
+    val variants = Seq(
+      (0L, "Hello   World"),
+      (1L, "hello world"),
+      (2L, "  hello    WORLD  "),
+      (3L, "different entirely")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(variants)
+      .select("doc_id", "fp_md5", "fp_rolling")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(1L) == fp(2L))
+    assert(fp(3L) != fp(1L))
+  }
+
+  test("docStats char classes are exact") {
+    val r = TextAnalysis.docStats(Seq((0L, "ab c1! d?")).toDF("doc_id", "text"))
+      .select("n_len", "n_tokens", "n_alpha", "n_digits", "n_punct").collect().head
+    assert(r.getInt(0) == 9)
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 4)  // a b c d
+    assert(r.getInt(3) == 1)  // 1
+    assert(r.getInt(4) == 2)  // ! ?
+  }
+}
