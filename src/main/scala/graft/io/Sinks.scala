@@ -117,12 +117,14 @@ object Sinks {
     * file and metadata-only. Must run AFTER sink commit (SURVEY.md §7.5
     * item 5) — callers sequence it inside `foreachBatch`. */
   def archive(spark: SparkSession, srcDir: String, archiveBase: String, ts: String): Seq[String] = {
-    val src = new Path(srcDir)
-    val fs: FileSystem = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs: FileSystem = new Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify so URI relativization sees one scheme on both sides
+    val src = fs.makeQualified(new Path(srcDir))
     if (!fs.exists(src)) return Seq.empty
     val files = listRecursive(fs, src)
     val moved = files.map { f =>
-      val rel = src.toUri.relativize(f.toUri).getPath
+      val rel = src.toUri.relativize(fs.makeQualified(f).toUri).getPath
       val dst = new Path(s"$archiveBase/$ts/$rel")
       fs.mkdirs(dst.getParent)
       fs.rename(f, dst)

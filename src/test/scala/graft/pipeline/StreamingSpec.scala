@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.{Sinks, Sources}
+
+/** Streaming-layer tests (SURVEY.md §5.2 item 5): trigger gate,
+  * AvailableNow batch scope, checkpoint-based exactly-once, archive
+  * after commit, and the watermarked tumbling window. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Copy a small slice of the reference corpus as the raw landing dir. */
+  private def stageRaw(dir: String): Unit = {
+    Files.createDirectories(Paths.get(s"$dir/orders"))
+    Files.createDirectories(Paths.get(s"$dir/order_items"))
+    Files.copy(Paths.get("/root/reference/Data/products.csv"),
+      Paths.get(s"$dir/products.csv"))
+    Files.copy(Paths.get("/root/reference/Data/orders/orders_part1.csv"),
+      Paths.get(s"$dir/orders/orders_part1.csv"))
+    Files.copy(Paths.get("/root/reference/Data/order_items/order_items_part1.csv"),
+      Paths.get(s"$dir/order_items/order_items_part1.csv"))
+  }
+
+  test("gate waits for all three inputs, opens when they land") {
+    val dir = Files.createTempDirectory("graft-gate").toString
+    assert(!Streaming.gate(spark, dir))
+    stageRaw(dir)
+    assert(Streaming.gate(spark, dir))
+  }
+
+  test("AvailableNow run: full pipeline fires once, archives raw, is exactly-once on restart") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val raw = s"$root/raw"
+    val work = s"$root/work"
+    stageRaw(raw)
+    Sinks.InMemoryKv.clear()
+    assert(Streaming.gate(spark, raw))
+
+    val q = Streaming.runAvailableNow(spark, raw, work,
+      () => new Sinks.InMemoryKvClient, batchTimeMillis = 0L)
+    q.awaitTermination()
+
+    // sinks committed: both KV tables populated from the one-part slice
+    val orderKpi = Sinks.InMemoryKv.tableOf("order_kpi")
+    val catKpi = Sinks.InMemoryKv.tableOf("category_kpi")
+    assert(orderKpi.size() > 0 && catKpi.size() > 0)
+    val sizes = (orderKpi.size(), catKpi.size())
+
+    // validated + processed layers exist
+    assert(Sources.present(spark, s"$work/validated/orders/*.parquet"))
+    assert(Sources.present(spark, s"$work/processed/*/order_kpi/*.csv"))
+
+    // archive ran after the sinks: raw emptied, files under archive/<ts>/
+    assert(!Sources.present(spark, s"$raw/orders/*.csv"))
+    assert(Sources.present(spark, s"$work/archive/*/orders/*.csv"))
+
+    // exactly-once: restart with the same checkpoint, no new files — the
+    // commit log suppresses any re-fire; KV unchanged, no double archive
+    val q2 = Streaming.runAvailableNow(spark, raw, work,
+      () => new Sinks.InMemoryKvClient, batchTimeMillis = 99999L)
+    q2.awaitTermination()
+    assert((orderKpi.size(), catKpi.size()) == sizes)
+    assert(!Sources.present(spark, s"$work/archive/1970-01-02*/orders/*.csv"))
+  }
+
+  test("watermarked tumbling daily window matches the batch group-by") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.dailyEventAgg(df)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("daily_out").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), "click", 1.0),
+      (t("2024-01-01 11:00:00"), "click", 2.0),
+      (t("2024-01-01 12:00:00"), "view", 5.0),
+      (t("2024-01-02 09:00:00"), "click", 7.0))
+    q.processAllAvailable()
+    // advance watermark past Jan-2 so the Jan-1 and Jan-2 windows close
+    mem.addData((t("2024-01-04 00:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("daily_out")
+      .select(date_format($"day_start", "yyyy-MM-dd").as("d"), $"event_type",
+        $"n_events", $"total_value")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("2024-01-01", "click")) == ((2L, 3.0)))
+    assert(out(("2024-01-01", "view")) == ((1L, 5.0)))
+    assert(out(("2024-01-02", "click")) == ((1L, 7.0)))
+  }
+}
