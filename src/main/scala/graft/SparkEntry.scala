@@ -543,8 +543,10 @@ object SparkEntry {
   )
 
   /** Headline queries for Bench.scala — the shuffling/joining/windowing
-    * heavy hitters, not the trivial projections. */
+    * heavy hitters plus the training-data extensions, not the trivial
+    * projections. */
   val benchQueries: Seq[String] = Seq(
     "agg_order_kpi", "agg_cat_kpi", "q_validate_all", "join_inner_eq",
-    "win_topk_per_order", "evt_daily", "agg_count_distinct")
+    "win_topk_per_order", "evt_daily", "agg_count_distinct",
+    "dedup_minhash", "dedup_simhash", "sim_topk_brute", "txt_quality")
 }

@@ -48,14 +48,32 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: element k is min over shingles of
-    * xxhash64(shingle, k). One nested `transform` + `array_min` — a
-    * single compact expression tree, not numHashes copies of an
-    * aggregate (which blows generated-code size past what Janino
-    * compiles comfortably), computed in one projection with no shuffle. */
+  /** MinHash signature: element k is min over shingles of the k-th hash.
+    *
+    * Hashes derive from two base hashes per shingle via double hashing
+    * (Kirsch–Mitzenmacher): h_k = h1 + k·h2 (mod 2^64). Callers should
+    * evaluate this over PRE-MATERIALIZED base-hash arrays (see
+    * [[minhashBaseHashes]] + [[minhashPairs]]): higher-order functions
+    * are CodegenFallback, and an interpreted lambda re-evaluates its
+    * child per outer iteration — embedding the shingle-string
+    * construction here would rebuild every shingle numHashes times
+    * (measured 40× slower at sf0.1). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(
+      transform(shingleCol, s => xxhash64(s)), numHashes)
+
+  /** Per-shingle base hash — materialize this array once per document,
+    * then derive any number of minhashes from the longs alone. */
+  def minhashBaseHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  /** Signature from materialized base hashes: the k-th hash of a shingle
+    * is xxhash64(baseHash, k) — long-only work inside the k-loop (no
+    * string rebuilds), and no arithmetic overflow for ANSI mode to trip
+    * on (Spark 4 default would reject a classic h1 + k·h2 mix). */
+  def minhashSignatureFromHashes(h1: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shingleCol, s => xxhash64(s, k))))
+      k => array_min(transform(h1, v => xxhash64(v, k))))
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction
     * of agreeing positions. */
@@ -79,13 +97,20 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Persist the signatures: the LSH self-join reads this frame twice,
-    // and without it the whole shingle+hash pipeline runs once per side
-    // (at scale you materialize signatures anyway — they are the reusable
-    // artifact of the corpus).
-    val sigs = df
-      .withColumn("sig", minhashSignature(shingles(col(textCol), shingleN), numHashes))
-      .select(col(idCol), col("sig"))
+    // Two-stage materialization, both persisted:
+    //  1. base hashes — the persist is a CollapseProject barrier, so the
+    //     interpreted k-loop below reads cached long arrays instead of
+    //     re-building shingle strings per hash function;
+    //  2. signatures — the LSH self-join reads this frame twice (at scale
+    //     you materialize signatures anyway — they are the reusable
+    //     artifact of the corpus).
+    val baseHashes = df
+      .select(col(idCol),
+        minhashBaseHashes(shingles(col(textCol), shingleN)).as("h1"))
+      .persist()
+    val sigs = baseHashes
+      .select(col(idCol),
+        minhashSignatureFromHashes(col("h1"), numHashes).as("sig"))
       .persist()
     val banded = sigs.select(
       col(idCol), col("sig"),
