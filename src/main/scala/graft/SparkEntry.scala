@@ -245,6 +245,101 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
         .orderBy(col("event_type"))),
 
+    // §2.B prj_drop_cols (Task_2/task_2.py:117) — projection-as-drop
+    "prj_drop_cols" -> ((s, d) =>
+      t(s, d, "orders")
+        .drop("o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderkey"))),
+
+    // §2.G scalar-function suite: the fn_* rows in one projection
+    // (to_date, ISO formatting, decimal rounding path, mul/div, null test)
+    "fn_scalar_suite" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("order_date_iso"),
+          dec2(col("o_totalprice")).as("price_dec"),
+          (dec2(col("o_totalprice")) * 2).cast(DecimalType(12, 2)).as("price_x2"),
+          (col("o_totalprice") / 100.0).as("price_ratio"),
+          col("o_orderdate").isNotNull.as("has_date"))
+        .orderBy(col("o_orderkey"))),
+
+    // beyond-reference §2.D: ROLLUP grouping sets (engine completeness)
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // beyond-reference §2.D: pivot (statuses to columns)
+    "agg_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .groupBy(col("order_date"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sumMoney(col("o_totalprice")))
+        .select(col("order_date"), col("F").as("rev_f"),
+          col("O").as("rev_o"), col("P").as("rev_p"))
+        .orderBy(col("order_date"))),
+
+    // beyond-reference §2.H: running/lag window functions over a
+    // customer's order history
+    "win_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DecimalType(18, 2)).as("running_spend"),
+          lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // beyond-reference §2.F: INTERSECT / EXCEPT (distinct set semantics)
+    "set_intersect" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+
+    "set_except" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .except(t(s, d, "customer").filter(col("c_acctbal") >= 0)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+
+    // beyond-reference §2.C: LEFT OUTER join preserved-side aggregation
+    "join_left_agg" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.A src_csv_multi (Task_1/task_1.py:88-104): multi-file CSV scan +
+    // union-all over the reference's own part-files (rows-only: the
+    // oracle tables are the parquet star schema, not these CSVs).
+    "src_csv_multi" -> ((s, _) =>
+      graft.ops.Validate.dropNullsAny(Seq("order_id"))(
+        Sources.csvMulti(s, "/root/reference/Data/orders", graft.schema.Schemas.orders))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("status"))),
+
+    // §2.D declared approx variant (SURVEY §2.D: offer HLL alongside the
+    // exact countDistinct, never silently substitute; rows-only — sketch
+    // internals have no SQL oracle, determinism spec-tested instead).
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .groupBy(col("order_date"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .orderBy(col("order_date"))),
+
     // ---- training-data extensions (documents / embeddings tables) ----
 
     // Text analysis: char-class + token statistics, one scan.
@@ -491,6 +586,60 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "prj_drop_cols" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_scalar_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_iso,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price_x2,
+        |  o_totalprice / 100.0 AS price_ratio,
+        |  (o_orderdate IS NOT NULL) AS has_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS rev_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS rev_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS rev_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
+        |  LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
+        |ORDER BY custkey""".stripMargin,
+
+    "join_left_agg" ->
+      """SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
 
     "txt_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,120 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.schema.Schemas
+
+/** Property-based invariants (SURVEY.md §5.2 item 3) over randomized
+  * small frames: RI semi-join containment, union-all conservation,
+  * validation idempotence, aggregation grain identities. */
+class PropertySpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  /** Deterministic sampling loop (the scalatest-scalacheck bridge is not
+    * in the offline dependency cache): fixed seeds, so failures replay. */
+  private def forSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+  private def forSamples2[A, B](ga: Gen[A], gb: Gen[B], n: Int)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    }
+
+  private def ts(i: Int) = new Timestamp(1700000000000L + i * 3600L * 1000L)
+
+  private val orderGen = for {
+    n <- Gen.choose(1, 15)
+    ids <- Gen.pick(n, 1 to 50)
+    rows <- Gen.sequence[Seq[Row], Row](ids.map { id =>
+      for {
+        user <- Gen.choose(1L, 5L)
+        returned <- Gen.oneOf(true, false)
+        nullKey <- Gen.frequency(9 -> false, 1 -> true)
+      } yield Row(if (nullKey) null else id.toLong, user,
+        if (returned) "returned" else "delivered", ts(id),
+        if (returned) ts(id + 96) else null, ts(id + 24), ts(id + 48), 1L)
+    })
+  } yield rows
+
+  private val itemGen = for {
+    n <- Gen.choose(0, 40)
+    rows <- Gen.sequence[Seq[Row], Row]((1 to n).map { i =>
+      for {
+        order <- Gen.choose(1L, 60L) // some orphans beyond order ids 1..50
+        product <- Gen.choose(1000L, 1005L)
+        price <- Gen.oneOf(-5.0, 0.0, 9.99, 25.5, 100.0)
+        nullPrice <- Gen.frequency(9 -> false, 1 -> true)
+      } yield Row(i.toLong, order, 1L, product, "delivered", ts(i), ts(i), ts(i),
+        null, if (nullPrice) null else price)
+    })
+  } yield rows
+
+  private def ordersDf(rows: Seq[Row]) =
+    spark.createDataFrame(rows.asJava, Schemas.orders)
+  private def itemsDf(rows: Seq[Row]) =
+    spark.createDataFrame(rows.asJava, Schemas.orderItems)
+
+  test("validation is idempotent and output is a subset of input") {
+    forSamples2(orderGen, itemGen, 8) { (oRows, iRows) =>
+      val orders = ordersDf(oRows)
+      val items = itemsDf(iRows)
+      val vOrders = Validate.validateOrders(orders)
+      val vItems = Validate.validateItems(items, vOrders)
+      // subset: every surviving item id existed in the input
+      val inIds = iRows.map(_.getLong(0)).toSet
+      val outIds = vItems.select("id").collect().map(_.getLong(0)).toSet
+      assert(outIds.subsetOf(inIds))
+      // idempotence: validating the validated layer changes nothing
+      val again = Validate.validateItems(vItems, vOrders)
+      assert(again.count() == vItems.count())
+      // no orphans survive
+      val orderIds = vOrders.select("order_id").collect().map(_.getLong(0)).toSet
+      val survivors = vItems.select("order_id").collect().map(_.getLong(0)).toSet
+      assert(survivors.subsetOf(orderIds))
+    }
+  }
+
+  test("union-all conserves row counts; semi+anti partition the input") {
+    forSamples(itemGen, 8) { iRows =>
+      val items = itemsDf(iRows)
+      val lo = items.filter(col("id") <= 20)
+      val hi = items.filter(col("id") > 20)
+      assert(lo.unionByName(hi).count() == items.count())
+
+      val valid = itemsDf(iRows.take(iRows.length / 2)).select("order_id")
+      val semi = Validate.semiJoinRI(valid, "order_id")(items)
+      val anti = Validate.antiJoinOrphans(valid, "order_id")(items)
+      assert(semi.count() + anti.count() == items.count())
+    }
+  }
+
+  test("order-KPI grain identities: items counted once, revenue additive") {
+    forSamples2(orderGen, itemGen, 6) { (oRows, iRows) =>
+      val vOrders = Validate.validateOrders(ordersDf(oRows))
+      val vItems = Validate.validateItems(itemsDf(iRows), vOrders)
+      val products = spark.createDataFrame(
+        Seq(Row(1000L, "s", 1.0, "C0", "n", "b", 2.0, "d"),
+          Row(1001L, "s", 1.0, "C1", "n", "b", 2.0, "d"),
+          Row(1002L, "s", 1.0, "C2", "n", "b", 2.0, "d")).asJava, Schemas.products)
+      val merged = Transform.merged(vItems, vOrders, products)
+      val (catKpi, orderKpi) = Transform.kpis(vItems, vOrders, products)
+      val mergedCount = merged.count()
+      val itemsSold = orderKpi.agg(sum("total_items_sold")).collect().head
+      assert(Option(itemsSold.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L) == mergedCount)
+      // category revenue (non-null categories) never exceeds total revenue
+      val catRev = catKpi.agg(sum("daily_revenue")).collect().head
+      val totRev = orderKpi.agg(sum("total_revenue")).collect().head
+      val c = Option(catRev.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val t = Option(totRev.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      assert(c <= t + 0.01 * (mergedCount + 1)) // rounding slack per group
+    }
+  }
+}
