@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -93,6 +93,94 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Dot product of two numeric arrays in double precision — native
+    * replacement for `aggregate(zip_with(a, b, _*_), 0d, _+_)`: the
+    * higher-order-function chain is CodegenFallback (interpreted, one
+    * boxed lambda call per element) where this is a single generated
+    * fused loop. Null elements count as 0. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0
+      var i = 0
+      if (isFloat(left) && isFloat(right)) {
+        while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+      } else {
+        while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+      }
+      java.lang.Double.valueOf(dot)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val get = if (isFloat(left)) "getFloat" else "getDouble"
+      val getR = if (isFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double dot = 0.0;
+        |for (int i = 0; i < n; i++) {
+        |  dot += (double)$a.$get(i) * (double)$b.$getR(i);
+        |}
+        |${ev.value} = dot;
+        |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Cosine similarity of two numeric arrays — one fused pass computing
+    * dot and both norms (three interpreted HOF pipelines otherwise);
+    * 0.0 when either norm is zero. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val (fl, fr) = (isFloat(left), isFloat(right))
+      while (i < n) {
+        val x = if (fl) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (fr) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val get = if (isFloat(left)) "getFloat" else "getDouble"
+      val getR = if (isFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double dot = 0.0, na = 0.0, nb = 0.0;
+        |for (int i = 0; i < n; i++) {
+        |  double x = (double)$a.$get(i);
+        |  double y = (double)$b.$getR(i);
+        |  dot += x * y; na += x * x; nb += y * y;
+        |}
+        |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+        |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
+        |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): CosineSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -101,6 +189,8 @@ object GraftExpressions {
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rolling_hash64(text: Column): Column = c(RollingHash64(e(text)))
   def byte_histogram(bin: Column): Column = c(ByteHistogram(e(bin)))
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -108,5 +198,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
   }
 }
