@@ -93,6 +93,39 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** MinHash signature of a shingle array: element k = min over shingles
+    * of hash_k(shingle), where hash_0 = xxhash64(bytes) and hash_k =
+    * xxhash64(hash_0, seed=k) — one fused loop hashing each shingle's
+    * bytes exactly once. The higher-order-function formulation
+    * (`transform(sequence(...), k -> array_min(transform(...)))`) is
+    * interpreted and re-evaluates its child per k (measured 40× slower);
+    * this expression replaced it plus the persist() barrier it needed. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          var k = 0
+          while (k < numHashes) {
+            val hk = XXH64.hashLong(h0, k.toLong)
+            if (hk < mins(k)) mins(k) = hk
+            k += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
   /** Dot product of two numeric arrays in double precision — native
     * replacement for `aggregate(zip_with(a, b, _*_), 0d, _+_)`: the
     * higher-order-function chain is CodegenFallback (interpreted, one
@@ -187,6 +220,8 @@ object GraftExpressions {
   private def e(col: Column): Expression = GraftSqlBridge.expression(col)
 
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    c(MinHashSignature(e(shingles), numHashes))
   def rolling_hash64(text: Column): Column = c(RollingHash64(e(text)))
   def byte_histogram(bin: Column): Column = c(ByteHistogram(e(bin)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))

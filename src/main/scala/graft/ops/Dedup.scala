@@ -48,32 +48,14 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: element k is min over shingles of the k-th hash.
-    *
-    * Hashes derive from two base hashes per shingle via double hashing
-    * (Kirsch–Mitzenmacher): h_k = h1 + k·h2 (mod 2^64). Callers should
-    * evaluate this over PRE-MATERIALIZED base-hash arrays (see
-    * [[minhashBaseHashes]] + [[minhashPairs]]): higher-order functions
-    * are CodegenFallback, and an interpreted lambda re-evaluates its
-    * child per outer iteration — embedding the shingle-string
-    * construction here would rebuild every shingle numHashes times
-    * (measured 40× slower at sf0.1). */
+  /** MinHash signature: element k is min over shingles of the k-th hash
+    * (h_0 = xxhash64(shingle bytes), h_k = xxhash64(h_0, k)) — a native
+    * Catalyst expression with one fused loop hashing each shingle once.
+    * An earlier higher-order-function formulation re-evaluated the
+    * shingle construction per hash function (HOFs are interpreted and
+    * re-run their child each outer iteration — 40× slower at sf0.1). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    minhashSignatureFromHashes(
-      transform(shingleCol, s => xxhash64(s)), numHashes)
-
-  /** Per-shingle base hash — materialize this array once per document,
-    * then derive any number of minhashes from the longs alone. */
-  def minhashBaseHashes(shingleCol: Column): Column =
-    transform(shingleCol, s => xxhash64(s))
-
-  /** Signature from materialized base hashes: the k-th hash of a shingle
-    * is xxhash64(baseHash, k) — long-only work inside the k-loop (no
-    * string rebuilds), and no arithmetic overflow for ANSI mode to trip
-    * on (Spark 4 default would reject a classic h1 + k·h2 mix). */
-  def minhashSignatureFromHashes(h1: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(h1, v => xxhash64(v, k))))
+    GraftExpressions.minhash_signature(shingleCol, numHashes)
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction
     * of agreeing positions. */
@@ -97,20 +79,12 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Two-stage materialization, both persisted:
-    //  1. base hashes — the persist is a CollapseProject barrier, so the
-    //     interpreted k-loop below reads cached long arrays instead of
-    //     re-building shingle strings per hash function;
-    //  2. signatures — the LSH self-join reads this frame twice (at scale
-    //     you materialize signatures anyway — they are the reusable
-    //     artifact of the corpus).
-    val baseHashes = df
+    // Persist the signatures: the LSH self-join reads this frame twice
+    // (at scale you materialize signatures anyway — they are the
+    // reusable artifact of the corpus).
+    val sigs = df
       .select(col(idCol),
-        minhashBaseHashes(shingles(col(textCol), shingleN)).as("h1"))
-      .persist()
-    val sigs = baseHashes
-      .select(col(idCol),
-        minhashSignatureFromHashes(col("h1"), numHashes).as("sig"))
+        minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
     val banded = sigs.select(
       col(idCol), col("sig"),
