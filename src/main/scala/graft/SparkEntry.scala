@@ -440,6 +440,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Similarity: IVF (k-means coarse quantizer) top-5 — the trained
+    // scale path beside LSH (rows-only; seeded k-means has no SQL oracle).
+    "sim_topk_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Multimodal: typed metadata over opaque binary payloads.
     "mm_meta" -> ((s, d) =>
       Multimodal.asMediaTable(t(s, d, "documents"))

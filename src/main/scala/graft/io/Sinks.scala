@@ -109,6 +109,15 @@ object Sinks {
     }
   }
 
+  /** Date-partitioned parquet layer (the scale-ready layout for the
+    * `processed/` data the reference writes as flat CSVs): one directory
+    * per day enables partition pruning — a reader filtering on
+    * `partitionCol` scans only the matching directories
+    * (`PartitionFilters` in the plan), which is the difference between a
+    * day query touching GBs vs the full 100 TB. */
+  def parquetPartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+
   // -------- archive (infra, reference `Task_2/task_2.py:237-263`) --------
 
   /** Post-success archive: move every file under `srcDir` to

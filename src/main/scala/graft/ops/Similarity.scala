@@ -109,6 +109,54 @@ object Similarity {
       .agg(max(col("sim")).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the trained-quantizer scale
+    * path beside [[lshTopK]]'s data-independent one.
+    *
+    * Build: k-means (seeded, deterministic) coarse quantizer over the
+    * corpus; every vector gets a cluster id — this is the "inverted
+    * list". Query: each query probes its `nprobe` nearest centroids and
+    * compares only against those clusters' vectors. At 100 TB the corpus
+    * would be written bucketed/partitioned by `cluster`, so a probe is a
+    * partition-pruned scan, not a shuffle; here the cluster equi-join
+    * expresses the same plan shape.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val asDouble = transform(col(vecCol), x => x.cast("double"))
+    val featurized = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(asDouble).as("fv"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("cluster").fit(featurized)
+    val indexed = model.transform(featurized)
+      .select(col(idCol), col(vecCol), col("cluster"))
+
+    // centroid table is tiny (nlist rows) — broadcast to rank probes
+    val centroids = broadcast(
+      corpus.sparkSession.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      ).toDF("cluster", "centroid"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cluster"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(centroids)
+        .withColumn("cdist", -cosine(col("qvec"), col("centroid")))
+        .withColumn("prank", row_number().over(wProbe))
+        .filter(col("prank") <= nprobe)
+        .select(col("query_id"), col("qvec"), col("cluster")))
+
+    val scored = indexed.join(probes, Seq("cluster"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold — O(n²), for oracle/tests at tiny
     * scale only; the LSH path is the production one. */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,

@@ -47,6 +47,19 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.get(1).contains(3L))
   }
 
+  test("ivf top-k: identical-direction pair recalled; subset of brute-force") {
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toMap
+    // nprobe = nlist here, so coverage is total: must match brute-force rank 1
+    assert(ivf.get(1).contains(3L))
+    val again = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2).collect().toSeq
+    val first = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2).collect().toSeq
+    assert(again == first) // seeded quantizer => deterministic
+  }
+
   test("exact pair generation agrees with LSH on recalled pairs") {
     val exact = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
