@@ -118,6 +118,20 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
 
+  /** Bucketed table write: pre-shuffles the data into `numBuckets` files
+    * per bucket key at WRITE time, so every later equi-join or
+    * aggregation on that key runs with NO exchange — the shuffle is paid
+    * once when the lake is laid down instead of per query. The 100 TB
+    * pattern for fact⋈fact joins too big to broadcast. Registers a
+    * catalog table (required for bucketing metadata). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table) // default warehouse location
+
   // -------- archive (infra, reference `Task_2/task_2.py:237-263`) --------
 
   /** Post-success archive: move every file under `srcDir` to
