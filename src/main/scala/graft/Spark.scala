@@ -17,6 +17,9 @@ object Spark {
       // testdata events.ts is TIMESTAMP(NANOS); read as long, normalized
       // in Sources.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketing) land outside the repo working tree
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

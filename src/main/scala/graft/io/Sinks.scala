@@ -125,12 +125,21 @@ object Sinks {
     * pattern for fact⋈fact joins too big to broadcast. Registers a
     * catalog table (required for bucketing metadata). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across JVMs: a fresh session's catalog forgets managed
+    // tables but their warehouse directories survive — clear both
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table) // default warehouse location
+  }
 
   // -------- archive (infra, reference `Task_2/task_2.py:237-263`) --------
 
