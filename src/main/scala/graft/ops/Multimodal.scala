@@ -76,6 +76,44 @@ object Multimodal {
   def resizeStub(content: Column, targetBytes: Int): Column =
     rpad(content, targetBytes, Array[Byte](0))
 
+  /** Batched decode over partitions — the Scala analog of the
+    * `mapInPandas` batch shape: the decoder sees `batchSize` payloads at
+    * a time (real codecs and model-inference runtimes amortize setup per
+    * batch, not per row), partitions stream through without
+    * materializing, and the output schema is a typed case class. The
+    * decode itself is the same deterministic STUB as [[decodeStub]]
+    * (no codec libs in this container) — swap `decodeBatch`'s body for a
+    * real library call with the same signature. */
+  final case class DecodedMedia(media_id: Long, width: Int, height: Int,
+                                channels: Int, n_bytes: Int)
+
+  def decodeBatched(media: DataFrame, batchSize: Int = 64)
+      : org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    implicit val enc: Encoder[DecodedMedia] = Encoders.product[DecodedMedia]
+    val rows = media.select(col("media_id"), col("content"))
+    rows.mapPartitions { it: Iterator[Row] =>
+      it.grouped(batchSize).flatMap { batch =>
+        decodeBatch(batch.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+      }
+    }
+  }
+
+  /** The per-batch decode call a real implementation replaces: input is
+    * one batch of (id, payload), output one row per payload. Stub
+    * arithmetic mirrors [[decodeStub]] exactly (CRC32-derived fake
+    * dimensions) so the two paths are cross-checkable. */
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[DecodedMedia] = {
+    val crc = new java.util.zip.CRC32()
+    batch.map { case (id, bytes) =>
+      crc.reset(); crc.update(bytes)
+      val w = (crc.getValue % 1920).toInt + 1
+      crc.reset(); crc.update(bytes.reverse)
+      val h = (crc.getValue % 1080).toInt + 1
+      DecodedMedia(id, w, h, if (bytes.length % 2 == 0) 3 else 1, bytes.length)
+    }
+  }
+
   /** The composed decode → features → sample pipeline over a media table.
     * Everything is column expressions in one projection — one scan, no
     * shuffle, whole-stage codegen except the histogram expression. */

@@ -75,6 +75,35 @@ object Streaming {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Native session windows (gap-close semantics identical to
+    * `ops.Sessions`): Spark's `session_window` merges events of a key
+    * into variable-length windows that close after `gap` of silence; the
+    * watermark bounds state. Output is one row per closed session. */
+  def sessionWindowAgg(df: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 day"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stream-stream inner join within a time bound: every left event
+    * matches right events of the same key at most `boundSeconds` later.
+    * Both sides carry watermarks so the join state is evictable — the
+    * standard enrich-clicks-with-purchases shape. Left columns must be
+    * (`ts`, `user_id`, ...), right (`r_ts`, `r_user_id`, ...). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       boundSeconds: Long = 3600L): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour")
+    val r = right.withWatermark("r_ts", "1 hour")
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $boundSeconds SECONDS"),
+      "inner")
+  }
+
   /** Streaming exact dedup by key within the watermark horizon
     * (`dropDuplicates` + watermark — state is bounded by the horizon, the
     * standard at-scale pattern for exactly-once event ingestion when the

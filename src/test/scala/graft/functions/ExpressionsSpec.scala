@@ -44,6 +44,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == 97L * 1000003L + 98L)
   }
 
+  test("batched decode agrees with the expression decode stub row by row") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "payload one"), (2L, "a different payload"), (3L, "third"))
+        .toDF("doc_id", "text"))
+    val viaExpr = Multimodal.extractAll(media)
+      .select($"media_id", $"decoded.width", $"decoded.height", $"decoded.channels")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val viaBatch = Multimodal.decodeBatched(media, batchSize = 2)
+      .collect().map(d => d.media_id -> ((d.width, d.height, d.channels))).toMap
+    assert(viaBatch == viaExpr)
+  }
+
   test("multimodal extract pipeline: deterministic decode, frames, features") {
     val media = Multimodal.asMediaTable(
       Seq((7L, "some fake binary payload for the decoder")).toDF("doc_id", "text"))

@@ -66,6 +66,45 @@ class SessionsSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("native session_window agg closes sessions at the gap like ops.Sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = Streaming.sessionWindowAgg(df, gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sw_out").start()
+    mem.addData((10L, t("2024-01-01 10:00:00")), (10L, t("2024-01-01 10:10:00")),
+      (10L, t("2024-01-01 10:20:00")), (10L, t("2024-01-01 11:05:00")))
+    q.processAllAvailable()
+    mem.addData((10L, t("2024-01-03 00:00:00"))) // advance watermark, close all
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sw_out")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // same split the batch/stateful sessionizers produce: 3 events + 1 event
+    assert(out == Seq((10L, 1L), (10L, 3L)))
+  }
+
+  test("stream-stream join matches right events within the bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("r_user_id", "r_ts"),
+      boundSeconds = 600L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+    buys.addData((1L, t("2024-01-01 10:05:00")),  // within 10 min → match
+      (2L, t("2024-01-01 11:00:00")),             // outside bound → no match
+      (3L, t("2024-01-01 10:01:00")))             // no click → no match
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_out").select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L))
+  }
+
   test("streaming dedup by watermark drops redeliveries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
