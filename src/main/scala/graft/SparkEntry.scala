@@ -440,6 +440,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Similarity: ORACLE-CHECKED top-k via integer quantization — dims
+    // quantized to exact BIGINTs (floor(x·1000)), dot product in integer
+    // arithmetic, so the score is order-independent and hash-matches
+    // DuckDB (float-sum top-k can't be oracled; this variant can).
+    "sim_topk_quantized" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val qdot = aggregate(
+        zip_with(col("qe"), col("embedding"), (x, y) =>
+          floor(x.cast("double") * 1000).cast("long") *
+            floor(y.cast("double") * 1000).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dotq").desc, col("vec_id"))
+      emb.crossJoin(q)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dotq", qdot)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dotq"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Similarity: IVF (k-means coarse quantizer) top-5 — the trained
     // scale path beside LSH (rows-only; seeded k-means has no SQL oracle).
     "sim_topk_ivf" -> ((s, d) => {
@@ -724,6 +748,23 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY MIN(doc_id)""".stripMargin,
+
+    "sim_topk_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    (SELECT CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)
+        |                    * CAST(FLOOR(CAST(y AS DOUBLE)*1000) AS BIGINT)) AS BIGINT)
+        |     FROM (SELECT UNNEST(q.qe) AS x, UNNEST(c.embedding) AS y) z) AS dotq
+        |  FROM q, embeddings c WHERE c.vec_id != q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, dotq,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dotq DESC, neighbor_id) AS INT) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, dotq, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS media_id,
