@@ -8,6 +8,13 @@ import graft.functions.GraftExpressions
 /** Deduplication operators for the training-data surface: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
+  * Algorithms follow the public literature: MinHash resemblance
+  * estimation (Broder, "On the resemblance and containment of
+  * documents", 1997), SimHash rounding sketches (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002), and the
+  * banding analysis of Leskovec/Rajaraman/Ullman, "Mining of Massive
+  * Datasets" ch. 3.
+  *
   * Scale design (the point of every choice here):
   *  - candidate generation is always bucketed (LSH bands / simhash bands /
   *    hyperplane buckets) so the pair space is ~linear, never the O(n²)

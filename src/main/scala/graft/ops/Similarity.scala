@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
+  * The approximate paths follow the public literature: random-hyperplane
+  * sign LSH (Charikar, STOC 2002; Indyk & Motwani, STOC 1998 for the LSH
+  * framework) and IVF coarse quantization (the inverted-file structure of
+  * Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011 — coarse stage only, no product codes).
+  *
   * Two paths, per the builder brief:
   *  - brute-force cosine top-k — the exact baseline: broadcast the query
   *    set, one scan over the corpus, per-query top-k. Linear in corpus
