@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *    scale path: deterministic random hyperplanes give every vector a
   *    small integer bucket; only same-bucket pairs are compared.
   *
-  * All math is double-precision column arithmetic (`zip_with` +
-  * `aggregate`, codegen'd) — no UDFs.
+  * All math is double precision through native Catalyst expressions
+  * (`GraftExpressions.dot_product` / `cosine_sim`, fused codegen loops) —
+  * no UDFs, no interpreted higher-order-function chains.
   */
 object Similarity {
 
