@@ -13,9 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY.md §7.4: "only custom-Catalyst candidates").
   *
   * Each is a native `Expression` rather than a Scala UDF: no
-  * serialize/deserialize per row, null handling from `UnaryExpression`,
-  * and the door open to `doGenCode` later (CodegenFallback today — the
-  * eval loops are tight primitive loops either way).
+  * serialize/deserialize per row, null handling from
+  * `UnaryExpression`/`BinaryExpression`, and `doGenCode` emitting one
+  * fused Java loop per call so the host projection stays inside
+  * whole-stage codegen (an interpreted eval fallback exists for
+  * non-codegen contexts).
   */
 object GraftExpressions {
 
@@ -27,8 +29,7 @@ object GraftExpressions {
     * distance — pair candidates come from matching 16-bit bands (see
     * `graft.ops.Dedup.simHashPairs`). Deterministic, data-independent.
     */
-  case class SimHash64(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -51,6 +52,23 @@ object GraftExpressions {
       while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
       java.lang.Long.valueOf(out)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        |int[] counts = new int[64];
+        |for (int i = 0; i < $arr.numElements(); i++) {
+        |  if (!$arr.isNullAt(i)) {
+        |    org.apache.spark.unsafe.types.UTF8String s = $arr.getUTF8String(i);
+        |    long h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
+        |    for (int b = 0; b < 64; b++) {
+        |      if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+        |    }
+        |  }
+        |}
+        |long out = 0L;
+        |for (int b = 0; b < 64; b++) { if (counts[b] > 0) out |= (1L << b); }
+        |${ev.value} = out;
+        |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
@@ -59,8 +77,7 @@ object GraftExpressions {
     * fingerprinting for the text-analysis surface): h = Σ h*B + c over
     * UTF-8 bytes, natural 64-bit overflow. Cheap, order-sensitive, and
     * stable across partitions/engines — unlike `hashCode`. */
-  case class RollingHash64(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class RollingHash64(child: Expression) extends UnaryExpression {
     private val B = 1000003L
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
@@ -70,6 +87,13 @@ object GraftExpressions {
       while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
       java.lang.Long.valueOf(h)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => s"""
+        |byte[] bytes = $s.getBytes();
+        |long h = 0L;
+        |for (int i = 0; i < bytes.length; i++) { h = h * ${B}L + (bytes[i] & 0xffL); }
+        |${ev.value} = h;
+        |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
       copy(child = newChild)
   }
@@ -79,8 +103,7 @@ object GraftExpressions {
     * surface (real decode libs aren't in this container; the Spark-side
     * plumbing — binary column in, fixed-width feature vector out — is the
     * part that must be real, SURVEY.md §7.4). */
-  case class ByteHistogram(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class ByteHistogram(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
@@ -89,6 +112,12 @@ object GraftExpressions {
       while (i < bytes.length) { hist((bytes(i) & 0xf0) >>> 4) += 1; i += 1 }
       new GenericArrayData(hist)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, bin => s"""
+        |long[] hist = new long[16];
+        |for (int i = 0; i < $bin.length; i++) { hist[($bin[i] & 0xf0) >>> 4]++; }
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(hist);
+        |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
       copy(child = newChild)
   }
@@ -101,7 +130,7 @@ object GraftExpressions {
     * interpreted and re-evaluates its child per k (measured 40× slower);
     * this expression replaced it plus the persist() barrier it needed. */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -122,6 +151,23 @@ object GraftExpressions {
       }
       new GenericArrayData(mins)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        |long[] mins = new long[$numHashes];
+        |java.util.Arrays.fill(mins, Long.MAX_VALUE);
+        |for (int i = 0; i < $arr.numElements(); i++) {
+        |  if (!$arr.isNullAt(i)) {
+        |    org.apache.spark.unsafe.types.UTF8String s = $arr.getUTF8String(i);
+        |    long h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
+        |    for (int k = 0; k < $numHashes; k++) {
+        |      long hk = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h0, (long) k);
+        |      if (hk < mins[k]) mins[k] = hk;
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+        |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
       copy(child = newChild)
   }
