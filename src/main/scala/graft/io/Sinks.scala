@@ -54,6 +54,11 @@ object Sinks {
     * same `put_item` upsert semantics, `Task_2/task_2.py:174,193`). */
   trait KvClient extends Serializable {
     def put(table: String, key: String, item: Map[String, String]): Unit
+    /** Batch upsert — override where the store has a batch API (DynamoDB
+      * `batch_write_item` takes 25; the reference pays one network round
+      * trip per row instead, `Task_2/task_2.py:158-175`). Default loops. */
+    def putBatch(table: String, items: Seq[(String, Map[String, String])]): Unit =
+      items.foreach { case (k, item) => put(table, k, item) }
     def close(): Unit = ()
   }
 
@@ -99,12 +104,13 @@ object Sinks {
     val names = coerced.schema.fieldNames
     coerced.foreachPartition { (rows: Iterator[Row]) =>
       val client = clientFactory()
-      try rows.foreach { r =>
-        val item = names.zipWithIndex.map { case (n, i) =>
-          n -> (if (r.isNullAt(i)) null else r.getString(i))
-        }.toMap
-        val key = keyCols.map(item(_)).mkString("|")
-        client.put(table, key, item)
+      try rows.grouped(25).foreach { batch => // DynamoDB batch-write size
+        client.putBatch(table, batch.map { r =>
+          val item = names.zipWithIndex.map { case (n, i) =>
+            n -> (if (r.isNullAt(i)) null else r.getString(i))
+          }.toMap
+          keyCols.map(item(_)).mkString("|") -> item
+        })
       } finally client.close()
     }
   }

@@ -100,6 +100,34 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Multi-probe variant of [[lshTopK]]: each query probes its own bucket
+    * PLUS every Hamming-1 neighbor bucket (one sign bit flipped) — the
+    * buckets a near-neighbor most likely fell into when it landed just on
+    * the other side of one hyperplane. Recall rises steeply for
+    * (numPlanes+1)× more candidate comparisons on the query side only;
+    * the corpus is still scanned once and joined on the bucket id. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, numPlanes: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val bC = corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      lshBucket(col(vecCol), numPlanes, dim).as("qbucket"))
+    val probes = array((col("qbucket") +: (0 until numPlanes).map(i =>
+      col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val bQ = broadcast(qBase
+      .withColumn("bucket", explode(probes))
+      .select(col("query_id"), col("qvec"), col("bucket")))
+    val scored = bC.join(bQ, Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** All pairs with cosine ≥ threshold, LSH-bucketed (near-duplicate
     * detection over embeddings). Same-bucket self-join, id_a < id_b. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,

@@ -47,6 +47,21 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.get(1).contains(3L))
   }
 
+  test("multi-probe lsh recalls at least as much as single-probe") {
+    // compare against the full embeddings testdata for a meaningful recall
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5))
+    val single = hits(Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, numPlanes = 8))
+    val multi = hits(Similarity.lshTopKMultiProbe(emb, q, "vec_id", "embedding", 5, numPlanes = 8))
+    val recallSingle = (single intersect brute).size.toDouble / brute.size
+    val recallMulti = (multi intersect brute).size.toDouble / brute.size
+    assert(recallMulti >= recallSingle,
+      s"multi-probe recall $recallMulti < single-probe $recallSingle")
+  }
+
   test("ivf top-k: identical-direction pair recalled; subset of brute-force") {
     val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L),
       "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2).collect()
