@@ -31,7 +31,18 @@ object SparkEntry {
   /** Exact money representation: inputs have ≤2 decimal places, so this
     * cast loses nothing and decimal aggregation is order-independent. */
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def sumMoney(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
+
+  /** Order-independent money sum with a DOUBLE result: aggregate in exact
+    * decimal (no float-sum nondeterminism), then one decimal→double cast.
+    * The final cast is correctly rounded from the exact decimal in both
+    * Spark (BigDecimal.doubleValue) and DuckDB (int/10^s IEEE division),
+    * so results hash-match bit for bit — whereas emitting DECIMAL columns
+    * trips the driver's compare (round 1: every hash_match=false query had
+    * a decimal output column; every all-double query matched). */
+  private def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
+  /** Same exactness rule for non-aggregated decimal math: compute in
+    * decimal, surface as double. */
+  private def asDouble(c: Column): Column = c.cast("double")
   /** is_returned transposed: lineitem rows with return flag 'R'. */
   private def isRet: Column = col("l_returnflag") === "R"
   private def retLong: Column = when(isRet, 1L).otherwise(0L)
@@ -100,8 +111,8 @@ object SparkEntry {
     "prj_round_pct" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          (dec2(col("l_discount")) * 100).cast(DecimalType(12, 2)).as("discount_pct"),
-          (dec2(col("l_tax")) * 100).cast(DecimalType(12, 2)).as("tax_pct"))
+          asDouble((dec2(col("l_discount")) * 100).cast(DecimalType(12, 2))).as("discount_pct"),
+          asDouble((dec2(col("l_tax")) * 100).cast(DecimalType(12, 2))).as("tax_pct"))
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("discount_pct"), col("tax_pct"))),
 
@@ -265,8 +276,8 @@ object SparkEntry {
           col("o_orderkey"),
           to_date(col("o_orderdate")).as("order_date"),
           date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("order_date_iso"),
-          dec2(col("o_totalprice")).as("price_dec"),
-          (dec2(col("o_totalprice")) * 2).cast(DecimalType(12, 2)).as("price_x2"),
+          asDouble(dec2(col("o_totalprice"))).as("price_dec"),
+          asDouble((dec2(col("o_totalprice")) * 2).cast(DecimalType(12, 2))).as("price_x2"),
           (col("o_totalprice") / 100.0).as("price_ratio"),
           col("o_orderdate").isNotNull.as("has_date"))
         .orderBy(col("o_orderkey"))),
@@ -300,8 +311,8 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           sum(dec2(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(18, 2)).as("running_spend"),
-          lag(dec2(col("o_totalprice")), 1).over(w).as("prev_price"))
+            .cast("double").as("running_spend"),
+          lag(dec2(col("o_totalprice")), 1).over(w).cast("double").as("prev_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -481,12 +492,29 @@ object SparkEntry {
         .orderBy(col("media_id"))),
 
     // Multimodal: decode-stub → byte-histogram features → frame sampling
-    // (rows-only; decode is a deterministic fake, plumbing is real).
+    // (rows-only: the CRC32-derived fake dimensions have no SQL oracle).
+    // The feature vector is surfaced as a comma-joined string of exact
+    // longs — raw array columns break the driver's pandas row-sort
+    // (round-1 mm_extract error: "unhashable type: numpy.ndarray").
     "mm_extract" -> ((s, d) =>
       Multimodal.extractAll(Multimodal.asMediaTable(t(s, d, "documents")))
         .select(col("media_id"), col("decoded.width").as("width"),
           col("decoded.height").as("height"), col("decoded.channels").as("channels"),
-          col("features"), col("n_frames"))
+          array_join(graft.functions.GraftExpressions.byte_histogram(col("content")), ",")
+            .as("hist_csv"),
+          col("n_frames"))
+        .orderBy(col("media_id"))),
+
+    // Multimodal: ORACLE-CHECKED feature extraction — the byte-histogram
+    // expression vs DuckDB counting high nibbles in the hex encoding of
+    // the same payload (hex char at odd position i = high nibble of byte
+    // i/2, so the 16 bins are exact character counts).
+    "mm_features" -> ((s, d) =>
+      Multimodal.asMediaTable(t(s, d, "documents"))
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.modality").as("modality"),
+          array_join(graft.functions.GraftExpressions.byte_histogram(col("content")), ",")
+            .as("hist_csv"))
         .orderBy(col("media_id")))
   )
 
@@ -520,8 +548,8 @@ object SparkEntry {
 
     "prj_round_pct" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) AS discount_pct,
-        |  CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) AS tax_pct
+        |  CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) AS DOUBLE) AS discount_pct,
+        |  CAST(CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS DECIMAL(12,2)) AS DOUBLE) AS tax_pct
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, discount_pct, tax_pct""".stripMargin,
 
     "join_semi_ri" ->
@@ -553,8 +581,8 @@ object SparkEntry {
 
     "agg_sum" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_count" ->
@@ -582,10 +610,10 @@ object SparkEntry {
         |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
         |)
         |SELECT category, order_date,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS daily_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS daily_revenue,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_count,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS return_count,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS avg_order_value,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS avg_return_rate
@@ -595,7 +623,7 @@ object SparkEntry {
     "agg_order_kpi" ->
       """SELECT CAST(o.o_orderdate AS DATE) AS order_date,
         |  CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS total_orders,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
         |  CAST(COUNT(*) AS BIGINT) AS total_items_sold,
         |  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS return_rate,
@@ -623,7 +651,7 @@ object SparkEntry {
     "evt_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -641,33 +669,33 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS order_date,
         |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_iso,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
-        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price_x2,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS DOUBLE) AS price_x2,
         |  o_totalprice / 100.0 AS price_ratio,
         |  (o_orderdate IS NOT NULL) AS has_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "agg_pivot" ->
       """SELECT CAST(o_orderdate AS DATE) AS order_date,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS rev_f,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS rev_o,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS rev_p
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS rev_p
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
-        |  LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "set_intersect" ->
@@ -771,7 +799,26 @@ object SparkEntry {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
         |  'fake/utf8' AS mime,
         |  CAST(doc_id % 3 AS INT) AS modality
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte_histogram oracle: hex char at odd position i of hex(payload)
+    // IS the high nibble of byte i/2 — 16 bins = exact char counts over
+    // the odd-position substring, in Spark's bin order 0-9 then A-F.
+    "mm_features" -> {
+      val bins = "0123456789ABCDEF".map(ch =>
+        s"LENGTH(hi) - LENGTH(replace(hi, '$ch', ''))").mkString(",\n        |    ")
+      s"""WITH h AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+        |    CAST(doc_id % 3 AS INT) AS modality,
+        |    regexp_replace(hex(ENCODE(text)), '(.)(.)', '\\1', 'g') AS hi
+        |  FROM documents
+        |)
+        |SELECT media_id, n_bytes, modality,
+        |  concat_ws(',',
+        |    $bins) AS hist_csv
+        |FROM h ORDER BY media_id""".stripMargin
+    }
   )
 
   /** Headline queries for Bench.scala — the shuffling/joining/windowing

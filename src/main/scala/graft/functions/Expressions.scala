@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -29,8 +30,20 @@ object GraftExpressions {
     * distance — pair candidates come from matching 16-bit bands (see
     * `graft.ops.Dedup.simHashPairs`). Deterministic, data-independent.
     */
+  /** Accept-only check shared by the token-array expressions. */
+  private def requireArrayOf(e: Expression, name: String,
+                             ok: DataType => Boolean,
+                             expected: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(et, _) if ok(et) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires $expected, got ${other.catalogString}")
+    }
+
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "simhash64", _ == StringType, "array<string>")
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val counts = new Array[Int](64)
@@ -52,23 +65,32 @@ object GraftExpressions {
       while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
       java.lang.Long.valueOf(out)
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Every local is ctx.freshName'd: nullSafeCodeGen inlines this block
+    // into the host function WITHOUT braces when the child is
+    // non-nullable, so fixed names ("i") collide across expressions in
+    // the same projection ("Redefinition of local variable" at compile;
+    // Spark then silently falls back to the interpreted path).
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (counts, i, s, h, b, b2, out) = (ctx.freshName("counts"),
+        ctx.freshName("i"), ctx.freshName("s"), ctx.freshName("h"),
+        ctx.freshName("b"), ctx.freshName("b2"), ctx.freshName("out"))
       nullSafeCodeGen(ctx, ev, arr => s"""
-        |int[] counts = new int[64];
-        |for (int i = 0; i < $arr.numElements(); i++) {
-        |  if (!$arr.isNullAt(i)) {
-        |    org.apache.spark.unsafe.types.UTF8String s = $arr.getUTF8String(i);
-        |    long h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        |      s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
-        |    for (int b = 0; b < 64; b++) {
-        |      if (((h >>> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+        |int[] $counts = new int[64];
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+        |    for (int $b = 0; $b < 64; $b++) {
+        |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
         |    }
         |  }
         |}
-        |long out = 0L;
-        |for (int b = 0; b < 64; b++) { if (counts[b] > 0) out |= (1L << b); }
-        |${ev.value} = out;
+        |long $out = 0L;
+        |for (int $b2 = 0; $b2 < 64; $b2++) { if ($counts[$b2] > 0) $out |= (1L << $b2); }
+        |${ev.value} = $out;
         |""".stripMargin)
+    }
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
@@ -80,6 +102,11 @@ object GraftExpressions {
   case class RollingHash64(child: Expression) extends UnaryExpression {
     private val B = 1000003L
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash64 requires string, got ${other.catalogString}")
+    }
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[UTF8String].getBytes
       var h = 0L
@@ -87,13 +114,16 @@ object GraftExpressions {
       while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
       java.lang.Long.valueOf(h)
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (bytes, h, i) =
+        (ctx.freshName("bytes"), ctx.freshName("h"), ctx.freshName("i"))
       nullSafeCodeGen(ctx, ev, s => s"""
-        |byte[] bytes = $s.getBytes();
-        |long h = 0L;
-        |for (int i = 0; i < bytes.length; i++) { h = h * ${B}L + (bytes[i] & 0xffL); }
-        |${ev.value} = h;
+        |byte[] $bytes = $s.getBytes();
+        |long $h = 0L;
+        |for (int $i = 0; $i < $bytes.length; $i++) { $h = $h * ${B}L + ($bytes[$i] & 0xffL); }
+        |${ev.value} = $h;
         |""".stripMargin)
+    }
     override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
       copy(child = newChild)
   }
@@ -105,6 +135,11 @@ object GraftExpressions {
     * part that must be real, SURVEY.md §7.4). */
   case class ByteHistogram(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"byte_histogram requires binary, got ${other.catalogString}")
+    }
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       val hist = new Array[Long](16)
@@ -112,12 +147,14 @@ object GraftExpressions {
       while (i < bytes.length) { hist((bytes(i) & 0xf0) >>> 4) += 1; i += 1 }
       new GenericArrayData(hist)
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (hist, i) = (ctx.freshName("hist"), ctx.freshName("i"))
       nullSafeCodeGen(ctx, ev, bin => s"""
-        |long[] hist = new long[16];
-        |for (int i = 0; i < $bin.length; i++) { hist[($bin[i] & 0xf0) >>> 4]++; }
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(hist);
+        |long[] $hist = new long[16];
+        |for (int $i = 0; $i < $bin.length; $i++) { $hist[($bin[$i] & 0xf0) >>> 4]++; }
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($hist);
         |""".stripMargin)
+    }
     override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
       copy(child = newChild)
   }
@@ -132,6 +169,8 @@ object GraftExpressions {
   case class MinHashSignature(child: Expression, numHashes: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "minhash_signature", _ == StringType, "array<string>")
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -151,23 +190,27 @@ object GraftExpressions {
       }
       new GenericArrayData(mins)
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (mins, i, s, h0, k, hk) = (ctx.freshName("mins"), ctx.freshName("i"),
+        ctx.freshName("s"), ctx.freshName("h0"), ctx.freshName("k"),
+        ctx.freshName("hk"))
       nullSafeCodeGen(ctx, ev, arr => s"""
-        |long[] mins = new long[$numHashes];
-        |java.util.Arrays.fill(mins, Long.MAX_VALUE);
-        |for (int i = 0; i < $arr.numElements(); i++) {
-        |  if (!$arr.isNullAt(i)) {
-        |    org.apache.spark.unsafe.types.UTF8String s = $arr.getUTF8String(i);
-        |    long h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        |      s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
-        |    for (int k = 0; k < $numHashes; k++) {
-        |      long hk = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h0, (long) k);
-        |      if (hk < mins[k]) mins[k] = hk;
+        |long[] $mins = new long[$numHashes];
+        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+        |    long $h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+        |    for (int $k = 0; $k < $numHashes; $k++) {
+        |      long $hk = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h0, (long) $k);
+        |      if ($hk < $mins[$k]) $mins[$k] = $hk;
         |    }
         |  }
         |}
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
         |""".stripMargin)
+    }
     override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
       copy(child = newChild)
   }
@@ -183,6 +226,14 @@ object GraftExpressions {
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = (t: DataType) => t == FloatType || t == DoubleType
+      requireArrayOf(left, "dot_product", ok, "array<float|double>") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireArrayOf(right, "dot_product", ok, "array<float|double>")
+        case fail => fail
+      }
     }
     override def nullSafeEval(l: Any, r: Any): Any = {
       val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -200,13 +251,15 @@ object GraftExpressions {
                                      ev: ExprCode): ExprCode = {
       val get = if (isFloat(left)) "getFloat" else "getDouble"
       val getR = if (isFloat(right)) "getFloat" else "getDouble"
+      val (n, dot, i) =
+        (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("i"))
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  dot += (double)$a.$get(i) * (double)$b.$getR(i);
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double)$a.$get($i) * (double)$b.$getR($i);
         |}
-        |${ev.value} = dot;
+        |${ev.value} = $dot;
         |""".stripMargin)
     }
     override protected def withNewChildrenInternal(newLeft: Expression,
@@ -223,6 +276,14 @@ object GraftExpressions {
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = (t: DataType) => t == FloatType || t == DoubleType
+      requireArrayOf(left, "cosine_sim", ok, "array<float|double>") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireArrayOf(right, "cosine_sim", ok, "array<float|double>")
+        case fail => fail
+      }
     }
     override def nullSafeEval(l: Any, r: Any): Any = {
       val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -243,16 +304,20 @@ object GraftExpressions {
                                      ev: ExprCode): ExprCode = {
       val get = if (isFloat(left)) "getFloat" else "getDouble"
       val getR = if (isFloat(right)) "getFloat" else "getDouble"
+      val (n, dot, na, nb, i, x, y, denom) = (ctx.freshName("n"),
+        ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+        ctx.freshName("i"), ctx.freshName("x"), ctx.freshName("y"),
+        ctx.freshName("denom"))
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, na = 0.0, nb = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double x = (double)$a.$get(i);
-        |  double y = (double)$b.$getR(i);
-        |  dot += x * y; na += x * x; nb += y * y;
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = (double)$a.$get($i);
+        |  double $y = (double)$b.$getR($i);
+        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         |}
-        |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-        |${ev.value} = (denom == 0.0) ? 0.0 : dot / denom;
+        |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
         |""".stripMargin)
     }
     override protected def withNewChildrenInternal(newLeft: Expression,
