@@ -338,8 +338,10 @@ object SparkEntry {
         .orderBy(col("c_custkey"))),
 
     // §2.A src_csv_multi (Task_1/task_1.py:88-104): multi-file CSV scan +
-    // union-all over the reference's own part-files (rows-only: the
-    // oracle tables are the parquet star schema, not these CSVs).
+    // union-all over the reference's own part-files — oracle-checked:
+    // DuckDB reads the same CSV glob directly (read_csv), so the
+    // boundary-format scan is hash-compared end to end, not just the
+    // parquet star schema.
     "src_csv_multi" -> ((s, _) =>
       graft.ops.Validate.dropNullsAny(Seq("order_id"))(
         Sources.csvMulti(s, "/root/reference/Data/orders", graft.schema.Schemas.orders))
@@ -384,8 +386,10 @@ object SparkEntry {
         .select("doc_id", "fp_md5")
         .orderBy(col("doc_id"))),
 
-    // Text analysis: heuristic language ID (rows-only check: the
-    // stopword-density heuristic is not ANSI-SQL-expressible).
+    // Text analysis: heuristic language ID — oracle-checked: stopword
+    // hits are list_filter/list_contains in DuckDB, the CJK gate a
+    // regexp char-class count, and the argmax a CASE cascade in the
+    // same fixed language order.
     "txt_lang_id" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_pred", "score_en", "score_fr",
@@ -432,13 +436,50 @@ object SparkEntry {
         threshold = 0.4, numPlanes = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Dedup: embedding-cosine near-dup, EXACT all-pairs variant —
+    // oracle-checked (DuckDB list_cosine_similarity on DOUBLE[] lists).
+    // Output is the id pair set only: the cosine double itself can
+    // differ in the last ulp between engines, but the smallest
+    // |cosine − 0.4| margin on this corpus is ~1.3e-4, so the ≥
+    // threshold decision is engine-stable. This is the verify stage of
+    // the near-dup pipeline — at lake scale it runs on LSH candidate
+    // pairs (~linear), not the full cross product; the all-pairs form
+    // here is the sf-scale oracle harness.
+    "dedup_embed_exact" -> ((s, d) =>
+      Similarity.cosinePairsExact(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: exact n-gram Jaccard over all pairs — oracle-checked
+    // (DuckDB list lambdas build the same word 3-gram shingle sets;
+    // jaccard = |∩| / |∪| is a ratio of small exact ints, so the double
+    // division is bit-identical in both engines). Same scale note as
+    // dedup_embed_exact: production runs this verify stage on MinHash
+    // candidates (dedup_ngram_jaccard), not all pairs.
+    "dedup_ngram_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.ngramJaccard(allPairs, docs, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Similarity: exact brute-force cosine top-5 for the first 10
-    // vectors as queries (rows-only: float-sum ordering differences make
-    // a SQL oracle flaky; correctness is spec-tested in Scala instead).
+    // vectors as queries. Oracle-checked on the RANK ORDER only (ids +
+    // rank, ints): the raw cosine double can differ between engines in
+    // the last ulp (summation order), but the measured adjacent top-k
+    // gap on this corpus is ~2e-5 — ten orders of magnitude above
+    // double rounding error — so the ordering (ties broken by id in
+    // both engines) is stable across engines.
     "sim_topk_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -772,6 +813,84 @@ object SparkEntry {
     "txt_fingerprint" ->
       """SELECT doc_id, md5(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(LEN(list_filter(toks, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], t))) AS INT) AS score_en,
+        |    CAST(LEN(list_filter(toks, t -> list_contains(
+        |      ['le','la','les','de','et','un','une','est','que','pour'], t))) AS INT) AS score_fr,
+        |    CAST(LEN(list_filter(toks, t -> list_contains(
+        |      ['el','la','los','de','y','un','una','es','que','por'], t))) AS INT) AS score_es,
+        |    CAST(LEN(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ein','eine','ist','zu','den','für'], t))) AS INT) AS score_de,
+        |    CAST(LENGTH(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |      / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS cjk_ratio
+        |  FROM s
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+        |       WHEN GREATEST(score_en, score_fr, score_es, score_de) = 0 THEN 'und'
+        |       WHEN score_en = GREATEST(score_en, score_fr, score_es, score_de) THEN 'en'
+        |       WHEN score_fr = GREATEST(score_en, score_fr, score_es, score_de) THEN 'fr'
+        |       WHEN score_es = GREATEST(score_en, score_fr, score_es, score_de) THEN 'es'
+        |       ELSE 'de' END AS lang_pred,
+        |  score_en, score_fr, score_es, score_de
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qe, c.embedding::DOUBLE[]) AS sim
+        |  FROM q, embeddings c WHERE c.vec_id != q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embed_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_exact" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+        |           AS DOUBLE) AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "src_csv_multi" ->
+      """SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM read_csv('/root/reference/Data/orders/*.csv', header=true)
+        |WHERE order_id IS NOT NULL
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count

@@ -325,6 +325,51 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fraction of agreeing positions in two MinHash signatures
+    * (array<long>) — the MinHash Jaccard estimate (Broder 1997). One
+    * fused codegen'd loop; the previous `zip_with`+`filter`+`size`
+    * formulation was three interpreted HOF passes evaluated per
+    * candidate pair, the hot path of the LSH verify stage. */
+  case class SigAgreement(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = (t: DataType) => t == LongType
+      requireArrayOf(left, "sig_agreement", ok, "array<bigint>") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireArrayOf(right, "sig_agreement", ok, "array<bigint>")
+        case fail => fail
+      }
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val n = math.min(a.numElements(), b.numElements())
+      var agree = 0
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) agree += 1
+        i += 1
+      }
+      java.lang.Double.valueOf(if (n == 0) 0.0 else agree.toDouble / n)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val (n, agree, i) =
+        (ctx.freshName("n"), ctx.freshName("agree"), ctx.freshName("i"))
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |int $agree = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.getLong($i) == $b.getLong($i)) $agree++;
+        |}
+        |${ev.value} = ($n == 0) ? 0.0 : (double)$agree / (double)$n;
+        |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): SigAgreement =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -337,6 +382,7 @@ object GraftExpressions {
   def byte_histogram(bin: Column): Column = c(ByteHistogram(e(bin)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def sig_agreement(a: Column, b: Column): Column = c(SigAgreement(e(a), e(b)))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -346,5 +392,6 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -65,10 +65,11 @@ object Dedup {
     GraftExpressions.minhash_signature(shingleCol, numHashes)
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction
-    * of agreeing positions. */
+    * of agreeing positions. Native codegen'd expression — this runs once
+    * per LSH candidate pair (the verify hot path), where the HOF form
+    * (`zip_with`+`filter`+`size`) costs three interpreted passes. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
-      .cast("double") / size(sigA).cast("double")
+    GraftExpressions.sig_agreement(sigA, sigB)
 
   /** MinHash+LSH near-duplicate candidate pairs.
     *
@@ -91,7 +92,10 @@ object Dedup {
     // reusable artifact of the corpus). Released via materializeThenUnpersist
     // before returning, so back-to-back calls in one session don't
     // accumulate signature frames in the block manager.
-    val sigs = df
+    // Fan out before the signature pass: a small single-row-group input
+    // is ONE scan task, serializing the whole compute on one core (a
+    // no-op when the scan already has >= parallelism splits).
+    val sigs = graft.io.Sources.fanOut(df, idCol)
       .select(col(idCol),
         minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
@@ -136,8 +140,9 @@ object Dedup {
     * by exact Hamming distance ≤ `maxHamming`. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = df.withColumn("simhash",
-      GraftExpressions.simhash64(TextAnalysis.tokens(col(textCol))))
+    val sh = graft.io.Sources.fanOut(df, idCol)
+      .withColumn("simhash",
+        GraftExpressions.simhash64(TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("simhash"))
       .persist() // read twice by the band self-join
     val banded = sh.select(col(idCol), col("simhash"),
@@ -167,8 +172,8 @@ object Dedup {
     * candidate generator — never run it on the full cross product. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
+    val sh = graft.io.Sources.fanOut(docs, idCol)
+      .select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"))
       .persist() // joined twice (a-side and b-side of each pair)
     val scored = pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
