@@ -337,6 +337,19 @@ object SparkEntry {
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy(col("c_custkey"))),
 
+    // beyond-reference §2.C: AS-OF join — each event enriched with the
+    // latest order at or before its timestamp (ops.AsOf union+window
+    // linear formulation; oracle is DuckDB's native ASOF LEFT JOIN).
+    "join_asof" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+      graft.ops.AsOf.asOfJoin(ev, t(s, d, "orders"),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.A src_csv_multi (Task_1/task_1.py:88-104): multi-file CSV scan +
     // union-all over the reference's own part-files — oracle-checked:
     // DuckDB reads the same CSV glob directly (read_csv), so the
@@ -755,6 +768,21 @@ object SparkEntry {
       """SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    // ASOF tie rule parity: the Spark side breaks same-(key, ts) right
+    // rows to the largest payload tuple, so the oracle pre-dedups to
+    // the max o_orderkey per (custkey, orderdate) before the ASOF join.
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "evt_sessionize" ->
       """WITH e AS (

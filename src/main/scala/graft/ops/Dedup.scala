@@ -99,6 +99,14 @@ object Dedup {
       .select(col(idCol),
         minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
+    materializeThenUnpersist(
+      lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold), sigs)
+  }
+
+  /** LSH banding + verify over a precomputed signature frame
+    * (`idCol`, `sig: array<bigint>`). */
+  private def lshPairsFromSigs(sigs: DataFrame, idCol: String, bands: Int,
+                               rowsPerBand: Int, threshold: Double): DataFrame = {
     val banded = sigs.select(
       col(idCol), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -110,15 +118,35 @@ object Dedup {
       col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
       col("band"), col("bucket"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
-    materializeThenUnpersist(pairs, sigs)
   }
+
+  /** Materialize MinHash signatures as a corpus artifact — the
+    * lake-scale layout the in-session `persist()` in [[minhashPairs]]
+    * stands in for: signatures are computed ONCE in a scan pass and
+    * written as a (id, sig) parquet table; every later dedup run (and
+    * incremental-ingest comparison) reads 8·numHashes bytes per doc
+    * instead of re-shingling bodies. */
+  def writeSignatures(df: DataFrame, idCol: String, textCol: String,
+                      path: String, shingleN: Int = 3,
+                      numHashes: Int = 64): Unit =
+    graft.io.Sources.fanOut(df, idCol)
+      .select(col(idCol),
+        minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs from a written signature table ([[writeSignatures]]):
+    * the banded self-join only — document bodies are never read. */
+  def minhashPairsFromSigs(sigs: DataFrame, idCol: String,
+                           bands: Int = 16, rowsPerBand: Int = 4,
+                           threshold: Double = 0.5): DataFrame =
+    lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold)
 
   /** Run the (small) result frame to completion while `cached` is still
     * hot, then release the cache: callers get a lineage-free frame whose

@@ -158,9 +158,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame = {
+    val (indexed, centroids) = ivfFit(corpus, idCol, vecCol, nlist, seed)
+    val probes = ivfProbes(queries, centroids, idCol, vecCol, nprobe)
+    ivfScore(indexed, probes, idCol, vecCol, k)
+  }
+
+  /** Fit the coarse quantizer: every corpus vector gets its nearest
+    * centroid's cluster id (the inverted list), plus the tiny
+    * (nlist-row) centroid table. Seeded k-means — deterministic. */
+  private def ivfFit(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, seed: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-
     val asDouble = transform(col(vecCol), x => x.cast("double"))
     val featurized = corpus.select(col(idCol), col(vecCol),
       array_to_vector(asDouble).as("fv"))
@@ -168,28 +177,67 @@ object Similarity {
       .setPredictionCol("cluster").fit(featurized)
     val indexed = model.transform(featurized)
       .select(col(idCol), col(vecCol), col("cluster"))
+    val centroids = corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    ).toDF("cluster", "centroid")
+    (indexed, centroids)
+  }
 
-    // centroid table is tiny (nlist rows) — broadcast to rank probes
-    val centroids = broadcast(
-      corpus.sparkSession.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-      ).toDF("cluster", "centroid"))
+  /** Per-query probe list: the `nprobe` centroids nearest each query
+    * (by cosine), broadcast-sized — (queries × nprobe) rows. */
+  private def ivfProbes(queries: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cluster"))
-    val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-        .crossJoin(centroids)
-        .withColumn("cdist", -cosine(col("qvec"), col("centroid")))
-        .withColumn("prank", row_number().over(wProbe))
-        .filter(col("prank") <= nprobe)
-        .select(col("query_id"), col("qvec"), col("cluster")))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qvec"), col("centroid")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cluster"))
+  }
 
-    val scored = indexed.join(probes, Seq("cluster"))
+  private def ivfScore(indexed: DataFrame, probes: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = indexed.join(broadcast(probes), Seq("cluster"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("qvec")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Lake-scale IVF layout: fit the quantizer and write the corpus
+    * PARTITIONED BY cluster id (`path/cluster=N/...`), returning the
+    * centroid table to keep beside the index. This is the physical
+    * design [[ivfTopK]]'s Scaladoc promises for 100 TB: a probe becomes
+    * a partition-pruned scan of nprobe directories — the other
+    * (1 - nprobe/nlist) of the corpus is never read, no shuffle of the
+    * corpus ever happens. Pay the layout shuffle once at write time,
+    * like [[graft.io.Sinks.writeBucketed]]. */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val (indexed, centroids) = ivfFit(corpus, idCol, vecCol, nlist, seed)
+    indexed.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    centroids
+  }
+
+  /** Probe a written IVF index ([[ivfWriteIndex]]). The distinct probe
+    * cluster ids (≤ queries × nprobe ints) are collected to the driver
+    * and pushed into the scan as a partition filter — the same shape as
+    * dynamic partition pruning, done explicitly because the probe list
+    * is query-derived. `.explain` shows `PartitionFilters: [cluster IN
+    * (...)]` and only the probed directories are listed. */
+  def ivfTopKPruned(queries: DataFrame, indexPath: String, centroids: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = ivfProbes(queries, centroids, idCol, vecCol, nprobe)
+    val probeClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("cluster").isin(probeClusters.map(Int.box): _*))
+    ivfScore(indexed, probes, idCol, vecCol, k)
   }
 
   /** Exact all-pairs cosine ≥ threshold — O(n²), for oracle/tests at tiny

@@ -37,6 +37,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(df(1).getSeq[Long](0).sum == 0L)
   }
 
+  test("sig_agreement: agreement fraction, null-safe, length-robust") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)), // 2/4 agree
+      (Seq(1L, 2L), Seq(1L, 2L)),                 // all agree
+      (Seq(1L, 2L, 3L), Seq(1L, 2L))              // shorter side wins: 2/2
+    ).toDF("a", "b")
+      .select(GraftExpressions.sig_agreement($"a", $"b").as("j")).collect()
+    assert(df(0).getDouble(0) == 0.5)
+    assert(df(1).getDouble(0) == 1.0)
+    assert(df(2).getDouble(0) == 1.0)
+    val n = Seq((Seq(1L), null: Seq[Long])).toDF("a", "b")
+      .select(GraftExpressions.sig_agreement($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+    // interpreted eval (no-codegen context) agrees with codegen
+    val expr = GraftExpressions.SigAgreement(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 2L, 3L, 4L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 9L, 3L, 8L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(expr.eval(null) == 0.5)
+  }
+
   test("expressions are SQL-registered and callable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql(

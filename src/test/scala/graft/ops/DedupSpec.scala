@@ -50,6 +50,18 @@ class DedupSpec extends SparkSpec {
     pairs.get((3L, 4L)).foreach(h => assert(h > 10))
   }
 
+  test("materialized signatures reproduce the in-session minhash pairs") {
+    val corpus = graft.io.Sources.table(spark, sf001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    Dedup.writeSignatures(corpus, "doc_id", "text", path)
+    val fromSigs = Dedup.minhashPairsFromSigs(
+        spark.read.parquet(path), "doc_id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inSession = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fromSigs == inSession && fromSigs.nonEmpty)
+  }
+
   test("minhash pair generation is deterministic across runs") {
     def run() = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -75,6 +75,28 @@ class SimilaritySpec extends SparkSpec {
     assert(again == first) // seeded quantizer => deterministic
   }
 
+  test("ivf partitioned index: pruned probe matches in-session ivf, plan prunes partitions") {
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+
+    val centroids = Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+      path, nlist = 8, seed = 42L)
+    val pruned = Similarity.ivfTopKPruned(queries, path, centroids,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val inSession = Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2, seed = 42L)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(key(pruned) == key(inSession))
+
+    // the probe-cluster filter must reach the scan as a partition filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"), plan)
+  }
+
   test("exact pair generation agrees with LSH on recalled pairs") {
     val exact = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
