@@ -27,8 +27,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Right-size the forked heap instead of taking SPARK_DRIVER_MEM verbatim:
+// a ~90g heap buys nothing for these sub-minute local[32] jobs (working
+// set is far below 16g at sf0.1) and sampled consistently slower on the
+// full bench (G1 young-gen sizing and lazy page-commit scale with -Xmx),
+// though this host also shows multi-second run-to-run noise. Spark spills
+// to disk if a bigger SF ever outgrows the cap.
+val heapCapBytes = 16L << 30
+def memToBytes(s: String): Long = {
+  val t = s.trim.toLowerCase
+  val (num, mult) = t.last match {
+    case 'k' => (t.init, 1L << 10)
+    case 'm' => (t.init, 1L << 20)
+    case 'g' => (t.init, 1L << 30)
+    case 't' => (t.init, 1L << 40)
+    case _   => (t, 1L)
+  }
+  (num.toDouble * mult).toLong
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${math.min(memToBytes(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")), heapCapBytes)}",
 )
