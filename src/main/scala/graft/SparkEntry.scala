@@ -410,10 +410,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // Text analysis: rolling-hash fingerprint (custom Catalyst
-    // expression; rows-only check).
+    // expression) — oracle-checked: DuckDB replays the same Karp–Rabin
+    // recurrence over HUGEINT with an explicit mod-2^64 per step. The
+    // corpus is pure ASCII, so per-character ord == per-byte value;
+    // empty strings hash to 0 in both engines.
     "txt_fingerprint_rolling" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents"))
         .select("doc_id", "fp_rolling")
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: BPE-ish subword-count estimate (tokenizer
+    // budgeting without tokenizer libs) — oracle-checked, the regex
+    // char classes translate 1:1 to DuckDB's RE2.
+    "txt_tokens_bpe" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountBpe(col("text")).as("token_count_bpe"))
         .orderBy(col("doc_id"))),
 
     // Dedup: exact, keyed on content fingerprint.
@@ -919,6 +931,38 @@ object SparkEntry {
         |FROM read_csv('/root/reference/Data/orders/*.csv', header=true)
         |WHERE order_id IS NOT NULL
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // Same Karp–Rabin recurrence as the Catalyst RollingHash64 (h = h·B
+    // + byte, wrapping at 2^64), replayed in 128-bit HUGEINT with an
+    // explicit mod per step, then folded back to signed BIGINT. Valid
+    // because the corpus is ASCII (ord == byte); a non-ASCII corpus
+    // would need byte-level access DuckDB SQL doesn't expose.
+    "txt_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END
+        |       AS BIGINT) AS fp_rolling
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+        |           (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT)
+        |    END AS h
+        |  FROM (SELECT doc_id,
+        |          LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS s
+        |        FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
+
+    "txt_tokens_bpe" ->
+      """SELECT doc_id, CAST(
+        |    LEN(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |                    p -> LENGTH(p) > 0))
+        |  + LENGTH(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+        |  + LEN(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |                    p -> LENGTH(p) > 4))
+        |  AS INT) AS token_count_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
