@@ -493,6 +493,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // §2.J UDAF surface: element-wise quantized vector sum per label
+    // (class-centroid numerator) via the typed Aggregator — integer
+    // quantization makes the aggregate order-independent, so it
+    // hash-matches DuckDB (posexplode only flattens the k-vector
+    // RESULT for the driver compare; the aggregation itself moves one
+    // array per group partial, not rows × dim triples).
+    "agg_vector_qsum" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorAgg.quantized_vector_sum(col("embedding")).as("qv"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("n_vecs"), posexplode(col("qv")).as(Seq("pos", "qsum")))
+        .select(col("label"), col("pos"), col("qsum"), col("n_vecs"))
+        .orderBy(col("label"), col("pos"))),
+
     // Similarity: exact brute-force cosine top-5 for the first 10
     // vectors as queries. Oracle-checked on the RANK ORDER only (ids +
     // rank, ints): the raw cosine double can differ between engines in
@@ -967,6 +982,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY MIN(doc_id)""".stripMargin,
+
+    "agg_vector_qsum" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS qsum,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM embeddings, UNNEST(range(1, LEN(embedding) + 1)) AS t(i)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "sim_topk_quantized" ->
       """WITH q AS (
