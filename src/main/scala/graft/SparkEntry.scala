@@ -428,6 +428,18 @@ object SparkEntry {
           TextAnalysis.tokenCountBpe(col("text")).as("token_count_bpe"))
         .orderBy(col("doc_id"))),
 
+    // §2.J UDTF surface: custom shingle Generator — corpus-wide 3-gram
+    // frequency top-20 (deterministic: ties broken by shingle text).
+    // Oracle = DuckDB unnest over the same lambda-built shingle lists.
+    "txt_top_shingles" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(graft.functions.GraftExpressions
+          .explode_shingles(col("text"), 3).as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("shingle"))
+        .limit(20)),
+
     // Dedup: exact, keyed on content fingerprint.
     "dedup_exact" -> ((s, d) =>
       Dedup.exactByFingerprint(t(s, d, "documents"), "doc_id", "text")
@@ -968,6 +980,19 @@ object SparkEntry {
         |          LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS s
         |        FROM documents)
         |) ORDER BY doc_id""".stripMargin,
+
+    "txt_top_shingles" ->
+      """WITH sh AS (
+        |  SELECT unnest(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, LEN(toks) - 1),
+        |                           i -> array_to_string(toks[i:i+2], ' '))
+        |       END) AS shingle
+        |  FROM (SELECT regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |        FROM documents)
+        |)
+        |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM sh GROUP BY shingle
+        |ORDER BY n_occurrences DESC, shingle LIMIT 20""".stripMargin,
 
     "txt_tokens_bpe" ->
       """SELECT doc_id, CAST(

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -370,6 +371,44 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Word n-gram shingle GENERATOR (the UDTF surface, SURVEY.md §2.J):
+    * one output row per shingle of the input text — lowercase, trimmed,
+    * whitespace-tokenized, texts shorter than `n` words collapsing to a
+    * single whole-text shingle (identical semantics to
+    * [[graft.ops.Dedup.shingles]], property-tested against it).
+    *
+    * As a `Generator` the shingles stream straight into the child
+    * consumer; the array-expression + `explode` alternative first
+    * materializes the full shingle array per document — for a 1 MB
+    * document that is a ~1 MB transient array per row in the scan
+    * projection. Interpreted eval (`CodegenFallback`), like most
+    * built-in generators' non-codegen paths; the per-row work is
+    * string slicing, not expression evaluation, so the fallback seam
+    * costs little. */
+  case class ExplodeShingles(child: Expression, n: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType =
+      new StructType().add("shingle", StringType, nullable = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"explode_shingles requires string, got ${other.catalogString}")
+    }
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val raw = child.eval(input)
+      if (raw == null) return Iterator.empty
+      val words = raw.asInstanceOf[UTF8String].toString
+        .trim.toLowerCase.split("\\s+")
+      if (words.length < n)
+        Iterator.single(InternalRow(UTF8String.fromString(words.mkString(" "))))
+      else
+        Iterator.range(0, words.length - n + 1).map(i =>
+          InternalRow(UTF8String.fromString(words.slice(i, i + n).mkString(" "))))
+    }
+    override protected def withNewChildInternal(newChild: Expression): ExplodeShingles =
+      copy(child = newChild)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -383,6 +422,7 @@ object GraftExpressions {
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def sig_agreement(a: Column, b: Column): Column = c(SigAgreement(e(a), e(b)))
+  def explode_shingles(text: Column, n: Int): Column = c(ExplodeShingles(e(text), n))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

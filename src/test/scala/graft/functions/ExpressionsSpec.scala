@@ -61,6 +61,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(expr.eval(null) == 0.5)
   }
 
+  test("explode_shingles generator matches the array-expression shingles") {
+    val docs = Seq(
+      (0L, "The quick  brown Fox jumps"),
+      (1L, "two words"),   // shorter than n -> one whole-text shingle
+      (2L, "")             // empty -> one empty shingle
+    ).toDF("doc_id", "text")
+    val viaGen = docs.select($"doc_id",
+      GraftExpressions.explode_shingles($"text", 3).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaArray = docs.select($"doc_id",
+      explode(graft.ops.Dedup.shingles($"text", 3)).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaGen == viaArray)
+    assert(viaGen.count(_._1 == 0L) == 3) // 5 words -> 3 trigrams
+    assert(viaGen.filter(_._1 == 1L).map(_._2) == Seq("two words"))
+  }
+
   test("expressions are SQL-registered and callable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql(
