@@ -505,6 +505,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // §2.D breadth: EXACT median (percentile interpolation) per group —
+    // both engines compute lower + (upper-lower)·frac over the sorted
+    // values, so the double hash-matches.
+    "agg_median" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
     // §2.J UDAF surface: element-wise quantized vector sum per label
     // (class-centroid numerator) via the typed Aggregator — integer
     // quantization makes the aggregate order-independent, so it
@@ -1007,6 +1017,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY MIN(doc_id)""".stripMargin,
+
+    "agg_median" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_vector_qsum" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
