@@ -46,6 +46,25 @@ object Validate {
   def deriveDate(src: String, dst: String)(df: DataFrame): DataFrame =
     df.withColumn(dst, to_date(col(src)))
 
+  /** Quarantine split: one pass tags every row with the names of the
+    * rules it fails (`_reasons`, empty array = valid) and returns the
+    * (valid, invalid) pair. The reference's validation silently DISCARDS
+    * bad rows (`Task_1/task_1.py:125-127` — dropna/comparison, no audit
+    * trail); a production lake routes them to a quarantine sink with the
+    * failure reason instead. Both returned frames share the single
+    * tagged plan, so Spark computes the rule columns once per row; each
+    * side's filter then pushes into its own scan branch. Rules must be
+    * deterministic column predicates (TRUE = pass). */
+  def quarantine(rules: Map[String, org.apache.spark.sql.Column])(
+      df: DataFrame): (DataFrame, DataFrame) = {
+    val reasons = array_compact(array(rules.toSeq.sortBy(_._1).map {
+      case (name, pred) => when(!coalesce(pred, lit(false)), lit(name))
+    }: _*))
+    val tagged = df.withColumn("_reasons", reasons)
+    (tagged.filter(size(col("_reasons")) === 0).drop("_reasons"),
+      tagged.filter(size(col("_reasons")) > 0))
+  }
+
   // -------- composed Task-1 pipeline (reference `Task_1/task_1.py:106-141`) --------
 
   /** Validated orders: NOT NULL on the mandatory keys, then derive

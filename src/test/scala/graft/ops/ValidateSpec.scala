@@ -76,4 +76,23 @@ class ValidateSpec extends SparkSpec {
     val v = Validate.validateItems(items, validOrders)
     assert(v.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L))
   }
+
+  test("quarantine: valid/invalid split is a partition, reasons name failed rules") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, java.lang.Double.valueOf(5.0)),  // passes both
+        Row(2L, java.lang.Double.valueOf(-1.0)), // fails price_pos
+        Row(3L, null)                            // null fails both rules
+      ).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("price", DoubleType))))
+    val (valid, invalid) = Validate.quarantine(Map(
+      "price_pos" -> (col("price") > 0),
+      "price_notnull" -> col("price").isNotNull))(df)
+    assert(valid.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val inv = invalid.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](r.fieldIndex("_reasons")).sorted).toMap
+    assert(inv == Map(2L -> Seq("price_pos"), 3L -> Seq("price_notnull", "price_pos")))
+    assert(valid.count() + invalid.count() == df.count()) // exact partition
+  }
 }
