@@ -79,4 +79,47 @@ object Sessions {
 
   /** The matching writeStream output mode for [[sessionizeStreaming]]. */
   val streamingOutputMode: OutputMode = OutputMode.Update()
+
+  // -------- streaming (flatMapGroupsWithState) --------
+
+  final case class OpenSession(startMs: Long, lastMs: Long, nEvents: Int)
+  final case class ClosedSession(user_id: Long, start_ms: Long,
+                                 end_ms: Long, n_events: Int)
+
+  /** Streaming sessionization emitting one record PER CLOSED SESSION —
+    * the `flatMapGroupsWithState` shape, where output cardinality is
+    * decoupled from group count (zero rows for a quiet user, several for
+    * a bursty one), which `mapGroupsWithState`'s exactly-one-row
+    * contract cannot express. Append mode: closed sessions are
+    * immutable facts, so downstream sinks never see updates. State per
+    * user is the open session only — O(users) regardless of stream
+    * length, same bound as [[sessionizeStreaming]]. The still-open
+    * session is emitted only when a later event closes it (pair with a
+    * timeout or watermark policy to flush stragglers at end of stream). */
+  def sessionizeStreamingFlat(events: Dataset[SessionEvent],
+                              gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = batch.map(_.ms).toArray.sorted
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { ms =>
+            open match {
+              case None =>
+                open = Some(OpenSession(ms, ms, 1))
+              case Some(o) if ms - o.lastMs > gapMs =>
+                closed += ClosedSession(user, o.startMs, o.lastMs, o.nEvents)
+                open = Some(OpenSession(ms, ms, 1))
+              case Some(o) =>
+                open = Some(OpenSession(o.startMs, math.max(o.lastMs, ms), o.nEvents + 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

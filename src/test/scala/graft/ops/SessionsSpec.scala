@@ -60,6 +60,35 @@ class SessionsSpec extends SparkSpec {
     assert(last(20L) == ((0, 1)))
   }
 
+  test("flatMapGroupsWithState emits exactly the closed sessions, append-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, ms)
+    val ds = mem.toDS().map { case (u, ms) => Sessions.SessionEvent(u, ms) }
+    val q = Sessions.sessionizeStreamingFlat(ds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_flat_out").start()
+
+    def ms(s: String) = Timestamp.valueOf(s).getTime
+    // batch 1: user 10 opens a session (2 events) — nothing closes
+    mem.addData((10L, ms("2024-01-01 10:00:00")), (10L, ms("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    assert(spark.table("sessions_flat_out").count() == 0)
+    // batch 2: user 10's 11:05 event closes session 1; user 20 opens one
+    mem.addData((10L, ms("2024-01-01 10:20:00")), (10L, ms("2024-01-01 11:05:00")),
+      (20L, ms("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    // batch 3: a far-future user-10 event closes the second session too
+    mem.addData((10L, ms("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("sessions_flat_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+    assert(closed.toSeq == Seq(
+      (10L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:20:00"), 3),
+      (10L, ms("2024-01-01 11:05:00"), ms("2024-01-01 11:05:00"), 1)))
+  }
+
   test("evt_sessionize declared query runs on testdata and is deterministic") {
     val a = graft.SparkEntry.queries("evt_sessionize")(spark, sf001).collect()
     val b = graft.SparkEntry.queries("evt_sessionize")(spark, sf001).collect()
