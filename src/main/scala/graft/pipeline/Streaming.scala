@@ -112,4 +112,43 @@ object Streaming {
                        watermark: String = "1 hour"): DataFrame =
     df.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
+
+  // -------- transformWithState (Spark 4 arbitrary-state API) --------
+
+  final case class KeyedEvent(event_id: Long, user_id: Long, ms: Long)
+
+  /** First-seen dedup processor on the `transformWithState` API — the
+    * Spark-4 successor to `mapGroupsWithState` with named state slots
+    * and per-state TTL. Here a single boolean ValueState per key; give
+    * it a `TTLConfig` to bound state like a watermark would. */
+  class FirstSeenProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, KeyedEvent, KeyedEvent] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyedEvent] = {
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) }
+    }
+  }
+
+  /** Streaming first-occurrence dedup by event id, exactly-once across
+    * redeliveries in ANY later micro-batch (the watermark variant only
+    * suppresses duplicates inside its horizon). Requires the RocksDB
+    * state store provider (`transformWithState` precondition):
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`. */
+  def dedupFirstSeen(events: org.apache.spark.sql.Dataset[KeyedEvent])
+      : org.apache.spark.sql.Dataset[KeyedEvent] = {
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    events.groupByKey(_.event_id)
+      .transformWithState(new FirstSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[KeyedEvent])
+  }
 }

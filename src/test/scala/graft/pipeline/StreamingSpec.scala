@@ -97,4 +97,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(("2024-01-01", "view")) == ((1L, 5.0)))
     assert(out(("2024-01-02", "click")) == ((1L, 7.0)))
   }
+
+  test("transformWithState first-seen dedup suppresses cross-batch redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val ds = mem.toDS().map { case (e, u, ms) => Streaming.KeyedEvent(e, u, ms) }
+      val q = Streaming.dedupFirstSeen(ds)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_dedup_out").start()
+      mem.addData((1L, 10L, 100L), (2L, 10L, 200L), (1L, 10L, 100L)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((1L, 10L, 100L), (3L, 20L, 300L)) // cross-batch redelivery of 1
+      q.processAllAvailable()
+      q.stop()
+      val ids = spark.table("tws_dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // each event id exactly once
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
