@@ -28,6 +28,15 @@ object SparkEntry {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Sources.table(s, d, name)
 
+  /** Fact-table scan fanned out to cluster parallelism (Sources.fanOut,
+    * a no-op when the scan already has >= cores splits). The testdata
+    * parquet is single-row-group, so without this EVERY first stage —
+    * scan, broadcast-probe, Expand, partial aggregate — of a fact query
+    * runs as ONE task; at lake scale the scan has thousands of splits
+    * and this adds nothing. */
+  private def tf(s: SparkSession, d: String, name: String, key: String): DataFrame =
+    Sources.fanOut(t(s, d, name), key)
+
   /** Exact money representation: inputs have ≤2 decimal places, so this
     * cast loses nothing and decimal aggregation is order-independent. */
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
@@ -50,7 +59,7 @@ object SparkEntry {
   /** lineitem ⋈ orders ⋈ broadcast(part) with the derived KPI columns —
     * the transposed `merged` frame of reference `Task_2/task_2.py:88-103`. */
   private def mergedFrame(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    tf(s, d, "lineitem", "l_orderkey")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
       .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand").as("category"))),
         col("l_partkey") === col("p_partkey"), "left")
@@ -132,7 +141,7 @@ object SparkEntry {
 
     // §2.C join_inner_eq (Task_2/task_2.py:94)
     "join_inner_eq" -> ((s, d) =>
-      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+      tf(s, d, "lineitem", "l_orderkey").select("l_orderkey", "l_linenumber", "l_extendedprice")
         .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
           col("l_orderkey") === col("o_orderkey"), "inner")
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus")
@@ -172,7 +181,7 @@ object SparkEntry {
 
     // §2.D agg_count_distinct (exact, as the reference computes)
     "agg_count_distinct" -> ((s, d) =>
-      t(s, d, "orders")
+      tf(s, d, "orders", "o_orderkey")
         .withColumn("order_date", to_date(col("o_orderdate")))
         .groupBy(col("order_date"))
         .agg(countDistinct(col("o_custkey")).as("unique_customers"))
@@ -208,7 +217,7 @@ object SparkEntry {
     // just lineitem ⋈ orders lets the plan skip the part broadcast
     // entirely (verified identical results; the dim join is row-preserving).
     "agg_order_kpi" -> ((s, d) =>
-      t(s, d, "lineitem")
+      tf(s, d, "lineitem", "l_orderkey")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
         .withColumn("order_date", to_date(col("o_orderdate")))
         .groupBy(col("order_date"))
@@ -227,7 +236,8 @@ object SparkEntry {
       val items = Validate.positive("l_extendedprice")(
         Validate.dropNullsAny(Seq("l_orderkey", "l_partkey", "l_extendedprice"))(
           t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")))
-      Validate.semiJoinRI(validOrders, "l_orderkey")(items)
+      Validate.semiJoinRI(validOrders, "l_orderkey")(
+        graft.io.Sources.fanOut(items, "l_orderkey"))
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_extendedprice"))
     }),
@@ -237,7 +247,7 @@ object SparkEntry {
     "win_topk_per_order" -> ((s, d) => {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
-      t(s, d, "lineitem")
+      tf(s, d, "lineitem", "l_orderkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -247,7 +257,7 @@ object SparkEntry {
     // §2.I streaming shape, batch-equivalent: tumbling 1-day event-time
     // aggregation over the events stream table.
     "evt_daily" -> ((s, d) =>
-      t(s, d, "events")
+      tf(s, d, "events", "event_id")
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sumMoney(col("value")).as("total_value"),
