@@ -49,11 +49,15 @@ object AsOf {
       lit(1).as("_kind"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("_l"),
       lit(null).cast(pSchema).as("_p"))
-    val rT = right.select(
-      col(rightKey).as("_k"), col(rightTs).cast("timestamp").as("_ts"),
-      lit(0).as("_kind"),
-      lit(null).cast(left.schema).as("_l"),
-      struct(payload.map(col).toIndexedSeq: _*).as("_p"))
+    // SQL equi-join semantics: NULL keys never match. Window partitioning
+    // would otherwise co-group null-key rows from both sides and hand
+    // null-key left rows a payload no SQL join would produce.
+    val rT = right.filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTs).cast("timestamp").as("_ts"),
+        lit(0).as("_kind"),
+        lit(null).cast(left.schema).as("_l"),
+        struct(payload.map(col).toIndexedSeq: _*).as("_p"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_kind"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

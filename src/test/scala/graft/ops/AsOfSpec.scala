@@ -41,6 +41,29 @@ class AsOfSpec extends SparkSpec {
     assert(out.getLong(0) == 9L && out.getDouble(1) == 2.0)
   }
 
+  test("asOfJoin: null keys never match (SQL equi-join semantics)") {
+    val left = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null, ts("2024-01-05 00:00:00")),
+        org.apache.spark.sql.Row(2L, java.lang.Long.valueOf(10L), null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.TimestampType))))
+    val right = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, ts("2024-01-01 00:00:00"), 1.0),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(10L), ts("2024-01-01 00:00:00"), 2.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rt", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    val out = AsOf.asOfJoin(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    // null-key left row matches nothing; null-ts left row matches nothing
+    assert(out == Map(1L -> true, 2L -> true))
+  }
+
   test("asOfJoin agrees with the naive range-join formulation on sf0.001") {
     val ev = Sources.table(spark, sf001, "events")
       .select("event_id", "user_id", "ts")
