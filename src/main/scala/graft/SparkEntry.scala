@@ -628,7 +628,89 @@ object SparkEntry {
           col("meta.modality").as("modality"),
           array_join(graft.functions.GraftExpressions.byte_histogram(col("content")), ",")
             .as("hist_csv"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // ---- deterministic sampling (ops.Sampling — reproducible subsets,
+    // per-stratum rates, disjoint splits; the oracle replays the exact
+    // Lehmer arithmetic, so membership is hash-compared, not just counted).
+
+    "smp_hash" -> ((s, d) =>
+      graft.ops.Sampling.sampleByHash(t(s, d, "orders"), "o_orderkey", 0.1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderkey"))),
+
+    "smp_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedSample(t(s, d, "orders"), "o_orderkey",
+        "o_orderstatus", Seq("F" -> 0.2, "O" -> 0.05, "P" -> 0.5))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderkey"))),
+
+    "smp_split" -> ((s, d) =>
+      graft.ops.Sampling.assignSplit(t(s, d, "orders"), "o_orderkey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("revenue"))
+        .orderBy(col("split"), col("o_orderstatus"))),
+
+    // Text analysis: Gopher-style repeated n-gram fraction (repetition
+    // signal for boilerplate/spam filtering) — exact small-int ratio,
+    // oracle via the proven DuckDB shingle-list recipe.
+    "txt_dup_ngrams" -> ((s, d) =>
+      TextAnalysis.dupNgramFraction(t(s, d, "documents"))
+        .select("doc_id", "n_ngrams", "n_distinct_ngrams", "dup_ngram_frac")
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: PII redaction + audit counts. The corpus has no
+    // planted PII, so the query appends a deterministic contact string
+    // per doc (still a pure function of the testdata) and both engines
+    // redact the same augmented text with the same RE2-subset regexes.
+    "txt_redact_pii" -> ((s, d) =>
+      TextAnalysis.redactPii(
+        t(s, d, "documents").withColumn("aug",
+          concat(col("text"), lit(" Contact: user"),
+            col("doc_id").cast("string"), lit("@example.com or +1 555 01"),
+            col("doc_id").cast("string"), lit("."))), "aug")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("text_redacted"))
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: benchmark-contamination screen — per-doc fraction
+    // of distinct 3-gram shingles that appear in the (broadcast)
+    // benchmark shingle set; benchmark = every 50th doc.
+    "txt_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
+        .select("doc_id", "n_shingles", "n_contaminated", "contamination_frac")
+        .orderBy(col("doc_id"))
+    }),
+
+    // beyond-reference §2.C: bucketed range (interval) join — each event
+    // aggregated against the same user's orders in the trailing 90 days.
+    // Equi-join-ified via window-width time buckets (ops.RangeJoin); the
+    // oracle is the plain SQL range join.
+    "join_range" -> ((s, d) =>
+      graft.ops.RangeJoin.trailingWindowAgg(
+        tf(s, d, "events", "event_id").select("event_id", "user_id", "ts"),
+        t(s, d, "orders"),
+        "event_id", "user_id", "o_custkey", "ts", "o_orderdate",
+        "o_totalprice", windowDays = 90)
+        .orderBy(col("event_id"))),
+
+    // Dedup: transitive closure of the exact-Jaccard near-dup pairs —
+    // connected components by hash-min label propagation; the oracle
+    // replays reachability with a recursive CTE. cluster_id = min
+    // member id; singletons are their own cluster.
+    "dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ids = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val edges = Dedup.ngramJaccard(allPairs, docs, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(edges, ids, "doc_id")
+        .orderBy(col("doc_id"))
+    })
   )
 
   // -------- oracle SQL (DuckDB dialect, same tables) --------
@@ -1063,6 +1145,146 @@ object SparkEntry {
         |  'fake/utf8' AS mime,
         |  CAST(doc_id % 3 AS INT) AS modality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Lehmer/minstd bucket, identical arithmetic to ops.Sampling
+    // (every intermediate < 2^47, so plain BIGINT math replays it).
+    "smp_hash" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE ((((o_orderkey % 2147483647) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 % 10000 < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "smp_stratified" ->
+      """WITH h AS (
+        |  SELECT *, ((((o_orderkey % 2147483647) * 48271) % 2147483647) * 48271)
+        |            % 2147483647 % 10000 AS b
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM h
+        |WHERE (o_orderstatus = 'F' AND b < 2000)
+        |   OR (o_orderstatus = 'O' AND b < 500)
+        |   OR (o_orderstatus = 'P' AND b < 5000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "smp_split" ->
+      """WITH h AS (
+        |  SELECT *, ((((o_orderkey % 2147483647) * 48271) % 2147483647) * 48271)
+        |            % 2147483647 % 10000 AS b
+        |  FROM orders
+        |)
+        |SELECT CASE WHEN b < 8000 THEN 'train'
+        |            WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+        |  o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "txt_dup_ngrams" ->
+      """SELECT doc_id,
+        |  CAST(LEN(sh) AS INT) AS n_ngrams,
+        |  CAST(LEN(list_distinct(sh)) AS INT) AS n_distinct_ngrams,
+        |  CAST(LEN(sh) - LEN(list_distinct(sh)) AS DOUBLE)
+        |    / CAST(GREATEST(LEN(sh), 1) AS DOUBLE) AS dup_ngram_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |        FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
+
+    // Spark regexp_replace is global by default; DuckDB needs the 'g'
+    // flag. Regexes stay in the shared Java/RE2 subset.
+    "txt_redact_pii" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' Contact: user' || doc_id || '@example.com or +1 555 01'
+        |         || doc_id || '.' AS aug
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_extract_all(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |    regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM a
+        |)
+        |SELECT doc_id, n_emails,
+        |  CAST(LEN(regexp_extract_all(t1, '[0-9][0-9 ()+-]{6,}[0-9]')) AS INT) AS n_phones,
+        |  regexp_replace(t1, '[0-9][0-9 ()+-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "txt_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |        FROM documents)
+        |), b AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated,
+        |  CAST(COUNT(b.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS contamination_frac
+        |FROM d LEFT JOIN b ON d.shingle = b.shingle
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Plain-SQL range join; the Spark side buckets it into an equi-join.
+    // Second-resolution timestamps on both sides (epoch_ms // 1000
+    // mirrors Spark's unix_timestamp truncation).
+    "join_range" ->
+      """SELECT e.event_id,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_in_window,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_in_window
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id
+        |  AND epoch_ms(CAST(o.o_orderdate AS TIMESTAMP)) // 1000
+        |        >= epoch_ms(e.ts) // 1000 - 7776000
+        |  AND epoch_ms(CAST(o.o_orderdate AS TIMESTAMP)) // 1000
+        |        <= epoch_ms(e.ts) // 1000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+
+    // Reachability via recursive CTE over the symmetrized near-dup
+    // edges; component id = min reachable node. UNION (distinct)
+    // guarantees termination.
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |        FROM documents)
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+        |             AS DOUBLE) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM p
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+        |)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // byte_histogram oracle: hex char at odd position i of hex(payload)
     // IS the high nibble of byte i/2 — 16 bins = exact char counts over

@@ -228,4 +228,56 @@ object Dedup {
   def nearDupEmbedding(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
+
+  // -------- duplicate clustering --------
+
+  /** Connected components over near-dup pairs: pair lists say A≈B and
+    * B≈C, but keep-one-per-group dedup needs the transitive closure —
+    * the cluster {A,B,C} with one canonical representative. This is the
+    * step after candidate+verify in every production near-dup pipeline.
+    *
+    * Algorithm: hash-min label propagation — every node starts labeled
+    * with its own id; each round, a node adopts the minimum label among
+    * itself and its neighbors; fixpoint when no label changes. Rounds
+    * needed = graph diameter; near-dup graphs are unions of small dense
+    * cliques (diameter 1-2 almost everywhere), so convergence is fast.
+    * For adversarial long-chain graphs the literature's fix is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) which contracts chains in
+    * O(log²) rounds — same per-round dataflow shape as here.
+    *
+    * Dataflow per round: one shuffle of (node, label) against the
+    * symmetrized edge list, one min-aggregate. Each round
+    * `localCheckpoint`s, so the plan stays flat instead of growing a
+    * lineage tower (the classic iterative-DataFrame trap).
+    *
+    * @param edges (`id_a`, `id_b`) undirected pair list
+    * @param nodes one row per id (singletons become their own cluster)
+    * @return (`id`, `cluster_id`) with cluster_id = min member id
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                          idCol: String, maxRounds: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster_id"))
+  }
 }

@@ -98,6 +98,64 @@ object TextAnalysis {
       .withColumn("fp_rolling", GraftExpressions.rolling_hash64(norm))
   }
 
+  /** Repeated n-gram fraction (the Gopher/MassiveText-style repetition
+    * signal: Rae et al. 2021, §A.1.1): of all n-gram occurrences in the
+    * document, the fraction that are repeats of an earlier occurrence —
+    * high values flag boilerplate/spam. Pure array expressions over one
+    * scan; exact small-int ratio, so the double division is
+    * engine-stable. */
+  def dupNgramFraction(df: DataFrame, n: Int = 3,
+                       textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), n)
+    df.withColumn("n_ngrams", size(sh))
+      .withColumn("n_distinct_ngrams", size(array_distinct(sh)))
+      .withColumn("dup_ngram_frac",
+        (col("n_ngrams") - col("n_distinct_ngrams")).cast("double") /
+          greatest(col("n_ngrams"), lit(1)).cast("double"))
+  }
+
+  /** PII redaction: masks email addresses and long digit runs (phone-ish)
+    * with typed placeholders, and counts what it masked (the audit
+    * columns a scrubbing pipeline reports). The regexes stay in the
+    * RE2-compatible subset, so they behave identically in Java and in
+    * the DuckDB oracle. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9][0-9 ()+-]{6,}[0-9]"
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(email), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(regexp_replace(t, email, "<EMAIL>"),
+          lit(phone), lit(0))))
+      .withColumn("text_redacted",
+        regexp_replace(regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"))
+  }
+
+  /** Benchmark-contamination screen: for each corpus document, the
+    * fraction of its distinct n-gram shingles that also occur in the
+    * benchmark set (the n-gram-overlap decontamination test of
+    * GPT-3/PaLM-style training pipelines). The benchmark shingle set is
+    * deduped and broadcast (it is small by construction — eval sets are
+    * KBs against a 100 TB corpus), so the probe is a broadcast semi-join
+    * inside the corpus scan: no shuffle of corpus data at all. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 3): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(explode(array_distinct(Dedup.shingles(col(textCol), n)))
+        .as("shingle")).distinct())
+    val docSh = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("shingle"))
+    docSh
+      .join(bench.withColumn("hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Full document-statistics projection (token counts exact + BPE-ish,
     * char classes, quality) — one pass, one scan. */
   def docStats(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains close transitively, singletons survive") {
+    // 1-2-3-4 is a chain (diameter 3 — needs several propagation rounds),
+    // 5 is a singleton, 10-11 a separate pair.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")
+    val out = Dedup.connectedComponents(edges, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: label is min id regardless of edge orientation") {
+    // edges deliberately listed high-to-low
+    val edges = Seq((7L, 3L), (9L, 7L)).toDF("id_a", "id_b")
+    val nodes = Seq(3L, 7L, 9L).toDF("id")
+    val out = Dedup.connectedComponents(edges, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+
+  test("connectedComponents: deterministic across reruns") {
+    val edges = Seq((1L, 2L), (4L, 5L), (2L, 4L)).toDF("id_a", "id_b")
+    val nodes = (1L to 6L).toDF("id")
+    val a = Dedup.connectedComponents(edges, nodes, "id").as[(Long, Long)].collect().sorted
+    val b = Dedup.connectedComponents(edges, nodes, "id").as[(Long, Long)].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.toMap.apply(5L) == 1L, "1-2-4-5 all collapse to 1")
+  }
+}

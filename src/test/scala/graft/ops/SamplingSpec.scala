@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Sources
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orders = Sources.table(spark, sf001, "orders")
+
+  test("sampleByHash: deterministic, repeatable, and near the target rate") {
+    val a = Sampling.sampleByHash(orders, "o_orderkey", 0.1)
+      .select("o_orderkey").as[Long].collect().sorted
+    val b = Sampling.sampleByHash(orders, "o_orderkey", 0.1)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(a.sameElements(b), "same key set on every run")
+    val total = orders.count()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.05 && rate < 0.15, s"empirical rate $rate far from 0.1")
+  }
+
+  test("sampleByHash: monotone — a 5% sample is a subset of the 20% sample") {
+    val small = Sampling.sampleByHash(orders, "o_orderkey", 0.05)
+      .select("o_orderkey").as[Long].collect().toSet
+    val big = Sampling.sampleByHash(orders, "o_orderkey", 0.20)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedSample: unlisted strata drop; listed strata hit their rates") {
+    val out = Sampling.stratifiedSample(orders, "o_orderkey", "o_orderstatus",
+      Seq("F" -> 0.5, "O" -> 0.1))
+    val byStatus = out.groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byStatus.contains("P"), "stratum without a rate must be dropped")
+    val fTotal = orders.filter($"o_orderstatus" === "F").count()
+    val fRate = byStatus.getOrElse("F", 0L).toDouble / fTotal
+    assert(fRate > 0.4 && fRate < 0.6, s"F rate $fRate far from 0.5")
+  }
+
+  test("assignSplit: disjoint, exhaustive, weights respected") {
+    val out = Sampling.assignSplit(orders, "o_orderkey",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.filter($"split".isNull).count() == 0, "every row gets a split")
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val total = counts.values.sum
+    assert(total == orders.count(), "splits partition the input")
+    val trainRate = counts("train").toDouble / total
+    assert(trainRate > 0.75 && trainRate < 0.85, s"train rate $trainRate far from 0.8")
+  }
+
+  test("hash bucket scatters sequential keys (not an arithmetic progression)") {
+    val buckets = spark.range(0, 1000)
+      .select(Sampling.hashBucket(col("id"), 10).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(buckets.size == 10, "all 10 buckets hit")
+    // a degenerate mapping would put sequential ids in ~1 bucket
+    assert(buckets.values.max < 300, s"bucket skew too high: $buckets")
+  }
+}
