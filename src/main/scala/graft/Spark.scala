@@ -14,6 +14,9 @@ object Spark {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // graft's Catalyst extension: plans graft.plans.AsOfJoinPlan into
+      // the streaming-merge AsOfJoinExec
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // testdata events.ts is TIMESTAMP(NANOS); read as long, normalized
       // in Sources.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -360,6 +360,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Same as-of semantics through the NATIVE Catalyst operator
+    // (graft.plans: custom LogicalPlan + Strategy + streaming-merge
+    // SparkPlan via SparkSessionExtensions) — same DuckDB oracle as
+    // join_asof, so the custom exec is hash-checked end to end.
+    "join_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+      graft.plans.AsOfJoinPlan.asOfJoinNative(ev, t(s, d, "orders"),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     // §2.A src_csv_multi (Task_1/task_1.py:88-104): multi-file CSV scan +
     // union-all over the reference's own part-files — oracle-checked:
     // DuckDB reads the same CSV glob directly (read_csv), so the
@@ -914,6 +928,20 @@ object SparkEntry {
     // rows to the largest payload tuple, so the oracle pre-dedups to
     // the max o_orderkey per (custkey, orderdate) before the ASOF join.
     "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |  FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    // identical oracle to join_asof — the native Catalyst exec must
+    // reproduce the declarative form bit for bit
+    "join_asof_native" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
         |  FROM orders
