@@ -56,6 +56,16 @@ object SparkEntry {
   private def isRet: Column = col("l_returnflag") === "R"
   private def retLong: Column = when(isRet, 1L).otherwise(0L)
 
+  /** Affine-permutation constants for the DuckDB-replayable MinHash
+    * variant (`dedup_minhash_sig`): a_j = 48271^(j+1) mod p,
+    * b_j = j·2654435761 mod p over the Park–Miller prime — shared
+    * between the Spark query and the interpolated oracle SQL. */
+  private val krP = 2147483647L
+  private val krConsts: Seq[(Long, Long)] = (0 until 8).map { j =>
+    val a = Iterator.iterate(1L)(x => x * 48271L % krP).drop(j + 1).next()
+    (a, (j + 1) * 2654435761L % krP)
+  }
+
   /** lineitem ⋈ orders ⋈ broadcast(part) with the derived KPI columns —
     * the transposed `merged` frame of reference `Task_2/task_2.py:88-103`. */
   private def mergedFrame(s: SparkSession, d: String): DataFrame =
@@ -709,6 +719,88 @@ object SparkEntry {
         "o_totalprice", windowDays = 90)
         .orderBy(col("event_id"))),
 
+    // beyond-reference §2.H: full rank-function suite. rank/dense_rank/
+    // percent_rank/cume_dist run over a TIED ordering (priority has few
+    // values, so tie semantics are actually exercised); ntile needs a
+    // total order per partition to be deterministic, so it gets the
+    // fully-tiebroken window.
+    "win_rank_suite" -> ((s, d) => {
+      val wTies = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      val wFull = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cdist"),
+          ntile(4).over(wFull).as("quartile"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // §2.G string-function suite: case, substring, split_part, padding,
+    // translate, reverse, edit distance, position — all exact
+    // string/int outputs, every function paired 1:1 with a DuckDB
+    // builtin of identical semantics.
+    "fn_string_suite" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          substring(col("p_name"), 1, 10).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_devoweled"),
+          reverse(col("p_brand")).as("brand_rev"),
+          levenshtein(col("p_brand"), col("p_type")).as("brand_type_dist"),
+          instr(col("p_name"), "a").as("first_a"))
+        .orderBy(col("p_partkey"))),
+
+    // §2.D distributed moments the scale-correct way: ONE pass of exact
+    // decimal partial sums (Σx, Σx²) — order-independent, mergeable
+    // map-side — then variance/stddev derived in double with an
+    // expression tree mirrored exactly in the oracle, so the IEEE
+    // results are bit-identical. (Built-in var_samp/stddev float-sums
+    // in data order and can't be oracle-checked; this form can, and is
+    // also what a 1000-executor aggregation should run.)
+    "agg_moments" -> ((s, d) => {
+      val x = dec2(col("o_totalprice"))
+      val agged = t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(x).cast("double").as("sum_price"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sum_price_sq"))
+      val nd = col("n_orders").cast("double")
+      agged
+        .withColumn("mean_price", col("sum_price") / nd)
+        .withColumn("var_price",
+          (nd * col("sum_price_sq") - col("sum_price") * col("sum_price")) /
+            (nd * (nd - 1.0)))
+        .withColumn("stddev_price", sqrt(col("var_price")))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Dedup: ORACLE-CHECKED MinHash signatures — the xxhash64-based
+    // native expression (dedup_minhash) is the perf path but has no SQL
+    // replay; this variant derives each of 8 min-hashes from the
+    // Karp–Rabin shingle hash via affine permutations over the
+    // Park–Miller prime, which DuckDB replays exactly (HUGEINT mod-2^64
+    // for the rolling hash, plain BIGINT for the permutations). The
+    // signature computation itself — shingle → hash → k-way min — is
+    // what gets hash-compared.
+    "dedup_minhash_sig" -> ((s, d) => {
+      val sh = Dedup.shingles(col("text"), 3)
+      val sigCols = krConsts.zipWithIndex.map { case ((a, b), j) =>
+        array_min(transform(sh, sStr => pmod(
+          pmod(graft.functions.GraftExpressions.rolling_hash64(sStr), lit(krP))
+            * a + b, lit(krP)))).as(s"h$j")
+      }
+      t(s, d, "documents")
+        .select(col("doc_id") +: sigCols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: transitive closure of the exact-Jaccard near-dup pairs —
     // connected components by hash-min label propagation; the oracle
     // replays reachability with a recursive CTE. cluster_id = min
@@ -1313,6 +1405,89 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "win_rank_suite" ->
+      """SELECT o_orderstatus, o_orderpriority, o_orderkey,
+        |  CAST(RANK() OVER w AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cdist,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderpriority, o_orderkey) AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority, o_orderkey""".stripMargin,
+
+    "fn_string_suite" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS name_upper,
+        |  substring(p_name, 1, 10) AS name_prefix,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  split_part(p_name, ' ', 2) AS second_word,
+        |  lpad(p_brand, 12, '*') AS brand_padded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_devoweled,
+        |  reverse(p_brand) AS brand_rev,
+        |  CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+        |  CAST(instr(p_name, 'a') AS INT) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // identical double expression tree over exact decimal sums -> IEEE
+    // bit-identical variance/stddev in both engines
+    "agg_moments" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |                  * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,4)))
+        |         AS DOUBLE) AS sum_price_sq
+        |  FROM orders GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, n_orders, sum_price, sum_price_sq,
+        |  sum_price / CAST(n_orders AS DOUBLE) AS mean_price,
+        |  (CAST(n_orders AS DOUBLE) * sum_price_sq - sum_price * sum_price)
+        |    / (CAST(n_orders AS DOUBLE) * (CAST(n_orders AS DOUBLE) - 1.0)) AS var_price,
+        |  sqrt((CAST(n_orders AS DOUBLE) * sum_price_sq - sum_price * sum_price)
+        |    / (CAST(n_orders AS DOUBLE) * (CAST(n_orders AS DOUBLE) - 1.0))) AS stddev_price
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+
+    // Karp–Rabin rolling hash per shingle (HUGEINT mod-2^64 replay of
+    // RollingHash64, folded to signed then into [0, p)), then the same
+    // affine permutations + k-way min as the Spark side.
+    "dedup_minhash_sig" -> {
+      val hashCols = krConsts.zipWithIndex.map { case ((a, b), j) =>
+        s"CAST(list_min(list_transform(g, x -> (x * $a + $b) % 2147483647)) AS BIGINT) AS h$j"
+      }.mkString(",\n        |  ")
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        |        FROM documents)
+        |), us AS (
+        |  -- unsigned 64-bit Karp–Rabin hash per shingle (HUGEINT replay)
+        |  SELECT doc_id, list_transform(sh, s ->
+        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+        |           (a, b) -> (a * 1000003::HUGEINT + b)
+        |                     % 18446744073709551616::HUGEINT) END) AS us
+        |  FROM sh
+        |), gs AS (
+        |  -- fold to signed 64-bit (Spark's long), then pmod into [0, p)
+        |  SELECT doc_id, list_transform(us, u ->
+        |    ((((CASE WHEN u >= 9223372036854775808::HUGEINT
+        |             THEN u - 18446744073709551616::HUGEINT ELSE u END)
+        |       % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS g
+        |  FROM us
+        |)
+        |SELECT doc_id,
+        |  $hashCols
+        |FROM gs ORDER BY doc_id""".stripMargin
+    },
 
     // byte_histogram oracle: hex char at odd position i of hex(payload)
     // IS the high nibble of byte i/2 — 16 bins = exact char counts over

@@ -12,7 +12,8 @@ object Profile {
     val only = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
     val spark = Spark.session(appName = "graft-profile")
     spark.sparkContext.setLogLevel("ERROR")
-    val names = SparkEntry.benchQueries.filter(n => only.isEmpty || only(n))
+    val names = if (only.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.queries.keys.toSeq.sorted.filter(only)
     for (name <- names) {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
