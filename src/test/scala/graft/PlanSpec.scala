@@ -64,4 +64,29 @@ class PlanSpec extends SparkSpec {
     val s = planString(q("agg_order_kpi"))
     assert(s.contains("*("), s"no whole-stage-codegen span found in:\n$s")
   }
+
+  test("join_range: bucketed interval join stays an equi-join (no nested loop)") {
+    val s = planString(q("join_range"))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$s")
+  }
+
+  test("smp_hash: sampling predicate evaluates inside a codegen'd scan stage") {
+    val s = planString(q("smp_hash"))
+    // no shuffle before the filter: the decision is a scalar predicate
+    // on the scan, not an aggregation or join
+    assert(s.contains("*("), s"sampling filter fell out of codegen:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("HashAggregate"),
+      s"sampling must be a pure scan+filter plan:\n$s")
+  }
+
+  test("join_asof_native: single hash exchange per side + per-partition sorts") {
+    val df = q("join_asof_native")
+    df.collect()
+    val s = planString(df)
+    // nodeName strips the Exec suffix
+    assert(s.contains("AsOfJoin"), s"native exec missing from plan:\n$s")
+    assert(s.contains("hashpartitioning(user_id") && s.contains("hashpartitioning(o_custkey"),
+      s"expected one hash exchange per side:\n$s")
+  }
 }
