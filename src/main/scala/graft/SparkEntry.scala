@@ -579,6 +579,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Similarity: same exact top-k through the bounded TopKAgg
+    // aggregator (map-side k-heaps; the window form shuffles every
+    // scored pair) — same rank-only oracle as sim_topk_brute.
+    "sim_topk_agg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Similarity: hyperplane-LSH bucketed top-5 (the scale path;
     // rows-only).
     "sim_topk_lsh" -> ((s, d) => {
@@ -718,6 +729,52 @@ object SparkEntry {
         "event_id", "user_id", "o_custkey", "ts", "o_orderdate",
         "o_totalprice", windowDays = 90)
         .orderBy(col("event_id"))),
+
+    // beyond-reference §2.I/§2.D: ordered-funnel analysis — per user,
+    // the first 'view', the first 'click' at-or-after it, the first
+    // 'purchase' at-or-after that; then users counted by deepest stage
+    // reached. Three conditional-min windows over ONE partitioning =
+    // one shuffle of events total (Spark reuses the exchange across
+    // same-partitioned window passes).
+    "evt_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      tf(s, d, "events", "event_id")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts") >= col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t2"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+        .select(
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // beyond-reference §2.D: cohort retention — users bucketed by their
+    // first-seen day, activity counted per (cohort, day offset).
+    "evt_retention" -> ((s, d) => {
+      val ev = tf(s, d, "events", "event_id")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      ev.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
+    // beyond-reference §2.D: CUBE grouping sets (completes the
+    // rollup/pivot/cube trio).
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
 
     // beyond-reference §2.H: full rank-function suite. rank/dense_rank/
     // percent_rank/cume_dist run over a TIED ordering (priority has few
@@ -1148,6 +1205,24 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // identical to sim_topk_brute: the aggregator must reproduce the
+    // window form's ranking exactly
+    "sim_topk_agg" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qe, c.embedding::DOUBLE[]) AS sim
+        |  FROM q, embeddings c WHERE c.vec_id != q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
@@ -1405,6 +1480,46 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "evt_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  GROUP BY e.user_id, s1.t1
+        |), s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  GROUP BY e.user_id, s2.t1, s2.t2
+        |)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT f.cohort,
+        |  CAST(CAST(e.ts AS DATE) - f.cohort AS INT) AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "win_rank_suite" ->
       """SELECT o_orderstatus, o_orderpriority, o_orderkey,

@@ -59,6 +59,26 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** [[bruteForceTopK]] with the per-query top-k computed by the bounded
+    * [[graft.functions.TopKAgg]] aggregator instead of a window: the
+    * window form shuffles EVERY scored (query, corpus) pair to sort it;
+    * this form combines map-side and shuffles only `partitions × k`
+    * pairs per query. Row-identical output (same tie order: score desc,
+    * id asc) — asserted in SimilaritySpec. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.top_k(k)(col(idCol), col("sim")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb._2").as("neighbor_id"),
+        col("nb._1").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes: plane p, dim d weight
     * derives from a seeded hash — identical on every run/executor, no
     * state to ship. */

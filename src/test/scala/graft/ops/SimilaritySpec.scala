@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkSpec {
     assert(topk(3) == 2L) // 0.0
   }
 
+  test("aggregator top-k is row-identical to the window form on sf0.001") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val win = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+    val agg = Similarity.bruteForceTopKAgg(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty,
+      "bounded-aggregator top-k must equal the window formulation")
+  }
+
   test("lsh bucket: scaled copies share a bucket; topk finds the exact match") {
     val b = vecs.select($"vec_id",
       Similarity.lshBucket($"embedding", numPlanes = 8, dim = 4).as("bucket"))
