@@ -498,13 +498,16 @@ object SparkEntry {
       Dedup.nearDupNgram(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Dedup: embedding-cosine near-dup via hyperplane LSH (rows-only).
+    // Dedup: embedding-cosine near-dup via hyperplane LSH —
+    // ORACLE-CHECKED pair set (plane constants inlined into the DuckDB
+    // SQL; threshold margin ≈ 1.3e-4 ≫ ulp, same as dedup_embed_exact).
     // Threshold 0.4: this corpus has no truly-duplicate vectors (max
     // pairwise cosine ≈ 0.51), so the declared query surfaces the top of
     // the similarity range; production near-dup would use ≥0.9.
     "dedup_embed_cosine" -> ((s, d) =>
       Similarity.cosinePairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, numPlanes = 4)
+        .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: embedding-cosine near-dup, EXACT all-pairs variant —
@@ -590,12 +593,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Similarity: hyperplane-LSH bucketed top-5 (the scale path;
-    // rows-only).
+    // Similarity: hyperplane-LSH bucketed top-5 (the scale path) —
+    // ORACLE-CHECKED on rank order: the deterministic plane constants
+    // are inlined into the DuckDB SQL, the bucket's sign test replays
+    // the same sequential left-fold dot product (list_reduce), and the
+    // ranking is ids+rank only (same ulp argument as sim_topk_brute).
     "sim_topk_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -878,7 +885,55 @@ object SparkEntry {
 
   // -------- oracle SQL (DuckDB dialect, same tables) --------
 
+  /** DuckDB replay of [[graft.ops.Similarity.lshBucket]]: the same
+    * deterministic plane constants inlined as literals, the same
+    * sequential left-fold dot product (`list_reduce` folds left exactly
+    * like the fused codegen loop; 0.0 + x = x, so the missing explicit
+    * zero seed changes nothing), the same sign test per plane. */
+  private def lshBucketSql(vecExpr: String, numPlanes: Int): String = {
+    val ps = graft.ops.Similarity.planes(numPlanes, 64, 42L)
+    ps.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_transform(range(1, 65), j -> $vecExpr[j] * ($arr::DOUBLE[])[j]), (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n     + ", ")")
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "sim_topk_lsh" ->
+      s"""WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, e,
+        |    ${lshBucketSql("e", 4)} AS bucket
+        |  FROM c
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.query_id, cb.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qe, cb.e) AS sim
+        |  FROM q JOIN b cb ON cb.bucket = q.bucket AND cb.vec_id != q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      s"""WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), b AS (
+        |  SELECT vec_id, e,
+        |    ${lshBucketSql("e", 4)} AS bucket
+        |  FROM c
+        |)
+        |SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+        |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        |WHERE list_cosine_similarity(a.e, bb.e) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "src_scan" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_extendedprice > 1000.0 ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,

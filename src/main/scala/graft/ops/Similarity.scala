@@ -82,7 +82,7 @@ object Similarity {
   /** Deterministic pseudo-random unit hyperplanes: plane p, dim d weight
     * derives from a seeded hash — identical on every run/executor, no
     * state to ship. */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def planes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
