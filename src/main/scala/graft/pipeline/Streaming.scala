@@ -151,4 +151,59 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[KeyedEvent])
   }
+
+  // -------- streaming funnel (per-user ordered-step state machine) --------
+
+  final case class TypedEvent(user_id: Long, event_type: String, ms: Long)
+  /** Emitted once per stage transition: `stage` steps completed as of `ms`. */
+  final case class FunnelProgress(user_id: Long, stage: Int, ms: Long)
+
+  /** Per-user funnel state machine: one `ValueState[Int]` holding the
+    * number of completed steps. Each batch's rows are sorted by
+    * (ms, event_type) before folding — the iterator order within a
+    * micro-batch is not time order — and a transition is emitted the
+    * moment its step's event type arrives. The state survives across
+    * micro-batches (a user can 'view' today and 'purchase' next week),
+    * which the batch formulation (`evt_funnel`) recomputes from scratch
+    * instead. State is one int per user: at 100 TB of events this is
+    * the smallest possible funnel state, and a `TTLConfig` bounds it
+    * when user inactivity should expire the funnel. */
+  class FunnelProcessor(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, FunnelProgress] {
+    @transient private var stage: org.apache.spark.sql.streaming.ValueState[Int] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stage = getHandle.getValueState[Int]("stage",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelProgress] = {
+      var s = if (stage.exists()) stage.get() else 0
+      val out = Seq.newBuilder[FunnelProgress]
+      rows.toSeq.sortBy(e => (e.ms, e.event_type)).foreach { e =>
+        if (s < steps.length && e.event_type == steps(s)) {
+          s += 1
+          out += FunnelProgress(key, s, e.ms)
+        }
+      }
+      stage.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming counterpart of the `evt_funnel` batch query: emits each
+    * user's stage transitions incrementally as the ordered steps arrive
+    * across micro-batches. Same RocksDB-provider requirement as
+    * [[dedupFirstSeen]]. */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[TypedEvent],
+                      steps: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    implicit val keyEnc = org.apache.spark.sql.Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        org.apache.spark.sql.Encoders.product[FunnelProgress])
+  }
 }

@@ -44,6 +44,46 @@ class PropertySpec extends SparkSpec {
     })
   } yield rows
 
+  // ---- TopKAgg: aggregator == sort-then-take, under any partitioning ----
+  private val scoredGen = for {
+    n <- Gen.choose(0, 60)
+    rows <- Gen.sequence[Seq[(Long, Double)], (Long, Double)]((1 to n).map { i =>
+      // duplicate scores on purpose: ties must break by smaller id
+      Gen.choose(0, 9).map(s => (i.toLong, s / 2.0))
+    })
+  } yield rows
+
+  test("property: TopKAgg equals sort.take(k) for any input and partitioning") {
+    import spark.implicits._
+    forSamples(scoredGen, 30) { rows =>
+      val k = 5
+      val expected = rows.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (s, id) }
+      for (parts <- Seq(1, 3, 7)) {
+        val df = spark.createDataset(rows).toDF("id", "score").repartition(parts)
+        val got = df.agg(graft.functions.TopKAgg.top_k(k)($"id", $"score").as("t"))
+          .select(explode($"t").as("e")).select($"e._1", $"e._2")
+          .as[(Double, Long)].collect().toSeq
+        assert(got == expected, s"parts=$parts rows=$rows")
+      }
+    }
+  }
+
+  test("property: assignSplit partitions exactly and agrees with sampleByHash") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(40, Gen.choose(0L, 100000L)), 20) { keys =>
+      val df = keys.distinct.toDF("k")
+      val splits = Sampling.assignSplit(df, "k",
+        Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4))
+      // disjoint + exhaustive
+      assert(splits.filter($"split".isNull).count() == 0)
+      // the 'a' split IS the 30% hash sample (same cumulative cut)
+      val aSet = splits.filter($"split" === "a").select("k").as[Long].collect().toSet
+      val sample = Sampling.sampleByHash(df, "k", 0.3).select("k").as[Long].collect().toSet
+      assert(aSet == sample)
+    }
+  }
+
   private val itemGen = for {
     n <- Gen.choose(0, 40)
     rows <- Gen.sequence[Seq[Row], Row]((1 to n).map { i =>

@@ -125,4 +125,39 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming funnel advances per-user stage across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val ds = mem.toDS().map { case (u, t, ms) => Streaming.TypedEvent(u, t, ms) }
+      val q = Streaming.streamingFunnel(ds)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_funnel_out").start()
+      // batch 1: user 1 views; user 2 clicks first (no view -> no progress);
+      // user 1's click arrives out of order IN the same batch as the view
+      mem.addData((1L, "click", 200L), (1L, "view", 100L), (2L, "click", 150L))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3); user 2 finally views (stage 1);
+      // a second view for user 1 must NOT re-emit stage 1
+      mem.addData((1L, "purchase", 300L), (2L, "view", 250L), (1L, "view", 400L))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, 1, 100L), (1L, 2, 200L), // in-batch sort put view before click
+        (1L, 3, 300L),
+        (2L, 1, 250L)))               // user 2's early click never counted
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
