@@ -737,6 +737,69 @@ object SparkEntry {
         "o_totalprice", windowDays = 90)
         .orderBy(col("event_id"))),
 
+    // §2.B predicate-type coverage in one filter: LIKE, IN-list,
+    // BETWEEN, null test, boolean combination.
+    "flt_predicates" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").like("%green%") &&
+          col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") &&
+          col("p_size").between(5, 30) &&
+          col("p_type").isNotNull)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy(col("p_partkey"))),
+
+    // §2.D collect_list / collect_set — order pinned by sort_array so
+    // the array aggregation is deterministic; surfaced as joined
+    // strings (raw arrays break the driver's row-sort compare).
+    "agg_collect" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderstatus"))), ",")
+            .as("statuses_all"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses_distinct"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))),
+
+    // beyond-reference §2.C: FULL OUTER join — both unmatched sides
+    // surface (customers without orders AND orphan order custkeys).
+    "join_full_outer" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        .join(t(s, d, "orders").groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_custkey"), col("n_orders"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_custkey").asc_nulls_first)),
+
+    // §2.D multi-quantile: exact percentile interpolation at 4 points
+    // (Spark `percentile` == DuckDB `quantile_cont` bit for bit).
+    "agg_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy(col("l_returnflag"))),
+
+    // §2.G datetime-function suite: extraction, ISO week, arithmetic,
+    // month boundaries, truncation.
+    "fn_datetime_suite" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow_sun1"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+          last_day(col("o_orderdate")).as("month_end"),
+          trunc(col("o_orderdate"), "mm").as("month_start"))
+        .orderBy(col("o_orderkey"))),
+
     // beyond-reference §2.I/§2.D: ordered-funnel analysis — per user,
     // the first 'view', the first 'click' at-or-after it, the first
     // 'purchase' at-or-after that; then users counted by deepest stage
@@ -1535,6 +1598,53 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "flt_predicates" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_name LIKE '%green%'
+        |  AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+        |  AND p_size BETWEEN 5 AND 30
+        |  AND p_type IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses_all,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses_distinct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders WHERE o_custkey < 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT c.c_custkey, o.o_custkey, o.n_orders
+        |FROM customer c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey
+        |) o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // dayofweek: Spark counts Sunday=1; DuckDB dayofweek counts
+    // Sunday=0, so the oracle shifts by one
+    "fn_datetime_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_sun1,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "evt_funnel" ->
       """WITH s1 AS (
