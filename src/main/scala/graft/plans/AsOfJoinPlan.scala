@@ -46,12 +46,23 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]; a no-op for every
-  * other node. */
+/** Plans [[AsOfJoinPlan]] physically, making the same stats-based
+  * choice Spark's JoinSelection makes for equi-joins: a right side
+  * whose estimated size fits `spark.sql.autoBroadcastJoinThreshold`
+  * goes to [[BroadcastAsOfJoinExec]] (fact side never shuffles); a big
+  * right side goes to the co-partitioned streaming merge
+  * [[AsOfJoinExec]]. A no-op for every other node. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, payload) =>
-      AsOfJoinExec(lk, rk, lts, rts, payload, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(lk, rk, lts, rts, payload, planLater(l), planLater(r))
+        else
+          AsOfJoinExec(lk, rk, lts, rts, payload, planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
   }
 }

@@ -80,13 +80,15 @@ class PlanSpec extends SparkSpec {
       s"sampling must be a pure scan+filter plan:\n$s")
   }
 
-  test("join_asof_native: single hash exchange per side + per-partition sorts") {
+  test("join_asof_native: small right side broadcasts — fact side never shuffles") {
     val df = q("join_asof_native")
     df.collect()
     val s = planString(df)
-    // nodeName strips the Exec suffix
-    assert(s.contains("AsOfJoin"), s"native exec missing from plan:\n$s")
-    assert(s.contains("hashpartitioning(user_id") && s.contains("hashpartitioning(o_custkey"),
-      s"expected one hash exchange per side:\n$s")
+    // sf0.001 orders fit the broadcast threshold, so the strategy must
+    // pick the broadcast exec: no hash exchange on EITHER side (the only
+    // exchange left is the final ORDER BY's range partitioning)
+    assert(s.contains("BroadcastAsOfJoin"), s"expected broadcast as-of in:\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"broadcast as-of must not hash-shuffle either side:\n$s")
   }
 }
