@@ -737,6 +737,31 @@ object SparkEntry {
         "o_totalprice", windowDays = 90)
         .orderBy(col("event_id"))),
 
+    // §2.D skew path, oracle-proven result-identical: the two-phase
+    // salted aggregation (ops.Skew) against the PLAIN group-by oracle —
+    // the mitigation must be invisible in the result.
+    "agg_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedSumCount(
+        t(s, d, "lineitem").select(col("l_returnflag"), dec2(col("l_quantity")).as("q")),
+        Seq("l_returnflag"), "q")
+        .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_qty"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // Training-data mixture: three "sources" (doc_id mod 3) sampled at
+    // different weights into one corpus, with per-source audit counts —
+    // the deterministic-mixing op of dataset curation (weights are
+    // reproducible because membership is the Lehmer hash, not RNG).
+    "smp_mixture" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("source", (col("doc_id") % 3).cast("int"))
+        .withColumn("source_s", col("source").cast("string"))
+        .transform(df => graft.ops.Sampling.stratifiedSample(
+          df, "doc_id", "source_s", Seq("0" -> 0.8, "1" -> 0.5, "2" -> 0.2)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))),
+
     // §2.B predicate-type coverage in one filter: LIKE, IN-list,
     // BETWEEN, null test, boolean combination.
     "flt_predicates" -> ((s, d) =>
@@ -1598,6 +1623,27 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // plain group-by: the salted two-phase aggregation must be
+    // result-identical to the unsalted one
+    "agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "smp_mixture" ->
+      """WITH h AS (
+        |  SELECT CAST(doc_id % 3 AS INT) AS source,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 % 10000 AS b
+        |  FROM documents
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM h
+        |WHERE (source = 0 AND b < 8000)
+        |   OR (source = 1 AND b < 5000)
+        |   OR (source = 2 AND b < 2000)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "flt_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part
