@@ -737,6 +737,18 @@ object SparkEntry {
         "o_totalprice", windowDays = 90)
         .orderBy(col("event_id"))),
 
+    // §2.J SQL surface: the injected graft functions resolve in plain
+    // SQL text (GraftExtensions.injectFunction) — same rolling-hash
+    // oracle as txt_fingerprint_rolling, but through the parser and
+    // FunctionRegistry instead of the Scala DSL.
+    "sql_function_surface" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id,
+          |  rolling_hash64(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp_rolling
+          |FROM documents_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // §2.D skew path, oracle-proven result-identical: the two-phase
     // salted aggregation (ops.Skew) against the PLAIN group-by oracle —
     // the mitigation must be invisible in the result.
@@ -1623,6 +1635,25 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // same replay as txt_fingerprint_rolling (the Spark side differs
+    // only in going through the SQL parser)
+    "sql_function_surface" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END
+        |       AS BIGINT) AS fp_rolling
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+        |           (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT)
+        |    END AS h
+        |  FROM (SELECT doc_id,
+        |          LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')) AS s
+        |        FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
 
     // plain group-by: the salted two-phase aggregation must be
     // result-identical to the unsalted one

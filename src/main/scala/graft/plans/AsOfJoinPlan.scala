@@ -67,10 +67,43 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** `spark.sql.extensions` entry point (wired in [[graft.Spark.session]]). */
+/** `spark.sql.extensions` entry point (wired in [[graft.Spark.session]]):
+  * the as-of planner strategy plus SQL registration of every graft
+  * Catalyst expression, so the engine's functions are first-class in
+  * `spark.sql(...)` text, not just the Scala DSL. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.GraftExpressions._
+
+  private def fn(name: String, arity: Int)(
+      build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.GraftExpressions", name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity, s"$name expects $arity arguments")
+        build(exprs)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectFunction(fn("rolling_hash64", 1)(e => RollingHash64(e.head)))
+    ext.injectFunction(fn("simhash64", 1)(e => SimHash64(e.head)))
+    ext.injectFunction(fn("byte_histogram", 1)(e => ByteHistogram(e.head)))
+    ext.injectFunction(fn("dot_product", 2)(e => DotProduct(e(0), e(1))))
+    ext.injectFunction(fn("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1))))
+    ext.injectFunction(fn("sig_agreement", 2)(e => SigAgreement(e(0), e(1))))
+    // int-literal arities resolved at bind time
+    ext.injectFunction(fn("minhash_signature", 2)(e =>
+      MinHashSignature(e.head, intLit(e(1), "minhash_signature"))))
+    ext.injectFunction(fn("explode_shingles", 2)(e =>
+      ExplodeShingles(e.head, intLit(e(1), "explode_shingles"))))
+  }
+
+  private def intLit(e: Expression, where: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => sys.error(s"$where expects an integer literal, got $other")
+  }
 }
 
 object AsOfJoinPlan {
