@@ -737,6 +737,45 @@ object SparkEntry {
         "o_totalprice", windowDays = 90)
         .orderBy(col("event_id"))),
 
+    // §2.H RANGE window frame (value-based, not row-based): each
+    // order's trailing-30-day spend for the same customer — the frame
+    // bounds are epoch seconds, so RANGE arithmetic is exact in both
+    // engines.
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ep"))
+        .rangeBetween(-30L * 86400L, 0L)
+      t(s, d, "orders")
+        .withColumn("ep", unix_timestamp(col("o_orderdate").cast("timestamp")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.F UNION with distinct semantics (completes the set-op family).
+    "set_union_distinct" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .union(t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy(col("custkey"))),
+
+    // §2.D arg-max/arg-min aggregates: the order id holding each
+    // status's highest/lowest price. The ordering key packs
+    // (price-in-cents, orderkey) into one exact BIGINT (cents ≤ 6e7,
+    // ×1e9 + key < 2^63) so ties are impossible and both engines'
+    // arg-max agree deterministically.
+    "agg_argmax" -> ((s, d) => {
+      val key = (dec2(col("o_totalprice")) * 100).cast("long") * 1000000000L +
+        col("o_orderkey")
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"), key).as("max_price_order"),
+          min_by(col("o_orderkey"), key).as("min_price_order"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // §2.J SQL surface: the injected graft functions resolve in plain
     // SQL text (GraftExtensions.injectFunction) — same rolling-hash
     // oracle as txt_fingerprint_rolling, but through the parser and
@@ -1635,6 +1674,30 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 1000
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * 1000000000 + o_orderkey) AS max_price_order,
+        |  arg_min(o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      * 1000000000 + o_orderkey) AS min_price_order
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // same replay as txt_fingerprint_rolling (the Spark side differs
     // only in going through the SQL parser)
