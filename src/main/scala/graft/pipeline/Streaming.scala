@@ -206,4 +206,24 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append())(
         org.apache.spark.sql.Encoders.product[FunnelProgress])
   }
+
+  /** Stream-static as-of enrichment: each micro-batch of the event
+    * stream is enriched with the latest state row at-or-before its
+    * timestamp via the NATIVE as-of operator ([[graft.plans]]) inside
+    * `foreachBatch` — the standard shape for enriching a stream against
+    * a slowly-changing dimension history. The static side is
+    * broadcast-sized in the common case, so the planner picks
+    * `BroadcastAsOfJoinExec` and the streaming batch never shuffles.
+    * Returns the started query; results land on `sink` per batch. */
+  def asOfEnrich(stream: DataFrame, history: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String, payload: Seq[String],
+                 sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.plans.AsOfJoinPlan.asOfJoinNative(
+          batch, history, leftKey, rightKey, leftTs, rightTs, payload))
+      }
+      .start()
 }

@@ -126,6 +126,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static as-of enrichment picks the native broadcast exec per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "uid", "ets")
+    val history = Seq(
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (10L, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 2.0)
+    ).toDF("hk", "hts", "v")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = Streaming.asOfEnrich(stream, history,
+      "uid", "hk", "ets", "hts", Seq("v"),
+      out => got ++= out.select("event_id", "v")
+        .as[(Long, Option[Double])].collect())
+    mem.addData(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (2L, 10L, java.sql.Timestamp.valueOf("2023-12-30 00:00:00")),
+      (3L, 99L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == Map(1L -> Some(2.0), 2L -> None, 3L -> None))
+  }
+
   test("streaming funnel advances per-user stage across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
