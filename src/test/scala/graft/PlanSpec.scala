@@ -80,6 +80,16 @@ class PlanSpec extends SparkSpec {
       s"sampling must be a pure scan+filter plan:\n$s")
   }
 
+  test("evt_funnel: three conditional-min windows share one exchange") {
+    val plan = executedPlan(q("evt_funnel"))
+    // the three stacked window passes all partition by user_id — the
+    // planner must reuse a single hash exchange for them (plus the
+    // stage-count aggregation's own exchange and the final sort)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3,
+      s"windows did not share the user_id exchange (${shuffles.size} shuffles):\n$plan")
+  }
+
   test("join_asof_native: small right side broadcasts — fact side never shuffles") {
     val df = q("join_asof_native")
     df.collect()
