@@ -148,6 +148,42 @@ object Dedup {
                            threshold: Double = 0.5): DataFrame =
     lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold)
 
+  /** Incremental near-dup: a NEW batch of documents checked against the
+    * existing corpus's materialized signature table
+    * ([[writeSignatures]]) — the daily-ingest shape: signatures for the
+    * batch are computed in its scan pass, banded, and joined against
+    * the banded INDEX side only. The existing corpus's bodies are never
+    * read, its signatures never recomputed; cost scales with the batch,
+    * not the corpus. Returns (new_id, corpus_id, est_jaccard) pairs at
+    * or above `threshold`.
+    *
+    * The asymmetric join also avoids the self-join's id_a < id_b
+    * dance: every pair is (new, old) by construction. */
+  def incrementalNearDup(newDocs: DataFrame, sigs: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(df: DataFrame, outId: String, outSig: String): DataFrame =
+      df.select(col(idCol).as(outId), col("sig").as(outSig),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("bucket")))).as("bb"))
+        .select(col(outId), col(outSig), col("bb.band"), col("bb.bucket"))
+    val newSigs = graft.io.Sources.fanOut(newDocs, idCol)
+      .select(col(idCol),
+        minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    banded(newSigs, "new_id", "sig_n")
+      .join(banded(sigs, "corpus_id", "sig_c"), Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"),
+        minhashJaccard(col("sig_n"), col("sig_c")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
   /** Run the (small) result frame to completion while `cached` is still
     * hot, then release the cache: callers get a lineage-free frame whose
     * blocks the ContextCleaner reclaims on GC, and repeated calls in a

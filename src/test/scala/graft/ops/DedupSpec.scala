@@ -67,4 +67,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run() == run())
   }
+
+  test("incremental near-dup vs the signature index matches the self-join pairs") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.io.Sources.table(spark, sf001, "documents")
+    // split: 'old' corpus is indexed, the rest arrives as a new batch
+    val old = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = corpus.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-sigs").toString
+    Dedup.writeSignatures(old, "doc_id", "text", path)
+    val inc = Dedup.incrementalNearDup(batch, spark.read.parquet(path),
+        "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: full self-join pairs restricted to (new, old) id pairs
+    val full = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.4)
+      .collect().flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> j, (b, a) -> j)
+      }.toMap
+        .filter { case ((n, o), _) => n % 2 == 1 && o % 2 == 0 }
+    assert(inc == full && inc.nonEmpty)
+  }
 }
