@@ -148,6 +148,20 @@ object Dedup {
                            threshold: Double = 0.5): DataFrame =
     lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold)
 
+  /** The full production dedup pipeline: MinHash+LSH candidate pairs →
+    * transitive closure → (id, cluster_id, is_canonical). Keep rows
+    * where `is_canonical` to dedup the corpus. The oracle-checked
+    * `dedup_clusters` query runs the same closure over exact-Jaccard
+    * edges (its all-pairs edge harness is sf-scale only); this
+    * composition is the ~linear-cost path a 100 TB corpus runs. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val edges = minhashPairs(df, idCol, textCol, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(edges, df.select(col(idCol)), idCol)
+      .withColumn("is_canonical", col("cluster_id") === col(idCol))
+  }
+
   /** Incremental near-dup: a NEW batch of documents checked against the
     * existing corpus's materialized signature table
     * ([[writeSignatures]]) — the daily-ingest shape: signatures for the

@@ -25,6 +25,21 @@ class ClustersSpec extends SparkSpec {
     assert(out == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
   }
 
+  test("nearDupClusters: canonical rows are exactly the cluster minima") {
+    val corpus = graft.io.Sources.table(spark, sf001, "documents")
+    val out = Dedup.nearDupClusters(corpus, "doc_id", "text", threshold = 0.4)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == corpus.count(), "every doc gets a cluster")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, "cluster id is the min member id")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid,
+        "exactly one canonical row per cluster: the minimum")
+    }
+    // sf0.001 corpus has at least one real near-dup pair at 0.4
+    assert(byCluster.exists(_._2.length > 1), "expected a non-trivial cluster")
+  }
+
   test("connectedComponents: deterministic across reruns") {
     val edges = Seq((1L, 2L), (4L, 5L), (2L, 4L)).toDF("id_a", "id_b")
     val nodes = (1L to 6L).toDF("id")
