@@ -1004,6 +1004,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: ORACLE-CHECKED SimHash — same deal as dedup_minhash_sig:
+    // the xxhash64-based SimHash64 expression stays the perf path; this
+    // 16-bit variant derives each bit as the majority vote of the
+    // Karp–Rabin token hashes' bits (strictly-positive vote → 1), which
+    // DuckDB replays exactly. Covers the sketch math: token → hash →
+    // per-bit vote → sign.
+    "dedup_simhash_sig" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val g = transform(toks, tk => pmod(
+        graft.functions.GraftExpressions.rolling_hash64(tk), lit(krP)))
+      val sh = (0 until 16).map { i =>
+        val setCnt = size(filter(g, x => x.bitwiseAND(1L << i) =!= 0L))
+        when(setCnt * 2 > size(toks), 1L << i).otherwise(0L)
+      }.reduce(_ + _)
+      t(s, d, "documents")
+        .select(col("doc_id"), sh.cast("int").as("simhash16"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: transitive closure of the exact-Jaccard near-dup pairs —
     // connected components by hash-min label propagation; the oracle
     // replays reachability with a recursive CTE. cluster_id = min
@@ -1870,6 +1889,38 @@ object SparkEntry {
         |  sqrt((CAST(n_orders AS DOUBLE) * sum_price_sq - sum_price * sum_price)
         |    / (CAST(n_orders AS DOUBLE) * (CAST(n_orders AS DOUBLE) - 1.0))) AS stddev_price
         |FROM a ORDER BY o_orderstatus""".stripMargin,
+
+    // Karp–Rabin rolling hash per TOKEN (same HUGEINT fold), then each
+    // of the 16 sketch bits = strict-majority vote of that bit over the
+    // token hashes.
+    "dedup_simhash_sig" -> {
+      val bitCols = (0 until 16).map { i =>
+        s"CASE WHEN 2 * LEN(list_filter(g, x -> (x & ${1L << i}) != 0)) > LEN(g) THEN ${1L << i} ELSE 0 END"
+      }.mkString("\n        |    + ")
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        |  FROM documents
+        |), us AS (
+        |  SELECT doc_id, list_transform(toks, s ->
+        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+        |           (a, b) -> (a * 1000003::HUGEINT + b)
+        |                     % 18446744073709551616::HUGEINT) END) AS us
+        |  FROM tk
+        |), gs AS (
+        |  SELECT doc_id, list_transform(us, u ->
+        |    ((((CASE WHEN u >= 9223372036854775808::HUGEINT
+        |             THEN u - 18446744073709551616::HUGEINT ELSE u END)
+        |       % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS g
+        |  FROM us
+        |)
+        |SELECT doc_id, CAST(
+        |    $bitCols
+        |  AS INT) AS simhash16
+        |FROM gs ORDER BY doc_id""".stripMargin
+    },
 
     // Karp–Rabin rolling hash per shingle (HUGEINT mod-2^64 replay of
     // RollingHash64, folded to signed then into [0, p)), then the same
