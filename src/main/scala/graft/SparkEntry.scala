@@ -647,10 +647,11 @@ object SparkEntry {
         .orderBy(col("media_id"))),
 
     // Multimodal: decode-stub → byte-histogram features → frame sampling
-    // (rows-only: the CRC32-derived fake dimensions have no SQL oracle).
-    // The feature vector is surfaced as a comma-joined string of exact
-    // longs — raw array columns break the driver's pandas row-sort
-    // (round-1 mm_extract error: "unhashable type: numpy.ndarray").
+    // — ORACLE-CHECKED since the stub moved to md5-derived fake
+    // dimensions (DuckDB parses the same hex substrings; CRC32 had no
+    // SQL counterpart). The feature vector is surfaced as a
+    // comma-joined string of exact longs — raw array columns break the
+    // driver's pandas row-sort (round-1: "unhashable type: ndarray").
     "mm_extract" -> ((s, d) =>
       Multimodal.extractAll(Multimodal.asMediaTable(t(s, d, "documents")))
         .select(col("media_id"), col("decoded.width").as("width"),
@@ -1958,6 +1959,29 @@ object SparkEntry {
         |SELECT doc_id,
         |  $hashCols
         |FROM gs ORDER BY doc_id""".stripMargin
+    },
+
+    // decode stub replay: the ASCII corpus makes DuckDB md5(text) hash
+    // the same bytes as Spark md5(content); dims parse the same hex
+    // substrings; hist_csv as in mm_features; n_frames is the constant
+    // frame-sample count.
+    "mm_extract" -> {
+      val bins = "0123456789ABCDEF".map(ch =>
+        s"LENGTH(hi) - LENGTH(replace(hi, '$ch', ''))").mkString(",\n        |    ")
+      s"""WITH h AS (
+        |  SELECT doc_id AS media_id, md5(text) AS m,
+        |    OCTET_LENGTH(ENCODE(text)) AS n,
+        |    regexp_replace(hex(ENCODE(text)), '(.)(.)', '\\1', 'g') AS hi
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CAST(('0x' || substring(m, 1, 8))::BIGINT % 1920 + 1 AS INT) AS width,
+        |  CAST(('0x' || substring(m, 9, 8))::BIGINT % 1080 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+        |  concat_ws(',',
+        |    $bins) AS hist_csv,
+        |  CAST(4 AS INT) AS n_frames
+        |FROM h ORDER BY media_id""".stripMargin
     },
 
     // byte_histogram oracle: hex char at odd position i of hex(payload)

@@ -38,14 +38,19 @@ object Multimodal {
       ).as("meta"))
 
   /** STUB decode — deterministic fake in place of a real image decoder.
-    * Derives (width, height, channels) from stable byte statistics so
-    * results are reproducible; a real implementation swaps the arithmetic
+    * Derives (width, height, channels) from the payload's md5 so
+    * results are reproducible AND SQL-replayable (the DuckDB oracle
+    * parses the same hex substrings; CRC32, the previous choice, has no
+    * DuckDB counterpart). A real implementation swaps the arithmetic
     * for a codec call with the SAME signature (binary → struct). */
   def decodeStub(content: Column): Column = {
+    val h = md5(content)
     val n = length(content)
     struct(
-      (pmod(crc32(content), lit(1920)) + 1).cast("int").as("width"),
-      (pmod(crc32(reverse(content)), lit(1080)) + 1).cast("int").as("height"),
+      (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(1920L)) + 1)
+        .cast("int").as("width"),
+      (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(1080L)) + 1)
+        .cast("int").as("height"),
       when(n % 2 === 0, 3).otherwise(1).cast("int").as("channels"))
   }
 
@@ -101,15 +106,14 @@ object Multimodal {
 
   /** The per-batch decode call a real implementation replaces: input is
     * one batch of (id, payload), output one row per payload. Stub
-    * arithmetic mirrors [[decodeStub]] exactly (CRC32-derived fake
+    * arithmetic mirrors [[decodeStub]] exactly (md5-derived fake
     * dimensions) so the two paths are cross-checkable. */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[DecodedMedia] = {
-    val crc = new java.util.zip.CRC32()
+    val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { case (id, bytes) =>
-      crc.reset(); crc.update(bytes)
-      val w = (crc.getValue % 1920).toInt + 1
-      crc.reset(); crc.update(bytes.reverse)
-      val h = (crc.getValue % 1080).toInt + 1
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      val w = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1920).toInt + 1
+      val h = (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 1080).toInt + 1
       DecodedMedia(id, w, h, if (bytes.length % 2 == 0) 3 else 1, bytes.length)
     }
   }
