@@ -124,6 +124,34 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, dir: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
 
+  /** JSON-lines sink (one JSON object per line — the interchange format
+    * of document/training-data pipelines). */
+  def jsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").json(dir)
+
+  /** Small-file compaction — the lake-maintenance pass: streaming and
+    * per-batch writers leave thousands of KB-sized files whose per-file
+    * open/footer overhead dominates scan time at 100 TB. Rewrites a
+    * parquet directory into ceil(bytes / targetBytes) files via a
+    * coalesce (no shuffle — coalesce only merges existing partitions)
+    * and atomically swaps it in. Returns the new file count. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    val bytes = listRecursive(fs, path)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => fs.getFileStatus(p).getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(path.getParent, path.getName + "_compacting")
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles
+  }
+
   /** Bucketed table write: pre-shuffles the data into `numBuckets` files
     * per bucket key at WRITE time, so every later equi-join or
     * aggregation on that key runs with NO exchange — the shuffle is paid

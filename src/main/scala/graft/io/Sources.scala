@@ -40,6 +40,11 @@ object Sources {
 
   /** Columnar scan for the internal/validated layer (typed Parquet end to
     * end; CSV only at the boundary — SURVEY.md §7.5 item 7). */
+  /** JSON-lines source with an explicit schema (inference would scan
+    * the data twice and guess types — never at 100 TB). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -49,4 +49,31 @@ class SinksSpec extends SparkSpec {
     assert(Sources.present(spark, s"$dir/archive/t0/orders/*"))
     assert(!Sources.present(spark, s"$dir/raw/orders/*.csv"))
   }
+
+  test("jsonl sink/source round-trip preserves rows and types") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    val in = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, null, 0.0))
+      .toDF("id", "name", "score")
+    Sinks.jsonl(in, dir)
+    val back = Sources.jsonl(spark, dir, in.schema)
+    // JSON sources surface every field nullable; names/types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      in.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
+  }
+
+  test("compactParquet merges a many-file directory and keeps the rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val in = (1L to 1000L).toDF("id").repartition(64)
+    in.write.parquet(dir)
+    def fileCount = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fileCount == 64, "setup should write 64 small files")
+    val n = Sinks.compactParquet(spark, dir, targetBytes = 1024L * 1024)
+    assert(fileCount == n && n < 64, s"expected few compacted files, got $n")
+    val back = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(back.sameElements(1L to 1000L), "compaction must preserve every row")
+  }
 }
