@@ -630,6 +630,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Similarity: IVF with a data-anchored quantizer — ORACLE-CHECKED
+    // (every-61st vector is an anchor; nearest-anchor assignment and
+    // nprobe probing replay in DuckDB; rank-only output as usual).
+    "sim_topk_ivf_anchored" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopKAnchored(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Similarity: IVF (k-means coarse quantizer) top-5 — the trained
     // scale path beside LSH (rows-only; seeded k-means has no SQL oracle).
     "sim_topk_ivf" -> ((s, d) => {
@@ -1432,6 +1443,41 @@ object SparkEntry {
         |), r AS (
         |  SELECT query_id, neighbor_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_ivf_anchored" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), a AS (
+        |  SELECT vec_id AS cluster, e AS ce FROM c WHERE vec_id % 61 = 0
+        |), asg AS (
+        |  SELECT vec_id, e, cluster FROM (
+        |    SELECT c.vec_id, c.e, a.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.e, a.ce) DESC, a.cluster) AS rn
+        |    FROM c, a
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 10
+        |), qp AS (
+        |  SELECT query_id, qe, cluster FROM (
+        |    SELECT q.query_id, q.qe, a.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qe, a.ce) DESC, a.cluster) AS rn
+        |    FROM q, a
+        |  ) WHERE rn <= 3
+        |), s AS (
+        |  SELECT qp.query_id, asg.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qp.qe, asg.e) AS sim
+        |  FROM qp JOIN asg ON qp.cluster = asg.cluster
+        |  WHERE asg.vec_id != qp.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         |  FROM s
         |)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5

@@ -227,6 +227,45 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** IVF with a data-anchored coarse quantizer: the "centroids" are a
+    * deterministic sample of corpus vectors (every `anchorEvery`-th id)
+    * instead of trained k-means means — the IVF-flat plan shape
+    * (assign once, probe nprobe lists) with none of the training
+    * state, so the whole pipeline is reproducible across engines and
+    * SQL-replayable (unlike seeded k-means, which only [[ivfTopK]]'s
+    * spec can check). Assignment: nearest anchor by cosine, ties to
+    * the smaller anchor id. */
+  def ivfTopKAnchored(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, anchorEvery: Int = 61,
+                      nprobe: Int = 3): DataFrame = {
+    val anchors = broadcast(corpus.filter(col(idCol) % anchorEvery === 0)
+      .select(col(idCol).as("cluster"), col(vecCol).as("cvec")))
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cluster"))
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(anchors)
+      .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cluster"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(anchors)
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cluster")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol))
+    assigned.join(probes, Seq("cluster"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Lake-scale IVF layout: fit the quantizer and write the corpus
     * PARTITIONED BY cluster id (`path/cluster=N/...`), returning the
     * centroid table to keep beside the index. This is the physical
