@@ -57,14 +57,15 @@ object SparkEntry {
   private def retLong: Column = when(isRet, 1L).otherwise(0L)
 
   /** Affine-permutation constants for the DuckDB-replayable MinHash
-    * variant (`dedup_minhash_sig`): a_j = 48271^(j+1) mod p,
-    * b_j = j·2654435761 mod p over the Park–Miller prime — shared
-    * between the Spark query and the interpolated oracle SQL. */
+    * variants (`dedup_minhash_sig`, `dedup_lsh_kr`): a_j = 48271^(j+1)
+    * mod p, b_j = j·2654435761 mod p over the Park–Miller prime —
+    * shared between the Spark queries and the interpolated oracle SQL. */
   private val krP = 2147483647L
-  private val krConsts: Seq[(Long, Long)] = (0 until 8).map { j =>
+  private def krConstsN(n: Int): Seq[(Long, Long)] = (0 until n).map { j =>
     val a = Iterator.iterate(1L)(x => x * 48271L % krP).drop(j + 1).next()
     (a, (j + 1) * 2654435761L % krP)
   }
+  private val krConsts: Seq[(Long, Long)] = krConstsN(8)
 
   /** lineitem ⋈ orders ⋈ broadcast(part) with the derived KPI columns —
     * the transposed `merged` frame of reference `Task_2/task_2.py:88-103`. */
@@ -1035,6 +1036,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: the FULL two-stage near-dup pipeline — MinHash signatures →
+    // LSH band candidates → exact n-gram Jaccard verify — with every
+    // stage ORACLE-CHECKED: 64 Karp–Rabin affine min-hashes (replayable,
+    // unlike xxhash64), 16 bands of 4 joined on the literal band values
+    // (no band hash needed), and the proven Jaccard recipe. This is the
+    // production dedup_minhash/dedup_ngram_jaccard pipeline shape with
+    // a cross-engine-deterministic candidate stage.
+    "dedup_lsh_kr" -> ((s, d) => {
+      val n = 64
+      val docs = t(s, d, "documents")
+      val aArr = array(krConstsN(n).map(c => lit(c._1)): _*)
+      val bArr = array(krConstsN(n).map(c => lit(c._2)): _*)
+      // materialize the per-shingle base hashes so the 64 permutations
+      // reference an attribute, not 64 re-inlined shingle pipelines
+      val g = graft.io.Sources.fanOut(docs, "doc_id")
+        .select(col("doc_id"),
+          transform(Dedup.shingles(col("text"), 3), sStr => pmod(
+            graft.functions.GraftExpressions.rolling_hash64(sStr), lit(krP)))
+            .as("g"))
+        .localCheckpoint(true)
+      val sig = transform(sequence(lit(0), lit(n - 1)), j =>
+        array_min(transform(col("g"), x =>
+          pmod(x * element_at(aArr, j + 1) + element_at(bArr, j + 1), lit(krP)))))
+      val banded = g.select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(15)), b =>
+            concat_ws(",", slice(col("sig"), b * 4 + 1, lit(4))))).as(Seq("band", "bstr")))
+      val pairs = banded.select(col("doc_id").as("id_a"), col("band"), col("bstr"))
+        .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bstr")),
+          Seq("band", "bstr"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup: transitive closure of the exact-Jaccard near-dup pairs —
     // connected components by hash-min label propagation; the oracle
     // replays reachability with a recursive CTE. cluster_id = min
@@ -1936,6 +1974,65 @@ object SparkEntry {
         |  sqrt((CAST(n_orders AS DOUBLE) * sum_price_sq - sum_price * sum_price)
         |    / (CAST(n_orders AS DOUBLE) * (CAST(n_orders AS DOUBLE) - 1.0))) AS stddev_price
         |FROM a ORDER BY o_orderstatus""".stripMargin,
+
+    // full two-stage replay: KR signatures (64 affine min-hashes over
+    // the HUGEINT-fold shingle hashes), literal band-value self-join,
+    // exact-Jaccard verify — candidates AND verify both hash-checked.
+    "dedup_lsh_kr" -> {
+      val cs = krConstsN(64)
+      val aArr = cs.map(_._1).mkString("[", ", ", "]")
+      val bArr = cs.map(_._2).mkString("[", ", ", "]")
+      s"""WITH sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        |        FROM documents)
+        |), us AS (
+        |  SELECT doc_id, sh, list_transform(sh, s ->
+        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+        |           (a, b) -> (a * 1000003::HUGEINT + b)
+        |                     % 18446744073709551616::HUGEINT) END) AS us
+        |  FROM sh0
+        |), gs AS (
+        |  SELECT doc_id, sh, list_transform(us, u ->
+        |    ((((CASE WHEN u >= 9223372036854775808::HUGEINT
+        |             THEN u - 18446744073709551616::HUGEINT ELSE u END)
+        |       % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS g
+        |  FROM us
+        |), sigs AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    list_min(list_transform(g, x ->
+        |      (x * ($aArr)[j + 1] + ($bArr)[j + 1]) % 2147483647))) AS sig
+        |  FROM gs
+        |), banded AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bstr
+        |  FROM sigs, UNNEST(range(0, 16)) AS t(b)
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id
+        |), shd AS (
+        |  SELECT doc_id, list_distinct(sh) AS sh FROM sh0
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+        |         AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN shd a ON p.id_a = a.doc_id
+        |JOIN shd b ON p.id_b = b.doc_id
+        |WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+        |         AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Karp–Rabin rolling hash per TOKEN (same HUGEINT fold), then each
     // of the 16 sketch bits = strict-majority vote of that bit over the
