@@ -2153,5 +2153,8 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "agg_order_kpi", "agg_cat_kpi", "q_validate_all", "join_inner_eq",
     "win_topk_per_order", "evt_daily", "agg_count_distinct",
-    "dedup_minhash", "dedup_simhash", "sim_topk_brute", "txt_quality")
+    "dedup_minhash", "dedup_simhash", "sim_topk_brute", "txt_quality",
+    // round-3 continuation: the custom Catalyst operator and the
+    // bucketed range join under driver-visible timing
+    "join_asof_native", "join_range")
 }

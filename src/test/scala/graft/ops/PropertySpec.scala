@@ -69,6 +69,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct: deterministic across runs, within its error bound") {
+    // HLL++ has no RNG: same data -> same sketch -> same estimate, so the
+    // rows-only agg_approx_distinct query is still repeatable; and the
+    // estimate stays within the configured relative error of the truth.
+    val orders = graft.io.Sources.table(spark, sf001, "orders")
+    def run() = orders.agg(
+      approx_count_distinct(col("o_custkey"), 0.05).as("a")).head.getLong(0)
+    val (a, b) = (run(), run())
+    assert(a == b, "HLL estimate must be deterministic")
+    val exact = orders.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(math.abs(a - exact).toDouble / exact < 0.15,
+      s"estimate $a too far from exact $exact")
+  }
+
   test("property: assignSplit partitions exactly and agrees with sampleByHash") {
     import spark.implicits._
     forSamples(Gen.listOfN(40, Gen.choose(0L, 100000L)), 20) { keys =>
