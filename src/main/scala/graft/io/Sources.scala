@@ -38,6 +38,29 @@ object Sources {
     spark.read.option("header", "true").schema(schema)
       .csv(stripTrailingSlash(dir) + "/*.csv")
 
+  /** CSV scan that QUARANTINES malformed lines instead of nulling or
+    * dropping them silently: PERMISSIVE mode with the raw offending
+    * line captured in `_corrupt_record` — the ingest-boundary
+    * counterpart of [[graft.ops.Validate.quarantine]]. At 100 TB a
+    * dirty row must neither kill the job (FAILFAST) nor vanish
+    * (DROPMALFORMED); it lands in the reject channel with its source
+    * line intact for replay. Note Spark's restriction: cache/persist
+    * the parsed frame before a query that reads ONLY the corrupt
+    * column (SPARK-21610) — real ingest materializes the parse before
+    * splitting channels anyway. */
+  def csvWithRejects(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
   /** Columnar scan for the internal/validated layer (typed Parquet end to
     * end; CSV only at the boundary — SURVEY.md §7.5 item 7). */
   /** JSON-lines source with an explicit schema (inference would scan
