@@ -8,8 +8,16 @@ import org.apache.spark.sql.SparkSession
   * column is computed (a bare `.count()` would let Catalyst prune the
   * whole projection away and benchmark nothing). */
 object Bench {
+  /** Median of the samples; for an even count the lower-middle (we never
+    * interpolate — a real observed duration beats a synthetic midpoint). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val spark = Spark.session(appName = "graft-bench")
     // ERROR, not WARN: stray log lines interleaved with the JSON result
     // line can break the driver's parse (round 1: "parsed": null).
@@ -26,33 +34,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Steady-state timing: each query runs twice AT THE TARGET SF and the
-    // faster run is reported (matches how BASELINE.md numbers were
-    // recorded). The first run pays one-time costs that are not plan
-    // quality — JIT + whole-stage-codegen compilation and classloading —
-    // and a small-SF warm-up does NOT absorb them because AQE re-plans at
-    // the target size (different join strategies/partition counts →
-    // different generated classes). Measured round 2: first run 2-4×
-    // steady state on every heavy query (e.g. agg_order_kpi 14.2 s cold
-    // vs 3.7 s steady).
-    //
-    // The two passes sweep the WHOLE query list round-robin rather than
-    // repeating each query back-to-back: this host shows multi-second
-    // CPU-contention bursts (BASELINE.md), and separating a query's two
-    // reps by a full pass (~15-30 s) decorrelates them from one burst at
-    // no extra cost.
-    val pass1 = SparkEntry.benchQueries.map(n => n -> runOnce(n)).toMap
-    val pass2 = SparkEntry.benchQueries.map(n => n -> runOnce(n)).toMap
-    def best(name: String): Double = {
-      val (a, b) = (pass1(name), pass2(name))
-      if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+    // Median-of-5 timing (round-3 verdict: min-of-2 cannot distinguish a
+    // real regression from host contention on a box whose documented noise
+    // band is multi-second bursts). Each pass sweeps the WHOLE query list
+    // round-robin rather than repeating a query back-to-back, so a single
+    // contention burst lands on at most one sample per query; the median
+    // then ignores it. Pass 1 additionally pays one-time JIT +
+    // whole-stage-codegen compilation (measured 2-4x steady state in
+    // round 2), which the median also absorbs: with 5 samples the cold one
+    // sits at the max and never becomes the median.
+    val samples: Map[String, Seq[Double]] = {
+      val passResults =
+        (1 to passes).map(_ => SparkEntry.benchQueries.map(n => n -> runOnce(n)))
+      SparkEntry.benchQueries.map { n =>
+        n -> passResults.map(_.toMap.apply(n)).filter(_ >= 0)
+      }.toMap
     }
 
-    val results = SparkEntry.benchQueries.map(n => n -> best(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(d: Double): String = "%.6f".format(d)
+    val results = SparkEntry.benchQueries.map { n =>
+      val xs = samples(n)
+      n -> (if (xs.isEmpty) -1.0 else median(xs))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Per-query spread so a reader can judge how trustworthy each median
+    // is: [min, max, nSamples]. Kept in a separate key so the driver's
+    // queries-parse is untouched.
+    val spread = results.map { case (k, _) =>
+      val xs = samples(k)
+      val body =
+        if (xs.isEmpty) "[-1,-1,0]"
+        else s"[${fmt(xs.min)},${fmt(xs.max)},${xs.size}]"
+      "\"" + k + "\":" + body
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -632,8 +632,9 @@ object SparkEntry {
     }),
 
     // Similarity: IVF with a data-anchored quantizer — ORACLE-CHECKED
-    // (every-61st vector is an anchor; nearest-anchor assignment and
-    // nprobe probing replay in DuckDB; rank-only output as usual).
+    // (anchors = the 16 vec_ids with the smallest two-round Lehmer hash,
+    // a FIXED-size set however large the corpus; nearest-anchor
+    // assignment and nprobe probing replay in DuckDB; rank-only output).
     "sim_topk_ivf_anchored" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopKAnchored(emb, emb.filter(col("vec_id") < 10),
@@ -1490,7 +1491,11 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
         |), a AS (
-        |  SELECT vec_id AS cluster, e AS ce FROM c WHERE vec_id % 61 = 0
+        |  -- fixed-size anchor set: 16 smallest two-round Lehmer hashes
+        |  SELECT vec_id AS cluster, e AS ce FROM c
+        |  ORDER BY ((((vec_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |             % 2147483647, vec_id
+        |  LIMIT 16
         |), asg AS (
         |  SELECT vec_id, e, cluster FROM (
         |    SELECT c.vec_id, c.e, a.cluster,

@@ -228,18 +228,37 @@ object Similarity {
   }
 
   /** IVF with a data-anchored coarse quantizer: the "centroids" are a
-    * deterministic sample of corpus vectors (every `anchorEvery`-th id)
-    * instead of trained k-means means — the IVF-flat plan shape
-    * (assign once, probe nprobe lists) with none of the training
-    * state, so the whole pipeline is reproducible across engines and
+    * deterministic FIXED-SIZE sample of corpus vectors — the `nlist` ids
+    * with the smallest two-round Lehmer hash (ties to the smaller id) —
+    * instead of trained k-means means. This keeps the IVF-flat plan shape
+    * (assign once, probe nprobe lists) with none of the training state,
+    * so the whole pipeline is reproducible across engines and
     * SQL-replayable (unlike seeded k-means, which only [[ivfTopK]]'s
     * spec can check). Assignment: nearest anchor by cosine, ties to
-    * the smaller anchor id. */
+    * the smaller anchor id.
+    *
+    * The anchor count is CAPPED at `nlist` regardless of corpus size
+    * (round-3 verdict: the earlier every-61st-id rule grew the anchor
+    * set — and thus the assignment join — linearly with the corpus,
+    * making assignment O(n²/61) and the anchor broadcast unbounded).
+    * Selection is a TakeOrdered over the hash key: one corpus scan,
+    * per-partition top-nlist, no shuffle of vectors; assignment stays
+    * O(n·nlist) with a constant-size broadcast forever. */
   def ivfTopKAnchored(corpus: DataFrame, queries: DataFrame, idCol: String,
-                      vecCol: String, k: Int, anchorEvery: Int = 61,
+                      vecCol: String, k: Int, nlist: Int = 16,
                       nprobe: Int = 3): DataFrame = {
-    val anchors = broadcast(corpus.filter(col(idCol) % anchorEvery === 0)
-      .select(col(idCol).as("cluster"), col(vecCol).as("cvec")))
+    // two Lehmer rounds mod 2^31-1 (same mixer as ops.Sampling): scatter
+    // sequential ids, stay in BIGINT range under ANSI, replay in plain SQL
+    val hk = {
+      val h1 = pmod(pmod(col(idCol).cast("long"), lit(Sampling.Modulus)) *
+        Sampling.Multiplier, lit(Sampling.Modulus))
+      pmod(h1 * Sampling.Multiplier, lit(Sampling.Modulus))
+    }
+    val anchors = broadcast(corpus
+      .select(col(idCol).as("cluster"), col(vecCol).as("cvec"), hk.as("hk"))
+      .orderBy(col("hk"), col("cluster"))
+      .limit(nlist)
+      .drop("hk"))
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cluster"))
     val assigned = corpus.select(col(idCol), col(vecCol))
