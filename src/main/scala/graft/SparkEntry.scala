@@ -67,6 +67,51 @@ object SparkEntry {
   }
   private val krConsts: Seq[(Long, Long)] = krConstsN(8)
 
+  /** Shared DuckDB CTE prefix replaying the production MinHash+LSH
+    * signature pipeline ([[graft.ops.Dedup.minhashPairs]]): 3-word
+    * shingles → unsigned 64-bit Karp–Rabin fold (HUGEINT mod-2^64) →
+    * signed fold into [0, p) → 64 affine min-hashes → 16 bands of 4
+    * keyed by the LITERAL band value. Used by the `dedup_minhash`,
+    * `dedup_ngram_jaccard`, and `dedup_lsh_kr` oracles. */
+  private lazy val krBandedCtes: String = {
+    val cs = krConstsN(64)
+    val aArr = cs.map(_._1).mkString("[", ", ", "]")
+    val bArr = cs.map(_._2).mkString("[", ", ", "]")
+    s"""WITH sh0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, LEN(toks) - 1),
+      |                             i -> array_to_string(toks[i:i+2], ' '))
+      |         END AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+      |        FROM documents)
+      |), us AS (
+      |  SELECT doc_id, sh, list_transform(sh, s ->
+      |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+      |         ELSE list_reduce(
+      |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+      |           (a, b) -> (a * 1000003::HUGEINT + b)
+      |                     % 18446744073709551616::HUGEINT) END) AS us
+      |  FROM sh0
+      |), gs AS (
+      |  SELECT doc_id, sh, list_transform(us, u ->
+      |    ((((CASE WHEN u >= 9223372036854775808::HUGEINT
+      |             THEN u - 18446744073709551616::HUGEINT ELSE u END)
+      |       % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS g
+      |  FROM us
+      |), sigs AS (
+      |  SELECT doc_id, list_transform(range(0, 64), j ->
+      |    list_min(list_transform(g, x ->
+      |      (x * ($aArr)[j + 1] + ($bArr)[j + 1]) % 2147483647))) AS sig
+      |  FROM gs
+      |), banded AS (
+      |  SELECT doc_id, b AS band,
+      |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bstr
+      |  FROM sigs, UNNEST(range(0, 16)) AS t(b)
+      |)""".stripMargin
+  }
+
   /** lineitem ⋈ orders ⋈ broadcast(part) with the derived KPI columns —
     * the transposed `merged` frame of reference `Task_2/task_2.py:88-103`. */
   private def mergedFrame(s: SparkSession, d: String): DataFrame =
@@ -481,20 +526,28 @@ object SparkEntry {
         .select(col("fp"), col("doc_id"), col("dup_count"))
         .orderBy(col("doc_id"))),
 
-    // Dedup: MinHash+LSH near-dup candidate pairs (rows-only: seeded
-    // xxhash64 signatures have no SQL oracle).
+    // Dedup: MinHash+LSH near-dup candidate pairs — the PRODUCTION
+    // DEFAULT path (Dedup.minhashPairs), ORACLE-CHECKED end to end
+    // since round 5: signatures are the native KR-permutation
+    // expression (fused codegen loop, replayable arithmetic), banding
+    // joins on literal band values, est_jaccard is the signature
+    // agreement fraction — all replayed in the DuckDB SQL below. The
+    // xxhash64 signature variant survives as Dedup.minhashPairsXx
+    // (perf-only; pair-set parity spec-asserted in DedupSpec).
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: SimHash banding + Hamming verify (custom expression;
-    // rows-only).
+    // rows-only — seeded xxhash64 bit votes have no SQL replay; the
+    // KR majority-vote sketch math is oracled in dedup_simhash_sig).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: two-stage MinHash-candidates → exact n-gram Jaccard verify
-    // (rows-only).
+    // — ORACLE-CHECKED end to end since round 5 (KR candidate stage at
+    // threshold 0.3, exact-Jaccard verify at 0.5).
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.nearDupNgram(t(s, d, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1983,43 +2036,8 @@ object SparkEntry {
     // full two-stage replay: KR signatures (64 affine min-hashes over
     // the HUGEINT-fold shingle hashes), literal band-value self-join,
     // exact-Jaccard verify — candidates AND verify both hash-checked.
-    "dedup_lsh_kr" -> {
-      val cs = krConstsN(64)
-      val aArr = cs.map(_._1).mkString("[", ", ", "]")
-      val bArr = cs.map(_._2).mkString("[", ", ", "]")
-      s"""WITH sh0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, LEN(toks) - 1),
-        |                             i -> array_to_string(toks[i:i+2], ' '))
-        |         END AS sh
-        |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
-        |        FROM documents)
-        |), us AS (
-        |  SELECT doc_id, sh, list_transform(sh, s ->
-        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
-        |         ELSE list_reduce(
-        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
-        |           (a, b) -> (a * 1000003::HUGEINT + b)
-        |                     % 18446744073709551616::HUGEINT) END) AS us
-        |  FROM sh0
-        |), gs AS (
-        |  SELECT doc_id, sh, list_transform(us, u ->
-        |    ((((CASE WHEN u >= 9223372036854775808::HUGEINT
-        |             THEN u - 18446744073709551616::HUGEINT ELSE u END)
-        |       % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS g
-        |  FROM us
-        |), sigs AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |    list_min(list_transform(g, x ->
-        |      (x * ($aArr)[j + 1] + ($bArr)[j + 1]) % 2147483647))) AS sig
-        |  FROM gs
-        |), banded AS (
-        |  SELECT doc_id, b AS band,
-        |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bstr
-        |  FROM sigs, UNNEST(range(0, 16)) AS t(b)
-        |), pairs AS (
+    "dedup_lsh_kr" ->
+      s"""$krBandedCtes, pairs AS (
         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         |  FROM banded x JOIN banded y
         |    ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id
@@ -2036,8 +2054,57 @@ object SparkEntry {
         |WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
         |         AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
-    },
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replay of the PRODUCTION dedup_minhash path: the same KR
+    // signature+banding prefix, candidates from literal band-value
+    // collisions, est_jaccard = fraction of agreeing signature
+    // positions (SigAgreement: agree/64 in IEEE double, exact in both
+    // engines), threshold 0.4.
+    "dedup_minhash" ->
+      s"""$krBandedCtes, cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(LEN(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        |    / 64.0 AS est_jaccard
+        |FROM cand c
+        |JOIN sigs a ON c.id_a = a.doc_id
+        |JOIN sigs b ON c.id_b = b.doc_id
+        |WHERE CAST(LEN(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        |    / 64.0 >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replay of the two-stage nearDupNgram pipeline: KR candidates at
+    // est_jaccard >= 0.3, exact n-gram Jaccard verify at >= 0.5.
+    "dedup_ngram_jaccard" ->
+      s"""$krBandedCtes, cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id
+        |), est AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sigs a ON c.id_a = a.doc_id
+        |  JOIN sigs b ON c.id_b = b.doc_id
+        |  WHERE CAST(LEN(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        |      / 64.0 >= 0.3
+        |), shd AS (
+        |  SELECT doc_id, list_distinct(sh) AS sh FROM sh0
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+        |         AS DOUBLE) AS jaccard
+        |FROM est p
+        |JOIN shd a ON p.id_a = a.doc_id
+        |JOIN shd b ON p.id_b = b.doc_id
+        |WHERE CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+        |         AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Karp–Rabin rolling hash per TOKEN (same HUGEINT fold), then each
     // of the 16 sketch bits = strict-majority vote of that bit over the

@@ -216,6 +216,80 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** MinHash signature from Karp–Rabin affine permutations — the
+    * ORACLE-REPLAYABLE production default (round-4 verdict: the path
+    * users call for near-dup must be verifiable, and seeded xxhash64
+    * has no SQL counterpart). Per shingle: the 64-bit rolling
+    * polynomial hash ([[RollingHash64]]) folded into [0, p) over the
+    * Park–Miller prime p = 2^31-1, then hash j = (g·a_j + b_j) mod p
+    * with a_j = 48271^(j+1) mod p, b_j = (j+1)·2654435761 mod p;
+    * element j of the signature is the min over shingles. Identical
+    * arithmetic to the HOF formulation in the `dedup_lsh_kr` query and
+    * its DuckDB replay (HUGEINT mod-2^64 fold, BIGINT permutations),
+    * but one fused loop hashing each shingle's bytes exactly once —
+    * same shape (and cost: one mul+add+mod per permutation, cheaper
+    * than xxhash64's avalanche) as [[MinHashSignature]]. */
+  case class KrMinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    private val P = 2147483647L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "kr_minhash_signature", _ == StringType, "array<string>")
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val bytes = arr.getUTF8String(i).getBytes
+          var h = 0L
+          var bi = 0
+          while (bi < bytes.length) { h = h * 1000003L + (bytes(bi) & 0xffL); bi += 1 }
+          val g = ((h % P) + P) % P
+          var a = 1L
+          var j = 0
+          while (j < numHashes) {
+            a = a * 48271L % P
+            val hj = (g * a + (j + 1) * 2654435761L % P) % P
+            if (hj < mins(j)) mins(j) = hj
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (mins, i, bytes, h, bi, g, a, j, hj) = (ctx.freshName("mins"),
+        ctx.freshName("i"), ctx.freshName("bytes"), ctx.freshName("h"),
+        ctx.freshName("bi"), ctx.freshName("g"), ctx.freshName("a"),
+        ctx.freshName("j"), ctx.freshName("hj"))
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        |long[] $mins = new long[$numHashes];
+        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    byte[] $bytes = $arr.getUTF8String($i).getBytes();
+        |    long $h = 0L;
+        |    for (int $bi = 0; $bi < $bytes.length; $bi++) {
+        |      $h = $h * 1000003L + ($bytes[$bi] & 0xffL);
+        |    }
+        |    long $g = (($h % ${P}L) + ${P}L) % ${P}L;
+        |    long $a = 1L;
+        |    for (int $j = 0; $j < $numHashes; $j++) {
+        |      $a = $a * 48271L % ${P}L;
+        |      long $hj = ($g * $a + ($j + 1) * 2654435761L % ${P}L) % ${P}L;
+        |      if ($hj < $mins[$j]) $mins[$j] = $hj;
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        |""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): KrMinHashSignature =
+      copy(child = newChild)
+  }
+
   /** Dot product of two numeric arrays in double precision — native
     * replacement for `aggregate(zip_with(a, b, _*_), 0d, _+_)`: the
     * higher-order-function chain is CodegenFallback (interpreted, one
@@ -417,6 +491,8 @@ object GraftExpressions {
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     c(MinHashSignature(e(shingles), numHashes))
+  def kr_minhash_signature(shingles: Column, numHashes: Int): Column =
+    c(KrMinHashSignature(e(shingles), numHashes))
   def rolling_hash64(text: Column): Column = c(RollingHash64(e(text)))
   def byte_histogram(bin: Column): Column = c(ByteHistogram(e(bin)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))

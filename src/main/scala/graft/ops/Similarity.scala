@@ -247,31 +247,19 @@ object Similarity {
   def ivfTopKAnchored(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, nlist: Int = 16,
                       nprobe: Int = 3): DataFrame = {
-    // two Lehmer rounds mod 2^31-1 (same mixer as ops.Sampling): scatter
-    // sequential ids, stay in BIGINT range under ANSI, replay in plain SQL
-    val hk = {
-      val h1 = pmod(pmod(col(idCol).cast("long"), lit(Sampling.Modulus)) *
-        Sampling.Multiplier, lit(Sampling.Modulus))
-      pmod(h1 * Sampling.Multiplier, lit(Sampling.Modulus))
-    }
-    val anchors = broadcast(corpus
-      .select(col(idCol).as("cluster"), col(vecCol).as("cvec"), hk.as("hk"))
-      .orderBy(col("hk"), col("cluster"))
-      .limit(nlist)
-      .drop("hk"))
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("csim").desc, col("cluster"))
-    val assigned = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(anchors)
-      .withColumn("csim", cosine(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cluster"))
+    val anchors = anchoredAnchors(corpus, idCol, vecCol, nlist)
+    val assigned = anchoredAssign(corpus, idCol, vecCol, anchors)
+    // probe list: query side only — (queries × nlist) rows, tiny; the
+    // same inlined-anchor frame keeps it a single projection + window
+    val spark = corpus.sparkSession
+    val anchorsDf = broadcast(spark.createDataFrame(
+      anchors.map { case (cid, v) => (cid, v.toSeq) })
+      .toDF("cluster", "cvec"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cluster"))
     val probes = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .crossJoin(anchors)
+      .crossJoin(anchorsDf)
       .withColumn("csim", cosine(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
@@ -283,6 +271,53 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** The FIXED-SIZE anchor set of [[ivfTopKAnchored]]: the `nlist`
+    * corpus ids with the smallest two-round Lehmer hash (ties to the
+    * smaller id), collected to the driver. The collect is a bounded
+    * `nlist`-row TakeOrdered — one corpus scan, per-partition top-nlist,
+    * no shuffle of vectors — the same legitimate driver-side bounded
+    * list as [[ivfTopKPruned]]'s probe ids. Vectors are widened to
+    * double (exact for float inputs), matching what the cosine
+    * expression computes from the raw column. */
+  private[graft] def anchoredAnchors(corpus: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     nlist: Int): Seq[(Long, Array[Double])] = {
+    // two Lehmer rounds mod 2^31-1 (same mixer as ops.Sampling): scatter
+    // sequential ids, stay in BIGINT range under ANSI, replay in plain SQL
+    val hk = {
+      val h1 = pmod(pmod(col(idCol).cast("long"), lit(Sampling.Modulus)) *
+        Sampling.Multiplier, lit(Sampling.Modulus))
+      pmod(h1 * Sampling.Multiplier, lit(Sampling.Modulus))
+    }
+    corpus
+      .select(col(idCol).cast("long").as("cluster"),
+        transform(col(vecCol), x => x.cast("double")).as("cvec"), hk.as("hk"))
+      .orderBy(col("hk"), col("cluster"))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq
+  }
+
+  /** Nearest-anchor assignment as ONE projection over the corpus scan —
+    * zero shuffle (round-4 verdict: the previous crossJoin +
+    * `Window.partitionBy(id)` argmax shuffled corpus×nlist rows on a
+    * near-unique key). The anchors are inlined as literal arrays;
+    * argmax = `array_max` over `struct(csim, -cluster)` (struct
+    * ordering: highest csim, then — via the negation — the SMALLEST
+    * cluster id on ties, identical to the old window's
+    * `csim desc, cluster asc`). PlanSpec asserts the no-exchange plan. */
+  private[graft] def anchoredAssign(corpus: DataFrame, idCol: String,
+                                    vecCol: String,
+                                    anchors: Seq[(Long, Array[Double])]): DataFrame = {
+    val best = array_max(array(anchors.sortBy(_._1).map { case (cid, v) =>
+      struct(cosine(col(vecCol), array(v.map(lit).toIndexedSeq: _*)).as("csim"),
+        lit(-cid).as("negc"))
+    }.toIndexedSeq: _*))
+    corpus.select(col(idCol), col(vecCol),
+      (-best.getField("negc")).as("cluster"))
   }
 
   /** Lake-scale IVF layout: fit the quantizer and write the corpus

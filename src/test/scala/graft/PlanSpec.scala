@@ -90,6 +90,23 @@ class PlanSpec extends SparkSpec {
       s"windows did not share the user_id exchange (${shuffles.size} shuffles):\n$plan")
   }
 
+  test("anchored-IVF assignment: one projection over the scan, zero exchanges") {
+    // round-4 verdict item: nearest-anchor assignment must NOT shuffle
+    // the corpus (the old crossJoin + Window argmax moved corpus×nlist
+    // rows on a near-unique key). With inlined anchors it is a single
+    // Project over the parquet scan.
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+    val anchors = graft.ops.Similarity.anchoredAnchors(emb, "vec_id", "embedding", 16)
+    val assigned = graft.ops.Similarity.anchoredAssign(emb, "vec_id", "embedding", anchors)
+    val plan = executedPlan(assigned)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"anchor assignment must not shuffle the corpus (${shuffles.size} exchanges):\n$plan")
+    val s = plan.toString
+    assert(!s.contains("Window") && !s.contains("Join"),
+      s"assignment should be a pure projection:\n$s")
+  }
+
   test("join_asof_native: small right side broadcasts — fact side never shuffles") {
     val df = q("join_asof_native")
     df.collect()

@@ -61,6 +61,39 @@ class ExpressionsSpec extends SparkSpec {
     assert(expr.eval(null) == 0.5)
   }
 
+  test("kr_minhash_signature matches the HOF affine-permutation form; interpreted == codegen") {
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog again"),
+      (1L, "short"), (2L, "")).toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingles($"text", 3)
+    val native = docs.orderBy($"doc_id")
+      .select(GraftExpressions.kr_minhash_signature(sh, 8).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    // the HOF formulation that the dedup_minhash_sig oracle replays
+    val P = 2147483647L
+    val consts = (0 until 8).map { j =>
+      val a = Iterator.iterate(1L)(x => x * 48271L % P).drop(j + 1).next()
+      (a, (j + 1) * 2654435761L % P)
+    }
+    val hofCols = consts.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(sh, s => pmod(
+        pmod(GraftExpressions.rolling_hash64(s), lit(P)) * a + b, lit(P)))).as(s"h$j")
+    }
+    val viaHof = docs.orderBy($"doc_id").select(hofCols: _*)
+      .collect().map(r => (0 until 8).map(r.getLong))
+    assert(native.map(_.toSeq).toSeq == viaHof.map(_.toSeq).toSeq)
+    // interpreted eval (no-codegen context) agrees with the codegen path
+    val expr = GraftExpressions.KrMinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array("the quick brown", "quick brown fox"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), 8)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    val viaDf = Seq(Seq("the quick brown", "quick brown fox")).toDF("sh")
+      .select(GraftExpressions.kr_minhash_signature($"sh", 8))
+      .collect().head.getSeq[Long](0)
+    assert(interp == viaDf)
+  }
+
   test("explode_shingles generator matches the array-expression shingles") {
     val docs = Seq(
       (0L, "The quick  brown Fox jumps"),

@@ -22,7 +22,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash estimates jaccard 1.0 for identical docs, high for near-dup") {
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
+    // banding matched to the threshold: at s ≈ 0.55 the default 16×4
+    // S-curve knee (~0.5) leaves band collision to chance (~78%); 32×2
+    // puts per-band collision at s² ≈ 0.3, recall ≈ 1 — the tuning a
+    // production run at threshold 0.3 would use
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        bands = 32, rowsPerBand = 2, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((0L, 1L)) == 1.0)
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.3)
@@ -30,7 +35,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("exact ngram jaccard: identical=1.0, disjoint absent, near-dup correct") {
-    val near = Dedup.nearDupNgram(docs, "doc_id", "text", threshold = 0.1)
+    val near = Dedup.nearDupNgram(docs, "doc_id", "text", threshold = 0.1,
+        bands = 32, rowsPerBand = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(near((0L, 1L)) == 1.0)
     // base has 11 distinct 3-gram shingles (13 words => 11 shingles, all
@@ -66,6 +72,18 @@ class DedupSpec extends SparkSpec {
     def run() = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run() == run())
+  }
+
+  test("xxhash64 perf variant finds the same pair set as the KR default") {
+    val corpus = graft.io.Sources.table(spark, sf001, "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kr = pairSet(Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.4))
+    val xx = pairSet(Dedup.minhashPairsXx(corpus, "doc_id", "text", threshold = 0.4))
+    // both are 64-hash estimates of the same Jaccard similarities with
+    // the same banding; at this corpus's similarity margins (dups are
+    // exact or clearly apart) the pair sets coincide
+    assert(kr == xx && kr.nonEmpty)
   }
 
   test("incremental near-dup vs the signature index matches the self-join pairs") {
