@@ -78,6 +78,76 @@ object Sinks {
       InMemoryKv.tableOf(table).put(key, item)
   }
 
+  /** DURABLE file-backed [[KvClient]] — the deployable stand-in for the
+    * reference's DynamoDB table (`Task_2/task_2.py:144-197`) in an
+    * environment with no managed KV service: one JSON document per key
+    * under `baseDir/table/`, where upsert = atomic overwrite of the
+    * key's file (write-temp + atomic rename), so re-running a batch
+    * converges to the same state (the reference's `put_item` upsert
+    * semantics) and a crashed writer never leaves a torn document.
+    *
+    * Scale notes: executors write their partitions' keys concurrently —
+    * no driver bottleneck, no cross-key coordination (distinct keys
+    * touch distinct files; the same key re-put resolves by atomic
+    * last-rename-wins, matching DynamoDB's last-writer-wins upsert).
+    * KPI outputs are dimension-cardinality (categories × days), so
+    * file-per-key is the right durability/simplicity trade; a
+    * JDBC/remote-store client drops into the same [[KvClient]] seam.
+    * JSON (de)serialization uses Jackson, which ships with Spark. */
+  class FileKvClient(baseDir: String) extends KvClient {
+    def put(table: String, key: String, item: Map[String, String]): Unit = {
+      val dir = java.nio.file.Paths.get(baseDir, table)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".put-", ".tmp")
+      java.nio.file.Files.write(tmp, FileKv.toJson(item)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, dir.resolve(FileKv.fileName(key)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Read side + codec for [[FileKvClient]] stores. `read` is what a
+    * restarted process (or a downstream consumer) uses to load the
+    * current table state — nothing lives in memory between runs. */
+  object FileKv {
+    private[io] def fileName(key: String): String =
+      java.net.URLEncoder.encode(key, "UTF-8") + ".json"
+
+    private def mapper = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m
+    }
+
+    private[io] def toJson(item: Map[String, String]): String = {
+      val jm = new java.util.LinkedHashMap[String, String]()
+      item.foreach { case (k, v) => jm.put(k, v) }
+      mapper.writeValueAsString(jm)
+    }
+
+    def read(baseDir: String, table: String): Map[String, Map[String, String]] = {
+      val dir = java.nio.file.Paths.get(baseDir, table)
+      if (!java.nio.file.Files.isDirectory(dir)) return Map.empty
+      val files = java.nio.file.Files.list(dir).iterator()
+      val out = Map.newBuilder[String, Map[String, String]]
+      while (files.hasNext) {
+        val f = files.next()
+        val name = f.getFileName.toString
+        if (name.endsWith(".json")) {
+          val key = java.net.URLDecoder.decode(name.dropRight(5), "UTF-8")
+          val jm = mapper.readValue(f.toFile,
+            classOf[java.util.LinkedHashMap[String, String]])
+          out += key -> {
+            val b = Map.newBuilder[String, String]
+            jm.forEach((k, v) => b += (k -> v))
+            b.result()
+          }
+        }
+      }
+      out.result()
+    }
+  }
+
   /** Key-value upsert sink: the reference's row loop
     * (`Task_2/task_2.py:158-175,180-194`), partition-parallel.
     *

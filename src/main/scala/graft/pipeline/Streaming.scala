@@ -64,6 +64,80 @@ object Streaming {
       .start()
   }
 
+  // -------- run-status artifact (the Fail-state analog) --------
+
+  /** Machine-readable run-status artifact: the reference's state machine
+    * records failure as a first-class terminal state with a catch-all
+    * (`StateMachine.txt:32-39` — every task error routes to a named Fail
+    * state an operator can alarm on). A Structured Streaming query that
+    * dies only surfaces as an exception on `awaitTermination` — nothing
+    * durable says "this run failed". This listener closes that gap:
+    * every query termination writes one JSON status file
+    * (`<statusDir>/<runId>.json`) with SUCCEEDED/FAILED, the exception
+    * text when present, and the termination wall-clock — the artifact a
+    * scheduler or monitor polls, exactly like Step Functions polls the
+    * execution status.
+    *
+    * Files are written atomically (temp + rename) so a monitor never
+    * reads a torn record; one file per runId means restarts append new
+    * records instead of clobbering history. */
+  class StatusFileListener(statusDir: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+      val dir = java.nio.file.Paths.get(statusDir)
+      java.nio.file.Files.createDirectories(dir)
+      val status = if (event.exception.isDefined) "FAILED" else "SUCCEEDED"
+      val jm = new java.util.LinkedHashMap[String, String]()
+      jm.put("query_id", event.id.toString)
+      jm.put("run_id", event.runId.toString)
+      jm.put("status", status)
+      jm.put("exception", event.exception.orNull)
+      jm.put("terminated_at_ms", System.currentTimeMillis().toString)
+      val json = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(jm)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".status-", ".tmp")
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, dir.resolve(s"${event.runId}.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Register a [[StatusFileListener]] on the session; returns it so the
+    * caller can `spark.streams.removeListener` after the run. */
+  def withStatusListener(spark: SparkSession, statusDir: String): StatusFileListener = {
+    val l = new StatusFileListener(statusDir)
+    spark.streams.addListener(l)
+    l
+  }
+
+  /** Read back the status records under `statusDir`, newest first —
+    * the monitor/test-side counterpart of [[StatusFileListener]]. */
+  def readStatuses(statusDir: String): Seq[Map[String, String]] = {
+    val dir = java.nio.file.Paths.get(statusDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = java.nio.file.Files.list(dir).iterator()
+    val out = Seq.newBuilder[Map[String, String]]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.endsWith(".json")) {
+        val jm = mapper.readValue(f.toFile,
+          classOf[java.util.LinkedHashMap[String, String]])
+        val b = Map.newBuilder[String, String]
+        jm.forEach((k, v) => b += (k -> v))
+        out += b.result()
+      }
+    }
+    out.result().sortBy(m => -m.getOrElse("terminated_at_ms", "0").toLong)
+  }
+
   /** Continuous variant (beyond the reference, which has no late-data
     * story): tumbling 1-day event-time aggregation with a watermark —
     * the daily KPI grain as a true streaming window. `df` must carry an

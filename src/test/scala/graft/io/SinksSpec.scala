@@ -27,6 +27,34 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.InMemoryKv.tableOf("order_kpi").size() == 2)
   }
 
+  test("durable file-backed kv survives a process restart and upserts idempotently") {
+    val base = Files.createTempDirectory("graft-kv").toString
+    val df = Seq(
+      ("2025-03-08", 69188.4712, 286L),
+      ("2025-03-09", 77044.391, 311L)
+    ).toDF("order_date", "total_revenue", "total_orders")
+      .withColumn("order_date", to_date($"order_date"))
+    Sinks.kvUpsert(df, "order_kpi", Seq("order_date"), () => new Sinks.FileKvClient(base))
+
+    // "restart": nothing in memory — a fresh read of the files is the state
+    val t = Sinks.FileKv.read(base, "order_kpi")
+    assert(t.size == 2)
+    assert(t("2025-03-08")("total_revenue") == "69188.47") // DECIMAL(12,2)
+    assert(t("2025-03-08")("total_orders") == "286")
+    assert(t("2025-03-08")("order_date") == "2025-03-08")  // ISO date
+
+    // idempotent re-run with updated values: same keys, new contents
+    val df2 = df.withColumn("total_orders", $"total_orders" + 1)
+    Sinks.kvUpsert(df2, "order_kpi", Seq("order_date"), () => new Sinks.FileKvClient(base))
+    val t2 = Sinks.FileKv.read(base, "order_kpi")
+    assert(t2.size == 2 && t2("2025-03-08")("total_orders") == "287")
+
+    // null column round-trips as a JSON null, not the string "null"
+    val df3 = Seq(("k1", null: String)).toDF("pk", "note")
+    Sinks.kvUpsert(df3, "t_null", Seq("pk"), () => new Sinks.FileKvClient(base))
+    assert(Sinks.FileKv.read(base, "t_null")("k1")("note") == null)
+  }
+
   test("csv sink round-trips with header; timestamped sink nests under ts") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -37,19 +37,24 @@ class StreamingSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-stream").toString
     val raw = s"$root/raw"
     val work = s"$root/work"
+    val kvDir = s"$root/kv"
     stageRaw(raw)
-    Sinks.InMemoryKv.clear()
     assert(Streaming.gate(spark, raw))
 
+    // DURABLE kv sink: the pipeline's KPI state lives on disk, not in the
+    // test JVM — every assertion below re-reads the files cold, which is
+    // exactly what a restarted process sees
     val q = Streaming.runAvailableNow(spark, raw, work,
-      () => new Sinks.InMemoryKvClient, batchTimeMillis = 0L)
+      () => new Sinks.FileKvClient(kvDir), batchTimeMillis = 0L)
     q.awaitTermination()
 
     // sinks committed: both KV tables populated from the one-part slice
-    val orderKpi = Sinks.InMemoryKv.tableOf("order_kpi")
-    val catKpi = Sinks.InMemoryKv.tableOf("category_kpi")
-    assert(orderKpi.size() > 0 && catKpi.size() > 0)
-    val sizes = (orderKpi.size(), catKpi.size())
+    val orderKpi = Sinks.FileKv.read(kvDir, "order_kpi")
+    val catKpi = Sinks.FileKv.read(kvDir, "category_kpi")
+    assert(orderKpi.nonEmpty && catKpi.nonEmpty)
+    // boundary coercions held through the durable layer (2dp decimals)
+    assert(orderKpi.values.forall(r => r("total_revenue").matches("""-?\d+\.\d{2}""")))
+    val sizes = (orderKpi.size, catKpi.size)
 
     // validated + processed layers exist
     assert(Sources.present(spark, s"$work/validated/orders/*.parquet"))
@@ -60,12 +65,64 @@ class StreamingSpec extends SparkSpec {
     assert(Sources.present(spark, s"$work/archive/*/orders/*.csv"))
 
     // exactly-once: restart with the same checkpoint, no new files — the
-    // commit log suppresses any re-fire; KV unchanged, no double archive
+    // commit log suppresses any re-fire; the durable store re-read from
+    // disk is unchanged, no double archive
     val q2 = Streaming.runAvailableNow(spark, raw, work,
-      () => new Sinks.InMemoryKvClient, batchTimeMillis = 99999L)
+      () => new Sinks.FileKvClient(kvDir), batchTimeMillis = 99999L)
     q2.awaitTermination()
-    assert((orderKpi.size(), catKpi.size()) == sizes)
+    assert((Sinks.FileKv.read(kvDir, "order_kpi").size,
+      Sinks.FileKv.read(kvDir, "category_kpi").size) == sizes)
     assert(!Sources.present(spark, s"$work/archive/1970-01-02*/orders/*.csv"))
+  }
+
+  test("status listener records FAILED with the exception on query termination") {
+    implicit val sqlCtx = spark.sqlContext
+    val statusDir = Files.createTempDirectory("graft-status").toString
+    val listener = Streaming.withStatusListener(spark, statusDir)
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom: simulated task failure")
+        }
+        .start()
+      mem.addData(1L)
+      intercept[Exception] { q.awaitTermination() }
+      // listener events are delivered async; poll for the artifact
+      def mine = Streaming.readStatuses(statusDir)
+        .find(_.get("run_id").contains(q.runId.toString))
+      val deadline = System.currentTimeMillis() + 30000
+      var rec = mine
+      while (rec.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); rec = mine
+      }
+      assert(rec.nonEmpty, "no status artifact written for the failed run")
+      val r = rec.head
+      assert(r("status") == "FAILED")
+      assert(r("exception") != null && r("exception").contains("boom"))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("status listener records SUCCEEDED on clean stop") {
+    implicit val sqlCtx = spark.sqlContext
+    val statusDir = Files.createTempDirectory("graft-status-ok").toString
+    val listener = Streaming.withStatusListener(spark, statusDir)
+    try {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF().writeStream.format("noop").start()
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      q.stop()
+      def mine = Streaming.readStatuses(statusDir)
+        .find(_.get("run_id").contains(q.runId.toString))
+      val deadline = System.currentTimeMillis() + 30000
+      var rec = mine
+      while (rec.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); rec = mine
+      }
+      assert(rec.nonEmpty && rec.head("status") == "SUCCEEDED")
+      assert(rec.head("exception") == null)
+    } finally spark.streams.removeListener(listener)
   }
 
   test("watermarked tumbling daily window matches the batch group-by") {
