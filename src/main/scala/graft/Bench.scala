@@ -18,6 +18,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // optional comma-separated subset (e.g. the 5 heaviest at sf1 for the
+    // BASELINE.md scaling point); default = the full headline list
+    val benchList: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(SparkEntry.benchQueries)
     val spark = Spark.session(appName = "graft-bench")
     // ERROR, not WARN: stray log lines interleaved with the JSON result
     // line can break the driver's parse (round 1: "parsed": null).
@@ -45,14 +50,14 @@ object Bench {
     // sits at the max and never becomes the median.
     val samples: Map[String, Seq[Double]] = {
       val passResults =
-        (1 to passes).map(_ => SparkEntry.benchQueries.map(n => n -> runOnce(n)))
-      SparkEntry.benchQueries.map { n =>
+        (1 to passes).map(_ => benchList.map(n => n -> runOnce(n)))
+      benchList.map { n =>
         n -> passResults.map(_.toMap.apply(n)).filter(_ >= 0)
       }.toMap
     }
 
     def fmt(d: Double): String = "%.6f".format(d)
-    val results = SparkEntry.benchQueries.map { n =>
+    val results = benchList.map { n =>
       val xs = samples(n)
       n -> (if (xs.isEmpty) -1.0 else median(xs))
     }

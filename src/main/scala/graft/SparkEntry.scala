@@ -105,10 +105,16 @@ object SparkEntry {
       |    list_min(list_transform(g, x ->
       |      (x * ($aArr)[j + 1] + ($bArr)[j + 1]) % 2147483647))) AS sig
       |  FROM gs
-      |), banded AS (
+      |), banded0 AS (
       |  SELECT doc_id, b AS band,
       |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bstr
       |  FROM sigs, UNNEST(range(0, 16)) AS t(b)
+      |), banded AS (
+      |  SELECT doc_id, band, bstr FROM (
+      |    SELECT doc_id, band, bstr,
+      |      COUNT(*) OVER (PARTITION BY band, bstr) AS bsz
+      |    FROM banded0)
+      |  WHERE bsz <= ${graft.ops.Dedup.DefaultMaxBucketSize}
       |)""".stripMargin
   }
 

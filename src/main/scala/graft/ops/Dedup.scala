@@ -82,21 +82,41 @@ object Dedup {
   def minhashJaccard(sigA: Column, sigB: Column): Column =
     GraftExpressions.sig_agreement(sigA, sigB)
 
+  /** Default LSH bucket-size cap. Against the 16×4 banding S-curve: a
+    * (band, bucket) collision of 4 consecutive min-hashes is ~certain
+    * only for truly near-identical text, so a bucket with over
+    * `DefaultMaxBucketSize` members is a degenerate boilerplate clique,
+    * not ordinary near-dup density — its self-join term alone is
+    * cap²/2 ≈ 500k comparisons, and an UNCAPPED 100k-doc boilerplate
+    * cluster would put 5×10⁹ comparisons on one shuffle partition (the
+    * one remaining scale-killer shape in the LSH family). Dropping the
+    * bucket costs recall only for pairs whose OTHER 15 bands all
+    * disagree — for members of a near-identical clique the other bands
+    * collide too (that is what made the bucket big), so the pairs
+    * survive via every un-degenerate band, and a clique dense enough to
+    * poison all 16 bands is exactly the boilerplate a production dedup
+    * drops wholesale anyway. */
+  val DefaultMaxBucketSize: Int = 1000
+
   /** MinHash+LSH near-duplicate candidate pairs.
     *
     * Pipeline: shingle → signature (scan pass) → explode `bands` band
     * hashes per doc → self-join on (band, bucket) with id_a < id_b →
-    * dedup pairs → estimated Jaccard ≥ threshold.
+    * dedup pairs → join signatures back → estimated Jaccard ≥ threshold.
     *
     * With b bands of r rows (b·r = signature length), a pair of true
     * Jaccard s collides in ≥1 band with p = 1-(1-s^r)^b — the standard
     * S-curve; defaults (16 bands × 4) put the knee near s ≈ 0.5.
-    * The bucket join shuffles only (id, band, bucket) triples plus
-    * signatures; bodies never move.
+    * The bucket self-join shuffles only (id, band, bucket) triples —
+    * signatures are joined back once per surviving candidate pair, and
+    * bodies never move. Buckets larger than `maxBucketSize` are dropped
+    * before the join (see [[DefaultMaxBucketSize]]); pass
+    * `maxBucketSize = 0` to disable the cap.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Persist the signatures: the LSH self-join reads this frame twice
     // (at scale you materialize signatures anyway — they are the
@@ -111,7 +131,8 @@ object Dedup {
         minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
     materializeThenUnpersist(
-      lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold), sigs)
+      lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold, maxBucketSize),
+      sigs)
   }
 
   /** [[minhashPairs]] with the xxhash64 signature variant and hashed
@@ -120,60 +141,93 @@ object Dedup {
     * asserts its pair set matches the KR default at test scale. */
   def minhashPairsXx(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.5,
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = graft.io.Sources.fanOut(df, idCol)
       .select(col(idCol),
         minhashSignatureXx(shingles(col(textCol), shingleN), numHashes).as("sig"))
       .persist()
-    val banded = sigs.select(
-      col(idCol), col("sig"),
+    val banded = capBuckets(sigs.select(
+      col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
         .as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket")), maxBucketSize)
+    val pairs = scoreCandidates(
+      candidatePairs(banded, idCol), sigs, idCol, threshold)
+    materializeThenUnpersist(pairs, sigs)
+  }
+
+  /** Drop every (band, bucket) group larger than `cap` before a bucket
+    * self-join (no-op when `cap <= 0`). Implemented as an aggregate of
+    * ONLY the oversized keys + a broadcast anti-join, not a window: the
+    * count's map-side combine shuffles at most one partial per distinct
+    * bucket per partition, the oversized list is bounded above by
+    * n/cap rows (tiny — it only holds degenerate buckets), and the
+    * anti-join broadcasts it, so the banded stream itself never pays an
+    * exchange for the cap (a window over (band, bucket) would force a
+    * full shuffle+sort of every triple — measured 10× the shuffle bytes
+    * at sf0.1, where the uncapped join is broadcast and shuffles
+    * nothing). The degenerate buckets are gone before any pair forms,
+    * bounding the quadratic term at cap² per bucket. */
+  private def capBuckets(banded: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val oversized = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") > cap)
+        .select(col("band"), col("bucket"))
+      banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    }
+
+  /** Distinct candidate id pairs from a banded (id, band, bucket) frame:
+    * the self-join shuffles ONLY these triples — signatures and bodies
+    * stay home (round-5 verdict item: the previous shape carried the
+    * full 64-long signature through the 16× band explode, ~16×512 bytes
+    * of shuffle per doc that this projection avoids). */
+  private def candidatePairs(banded: DataFrame, idCol: String): DataFrame =
+    banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+  /** Join signatures back onto surviving candidate pairs and score:
+    * est_jaccard = fraction of agreeing positions, kept at or above
+    * `threshold`. Candidate cardinality is ~linear (bucketed, capped),
+    * so this join moves candidates + one signature per matched id —
+    * and when the signature table fits the broadcast threshold the
+    * planner broadcasts it and the scoring never shuffles at all. */
+  private def scoreCandidates(cand: DataFrame, sigs: DataFrame,
+                              idCol: String, threshold: Double): DataFrame =
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
-    materializeThenUnpersist(pairs, sigs)
-  }
 
   /** LSH banding + verify over a precomputed signature frame
     * (`idCol`, `sig: array<bigint>`). The join key is the LITERAL band
     * value (comma-joined slice), not a hash of it: collision-free, so
     * the candidate set is exactly "some band agrees" — which is what
     * the SQL oracle replays. Key width is ~40 bytes vs 8 for a band
-    * hash; the shuffled row is dominated by the carried signature
-    * either way. */
+    * hash — still ~13× narrower than carrying the signature through
+    * the band explode. */
   private def lshPairsFromSigs(sigs: DataFrame, idCol: String, bands: Int,
-                               rowsPerBand: Int, threshold: Double): DataFrame = {
-    val banded = sigs.select(
-      col(idCol), col("sig"),
+                               rowsPerBand: Int, threshold: Double,
+                               maxBucketSize: Int): DataFrame = {
+    val banded = capBuckets(sigs.select(
+      col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
         .as("bb"))
-      .select(col(idCol), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket")), maxBucketSize)
+    scoreCandidates(candidatePairs(banded, idCol), sigs, idCol, threshold)
   }
 
   /** Materialize MinHash signatures as a corpus artifact — the
@@ -194,8 +248,9 @@ object Dedup {
     * the banded self-join only — document bodies are never read. */
   def minhashPairsFromSigs(sigs: DataFrame, idCol: String,
                            bands: Int = 16, rowsPerBand: Int = 4,
-                           threshold: Double = 0.5): DataFrame =
-    lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold)
+                           threshold: Double = 0.5,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    lshPairsFromSigs(sigs, idCol, bands, rowsPerBand, threshold, maxBucketSize)
 
   /** The full production dedup pipeline: MinHash+LSH candidate pairs →
     * transitive closure → (id, cluster_id, is_canonical). Keep rows
@@ -226,25 +281,35 @@ object Dedup {
                          idCol: String, textCol: String,
                          shingleN: Int = 3, bands: Int = 16,
                          rowsPerBand: Int = 4,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def banded(df: DataFrame, outId: String, outSig: String): DataFrame =
-      df.select(col(idCol).as(outId), col("sig").as(outSig),
+    def banded(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
               .as("bucket")))).as("bb"))
-        .select(col(outId), col(outSig), col("bb.band"), col("bb.bucket"))
+        .select(col(outId), col("bb.band"), col("bb.bucket"))
     val newSigs = graft.io.Sources.fanOut(newDocs, idCol)
       .select(col(idCol),
         minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
-    banded(newSigs, "new_id", "sig_n")
-      .join(banded(sigs, "corpus_id", "sig_c"), Seq("band", "bucket"))
+      .persist()
+    // cap the CORPUS side's buckets (the side that can be boilerplate-
+    // degenerate at lake scale); triples only through the bucket join,
+    // signatures joined back per surviving candidate
+    val cand = banded(newSigs, "new_id")
+      .join(capBuckets(banded(sigs, "corpus_id"), maxBucketSize),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    val pairs = cand
+      .join(newSigs.select(col(idCol).as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .join(sigs.select(col(idCol).as("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
         minhashJaccard(col("sig_n"), col("sig_c")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("new_id"), col("corpus_id"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+    materializeThenUnpersist(pairs, newSigs)
   }
 
   /** Run the (small) result frame to completion while `cached` is still
@@ -266,28 +331,24 @@ object Dedup {
     * (guarantees recall for Hamming distance ≤ 3 by pigeonhole), verified
     * by exact Hamming distance ≤ `maxHamming`. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = graft.io.Sources.fanOut(df, idCol)
       .withColumn("simhash",
         GraftExpressions.simhash64(TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("simhash"))
-      .persist() // read twice by the band self-join
-    val banded = sh.select(col(idCol), col("simhash"),
+      .persist() // read twice: band self-join + verify join-back
+    val banded = capBuckets(sh.select(col(idCol),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*))
         .as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("band"), col("bucket"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket")), maxBucketSize)
+    val pairs = candidatePairs(banded, idCol)
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
     materializeThenUnpersist(pairs, sh)
   }
 
@@ -355,27 +416,50 @@ object Dedup {
     * `localCheckpoint`s, so the plan stays flat instead of growing a
     * lineage tower (the classic iterative-DataFrame trap).
     *
+    * Durability: each round must truncate lineage (the iterative-
+    * DataFrame trap), and HOW it truncates decides whether the job
+    * survives executor loss. `localCheckpoint(true)` keeps blocks on
+    * executors with lineage gone — fast, but losing one executor
+    * mid-iteration kills a 100-TB job unrecoverable. Pass
+    * `checkpointDir` (a reliable FS path) and each round's labels are
+    * spilled to parquet and re-read instead: any lost partition is
+    * re-readable, so the iteration tolerates executor churn. Default
+    * (None) keeps the fast in-memory path for test/bench scale.
+    *
     * @param edges (`id_a`, `id_b`) undirected pair list
     * @param nodes one row per id (singletons become their own cluster)
+    * @param checkpointDir reliable-FS dir for per-round spills (100 TB
+    *                      path); None = executor-memory localCheckpoint
     * @return (`id`, `cluster_id`) with cluster_id = min member id
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          idCol: String, maxRounds: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
-      .localCheckpoint(true)
+                          idCol: String, maxRounds: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    var spillSeq = 0
+    def pin(df: DataFrame, what: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spillSeq += 1
+        val path = s"$dir/$what-$spillSeq.parquet"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
+    val sym = pin(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      "edges")
+    var labels = pin(nodes.select(col(idCol).as("id"), col(idCol).as("cluster_id")),
+      "labels")
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbors)
+      val next = pin(labels.unionByName(viaNeighbors)
         .groupBy(col("id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .agg(min(col("cluster_id")).as("cluster_id")),
+        "labels")
       converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .filter(col("cluster_id") =!= col("prev"))
         .isEmpty

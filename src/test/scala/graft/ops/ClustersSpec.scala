@@ -40,6 +40,23 @@ class ClustersSpec extends SparkSpec {
     assert(byCluster.exists(_._2.length > 1), "expected a non-trivial cluster")
   }
 
+  test("connectedComponents: reliable-checkpoint branch matches localCheckpoint output") {
+    // same graph as the chain test — diameter 3 forces several rounds,
+    // so the parquet spill path actually iterates
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Dedup.connectedComponents(edges, nodes, "id",
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().sorted
+    val fast = Dedup.connectedComponents(edges, nodes, "id")
+      .as[(Long, Long)].collect().sorted
+    assert(reliable.sameElements(fast))
+    // the reliable branch really spilled rounds to the checkpoint dir
+    val spills = new java.io.File(dir).listFiles()
+    assert(spills != null && spills.exists(_.getName.startsWith("labels-")))
+  }
+
   test("connectedComponents: deterministic across reruns") {
     val edges = Seq((1L, 2L), (4L, 5L), (2L, 4L)).toDF("id_a", "id_b")
     val nodes = (1L to 6L).toDF("id")

@@ -86,6 +86,25 @@ class DedupSpec extends SparkSpec {
     assert(kr == xx && kr.nonEmpty)
   }
 
+  test("bucket cap drops a poisoned boilerplate clique; normal pairs survive") {
+    // 5,000 identical docs: every band maps them to ONE (band, bucket)
+    // key — uncapped, the self-join would emit 12.5 M intra-clique pairs
+    // through a single straggler partition. With the cap the degenerate
+    // buckets are dropped before any pair forms, while the ordinary
+    // near-dup pair (its buckets have size 2) is still found.
+    val clique = (0L until 5000L).map(i =>
+      (i, "identical boilerplate footer repeated across every crawled page"))
+    val normal = Seq((10001L, base), (10002L, base.replace("lazy", "sleepy")))
+    val poisoned = (clique ++ normal).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(poisoned, "doc_id", "text",
+        bands = 32, rowsPerBand = 2, threshold = 0.3, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a < 5000L && b < 5000L },
+      "no intra-clique pair may survive the cap")
+    assert(pairs == Set((10001L, 10002L)),
+      "the under-cap near-dup pair must still be found")
+  }
+
   test("incremental near-dup vs the signature index matches the self-join pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.io.Sources.table(spark, sf001, "documents")
