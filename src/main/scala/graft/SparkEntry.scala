@@ -718,15 +718,21 @@ object SparkEntry {
           col("meta.mime").as("mime"), col("meta.modality").as("modality"))
         .orderBy(col("media_id"))),
 
-    // Multimodal: decode-stub → byte-histogram features → frame sampling
-    // — ORACLE-CHECKED since the stub moved to md5-derived fake
-    // dimensions (DuckDB parses the same hex substrings; CRC32 had no
-    // SQL counterpart). The feature vector is surfaced as a
-    // comma-joined string of exact longs — raw array columns break the
-    // driver's pandas row-sort (round-1: "unhashable type: ndarray").
+    // Multimodal: REAL header decode → byte-histogram features → frame
+    // sampling, over a corpus of structurally-real PNG/JPEG blobs
+    // (asImageTable synthesizes true IHDR/SOF headers with md5-derived
+    // dims). ORACLE-CHECKED the strong way: Spark's output comes from
+    // PARSING the header bytes back; the DuckDB oracle computes the
+    // dims directly from md5 and rebuilds the same blob hex for the
+    // histogram — equality proves the synthesize→parse round trip is
+    // byte-exact. The feature vector is surfaced as a comma-joined
+    // string of exact longs — raw array columns break the driver's
+    // pandas row-sort (round-1: "unhashable type: ndarray").
     "mm_extract" -> ((s, d) =>
-      Multimodal.extractAll(Multimodal.asMediaTable(t(s, d, "documents")))
-        .select(col("media_id"), col("decoded.width").as("width"),
+      Multimodal.extractAll(Multimodal.asImageTable(t(s, d, "documents")))
+        .select(col("media_id"),
+          col("decoded.format").as("format"),
+          col("decoded.width").as("width"),
           col("decoded.height").as("height"), col("decoded.channels").as("channels"),
           array_join(graft.functions.GraftExpressions.byte_histogram(col("content")), ",")
             .as("hist_csv"),
@@ -2186,23 +2192,50 @@ object SparkEntry {
     // the same bytes as Spark md5(content); dims parse the same hex
     // substrings; hist_csv as in mm_features; n_frames is the constant
     // frame-sample count.
+    // The oracle does NOT parse: it derives width/height straight from
+    // md5 (the ground truth asImageTable encoded) and rebuilds the same
+    // PNG/JPEG blob hex for the histogram. Spark's values come from
+    // parsing IHDR/SOF bytes back out of the blob — a hash match means
+    // the header synthesis AND the parse offsets are both byte-exact.
     "mm_extract" -> {
       val bins = "0123456789ABCDEF".map(ch =>
         s"LENGTH(hi) - LENGTH(replace(hi, '$ch', ''))").mkString(",\n        |    ")
       s"""WITH h AS (
         |  SELECT doc_id AS media_id, md5(text) AS m,
         |    OCTET_LENGTH(ENCODE(text)) AS n,
-        |    regexp_replace(hex(ENCODE(text)), '(.)(.)', '\\1', 'g') AS hi
+        |    hex(ENCODE(text)) AS payload_hex
         |  FROM documents
+        |), dims AS (
+        |  SELECT media_id, n, payload_hex,
+        |    CAST(('0x' || substring(m, 1, 8))::BIGINT % 1920 + 1 AS INT) AS width,
+        |    CAST(('0x' || substring(m, 9, 8))::BIGINT % 1080 + 1 AS INT) AS height
+        |  FROM h
+        |), blobs AS (
+        |  SELECT media_id, width, height,
+        |    CASE WHEN media_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(CASE WHEN media_id % 2 = 0
+        |              THEN CASE WHEN n % 2 = 0 THEN 3 ELSE 4 END
+        |              ELSE 3 END AS INT) AS channels,
+        |    CASE WHEN media_id % 2 = 0
+        |         THEN '89504E470D0A1A0A' || '0000000D49484452' ||
+        |              printf('%08X', width) || printf('%08X', height) ||
+        |              '08' || (CASE WHEN n % 2 = 0 THEN '02' ELSE '06' END) ||
+        |              '000000' || '00000000' || payload_hex
+        |         ELSE 'FFD8FFC0001108' ||
+        |              printf('%04X', height) || printf('%04X', width) ||
+        |              '03' || '011100021101031101' || payload_hex || 'FFD9'
+        |         END AS full_hex
+        |  FROM dims
+        |), hx AS (
+        |  SELECT media_id, format, width, height, channels,
+        |    regexp_replace(full_hex, '(.)(.)', '\\1', 'g') AS hi
+        |  FROM blobs
         |)
-        |SELECT media_id,
-        |  CAST(('0x' || substring(m, 1, 8))::BIGINT % 1920 + 1 AS INT) AS width,
-        |  CAST(('0x' || substring(m, 9, 8))::BIGINT % 1080 + 1 AS INT) AS height,
-        |  CAST(CASE WHEN n % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+        |SELECT media_id, format, width, height, channels,
         |  concat_ws(',',
         |    $bins) AS hist_csv,
         |  CAST(4 AS INT) AS n_frames
-        |FROM h ORDER BY media_id""".stripMargin
+        |FROM hx ORDER BY media_id""".stripMargin
     },
 
     // byte_histogram oracle: hex char at odd position i of hex(payload)

@@ -9,11 +9,12 @@ import graft.functions.GraftExpressions
   *
   * Media (image/audio/video) is modeled as an opaque `binary` content
   * column plus a typed metadata struct — the lakehouse-standard layout.
-  * The actual codec work is STUBBED (decode libs aren't in this
-  * container): `decodeStub` derives deterministic fake
-  * width/height/format from the bytes so every downstream op — schema,
-  * partition sizing, feature extraction, frame sampling — is real,
-  * tested Spark plumbing that a real codec UDF can drop into.
+  * The DEFAULT decode ([[decodeImage]], [[decodeBatched]]) parses REAL
+  * PNG IHDR / JPEG SOF header bytes; [[asImageTable]] synthesizes a
+  * corpus with true header structure from the text table so the parse
+  * is exercised on genuine byte layout end to end. Full pixel decode
+  * (codec libraries) is the one stubbed step — blobs carry no IDAT /
+  * entropy-coded data — and `decodeStub` remains for opaque payloads.
   *
   * At scale the rules encoded here: binary payloads ride in their own
   * column (parquet keeps them out of unrelated column scans), feature
@@ -37,12 +38,12 @@ object Multimodal {
         (col(idCol) % 3).cast("int").as("modality") // 0=image,1=audio,2=video
       ).as("meta"))
 
-  /** STUB decode — deterministic fake in place of a real image decoder.
-    * Derives (width, height, channels) from the payload's md5 so
-    * results are reproducible AND SQL-replayable (the DuckDB oracle
-    * parses the same hex substrings; CRC32, the previous choice, has no
-    * DuckDB counterpart). A real implementation swaps the arithmetic
-    * for a codec call with the SAME signature (binary → struct). */
+  /** STUB decode — deterministic fake in place of a real image decoder,
+    * kept for OPAQUE payloads with no parseable header (the
+    * [[asMediaTable]] text corpus). Derives (width, height, channels)
+    * from the payload's md5 so results are reproducible AND
+    * SQL-replayable. The DEFAULT decode path is [[decodeImage]], which
+    * parses real PNG/JPEG header bytes. */
   def decodeStub(content: Column): Column = {
     val h = md5(content)
     val n = length(content)
@@ -52,6 +53,79 @@ object Multimodal {
       (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(1080L)) + 1)
         .cast("int").as("height"),
       when(n % 2 === 0, 3).otherwise(1).cast("int").as("channels"))
+  }
+
+  private val PngMagicHex = "89504E470D0A1A0A"
+
+  /** Wrap the text corpus into a REAL image-format table: each doc
+    * becomes a structurally-valid PNG (even ids) or baseline JPEG (odd
+    * ids) whose header encodes md5-derived dimensions, with the
+    * original payload carried after the header. PNG: 8-byte signature,
+    * IHDR chunk (length, type, 4-byte BE width/height, bit depth 8,
+    * color type 2=RGB for even-length payloads else 6=RGBA, zeroed
+    * compression/filter/interlace, CRC placeholder). JPEG: SOI, SOF0
+    * segment (length 17, precision 8, 2-byte BE height/width, 3
+    * components with standard id/sampling/q-table bytes), payload,
+    * EOI. No pixel data — these are header-real, codec-stub blobs: the
+    * header ARITHMETIC downstream is true PNG/JPEG byte layout, which
+    * is what [[decodeImage]] parses and the DuckDB oracle verifies. */
+  def asImageTable(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val bytes = col(textCol).cast("binary")
+    val m = md5(bytes)
+    val w = (pmod(conv(substring(m, 1, 8), 16, 10).cast("long"), lit(1920L)) + 1).cast("int")
+    val h = (pmod(conv(substring(m, 9, 8), 16, 10).cast("long"), lit(1080L)) + 1).cast("int")
+    val ct = when(length(bytes) % 2 === 0, "02").otherwise("06")
+    val pngHex = concat(lit(PngMagicHex), lit("0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("08"), ct, lit("000000"), lit("00000000"), hex(bytes))
+    val jpgHex = concat(lit("FFD8FFC0001108"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03"), lit("011100021101031101"), hex(bytes), lit("FFD9"))
+    docs.select(
+      col(idCol).as("media_id"),
+      unhex(when(col(idCol) % 2 === 0, pngHex).otherwise(jpgHex)).as("content"))
+  }
+
+  /** REAL image-header decode (the default decode path): parses PNG
+    * IHDR and JPEG SOF header bytes into
+    * struct(format, width, height, channels) — format null (and dims
+    * null) for payloads that are neither.
+    *
+    * PNG (fixed layout): width = big-endian bytes 17-20, height =
+    * 21-24, channels mapped from the color type at byte 26
+    * (0 gray→1, 2 RGB→3, 3 palette→1, 4 gray+alpha→2, 6 RGBA→4).
+    * JPEG: locate the SOF0/SOF2 marker (FFC0/FFC2) and read height,
+    * width, and component count from the segment (marker at byte b:
+    * precision b+4, height b+5..6, width b+7..8, ncomp b+9). The
+    * column form finds the FIRST marker occurrence, which is the true
+    * SOF for baseline JPEGs (SOF precedes entropy-coded data; an
+    * adversarial APP segment containing the pattern would need the
+    * full segment walk [[decodeBatched]] does JVM-side).
+    *
+    * All arithmetic runs on hex(content) substrings — codegen-friendly
+    * column expressions, byte k ↔ hex chars (2k-1, 2k), and exactly
+    * replayable in the DuckDB oracle via the same slicing. */
+  def decodeImage(content: Column): Column = {
+    val hx = hex(content)
+    val isPng = substring(hx, 1, 16) === PngMagicHex
+    val isJpg = substring(hx, 1, 4) === "FFD8"
+    val pngCt = conv(substring(hx, 51, 2), 16, 10).cast("int")
+    val pngCh = when(pngCt === 2, 3).when(pngCt === 6, 4)
+      .when(pngCt === 4, 2).when(pngCt === 0 || pngCt === 3, 1)
+      .otherwise(lit(null).cast("int"))
+    val sof0 = instr(hx, "FFC0")
+    val sof = when(sof0 > 0, sof0).otherwise(instr(hx, "FFC2"))
+    val jW = conv(hx.substr(sof + 14, lit(4)), 16, 10).cast("int")
+    val jH = conv(hx.substr(sof + 10, lit(4)), 16, 10).cast("int")
+    val jCh = conv(hx.substr(sof + 18, lit(2)), 16, 10).cast("int")
+    struct(
+      when(isPng, "png").when(isJpg, "jpeg").as("format"),
+      when(isPng, conv(substring(hx, 33, 8), 16, 10).cast("int"))
+        .when(isJpg && sof > 0, jW).as("width"),
+      when(isPng, conv(substring(hx, 41, 8), 16, 10).cast("int"))
+        .when(isJpg && sof > 0, jH).as("height"),
+      when(isPng, pngCh).when(isJpg && sof > 0, jCh).as("channels"))
   }
 
   /** Feature extraction in the scan pass: 16-bin byte histogram (custom
@@ -86,11 +160,13 @@ object Multimodal {
     * a time (real codecs and model-inference runtimes amortize setup per
     * batch, not per row), partitions stream through without
     * materializing, and the output schema is a typed case class. The
-    * decode itself is the same deterministic STUB as [[decodeStub]]
-    * (no codec libs in this container) — swap `decodeBatch`'s body for a
-    * real library call with the same signature. */
-  final case class DecodedMedia(media_id: Long, width: Int, height: Int,
-                                channels: Int, n_bytes: Int)
+    * decode is the REAL header parse ([[decodeBytes]] — a full JPEG
+    * segment walk, stricter than the column form's marker search);
+    * payloads that are neither PNG nor JPEG are routed out (a real
+    * pipeline's reject channel), so the output holds decodable rows
+    * only. */
+  final case class DecodedMedia(media_id: Long, format: String, width: Int,
+                                height: Int, channels: Int, n_bytes: Int)
 
   def decodeBatched(media: DataFrame, batchSize: Int = 64)
       : org.apache.spark.sql.Dataset[DecodedMedia] = {
@@ -99,31 +175,57 @@ object Multimodal {
     val rows = media.select(col("media_id"), col("content"))
     rows.mapPartitions { it: Iterator[Row] =>
       it.grouped(batchSize).flatMap { batch =>
-        decodeBatch(batch.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+        batch.flatMap { r =>
+          val (id, bytes) = (r.getLong(0), r.getAs[Array[Byte]](1))
+          decodeBytes(bytes).map { case (fmt, w, h, ch) =>
+            DecodedMedia(id, fmt, w, h, ch, bytes.length)
+          }
+        }
       }
     }
   }
 
-  /** The per-batch decode call a real implementation replaces: input is
-    * one batch of (id, payload), output one row per payload. Stub
-    * arithmetic mirrors [[decodeStub]] exactly (md5-derived fake
-    * dimensions) so the two paths are cross-checkable. */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[DecodedMedia] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    batch.map { case (id, bytes) =>
-      val hex = md.digest(bytes).map("%02x".format(_)).mkString
-      val w = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1920).toInt + 1
-      val h = (java.lang.Long.parseLong(hex.substring(8, 16), 16) % 1080).toInt + 1
-      DecodedMedia(id, w, h, if (bytes.length % 2 == 0) 3 else 1, bytes.length)
-    }
+  /** JVM-side header parse: PNG IHDR fixed offsets; JPEG via the full
+    * marker-segment walk (skips APPn/quantization/etc. by each
+    * segment's declared length until a SOF0/1/2 frame header). This is
+    * the reference implementation the column form ([[decodeImage]])
+    * must agree with on well-formed input — asserted in the spec. */
+  private[graft] def decodeBytes(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt
+    def be16(i: Int) = u8(i) << 8 | u8(i + 1)
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 26 && pngMagic.indices.forall(i => u8(i) == pngMagic(i))) {
+      val ch = u8(25) match {
+        case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => -1
+      }
+      if (ch < 0) None else Some(("png", be32(16), be32(20), ch))
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: Option[(String, Int, Int, Int)] = None
+      var ok = true
+      while (res.isEmpty && ok && i + 9 < bytes.length) {
+        if (u8(i) != 0xff) ok = false
+        else u8(i + 1) match {
+          case m if m >= 0xc0 && m <= 0xc2 =>
+            // SOF segment: len(2) precision(1) height(2) width(2) ncomp(1)
+            res = Some(("jpeg", be16(i + 7), be16(i + 5), u8(i + 9)))
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd9) => i += 2 // bare markers
+          case _ => i += 2 + be16(i + 2) // skip segment by declared length
+        }
+      }
+      res
+    } else None
   }
 
   /** The composed decode → features → sample pipeline over a media table.
     * Everything is column expressions in one projection — one scan, no
-    * shuffle, whole-stage codegen except the histogram expression. */
+    * shuffle, whole-stage codegen except the histogram expression. The
+    * decode is the REAL header parse; run it over [[asImageTable]] (or
+    * any corpus of actual PNG/JPEG payloads). */
   def extractAll(media: DataFrame, frames: Int = 4): DataFrame =
     media
-      .withColumn("decoded", decodeStub(col("content")))
+      .withColumn("decoded", decodeImage(col("content")))
       .withColumn("features", byteFeatures(col("content")))
       .withColumn("frames", frameSample(col("content"), frames))
       .withColumn("n_frames", size(col("frames")))

@@ -118,20 +118,60 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == 97L * 1000003L + 98L)
   }
 
-  test("batched decode agrees with the expression decode stub row by row") {
-    val media = Multimodal.asMediaTable(
+  test("decodeImage parses hand-built real PNG and JPEG headers exactly") {
+    // PNG 640×480 RGBA (color type 6), built byte-for-byte to spec
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    val png: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    // baseline JPEG 320×200, 3 components, with an APP0 segment BEFORE
+    // the SOF so the segment walk has something to skip
+    val app0: Array[Byte] = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0)
+    val sof: Array[Byte] = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(200) ++ be16(320) ++ Array[Byte](3) ++
+      Array.fill[Byte](9)(1)
+    val jpeg: Array[Byte] = Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ sof
+    val notAnImage = "plain text".getBytes
+
+    // JVM reference parse
+    assert(Multimodal.decodeBytes(png).contains(("png", 640, 480, 4)))
+    assert(Multimodal.decodeBytes(jpeg).contains(("jpeg", 320, 200, 3)))
+    assert(Multimodal.decodeBytes(notAnImage).isEmpty)
+
+    // column-expression parse agrees (hex-substring arithmetic)
+    val df = Seq((1L, png), (2L, jpeg), (3L, notAnImage)).toDF("media_id", "content")
+    val cols = df.select($"media_id", Multimodal.decodeImage($"content").as("d"))
+      .select($"media_id", $"d.format", $"d.width", $"d.height", $"d.channels")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    assert(cols(1L) == (("png", 640, 480, 4)))
+    assert(cols(2L) == (("jpeg", 320, 200, 3)))
+    assert(cols(3L) == ((null, -1, -1, -1)))
+  }
+
+  test("batched decode agrees with the column decode over the synthesized image corpus") {
+    val media = Multimodal.asImageTable(
       Seq((1L, "payload one"), (2L, "a different payload"), (3L, "third"))
         .toDF("doc_id", "text"))
     val viaExpr = Multimodal.extractAll(media)
-      .select($"media_id", $"decoded.width", $"decoded.height", $"decoded.channels")
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+      .select($"media_id", $"decoded.format", $"decoded.width",
+        $"decoded.height", $"decoded.channels")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
     val viaBatch = Multimodal.decodeBatched(media, batchSize = 2)
-      .collect().map(d => d.media_id -> ((d.width, d.height, d.channels))).toMap
-    assert(viaBatch == viaExpr)
+      .collect().map(d => d.media_id -> ((d.format, d.width, d.height, d.channels))).toMap
+    assert(viaBatch == viaExpr && viaBatch.size == 3)
+    // even ids synthesize PNG, odd JPEG — and the parse round-trips
+    assert(viaBatch(2L)._1 == "png" && viaBatch(1L)._1 == "jpeg")
   }
 
   test("multimodal extract pipeline: deterministic decode, frames, features") {
-    val media = Multimodal.asMediaTable(
+    val media = Multimodal.asImageTable(
       Seq((7L, "some fake binary payload for the decoder")).toDF("doc_id", "text"))
     val r1 = Multimodal.extractAll(media)
       .select("decoded.width", "decoded.height", "decoded.channels", "n_frames")
@@ -139,7 +179,7 @@ class ExpressionsSpec extends SparkSpec {
     val r2 = Multimodal.extractAll(media)
       .select("decoded.width", "decoded.height", "decoded.channels", "n_frames")
       .collect().head
-    assert(r1 == r2) // decode stub is deterministic
+    assert(r1 == r2) // header synthesis + parse is deterministic
     assert(r1.getInt(0) >= 1 && r1.getInt(0) <= 1920)
     assert(r1.getInt(1) >= 1 && r1.getInt(1) <= 1080)
     assert(r1.getInt(3) == 4)
