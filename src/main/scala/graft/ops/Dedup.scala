@@ -337,18 +337,27 @@ object Dedup {
       .withColumn("simhash",
         GraftExpressions.simhash64(TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("simhash"))
-      .persist() // read twice: band self-join + verify join-back
-    val banded = capBuckets(sh.select(col(idCol),
+      .persist() // read twice by the band self-join
+    // unlike MinHash, the sketch IS 8 bytes — carrying it through the
+    // band explode costs less than a join-back would, so only the cap
+    // borrows the triples machinery
+    val banded = sh.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*))
         .as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket")), maxBucketSize)
-    val pairs = candidatePairs(banded, idCol)
-      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val capped = capBuckets(banded, maxBucketSize)
+    val a = capped.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
     materializeThenUnpersist(pairs, sh)
   }
 
