@@ -544,9 +544,13 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Dedup: SimHash banding + Hamming verify (custom expression;
-    // rows-only — seeded xxhash64 bit votes have no SQL replay; the
-    // KR majority-vote sketch math is oracled in dedup_simhash_sig).
+    // Dedup: SimHash banding + Hamming verify — ORACLE-CHECKED end to
+    // end since round 6: the default sketch is KR affine bit votes
+    // (kr_simhash64, SQL-replayable; the full 64-bit sketch, banding,
+    // bucket cap, and Hamming verify are all replayed in DuckDB). The
+    // seeded-xxhash64 sketch survives as Dedup.simHashPairsXx
+    // (perf-only; different hash family, so pair sets are similar but
+    // not bitwise-identical — property-spec'd, not parity-spec'd).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -2117,6 +2121,72 @@ object SparkEntry {
         |    CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
         |         AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full replay of the PRODUCTION dedup_simhash path: KR token
+    // hashes (HUGEINT fold into [0, p)), 64 affine bit votes with the
+    // same (a_j, b_j) family as the MinHash oracle (bit j = strict
+    // majority of bit 15 of (g·a_j + b_j) mod p), signed-64 fold of
+    // the sketch, 4×16-bit banding with the bucket cap, Hamming ≤ 8
+    // verify via bit_count(xor).
+    "dedup_simhash" -> {
+      val cs = krConstsN(64)
+      val bitTerms = cs.zipWithIndex.map { case ((a, b), j) =>
+        val pow = (BigInt(1) << j).toString
+        s"""CASE WHEN 2 * LEN(list_filter(g, x ->
+           |      (((x * ${a} + ${b}) % 2147483647) // 32768) % 2 = 1)) > LEN(g)
+           |      THEN ${pow}::HUGEINT ELSE 0::HUGEINT END""".stripMargin
+      }.mkString("\n        |    + ")
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        |  FROM documents
+        |), us AS (
+        |  SELECT doc_id, list_transform(toks, s ->
+        |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
+        |         ELSE list_reduce(
+        |           list_transform(range(1, LENGTH(s) + 1), i -> ord(s[i])::HUGEINT),
+        |           (a, b) -> (a * 1000003::HUGEINT + b)
+        |                     % 18446744073709551616::HUGEINT) END) AS us
+        |  FROM tk
+        |), gs AS (
+        |  SELECT doc_id, list_transform(us, u ->
+        |    ((((CASE WHEN u >= 9223372036854775808::HUGEINT
+        |             THEN u - 18446744073709551616::HUGEINT ELSE u END)
+        |       % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS g
+        |  FROM us
+        |), sketch AS (
+        |  SELECT doc_id,
+        |    $bitTerms
+        |    AS su
+        |  FROM gs
+        |), sh AS (
+        |  SELECT doc_id, su,
+        |    (CASE WHEN su >= 9223372036854775808::HUGEINT
+        |          THEN su - 18446744073709551616::HUGEINT ELSE su END)::BIGINT AS simhash
+        |  FROM sketch
+        |), banded0 AS (
+        |  SELECT doc_id, simhash, b AS band,
+        |    ((su // (CASE b WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+        |             WHEN 2 THEN 4294967296::HUGEINT
+        |             ELSE 281474976710656::HUGEINT END)) % 65536)::BIGINT AS bucket
+        |  FROM sh, UNNEST(range(0, 4)) AS t(b)
+        |), banded AS (
+        |  SELECT doc_id, simhash, band, bucket FROM (
+        |    SELECT doc_id, simhash, band, bucket,
+        |      COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded0)
+        |  WHERE bsz <= ${graft.ops.Dedup.DefaultMaxBucketSize}
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.simhash AS sh_a, y.simhash AS sh_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sh_a, sh_b)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Karp–Rabin rolling hash per TOKEN (same HUGEINT fold), then each
     // of the 16 sketch bits = strict-majority vote of that bit over the

@@ -96,6 +96,82 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** 64-bit SimHash from Karp–Rabin affine bit votes — the
+    * ORACLE-REPLAYABLE production default (same policy as
+    * [[KrMinHashSignature]]: the path users call for near-dup must be
+    * SQL-verifiable; [[SimHash64]]'s seeded xxhash64 bits have no
+    * DuckDB counterpart and stay as the perf-only variant). Per token:
+    * the rolling polynomial hash folded into [0, p) over the
+    * Park–Miller prime, then output bit j votes on bit 15 of
+    * (g·a_j + b_j) mod p — the same a_j = 48271^(j+1) mod p,
+    * b_j = (j+1)·2654435761 mod p permutation family the MinHash
+    * oracle already inlines, so one constants table serves both. Bit j
+    * of the sketch is the strict-majority vote across tokens. */
+  case class KrSimHash64(child: Expression) extends UnaryExpression {
+    private val P = 2147483647L
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "kr_simhash64", _ == StringType, "array<string>")
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val bytes = arr.getUTF8String(i).getBytes
+          var h = 0L
+          var bi = 0
+          while (bi < bytes.length) { h = h * 1000003L + (bytes(bi) & 0xffL); bi += 1 }
+          val g = ((h % P) + P) % P
+          var a = 1L
+          var j = 0
+          while (j < 64) {
+            a = a * 48271L % P
+            val t = (g * a + (j + 1) * 2654435761L % P) % P
+            if (((t >> 15) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (counts, i, bytes, h, bi, g, a, j, t, out, b2) = (ctx.freshName("counts"),
+        ctx.freshName("i"), ctx.freshName("bytes"), ctx.freshName("h"),
+        ctx.freshName("bi"), ctx.freshName("g"), ctx.freshName("a"),
+        ctx.freshName("j"), ctx.freshName("t"), ctx.freshName("out"),
+        ctx.freshName("b2"))
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        |int[] $counts = new int[64];
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    byte[] $bytes = $arr.getUTF8String($i).getBytes();
+        |    long $h = 0L;
+        |    for (int $bi = 0; $bi < $bytes.length; $bi++) {
+        |      $h = $h * 1000003L + ($bytes[$bi] & 0xffL);
+        |    }
+        |    long $g = (($h % ${P}L) + ${P}L) % ${P}L;
+        |    long $a = 1L;
+        |    for (int $j = 0; $j < 64; $j++) {
+        |      $a = $a * 48271L % ${P}L;
+        |      long $t = ($g * $a + ($j + 1) * 2654435761L % ${P}L) % ${P}L;
+        |      if ((($t >> 15) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+        |    }
+        |  }
+        |}
+        |long $out = 0L;
+        |for (int $b2 = 0; $b2 < 64; $b2++) { if ($counts[$b2] > 0) $out |= (1L << $b2); }
+        |${ev.value} = $out;
+        |""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): KrSimHash64 =
+      copy(child = newChild)
+  }
+
   /** Karp–Rabin rolling polynomial fingerprint of a string (document
     * fingerprinting for the text-analysis surface): h = Σ h*B + c over
     * UTF-8 bytes, natural 64-bit overflow. Cheap, order-sensitive, and
@@ -493,6 +569,7 @@ object GraftExpressions {
     c(MinHashSignature(e(shingles), numHashes))
   def kr_minhash_signature(shingles: Column, numHashes: Int): Column =
     c(KrMinHashSignature(e(shingles), numHashes))
+  def kr_simhash64(tokens: Column): Column = c(KrSimHash64(e(tokens)))
   def rolling_hash64(text: Column): Column = c(RollingHash64(e(text)))
   def byte_histogram(bin: Column): Column = c(ByteHistogram(e(bin)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
@@ -504,6 +581,7 @@ object GraftExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("kr_simhash64", exprs => KrSimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("byte_histogram", exprs => ByteHistogram(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")

@@ -329,13 +329,35 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit simhash per doc (custom
     * Catalyst expression), candidates from any matching 16-bit band
     * (guarantees recall for Hamming distance ≤ 3 by pigeonhole), verified
-    * by exact Hamming distance ≤ `maxHamming`. */
+    * by exact Hamming distance ≤ `maxHamming`.
+    *
+    * PRODUCTION DEFAULT uses the Karp–Rabin affine bit votes
+    * ([[GraftExpressions.kr_simhash64]]) — SQL-replayable, so the
+    * `dedup_simhash` query is oracle-checked end to end; the seeded
+    * xxhash64 sketch survives as [[simHashPairsXx]] (perf variant, no
+    * SQL replay — NOTE: different hash family ⇒ different sketch bits ⇒
+    * its pair set at a given Hamming radius is similar but not
+    * identical, unlike the MinHash pair where both families estimate
+    * the same Jaccard). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    simHashPairsImpl(df, idCol, textCol, maxHamming, maxBucketSize,
+      t => GraftExpressions.kr_simhash64(t))
+
+  /** [[simHashPairs]] with the seeded-xxhash64 sketch — perf-only
+    * variant (one avalanche hash per token vs 64 affine transforms). */
+  def simHashPairsXx(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    simHashPairsImpl(df, idCol, textCol, maxHamming, maxBucketSize,
+      t => GraftExpressions.simhash64(t))
+
+  private def simHashPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                               maxHamming: Int, maxBucketSize: Int,
+                               sketch: Column => Column): DataFrame = {
     val sh = graft.io.Sources.fanOut(df, idCol)
-      .withColumn("simhash",
-        GraftExpressions.simhash64(TextAnalysis.tokens(col(textCol))))
+      .withColumn("simhash", sketch(TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("simhash"))
       .persist() // read twice by the band self-join
     // unlike MinHash, the sketch IS 8 bytes — carrying it through the

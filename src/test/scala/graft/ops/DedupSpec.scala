@@ -56,6 +56,17 @@ class DedupSpec extends SparkSpec {
     pairs.get((3L, 4L)).foreach(h => assert(h > 10))
   }
 
+  test("simhash xxhash perf variant has the same qualitative structure") {
+    // different hash family ⇒ different sketch bits, so no bitwise pair
+    // parity with the KR default — but the metric structure must hold:
+    // exact dups at hamming 0, near-dups markedly closer than unrelated
+    val pairs = Dedup.simHashPairsXx(docs, "doc_id", "text", maxHamming = 63)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.get((0L, 2L)).forall(_ <= 16))
+    pairs.get((3L, 4L)).foreach(h => assert(h > 10))
+  }
+
   test("materialized signatures reproduce the in-session minhash pairs") {
     val corpus = graft.io.Sources.table(spark, sf001, "documents")
     val path = java.nio.file.Files.createTempDirectory("graft-sigs").toString
