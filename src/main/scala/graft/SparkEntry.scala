@@ -68,12 +68,13 @@ object SparkEntry {
   private val krConsts: Seq[(Long, Long)] = krConstsN(8)
 
   /** Shared DuckDB CTE prefix replaying the production MinHash+LSH
-    * signature pipeline ([[graft.ops.Dedup.minhashPairs]]): 3-word
-    * shingles → unsigned 64-bit Karp–Rabin fold (HUGEINT mod-2^64) →
-    * signed fold into [0, p) → 64 affine min-hashes → 16 bands of 4
-    * keyed by the LITERAL band value. Used by the `dedup_minhash`,
-    * `dedup_ngram_jaccard`, and `dedup_lsh_kr` oracles. */
-  private lazy val krBandedCtes: String = {
+    * signature pipeline ([[graft.ops.Dedup.minhashPairs]]) over the
+    * relation `src` (must expose doc_id, text): 3-word shingles →
+    * unsigned 64-bit Karp–Rabin fold (HUGEINT mod-2^64) → signed fold
+    * into [0, p) → 64 affine min-hashes → 16 bands of 4 keyed by the
+    * LITERAL band value. Used by the `dedup_minhash`,
+    * `dedup_ngram_jaccard`, `dedup_lsh_kr`, and `doc_curate` oracles. */
+  private def krBandedCtesFrom(src: String): String = {
     val cs = krConstsN(64)
     val aArr = cs.map(_._1).mkString("[", ", ", "]")
     val bArr = cs.map(_._2).mkString("[", ", ", "]")
@@ -85,7 +86,7 @@ object SparkEntry {
       |         END AS sh
       |  FROM (SELECT doc_id,
       |          regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
-      |        FROM documents)
+      |        FROM $src)
       |), us AS (
       |  SELECT doc_id, sh, list_transform(sh, s ->
       |    CASE WHEN LENGTH(s) = 0 THEN 0::HUGEINT
@@ -115,6 +116,108 @@ object SparkEntry {
       |      COUNT(*) OVER (PARTITION BY band, bstr) AS bsz
       |    FROM banded0)
       |  WHERE bsz <= ${graft.ops.Dedup.DefaultMaxBucketSize}
+      |)""".stripMargin
+  }
+  private lazy val krBandedCtes: String = krBandedCtesFrom("documents")
+
+  /** DuckDB replay of the full composed curation pipeline
+    * ([[graft.ops.Curation.curate]]): the txt_lang_id / txt_quality /
+    * dedup_exact / dedup_minhash / txt_contamination oracle fragments
+    * chained over the same staged survivor sets the Spark side uses.
+    * Ends in a `verdict` relation (doc_id, lang_pred, quality_score,
+    * contamination_frac, drop_stage, kept) shared by the `doc_curate`
+    * and `doc_curate_funnel` oracles. */
+  private lazy val docCurateCtes: String = {
+    val enL = "['the','a','of','and','to','in','is','it','that','for']"
+    val frL = "['le','la','les','de','et','un','une','est','que','pour']"
+    val esL = "['el','la','los','de','y','un','una','es','que','por']"
+    val deL = "['der','die','das','und','ein','eine','ist','zu','den','für']"
+    val allStops = "['the','a','of','and','to','in','is','it','that','for'," +
+      "'le','la','les','de','et','un','une','est','que','pour'," +
+      "'el','los','y','una','es','por'," +
+      "'der','die','das','und','ein','eine','ist','zu','den','für']"
+    val bandedBody = krBandedCtesFrom("kept3").replaceFirst("^WITH ", "")
+    s"""WITH lqs AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks,
+      |    CAST(LENGTH(text) AS DOUBLE) AS len,
+      |    CAST(LENGTH(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+      |    CAST(LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+      |      / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS cjk_ratio
+      |  FROM documents
+      |), lqm AS (
+      |  SELECT doc_id, text, len, alpha, cjk_ratio,
+      |    GREATEST(LEN(toks), 1)::DOUBLE AS ntoks,
+      |    LEN(list_filter(toks, t -> list_contains($enL, t))) AS score_en,
+      |    LEN(list_filter(toks, t -> list_contains($frL, t))) AS score_fr,
+      |    LEN(list_filter(toks, t -> list_contains($esL, t))) AS score_es,
+      |    LEN(list_filter(toks, t -> list_contains($deL, t))) AS score_de,
+      |    LEN(list_filter(toks, t -> list_contains($allStops, t)))::DOUBLE AS stophits
+      |  FROM lqs
+      |), s1c AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+      |         WHEN GREATEST(score_en, score_fr, score_es, score_de) = 0 THEN 'und'
+      |         WHEN score_en = GREATEST(score_en, score_fr, score_es, score_de) THEN 'en'
+      |         WHEN score_fr = GREATEST(score_en, score_fr, score_es, score_de) THEN 'fr'
+      |         WHEN score_es = GREATEST(score_en, score_fr, score_es, score_de) THEN 'es'
+      |         ELSE 'de' END AS lang_pred,
+      |    ROUND(LEAST(len / 200.0, 1.0) * 0.3
+      |      + (alpha / GREATEST(len, 1.0)) * 0.3
+      |      + (CASE WHEN alpha / ntoks BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+      |      + LEAST(stophits / ntoks * 5.0, 1.0) * 0.2, 4) AS quality_score
+      |  FROM lqm
+      |), s2c AS (
+      |  SELECT *, (lang_pred = 'en') AS lang_ok, (quality_score >= 0.65) AS quality_ok
+      |  FROM s1c
+      |), kept2 AS (SELECT doc_id, text FROM s2c WHERE lang_ok AND quality_ok
+      |), ex AS (SELECT doc_id, md5(text) AS fp FROM kept2
+      |), dropx AS (
+      |  SELECT e.doc_id FROM ex e
+      |  JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM ex GROUP BY fp) m ON e.fp = m.fp
+      |  WHERE e.doc_id != m.keep_id
+      |), kept3 AS (
+      |  SELECT k.doc_id, k.text FROM kept2 k
+      |  LEFT JOIN dropx dx ON k.doc_id = dx.doc_id WHERE dx.doc_id IS NULL
+      |), $bandedBody, cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bstr = y.bstr AND x.doc_id < y.doc_id
+      |), dropn AS (
+      |  SELECT DISTINCT c.id_b AS doc_id FROM cand c
+      |  JOIN sigs a ON c.id_a = a.doc_id
+      |  JOIN sigs b ON c.id_b = b.doc_id
+      |  WHERE CAST(LEN(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+      |      / 64.0 >= 0.4
+      |), csh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, LEN(toks) - 1),
+      |                             i -> array_to_string(toks[i:i+2], ' '))
+      |         END) AS sh
+      |  FROM lqs
+      |), contam AS (
+      |  SELECT d.doc_id,
+      |    CAST(COUNT(b.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination_frac
+      |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM csh) d
+      |  LEFT JOIN (SELECT DISTINCT unnest(sh) AS shingle FROM csh WHERE doc_id % 50 = 0) b
+      |    ON d.shingle = b.shingle
+      |  GROUP BY d.doc_id
+      |), verdict AS (
+      |  SELECT doc_id, lang_pred, quality_score, contamination_frac, drop_stage,
+      |    (drop_stage IS NULL) AS kept
+      |  FROM (
+      |    SELECT s2c.doc_id, s2c.lang_pred, s2c.quality_score, c.contamination_frac,
+      |      CASE WHEN NOT s2c.lang_ok THEN 'lang'
+      |           WHEN NOT s2c.quality_ok THEN 'quality'
+      |           WHEN dx2.doc_id IS NOT NULL THEN 'exact'
+      |           WHEN dn.doc_id IS NOT NULL THEN 'near_dup'
+      |           WHEN c.contamination_frac > 0.2 THEN 'contamination' END AS drop_stage
+      |    FROM s2c
+      |    LEFT JOIN dropx dx2 ON s2c.doc_id = dx2.doc_id
+      |    LEFT JOIN dropn dn ON s2c.doc_id = dn.doc_id
+      |    LEFT JOIN contam c ON s2c.doc_id = c.doc_id
+      |  )
       |)""".stripMargin
   }
 
@@ -806,6 +909,28 @@ object SparkEntry {
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
         .select("doc_id", "n_shingles", "n_contaminated", "contamination_frac")
         .orderBy(col("doc_id"))
+    }),
+
+    // Composed curation pipeline (ops.Curation): lang gate → quality
+    // gate → exact dedup → MinHash near-dup drop → contamination
+    // screen, each stage over the previous stage's survivors
+    // (benchmark set = every 50th doc, as in txt_contamination).
+    // ORACLE-CHECKED end to end — the DuckDB replay composes the
+    // already-proven txt_lang_id / txt_quality / dedup_exact /
+    // dedup_minhash / txt_contamination CTEs over the same staged
+    // survivor sets. Per-doc verdict: first rejecting stage + kept.
+    "doc_curate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The curation audit table: documents rejected per stage + kept.
+    "doc_curate_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.funnel(
+        graft.ops.Curation.curate(docs, docs.filter(col("doc_id") % 50 === 0)))
+        .orderBy(col("stage"))
     }),
 
     // beyond-reference §2.C: bucketed range (interval) join — each event
@@ -1806,6 +1931,20 @@ object SparkEntry {
         |    AS contamination_frac
         |FROM d LEFT JOIN b ON d.shingle = b.shingle
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Composed curation pipeline: the per-stage oracle fragments
+    // chained over the same staged survivor sets (see docCurateCtes).
+    "doc_curate" ->
+      s"""$docCurateCtes
+        |SELECT doc_id, lang_pred, quality_score, contamination_frac,
+        |  drop_stage, kept
+        |FROM verdict ORDER BY doc_id""".stripMargin,
+
+    "doc_curate_funnel" ->
+      s"""$docCurateCtes
+        |SELECT COALESCE(drop_stage, 'kept') AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM verdict GROUP BY 1 ORDER BY stage""".stripMargin,
 
     // Plain-SQL range join; the Spark side buckets it into an equi-join.
     // Second-resolution timestamps on both sides (epoch_ms // 1000

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed document-curation pipeline — the end-to-end shape a
+  * training-data preparation run takes, built entirely from the
+  * already-oracled primitives of this library:
+  *
+  *   1. language gate      — [[TextAnalysis.langId]] prediction == `lang`
+  *   2. quality gate       — [[TextAnalysis.qualityScore]] >= `minQuality`
+  *   3. exact dedup        — min-doc-id wins per md5(text) fingerprint,
+  *                           among gate survivors
+  *   4. near-dup drop      — [[Dedup.minhashPairs]] (KR signatures,
+  *                           16×4 LSH banding) at `jaccard`; for every
+  *                           surviving pair (a, b) with a < b, b drops
+  *                           (min-id-wins pair rule — deliberately NOT
+  *                           transitive clustering: it is one join
+  *                           against the pair list, replayable in SQL,
+  *                           where clustering would be an iterative
+  *                           fixpoint; [[Dedup.nearDupClusters]] exists
+  *                           when transitive semantics are wanted)
+  *   5. contamination gate — [[TextAnalysis.contamination]] distinct-
+  *                           shingle overlap vs the benchmark set
+  *                           <= `maxContamination`
+  *
+  * Each stage evaluates ONLY the survivors of the previous stages (so
+  * e.g. a near-dup pair between two low-quality docs costs nothing and
+  * drops nobody), except the contamination screen, which is a per-doc
+  * measure against a FIXED benchmark set and therefore commutes with
+  * every other stage — it is computed corpus-wide and applied last.
+  *
+  * Output: one row per input document with the per-doc evidence
+  * (`lang_pred`, `quality_score`, `contamination_frac`) and the verdict:
+  * `drop_stage` = first stage that rejected it (NULL if kept), and
+  * `kept`. A funnel summary is one `groupBy(drop_stage)` away.
+  *
+  * Scale shape (the point of composing it this way): stages 1–2 and the
+  * per-doc contamination measure are pure column expressions inside the
+  * corpus scan (no shuffle; the benchmark shingle set is broadcast);
+  * stages 3–4 compute SMALL drop-lists over projected columns —
+  * (id, fp) pairs for exact, (id, band, bucket) triples for LSH — and
+  * the final assembly is left-joins of those drop-lists back onto the
+  * flagged scan by id. Document bodies are never shuffled anywhere.
+  *
+  * The reference pipeline has no corpus surface (SURVEY.md §2.G); this
+  * is the training-data extension of its validate→transform→publish
+  * composition shape (`/root/reference/Task_1/task_1.py:106-141`).
+  */
+object Curation {
+
+  /** Stage names in `drop_stage`, in evaluation order. */
+  val Stages: Seq[String] =
+    Seq("lang", "quality", "exact", "near_dup", "contamination")
+
+  /** Run the full pipeline. `benchmark` is the decontamination reference
+    * set (eval-set documents — KBs against a lake-scale corpus, so its
+    * shingle set broadcasts). */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             lang: String = "en", minQuality: Double = 0.65,
+             jaccard: Double = 0.4,
+             maxContamination: Double = 0.2): DataFrame = {
+    val id = col(idCol)
+
+    // stages 1–2: flags are column expressions in the scan pass
+    val flagged = TextAnalysis.qualityScore(TextAnalysis.langId(docs, textCol), textCol)
+      .select(id, col(textCol), col("lang_pred"), col("quality_score"))
+      .withColumn("lang_ok", col("lang_pred") === lang)
+      .withColumn("quality_ok", col("quality_score") >= minQuality)
+    val surv2 = flagged.filter(col("lang_ok") && col("quality_ok"))
+
+    // stage 3: exact-dup drop-list over (id, fp) projections only —
+    // partial-agg min per fingerprint, then the losers' ids
+    val ids2 = surv2.select(id, md5(col(textCol)).as("fp"))
+    val dropExact = ids2
+      .join(ids2.groupBy(col("fp")).agg(min(id).as("keep_id")), Seq("fp"))
+      .filter(id =!= col("keep_id"))
+      .select(id)
+      .withColumn("exact_dup", lit(true))
+
+    // stage 4: near-dup drop-list among stage-3 survivors
+    val surv3 = surv2.join(dropExact.select(id), Seq(idCol), "left_anti")
+    val dropNear = Dedup.minhashPairs(surv3, idCol, textCol, threshold = jaccard)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("near_dup", lit(true))
+
+    // stage 5 measure: corpus-wide per-doc contamination vs the fixed
+    // benchmark (commutes with the other stages; see class doc)
+    val contam = TextAnalysis.contamination(docs, benchmark, idCol, textCol)
+      .select(id, col("contamination_frac"))
+
+    flagged
+      .join(dropExact, Seq(idCol), "left")
+      .join(dropNear, Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+      .withColumn("drop_stage",
+        when(!col("lang_ok"), "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("exact_dup"), "exact")
+          .when(col("near_dup"), "near_dup")
+          .when(col("contamination_frac") > maxContamination, "contamination"))
+      .withColumn("kept", col("drop_stage").isNull)
+      .select(id, col("lang_pred"), col("quality_score"),
+        col("contamination_frac"), col("drop_stage"), col("kept"))
+  }
+
+  /** Per-stage funnel: how many documents each stage rejected, plus the
+    * `kept` remainder — the audit table a curation run publishes. */
+  def funnel(curated: DataFrame): DataFrame =
+    curated
+      .groupBy(coalesce(col("drop_stage"), lit("kept")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // English-ish docs (stopword-dense so lang_pred = 'en' and the
+  // quality stopword term saturates), long enough for len_score ≈ 1
+  private def enDoc(tail: String): String =
+    ("the quick brown fox jumps over the lazy dog and it is that good " * 3) + tail
+
+  private lazy val docs = Seq(
+    (0L, enDoc("original content for the curation test")),
+    (1L, enDoc("original content for the curation test")),   // exact dup of 0
+    (2L, enDoc("original content for the curation test!!")), // near dup of 0
+    (3L, ("a shuffle moves the rows of a table between executors and " +
+      "it is the cost that a planner tries to avoid in a query " * 3) +
+      "spark partitions bucketing and broadcast joins"),
+    (4L, "zzz qqq xxx"),                                     // no stopwords → 'und'
+    (5L, "it is a fact that the eval set for a benchmark holds the " +
+      "question and the answer pairs that it is graded on and that is it"),
+    (6L, "the 12345 67890 ((( ))) !!!")                      // quality: short, digit/punct-heavy
+  ).toDF("doc_id", "text")
+
+  // benchmark set = doc 5 itself → doc 5 is fully contaminated
+  private lazy val curated =
+    Curation.curate(docs, docs.filter($"doc_id" === 5), minQuality = 0.6)
+
+  test("every stage rejects its poisoned doc; first-failure attribution") {
+    val stages = curated.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_stage")).toMap
+    assert(stages(0L) == null)            // kept: min-id winner
+    assert(stages(1L) == "exact")         // identical text, larger id
+    assert(stages(2L) == "near_dup")      // near-identical, larger id
+    assert(stages(3L) == null)            // kept: distinct content
+    assert(stages(4L) == "lang")          // no stopwords → 'und'
+    assert(stages(5L) == "contamination") // is the benchmark doc
+    assert(stages(6L) == "quality")       // degenerate token stats
+  }
+
+  test("kept flag is drop_stage IS NULL; one row per input doc") {
+    val rows = curated.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(r => r.getAs[Boolean]("kept") == (r.getAs[String]("drop_stage") == null)))
+  }
+
+  test("funnel counts sum to the corpus size and name only real stages") {
+    val f = Curation.funnel(curated).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(f.values.sum == docs.count())
+    assert((f.keySet - "kept").subsetOf(Curation.Stages.toSet))
+  }
+
+  test("kept set is pair-free under the near-dup rule") {
+    // every near-dup pair among gate+exact survivors must have lost its
+    // larger id — so no pair can have both endpoints kept
+    val keptIds = curated.filter($"kept").select($"doc_id").as[Long].collect().toSet
+    val surv3 = docs.join(
+      curated.filter($"drop_stage".isNull || $"drop_stage".isin("near_dup", "contamination"))
+        .select($"doc_id"), Seq("doc_id"))
+    val pairs = Dedup.minhashPairs(surv3, "doc_id", "text", threshold = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => !(keptIds(a) && keptIds(b)) })
+  }
+}
