@@ -551,6 +551,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("status"))),
 
+    // beyond-reference layout: the z-order clustering key (ops.Layout /
+    // functions.ZOrder2) — bit-for-bit oracle of the Morton interleave
+    // the write path sorts on; the SKIPPING it buys is asserted in
+    // LayoutSpec (row groups pruned on both dimensions).
+    "lay_zorder" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          graft.functions.GraftExpressions.zorder2(col("o_custkey"), day).as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // beyond-reference layout: join + aggregate over bucketed managed
+    // tables (ops.Layout.bucketedTable) — results must be identical to
+    // the plain-table plan (the oracle) while the physical plan is
+    // exchange-free (asserted in LayoutSpec).
+    "lay_bucket_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val li = graft.ops.Layout.bucketedTable(s,
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+        s"li_bkt_$tag", "l_orderkey", 8)
+      val ord = graft.ops.Layout.bucketedTable(s,
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        s"ord_bkt_$tag", "o_orderkey", 8)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sumMoney(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // beyond-reference lake upsert (ops.Merge): the reference's keyed
+    // put_item semantics (Task_2/task_2.py:144-197) as a copy-on-write,
+    // partition-pruned MERGE into partitioned parquet. The query REALLY
+    // runs the write path — bootstrap base, merge an update batch, read
+    // the table back — and the oracle recomputes the merged relation as
+    // a FULL OUTER JOIN with update-wins coalesce.
+    "mrg_upsert" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_merge_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.ops.Merge.mergeInto(s, dir, base, Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Merge.mergeInto(s, dir, updates, Seq("o_orderkey"), "o_orderstatus")
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.D declared approx variant (SURVEY §2.D: offer HLL alongside the
     // exact countDistinct, never silently substitute; rows-only — sketch
     // internals have no SQL oracle, determinism spec-tested instead).
@@ -1752,6 +1809,49 @@ object SparkEntry {
         |FROM read_csv('/root/reference/Data/orders/*.csv', header=true)
         |WHERE order_id IS NOT NULL
         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // Bit-for-bit replay of the ZOrder2 Morton interleave: bit i of each
+    // 31-bit-masked dimension lands at output bits 2i / 2i+1.
+    "lay_zorder" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(list_sum(list_transform(range(0, 31), i ->
+        |    (((ck >> i) & 1) << (2 * i)) + (((dy >> i) & 1) << (2 * i + 1))
+        |  )) AS BIGINT) AS zkey
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, day,
+        |    o_custkey & 2147483647 AS ck, day & 2147483647 AS dy
+        |  FROM (SELECT o_orderkey, o_custkey,
+        |          CAST(date_diff('day', DATE '1995-01-01',
+        |                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |        FROM orders)
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    // The bucketed tables must change the PLAN, never the ANSWER: the
+    // oracle is the same join over the plain tables.
+    "lay_bucket_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The merged table the Spark side materializes on disk, recomputed
+    // relationally: base (keys not divisible by 3) FULL OUTER JOIN the
+    // update batch (even keys, doubled price), update wins. ×2 of a
+    // ≤2dp double is exact in both engines.
+    "mrg_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 != 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Same Karp–Rabin recurrence as the Catalyst RollingHash64 (h = h·B
     // + byte, wrapping at 2^64), replayed in 128-bit HUGEINT with an

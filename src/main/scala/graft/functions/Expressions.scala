@@ -559,6 +559,61 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Z-order (Morton) interleave of two dimension keys — the clustering
+    * key behind multi-column data skipping ([[graft.ops.Layout]]).
+    *
+    * Bit i of `x` lands at output bit 2i, bit i of `y` at 2i+1, over the
+    * low 31 bits of each input (inputs are masked with 2^31−1, so the
+    * result is a non-negative 62-bit long). Sorting a table by this key
+    * makes any contiguous z-range span a NARROW range of BOTH dimensions,
+    * so parquet row-group min/max stats prune scans filtered on either
+    * column — a single-column sort only ever prunes one. The curve order
+    * is meaningful for non-negative inputs below 2^31; larger keys should
+    * be bucketed into that range first (the masking keeps the expression
+    * total rather than failing).
+    *
+    * Deterministic pure bit math: DuckDB replays it exactly
+    * (`lay_zorder` oracle) with a `list_sum` over `range(0, 31)`.
+    */
+  case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"zorder2 requires (bigint, bigint), got (${l.catalogString}, ${r.catalogString})")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Long] & 0x7FFFFFFFL
+      val y = b.asInstanceOf[Long] & 0x7FFFFFFFL
+      var z = 0L
+      var i = 0
+      while (i < 31) {
+        z |= ((x >>> i) & 1L) << (2 * i)
+        z |= ((y >>> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      java.lang.Long.valueOf(z)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (x, y, z, i) = (ctx.freshName("zx"), ctx.freshName("zy"),
+        ctx.freshName("zz"), ctx.freshName("zi"))
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |long $x = $a & 0x7FFFFFFFL;
+        |long $y = $b & 0x7FFFFFFFL;
+        |long $z = 0L;
+        |for (int $i = 0; $i < 31; $i++) {
+        |  $z |= (($x >>> $i) & 1L) << (2 * $i);
+        |  $z |= (($y >>> $i) & 1L) << (2 * $i + 1);
+        |}
+        |${ev.value} = $z;
+        |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ZOrder2 =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -576,6 +631,8 @@ object GraftExpressions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def sig_agreement(a: Column, b: Column): Column = c(SigAgreement(e(a), e(b)))
   def explode_shingles(text: Column, n: Int): Column = c(ExplodeShingles(e(text), n))
+  def zorder2(x: Column, y: Column): Column =
+    c(ZOrder2(e(x.cast("long")), e(y.cast("long"))))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -587,5 +644,6 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("zorder2", exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
   }
 }

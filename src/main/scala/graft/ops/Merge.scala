@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write MERGE (upsert) into a partitioned parquet table — the
+  * lake-native analog of the reference's keyed upserts into its KV store
+  * (`/root/reference/Task_2/task_2.py:144-197` put_items the same key
+  * again on every rerun): new keys insert, existing keys take the
+  * update's values, reruns are idempotent.
+  *
+  * Scale shape: the rewrite is PARTITION-PRUNED. Only partitions that
+  * appear in the update batch are read, merged, and rewritten (dynamic
+  * partition overwrite); a 100 TB table taking a daily 100 GB update
+  * batch rewrites the touched dates, not the lake. The driver-side state
+  * is one row per TOUCHED PARTITION (not per key) — bounded by the batch,
+  * like the compaction planner. Assumes a key's partition value is stable
+  * across updates (true of the reference: its partition attribute is part
+  * of the key), so a key can never straddle an untouched partition.
+  *
+  * The merged partitions are staged under an underscore-prefixed subdir
+  * (invisible to parquet directory scans) before the dynamic overwrite:
+  * Spark refuses to overwrite a path it is simultaneously reading, and
+  * the stage also means a mid-write failure leaves the target intact —
+  * the rerun replays the same merge (idempotence spec'd in MergeSpec).
+  */
+object Merge {
+
+  /** Upsert `updates` into the partitioned parquet table at `targetDir`.
+    * `updates` must carry the full table schema including `partitionCol`.
+    * Update rows win on key collision, column-wise (`coalesce(update,
+    * target)` — a null in an update column keeps the target's value,
+    * the reference's attribute-level put semantics). Bootstraps the
+    * table on first call. */
+  def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
+                keys: Seq[String], partitionCol: String): Unit = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      updates.write.partitionBy(partitionCol).parquet(targetDir)
+      return
+    }
+
+    // one row per touched partition — bounded by the update batch
+    val affected = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    val target = spark.read.parquet(targetDir)
+      .filter(col(partitionCol).isin(affected: _*))
+
+    val dataCols = updates.columns
+    val merged = target.alias("t")
+      .join(updates.alias("u"),
+        keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
+        "full_outer")
+      .select(dataCols.map(c =>
+        coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+
+    val staging = new Path(root, "_merge_staging").toString
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetDir)
+    fs.delete(new Path(staging), true)
+  }
+}

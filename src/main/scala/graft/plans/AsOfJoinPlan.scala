@@ -93,6 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_product", 2)(e => DotProduct(e(0), e(1))))
     ext.injectFunction(fn("cosine_sim", 2)(e => CosineSimilarity(e(0), e(1))))
     ext.injectFunction(fn("sig_agreement", 2)(e => SigAgreement(e(0), e(1))))
+    ext.injectFunction(fn("zorder2", 2)(e => ZOrder2(e(0), e(1))))
     // int-literal arities resolved at bind time
     ext.injectFunction(fn("minhash_signature", 2)(e =>
       MinHashSignature(e.head, intLit(e(1), "minhash_signature"))))

@@ -1,0 +1,117 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftExpressions
+import graft.io.Sources
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: FileSourceScanExec =>
+      f.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("zorder2 interleaves bits; masks to 31 bits; null-propagates") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (1L << 40 | 6L, 9L), (-1L, 2L))
+      .toDF("x", "y")
+      .select($"x", $"y", GraftExpressions.zorder2($"x", $"y").as("z"))
+      .collect()
+    def ref(x: Long, y: Long): Long = {
+      val (mx, my) = (x & 0x7FFFFFFFL, y & 0x7FFFFFFFL)
+      (0 until 31).foldLeft(0L)((z, i) =>
+        z | ((mx >>> i) & 1L) << (2 * i) | ((my >>> i) & 1L) << (2 * i + 1))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+        s"zorder2(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // spot-check the curve: (1,0)->1, (0,1)->2, (1,1)->3, (5,3)->exp
+    assert(ref(1, 0) == 1L && ref(0, 1) == 2L && ref(1, 1) == 3L)
+    val nulls = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(GraftExpressions.zorder2($"x", $"y")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("z-ordered layout prunes row groups on BOTH dimensions; random layout scans everything") {
+    val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
+      .select($"o_orderkey", $"o_custkey",
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"))
+    val total = orders.count()
+    val base = Files.createTempDirectory("graft-layout").toString
+
+    // tiny row groups so min/max pruning is observable at test scale —
+    // the granule is 128 MB at lake scale, same mechanism
+    Layout.writeZOrdered(orders, $"o_custkey", $"day", s"$base/zordered",
+      numFiles = 4, blockSize = Some(1024))
+    // control layout: generation order — custkey and day are i.i.d. per
+    // row, so every row group spans both full ranges and nothing prunes
+    orders.repartition(4)
+      .write.mode("overwrite").option("parquet.block.size", "1024")
+      .parquet(s"$base/random")
+
+    val z = spark.read.parquet(s"$base/zordered")
+    val r = spark.read.parquet(s"$base/random")
+    for (pred <- Seq($"o_custkey" === 777L, $"day".between(400L, 430L))) {
+      val zRows = scannedRows(z.filter(pred))
+      val rRows = scannedRows(r.filter(pred))
+      info(s"pred=$pred scanned z=$zRows random=$rRows total=$total")
+      assert(rRows > total * 3 / 4,
+        s"random layout unexpectedly pruned ($rRows of $total)")
+      assert(zRows < rRows / 2,
+        s"z-order should scan <half of random layout: z=$zRows random=$rRows")
+    }
+  }
+
+  test("joins and aggregations on the bucket key plan with zero exchanges") {
+    val sfTag = "sf0001"
+    val li = Layout.bucketedTable(spark,
+      Sources.table(spark, sf001, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice"),
+      s"li_bkt_$sfTag", "l_orderkey", 8)
+    val ord = Layout.bucketedTable(spark,
+      Sources.table(spark, sf001, "orders")
+        .select($"o_orderkey", $"o_orderstatus"),
+      s"ord_bkt_$sfTag", "o_orderkey", 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice").as("rev"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join/agg must be exchange-free, found ${shuffles.size}:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"expected a co-located sort-merge join:\n$plan")
+      // and the answer is the same as the unbucketed plan's
+      val expect = Sources.table(spark, sf001, "lineitem")
+        .join(Sources.table(spark, sf001, "orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey").agg(sum($"l_extendedprice").as("rev"))
+      assert(joined.orderBy($"l_orderkey").collect().toSeq ==
+        expect.orderBy($"l_orderkey").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -206,6 +206,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap == Map(1L -> Some(2.0), 2L -> None, 3L -> None))
   }
 
+  test("stream-stream join matches within the time bound across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val left = lMem.toDF().toDF("ts", "user_id", "click_id")
+    val right = rMem.toDF().toDF("r_ts", "r_user_id", "buy_id")
+    val q = Streaming.streamStreamJoin(left, right, boundSeconds = 3600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // clicks land first; purchases arrive in a LATER micro-batch — the
+    // join state must hold the clicks until their window closes
+    lMem.addData(
+      (t("2024-01-01 10:00:00"), 1L, 100L),
+      (t("2024-01-01 10:00:00"), 2L, 200L))
+    q.processAllAvailable()
+    rMem.addData(
+      (t("2024-01-01 10:30:00"), 1L, 777L), // within the hour -> match
+      (t("2024-01-01 13:00:00"), 2L, 888L), // 3h later -> outside bound
+      (t("2024-01-01 10:30:00"), 3L, 999L), // user never clicked
+      (t("2024-01-01 09:30:00"), 1L, 555L)) // BEFORE the click -> no match
+    q.processAllAvailable()
+    // a second qualifying purchase joins the SAME click (1:N fan-out)
+    rMem.addData((t("2024-01-01 10:45:00"), 1L, 778L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_join_out").select("click_id", "buy_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 777L), (100L, 778L)))
+  }
+
   test("streaming funnel advances per-user stage across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
