@@ -608,6 +608,28 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // beyond-reference lake maintenance (ops.Layout.compact): OPTIMIZE-
+    // style small-file bin-packing compaction. The query REALLY runs the
+    // write path — fragment a partitioned copy of orders (8 files per
+    // partition), compact it, read it back. The oracle is the plain
+    // uncompacted relation, so the hash match proves answer-invariance;
+    // LayoutSpec covers idempotence + untouched-file byte-identity.
+    "lay_compact" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_compact_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.repartition(8).write.partitionBy("o_orderstatus").parquet(dir)
+      graft.ops.Layout.compact(s, dir, "o_orderstatus")
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.D declared approx variant (SURVEY §2.D: offer HLL alongside the
     // exact countDistinct, never silently substitute; rows-only — sketch
     // internals have no SQL oracle, determinism spec-tested instead).
@@ -733,6 +755,18 @@ object SparkEntry {
         threshold = 0.4, numPlanes = 4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: SemDeDup-style semantic dedup (ops.Dedup.semanticDedup) —
+    // anchored-quantizer clusters, within-cluster cosine ε-groups, keep
+    // the smallest id per group. ORACLE-CHECKED end to end: the anchor
+    // selection / assignment replay the proven sim_topk_ivf_anchored
+    // CTEs and the 0.4 threshold has the same ~1.3e-4 engine margin as
+    // dedup_embed_cosine (production would use ≥0.9; this corpus's max
+    // pairwise cosine is ~0.51).
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+        .orderBy(col("vec_id"))),
 
     // Dedup: embedding-cosine near-dup, EXACT all-pairs variant —
     // oracle-checked (DuckDB list_cosine_similarity on DOUBLE[] lists).
@@ -866,6 +900,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Similarity: product-quantization ADC top-5 (ops.Similarity
+    // .pqTopKAnchored) — anchored integer codebooks, fused-codegen
+    // encode, literal-table codeword lookup. ORACLE-CHECKED INCLUDING
+    // THE SCORE: all arithmetic is integer-exact, so the asymmetric-
+    // distance value itself hash-matches the DuckDB replay.
+    "sim_topk_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopKAnchored(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Similarity: IVF (k-means coarse quantizer) top-5 — the trained
     // scale path beside LSH (rows-only; seeded k-means has no SQL oracle).
     "sim_topk_ivf" -> ((s, d) => {
@@ -967,6 +1013,16 @@ object SparkEntry {
         .select("doc_id", "n_shingles", "n_contaminated", "contamination_frac")
         .orderBy(col("doc_id"))
     }),
+
+    // Text analysis: C4-style line-level dedup (fixed 3-word segments as
+    // the line unit) — any segment occurring in >= 3 distinct docs is
+    // removed corpus-wide and each doc's text is rebuilt from its
+    // surviving segments. Shuffles move md5 fingerprints and int lists,
+    // never document text (ops.TextAnalysis.lineDedup). ORACLE-CHECKED
+    // including the rebuilt string.
+    "txt_line_dedup" -> ((s, d) =>
+      TextAnalysis.lineDedup(t(s, d, "documents"))
+        .orderBy(col("doc_id"))),
 
     // Composed curation pipeline (ops.Curation): lang gate → quality
     // gate → exact dedup → MinHash near-dup drop → contamination
@@ -1777,6 +1833,79 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // SemDeDup: same anchor-selection/assignment CTEs as
+    // sim_topk_ivf_anchored, then within-cluster ε-groups with the
+    // smallest-id exemplar kept.
+    "dedup_semantic" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |), a AS (
+        |  SELECT vec_id AS cluster, e AS ce FROM c
+        |  ORDER BY ((((vec_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |             % 2147483647, vec_id
+        |  LIMIT 16
+        |), asg AS (
+        |  SELECT vec_id, e, cluster FROM (
+        |    SELECT c.vec_id, c.e, a.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.e, a.ce) DESC, a.cluster) AS rn
+        |    FROM c, a
+        |  ) WHERE rn = 1
+        |), drp AS (
+        |  SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.e, y.e) >= 0.4
+        |)
+        |SELECT asg.vec_id, asg.cluster, (drp.vec_id IS NULL) AS kept
+        |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
+
+    // PQ replay: quantize to exact BIGINTs, codebook = the 16 Lehmer-
+    // anchored vectors' subvectors (codeword index = id rank), encode by
+    // integer-L2 argmin (ties to the smaller index), ADC score = exact
+    // integer dot of the query subvectors with the coded reconstruction.
+    "sim_topk_pq" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), a AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY avid) - 1 AS INT) AS cw, aqv
+        |  FROM (
+        |    SELECT vec_id AS avid, qv AS aqv FROM c
+        |    ORDER BY ((((vec_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |               % 2147483647, vec_id
+        |    LIMIT 16
+        |  )
+        |), enc AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT c.vec_id, t.s, a.cw AS code,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, t.s ORDER BY
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (c.qv[CAST(t.s*8+i AS INT)] - a.aqv[CAST(t.s*8+i AS INT)])
+        |             * (c.qv[CAST(t.s*8+i AS INT)] - a.aqv[CAST(t.s*8+i AS INT)]))),
+        |        a.cw) AS rn
+        |    FROM c, UNNEST(range(0, 8)) AS t(s), a
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, qv AS qqv FROM c WHERE vec_id < 10
+        |), sc AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CAST(SUM(list_sum(list_transform(range(1, 9),
+        |      i -> q.qqv[CAST(e.s*8+i AS INT)] * a.aqv[CAST(e.s*8+i AS INT)])))
+        |      AS BIGINT) AS score
+        |  FROM q, enc e JOIN a ON e.code = a.cw
+        |  WHERE e.vec_id != q.query_id
+        |  GROUP BY q.query_id, e.vec_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "dedup_embed_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b
@@ -1852,6 +1981,12 @@ object SparkEntry {
         |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Compaction is answer-invariant: the compacted table must read back
+    // as exactly the uncompacted relation.
+    "lay_compact" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // Same Karp–Rabin recurrence as the Catalyst RollingHash64 (h = h·B
     // + byte, wrapping at 2^64), replayed in 128-bit HUGEINT with an
@@ -2031,6 +2166,36 @@ object SparkEntry {
         |    AS contamination_frac
         |FROM d LEFT JOIN b ON d.shingle = b.shingle
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Line dedup: the frequency count groups the segment TEXT here where
+    // the Spark side groups its md5 — identical semantics (md5 is
+    // collision-free at this scale), and the compared output columns are
+    // engine-exact either way.
+    "txt_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+        |  FROM documents
+        |), segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(toks[i*3+1:i*3+3], ' ') AS seg
+        |  FROM base, UNNEST(range(0, CAST(CEIL(LEN(toks) / 3.0) AS BIGINT))) AS t(i)
+        |), freq AS (
+        |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+        |), kept AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg
+        |  FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+        |  WHERE f.seg IS NULL
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CAST(CEIL(LEN(b.toks) / 3.0) AS INT) AS n_segs,
+        |  CAST(CEIL(LEN(b.toks) / 3.0) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+        |  COALESCE(a.text_clean, '') AS text_clean
+        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Composed curation pipeline: the per-stage oracle fragments
     // chained over the same staged survivor sets (see docCurateCtes).

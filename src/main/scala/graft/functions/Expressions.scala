@@ -614,6 +614,103 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Product-quantization encoder (Jégou/Douze/Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the input
+    * vector is quantized to exact integers (`floor(x·scale)`), split
+    * into `m` subspaces of `subDim` dims, and each subspace is coded as
+    * the index of its nearest codeword (integer L2², ties to the
+    * smaller index). Returns `array<int>` of length `m` — a 64-dim
+    * float vector compresses to m bytes of codes, the asset an ADC scan
+    * ranks without touching raw vectors.
+    *
+    * Integer quantization end to end so encode AND the downstream
+    * asymmetric-distance score are engine-exact (the same trick as
+    * `sim_topk_quantized`) — seeded-float k-means codebooks would make
+    * the whole path unverifiable. The codebook ships as one flat long[]
+    * reference object (`codebook[(s·ksub + c)·subDim + i]`), one fused
+    * loop per row: each element is quantized exactly once, then m·ksub
+    * integer L2 probes — no HOF re-evaluation, stays in whole-stage
+    * codegen. */
+  case class PqEncode(child: Expression, codebook: Array[Long],
+                      m: Int, ksub: Int, subDim: Int, scale: Int)
+      extends UnaryExpression {
+    require(codebook.length == m * ksub * subDim,
+      s"codebook must hold m*ksub*subDim = ${m * ksub * subDim} longs")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "pq_encode",
+        t => t == FloatType || t == DoubleType, "array<float|double>")
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), m * subDim)
+      val qv = new Array[Long](m * subDim)
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        qv(i) = math.floor(x * scale).toLong
+        i += 1
+      }
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < ksub) {
+          var d = 0L
+          var j = 0
+          while (j < subDim) {
+            val diff = qv(s * subDim + j) - codebook((s * ksub + c) * subDim + j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+      new GenericArrayData(codes)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "long[]")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val (n, qv, i, codes, s, best, bestD, c, d, j, diff) =
+        (ctx.freshName("n"), ctx.freshName("qv"), ctx.freshName("i"),
+          ctx.freshName("codes"), ctx.freshName("s"), ctx.freshName("best"),
+          ctx.freshName("bestD"), ctx.freshName("c"), ctx.freshName("d"),
+          ctx.freshName("j"), ctx.freshName("diff"))
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        |int $n = java.lang.Math.min($arr.numElements(), ${m * subDim});
+        |long[] $qv = new long[${m * subDim}];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $qv[$i] = (long) java.lang.Math.floor((double)$arr.$get($i) * $scale);
+        |}
+        |int[] $codes = new int[$m];
+        |for (int $s = 0; $s < $m; $s++) {
+        |  int $best = 0;
+        |  long $bestD = Long.MAX_VALUE;
+        |  for (int $c = 0; $c < $ksub; $c++) {
+        |    long $d = 0L;
+        |    for (int $j = 0; $j < $subDim; $j++) {
+        |      long $diff = $qv[$s * $subDim + $j] - $cb[($s * $ksub + $c) * $subDim + $j];
+        |      $d += $diff * $diff;
+        |    }
+        |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+        |  }
+        |  $codes[$s] = $best;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        |""".stripMargin)
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -633,6 +730,9 @@ object GraftExpressions {
   def explode_shingles(text: Column, n: Int): Column = c(ExplodeShingles(e(text), n))
   def zorder2(x: Column, y: Column): Column =
     c(ZOrder2(e(x.cast("long")), e(y.cast("long"))))
+  def pq_encode(vec: Column, codebook: Array[Long], m: Int, ksub: Int,
+                subDim: Int, scale: Int = 1000): Column =
+    c(PqEncode(e(vec), codebook, m, ksub, subDim, scale))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -425,6 +425,48 @@ object Dedup {
                        threshold: Double = 0.95): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
 
+  /** SemDeDup-style semantic deduplication over an embedding column
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv 2023): cluster the corpus
+    * with a coarse quantizer, compare vectors ONLY within their own
+    * cluster, and drop every vector that has a lower-id cluster-mate
+    * with cosine ≥ `threshold` (the deterministic one-exemplar-per-
+    * ε-group rule). Near-dups that straddle a cluster boundary are
+    * missed by construction — the paper's accepted recall tradeoff.
+    *
+    * The quantizer is the data-anchored one of
+    * [[Similarity.ivfTopKAnchored]] (fixed `nlist` anchor ids by Lehmer
+    * hash — no k-means training state), so the WHOLE pipeline is
+    * SQL-replayable and `dedup_semantic` is oracle-checked end to end.
+    *
+    * Scale shape: anchor selection is a bounded TakeOrdered; assignment
+    * is a zero-shuffle projection over inlined anchor literals; the
+    * within-cluster self-join moves each (id, vec) once, keyed by
+    * cluster. The quadratic term is per-cluster — at lake scale `nlist`
+    * rises with the corpus so the expected cluster stays bounded
+    * (SemDeDup runs ~100k clusters at web scale); a degenerate cluster
+    * is the same failure shape as an uncapped LSH bucket and takes the
+    * same cap if needed.
+    *
+    * @return one row per input id: (idCol, cluster, kept) */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16): DataFrame = {
+    val anchors = Similarity.anchoredAnchors(df, idCol, vecCol, nlist)
+    val assigned = Similarity.anchoredAssign(df, idCol, vecCol, anchors)
+    val l = assigned.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("cluster"))
+    val r = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("cluster"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("_dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+  }
+
   // -------- duplicate clustering --------
 
   /** Connected components over near-dup pairs: pair lists say A≈B and

@@ -68,6 +68,97 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Result of a [[compact]] pass: how many partitions were rewritten and
+    * the data-file counts over the WHOLE table before and after. */
+  final case class CompactStats(partitionsCompacted: Int,
+                                filesBefore: Int, filesAfter: Int)
+
+  /** OPTIMIZE-style small-file compaction of a `partitionCol`-partitioned
+    * parquet table — the maintenance pass every streaming/incremental
+    * writer needs: micro-batch and per-executor writes leave hundreds of
+    * KB-sized files per partition, and at lake scale scan cost is
+    * dominated by file-open overhead once files are far below the 128 MB
+    * granule (each file is a task + a footer read + a seek).
+    * ([[graft.io.Sinks.compactParquet]] is the flat-directory sibling —
+    * one whole-table coalesce; this pass is for PARTITIONED tables,
+    * where rewriting the whole lake to fix a few fragmented partitions
+    * is not an option.)
+    *
+    * Bin-packing: a partition holding B bytes in F files is rewritten to
+    * `ceil(B / targetBytes)` files iff F exceeds that (and `minFiles`).
+    * The pass is:
+    *  - planned from the FILE LISTING only (driver state = one row per
+    *    partition, like [[Merge.mergeInto]]'s affected list — never row
+    *    data);
+    *  - executed as ONE job over the affected partitions: a
+    *    partition-pruned scan, a repartition on (partition, salt) where
+    *    salt < the partition's planned file count, and a dynamic-
+    *    partition overwrite staged exactly like MERGE (underscore dir,
+    *    so a mid-write failure leaves the table intact);
+    *  - answer-invariant (content identical before/after — `lay_compact`
+    *    hash-matches the uncompacted oracle) and IDEMPOTENT: a second
+    *    pass finds every partition already at its packed file count and
+    *    rewrites nothing (untouched partitions keep their exact files —
+    *    byte-identity asserted in LayoutSpec).
+    */
+  def compact(spark: SparkSession, tableDir: String, partitionCol: String,
+              targetBytes: Long = 128L << 20, minFiles: Int = 2): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(dir: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    def partitionDirs: Array[Path] = fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath)
+
+    val before = partitionDirs.map(p => p -> dataFiles(p))
+    val filesBefore = before.map(_._2.length).sum
+    // plan: (partition value, packed file count) for every partition
+    // whose file count exceeds its bin-packed target
+    val plan = before.flatMap { case (dir, files) =>
+      val bytes = files.map(_.getLen).sum
+      val packed = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > packed && files.length >= minFiles)
+        Some(dir.getName.stripPrefix(s"$partitionCol=") -> packed)
+      else None
+    }
+    if (plan.isEmpty)
+      return CompactStats(0, filesBefore, filesBefore)
+
+    val planDf = broadcast(spark.createDataFrame(plan.toSeq)
+      .toDF("_pval", "_out_files"))
+    val affected = spark.read.parquet(tableDir)
+      .filter(col(partitionCol).cast("string").isin(plan.map(_._1): _*))
+    val dataCols = affected.columns.filterNot(_ == partitionCol)
+    // deterministic row salt bounded by the partition's packed count: a
+    // (partition, salt) group always lands whole in one write task, so a
+    // partition emits at most _out_files files
+    val salted = affected
+      .join(planDf, col(partitionCol).cast("string") === col("_pval"))
+      .withColumn("_salt",
+        pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), col("_out_files")))
+      .repartition(col(partitionCol), col("_salt"))
+      .drop("_pval", "_out_files", "_salt")
+
+    val staging = new Path(root, "_compact_staging").toString
+    salted.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(tableDir)
+    fs.delete(new Path(staging), true)
+
+    CompactStats(plan.length, filesBefore,
+      partitionDirs.map(p => dataFiles(p).length).sum)
+  }
+
   /** Idempotent bucketed-table accessor: create the bucketed copy of
     * `df` on first use, then serve it from the catalog. The table name
     * carries the caller's tag so different scale factors / suites never

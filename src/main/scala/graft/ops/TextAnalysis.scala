@@ -156,6 +156,54 @@ object TextAnalysis {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** C4-style line-level dedup (Raffel et al. 2020, §2.2: drop any
+    * three-sentence span occurring more than once in the corpus;
+    * RefinedWeb/Gopher run the same pass per LINE). The corpus here is
+    * single-line word streams, so the dedup unit is a fixed `segWords`-word
+    * segment — the same dataflow, deterministic segmentation.
+    *
+    * Scale design — document text never rides a shuffle:
+    *  1. segment in the scan pass (posexplode is a projection, not an
+    *     exchange) and fingerprint each segment (md5 — 16 bytes);
+    *  2. global frequency = two-stage groupBy over (fp, doc_id) then fp —
+    *     every exchange moves fingerprints, not text;
+    *  3. the frequent set (`>= minDocs` distinct docs) is the boilerplate
+    *     tail — bounded above by total_segs/minDocs and in practice tiny,
+    *     the same degenerate-key argument as [[Dedup.DefaultMaxBucketSize]]
+    *     — so the anti-join against the positional (doc_id, seg_idx, fp)
+    *     frame broadcasts it;
+    *  4. surviving segment INDEXES (an int list per doc) join back to the
+    *     corpus and the cleaned text is rebuilt from the doc's own token
+    *     array in a projection. With the corpus bucketed on the id
+    *     ([[Layout.writeBucketed]]) that join is exchange-free too.
+    *
+    * Returns one row per doc: n_segs, n_removed, text_clean. */
+  def lineDedup(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", segWords: Int = 3,
+                minDocs: Int = 3): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nSegs = ceil(size(words).cast("double") / segWords).cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords))))
+    val pos = df.select(col(idCol),
+        posexplode(segs).as(Seq("seg_idx", "seg")))
+      .select(col(idCol), col("seg_idx"), md5(col("seg")).as("fp"))
+    val frequent = pos.select(col("fp"), col(idCol)).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("fp"))
+    val keptIdx = pos.join(broadcast(frequent), Seq("fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("seg_idx")).as("kept_idx"))
+    df.join(keptIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        nSegs.as("n_segs"),
+        (nSegs - coalesce(size(col("kept_idx")), lit(0))).as("n_removed"),
+        concat_ws(" ",
+          filter(segs, (_, i) => array_contains(col("kept_idx"), i)))
+          .as("text_clean"))
+  }
+
   /** Full document-statistics projection (token counts exact + BPE-ish,
     * char classes, quality) — one pass, one scan. */
   def docStats(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -116,6 +116,31 @@ class DedupSpec extends SparkSpec {
       "the under-cap near-dup pair must still be found")
   }
 
+  test("semanticDedup keeps the smallest id per within-cluster ε-group") {
+    import spark.implicits._
+    // the two-round Lehmer hash ranks ids 0,1 lowest of 0..4, so with
+    // nlist=2 the ANCHORS are exactly vectors 0 and 1 — place the two
+    // distinct directions there so each near-dup co-clusters with its
+    // exemplar
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),     // anchor A
+      (1L, Array(0.0f, 1.0f)),     // anchor B
+      (2L, Array(0.999f, 0.01f)),  // near-dup of 0 -> cluster A
+      (3L, Array(0.01f, 0.999f)),  // near-dup of 1 -> cluster B
+      (4L, Array(-1.0f, 0.2f))     // lone vector, lands in B, no mate
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L), "one verdict per input")
+    assert(got(0L)._2 && got(1L)._2 && got(4L)._2, "exemplars kept")
+    assert(!got(2L)._2, "near-dup of a lower id must drop")
+    assert(!got(3L)._2, "near-dup of a lower id must drop")
+    // every cluster retains at least one member
+    val byCluster = got.values.groupBy(_._1)
+    assert(byCluster.values.forall(_.exists(_._2)), s"cluster lost all members: $byCluster")
+  }
+
   test("incremental near-dup vs the signature index matches the self-join pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.io.Sources.table(spark, sf001, "documents")

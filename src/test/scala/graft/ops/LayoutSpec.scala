@@ -78,6 +78,45 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact bin-packs small files, keeps content identical, and is idempotent") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val dir = s"$base/events_tbl"
+    val df = Sources.table(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    // fragment: ~8 small files inside every partition directory
+    df.repartition(8).write.partitionBy("o_orderstatus").parquet(dir)
+
+    def listing(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+          .toSeq.sortBy(_._1)
+      }.toMap
+    }
+    val expect = df.orderBy($"o_orderkey").collect().toSeq
+    val fragmented = listing()
+    assert(fragmented.values.forall(_.size > 1), "fixture must be fragmented")
+
+    val stats = Layout.compact(spark, dir, "o_orderstatus")
+    val packed = listing()
+    assert(stats.partitionsCompacted == fragmented.size)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(packed.values.forall(_.size == 1),
+      s"every partition should pack to one file: ${packed.view.mapValues(_.size).toMap}")
+    assert(spark.read.parquet(dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus".cast("string"))
+      .orderBy($"o_orderkey").collect().toSeq == expect,
+      "compaction must be answer-invariant")
+
+    // second pass: nothing to do, and no file is touched (byte-identity)
+    val stats2 = Layout.compact(spark, dir, "o_orderstatus")
+    assert(stats2.partitionsCompacted == 0)
+    assert(listing() == packed, "idempotent rerun must not rewrite any file")
+  }
+
   test("joins and aggregations on the bucket key plan with zero exchanges") {
     val sfTag = "sf0001"
     val li = Layout.bucketedTable(spark,

@@ -59,6 +59,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(3L) != fp(1L))
   }
 
+  test("lineDedup removes corpus-frequent segments and rebuilds text in order") {
+    val corpus = Seq(
+      (0L, "aa bb cc dd ee ff"),
+      (1L, "aa bb cc xx yy zz"),
+      (2L, "aa bb cc pp qq rr"),
+      (3L, "unique words only here now six"),
+      (4L, "aa bb cc"),
+      (5L, "gg hh ii jj kk") // 5 words: short tail segment survives intact
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // "aa bb cc" occurs in 4 distinct docs (>= 3) -> removed everywhere
+    assert(got(0L) == ((2, 1, "dd ee ff")))
+    assert(got(1L) == ((2, 1, "xx yy zz")))
+    assert(got(2L) == ((2, 1, "pp qq rr")))
+    assert(got(3L) == ((2, 0, "unique words only here now six")))
+    assert(got(4L) == ((1, 1, ""))) // whole doc was boilerplate
+    assert(got(5L) == ((2, 0, "gg hh ii jj kk")))
+  }
+
   test("docStats char classes are exact") {
     val r = TextAnalysis.docStats(Seq((0L, "ab c1! d?")).toDF("doc_id", "text"))
       .select("n_len", "n_tokens", "n_alpha", "n_digits", "n_punct").collect().head
