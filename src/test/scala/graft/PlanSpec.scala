@@ -107,6 +107,54 @@ class PlanSpec extends SparkSpec {
       s"assignment should be a pure projection:\n$s")
   }
 
+  test("pq encode: corpus coding is one codegen'd projection, zero exchanges") {
+    // the PQ index build must scan-and-project only — a shuffle or a
+    // join in the encode pass would move raw embeddings at lake scale
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+    val anchors = graft.ops.Similarity.anchoredAnchors(emb, "vec_id", "embedding", 16)
+    val flat = new Array[Long](8 * 16 * 8)
+    for {
+      s <- 0 until 8
+      (a, c) <- anchors.sortBy(_._1).zipWithIndex
+      i <- 0 until 8
+    } flat((s * 16 + c) * 8 + i) = math.floor(a._2(s * 8 + i) * 1000).toLong
+    val encoded = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.functions.GraftExpressions
+        .pq_encode(org.apache.spark.sql.functions.col("embedding"), flat, 8, 16, 8, 1000)
+        .as("codes"))
+    val plan = executedPlan(encoded)
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"pq encode must not shuffle:\n$plan")
+    val s = plan.toString
+    assert(!s.contains("Join") && !s.contains("Window"),
+      s"pq encode should be a pure projection:\n$s")
+    assert(s.contains("*("), s"pq encode fell out of whole-stage codegen:\n$s")
+  }
+
+  test("txt_line_dedup: document text never rides a shuffle") {
+    // the design claim of TextAnalysis.lineDedup: every exchange moves
+    // fingerprints or int index lists — never text or segment strings
+    // recurse into AQE query stages: materialized exchanges hide behind
+    // QueryStageExec leaves, which a plain collect never descends into
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allShuffles(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+    // assert on the operator itself (the declared query appends a total-
+    // order presentation sort, which range-shuffles the RESULT rows —
+    // inherent to ordered output, not part of the dedup computation)
+    val docs = graft.io.Sources.table(spark, sf001, "documents")
+    val plan = executedPlan(graft.ops.TextAnalysis.lineDedup(docs))
+    val shuffles = allShuffles(plan)
+    assert(shuffles.nonEmpty, s"expected the frequency/regroup exchanges:\n$plan")
+    val offenders = shuffles.filter(_.output.exists(a =>
+      a.name == "text" || a.name == "seg" || a.name == "text_clean"))
+    assert(offenders.isEmpty,
+      s"text crossed a shuffle:\n${offenders.map(_.output.map(_.name)).mkString("; ")}\n$plan")
+  }
+
   test("join_asof_native: small right side broadcasts — fact side never shuffles") {
     val df = q("join_asof_native")
     df.collect()
