@@ -443,18 +443,47 @@ object Dedup {
     * is a zero-shuffle projection over inlined anchor literals; the
     * within-cluster self-join moves each (id, vec) once, keyed by
     * cluster. The quadratic term is per-cluster — at lake scale `nlist`
-    * rises with the corpus so the expected cluster stays bounded
-    * (SemDeDup runs ~100k clusters at web scale); a degenerate cluster
-    * is the same failure shape as an uncapped LSH bucket and takes the
-    * same cap if needed.
+    * rises with the corpus so the EXPECTED cluster stays bounded
+    * (SemDeDup runs ~100k clusters at web scale) — but a DEGENERATE
+    * cluster (100k boilerplate vectors landing on one anchor) must not
+    * become a 5×10⁹-comparison straggler, so the comparison side is
+    * capped: every member is compared only against the `maxCompare`
+    * LOWEST-id members of its cluster ("cluster anchors", ranked by a
+    * window over the same cluster partitioning the join shuffles on).
+    * For clusters of size ≤ `maxCompare` this is EXACTLY the original
+    * all-pairs rule (the cap side is the whole cluster), so the oracle
+    * replay is unchanged; for a degenerate cluster the pair count is
+    * linear (maxCompare × members, not members²/2) and the dedup still
+    * FIRES — every near-identical member matches anchor #1 and is
+    * dropped, keeping ~one exemplar, which is what SemDeDup means.
+    * (Contrast the LSH bucket cap, which DROPS oversized buckets: there
+    * recall survives via the other 15 bands; a cluster here has no
+    * other band, so dropping would instead keep every boilerplate
+    * copy — the worst possible outcome for a dedup operator.) What the
+    * cap can change vs uncapped: a vector whose ONLY ≥threshold mates
+    * rank above `maxCompare` stays kept — those mates are themselves
+    * dropped against some anchor whenever the cluster is an actual
+    * ε-clique, so the kept-set difference is confined to sparse
+    * non-clique clusters bigger than the cap, which `nlist` sizing is
+    * already expected to prevent.
     *
+    * @param maxCompare per-cluster comparison-anchor cap (`<= 0`
+    *                   disables, restoring the unbounded self-join)
     * @return one row per input id: (idCol, cluster, kept) */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nlist: Int = 16): DataFrame = {
+                    threshold: Double, nlist: Int = 16,
+                    maxCompare: Int = DefaultMaxBucketSize): DataFrame = {
     val anchors = Similarity.anchoredAnchors(df, idCol, vecCol, nlist)
     val assigned = Similarity.anchoredAssign(df, idCol, vecCol, anchors)
-    val l = assigned.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+    val l0 = assigned.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       col("cluster"))
+    val l =
+      if (maxCompare <= 0) l0
+      else l0.withColumn("_rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster")).orderBy(col("id_a"))))
+        .filter(col("_rk") <= maxCompare)
+        .drop("_rk")
     val r = assigned.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       col("cluster"))
     val dropped = l.join(r, Seq("cluster"))

@@ -141,6 +141,44 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.values.forall(_.exists(_._2)), s"cluster lost all members: $byCluster")
   }
 
+  test("semanticDedup cap bounds a degenerate cluster; dedup still fires") {
+    import spark.implicits._
+    // 5,000 identical vectors forced into ONE cluster (nlist=1): uncapped,
+    // the within-cluster self-join would emit 12.5 M cosine pairs through
+    // one straggler partition. With maxCompare=8 the comparison side is
+    // the 8 lowest ids only (≤ 8×5002 pairs) — and unlike the LSH bucket
+    // cap, the dedup still FIRES: every clique member matches anchor 0.
+    val clique = (0L until 5000L).map(i => (i, Array(1.0f, 0.0f)))
+    val strangers = Seq((10001L, Array(0.0f, 1.0f)), (10002L, Array(0.0f, 1.0f)))
+    val vecs = (clique ++ strangers).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 1, maxCompare = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size == 5002, "one verdict per input")
+    assert(got(0L), "clique exemplar kept")
+    assert((1L until 5000L).forall(i => !got(i)),
+      "every other clique member must drop against a capped anchor")
+    assert(got(10001L), "orthogonal vector has no ≥threshold anchor mate")
+    // documented cap-semantics difference: 10002's only mate (10001)
+    // ranks above the cap, so it stays kept where the uncapped rule
+    // would drop it — confined to non-clique members of an over-cap
+    // cluster, which nlist sizing is expected to prevent
+    assert(got(10002L))
+  }
+
+  test("semanticDedup cap is exact-identity for clusters at or under the cap") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.999f, 0.01f)), (3L, Array(0.01f, 0.999f)),
+      (4L, Array(-1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    def run(cap: Int) = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2, maxCompare = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(0) == run(1000), "cap must be a no-op when no cluster exceeds it")
+  }
+
   test("incremental near-dup vs the signature index matches the self-join pairs") {
     import org.apache.spark.sql.functions.col
     val corpus = graft.io.Sources.table(spark, sf001, "documents")
