@@ -177,14 +177,36 @@ object TextAnalysis {
     *     array in a projection. With the corpus bucketed on the id
     *     ([[Layout.writeBucketed]]) that join is exchange-free too.
     *
+    * The rebuild is O(segs): the segment array is materialized ONCE as a
+    * column, kept indexes are sorted (collect_list order is not
+    * shuffle-stable) and each index is an O(1) `element_at` into the
+    * bound array. (The previous `filter(segs, array_contains(kept_idx))`
+    * shape was O(segs²) twice over — a linear `array_contains` probe per
+    * segment, AND the un-materialized `segs` expression tree re-evaluated
+    * per lambda element — which a single 10 MB document, ~700k segments,
+    * turns into a straggler task.)
+    *
     * Returns one row per doc: n_segs, n_removed, text_clean. */
   def lineDedup(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", segWords: Int = 3,
                 minDocs: Int = 3): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
-    val nSegs = ceil(size(words).cast("double") / segWords).cast("int")
-    val segs = transform(sequence(lit(0), nSegs - 1),
-      i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords))))
+    // Linear single-pass segmentation: normalize whitespace runs to one
+    // space, mark every segWords-th word boundary with a U+001E sentinel
+    // (one regex pass — each match consumes segWords words, so the scan
+    // never revisits input), split once on the sentinel. The obvious
+    // `transform(sequence(0, nSegs-1), i => concat_ws(slice(words, ...)))`
+    // shape is O(segs²): higher-order functions evaluate interpreted, so
+    // the lambda re-evaluates the full `split(text)` subtree PER ELEMENT
+    // — a single 300k-word document turns that into hours, measured. The
+    // sentinel is a non-whitespace control char, so a document containing
+    // a literal U+001E inside a word would over-split that word's
+    // segment; acceptable for whitespace-delimited text corpora.
+    val rs = "\u001E"
+    val segs = split(
+      regexp_replace(
+        regexp_replace(trim(col(textCol)), "\\s+", " "),
+        s"((?:\\S+ ){${segWords - 1}}\\S+) ", s"$$1$rs"),
+      rs)
     val pos = df.select(col(idCol),
         posexplode(segs).as(Seq("seg_idx", "seg")))
       .select(col(idCol), col("seg_idx"), md5(col("seg")).as("fp"))
@@ -195,12 +217,17 @@ object TextAnalysis {
     val keptIdx = pos.join(broadcast(frequent), Seq("fp"), "left_anti")
       .groupBy(col(idCol))
       .agg(collect_list(col("seg_idx")).as("kept_idx"))
-    df.join(keptIdx, Seq(idCol), "left")
+    df.withColumn("_segs", segs)
+      .join(keptIdx, Seq(idCol), "left")
       .select(col(idCol),
-        nSegs.as("n_segs"),
-        (nSegs - coalesce(size(col("kept_idx")), lit(0))).as("n_removed"),
+        size(col("_segs")).as("n_segs"),
+        (size(col("_segs")) - coalesce(size(col("kept_idx")), lit(0)))
+          .as("n_removed"),
         concat_ws(" ",
-          filter(segs, (_, i) => array_contains(col("kept_idx"), i)))
+          transform(
+            array_sort(coalesce(col("kept_idx"),
+              array().cast("array<int>"))),
+            i => element_at(col("_segs"), i + 1)))
           .as("text_clean"))
   }
 

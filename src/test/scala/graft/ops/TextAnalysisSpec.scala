@@ -80,6 +80,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) == ((2, 0, "gg hh ii jj kk")))
   }
 
+  test("lineDedup handles a ~100k-segment document in linear time") {
+    // 300k words = 100k 3-word segments in ONE document — the shape that
+    // made the previous O(segs²) rebuild (per-segment array_contains over
+    // an unsorted kept list) a straggler. The linear rebuild finishes in
+    // seconds; the assertions pin the rebuild's correctness, not just
+    // survival: a repeated boilerplate segment is removed everywhere and
+    // the remaining unique segments come back in their original order.
+    val boiler = "xx yy zz"
+    val bigWords = (0 until 100000).flatMap { i =>
+      if (i % 100 == 0) Seq(boiler) else Seq(s"a$i b$i c$i")
+    }
+    val big = bigWords.mkString(" ")
+    val corpus = Seq(
+      (0L, big),
+      (1L, s"$boiler other words here"),
+      (2L, s"$boiler more distinct words")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(0L)._1 == 100000, "segment count")
+    assert(got(0L)._2 == 1000, "every boilerplate occurrence removed")
+    val clean = got(0L)._3
+    assert(!clean.contains(boiler), "no boilerplate survives")
+    assert(clean.startsWith("a1 b1 c1 a2 b2 c2"), "order preserved")
+    assert(clean.endsWith("a99998 b99998 c99998 a99999 b99999 c99999"))
+  }
+
   test("docStats char classes are exact") {
     val r = TextAnalysis.docStats(Seq((0L, "ab c1! d?")).toDF("doc_id", "text"))
       .select("n_len", "n_tokens", "n_alpha", "n_digits", "n_punct").collect().head
