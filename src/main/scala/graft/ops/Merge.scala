@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /** Copy-on-write MERGE (upsert) into a partitioned parquet table — the
@@ -27,6 +28,55 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Above this many touched partitions the target read switches from an
+    * In-literal filter (static pruning, fine for small batches) to
+    * explicit partition-directory selection: a 10⁵-element In expression
+    * is a driver planning blowup (every Catalyst transform walks and
+    * copies the literal list), while handing the reader the affected
+    * directories prunes BY CONSTRUCTION at any touched-partition count
+    * with zero literals in the plan. */
+  val InListThreshold: Int = 1000
+
+  /** The partition-pruned read of the merge target: only partitions that
+    * appear in `updates` are scanned. Exposed for MergeSpec's plan
+    * assertions. Above `inListThreshold` the affected directories are
+    * matched against the table's listing with Hive path-unescaping (a
+    * value like `a:b` is stored as `a%3Ab`); matching is on the string
+    * rendering of the partition value, which is how the dynamic writer
+    * names directories for the string/date/integral partition columns
+    * this engine partitions by. Null partition values never match either
+    * path (In's null semantics / the `__HIVE_DEFAULT_PARTITION__`
+    * sentinel is skipped) — a null-partitioned update is an insert into
+    * the null directory, not a rewrite of it. */
+  private[ops] def prunedTarget(spark: SparkSession, targetDir: String,
+                                updates: DataFrame, partitionCol: String,
+                                inListThreshold: Int): DataFrame = {
+    // one row per touched partition — bounded by the update batch
+    val affected = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    if (affected.length <= inListThreshold)
+      spark.read.parquet(targetDir)
+        .filter(col(partitionCol).isin(affected: _*))
+    else {
+      val root = new Path(targetDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val wanted = affected.filter(_ != null).map(_.toString).toSet
+      val dirs = fs.listStatus(root)
+        .filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol=") && {
+            val raw = st.getPath.getName.stripPrefix(s"$partitionCol=")
+            raw != ExternalCatalogUtils.DEFAULT_PARTITION_NAME &&
+              wanted.contains(ExternalCatalogUtils.unescapePathName(raw))
+          }
+        }
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) // every update partition is brand new
+        spark.read.parquet(targetDir).filter(lit(false))
+      else
+        spark.read.option("basePath", targetDir).parquet(dirs.toIndexedSeq: _*)
+    }
+  }
+
   /** Upsert `updates` into the partitioned parquet table at `targetDir`.
     * `updates` must carry the full table schema including `partitionCol`.
     * Update rows win on key collision, column-wise (`coalesce(update,
@@ -34,7 +84,8 @@ object Merge {
     * the reference's attribute-level put semantics). Bootstraps the
     * table on first call. */
   def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
-                keys: Seq[String], partitionCol: String): Unit = {
+                keys: Seq[String], partitionCol: String,
+                inListThreshold: Int = InListThreshold): Unit = {
     val root = new Path(targetDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) {
@@ -42,11 +93,8 @@ object Merge {
       return
     }
 
-    // one row per touched partition — bounded by the update batch
-    val affected = updates.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0))
-    val target = spark.read.parquet(targetDir)
-      .filter(col(partitionCol).isin(affected: _*))
+    val target = prunedTarget(spark, targetDir, updates, partitionCol,
+      inListThreshold)
 
     val dataCols = updates.columns
     val merged = target.alias("t")

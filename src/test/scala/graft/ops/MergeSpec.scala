@@ -55,6 +55,83 @@ class MergeSpec extends SparkSpec {
     assert(state(dir) == expect)
   }
 
+  test("prunedTarget at 5k touched partitions: directory selection, no giant In literal") {
+    // Above InListThreshold the target read must stop building an
+    // In-literal (a 5k-element In is a driver planning blowup: every
+    // Catalyst transform walks and copies the literal list) and instead
+    // hand the reader the affected directories — pruning by construction.
+    val dir = Files.createTempDirectory("graft-merge-5k").toString + "/tbl"
+    val base = spark.range(0, 16)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), $"id".as("p"))
+    Merge.mergeInto(spark, dir, base, Seq("k"), "p")
+
+    // a batch touching 5,000 distinct partitions (16 existing + 4,984 new)
+    val updates = spark.range(0, 5000)
+      .select($"id".as("k"), ($"id" * 10.0).as("v"), $"id".as("p"))
+    val pruned = Merge.prunedTarget(spark, dir, updates, "p",
+      Merge.InListThreshold)
+    val plan = pruned.queryExecution.optimizedPlan.toString
+    assert(!plan.contains(" IN ") && !plan.toLowerCase.contains("isin"),
+      s"directory-selection path must not plan an In literal:\n$plan")
+    // reads exactly the existing touched partitions' files, nothing more
+    assert(pruned.inputFiles.length == 16, s"got ${pruned.inputFiles.length}")
+    assert(pruned.select($"k", $"p".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0L until 16L).map(k => (k, k)).toSet)
+  }
+
+  test("mergeInto end-to-end through the directory-selection branch") {
+    // Same semantics as the In-literal path, exercised past the threshold
+    // (forced low so the test stays fast): updates rewrite their
+    // partitions, untouched partitions keep their exact files.
+    val dir = Files.createTempDirectory("graft-merge-dirsel").toString + "/tbl"
+    val base = spark.range(0, 60)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 20).as("p"))
+    Merge.mergeInto(spark, dir, base, Seq("k"), "p")
+    val before = partFiles(dir, 19) // p=19 is not in the update batch
+
+    val updates = spark.range(0, 18)
+      .select($"id".as("k"), ($"id" * 10.0).as("v"), ($"id" % 20).as("p"))
+    Merge.mergeInto(spark, dir, updates, Seq("k"), "p", inListThreshold = 5)
+
+    val expect =
+      (0L until 60L).map(k => k -> (k * 1.0, k % 20)).toMap ++
+        (0L until 18L).map(k => k -> (k * 10.0, k % 20)).toMap
+    assert(state(dir) == expect)
+    assert(partFiles(dir, 19) == before,
+      "untouched partition rewritten by the directory-selection branch")
+  }
+
+  test("mergeInto directory selection unescapes Hive-escaped partition values; null partitions insert") {
+    // Partition values the dynamic writer must Hive-escape in directory
+    // names (: and % and =) round-trip through the directory-selection
+    // branch; a null-partitioned update row is an INSERT into the null
+    // directory, never a rewrite of it (matching In's null semantics on
+    // the literal path).
+    val dir = Files.createTempDirectory("graft-merge-esc").toString + "/tbl"
+    def st(): Map[Long, (Double, String)] = spark.read.parquet(dir)
+      .select($"k", $"v", $"p".cast("string"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+
+    val base = Seq(
+      (1L, 1.0, "a:b"), (2L, 2.0, "c%d"), (3L, 3.0, "e=f"), (4L, 4.0, "plain"))
+      .toDF("k", "v", "p")
+    Merge.mergeInto(spark, dir, base, Seq("k"), "p")
+    // escaped directory names on disk, readable values in the frame
+    val dirNames = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirNames.contains("p=a%3Ab"), s"expected Hive escaping, got $dirNames")
+
+    val upd = Seq(
+      (1L, 10.0, Some("a:b")), (2L, 20.0, Some("c%d")),
+      (5L, 50.0, Option.empty[String]))
+      .toDF("k", "v", "p")
+    Merge.mergeInto(spark, dir, upd, Seq("k"), "p", inListThreshold = 0)
+    assert(st() == Map(
+      1L -> (10.0, "a:b"), 2L -> (20.0, "c%d"), 3L -> (3.0, "e=f"),
+      4L -> (4.0, "plain"), 5L -> (50.0, null)))
+  }
+
   test("mergeInto: null update columns keep the target's value") {
     val dir = Files.createTempDirectory("graft-merge-null").toString + "/tbl"
     val base = Seq((1L, 5.0, 0L), (2L, 6.0, 0L)).toDF("k", "v", "p")
