@@ -93,8 +93,14 @@ object Layout {
     *  - executed as ONE job over the affected partitions: a
     *    partition-pruned scan, a repartition on (partition, salt) where
     *    salt < the partition's planned file count, and a dynamic-
-    *    partition overwrite staged exactly like MERGE (underscore dir,
-    *    so a mid-write failure leaves the table intact);
+    *    partition overwrite staged exactly like MERGE (underscore dir).
+    *    A failure while WRITING staging leaves the table untouched; the
+    *    dynamic-overwrite COMMIT itself has a narrow window (it deletes
+    *    each target partition directory before renaming the staged
+    *    replacement in, same exposure as [[Merge.mergeInto]]) — recovery
+    *    from a crash inside that commit is re-running compact, which
+    *    replays from the surviving source of truth (the commit only
+    *    runs after staging is fully materialized);
     *  - answer-invariant (content identical before/after — `lay_compact`
     *    hash-matches the uncompacted oracle) and IDEMPOTENT: a second
     *    pass finds every partition already at its packed file count and
@@ -119,44 +125,69 @@ object Layout {
 
     val before = partitionDirs.map(p => p -> dataFiles(p))
     val filesBefore = before.map(_._2.length).sum
-    // plan: (partition value, packed file count) for every partition
-    // whose file count exceeds its bin-packed target
+    // plan: (dir name, UNESCAPED partition value, packed file count) for
+    // every partition whose file count exceeds its bin-packed target.
+    // Directory names are Hive-escaped (a value `a:b` is stored as
+    // `a%3Ab`), so they must be unescaped before they can match the
+    // cast-to-string column values below; the null-partition sentinel
+    // (__HIVE_DEFAULT_PARTITION__) has no string value to match and is
+    // skipped — a null-partitioned table compacts its non-null
+    // partitions only.
     val plan = before.flatMap { case (dir, files) =>
       val bytes = files.map(_.getLen).sum
       val packed = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      if (files.length > packed && files.length >= minFiles)
-        Some(dir.getName.stripPrefix(s"$partitionCol=") -> packed)
+      val raw = dir.getName.stripPrefix(s"$partitionCol=")
+      if (files.length > packed && files.length >= minFiles &&
+          raw != org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME)
+        Some((dir.getName,
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw),
+          packed))
       else None
     }
     if (plan.isEmpty)
       return CompactStats(0, filesBefore, filesBefore)
 
-    val planDf = broadcast(spark.createDataFrame(plan.toSeq)
+    val planDf = broadcast(spark.createDataFrame(plan.toSeq.map(p => (p._2, p._3)))
       .toDF("_pval", "_out_files"))
     val affected = spark.read.parquet(tableDir)
-      .filter(col(partitionCol).cast("string").isin(plan.map(_._1): _*))
+      .filter(col(partitionCol).cast("string").isin(plan.map(_._2).toIndexedSeq: _*))
     val dataCols = affected.columns.filterNot(_ == partitionCol)
     // deterministic row salt bounded by the partition's packed count: a
     // (partition, salt) group always lands whole in one write task, so a
-    // partition emits at most _out_files files
+    // partition emits at most _out_files files. The salt RIDES THROUGH
+    // staging and the read-back re-groups on it — re-splitting staging
+    // files by size alone (the previous shape) could split a group whose
+    // staging file exceeds maxPartitionBytes across tasks, emitting more
+    // files than planned and re-triggering a rewrite on the next pass.
     val salted = affected
       .join(planDf, col(partitionCol).cast("string") === col("_pval"))
       .withColumn("_salt",
         pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), col("_out_files")))
-      .repartition(col(partitionCol), col("_salt"))
-      .drop("_pval", "_out_files", "_salt")
+      .drop("_pval", "_out_files")
 
     val staging = new Path(root, "_compact_staging").toString
     salted.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging)
+      .repartition(col(partitionCol), col("_salt"))
+      .drop("_salt")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(tableDir)
     fs.delete(new Path(staging), true)
 
-    CompactStats(plan.length, filesBefore,
-      partitionDirs.map(p => dataFiles(p).length).sum)
+    // report what actually happened: a planned partition counts as
+    // compacted only if its file count really dropped (the earlier
+    // count of PLANNED partitions silently overstated when an escaped
+    // name failed to match and the partition was left fragmented)
+    val afterCounts = partitionDirs.map(p => p.getName -> dataFiles(p).length).toMap
+    val beforeCounts = before.map { case (d, fl) => d.getName -> fl.length }.toMap
+    val compacted = plan.count { case (dirName, _, _) =>
+      afterCounts.getOrElse(dirName, 0) < beforeCounts(dirName)
+    }
+    CompactStats(compacted, filesBefore, afterCounts.values.sum)
   }
 
   /** Idempotent bucketed-table accessor: create the bucketed copy of

@@ -117,6 +117,49 @@ class LayoutSpec extends SparkSpec {
     assert(listing() == packed, "idempotent rerun must not rewrite any file")
   }
 
+  test("compact unescapes Hive-escaped partition values and skips the null sentinel") {
+    // Partition values holding characters the dynamic writer Hive-escapes
+    // in directory names (':' → %3A, '%' → %25, '=' → %3D) must still be
+    // matched by compact's partition-pruned rewrite — before the
+    // unescaping fix these silently stayed fragmented while the stats
+    // claimed them compacted. The null partition sentinel
+    // (__HIVE_DEFAULT_PARTITION__) has no string value to match and is
+    // skipped explicitly.
+    val base = Files.createTempDirectory("graft-compact-esc").toString
+    val dir = s"$base/esc_tbl"
+    val df = Seq.tabulate(80) { i =>
+      (i.toLong, Seq(Some("a:b"), Some("c%d"), Some("e=f"), Option.empty[String])(i % 4))
+    }.toDF("id", "p")
+    df.repartition(4).write.partitionBy("p").parquet(dir)
+
+    def fileCounts(): Map[String, Int] = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).map { d =>
+        d.getPath.getName -> fs.listStatus(d.getPath)
+          .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      }.toMap
+    }
+    val frag = fileCounts()
+    assert(frag.keySet == Set("p=a%3Ab", "p=c%25d", "p=e%3Df",
+      "p=__HIVE_DEFAULT_PARTITION__"), s"fixture dirs: ${frag.keySet}")
+    assert(frag.values.forall(_ > 1), s"fixture must be fragmented: $frag")
+
+    val stats = Layout.compact(spark, dir, "p")
+    val packed = fileCounts()
+    // the three escaped-value partitions really compacted...
+    assert(stats.partitionsCompacted == 3, s"stats: $stats, files: $packed")
+    assert(Seq("p=a%3Ab", "p=c%25d", "p=e%3Df").forall(packed(_) == 1), s"$packed")
+    // ...the null sentinel is skipped, not crashed on
+    assert(packed("p=__HIVE_DEFAULT_PARTITION__") ==
+      frag("p=__HIVE_DEFAULT_PARTITION__"))
+    // answer-invariant, including the null partition
+    assert(spark.read.parquet(dir).select($"id", $"p".cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      (0 until 80).map(i =>
+        i.toLong -> Seq("a:b", "c%d", "e=f", null)(i % 4)).toMap)
+  }
+
   test("joins and aggregations on the bucket key plan with zero exchanges") {
     val sfTag = "sf0001"
     val li = Layout.bucketedTable(spark,
