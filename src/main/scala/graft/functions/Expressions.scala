@@ -644,12 +644,32 @@ object GraftExpressions {
     override def checkInputDataTypes(): TypeCheckResult =
       requireArrayOf(child, "pq_encode",
         t => t == FloatType || t == DoubleType, "array<float|double>")
+    /** A vector whose length differs from m·subDim is corrupt input; the
+      * earlier min-clamp silently zero-padded/truncated it into a
+      * plausible-but-wrong code. Fail loudly instead. A null ELEMENT is
+      * the same class of corruption, checked per element below — it
+      * cannot be rejected at the type level because parquet always marks
+      * array elements nullable (`containsNull=true`) even for columns
+      * that hold none, and unchecked it would NPE under interpreted eval
+      * on GenericArrayData but silently read as 0.0 from UnsafeArrayData
+      * under codegen: divergent plausible-but-wrong codes. */
+    private def badLength(got: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length $got != m*subDim = ${m * subDim}")
+    /** Codegen entry point for the same failure (generated code can only
+      * call public members of the referenced expression object). */
+    def badLengthPublic(got: Int): Unit = badLength(got)
+    def badNullElementPublic(at: Int): Unit =
+      throw new IllegalArgumentException(
+        s"pq_encode: null element at index $at in input vector")
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val n = math.min(arr.numElements(), m * subDim)
+      val n = m * subDim
+      if (arr.numElements() != n) badLength(arr.numElements())
       val qv = new Array[Long](m * subDim)
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) badNullElementPublic(i)
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         qv(i) = math.floor(x * scale).toLong
         i += 1
@@ -684,10 +704,14 @@ object GraftExpressions {
           ctx.freshName("codes"), ctx.freshName("s"), ctx.freshName("best"),
           ctx.freshName("bestD"), ctx.freshName("c"), ctx.freshName("d"),
           ctx.freshName("j"), ctx.freshName("diff"))
+      val self = ctx.addReferenceObj("pqEncodeExpr", this,
+        classOf[PqEncode].getName)
       nullSafeCodeGen(ctx, ev, arr => s"""
-        |int $n = java.lang.Math.min($arr.numElements(), ${m * subDim});
+        |int $n = ${m * subDim};
+        |if ($arr.numElements() != $n) { $self.badLengthPublic($arr.numElements()); }
         |long[] $qv = new long[${m * subDim}];
         |for (int $i = 0; $i < $n; $i++) {
+        |  if ($arr.isNullAt($i)) { $self.badNullElementPublic($i); }
         |  $qv[$i] = (long) java.lang.Math.floor((double)$arr.$get($i) * $scale);
         |}
         |int[] $codes = new int[$m];

@@ -187,4 +187,38 @@ class ExpressionsSpec extends SparkSpec {
       .head.getSeq[Double](0)
     assert(feats.length == 16 && math.abs(feats.sum - 1.0) < 1e-9)
   }
+
+  test("pq_encode rejects corrupt vectors loudly: wrong length, null element") {
+    // A wrong-length or null-holding vector is corrupt input; the old
+    // min-clamp silently zero-padded it into a plausible-but-wrong code
+    // (and a null element read as 0.0 under codegen but NPE'd
+    // interpreted — divergent). Both must throw, in BOTH eval modes.
+    val codebook = Array.tabulate(2 * 2 * 2)(_.toLong) // m=2, ksub=2, subDim=2
+    def run(vecs: Seq[Seq[Option[Float]]], codegen: Boolean): Unit = {
+      val df = vecs.toDF("v")
+        .select(GraftExpressions.pq_encode($"v", codebook, 2, 2, 2).as("c"))
+      val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+      val prevWscg = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.collect() finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+        spark.conf.set("spark.sql.codegen.wholeStage", prevWscg)
+      }
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val good = Seq(Seq[Option[Float]](Some(1f), Some(2f), Some(3f), Some(4f)))
+    val short = Seq(Seq[Option[Float]](Some(1f), Some(2f)))
+    val nullEl = Seq(Seq[Option[Float]](Some(1f), None, Some(3f), Some(4f)))
+    for (cg <- Seq(true, false)) {
+      run(good, cg) // sanity: a well-formed vector encodes fine
+      val e1 = intercept[Exception] { run(short, cg) }
+      assert(messages(e1).contains("vector length"), s"cg=$cg: ${messages(e1)}")
+      val e2 = intercept[Exception] { run(nullEl, cg) }
+      assert(messages(e2).contains("null element"), s"cg=$cg: ${messages(e2)}")
+    }
+  }
 }
