@@ -107,6 +107,73 @@ object Sinks {
     }
   }
 
+  /** The public DynamoDB `batch_write_item` CONTRACT SHAPE (the API the
+    * reference would call instead of its row-by-row `put_item` loop,
+    * `Task_2/task_2.py:158-175`): a request carries at most 25 items,
+    * and the RESPONSE may hand back `UnprocessedItems` — items the store
+    * throttled — which the CALLER must re-submit with backoff. Anything
+    * implementing this seam (the real SDK client, the file backend
+    * below) drops into [[DynamoShapedKvClient]] unchanged: swapping in
+    * the managed service is configuration, not code. */
+  trait BatchWriteStore extends Serializable {
+    /** Attempt one batch (≤ 25 items); returns the UNPROCESSED leftovers
+      * (empty = everything durable). */
+    def batchWriteItem(table: String,
+                       items: Seq[(String, Map[String, String])]): Seq[(String, Map[String, String])]
+  }
+
+  /** [[KvClient]] speaking the DynamoDB batch contract: chunks to the
+    * 25-item request cap and retries unprocessed leftovers with
+    * exponential backoff until the store accepts them (or `maxRetries`
+    * is exhausted — then it THROWS, failing the Spark task so the batch
+    * replays, rather than silently dropping rows). Idempotent-upsert
+    * semantics come from the store, so a replayed batch converges. */
+  class DynamoShapedKvClient(store: BatchWriteStore, maxRetries: Int = 5,
+                             backoffMs: Long = 10) extends KvClient {
+    def put(table: String, key: String, item: Map[String, String]): Unit =
+      putBatch(table, Seq(key -> item))
+    override def putBatch(table: String,
+                          items: Seq[(String, Map[String, String])]): Unit =
+      items.grouped(25).foreach { chunk =>
+        var pending = chunk
+        var attempt = 0
+        while (pending.nonEmpty) {
+          pending = store.batchWriteItem(table, pending)
+          if (pending.nonEmpty) {
+            attempt += 1
+            if (attempt > maxRetries)
+              throw new IllegalStateException(
+                s"$table: ${pending.size} items unprocessed after $maxRetries retries")
+            Thread.sleep(backoffMs << math.min(attempt - 1, 6))
+          }
+        }
+      }
+  }
+
+  /** File-backed [[BatchWriteStore]] (durable via [[FileKvClient]]) with
+    * DETERMINISTIC throttle injection for the retry spec: the first
+    * `throttleFirst` calls refuse their first `throttleN` items — the
+    * shape of a real DynamoDB partial batch failure. Also records every
+    * request's size so a spec can assert the 25-item cap was honored. */
+  class FileBatchWriteStore(baseDir: String, throttleN: Int = 0,
+                            throttleFirst: Int = 0) extends BatchWriteStore {
+    private val delegate = new FileKvClient(baseDir)
+    private var calls = 0
+    val requestSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    def batchWriteItem(table: String,
+                       items: Seq[(String, Map[String, String])]): Seq[(String, Map[String, String])] = {
+      require(items.size <= 25, s"batch_write_item cap exceeded: ${items.size}")
+      val callNo =
+        this.synchronized { calls += 1; requestSizes += items.size; calls }
+      val unprocessed =
+        if (callNo <= throttleFirst) items.take(throttleN) else Seq.empty
+      items.drop(unprocessed.size).foreach { case (k, item) =>
+        delegate.put(table, k, item)
+      }
+      unprocessed
+    }
+  }
+
   /** Read side + codec for [[FileKvClient]] stores. `read` is what a
     * restarted process (or a downstream consumer) uses to load the
     * current table state — nothing lives in memory between runs. */

@@ -55,6 +55,43 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.FileKv.read(base, "t_null")("k1")("note") == null)
   }
 
+  test("dynamo-shaped client: 25-item batches, unprocessed-retry, durable result") {
+    val base = Files.createTempDirectory("graft-ddb").toString
+    // throttle the first 3 requests' first 7 items each — the shape of a
+    // real DynamoDB partial batch failure the caller must retry
+    val store = new Sinks.FileBatchWriteStore(base, throttleN = 7, throttleFirst = 3)
+    val client = new Sinks.DynamoShapedKvClient(store, backoffMs = 1)
+    val items = (0 until 60).map(i => s"k$i" -> Map("pk" -> s"k$i", "v" -> i.toString))
+    client.putBatch("t", items)
+    // every request honored the 25-item API cap (the store `require`s it
+    // too, so an oversized request would have thrown)
+    assert(store.requestSizes.forall(_ <= 25))
+    // retries happened: 60 items = 3 full chunks minimum, +3 throttled re-submissions
+    assert(store.requestSizes.size == 6, s"got ${store.requestSizes}")
+    assert(store.requestSizes.sorted == Seq(7, 7, 7, 10, 25, 25),
+      "re-submitted requests carry exactly the unprocessed leftovers")
+    // all 60 items durable despite the throttling
+    val t = Sinks.FileKv.read(base, "t")
+    assert(t.size == 60 && t("k59")("v") == "59")
+
+    // a store that never accepts an item exhausts retries and THROWS
+    // (fail the task and replay the batch — never silently drop rows)
+    val black = new Sinks.BatchWriteStore {
+      def batchWriteItem(table: String, items: Seq[(String, Map[String, String])]) = items
+    }
+    val failing = new Sinks.DynamoShapedKvClient(black, maxRetries = 2, backoffMs = 1)
+    intercept[IllegalStateException] {
+      failing.putBatch("t", Seq("k" -> Map("v" -> "1")))
+    }
+
+    // the client drops into the standard kvUpsert seam unchanged
+    val df = Seq(("2025-03-08", 10.5)).toDF("order_date", "rev")
+    val base2 = Files.createTempDirectory("graft-ddb2").toString
+    Sinks.kvUpsert(df, "kpi", Seq("order_date"),
+      () => new Sinks.DynamoShapedKvClient(new Sinks.FileBatchWriteStore(base2)))
+    assert(Sinks.FileKv.read(base2, "kpi")("2025-03-08")("rev") == "10.50")
+  }
+
   test("csv sink round-trips with header; timestamped sink nests under ts") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
