@@ -149,6 +149,46 @@ object Streaming {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Continuous KPI pipeline (SURVEY §2.I continuous variant — the
+    * late-data story the reference does not have). The daily cat/order
+    * KPI grain maintained INCREMENTALLY: watermarked event-time day
+    * windows aggregated in UPDATE mode, each micro-batch upserting only
+    * the (day × key) rows it changed into the KV table — the reference's
+    * `put_item` overwrite semantics (`Task_2/task_2.py:174,193`). A late
+    * row inside the watermark revises its day's running aggregate and
+    * the next upsert overwrites the key, so the table CONVERGES to the
+    * from-scratch batch answer without ever reprocessing the snapshot
+    * (the AvailableNow pipeline above recomputes everything per trigger;
+    * this is the per-event path a true stream source feeds).
+    *
+    * Scale: streaming state is one row per (day × key) inside the
+    * watermark horizon — dimension-cardinality, not event-cardinality —
+    * and each micro-batch shuffles only its own events into the windowed
+    * partial aggregate. `df` must carry event-time `ts` and numeric
+    * `price`; `keyCols` adds the category dimension for the cat-KPI
+    * shape (empty = the order-KPI daily grain). */
+  def continuousDailyKpi(df: DataFrame, table: String,
+                         kvFactory: () => Sinks.KvClient,
+                         checkpoint: String,
+                         keyCols: Seq[String] = Nil,
+                         watermark: String = "2 days"): StreamingQuery = {
+    val kpi = df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day") +: keyCols.map(col): _*)
+      .agg(sum(col("price")).as("total_revenue"),
+        count(lit(1)).as("total_orders"),
+        avg(col("price")).as("avg_order_value"))
+      .select(col("window.start").cast("date").as("order_date") +:
+        (keyCols.map(col) ++ Seq(col("total_revenue"), col("total_orders"),
+          col("avg_order_value"))): _*)
+    kpi.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.kvUpsert(batch, table, "order_date" +: keyCols, kvFactory)
+      }
+      .start()
+  }
+
   /** Native session windows (gap-close semantics identical to
     * `ops.Sessions`): Spark's `session_window` merges events of a key
     * into variable-length windows that close after `gap` of silence; the

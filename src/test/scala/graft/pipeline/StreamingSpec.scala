@@ -155,6 +155,64 @@ class StreamingSpec extends SparkSpec {
     assert(out(("2024-01-02", "click")) == ((1L, 7.0)))
   }
 
+  test("continuous KPI pipeline converges the KV table to the batch answer across late data") {
+    implicit val sqlCtx = spark.sqlContext
+    Sinks.InMemoryKv.clear()
+    val ckpt = Files.createTempDirectory("graft-ckpt-kpi").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "category", "price")
+    val q = Streaming.continuousDailyKpi(df, "cat_kpi_cont",
+      () => new Sinks.InMemoryKvClient, ckpt, keyCols = Seq("category"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // micro-batch 1: two days, two categories
+    mem.addData(
+      (t("2025-03-08 10:00:00"), "a", 10.0),
+      (t("2025-03-08 11:00:00"), "b", 20.0),
+      (t("2025-03-09 09:00:00"), "a", 30.0))
+    q.processAllAvailable()
+    val after1 = Sinks.InMemoryKv.tableOf("cat_kpi_cont")
+    assert(after1.get("2025-03-08|a")("total_revenue") == "10.00")
+
+    // micro-batch 2: a day-3 arrival plus a LATE day-1 row (within the
+    // 2-day watermark) that must REVISE 2025-03-08|a in place — the
+    // upsert-overwrite the reference's put_item does on rerun
+    mem.addData(
+      (t("2025-03-10 08:00:00"), "b", 40.0),
+      (t("2025-03-08 23:00:00"), "a", 5.0))
+    q.processAllAvailable()
+    val after2 = Sinks.InMemoryKv.tableOf("cat_kpi_cont")
+    assert(after2.get("2025-03-08|a")("total_revenue") == "15.00")
+    assert(after2.get("2025-03-08|a")("total_orders") == "2")
+
+    // micro-batch 3: more late data for both earlier days
+    mem.addData(
+      (t("2025-03-09 10:00:00"), "a", 30.0),
+      (t("2025-03-08 12:00:00"), "b", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // convergence: the streamed table must equal the KPI computed from
+    // scratch over ALL events, pushed through the same sink coercions
+    val allEvents = Seq(
+      (t("2025-03-08 10:00:00"), "a", 10.0), (t("2025-03-08 11:00:00"), "b", 20.0),
+      (t("2025-03-09 09:00:00"), "a", 30.0), (t("2025-03-10 08:00:00"), "b", 40.0),
+      (t("2025-03-08 23:00:00"), "a", 5.0), (t("2025-03-09 10:00:00"), "a", 30.0),
+      (t("2025-03-08 12:00:00"), "b", 1.0)
+    ).toDF("ts", "category", "price")
+    val batchKpi = allEvents
+      .groupBy($"ts".cast("date").as("order_date"), $"category")
+      .agg(sum($"price").as("total_revenue"), count(lit(1)).as("total_orders"),
+        avg($"price").as("avg_order_value"))
+    Sinks.kvUpsert(batchKpi, "cat_kpi_batch", Seq("order_date", "category"),
+      () => new Sinks.InMemoryKvClient)
+    import scala.jdk.CollectionConverters._
+    val streamed = Sinks.InMemoryKv.tableOf("cat_kpi_cont").asScala.toMap
+    val batch = Sinks.InMemoryKv.tableOf("cat_kpi_batch").asScala.toMap
+    assert(streamed.keySet == batch.keySet, s"keys: $streamed vs $batch")
+    assert(streamed == batch, "every KPI cell must converge to the batch value")
+  }
+
   test("transformWithState first-seen dedup suppresses cross-batch redelivery") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
