@@ -86,6 +86,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again == first) // seeded quantizer => deterministic
   }
 
+  test("k-means ivf recall@k vs brute-force truth clears the 0.6 floor") {
+    // The quality gate for the rows-only `sim_topk_ivf` query (seeded
+    // k-means internals have no SQL oracle): at the DECLARED parameters
+    // (k=5, nlist=8, nprobe=3 — SparkEntry `sim_topk_ivf`) recall
+    // against the oracle-checked brute-force truth must clear 0.6, and
+    // probing more clusters must not lose recall. Deterministic: seeded
+    // quantizer, fixed corpus.
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+    val q = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r3 = recallAt(3)
+    info(s"ivf recall@5 nprobe=3: $r3")
+    assert(r3 >= 0.6, s"ivf recall@5 collapsed: $r3")
+    val r8 = recallAt(8)
+    assert(r8 >= r3, s"full probe (nprobe=nlist) lost recall: $r8 < $r3")
+    assert(r8 >= 0.999, s"nprobe=nlist must reproduce brute force, got $r8")
+  }
+
   test("ivf partitioned index: pruned probe matches in-session ivf, plan prunes partitions") {
     val emb = graft.io.Sources.table(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
