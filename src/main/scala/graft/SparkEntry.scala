@@ -407,6 +407,31 @@ object SparkEntry {
           col("l_partkey"), col("l_extendedprice"))
     }),
 
+    // §0 README-intent mode: the reference README claims two checks its
+    // code never performs — products price > 0 (README.md:33; Task_1
+    // reads products but never validates them, task_1.py:120) and
+    // order-item quantity > 0 (README.md:34; the reference data has no
+    // quantity column at all). The default q_validate_all implements
+    // CODE behavior; this variant implements the documented INTENT on
+    // the transposed schema (products→part with p_retailprice, and the
+    // testdata lineitem carries l_quantity, making the phantom check
+    // expressible). Composed purely from the §2.B primitives.
+    "q_validate_readme" -> ((s, d) => {
+      val validOrders = Validate.dropNullsAny(Seq("o_orderkey", "o_custkey", "o_orderdate"))(
+        t(s, d, "orders")).select(col("o_orderkey").as("l_orderkey"))
+      val validParts = Validate.positive("p_retailprice")(t(s, d, "part"))
+        .select(col("p_partkey").as("l_partkey"))
+      val items = Validate.positive("l_quantity")(
+        Validate.positive("l_extendedprice")(
+          Validate.dropNullsAny(Seq("l_orderkey", "l_partkey", "l_extendedprice"))(
+            t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey",
+              "l_quantity", "l_extendedprice"))))
+      Validate.semiJoinRI(validOrders, "l_orderkey")(
+        Validate.semiJoinRI(validParts, "l_partkey")(items))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    }),
+
     // §2.E window top-k (beyond the reference — engine completeness):
     // top-3 highest-price items per order, deterministic tiebreak.
     "win_topk_per_order" -> ((s, d) => {
@@ -1568,6 +1593,18 @@ object SparkEntry {
         |    SELECT o_orderkey FROM orders
         |    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+
+    "q_validate_readme" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |  AND l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        |  AND l_quantity > 0
+        |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice > 0)
+        |  AND l_orderkey IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""".stripMargin,
 
     "win_topk_per_order" ->
       """SELECT * FROM (
