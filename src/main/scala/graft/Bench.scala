@@ -160,7 +160,14 @@ object Bench {
     // repeating a query back-to-back, so a single contention burst lands
     // on at most one sample per query. Pass 1 additionally pays one-time
     // JIT + whole-stage-codegen compilation (measured 2-4× steady state
-    // in round 2), which the min also absorbs.
+    // in round 2), which the min also absorbs. The sweep is ROTATED by
+    // one position per pass: PERIODIC external load (a cron job, another
+    // tenant's duty cycle) whose period is near the pass length would
+    // otherwise align its burn window with the SAME queries every pass,
+    // and their min never sees a quiet slot — measured under a 30s-on/
+    // 30s-off 32-core burner, two fixed-order queries stayed 1.8-1.9×
+    // inflated across all passes while the rotated order bounds every
+    // query's worst-case alignment at ceil(passes × duty) passes.
     val loadavgs = scala.collection.mutable.ArrayBuffer[Double]()
     val samples = scala.collection.mutable.Map[String, Vector[Sample]]()
       .withDefaultValue(Vector.empty)
@@ -171,7 +178,9 @@ object Bench {
       loadavgs += loadAvg()
       var p = probe()
       var passQuiet = p.calib <= quietCalib
-      benchList.foreach { n =>
+      val rot = (pass - 1) % benchList.size
+      val order = benchList.drop(rot) ++ benchList.take(rot)
+      order.foreach { n =>
         val sec = runOnce(n)
         val pAfter = probe()
         val s = Sample(sec, p, pAfter)
