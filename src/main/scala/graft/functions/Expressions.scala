@@ -735,6 +735,116 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Word n-gram shingle ARRAY of a text column — the fused-loop form of
+    * [[graft.ops.Dedup.shingles]]'s original built-in composition
+    * `transform(sequence(0, size(words)-n), i => concat_ws(" ",
+    * slice(words, i+1, n)))`. That shape is O(words²): higher-order
+    * functions evaluate interpreted and re-evaluate the full
+    * `split(text)` subtree PER SHINGLE (the same trap lineDedup's
+    * segmentation hit — profiled as the dominant cost of every shingle
+    * consumer: contamination, minhash signatures, n-gram stats). Here
+    * the text is trimmed, lowercased and split ONCE per row and the
+    * overlapping n-grams are sliced out of the token array in one
+    * linear pass, with the regex compiled once per expression instead
+    * of per row.
+    *
+    * Semantics byte-identical to the original (oracle-checked by the
+    * full shingle-consumer query suite): Spark `trim` = ASCII-space
+    * trim (`UTF8String.trim`), Spark `lower` (`UTF8String.toLowerCase`),
+    * Spark `split(_, "\\s+")` = java regex split with limit -1 (leading
+    * empty token preserved for non-space leading whitespace), documents
+    * shorter than `n` words collapse to one whole-text shingle, null in
+    * → null out. */
+  case class ShinglesArray(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle width must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingles_array requires string, got ${other.catalogString}")
+    }
+    @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+    /** Public: called from generated code (one virtual call per row). */
+    def shingleArray(input: UTF8String): ArrayData = {
+      val words = ws.split(input.trim().toLowerCase.toString, -1)
+      if (words.length < n) {
+        new GenericArrayData(Array[Any](UTF8String.fromString(words.mkString(" "))))
+      } else {
+        val out = new Array[Any](words.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override def nullSafeEval(input: Any): Any =
+      shingleArray(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shinglesArray", this,
+        classOf[ShinglesArray].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.shingleArray($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShinglesArray =
+      copy(child = newChild)
+  }
+
+  /** Count of array elements present in a fixed reference string set —
+    * the benchmark-contamination membership probe as a single scan-pass
+    * expression. The set ships once per expression instance (the
+    * benchmark shingle list — eval sets are KBs against a lake-scale
+    * corpus) and is built into a hash set lazily per executor; each row
+    * then pays O(|array|) probes with NO explode, NO join and NO
+    * aggregation — the previous explode→broadcast-join→groupBy shape
+    * materialized one row per (doc, shingle) and re-aggregated by id,
+    * which at sf0.1 was 4.8 s of the 8 s curation pipeline for what is
+    * semantically a per-row projection. Exact string membership (same
+    * semantics as the SQL string equi-join oracle) — no hashing, no
+    * collision caveat. Null elements count as misses, matching the
+    * left-join's null-never-equals. */
+  case class ShingleOverlapCount(child: Expression, bench: Array[String])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "shingle_overlap_count", _ == StringType, "array<string>")
+    @transient private lazy val benchSet: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](math.max(16, bench.length * 2))
+      bench.foreach(b => s.add(UTF8String.fromString(b)))
+      s
+    }
+    /** Public: called from generated code (one virtual call per ROW —
+      * the per-element loop stays inside, so the host stage's codegen
+      * span is unbroken). */
+    def countOverlap(arr: ArrayData): Long = {
+      var n = 0L
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i) && benchSet.contains(arr.getUTF8String(i))) n += 1
+        i += 1
+      }
+      n
+    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(countOverlap(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shingleOverlap", this,
+        classOf[ShingleOverlapCount].getName)
+      nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.countOverlap($arr);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ShingleOverlapCount =
+      copy(child = newChild)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -757,6 +867,10 @@ object GraftExpressions {
   def pq_encode(vec: Column, codebook: Array[Long], m: Int, ksub: Int,
                 subDim: Int, scale: Int = 1000): Column =
     c(PqEncode(e(vec), codebook, m, ksub, subDim, scale))
+  def shingle_overlap_count(shingles: Column, bench: Array[String]): Column =
+    c(ShingleOverlapCount(e(shingles), bench))
+  def shingles_array(text: Column, n: Int): Column =
+    c(ShinglesArray(e(text), n))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

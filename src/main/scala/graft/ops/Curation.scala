@@ -55,7 +55,27 @@ object Curation {
 
   /** Run the full pipeline. `benchmark` is the decontamination reference
     * set (eval-set documents — KBs against a lake-scale corpus, so its
-    * shingle set broadcasts). */
+    * shingle set broadcasts).
+    *
+    * Scan accounting (round 7 — the previous shape re-derived the
+    * lang/quality regex columns in every branch that gated on them, so
+    * the corpus text was read and the flag expressions recomputed 4×):
+    * ONE scan now computes every per-doc scalar the stages need — lang
+    * and quality flags, the md5 fingerprint, AND the minhash signature —
+    * into a persisted frame of per-doc scalars (~600 B/doc: two strings,
+    * two flags, a 64-int signature; spillable, and the corpus's reusable
+    * artifact at lake scale — the same thing [[Dedup.writeSignatures]]
+    * materializes). Every stage then works off that frame; the only
+    * other text read is the contamination measure's own scan (inherent —
+    * its shingle explode is a different grain). Signatures are computed
+    * for ALL docs rather than only gate survivors: at 100 TB the extra
+    * signature arithmetic on gate-failures is far cheaper than the
+    * second full text read + regex recompute the survivor-only shape
+    * pays (IO-bound scans dominate), and the full signature table is
+    * what incremental ingest wants anyway. The result is materialized
+    * while the cache is hot and the cache released
+    * ([[Dedup.materializeThenUnpersist]]), so back-to-back runs don't
+    * accumulate block-manager state. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              lang: String = "en", minQuality: Double = 0.65,
@@ -63,25 +83,31 @@ object Curation {
              maxContamination: Double = 0.2): DataFrame = {
     val id = col(idCol)
 
-    // stages 1–2: flags are column expressions in the scan pass
-    val flagged = TextAnalysis.qualityScore(TextAnalysis.langId(docs, textCol), textCol)
-      .select(id, col(textCol), col("lang_pred"), col("quality_score"))
+    // the single corpus scan: stages 1-4's per-doc scalars in one pass
+    val perDoc = TextAnalysis.qualityScore(
+        TextAnalysis.langId(graft.io.Sources.fanOut(docs, idCol), textCol), textCol)
+      .select(id, col("lang_pred"), col("quality_score"),
+        md5(col(textCol)).as("fp"),
+        Dedup.minhashSignature(Dedup.shingles(col(textCol), 3), 64).as("sig"))
       .withColumn("lang_ok", col("lang_pred") === lang)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
-    val surv2 = flagged.filter(col("lang_ok") && col("quality_ok"))
+      .persist()
+    val surv2 = perDoc.filter(col("lang_ok") && col("quality_ok"))
 
     // stage 3: exact-dup drop-list over (id, fp) projections only —
     // partial-agg min per fingerprint, then the losers' ids
-    val ids2 = surv2.select(id, md5(col(textCol)).as("fp"))
+    val ids2 = surv2.select(id, col("fp"))
     val dropExact = ids2
       .join(ids2.groupBy(col("fp")).agg(min(id).as("keep_id")), Seq("fp"))
       .filter(id =!= col("keep_id"))
       .select(id)
       .withColumn("exact_dup", lit(true))
 
-    // stage 4: near-dup drop-list among stage-3 survivors
-    val surv3 = surv2.join(dropExact.select(id), Seq(idCol), "left_anti")
-    val dropNear = Dedup.minhashPairs(surv3, idCol, textCol, threshold = jaccard)
+    // stage 4: near-dup drop-list among stage-3 survivors — banded
+    // self-join over the already-computed signatures, bodies never read
+    val surv3Sigs = surv2.join(dropExact.select(id), Seq(idCol), "left_anti")
+      .select(id, col("sig"))
+    val dropNear = Dedup.minhashPairsFromSigs(surv3Sigs, idCol, threshold = jaccard)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("near_dup", lit(true))
 
@@ -90,7 +116,7 @@ object Curation {
     val contam = TextAnalysis.contamination(docs, benchmark, idCol, textCol)
       .select(id, col("contamination_frac"))
 
-    flagged
+    val out = perDoc
       .join(dropExact, Seq(idCol), "left")
       .join(dropNear, Seq(idCol), "left")
       .join(contam, Seq(idCol), "left")
@@ -103,6 +129,7 @@ object Curation {
       .withColumn("kept", col("drop_stage").isNull)
       .select(id, col("lang_pred"), col("quality_score"),
         col("contamination_frac"), col("drop_stage"), col("kept"))
+    Dedup.materializeThenUnpersist(out, perDoc)
   }
 
   /** Per-stage funnel: how many documents each stage rejected, plus the

@@ -47,13 +47,15 @@ object Dedup {
 
   /** Word n-gram shingles of a text column (lowercased, whitespace
     * tokenized). Documents shorter than `n` words collapse to one
-    * whole-text shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    when(size(words) < n, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+    * whole-text shingle. Backed by the fused-loop native expression
+    * ([[GraftExpressions.ShinglesArray]]) — the original
+    * `transform(sequence, i => concat_ws(slice(words, ...)))` built-in
+    * composition re-evaluated `split(text)` per shingle under the
+    * interpreted higher-order-function path, making every shingle
+    * consumer O(words²) per document. Semantics unchanged (the full
+    * shingle-consumer oracle suite hash-matches). */
+  def shingles(text: Column, n: Int): Column =
+    GraftExpressions.shingles_array(text, n)
 
   /** MinHash signature, PRODUCTION DEFAULT: element j is the min over
     * shingles of the j-th Karp–Rabin affine permutation hash — a native
@@ -317,8 +319,8 @@ object Dedup {
     * blocks the ContextCleaner reclaims on GC, and repeated calls in a
     * long-lived session (Bench runs several dedup queries back to back)
     * don't accumulate signature/shingle frames in the block manager. */
-  private def materializeThenUnpersist(result: DataFrame,
-                                       cached: DataFrame): DataFrame = {
+  private[ops] def materializeThenUnpersist(result: DataFrame,
+                                            cached: DataFrame): DataFrame = {
     val out = result.localCheckpoint(true)
     cached.unpersist()
     out

@@ -111,6 +111,66 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaGen.filter(_._1 == 1L).map(_._2) == Seq("two words"))
   }
 
+  test("shingles_array is byte-identical to the original HOF composition") {
+    // the exact built-in composition Dedup.shingles used before round 7 —
+    // the form every shingle-consumer oracle was recorded against
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(lower(trim(text)), "\\s+")
+      when(size(words) < n, array(concat_ws(" ", words)))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+    val docs = Seq(
+      "The quick  brown Fox jumps",  // double space collapses
+      " leading and trailing ",      // ASCII-space trim
+      "\ttab  lead mid\nand end\n",  // non-space whitespace survives trim
+      "two words",                   // shorter than n
+      "",                            // empty
+      "   ",                         // spaces only
+      "MIXED Case nbsp tokens here" // NBSP is not \s
+    ).toDF("text")
+    val native = docs.select(GraftExpressions.shingles_array($"text", 3))
+      .collect().map(_.getSeq[String](0))
+    val hof = docs.select(hofShingles($"text", 3))
+      .collect().map(_.getSeq[String](0))
+    assert(native.map(_.toList).toList == hof.map(_.toList).toList)
+    // null in -> null out, interpreted == codegen
+    val nul = Seq((null: String)).toDF("text")
+      .select(GraftExpressions.shingles_array($"text", 3)).collect()
+    assert(nul.head.isNullAt(0))
+    val expr = GraftExpressions.ShinglesArray(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "a b c d", org.apache.spark.sql.types.StringType), 2)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(interp == Seq("a b", "b c", "c d"))
+  }
+
+  test("shingle_overlap_count matches the explode/broadcast-join form") {
+    val bench = Array("the quick brown", "lazy dog flees", "not present xx")
+    val docs = Seq(
+      (0L, Seq("the quick brown", "quick brown fox", "lazy dog flees")),
+      (1L, Seq("nothing matches", null)),
+      (2L, Seq.empty[String])
+    ).toDF("doc_id", "sh")
+    val got = docs.select($"doc_id",
+      GraftExpressions.shingle_overlap_count($"sh", bench).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+    // null array -> null out
+    val nul = Seq((0L, null: Seq[String])).toDF("doc_id", "sh")
+      .select(GraftExpressions.shingle_overlap_count($"sh", bench)).collect()
+    assert(nul.head.isNullAt(0))
+    // interpreted eval agrees with codegen
+    val expr = GraftExpressions.ShingleOverlapCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array("a b c", "d e f"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+      Array("d e f"))
+    assert(expr.eval(null) == 1L)
+  }
+
   test("expressions are SQL-registered and callable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql(
