@@ -845,6 +845,132 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Whitespace-token stopword profile in ONE tokenize pass:
+    * `[n_tokens, hits(sets(0)), …, hits(sets(k-1))]`.
+    *
+    * Replaces the per-set `size(filter(split(lower(trim(text)), "\\s+"),
+    * t => t.isInCollection(words)))` stack in
+    * [[graft.ops.TextAnalysis.langId]]/`qualityScore`, which evaluated
+    * the regex split once PER SET (5× per row across the two, each
+    * inside a non-codegen `ArrayFilter`). Tokenization is byte-identical
+    * to Spark's `split(lower(trim(text)), "\\s+")`: UTF8String ASCII-
+    * space trim, UTF8String (locale-independent) lowercase, java regex
+    * split with limit -1 — empty-token artifacts (empty string → [""],
+    * leading non-space whitespace) are COUNTED in `n_tokens` exactly as
+    * `size(...)` counts them, and probe the sets as the empty string
+    * (never a member). Counts are Int, matching `size(filter(...))`. */
+  case class StopwordStats(child: Expression, sets: Seq[Seq[String]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"stopword_stats requires string, got ${other.catalogString}")
+    }
+    @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+    @transient private lazy val probes: Array[java.util.HashSet[String]] =
+      sets.map { s =>
+        val h = new java.util.HashSet[String](math.max(16, s.size * 2))
+        s.foreach(h.add)
+        h
+      }.toArray
+    /** Public: called from generated code (one virtual call per row). */
+    def stats(input: UTF8String): ArrayData = {
+      val toks = ws.split(input.trim().toLowerCase.toString, -1)
+      val out = new Array[Int](1 + probes.length)
+      out(0) = toks.length
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        var j = 0
+        while (j < probes.length) {
+          if (probes(j).contains(t)) out(j + 1) += 1
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    override def nullSafeEval(input: Any): Any =
+      stats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("stopwordStats", this,
+        classOf[StopwordStats].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.stats($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): StopwordStats =
+      copy(child = newChild)
+  }
+
+  /** Character-class census in ONE code-point pass:
+    * `[n_chars, n_letters, n_digits09, n_punct, n_cjk, n_alnum_runs,
+    * n_alnum_runs_gt4]`.
+    *
+    * Replaces the `length(regexp_replace(text, <class>, ""))` stack —
+    * each of those allocates the stripped copy of the document just to
+    * take its length, and txt_quality/txt_lang_id/txt_stats/
+    * txt_tokens_bpe between them paid five such passes per row. Class
+    * semantics are exactly the Java-regex ones the originals (and the
+    * DuckDB oracle) use, per code point:
+    *  - `n_chars`     = `length(text)` (code points);
+    *  - `n_letters`   = `[\p{L}]` (Unicode letter categories ==
+    *                    `Character.isLetter`);
+    *  - `n_digits09`  = `[0-9]` (ASCII only, as docStats declares);
+    *  - `n_punct`     = NOT (`\p{L}` | `\p{N}` | java-regex `\s`
+    *                    (ASCII whitespace));
+    *  - `n_cjk`       = `[一-鿿]`;
+    *  - `n_alnum_runs` / `_gt4` = maximal `[\p{L}\p{N}]+` runs (and
+    *    those longer than 4 code points) — exactly the non-empty tokens
+    *    of `split(text, "[^\p{L}\p{N}]+")`, the BPE-ish piece counts. */
+  case class CharClassStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_class_stats requires string, got ${other.catalogString}")
+    }
+    /** Public: called from generated code (one virtual call per row). */
+    def stats(input: UTF8String): ArrayData = {
+      val s = input.toString
+      var n, letters, digits, punct, cjk, runs, longRuns, runLen = 0
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        n += 1
+        val t = Character.getType(cp)
+        val isLetter = t == Character.UPPERCASE_LETTER ||
+          t == Character.LOWERCASE_LETTER || t == Character.TITLECASE_LETTER ||
+          t == Character.MODIFIER_LETTER || t == Character.OTHER_LETTER
+        val isNumber = t == Character.DECIMAL_DIGIT_NUMBER ||
+          t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+        val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r'
+        if (isLetter) letters += 1
+        if (cp >= '0' && cp <= '9') digits += 1
+        if (!isLetter && !isNumber && !isWs) punct += 1
+        if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+        if (isLetter || isNumber) runLen += 1
+        else if (runLen > 0) {
+          runs += 1; if (runLen > 4) longRuns += 1; runLen = 0
+        }
+      }
+      if (runLen > 0) { runs += 1; if (runLen > 4) longRuns += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(n, letters, digits, punct, cjk, runs, longRuns))
+    }
+    override def nullSafeEval(input: Any): Any =
+      stats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("charClassStats", this,
+        classOf[CharClassStats].getName)
+      nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $self.stats($in);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CharClassStats =
+      copy(child = newChild)
+  }
+
   // -------- Column wrappers --------
 
   private def c(e: Expression): Column = GraftSqlBridge.column(e)
@@ -871,6 +997,10 @@ object GraftExpressions {
     c(ShingleOverlapCount(e(shingles), bench))
   def shingles_array(text: Column, n: Int): Column =
     c(ShinglesArray(e(text), n))
+  def stopword_stats(text: Column, sets: Seq[Seq[String]]): Column =
+    c(StopwordStats(e(text), sets))
+  def char_class_stats(text: Column): Column =
+    c(CharClassStats(e(text)))
 
   /** SQL registration so the expressions are usable from `spark.sql`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -27,15 +27,14 @@ object TextAnalysis {
     * a cheap regex proxy for tokenizer budgeting (no tokenizer libs in
     * this container). */
   def tokenCountBpe(text: Column): Column = {
-    val pieces = size(filter(split(text, "[^\\p{L}\\p{N}]+"), p => length(p) > 0))
-    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
-    val longWordExtra = size(filter(split(text, "[^\\p{L}\\p{N}]+"), p => length(p) > 4))
-    (pieces + punct + longWordExtra).as("token_count_bpe")
+    val cc = GraftExpressions.char_class_stats(text)
+    // pieces = non-empty [\p{L}\p{N}]+ runs; punct = the complement
+    // class count; extra piece per run longer than 4 code points —
+    // exactly the original filter(split)/regexp_replace composition,
+    // now one code-point pass (see [[GraftExpressions.CharClassStats]])
+    (element_at(cc, 6) + element_at(cc, 4) + element_at(cc, 7))
+      .as("token_count_bpe")
   }
-
-  /** Per-language stopword hit count over the token array. */
-  private def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
@@ -43,20 +42,35 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "für"))
 
+  private val langOrder = Seq("en", "fr", "es", "de")
+
+  /** The shared stopword-profile expression: `[n_tokens, score_en,
+    * score_fr, score_es, score_de, union_hits]` in one tokenize pass.
+    * langId and qualityScore build the IDENTICAL expression tree, so
+    * when both land in one projection (the curation single-scan)
+    * whole-stage codegen's subexpression elimination computes it once
+    * per row. The per-set `size(filter(toks, isInCollection))` stack it
+    * replaces re-split the text once per set, interpreted (5× per row
+    * across the two callers). */
+  private def swStats(text: Column): Column =
+    GraftExpressions.stopword_stats(text,
+      langOrder.map(stopwords) :+ stopwords.values.flatten.toSeq.distinct)
+
   /** Heuristic language ID: argmax of per-language stopword density, with
     * a CJK-character-ratio gate for zh. Deterministic; ties break by the
     * fixed language order. Emits `lang_pred` plus the per-language scores
     * (useful for threshold tuning downstream). */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val sw = swStats(col(textCol))
+    val cc = GraftExpressions.char_class_stats(col(textCol))
     val scored = df
-      .withColumn("score_en", stopwordHits(toks, stopwords("en")))
-      .withColumn("score_fr", stopwordHits(toks, stopwords("fr")))
-      .withColumn("score_es", stopwordHits(toks, stopwords("es")))
-      .withColumn("score_de", stopwordHits(toks, stopwords("de")))
+      .withColumn("score_en", element_at(sw, 2))
+      .withColumn("score_fr", element_at(sw, 3))
+      .withColumn("score_es", element_at(sw, 4))
+      .withColumn("score_de", element_at(sw, 5))
       .withColumn("cjk_ratio",
-        length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", "")).cast("double") /
-          greatest(length(col(textCol)), lit(1)).cast("double"))
+        element_at(cc, 5).cast("double") /
+          greatest(element_at(cc, 1), lit(1)).cast("double"))
     val best = greatest(col("score_en"), col("score_fr"), col("score_es"), col("score_de"))
     scored.withColumn("lang_pred",
       when(col("cjk_ratio") > 0.3, "zh")
@@ -73,12 +87,13 @@ object TextAnalysis {
     * codegen'd functions; fully deterministic. */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    val len = length(text).cast("double")
-    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
-    val toks = tokens(text)
-    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val cc = GraftExpressions.char_class_stats(text)
+    val sw = swStats(text)
+    val len = element_at(cc, 1).cast("double")
+    val alpha = element_at(cc, 2).cast("double")
+    val nToks = greatest(element_at(sw, 1), lit(1)).cast("double")
     val meanWordLen = alpha / nToks
-    val stopHits = stopwordHits(toks, stopwords.values.flatten.toSeq).cast("double")
+    val stopHits = element_at(sw, 6).cast("double")
     df.withColumn("len_score", least(len / 200.0, lit(1.0)))
       .withColumn("alpha_ratio", alpha / greatest(len, lit(1.0)))
       .withColumn("word_len_score",
@@ -244,10 +259,11 @@ object TextAnalysis {
     * char classes, quality) — one pass, one scan. */
   def docStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    df.withColumn("n_len", length(text))
+    val cc = GraftExpressions.char_class_stats(text)
+    df.withColumn("n_len", element_at(cc, 1))
       .withColumn("n_tokens", tokenCount(text))
-      .withColumn("n_alpha", length(regexp_replace(text, "[^\\p{L}]", "")))
-      .withColumn("n_digits", length(regexp_replace(text, "[^0-9]", "")))
-      .withColumn("n_punct", length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")))
+      .withColumn("n_alpha", element_at(cc, 2))
+      .withColumn("n_digits", element_at(cc, 3))
+      .withColumn("n_punct", element_at(cc, 4))
   }
 }

@@ -171,6 +171,63 @@ class ExpressionsSpec extends SparkSpec {
     assert(expr.eval(null) == 1L)
   }
 
+  test("char_class_stats / stopword_stats match the regex and HOF compositions") {
+    val docs = Seq(
+      "Hello, WORLD! 123 añé für one-two_three",
+      "一二三 mixed 中文 and ascii 9fff edge 鿿ꀀ", // CJK boundary
+      "١٢٣ arabic digits Ⅷ roman numeral", // Nd not 0-9; Nl
+      "\ttabs\nand newlines\f\r mixed   runs",
+      " leading trailing ", "", "    ", "a", "abcde fghi j",
+      "the a of and to la de und pour THE The"
+    ).toDF("text")
+    val cc = GraftExpressions.char_class_stats($"text")
+    val got = docs.select(
+      element_at(cc, 1), element_at(cc, 2), element_at(cc, 3),
+      element_at(cc, 4), element_at(cc, 5), element_at(cc, 6),
+      element_at(cc, 7)).collect().map(r => (0 until 7).map(r.getInt))
+    val want = docs.select(
+      length($"text"),
+      length(regexp_replace($"text", "[^\\p{L}]", "")),
+      length(regexp_replace($"text", "[^0-9]", "")),
+      length(regexp_replace($"text", "[\\p{L}\\p{N}\\s]", "")),
+      length(regexp_replace($"text", "[^\\u4e00-\\u9fff]", "")),
+      size(filter(split($"text", "[^\\p{L}\\p{N}]+"), p => length(p) > 0)),
+      size(filter(split($"text", "[^\\p{L}\\p{N}]+"), p => length(p) > 4))
+    ).collect().map(r => (0 until 7).map(r.getInt))
+    assert(got.map(_.toList).toList == want.map(_.toList).toList)
+
+    val sets = Seq(
+      Seq("the", "a", "of", "and", "to"),
+      Seq("le", "la", "de", "und", "pour"))
+    val sw = GraftExpressions.stopword_stats($"text", sets)
+    val gotSw = docs.select(
+      element_at(sw, 1), element_at(sw, 2), element_at(sw, 3))
+      .collect().map(r => (0 until 3).map(r.getInt))
+    val toks = split(lower(trim($"text")), "\\s+")
+    val wantSw = docs.select(
+      size(toks),
+      size(filter(toks, t => t.isInCollection(sets(0)))),
+      size(filter(toks, t => t.isInCollection(sets(1)))))
+      .collect().map(r => (0 until 3).map(r.getInt))
+    assert(gotSw.map(_.toList).toList == wantSw.map(_.toList).toList)
+
+    // null in -> null out; interpreted eval agrees with codegen
+    val nul = Seq((null: String)).toDF("text")
+      .select(GraftExpressions.char_class_stats($"text"),
+        GraftExpressions.stopword_stats($"text", sets)).collect()
+    assert(nul.head.isNullAt(0) && nul.head.isNullAt(1))
+    val ccE = GraftExpressions.CharClassStats(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "ab1, 一", org.apache.spark.sql.types.StringType))
+    assert(ccE.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq == Seq(6, 3, 1, 1, 1, 2, 0))
+    val swE = GraftExpressions.StopwordStats(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "The la x", org.apache.spark.sql.types.StringType), sets)
+    assert(swE.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq == Seq(3, 1, 1))
+  }
+
   test("expressions are SQL-registered and callable from spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql(
