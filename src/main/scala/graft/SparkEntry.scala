@@ -1008,6 +1008,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("revenue"))
         .orderBy(col("split"), col("o_orderstatus"))),
 
+    // Sequence packing: documents → fixed token-budget training
+    // sequences via the custom next-fit AggregateWindowFunction
+    // (stateful scan per Lehmer shard; oracle replays it with a
+    // recursive CTE). Budget 512 ≈ 9 docs/pack at the testdata's
+    // ~56-token median.
+    "seq_pack" -> ((s, d) =>
+      graft.ops.Packing.packAssignments(
+        t(s, d, "documents"), "doc_id", "text", budget = 512L, shards = 8)
+        .select("doc_id", "n_tok", "shard", "pack_id", "oversize")
+        .orderBy(col("doc_id"))),
+
+    // Per-pack roll-up of the same assignment: sizes and fill rate.
+    "seq_pack_stats" -> ((s, d) =>
+      graft.ops.Packing.packStats(
+        graft.ops.Packing.packAssignments(
+          t(s, d, "documents"), "doc_id", "text", budget = 512L, shards = 8),
+        budget = 512L)
+        .select("shard", "pack_id", "n_docs", "pack_tokens", "fill_frac")
+        .orderBy(col("shard"), col("pack_id"))),
+
     // Text analysis: Gopher-style repeated n-gram fraction (repetition
     // signal for boilerplate/spam filtering) — exact small-int ratio,
     // oracle via the proven DuckDB shingle-list recipe.
@@ -2117,6 +2137,61 @@ object SparkEntry {
         |WHERE ((((o_orderkey % 2147483647) * 48271) % 2147483647) * 48271)
         |      % 2147483647 % 10000 < 1000
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Next-fit packing is a stateful scan; DuckDB replays it exactly
+    // with a recursive CTE stepping one row per shard per iteration.
+    // Same Lehmer shard arithmetic as smp_*, same whitespace token
+    // count as txt_stats.
+    "seq_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS INT) AS n_tok,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 % 8 AS shard
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM base
+        |), packed AS (
+        |  SELECT doc_id, n_tok, shard, rn,
+        |         CAST(1 AS BIGINT) AS pack_id, CAST(n_tok AS BIGINT) AS fill
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.n_tok, o.shard, o.rn,
+        |    CASE WHEN p.fill + o.n_tok > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill + o.n_tok > 512 THEN CAST(o.n_tok AS BIGINT)
+        |         ELSE p.fill + o.n_tok END
+        |  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, n_tok, shard, pack_id, n_tok > 512 AS oversize
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "seq_pack_stats" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS INT) AS n_tok,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 % 8 AS shard
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM base
+        |), packed AS (
+        |  SELECT doc_id, n_tok, shard, rn,
+        |         CAST(1 AS BIGINT) AS pack_id, CAST(n_tok AS BIGINT) AS fill
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.n_tok, o.shard, o.rn,
+        |    CASE WHEN p.fill + o.n_tok > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill + o.n_tok > 512 THEN CAST(o.n_tok AS BIGINT)
+        |         ELSE p.fill + o.n_tok END
+        |  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |       round(CAST(sum(n_tok) AS DOUBLE) / 512, 4) AS fill_frac
+        |FROM packed GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin,
 
     "smp_stratified" ->
       """WITH h AS (

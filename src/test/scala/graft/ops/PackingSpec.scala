@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Sources
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Sources.table(spark, sf001, "documents")
+
+  /** Scala reference fold of the next-fit discipline. */
+  private def nextFitRef(toks: Seq[Int], budget: Long): Seq[Long] = {
+    var pack = 0L; var fill = budget + 1
+    toks.map { t =>
+      if (fill + t > budget) { pack += 1; fill = t } else fill += t
+      pack
+    }
+  }
+
+  test("packAssignments matches the sequential next-fit fold per shard") {
+    val got = Packing.packAssignments(docs, "doc_id", "text", 512L, 8)
+      .select("doc_id", "n_tok", "shard", "pack_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == docs.count())
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      val want = nextFitRef(ordered.map(_._2).toSeq, 512L)
+      assert(ordered.map(_._4).toSeq == want)
+    }
+  }
+
+  test("budget is never exceeded except by single-document oversize packs") {
+    val budget = 128L
+    val a = Packing.packAssignments(docs, "doc_id", "text", budget, 4)
+    val stats = Packing.packStats(a, budget)
+      .select("shard", "pack_id", "n_docs", "pack_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val over = stats.filter(_._4 > budget)
+    assert(over.forall(_._3 == 1L),
+      s"multi-doc pack over budget: ${over.filter(_._3 > 1).take(3).toSeq}")
+    // pack ids are 1-based and contiguous per shard
+    stats.groupBy(_._1).foreach { case (_, packs) =>
+      val ids = packs.map(_._2).sorted
+      assert(ids.head == 1L && ids.last == ids.length.toLong)
+    }
+  }
+
+  test("oversize flag marks exactly the docs whose own count exceeds budget") {
+    val tiny = Seq((1L, "one two three"), (2L, ("w " * 40).trim), (3L, "x"))
+      .toDF("doc_id", "text")
+    val a = Packing.packAssignments(tiny, "doc_id", "text", 5L, 1)
+      .select("doc_id", "n_tok", "pack_id", "oversize")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(a.map(_._4).toSeq == Seq(false, true, false))
+    // the oversize doc sits alone; neighbors land in their own packs
+    assert(a.map(_._2).distinct.length == a.count(x => true) ||
+      a.filter(_._4).map(_._3).forall(p => a.count(_._3 == p) == 1))
+  }
+
+  test("null and empty text read as countable tokens, never crash") {
+    val tiny = Seq((1L, null: String), (2L, ""), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val a = Packing.packAssignments(tiny, "doc_id", "text", 10L, 1)
+      .select("doc_id", "pack_id").collect()
+    assert(a.length == 3)
+  }
+
+  test("one exchange: documents shuffle once on shard, bodies stay in the scan") {
+    val a = Packing.packAssignments(docs, "doc_id", "text", 512L, 8)
+    a.collect()
+    val plan = a.queryExecution.executedPlan match {
+      case aqe: AdaptiveSparkPlanExec => aqe.executedPlan
+      case p => p
+    }
+    // recurse into AQE query stages: materialized exchanges hide behind
+    // QueryStageExec leaves, which a plain collect never descends into
+    def allShuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allShuffles(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+    val exchanges = allShuffles(plan)
+    assert(exchanges.length == 1, s"expected 1 shuffle, got ${exchanges.length}")
+    // the shuffled row carries no text column — token count is computed
+    // in the scan-side projection before the exchange
+    val shuffled = exchanges.head.child.output.map(_.name)
+    assert(!shuffled.contains("text"), s"text rides the shuffle: $shuffled")
+  }
+}
