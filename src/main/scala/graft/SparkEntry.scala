@@ -1028,6 +1028,23 @@ object SparkEntry {
         .select("shard", "pack_id", "n_docs", "pack_tokens", "fill_frac")
         .orderBy(col("shard"), col("pack_id"))),
 
+    // Next-fit-DECREASING variant: longest-first order within each
+    // shard (classic bin-packing fill improvement), same window
+    // machinery, same recursive-CTE oracle with the flipped sort.
+    "seq_pack_nfd" -> ((s, d) =>
+      graft.ops.Packing.packAssignments(
+        t(s, d, "documents"), "doc_id", "text", budget = 512L, shards = 8,
+        decreasing = true)
+        .select("doc_id", "n_tok", "shard", "pack_id")
+        .orderBy(col("doc_id"))),
+
+    // Budget chunking: oversize-doc complement of packing — one row
+    // per contiguous token window, pure projection + generator.
+    "seq_chunk" -> ((s, d) =>
+      graft.ops.Packing.chunkByBudget(
+        t(s, d, "documents"), "doc_id", "text", budget = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Text analysis: Gopher-style repeated n-gram fraction (repetition
     // signal for boilerplate/spam filtering) — exact small-int ratio,
     // oracle via the proven DuckDB shingle-list recipe.
@@ -2192,6 +2209,48 @@ object SparkEntry {
         |       round(CAST(sum(n_tok) AS DOUBLE) / 512, 4) AS fill_frac
         |FROM packed GROUP BY shard, pack_id
         |ORDER BY shard, pack_id""".stripMargin,
+
+    // Same recursive replay, longest-first (n_tok DESC, doc_id) order.
+    "seq_pack_nfd" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS INT) AS n_tok,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 % 8 AS shard
+        |  FROM documents
+        |), ordered AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM base
+        |), packed AS (
+        |  SELECT doc_id, n_tok, shard, rn,
+        |         CAST(1 AS BIGINT) AS pack_id, CAST(n_tok AS BIGINT) AS fill
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.n_tok, o.shard, o.rn,
+        |    CASE WHEN p.fill + o.n_tok > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill + o.n_tok > 512 THEN CAST(o.n_tok AS BIGINT)
+        |         ELSE p.fill + o.n_tok END
+        |  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, n_tok, shard, pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "seq_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS INT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST((n_tok + 31) // 32 AS INT) AS n_chunks,
+        |    CAST(unnest(generate_series(0, (n_tok + 31) // 32 - 1)) AS INT) AS chunk_idx
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(least(32, n_tok - chunk_idx * 32) AS INT) AS chunk_tok,
+        |       n_chunks
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "smp_stratified" ->
       """WITH h AS (

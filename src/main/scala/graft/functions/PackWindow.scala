@@ -99,10 +99,16 @@ object PackWindow {
     import org.apache.spark.sql.catalyst.expressions.{
       Ascending, SortOrder, UnspecifiedFrame, WindowExpression,
       WindowSpecDefinition}
+    // honor `.desc`/`.asc` on the order columns: those convert to
+    // SortOrder; bare columns default to ascending. Must convert
+    // EAGERLY — the lazy bridge hop hides the node class until
+    // analysis, so the SortOrder match would double-wrap.
+    val orders = orderBy.map(GraftSqlBridge.eagerExpression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
     val spec = WindowSpecDefinition(
-      partitionBy.map(GraftSqlBridge.expression),
-      orderBy.map(c => SortOrder(GraftSqlBridge.expression(c), Ascending)),
-      UnspecifiedFrame)
+      partitionBy.map(GraftSqlBridge.expression), orders, UnspecifiedFrame)
     GraftSqlBridge.column(WindowExpression(
       NextFitPackId(GraftSqlBridge.expression(tokens), budget), spec))
   }

@@ -31,17 +31,46 @@ object Packing {
     * oversize)`. `pack_id` is per-shard, 1-based, contiguous;
     * `oversize` marks documents whose own token count exceeds the
     * budget (they sit alone in their pack — split or drop downstream).
+    *
+    * `decreasing = true` switches to next-fit-DECREASING: each shard
+    * packs its documents longest-first, the classic bin-packing
+    * improvement (large items placed while packs are empty, small ones
+    * plug the tails). Still fully deterministic — the order is
+    * (n_tok desc, id) — and still one stateful scan per shard.
     */
   def packAssignments(df: DataFrame, idCol: String, textCol: String,
-                      budget: Long, shards: Int): DataFrame = {
+                      budget: Long, shards: Int,
+                      decreasing: Boolean = false): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
+    val order =
+      if (decreasing) Seq(col("n_tok").desc, col(idCol)) else Seq(col(idCol))
     df.select(
         col(idCol),
         TextAnalysis.tokenCount(col(textCol)).as("n_tok"),
         Sampling.hashBucket(col(idCol), shards).as("shard"))
       .withColumn("pack_id", PackWindow.next_fit_pack(col("n_tok"), budget,
-        partitionBy = Seq(col("shard")), orderBy = Seq(col(idCol))))
+        partitionBy = Seq(col("shard")), orderBy = order))
       .withColumn("oversize", col("n_tok") > budget)
+  }
+
+  /** Budget chunking — the complement of packing for oversize
+    * documents: split each document into `ceil(n_tok / budget)`
+    * contiguous token windows. `(id, chunk_idx, chunk_tok, n_chunks)`,
+    * one row per chunk; every chunk is exactly `budget` tokens except
+    * the last. A pure projection + generator — no shuffle at all; at
+    * 100 TB this is scan-rate work.
+    */
+  def chunkByBudget(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int): DataFrame = {
+    require(budget > 0, s"chunk budget must be positive: $budget")
+    val nChunks = ((col("n_tok") + budget - 1) / budget).cast("int")
+    df.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("n_chunks", nChunks)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_tok",
+        least(lit(budget), col("n_tok") - col("chunk_idx") * budget))
+      .select(col(idCol), col("chunk_idx"), col("chunk_tok"), col("n_chunks"))
   }
 
   /** Per-pack roll-up of [[packAssignments]]: `(shard, pack_id, n_docs,

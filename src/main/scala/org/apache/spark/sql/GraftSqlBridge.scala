@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager conversion. `expression` returns a lazy `ColumnNodeExpression`
+    * that only becomes the real Catalyst node during analysis, so
+    * builder code can never pattern-match on it (e.g. to recognize a
+    * `.desc` column as a `SortOrder`). This converts immediately —
+    * same hop `Dataset.sortInternal` uses. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

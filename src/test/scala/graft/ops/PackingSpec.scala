@@ -63,6 +63,48 @@ class PackingSpec extends SparkSpec {
       a.filter(_._4).map(_._3).forall(p => a.count(_._3 == p) == 1))
   }
 
+  test("next-fit-decreasing: same docs, valid packs, fill at least as good here") {
+    val budget = 512L
+    val plain = Packing.packAssignments(docs, "doc_id", "text", budget, 8)
+    val nfd = Packing.packAssignments(docs, "doc_id", "text", budget, 8,
+      decreasing = true)
+    assert(nfd.count() == plain.count())
+    // NFD order is (n_tok desc, doc_id) per shard — replay the fold
+    val got = nfd.select("doc_id", "n_tok", "shard", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r._2, r._1))
+      assert(ordered.map(_._4).toSeq == nextFitRef(ordered.map(_._2).toSeq, budget))
+    }
+    // not a theorem on every dataset, but on this corpus NFD should not
+    // need more packs than arrival order
+    def nPacks(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("shard").agg(max("pack_id")).collect()
+        .map(_.getLong(1)).sum
+    assert(nPacks(nfd) <= nPacks(plain))
+  }
+
+  test("chunkByBudget: exact cover, budget-sized except the last, no shuffle") {
+    val ch = Packing.chunkByBudget(docs, "doc_id", "text", 32)
+    val rows = ch.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (id, chunks) =>
+      val ordered = chunks.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(identity).toSeq)
+      assert(ordered.map(_._3).init.forall(_ == 32), s"doc $id non-full interior chunk")
+      assert(ordered.last._3 > 0 && ordered.last._3 <= 32)
+      assert(ordered.head._4 == ordered.length)
+    }
+    // token counts reassemble exactly
+    val total = rows.map(_._3.toLong).sum
+    val want = docs.select(sum(TextAnalysis.tokenCount(col("text"))))
+      .collect().head.getLong(0)
+    assert(total == want)
+    ch.collect()
+    val plan = ch.queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"), "chunking must not shuffle")
+  }
+
   test("null and empty text read as countable tokens, never crash") {
     val tiny = Seq((1L, null: String), (2L, ""), (3L, "a b c"))
       .toDF("doc_id", "text")
