@@ -1045,6 +1045,29 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text", budget = 32)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Export: deterministic global shuffle + shard assignment (the
+    // training-loader layout). Lehmer order key, mod-shards, windowed
+    // within-shard position — all exact integer arithmetic.
+    "exp_shuffle" -> ((s, d) =>
+      graft.ops.Export.shuffledShards(
+        t(s, d, "documents").select("doc_id"), "doc_id", numShards = 8)
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy(col("shard"), col("pos"))),
+
+    // Corpus stats: CCNet-style unigram-LM quality signal — mean
+    // bit-surprisal per token (= log2 perplexity within 1 bit; integer
+    // bit lengths instead of ln so the oracle replays exactly).
+    "txt_perplexity" -> ((s, d) =>
+      graft.ops.CorpusStats.unigramSurprisal(
+        t(s, d, "documents"), minCount = 2L)
+        .orderBy(col("doc_id"))),
+
+    // Corpus stats: top-5 TF-IDF terms per document (integer bit-gap
+    // IDF, rank ties broken by token).
+    "txt_tfidf" -> ((s, d) =>
+      graft.ops.CorpusStats.tfIdfTopK(t(s, d, "documents"), k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Text analysis: Gopher-style repeated n-gram fraction (repetition
     // signal for boilerplate/spam filtering) — exact small-int ratio,
     // oracle via the proven DuckDB shingle-list recipe.
@@ -2251,6 +2274,79 @@ object SparkEntry {
         |       CAST(least(32, n_tok - chunk_idx * 32) AS INT) AS chunk_tok,
         |       n_chunks
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "exp_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    (((doc_id % 2147483647) * 48271 % 2147483647) * 48271)
+        |      % 2147483647 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(h AS BIGINT) AS shuffle_key,
+        |  CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+
+    "txt_perplexity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(
+        |            regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |            x -> LENGTH(x) > 0)) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t
+        |), v AS (
+        |  SELECT token, CAST(SUM(tf) AS BIGINT) AS c
+        |  FROM tf GROUP BY token HAVING SUM(tf) >= 2
+        |), tot AS (
+        |  SELECT CAST(SUM(tf) AS BIGINT) AS corpus_tokens FROM tf
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN v.c IS NULL THEN tf.tf ELSE 0 END)
+        |         AS BIGINT) AS n_oov,
+        |    CAST(SUM(tf.tf * (LENGTH(printf('%b', tot.corpus_tokens))
+        |        - LENGTH(printf('%b', COALESCE(v.c, 0) + 1)))) AS DOUBLE)
+        |      / CAST(SUM(tf.tf) AS DOUBLE) AS bits_per_token
+        |  FROM tf LEFT JOIN v USING (token) CROSS JOIN tot
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(s.n_oov, 0) AS BIGINT) AS n_oov,
+        |  s.bits_per_token
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(
+        |            regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |            x -> LENGTH(x) > 0)) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t
+        |), dfx AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |), s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+        |    tf.tf * CAST(LENGTH(printf('%b', n.n_docs))
+        |        - LENGTH(printf('%b', dfx.df)) AS BIGINT) AS score
+        |  FROM tf JOIN dfx USING (token) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, token ASC) AS INT) AS rank,
+        |    token, tf, df, score
+        |  FROM s
+        |)
+        |SELECT doc_id, rank, token, tf, df, score
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "smp_stratified" ->
       """WITH h AS (

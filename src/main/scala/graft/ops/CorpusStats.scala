@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative document statistics: unigram language-model scoring
+  * and TF-IDF term extraction. Unlike [[TextAnalysis]] (pure per-row
+  * scan expressions), these need a corpus pass first — vocabulary
+  * counts, document frequencies — and then score each document against
+  * the aggregate, the CCNet/Gopher shape for perplexity-style quality
+  * filtering (Wenzek et al. '19 filter CommonCrawl by LM perplexity;
+  * Rae et al. '21 §A1 use corpus-frequency signals).
+  *
+  * All arithmetic is integral until the final mean: the log2 in both
+  * surprisal and IDF is the integer bit length (`floor(log2 x) + 1`,
+  * within 1 bit of the real thing — spec'd), so every score replays
+  * bit-for-bit in the DuckDB oracle with no transcendental-function
+  * cross-engine drift. A production variant wanting fractional bits
+  * would swap [[bitLen]] for `log2` and lose only the oracle, not the
+  * plan shape.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - token instances never shuffle: [[termFreq]] explodes in place and
+  *    the (doc, token) group-by partial-aggregates each document's
+  *    repeats down to distinct terms before its exchange — the shuffle
+  *    carries per-document term COUNTS, not token instances;
+  *  - the vocabulary (min-count-pruned) and the single-row corpus
+  *    total are broadcast — document rows never move for the lookup;
+  *  - the per-document reduce group-bys `doc_id`, which partial-
+  *    aggregates again before the final exchange.
+  */
+object CorpusStats {
+
+  /** Integer bit length of a positive integral column: `floor(log2 x)+1`
+    * (= `LENGTH(bin(x))`; DuckDB replay `LENGTH(printf('%b', x))`). */
+  def bitLen(x: Column): Column = length(bin(x))
+
+  /** Per-document term frequencies `(id, token, tf)` — whitespace
+    * tokens, lowercased, empties dropped. The group-by's map-side
+    * combine collapses each document's repeated tokens before any
+    * exchange. */
+  def termFreq(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    graft.io.Sources.fanOut(docs, idCol)
+      .select(col(idCol),
+        explode(filter(TextAnalysis.tokens(col(textCol)),
+          t => length(t) > 0)).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus vocabulary over a term-frequency frame: total instance
+    * count and document frequency per token, pruned to tokens with at
+    * least `minCount` instances (the prune bounds the broadcast). */
+  def vocab(tf: DataFrame, minCount: Long): DataFrame =
+    tf.groupBy("token")
+      .agg(sum("tf").as("c"), count(lit(1)).as("df"))
+      .filter(col("c") >= minCount)
+
+  /** Unigram-LM surprisal per document: mean over token instances of
+    * `bitLen(T) − bitLen(c+1)` where `T` is the corpus token-instance
+    * total and `c` the token's corpus count (0 when out-of-vocabulary —
+    * add-one smoothing keeps the bit length defined). The mean is
+    * log2-perplexity within 1 bit per token; callers wanting the
+    * perplexity itself raise 2^bits (kept out of the frame so the
+    * declared output stays in exact arithmetic).
+    *
+    * Every input document appears in the result — token-free documents
+    * carry `n_tokens = 0` and null `bits_per_token` rather than
+    * silently dropping (curation treats "no tokens" as its own signal,
+    * not as "no row").
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       minCount: Long = 2L): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val v = vocab(tf, minCount).select(col("token"), col("c"))
+    val total = tf.agg(sum("tf").as("corpus_tokens"))
+    val scored = tf
+      .join(broadcast(v), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("surprisal",
+        bitLen(col("corpus_tokens")) - bitLen(coalesce(col("c"), lit(0L)) + 1))
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_tokens"),
+        sum(when(col("c").isNull, col("tf")).otherwise(0L)).as("n_oov"),
+        (sum(col("tf") * col("surprisal")).cast("double") /
+          sum("tf").cast("double")).as("bits_per_token"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("bits_per_token"))
+  }
+
+  /** Top-`k` TF-IDF terms per document, IDF as the integer bit-gap
+    * `bitLen(N) − bitLen(df)` (≈ log2(N/df) within 1 bit; a token in
+    * more than half the documents scores 0 and ranks last, exactly the
+    * stopword-suppression IDF exists for). Rank ties break by token so
+    * the cut is total-ordered and replayable. Documents with no tokens
+    * have no rows (there is no term to rank).
+    *
+    * The tf⋈df join keys on `token`: df is vocabulary-sized, so Spark
+    * broadcasts it at test scale; at lake scale it degrades to a
+    * shuffle of per-document DISTINCT terms (already collapsed by
+    * [[termFreq]]), never raw instances.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 5): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val dfFrame = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfFrame, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (bitLen(col("n_docs")) - bitLen(col("df"))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+}

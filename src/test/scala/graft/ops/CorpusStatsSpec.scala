@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "a rare unique specimen"),
+    (4L, ""), // token-free after the empty-filter
+    (5L, "the the the the")
+  ).toDF("doc_id", "text")
+
+  test("unigramSurprisal: hand-checked counts, OOV, and empty doc") {
+    val out = CorpusStats.unigramSurprisal(docs, minCount = 2L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5, "every input doc gets a row")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // corpus (T=17): the×7 sat×2, singletons cat on mat dog a rare
+    // unique specimen; vocab (c>=2): the(7), sat(2)
+    assert(byId(1L).getLong(1) == 6) // n_tokens
+    assert(byId(1L).getLong(2) == 3) // cat, on, mat are OOV
+    assert(byId(4L).getLong(1) == 0 && byId(4L).getLong(2) == 0)
+    assert(byId(4L).isNullAt(3), "token-free doc has null bits_per_token")
+    // doc 5: all "the" (c=7, in-vocab): surprisal = bitLen(17)-bitLen(8)=5-4=1
+    assert(byId(5L).getLong(2) == 0)
+    assert(byId(5L).getDouble(3) == 1.0)
+  }
+
+  test("unigramSurprisal: bit-surprisal within 1 bit of true -log2 p") {
+    val out = CorpusStats.unigramSurprisal(docs, minCount = 1L)
+      .filter($"n_tokens" > 0).collect()
+    // with minCount=1 nothing is OOV: check the doc-5 degenerate case and
+    // the general bound via a direct recomputation
+    val tf = CorpusStats.termFreq(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val corpus = tf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = corpus.values.sum.toDouble
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val toks = tf.filter(_._1 == id)
+      val trueBits = toks.map { case (_, t, c) =>
+        c * math.log(total / (corpus(t) + 1)) / math.log(2.0)
+      }.sum / toks.map(_._3).sum
+      val got = r.getDouble(3)
+      assert(math.abs(got - trueBits) <= 1.0 + 1e-9,
+        s"doc $id: bit-surprisal $got vs true $trueBits drifts over 1 bit")
+    }
+  }
+
+  test("tfIdfTopK: ranks by score then token, caps at k, ubiquitous terms score 0") {
+    val out = CorpusStats.tfIdfTopK(docs, k = 2).orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Long, Long)].collect()
+    assert(out.forall(_._2 <= 2))
+    val doc1 = out.filter(_._1 == 1L)
+    // N=5 docs, bitLen(5)=3. "the": df=3, bitLen=2 → idf 1; tf=2 → score 2.
+    // cat/sat/on/mat: df 1 (cat,on,mat) → idf 2, score 2; sat df=2 → idf 1.
+    // top-2 must be the two lexicographically-smallest score-2 terms: cat, mat
+    assert(doc1.map(_._3).toSeq == Seq("cat", "mat"),
+      s"tie-break by token: got ${doc1.map(_._3).toSeq}")
+    assert(doc1.forall(_._6 == 2L))
+  }
+
+  test("tfIdfTopK + unigramSurprisal: invariant under input partitioning") {
+    val base = CorpusStats.unigramSurprisal(docs, minCount = 2L)
+      .orderBy("doc_id").collect().toSeq
+    val repart = CorpusStats.unigramSurprisal(docs.repartition(7), minCount = 2L)
+      .orderBy("doc_id").collect().toSeq
+    assert(base == repart)
+    val t1 = CorpusStats.tfIdfTopK(docs, k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val t2 = CorpusStats.tfIdfTopK(docs.repartition(7), k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(t1 == t2)
+  }
+
+  test("sf0.001 documents: surprisal totals are consistent") {
+    val d = graft.io.Sources.table(spark, sf001, "documents")
+    val out = CorpusStats.unigramSurprisal(d, minCount = 2L)
+    val n = d.count()
+    assert(out.count() == n)
+    val agg = out.agg(
+      sum("n_tokens").as("tok"),
+      sum("n_oov").as("oov"),
+      min("bits_per_token").as("lo"),
+      max("bits_per_token").as("hi")).head()
+    assert(agg.getLong(1) <= agg.getLong(0), "oov <= tokens")
+    assert(agg.getDouble(2) >= 0.0, "surprisal cannot be negative")
+    val t = CorpusStats.termFreq(d).agg(sum("tf")).head().getLong(0)
+    assert(agg.getLong(0) == t, "per-doc token totals must sum to corpus total")
+  }
+}
