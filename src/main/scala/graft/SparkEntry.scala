@@ -1470,19 +1470,63 @@ object SparkEntry {
     // connected components by hash-min label propagation; the oracle
     // replays reachability with a recursive CTE. cluster_id = min
     // member id; singletons are their own cluster.
-    "dedup_clusters" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val ids = docs.select(col("doc_id"))
-      val allPairs = ids.select(col("doc_id").as("id_a"))
-        .crossJoin(ids.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-      val edges = Dedup.ngramJaccard(allPairs, docs, "doc_id", "text", n = 3)
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(edges, ids, "doc_id")
-        .orderBy(col("doc_id"))
-    })
+    "dedup_clusters" -> ((s, d) =>
+      docClusters(s, d).orderBy(col("doc_id"))),
+
+    // Sampling: leakage-safe train/valid/test split — the split key is
+    // the near-dup CLUSTER id, so a duplicate family can never straddle
+    // train and test (oracle replays the recursive-CTE clusters plus
+    // the exact Lehmer bucket arithmetic on the cluster id).
+    "smp_split_safe" -> ((s, d) =>
+      graft.ops.Sampling.leakageSafeSplit(
+        t(s, d, "documents").select("doc_id"), docClusters(s, d), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy(col("doc_id"))),
+
+    // Curation: one survivor per near-dup cluster, highest n_chars wins
+    // (id tiebreak) — quality-argmax instead of arbitrary min-id.
+    "doc_curate_best" -> ((s, d) =>
+      graft.ops.Curation.keepBestInCluster(
+        t(s, d, "documents"), docClusters(s, d), "doc_id", col("n_chars"))
+        .select("doc_id", "cluster_id", "n_chars")
+        .orderBy(col("doc_id"))),
+
+    // Index: pruned inverted postings — token -> full document
+    // frequency + first-100 sorted doc ids, stopwords (df > 80% of the
+    // corpus) and hapaxes (df < 2) pruned, cap applied by rank BEFORE
+    // list aggregation.
+    "idx_postings" -> ((s, d) =>
+      graft.ops.Index.postings(t(s, d, "documents"),
+        minDf = 2L, maxDfFrac = 0.8, maxPostings = 100)
+        // the library op returns a typed array; the declared query
+        // stringifies it (driver compare is scalar-only)
+        .select(col("token"), col("df"),
+          array_join(col("postings"), ",").as("postings"))
+        .orderBy(col("token"))),
+
+    // Corpus stats: one-row corpus health report (doc/dup/token/vocab
+    // counts) — the summary a curation run logs per stage.
+    "corpus_report" -> ((s, d) =>
+      graft.ops.CorpusStats.corpusReport(t(s, d, "documents")))
   )
+
+  /** Shared near-dup cluster assignment over `documents` — exact
+    * 3-gram Jaccard >= 0.5 on all pairs (the oracle-replayable edge
+    * recipe; production edge generation is the banded LSH path),
+    * transitively closed by [[Dedup.connectedComponents]].
+    * `(doc_id, cluster_id)`, cluster_id = min member id. */
+  private def docClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val edges = Dedup.ngramJaccard(allPairs, docs, "doc_id", "text", n = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(edges, ids, "doc_id")
+  }
 
   // -------- oracle SQL (DuckDB dialect, same tables) --------
 
@@ -1498,6 +1542,39 @@ object SparkEntry {
       s"(CASE WHEN list_reduce(list_transform(range(1, 65), j -> $vecExpr[j] * ($arr::DOUBLE[])[j]), (x, y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n     + ", ")")
   }
+
+  /** DuckDB recursive-CTE replay of [[docClusters]] (exact 3-gram
+    * Jaccard >= 0.5 edges, reachability closure): ends in
+    * `cl(doc_id, cluster_id)` for the consuming query to select from
+    * or extend with further `, name AS (...)` CTE clauses. */
+  private val clusterCteSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, LEN(toks) - 1),
+      |                             i -> array_to_string(toks[i:i+2], ' '))
+      |         END) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+      |        FROM documents)
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
+      |             AS DOUBLE) >= 0.5
+      |), e AS (
+      |  SELECT id_a AS a, id_b AS b FROM p
+      |  UNION ALL
+      |  SELECT id_b AS a, id_a AS b FROM p
+      |), reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+      |), cl AS (
+      |  SELECT id AS doc_id, MIN(r) AS cluster_id
+      |  FROM reach GROUP BY id
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2497,32 +2574,94 @@ object SparkEntry {
     // edges; component id = min reachable node. UNION (distinct)
     // guarantees termination.
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, LEN(toks) - 1),
-        |                             i -> array_to_string(toks[i:i+2], ' '))
-        |         END) AS sh
+      s"""$clusterCteSql
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+    "smp_split_safe" ->
+      s"""$clusterCteSql,
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    ((((cluster_id % 2147483647) * 48271) % 2147483647) * 48271)
+         |      % 2147483647 % 10000 AS bk
+         |  FROM cl
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bk < 8000 THEN 'train'
+         |       WHEN bk < 9000 THEN 'valid' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "doc_curate_best" ->
+      s"""$clusterCteSql,
+         |r AS (
+         |  SELECT d.doc_id, cl.cluster_id, d.n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+         |  FROM documents d JOIN cl USING (doc_id)
+         |)
+         |SELECT doc_id, cluster_id, n_chars
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "idx_postings" ->
+      """WITH tf AS (
+        |  SELECT DISTINCT doc_id, t AS token
         |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |          unnest(list_filter(
+        |            regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |            x -> LENGTH(x) > 0)) AS t
         |        FROM documents)
-        |), p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND CAST(LEN(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(GREATEST(LEN(a.sh) + LEN(b.sh) - LEN(list_intersect(a.sh, b.sh)), 1)
-        |             AS DOUBLE) >= 0.5
-        |), e AS (
-        |  SELECT id_a AS a, id_b AS b FROM p
-        |  UNION ALL
-        |  SELECT id_b AS a, id_a AS b FROM p
-        |), reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+        |), dfx AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |), pruned AS (
+        |  SELECT dfx.token, dfx.df FROM dfx CROSS JOIN n
+        |  WHERE dfx.df >= 2
+        |    AND dfx.df <= CAST(FLOOR(n.n_docs * 0.8) AS BIGINT)
+        |), ranked AS (
+        |  SELECT token, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+        |  FROM tf
         |)
-        |SELECT id AS doc_id, MIN(r) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |SELECT p.token, p.df,
+        |  array_to_string(list(r.doc_id ORDER BY r.doc_id), ',') AS postings
+        |FROM pruned p JOIN ranked r USING (token)
+        |WHERE r.rk <= 100
+        |GROUP BY p.token, p.df ORDER BY p.token""".stripMargin,
+
+    "corpus_report" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(
+        |            regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |            x -> LENGTH(x) > 0)) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id, t
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_tokens
+        |  FROM tf GROUP BY doc_id
+        |), tok AS (
+        |  SELECT CAST(SUM(doc_tokens) AS BIGINT) AS n_token_instances,
+        |         CAST(MAX(doc_tokens) AS BIGINT) AS max_doc_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_token_docs
+        |  FROM perdoc
+        |), voc AS (
+        |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size FROM tf
+        |), d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |  FROM documents
+        |)
+        |SELECT d.n_docs,
+        |  d.n_docs - d.n_distinct_texts AS n_exact_dups,
+        |  COALESCE(tok.n_token_instances, 0) AS n_token_instances,
+        |  voc.vocab_size,
+        |  d.n_docs - COALESCE(tok.n_token_docs, 0) AS n_tokenless_docs,
+        |  COALESCE(tok.max_doc_tokens, 0) AS max_doc_tokens,
+        |  CAST(COALESCE(tok.n_token_instances, 0) AS DOUBLE) /
+        |    CAST(GREATEST(COALESCE(tok.n_token_docs, 0), 1) AS DOUBLE)
+        |    AS mean_doc_tokens
+        |FROM d CROSS JOIN tok CROSS JOIN voc""".stripMargin,
 
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey,

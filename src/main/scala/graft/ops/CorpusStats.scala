@@ -107,6 +107,45 @@ object CorpusStats {
     * shuffle of per-document DISTINCT terms (already collapsed by
     * [[termFreq]]), never raw instances.
     */
+  /** One-row corpus health report — the summary a curation run logs
+    * before and after each stage: document count, exact-duplicate
+    * count (docs minus distinct text fingerprints), token-instance
+    * total, vocabulary size, tokenless-document count, and the max /
+    * mean document length in tokens (mean over token-bearing docs).
+    *
+    * Scale shape: the token-side stats ride one [[termFreq]] pass
+    * (per-doc collapse map-side, then two tiny aggregates); the
+    * fingerprint stats are a second scan aggregating md5 projections.
+    * Every intermediate is a one-row frame joined by broadcast — no
+    * driver collect. */
+  def corpusReport(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val perDoc = tf.groupBy(col(idCol)).agg(sum("tf").as("doc_tokens"))
+    val tokSide = perDoc.agg(
+      sum("doc_tokens").as("n_token_instances"),
+      max("doc_tokens").as("max_doc_tokens"),
+      count(lit(1)).as("n_token_docs"))
+    val vocabSide = tf.select(col("token")).distinct()
+      .agg(count(lit(1)).as("vocab_size"))
+    val docSide = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("n_distinct_texts"))
+    docSide.crossJoin(broadcast(tokSide)).crossJoin(broadcast(vocabSide))
+      .select(
+        col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        coalesce(col("n_token_instances"), lit(0L)).as("n_token_instances"),
+        col("vocab_size"),
+        (col("n_docs") - coalesce(col("n_token_docs"), lit(0L)))
+          .as("n_tokenless_docs"),
+        coalesce(col("max_doc_tokens"), lit(0L)).as("max_doc_tokens"),
+        (coalesce(col("n_token_instances"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_token_docs"), lit(0L)), lit(1L))
+            .cast("double"))
+          .as("mean_doc_tokens"))
+  }
+
   def tfIdfTopK(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", k: Int = 5): DataFrame = {
     val tf = termFreq(docs, idCol, textCol)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Composed document-curation pipeline — the end-to-end shape a
@@ -138,4 +138,31 @@ object Curation {
     curated
       .groupBy(coalesce(col("drop_stage"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** One survivor per near-dup cluster — the HIGHEST-QUALITY member
+    * rather than the arbitrary min-id winner the drop-list stages use
+    * (when a crawl picks up the same article with and without boilerplate,
+    * min-id keeps whichever was ingested first; quality-argmax keeps the
+    * clean one). `clusters` is an `(idCol, cluster_id)` assignment
+    * ([[Dedup.connectedComponents]] output); `score` is any deterministic
+    * per-row quality column — ties break by ascending id so the survivor
+    * is total-ordered and replayable.
+    *
+    * Scale shape: the window partitions by `cluster_id` — one exchange
+    * of (id, cluster, score) projections, never document bodies; the
+    * surviving ids then semi-join back to the full rows. Cluster sizes
+    * are bounded upstream by the dedup capping machinery, so no window
+    * partition degenerates. */
+  def keepBestInCluster(docs: DataFrame, clusters: DataFrame,
+                        idCol: String, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winners = docs.join(clusters, Seq(idCol))
+      .select(col(idCol), col("cluster_id"), score.as("_score"))
+      .withColumn("_rk",
+        row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("_score").desc, col(idCol).asc)))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("cluster_id"))
+    docs.join(winners, Seq(idCol))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pruned inverted index: token → document frequency + a bounded,
+  * sorted posting list of document ids. The lookup artifact behind
+  * fast decontamination and membership probes — "which documents
+  * contain this benchmark phrase?" answered by an index seek instead
+  * of a corpus scan (the same reason [[TextAnalysis.contamination]]'s
+  * broadcast semi-join exists; the index is its precomputed inverse).
+  *
+  * Pruning is load-bearing at scale, not an option:
+  *  - `maxDfFrac` drops stopword tokens — a token in more than that
+  *    fraction of documents carries no lookup value and its posting
+  *    list is corpus-sized (the classic inverted-index stopword cliff);
+  *  - `minDf` drops hapax noise (misspellings, ids) that bloats the
+  *    vocabulary without ever being queried;
+  *  - `maxPostings` bounds every surviving list by RANKING postings
+  *    (window over the token, ordered by doc id) and filtering BEFORE
+  *    the list is aggregated — the aggregation buffer never holds more
+  *    than the cap, where a collect-then-slice shape would materialize
+  *    the full unbounded list first.
+  *
+  * Scale shape: one exchange. The window partitions by token; document
+  * frequency, the posting rank, and the final `collect_list` all reuse
+  * that same hash partitioning (the group-by keys the exchange the
+  * window already made), and what shuffles is bare (token, doc_id)
+  * pairs — [[CorpusStats.termFreq]] collapsed each document's repeats
+  * map-side. `sort_array` makes the list order deterministic
+  * regardless of task arrival order.
+  */
+object Index {
+
+  /** Build the pruned postings table: `(token, df, postings)`, where
+    * `df` is the token's FULL document frequency (pre-cap — the stat a
+    * query planner wants) and `postings` the first `maxPostings` doc
+    * ids in ascending order. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", minDf: Long = 2L,
+               maxDfFrac: Double = 0.5,
+               maxPostings: Int = 100): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, s"maxDfFrac out of (0,1]: $maxDfFrac")
+    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+    val pairs = CorpusStats.termFreq(docs, idCol, textCol)
+      .select(col("token"), col(idCol))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byToken = Window.partitionBy(col("token"))
+    val ranked = pairs
+      .withColumn("df", count(lit(1)).over(byToken))
+      .withColumn("rk",
+        row_number().over(byToken.orderBy(col(idCol).asc)))
+      .crossJoin(broadcast(nDocs))
+      // floor(n_docs * frac) as the stopword ceiling: exact integer
+      // arithmetic so the DuckDB oracle replays the cut bit-for-bit
+      .filter(col("df") >= minDf &&
+        col("df") <= floor(col("n_docs") * lit(maxDfFrac)).cast("long") &&
+        col("rk") <= maxPostings)
+    ranked.groupBy(col("token"))
+      .agg(max(col("df")).as("df"),
+        sort_array(collect_list(col(idCol))).as("postings"))
+  }
+
+  /** Probe the index: ids of documents containing EVERY probe token
+    * (conjunctive membership — the decontamination lookup). Tokens
+    * missing from the pruned index match nothing, which is the right
+    * contract for a screen built over `minDf`-surviving tokens.
+    * The probe list is tiny and broadcast; the index is never scanned
+    * more than once. */
+  def lookupAll(index: DataFrame, probeTokens: Seq[String]): DataFrame = {
+    require(probeTokens.nonEmpty, "empty probe")
+    val probes = probeTokens.distinct
+    index.filter(col("token").isin(probes: _*))
+      .select(explode(col("postings")).as("doc_id"), col("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === probes.size)
+      .select(col("doc_id"))
+  }
+}

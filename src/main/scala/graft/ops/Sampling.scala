@@ -81,4 +81,25 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Leakage-safe split: key the split decision on the row's near-dup
+    * CLUSTER id rather than its own id, so every member of a duplicate
+    * family lands in the same split — the standard defence against
+    * train/test contamination via near-duplicates (a paraphrased test
+    * document leaking into train defeats a per-document split; cf. the
+    * dedup-before-split step in Rae et al. '21 §A1.3).
+    *
+    * `clusters` is an `(idCol, cluster_id)` assignment — the output
+    * shape of [[Dedup.connectedComponents]] / [[Dedup.nearDupClusters]].
+    * Singletons are their own cluster (cluster_id = own id), so
+    * un-duplicated rows split exactly as [[assignSplit]] would.
+    *
+    * Scale shape: one equi-join on the id (clusters is id-cardinality —
+    * co-partitionable or bucketed with the corpus), then the same
+    * scalar split projection as [[assignSplit]]; no extra shuffle
+    * beyond the join. */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+                       splits: Seq[(String, Double)],
+                       buckets: Int = 10000): DataFrame =
+    assignSplit(df.join(clusters, Seq(idCol)), "cluster_id", splits, buckets)
 }

@@ -155,6 +155,37 @@ class PlanSpec extends SparkSpec {
       s"text crossed a shuffle:\n${offenders.map(_.output.map(_.name)).mkString("; ")}\n$plan")
   }
 
+  test("idx_postings: window, df count, and collect_list share ONE token exchange") {
+    val docs = graft.io.Sources.table(spark, sf001, "documents")
+    val plan = executedPlan(
+      graft.ops.Index.postings(docs, minDf = 2L, maxDfFrac = 0.8, maxPostings = 50))
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allShuffles(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+    val shuffles = allShuffles(plan)
+    // exactly ONE token-keyed exchange: df window, posting rank, and
+    // collect_list all reuse it (the others are termFreq's fan-out on
+    // doc_id and the one-row n_docs count)
+    val tokenKeyed = shuffles.filter(
+      _.outputPartitioning.toString.contains("token"))
+    assert(tokenKeyed.size == 1, s"window/df/collect must share one token " +
+      s"exchange (got ${tokenKeyed.size} of ${shuffles.size}):\n$plan")
+    // text may ride ONLY fanOut's small-file repartition (REPARTITION_BY_NUM,
+    // a no-op at lake scale where the scan has natural parallelism); it must
+    // never cross a computed ENSURE_REQUIREMENTS exchange
+    val textCrossed = shuffles.filter(e =>
+      e.output.exists(_.name == "text") &&
+        !e.toString.contains("REPARTITION_BY_NUM"))
+    assert(textCrossed.isEmpty, s"document bodies crossed a shuffle:\n$plan")
+    // the maxPostings cap reaches the sort as a group limit — the
+    // "bound before aggregation" contract
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"posting cap must push down as a window group limit:\n$plan")
+  }
+
   test("join_asof_native: small right side broadcasts — fact side never shuffles") {
     val df = q("join_asof_native")
     df.collect()

@@ -93,4 +93,27 @@ class CorpusStatsSpec extends SparkSpec {
     val t = CorpusStats.termFreq(d).agg(sum("tf")).head().getLong(0)
     assert(agg.getLong(0) == t, "per-doc token totals must sum to corpus total")
   }
+
+  test("corpusReport: hand-checked one-row summary") {
+    val r = CorpusStats.corpusReport(docs).head()
+    assert(r.getLong(0) == 5) // n_docs
+    assert(r.getLong(1) == 0) // all texts distinct
+    assert(r.getLong(2) == 17) // token instances
+    assert(r.getLong(3) == 10) // vocab: the cat sat on mat dog a rare unique specimen
+    assert(r.getLong(4) == 1) // the empty doc
+    assert(r.getLong(5) == 6) // doc 1
+    assert(math.abs(r.getDouble(6) - 17.0 / 4.0) < 1e-12, "mean over token-bearing docs")
+  }
+
+  test("corpusReport: exact dups counted; all-empty corpus degrades to zeros") {
+    val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.corpusReport(dup).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1)
+    val empty = Seq((1L, ""), (2L, " ")).toDF("doc_id", "text")
+    val e = CorpusStats.corpusReport(empty).head()
+    assert(e.getLong(0) == 2 && e.getLong(2) == 0 && e.getLong(3) == 0)
+    assert(e.getLong(4) == 2 && e.getLong(5) == 0)
+    assert(e.getDouble(6) == 0.0)
+  }
 }

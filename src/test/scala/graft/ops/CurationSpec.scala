@@ -65,4 +65,26 @@ class CurationSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
     assert(pairs.forall { case (a, b) => !(keptIds(a) && keptIds(b)) })
   }
+
+  test("keepBestInCluster: quality-argmax survivor, id tiebreak, singletons kept") {
+    val d = Seq(
+      (1L, "aaa", 10L), (2L, "aab", 30L), (3L, "aac", 30L), // cluster 1
+      (4L, "zzz", 5L) // singleton
+    ).toDF("doc_id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = Curation.keepBestInCluster(d, clusters, "doc_id", col("score"))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().sorted.toSeq
+    // cluster 1: max score 30 tied between 2 and 3 → min id 2 wins
+    assert(out == Seq((2L, 1L), (4L, 4L)))
+  }
+
+  test("keepBestInCluster: exactly one survivor per cluster on real data") {
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.4)
+    val out = Curation.keepBestInCluster(docs, clusters, "doc_id",
+      length($"text"))
+    val perCluster = out.groupBy("cluster_id").count().filter($"count" =!= 1)
+    assert(perCluster.count() == 0, "one winner per cluster")
+    assert(out.count() == clusters.select("cluster_id").distinct().count())
+  }
 }

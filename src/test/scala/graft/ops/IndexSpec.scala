@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 docs: "common" in 5/6 (df over the 0.7 ceiling of 4), "rare"
+  // hapax, "mid" in 3, "pair" in 2
+  private def docs = Seq(
+    (1L, "common mid pair x1"),
+    (2L, "common mid pair x2"),
+    (3L, "common mid x3"),
+    (4L, "common rare x4"),
+    (5L, "common x5"),
+    (6L, "alone x6")
+  ).toDF("doc_id", "text")
+
+  test("postings: stopword ceiling, hapax floor, full df kept on capped lists") {
+    val out = Index.postings(docs, minDf = 2L, maxDfFrac = 0.7, maxPostings = 2)
+      .orderBy("token")
+      .as[(String, Long, Seq[Long])].collect()
+    val byTok = out.map(t => t._1 -> t).toMap
+    assert(!byTok.contains("common"), "df=5 > floor(6*0.7)=4 must prune")
+    assert(!byTok.contains("rare") && !byTok.contains("alone") &&
+      !byTok.contains("x1"), "hapaxes must prune")
+    assert(byTok("mid")._2 == 3L, "df is the FULL document frequency")
+    assert(byTok("mid")._3 == Seq(1L, 2L), "postings capped at 2, ascending")
+    assert(byTok("pair")._3 == Seq(1L, 2L))
+    assert(out.map(_._1).toSeq == Seq("mid", "pair"))
+  }
+
+  test("postings: repeated token in one doc counts once toward df") {
+    val d = Seq((1L, "dup dup dup"), (2L, "dup"), (3L, "other z")).toDF("doc_id", "text")
+    val out = Index.postings(d, minDf = 2L, maxDfFrac = 1.0, maxPostings = 10)
+      .as[(String, Long, Seq[Long])].collect()
+    val dup = out.find(_._1 == "dup").get
+    assert(dup._2 == 2L && dup._3 == Seq(1L, 2L))
+  }
+
+  test("postings: invariant under input partitioning") {
+    val a = Index.postings(docs, minDf = 2L, maxDfFrac = 0.7, maxPostings = 2)
+      .orderBy("token").collect().toSeq
+    val b = Index.postings(docs.repartition(5), minDf = 2L, maxDfFrac = 0.7,
+      maxPostings = 2).orderBy("token").collect().toSeq
+    assert(a == b)
+  }
+
+  test("lookupAll: conjunctive membership over the pruned index") {
+    val idx = Index.postings(docs, minDf = 2L, maxDfFrac = 0.7, maxPostings = 10)
+    val both = Index.lookupAll(idx, Seq("mid", "pair"))
+      .as[Long].collect().sorted.toSeq
+    assert(both == Seq(1L, 2L), "docs containing BOTH mid and pair")
+    val onlyMid = Index.lookupAll(idx, Seq("mid")).as[Long].collect().sorted.toSeq
+    assert(onlyMid == Seq(1L, 2L, 3L))
+    // a pruned (stopword) probe token can match nothing
+    assert(Index.lookupAll(idx, Seq("common", "mid")).count() == 0)
+  }
+
+  test("sf0.001 documents: postings agree with a direct group-by") {
+    val d = graft.io.Sources.table(spark, sf001, "documents")
+    val n = d.count()
+    val out = Index.postings(d, minDf = 2L, maxDfFrac = 0.8, maxPostings = 50)
+    val direct = d
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .groupBy("token").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2 && col("df") <= math.floor(n * 0.8).toLong)
+    assert(out.count() == direct.count(), "one row per surviving token")
+    val joined = out.join(direct.withColumnRenamed("df", "df2"), "token")
+    assert(joined.filter(col("df") =!= col("df2")).count() == 0)
+    assert(out.filter(size(col("postings")) > 50).count() == 0)
+  }
+}

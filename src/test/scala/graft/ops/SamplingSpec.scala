@@ -60,4 +60,35 @@ class SamplingSpec extends SparkSpec {
     // a degenerate mapping would put sequential ids in ~1 bucket
     assert(buckets.values.max < 300, s"bucket skew too high: $buckets")
   }
+
+  test("leakageSafeSplit: a near-dup family never straddles splits") {
+    val docs = Sources.table(spark, sf001, "documents")
+    val ids = docs.select($"doc_id")
+    val allPairs = ids.select($"doc_id".as("id_a"))
+      .crossJoin(ids.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    val edges = Dedup.ngramJaccard(allPairs, docs, "doc_id", "text", n = 3)
+      .filter($"jaccard" >= 0.5).select("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(edges, ids, "doc_id")
+    val out = Sampling.leakageSafeSplit(docs, clusters, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == docs.count(), "every doc assigned")
+    assert(out.filter($"split".isNull).count() == 0)
+    val mixed = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter($"n_splits" > 1)
+    assert(mixed.count() == 0, "cluster members must share a split")
+    // and the split is genuinely cluster-keyed: a doc-keyed split over
+    // the same corpus DOES straddle at least one multi-member cluster
+    // (guards against the test passing vacuously on singleton-only data)
+    val multi = clusters.groupBy("cluster_id").count().filter($"count" > 1)
+    assert(multi.count() > 0, "fixture must contain a real dup family")
+    val naive = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1)
+    assert(naive.count() > 0,
+      "doc-keyed split straddles a family here — the leak this op closes")
+  }
 }
