@@ -1219,6 +1219,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("source"))),
 
+    // Sampling: temperature-smoothed (T=1/2, square-root) language
+    // mixture at half the corpus — low-resource langs keep a larger
+    // share than proportional sampling would give. All-integer quota
+    // and membership arithmetic; the oracle replays it exactly.
+    "smp_mixture_temp" -> ((s, d) =>
+      graft.ops.Sampling.temperatureMixture(
+        t(s, d, "documents"), "doc_id", "lang", targetFrac = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(col("n_d")).as("n_docs"),
+          max(col("k_quota")).as("quota"))
+        .orderBy(col("lang"))),
+
+    // Sampling: hard per-language cap at 60 docs, survivors chosen by
+    // Lehmer rank so the subset is deterministic and ingest-order-free.
+    "smp_domain_cap" -> ((s, d) =>
+      graft.ops.Sampling.capPerDomain(
+        t(s, d, "documents"), "doc_id", "lang", maxPerDomain = 60)
+        .select("doc_id", "lang")
+        .orderBy(col("doc_id"))),
+
     // §2.B predicate-type coverage in one filter: LIKE, IN-list,
     // BETWEEN, null test, boolean combination.
     "flt_predicates" -> ((s, d) =>
@@ -2726,6 +2747,44 @@ object SparkEntry {
         |   OR (source = 1 AND b < 5000)
         |   OR (source = 2 AND b < 2000)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "smp_mixture_temp" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_d
+        |  FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, n_d, CAST(FLOOR(SQRT(n_d)) AS BIGINT) AS w_d FROM c
+        |), t AS (
+        |  SELECT CAST(SUM(n_d) AS BIGINT) AS n_total,
+        |         CAST(SUM(w_d) AS BIGINT) AS w_total
+        |  FROM w
+        |), q AS (
+        |  SELECT w.lang, w.n_d, w.w_d,
+        |    (CAST(FLOOR(0.5 * t.n_total) AS BIGINT) * w.w_d) // t.w_total
+        |      AS k_quota
+        |  FROM w CROSS JOIN t
+        |), kept AS (
+        |  SELECT d.lang FROM documents d JOIN q USING (lang)
+        |  WHERE (((((d.doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |         % 2147483647 % 10000) * q.n_d < q.k_quota * 10000
+        |)
+        |SELECT q.lang, k.n_kept, q.n_d AS n_docs, q.k_quota AS quota
+        |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |      FROM kept GROUP BY lang) k
+        |JOIN q USING (lang) ORDER BY q.lang""".stripMargin,
+
+    "smp_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |      % 2147483647 AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        |  FROM h
+        |)
+        |SELECT doc_id, lang FROM r WHERE rk <= 60 ORDER BY doc_id""".stripMargin,
 
     "flt_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part

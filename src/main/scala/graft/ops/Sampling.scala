@@ -102,4 +102,67 @@ object Sampling {
                        splits: Seq[(String, Double)],
                        buckets: Int = 10000): DataFrame =
     assignSplit(df.join(clusters, Seq(idCol)), "cluster_id", splits, buckets)
+
+  /** Temperature-smoothed domain mixture at T = 1/2 (square-root
+    * sampling — the standard smoothing that upweights low-resource
+    * domains relative to proportional sampling; exponent-α smoothing
+    * with α = 0.5 as in multilingual-corpus practice). Keeps an
+    * expected `targetFrac` of the corpus, with per-domain quotas
+    * `k_d = floor(K · √n_d / Σ√n)` instead of `K · n_d / N` —
+    * a 100×-larger domain gets only 10× the quota.
+    *
+    * Exactness contract: every quantity is integral — `floor(sqrt(n))`
+    * (exact for n < 2^52: correctly-rounded sqrt can't cross the next
+    * integer at that magnitude), bigint sums, and membership by the
+    * cross-multiplied comparison `bucket · n_d < k_d · buckets` (no
+    * division) — so the DuckDB oracle replays the cut bit-for-bit.
+    * Bounds: `K · w_d` and `k_d · buckets` stay under 2^63 for corpora
+    * to ~10^12 rows at the default bucket count.
+    *
+    * Scale shape: one count-per-domain aggregate (tiny — domain
+    * cardinality), the quota arithmetic on that broadcast frame, and a
+    * scalar membership predicate on the scan. No shuffle of the corpus
+    * itself. */
+  def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
+                         targetFrac: Double,
+                         buckets: Int = 10000): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac out of (0,1]: $targetFrac")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("w_d", floor(sqrt(col("n_d"))).cast("long"))
+    val totals = counts.agg(
+      sum("n_d").as("n_total"), sum("w_d").as("w_total"))
+    val quotas = counts.crossJoin(broadcast(totals))
+      .withColumn("k_big", floor(lit(targetFrac) * col("n_total")).cast("long"))
+      .withColumn("k_quota", expr("(k_big * w_d) DIV w_total"))
+      .select(col(domainCol), col("n_d"), col("w_d"), col("k_quota"))
+    df.join(broadcast(quotas), Seq(domainCol))
+      .filter(hashBucket(col(keyCol), buckets) * col("n_d") <
+        col("k_quota") * buckets)
+  }
+
+  /** Hard per-domain cap: at most `maxPerDomain` rows from any domain,
+    * chosen by Lehmer-key rank (id tiebreak) so the surviving subset is
+    * deterministic and decorrelated from ingest order — the guard
+    * against a single over-crawled domain dominating the mixture.
+    *
+    * Scale shape: one window exchange keyed on the domain; only
+    * (key, domain) projections need to rank — callers pass the full
+    * frame and the filter drops rows in place. The rank pushes down as
+    * a WindowGroupLimit, so no task buffers more than the cap per
+    * domain. */
+  def capPerDomain(df: DataFrame, keyCol: String, domainCol: String,
+                   maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1: $maxPerDomain")
+    import org.apache.spark.sql.expressions.Window
+    val h1 = pmod(pmod(col(keyCol).cast("long"), lit(Modulus)) * Multiplier,
+      lit(Modulus))
+    val h2 = pmod(h1 * Multiplier, lit(Modulus))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("_rank_key").asc, col(keyCol).asc)
+    df.withColumn("_rank_key", h2)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerDomain)
+      .drop("_rank_key", "_rk")
+  }
 }

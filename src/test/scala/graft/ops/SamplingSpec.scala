@@ -61,6 +61,43 @@ class SamplingSpec extends SparkSpec {
     assert(buckets.values.max < 300, s"bucket skew too high: $buckets")
   }
 
+  test("temperatureMixture: sqrt smoothing upweights the low-resource domain") {
+    // 400 "big" rows vs 16 "small": w = 20 vs 4, K = 208,
+    // quotas 173 vs 34 — small's quota EXCEEDS its size, so it keeps
+    // everything while big keeps ~43%; proportional would keep 50/50
+    val d = spark.range(0, 416)
+      .select(col("id"), when(col("id") < 400, "big").otherwise("small").as("dom"))
+    val out = Sampling.temperatureMixture(d, "id", "dom", targetFrac = 0.5)
+    val kept = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 16L, "saturated quota keeps the whole small domain")
+    val bigRate = kept("big").toDouble / 400
+    assert(bigRate > 0.33 && bigRate < 0.53, s"big domain rate $bigRate far from quota 173/400")
+    // deterministic: same rows on re-run and under repartitioning
+    val again = Sampling.temperatureMixture(d.repartition(7), "id", "dom", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("capPerDomain: exact cap, full retention under it, deterministic subset") {
+    val docs = Sources.table(spark, sf001, "documents")
+    val out = Sampling.capPerDomain(docs, "doc_id", "lang", maxPerDomain = 10)
+    val perLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 10), s"cap violated: $perLang")
+    val langTotals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    langTotals.foreach { case (l, n) =>
+      assert(perLang.getOrElse(l, 0L) == math.min(n, 10L),
+        s"lang $l kept ${perLang.getOrElse(l, 0L)} of $n at cap 10")
+    }
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.capPerDomain(docs.repartition(5), "doc_id", "lang", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "survivor set must be partitioning-invariant")
+    // survivors are rank-selected, not a doc_id prefix
+    val first = docs.orderBy("doc_id").limit(a.length)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a != first, "cap must select by hash rank, not ingest order")
+  }
+
   test("leakageSafeSplit: a near-dup family never straddles splits") {
     val docs = Sources.table(spark, sf001, "documents")
     val ids = docs.select($"doc_id")
