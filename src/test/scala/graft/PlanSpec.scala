@@ -186,6 +186,33 @@ class PlanSpec extends SparkSpec {
       s"posting cap must push down as a window group limit:\n$plan")
   }
 
+  test("temperatureMixture: membership is a broadcast-fed scan predicate — corpus never shuffles") {
+    val docs = graft.io.Sources.table(spark, sf001, "documents")
+    val plan = executedPlan(
+      graft.ops.Sampling.temperatureMixture(docs, "doc_id", "lang", 0.5))
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allShuffles(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+    // the only shuffles allowed are the domain-count aggregate's (tiny:
+    // domain cardinality); the corpus side must join by broadcast, so no
+    // exchange may carry text
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"quota frame must broadcast:\n$plan")
+    val textCrossed = allShuffles(plan).filter(_.output.exists(_.name == "text"))
+    assert(textCrossed.isEmpty, s"corpus rows crossed a shuffle:\n$plan")
+  }
+
+  test("capPerDomain: rank cap plans as a WindowGroupLimit") {
+    val docs = graft.io.Sources.table(spark, sf001, "documents")
+    val plan = executedPlan(
+      graft.ops.Sampling.capPerDomain(docs, "doc_id", "lang", 10))
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"per-domain cap must push down as a group limit:\n$plan")
+  }
+
   test("join_asof_native: small right side broadcasts — fact side never shuffles") {
     val df = q("join_asof_native")
     df.collect()

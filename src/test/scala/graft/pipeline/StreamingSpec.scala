@@ -213,6 +213,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "every KPI cell must converge to the batch value")
   }
 
+  test("corpus ingest screens near-dups within and across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-ingest").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = Streaming.corpusIngest(docs, work)
+    val uniq = (i: Long) =>
+      s"document number $i with entirely distinct content token$i payload$i trailer$i"
+
+    // batch 1: 2 is an exact near-dup of 1 (within-batch drop); 3 unique
+    mem.addData((1L, uniq(1)), (2L, uniq(1)), (3L, uniq(3)))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(s"$work/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after1 == Seq(1L, 3L), s"within-batch dup must drop: $after1")
+
+    // batch 2: 4 duplicates doc 1 from batch 1 (cross-batch drop via the
+    // signature index); 5 unique
+    mem.addData((4L, uniq(1)), (5L, uniq(5)))
+    q.processAllAvailable()
+    val after2 = spark.read.parquet(s"$work/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after2 == Seq(1L, 3L, 5L), s"cross-batch dup must drop: $after2")
+
+    // batch 3: 6 duplicates batch-2's survivor 5; 7 unique
+    mem.addData((6L, uniq(5)), (7L, uniq(7)))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$work/corpus")
+    val ids = corpus.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L, 7L), s"final corpus: $ids")
+
+    // the accepted corpus is pair-free at the screening threshold
+    val pairs = graft.ops.Dedup.minhashPairs(
+      corpus.select("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() == 0, "accepted corpus must contain no near-dup pair")
+    // index integrity: exactly one signature per accepted doc
+    val sigIds = spark.read.parquet(s"$work/sigs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sigIds == ids, "signature index mirrors the accepted corpus")
+  }
+
   test("transformWithState first-seen dedup suppresses cross-batch redelivery") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
