@@ -126,6 +126,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: shuffledShards is a permutation — every key kept once, pos dense per shard") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(60, Gen.choose(0L, 1000000L)), 15) { keys =>
+      val ks = keys.distinct
+      val out = graft.ops.Export.shuffledShards(ks.toDF("id"), "id", numShards = 4)
+        .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+      assert(out.map(_._1).sorted.toSeq == ks.sorted, "no key lost or duplicated")
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val ps = rows.map(_._3).sorted.toSeq
+        assert(ps == (1L to rows.length).toSeq, s"pos must be dense 1..n: $ps")
+      }
+      assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    }
+  }
+
+  test("property: temperatureMixture per-domain keeps never exceed size; deterministic") {
+    import spark.implicits._
+    val gen = for {
+      nBig <- Gen.choose(30, 300)
+      nSmall <- Gen.choose(1, 30)
+    } yield (nBig, nSmall)
+    forSamples(gen, 10) { case (nBig, nSmall) =>
+      val d = spark.range(0, nBig + nSmall)
+        .select(col("id"), when(col("id") < nBig, "big").otherwise("small").as("dom"))
+      val out = Sampling.temperatureMixture(d, "id", "dom", targetFrac = 0.5)
+      val kept = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+      assert(kept.getOrElse("big", 0L) <= nBig)
+      assert(kept.getOrElse("small", 0L) <= nSmall)
+      // exact saturation invariant: when a domain's quota reaches its
+      // size, the cross-multiplied cut admits EVERY bucket, so the whole
+      // domain survives (realized counts elsewhere are hash-binomial
+      // around the quota rate — bounded only by n_d, asserted above)
+      val wBig = math.sqrt(nBig.toDouble).toLong
+      val wSmall = math.sqrt(nSmall.toDouble).toLong
+      val quotaSmall =
+        ((nBig + nSmall) / 2).toLong * wSmall / (wBig + wSmall)
+      if (quotaSmall >= nSmall)
+        assert(kept.getOrElse("small", 0L) == nSmall.toLong,
+          s"saturated quota $quotaSmall must keep all $nSmall")
+      val again = Sampling.temperatureMixture(d, "id", "dom", 0.5)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+    }
+  }
+
+  test("property: capPerDomain keeps min(cap, n) per domain and is a subset") {
+    import spark.implicits._
+    forSamples2(Gen.choose(1, 12), Gen.listOfN(50, Gen.choose(0L, 500L)), 10) {
+      (cap, keys) =>
+        val d = keys.distinct.toDF("id")
+          .withColumn("dom", (col("id") % 3).cast("string"))
+        val out = Sampling.capPerDomain(d, "id", "dom", cap)
+        val sizes = d.groupBy("dom").count().as[(String, Long)].collect().toMap
+        val kept = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+        sizes.foreach { case (dom, n) =>
+          assert(kept.getOrElse(dom, 0L) == math.min(n, cap.toLong),
+            s"dom $dom: kept ${kept.getOrElse(dom, 0L)} of $n at cap $cap")
+        }
+        val ids = out.select("id").as[Long].collect().toSet
+        assert(ids.subsetOf(keys.toSet))
+    }
+  }
+
   private val itemGen = for {
     n <- Gen.choose(0, 40)
     rows <- Gen.sequence[Seq[Row], Row]((1 to n).map { i =>
