@@ -1529,7 +1529,15 @@ object SparkEntry {
     // Corpus stats: one-row corpus health report (doc/dup/token/vocab
     // counts) — the summary a curation run logs per stage.
     "corpus_report" -> ((s, d) =>
-      graft.ops.CorpusStats.corpusReport(t(s, d, "documents")))
+      graft.ops.CorpusStats.corpusReport(t(s, d, "documents"))),
+
+    // Curation: exact top-20%-by-score cut (tie-inclusive) — histogram
+    // threshold + broadcast membership on the engine side, global RANK
+    // on the oracle side; same set, scale-safe plan.
+    "doc_top_frac" -> ((s, d) =>
+      graft.ops.Curation.keepTopFraction(t(s, d, "documents"), "n_chars", 0.2)
+        .select("doc_id", "n_chars")
+        .orderBy(col("doc_id")))
   )
 
   /** Shared near-dup cluster assignment over `documents` — exact
@@ -2772,6 +2780,17 @@ object SparkEntry {
         |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
         |      FROM kept GROUP BY lang) k
         |JOIN q USING (lang) ORDER BY q.lang""".stripMargin,
+
+    "doc_top_frac" ->
+      """WITH k AS (
+        |  SELECT CAST(FLOOR(0.2 * COUNT(*)) AS BIGINT) AS k FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_chars,
+        |    RANK() OVER (ORDER BY n_chars DESC) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars FROM r CROSS JOIN k
+        |WHERE rk <= k.k ORDER BY doc_id""".stripMargin,
 
     "smp_domain_cap" ->
       """WITH h AS (

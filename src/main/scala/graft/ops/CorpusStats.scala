@@ -57,6 +57,25 @@ object CorpusStats {
       .agg(sum("tf").as("c"), count(lit(1)).as("df"))
       .filter(col("c") >= minCount)
 
+  /** Merge vocabulary tables from disjoint corpus slices — the
+    * incremental-ingest path for corpus statistics: a new batch's vocab
+    * (computed from the batch alone) folds into the standing artifact
+    * by token-keyed addition, so corpus-frequency signals stay current
+    * without re-tokenizing history. `(token, c, df)` counts are
+    * additive EXACTLY when the slices partition the corpus by document
+    * (a document spanning slices would double-count its df — the
+    * caller's contract).
+    *
+    * Apply `minCount` pruning AFTER merging (prune-then-merge
+    * undercounts tokens that are rare in each slice but common
+    * overall), which is why this takes unpruned vocab frames. */
+  def mergeVocab(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "no vocab parts")
+    parts.reduce(_.unionByName(_))
+      .groupBy("token")
+      .agg(sum("c").as("c"), sum("df").as("df"))
+  }
+
   /** Unigram-LM surprisal per document: mean over token instances of
     * `bitLen(T) − bitLen(c+1)` where `T` is the corpus token-instance
     * total and `c` the token's corpus count (0 when out-of-vocabulary —

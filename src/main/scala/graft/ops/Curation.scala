@@ -153,6 +153,41 @@ object Curation {
     * surviving ids then semi-join back to the full rows. Cluster sizes
     * are bounded upstream by the dedup capping machinery, so no window
     * partition degenerates. */
+  /** Keep the top `frac` of documents by a score column, EXACTLY (no
+    * approximate quantiles): a document survives iff fewer than
+    * `K = floor(frac · N)` documents score strictly higher — i.e. its
+    * dense-competition RANK is ≤ K. Ties at the boundary are all kept
+    * (tie-inclusive, so the kept count can exceed K by the boundary tie
+    * group; the deterministic alternative — dropping an arbitrary
+    * subset of equals — is worse for reproducibility).
+    *
+    * Scale shape: no global sort and no global window over the corpus.
+    * The score HISTOGRAM (one hash aggregate, cardinality = distinct
+    * score values — the documented assumption: scores are
+    * low-cardinality signals like integer lengths or bucketed
+    * qualities, ≪ corpus size) gets a running strictly-greater count
+    * via a window over that tiny frame, the threshold row broadcasts,
+    * and membership is a scalar comparison on the scan. The oracle
+    * replays the contract as a global RANK — same set, different plan,
+    * which is exactly the point. */
+  def keepTopFraction(docs: DataFrame, scoreCol: String,
+                      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val hist = docs.groupBy(col(scoreCol).as("_score"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wDesc = Window.orderBy(col("_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoffs = hist
+      .withColumn("_cnt_gt", coalesce(sum(col("_cnt")).over(wDesc), lit(0L)))
+      .crossJoin(broadcast(n))
+      .filter(col("_cnt_gt") < floor(lit(frac) * col("n_total")).cast("long"))
+      .select(col("_score"))
+    docs.join(broadcast(cutoffs),
+      docs(scoreCol) === cutoffs("_score"), "left_semi")
+  }
+
   def keepBestInCluster(docs: DataFrame, clusters: DataFrame,
                         idCol: String, score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

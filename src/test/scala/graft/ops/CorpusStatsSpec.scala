@@ -105,6 +105,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - 17.0 / 4.0) < 1e-12, "mean over token-bearing docs")
   }
 
+  test("mergeVocab: slice-wise vocab merge equals whole-corpus vocab") {
+    val d1 = docs.filter($"doc_id" <= 2)
+    val d2 = docs.filter($"doc_id" > 2)
+    val merged = CorpusStats.mergeVocab(
+      CorpusStats.vocab(CorpusStats.termFreq(d1), minCount = 1L),
+      CorpusStats.vocab(CorpusStats.termFreq(d2), minCount = 1L))
+      .orderBy("token").collect().toSeq
+    val whole = CorpusStats.vocab(CorpusStats.termFreq(docs), minCount = 1L)
+      .orderBy("token").collect().toSeq
+    assert(merged == whole)
+    // and pruning after the merge catches cross-slice-common tokens
+    // that per-slice pruning would lose: "xyzzy" occurs once per slice
+    // (c=1 each) but c=2 overall
+    val s1 = Seq((1L, "alpha xyzzy beta beta")).toDF("doc_id", "text")
+    val s2 = Seq((2L, "gamma xyzzy delta delta")).toDF("doc_id", "text")
+    val prunedAfter = CorpusStats.mergeVocab(
+      CorpusStats.vocab(CorpusStats.termFreq(s1), 1L),
+      CorpusStats.vocab(CorpusStats.termFreq(s2), 1L))
+      .filter($"c" >= 2).select("token").as[String].collect().toSet
+    assert(prunedAfter == Set("xyzzy", "beta", "delta"))
+    val prunedBefore = CorpusStats.mergeVocab(
+      CorpusStats.vocab(CorpusStats.termFreq(s1), 2L),
+      CorpusStats.vocab(CorpusStats.termFreq(s2), 2L))
+      .select("token").as[String].collect().toSet
+    assert(prunedBefore == Set("beta", "delta"), "prune-before-merge loses xyzzy")
+  }
+
   test("corpusReport: exact dups counted; all-empty corpus degrades to zeros") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

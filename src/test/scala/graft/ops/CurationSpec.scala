@@ -79,6 +79,24 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq((2L, 1L), (4L, 4L)))
   }
 
+  test("keepTopFraction: exact tie-inclusive cut equals the global-rank contract") {
+    val d = Seq(
+      (1L, 50L), (2L, 40L), (3L, 40L), (4L, 30L), (5L, 20L),
+      (6L, 20L), (7L, 20L), (8L, 10L), (9L, 5L), (10L, 1L)
+    ).toDF("doc_id", "score")
+    // frac=0.3 → K=3: ranks are 50→1, 40→2,2, 30→4 … keep rank ≤ 3
+    val k3 = Curation.keepTopFraction(d, "score", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k3 == Seq(1L, 2L, 3L))
+    // frac=0.5 → K=5: the 20-tie group at ranks 5-7 is boundary —
+    // tie-inclusive keeps all three (7 docs, not 5)
+    val k5 = Curation.keepTopFraction(d, "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k5 == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // frac=1.0 keeps everything
+    assert(Curation.keepTopFraction(d, "score", 1.0).count() == 10)
+  }
+
   test("keepBestInCluster: exactly one survivor per cluster on real data") {
     val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.4)
     val out = Curation.keepBestInCluster(docs, clusters, "doc_id",
