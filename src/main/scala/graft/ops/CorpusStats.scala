@@ -114,18 +114,6 @@ object CorpusStats {
         col("bits_per_token"))
   }
 
-  /** Top-`k` TF-IDF terms per document, IDF as the integer bit-gap
-    * `bitLen(N) − bitLen(df)` (≈ log2(N/df) within 1 bit; a token in
-    * more than half the documents scores 0 and ranks last, exactly the
-    * stopword-suppression IDF exists for). Rank ties break by token so
-    * the cut is total-ordered and replayable. Documents with no tokens
-    * have no rows (there is no term to rank).
-    *
-    * The tf⋈df join keys on `token`: df is vocabulary-sized, so Spark
-    * broadcasts it at test scale; at lake scale it degrades to a
-    * shuffle of per-document DISTINCT terms (already collapsed by
-    * [[termFreq]]), never raw instances.
-    */
   /** One-row corpus health report — the summary a curation run logs
     * before and after each stage: document count, exact-duplicate
     * count (docs minus distinct text fingerprints), token-instance
@@ -165,6 +153,18 @@ object CorpusStats {
           .as("mean_doc_tokens"))
   }
 
+  /** Top-`k` TF-IDF terms per document, IDF as the integer bit-gap
+    * `bitLen(N) − bitLen(df)` (≈ log2(N/df) within 1 bit; a token in
+    * more than half the documents scores 0 and ranks last, exactly the
+    * stopword-suppression IDF exists for). Rank ties break by token so
+    * the cut is total-ordered and replayable. Documents with no tokens
+    * have no rows (there is no term to rank).
+    *
+    * The tf⋈df join keys on `token`: df is vocabulary-sized, so Spark
+    * broadcasts it at test scale; at lake scale it degrades to a
+    * shuffle of per-document DISTINCT terms (already collapsed by
+    * [[termFreq]]), never raw instances.
+    */
   def tfIdfTopK(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", k: Int = 5): DataFrame = {
     val tf = termFreq(docs, idCol, textCol)

@@ -139,20 +139,6 @@ object Curation {
       .groupBy(coalesce(col("drop_stage"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
 
-  /** One survivor per near-dup cluster — the HIGHEST-QUALITY member
-    * rather than the arbitrary min-id winner the drop-list stages use
-    * (when a crawl picks up the same article with and without boilerplate,
-    * min-id keeps whichever was ingested first; quality-argmax keeps the
-    * clean one). `clusters` is an `(idCol, cluster_id)` assignment
-    * ([[Dedup.connectedComponents]] output); `score` is any deterministic
-    * per-row quality column — ties break by ascending id so the survivor
-    * is total-ordered and replayable.
-    *
-    * Scale shape: the window partitions by `cluster_id` — one exchange
-    * of (id, cluster, score) projections, never document bodies; the
-    * surviving ids then semi-join back to the full rows. Cluster sizes
-    * are bounded upstream by the dedup capping machinery, so no window
-    * partition degenerates. */
   /** Keep the top `frac` of documents by a score column, EXACTLY (no
     * approximate quantiles): a document survives iff fewer than
     * `K = floor(frac · N)` documents score strictly higher — i.e. its
@@ -188,6 +174,20 @@ object Curation {
       docs(scoreCol) === cutoffs("_score"), "left_semi")
   }
 
+  /** One survivor per near-dup cluster — the HIGHEST-QUALITY member
+    * rather than the arbitrary min-id winner the drop-list stages use
+    * (when a crawl picks up the same article with and without boilerplate,
+    * min-id keeps whichever was ingested first; quality-argmax keeps the
+    * clean one). `clusters` is an `(idCol, cluster_id)` assignment
+    * ([[Dedup.connectedComponents]] output); `score` is any deterministic
+    * per-row quality column — ties break by ascending id so the survivor
+    * is total-ordered and replayable.
+    *
+    * Scale shape: the window partitions by `cluster_id` — one exchange
+    * of (id, cluster, score) projections, never document bodies; the
+    * surviving ids then semi-join back to the full rows. Cluster sizes
+    * are bounded upstream by the dedup capping machinery, so no window
+    * partition degenerates. */
   def keepBestInCluster(docs: DataFrame, clusters: DataFrame,
                         idCol: String, score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

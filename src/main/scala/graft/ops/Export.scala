@@ -29,42 +29,55 @@ object Export {
   import Sampling.{Modulus, Multiplier}
 
   /** Pseudo-random order key in [0, 2^31−1): seed folded in mod M,
-    * then two multiplicative Lehmer rounds. */
+    * then the library's shared two-round Lehmer mix
+    * ([[Sampling.lehmerMix]]). */
   def shuffleKey(key: Column, seed: Long = 0L): Column = {
     val s = ((seed % Modulus) + Modulus) % Modulus
-    val h0 = pmod(pmod(key.cast("long"), lit(Modulus)) + lit(s), lit(Modulus))
-    val h1 = pmod(h0 * Multiplier, lit(Modulus))
-    pmod(h1 * Multiplier, lit(Modulus))
+    Sampling.lehmerMix(
+      pmod(pmod(key.cast("long"), lit(Modulus)) + lit(s), lit(Modulus)))
   }
+
+  /** The scalar assignment columns: order key + shard id. Pure
+    * projection — no shuffle. */
+  private def assigned(df: DataFrame, idCol: String, numShards: Int,
+                       seed: Long): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
+
+  private def posWindow(idCol: String) =
+    Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
 
   /** Shard assignment + within-shard position for every row:
     * `shard = key mod numShards` (the modulus never divides the Lehmer
     * prime, so shards are near-uniform), `pos` = 1-based rank of the
     * order key inside the shard (id tiebreak: the 2^31 key space WILL
     * collide at corpus scale, and an untied rank would make `pos`
-    * nondeterministic). One window partitioning = one exchange, and
-    * it is the same exchange the sharded write needs. */
+    * nondeterministic). One window partitioning = one exchange. */
   def shuffledShards(df: DataFrame, idCol: String, numShards: Int,
                      seed: Long = 0L): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("shuffle_key"), col(idCol))
-    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
-      .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    assigned(df, idCol, numShards, seed)
+      .withColumn("pos", row_number().over(posWindow(idCol)).cast("long"))
   }
 
   /** Write the shuffled corpus as one directory per shard
     * (`shard=<k>/`), rows inside each shard's files in shuffle order.
-    * The exchange keys on the shard id so each task owns whole shards;
-    * a reader streaming `shard=0 … shard=n−1` sees the full
-    * deterministic permutation. */
+    *
+    * ONE corpus shuffle total: the explicit `repartition(numShards,
+    * shard)` comes FIRST, and the position window's clustered-
+    * distribution requirement is already satisfied by it, so
+    * EnsureRequirements adds no second exchange — the window's
+    * (shard, key) sort doubles as the write order, and each task owns
+    * whole shards for the partitioned write. */
   def writeShuffled(df: DataFrame, idCol: String, dir: String,
-                    numShards: Int, seed: Long = 0L): Unit =
-    shuffledShards(df, idCol, numShards, seed)
+                    numShards: Int, seed: Long = 0L): Unit = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    assigned(df, idCol, numShards, seed)
       .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .withColumn("pos", row_number().over(posWindow(idCol)).cast("long"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(dir)
+  }
 }

@@ -67,16 +67,37 @@ object Index {
     * (conjunctive membership — the decontamination lookup). Tokens
     * missing from the pruned index match nothing, which is the right
     * contract for a screen built over `minDf`-surviving tokens.
+    *
+    * A probe token whose posting list was CAPPED (`df` exceeds the
+    * stored list length) cannot answer membership for the documents
+    * past the cap — silently treating it like an uncapped list would
+    * return false negatives, the one failure mode a decontamination
+    * screen must not have. The probe FAILS LOUDLY on such a token:
+    * build the index with `maxPostings` ≥ the maximum `df` you intend
+    * to probe (cap-free screens), or pre-drop high-df probe tokens the
+    * way the stopword ceiling already does for the index side.
+    *
     * The probe list is tiny and broadcast; the index is never scanned
     * more than once. */
   def lookupAll(index: DataFrame, probeTokens: Seq[String]): DataFrame = {
     require(probeTokens.nonEmpty, "empty probe")
     val probes = probeTokens.distinct
-    index.filter(col("token").isin(probes: _*))
-      .select(explode(col("postings")).as("doc_id"), col("token"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === probes.size)
-      .select(col("doc_id"))
+    val hit = index.filter(col("token").isin(probes: _*)).persist()
+    try {
+      val capped = hit
+        .filter(col("df") > size(col("postings")).cast("long"))
+        .select(col("token")).limit(5)
+        .collect().map(_.getString(0))
+      require(capped.isEmpty,
+        s"probe tokens with capped posting lists (membership undecidable " +
+          s"past the cap): ${capped.mkString(", ")}")
+      Dedup.materializeThenUnpersist(
+        hit.select(explode(col("postings")).as("doc_id"), col("token"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") === probes.size)
+          .select(col("doc_id")),
+        hit)
+    } catch { case e: Throwable => hit.unpersist(); throw e }
   }
 }

@@ -44,29 +44,36 @@ object Merge {
     * value like `a:b` is stored as `a%3Ab`); matching is on the string
     * rendering of the partition value, which is how the dynamic writer
     * names directories for the string/date/integral partition columns
-    * this engine partitions by. Null partition values never match either
-    * path (In's null semantics / the `__HIVE_DEFAULT_PARTITION__`
-    * sentinel is skipped) — a null-partitioned update is an insert into
-    * the null directory, not a rewrite of it. */
+    * this engine partitions by. A null partition value in the updates
+    * touches the `__HIVE_DEFAULT_PARTITION__` directory like any other
+    * partition — its existing rows MUST join the merge (the dynamic
+    * overwrite rewrites that directory, so leaving them out of the read
+    * would delete them). */
   private[ops] def prunedTarget(spark: SparkSession, targetDir: String,
                                 updates: DataFrame, partitionCol: String,
                                 inListThreshold: Int): DataFrame = {
     // one row per touched partition — bounded by the update batch
     val affected = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
-    if (affected.length <= inListThreshold)
+    val hasNull = affected.contains(null)
+    val nonNull = affected.filter(_ != null)
+    if (affected.length <= inListThreshold) {
+      val nonNullHit =
+        if (nonNull.isEmpty) lit(false)
+        else col(partitionCol).isin(nonNull.toIndexedSeq: _*)
       spark.read.parquet(targetDir)
-        .filter(col(partitionCol).isin(affected: _*))
-    else {
+        .filter(if (hasNull) nonNullHit || col(partitionCol).isNull
+                else nonNullHit)
+    } else {
       val root = new Path(targetDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val wanted = affected.filter(_ != null).map(_.toString).toSet
+      val wanted = nonNull.map(_.toString).toSet
       val dirs = fs.listStatus(root)
         .filter { st =>
           st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol=") && {
             val raw = st.getPath.getName.stripPrefix(s"$partitionCol=")
-            raw != ExternalCatalogUtils.DEFAULT_PARTITION_NAME &&
-              wanted.contains(ExternalCatalogUtils.unescapePathName(raw))
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) hasNull
+            else wanted.contains(ExternalCatalogUtils.unescapePathName(raw))
           }
         }
         .map(_.getPath.toString)

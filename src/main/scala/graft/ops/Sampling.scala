@@ -32,14 +32,20 @@ object Sampling {
   /** The minstd multiplier. */
   val Multiplier: Long = 48271L
 
+  /** Two multiplicative Lehmer rounds over an already-reduced state in
+    * [0, [[Modulus]]): THE mixing recipe every deterministic-key op in
+    * the library shares ([[hashBucket]], [[capPerDomain]],
+    * [[graft.ops.Export.shuffleKey]]) — one definition, so the
+    * arithmetic the DuckDB oracles replay can never fork between
+    * call sites. */
+  def lehmerMix(h0: Column): Column =
+    pmod(pmod(h0 * Multiplier, lit(Modulus)) * Multiplier, lit(Modulus))
+
   /** Deterministic bucket in [0, buckets) from an integer key: two
     * Lehmer rounds, then a modulus. Sequential keys scatter because
     * `buckets` never divides the prime modulus. */
-  def hashBucket(key: Column, buckets: Int): Column = {
-    val h1 = pmod(pmod(key.cast("long"), lit(Modulus)) * Multiplier, lit(Modulus))
-    val h2 = pmod(h1 * Multiplier, lit(Modulus))
-    pmod(h2, lit(buckets.toLong))
-  }
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(lehmerMix(pmod(key.cast("long"), lit(Modulus))), lit(buckets.toLong))
 
   /** Keep ~`fraction` of rows, decided by the key's hash bucket out of
     * `buckets` (default 10000 ⇒ rate granularity 0.01%). */
@@ -155,12 +161,10 @@ object Sampling {
                    maxPerDomain: Int): DataFrame = {
     require(maxPerDomain >= 1, s"maxPerDomain must be >= 1: $maxPerDomain")
     import org.apache.spark.sql.expressions.Window
-    val h1 = pmod(pmod(col(keyCol).cast("long"), lit(Modulus)) * Multiplier,
-      lit(Modulus))
-    val h2 = pmod(h1 * Multiplier, lit(Modulus))
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col("_rank_key").asc, col(keyCol).asc)
-    df.withColumn("_rank_key", h2)
+    df.withColumn("_rank_key",
+        lehmerMix(pmod(col(keyCol).cast("long"), lit(Modulus))))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= maxPerDomain)
       .drop("_rank_key", "_rk")

@@ -356,8 +356,10 @@ object Streaming {
     * laid out one directory per micro-batch (`_batch=<id>/`) written
     * with per-directory overwrite — a replayed batch (post-crash, same
     * checkpoint) rewrites ITS OWN directory byte-for-byte and touches
-    * nothing else. Readers load the parent dir; partition discovery
-    * unions the batches.
+    * nothing else. The index read screens against STRICTLY-EARLIER
+    * batches only, so a replayed batch never sees its own half-written
+    * signatures (it would self-match and empty the rewrite). Readers
+    * load the parent dir; partition discovery unions the batches.
     *
     * At lake scale the index side is exactly the [[graft.ops.Dedup.writeSignatures]]
     * artifact: ~512 B/doc, banded + bucket-capped in the join, so the
@@ -380,11 +382,17 @@ object Streaming {
             .select(col("id_b").as(idCol)).distinct()
           val afterSelf = b.join(selfDrop, Seq(idCol), "left_anti")
           // (2) cross-batch: screen against the accepted-signature index
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
+          val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+          val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val survivors =
-            if (fs.exists(new org.apache.hadoop.fs.Path(sigDir))) {
+            if (fs.exists(sigPath)) {
+              // STRICTLY-EARLIER batches only: a crash-replayed batch
+              // must not see its own half-written signatures (every doc
+              // would match itself and the rewrite would empty the
+              // batch), and a lazy recompute after step (4) must not
+              // either — the partition filter prunes both
               val sigs = spark.read.parquet(sigDir)
+                .filter(col("_batch").cast("long") < batchId)
                 .select(col(idCol), col("sig"))
               val dupVsCorpus = graft.ops.Dedup
                 .incrementalNearDup(afterSelf, sigs, idCol, textCol,

@@ -59,6 +59,18 @@ class IndexSpec extends SparkSpec {
     assert(Index.lookupAll(idx, Seq("common", "mid")).count() == 0)
   }
 
+  test("lookupAll: refuses a probe over a capped posting list (no silent false negatives)") {
+    val idx = Index.postings(docs, minDf = 2L, maxDfFrac = 0.7, maxPostings = 2)
+    // "mid" has df=3 but its stored list is capped at 2 — membership for
+    // the third document is undecidable, so the probe must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Index.lookupAll(idx, Seq("mid")).collect()
+    }
+    assert(e.getMessage.contains("mid"))
+    // an uncapped token on the same index still probes fine
+    assert(Index.lookupAll(idx, Seq("pair")).count() == 2)
+  }
+
   test("sf0.001 documents: postings agree with a direct group-by") {
     val d = graft.io.Sources.table(spark, sf001, "documents")
     val n = d.count()

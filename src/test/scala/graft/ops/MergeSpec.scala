@@ -105,9 +105,8 @@ class MergeSpec extends SparkSpec {
   test("mergeInto directory selection unescapes Hive-escaped partition values; null partitions insert") {
     // Partition values the dynamic writer must Hive-escape in directory
     // names (: and % and =) round-trip through the directory-selection
-    // branch; a null-partitioned update row is an INSERT into the null
-    // directory, never a rewrite of it (matching In's null semantics on
-    // the literal path).
+    // branch; a null-partitioned update row into a table with no null
+    // partition yet is a plain insert.
     val dir = Files.createTempDirectory("graft-merge-esc").toString + "/tbl"
     def st(): Map[Long, (Double, String)] = spark.read.parquet(dir)
       .select($"k", $"v", $"p".cast("string"))
@@ -130,6 +129,36 @@ class MergeSpec extends SparkSpec {
     assert(st() == Map(
       1L -> (10.0, "a:b"), 2L -> (20.0, "c%d"), 3L -> (3.0, "e=f"),
       4L -> (4.0, "plain"), 5L -> (50.0, null)))
+  }
+
+  test("mergeInto: a pre-existing null partition survives and merges on both branches") {
+    // the dynamic overwrite rewrites __HIVE_DEFAULT_PARTITION__ whenever
+    // the update batch touches it — so its EXISTING rows must join the
+    // merge or they'd be deleted with the rewrite
+    for (threshold <- Seq(1000, 0)) { // In-literal branch, directory branch
+      val dir = Files.createTempDirectory("graft-merge-nullpart").toString + "/tbl"
+      def st(): Map[Long, (Double, String)] = spark.read.parquet(dir)
+        .select($"k", $"v", $"p".cast("string"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      val base = Seq(
+        (1L, 1.0, Option.empty[String]), (2L, 2.0, Some("kept")))
+        .toDF("k", "v", "p")
+      Merge.mergeInto(spark, dir, base, Seq("k"), "p")
+      // update: new key into the null partition + revision of an
+      // existing null-partition key; the untouched "kept" partition and
+      // the untouched null-partition... there is none — key 1 must merge
+      val upd = Seq(
+        (1L, 10.0, Option.empty[String]), (3L, 30.0, Option.empty[String]))
+        .toDF("k", "v", "p")
+      Merge.mergeInto(spark, dir, upd, Seq("k"), "p", inListThreshold = threshold)
+      assert(st() == Map(
+        1L -> (10.0, null), 2L -> (2.0, "kept"), 3L -> (30.0, null)),
+        s"threshold=$threshold")
+      // idempotent rerun
+      Merge.mergeInto(spark, dir, upd, Seq("k"), "p", inListThreshold = threshold)
+      assert(st() == Map(
+        1L -> (10.0, null), 2L -> (2.0, "kept"), 3L -> (30.0, null)))
+    }
   }
 
   test("mergeInto: null update columns keep the target's value") {

@@ -255,6 +255,30 @@ class StreamingSpec extends SparkSpec {
     assert(sigIds == ids, "signature index mirrors the accepted corpus")
   }
 
+  test("corpus ingest replay: a batch never screens against its own signatures") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = Files.createTempDirectory("graft-ingest-replay").toString
+    val text = "replayed document body alpha beta gamma delta epsilon"
+    // simulate the crash window: batch 0's OWN signatures landed on a
+    // previous attempt, but the checkpoint never committed — the
+    // replayed batch 0 must ignore them or every doc self-matches and
+    // the rewrite empties the batch
+    Seq((1L, text)).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.ops.Dedup.minhashSignature(
+          graft.ops.Dedup.shingles($"text", 3), 64).as("sig"))
+      .write.parquet(s"$work/sigs/_batch=0")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.corpusIngest(mem.toDF().toDF("doc_id", "text"), work)
+    mem.addData((1L, text))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$work/corpus")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(corpus == Seq(1L),
+      "replayed batch must keep its docs, not self-screen them away")
+  }
+
   test("transformWithState first-seen dedup suppresses cross-batch redelivery") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
