@@ -1045,6 +1045,13 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text", budget = 32)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Packing: sliding 16-token windows every 8 tokens with the actual
+    // text slice — the overlapping-chunk shape embedding pipelines feed.
+    "seq_chunk_sliding" -> ((s, d) =>
+      graft.ops.Packing.chunkSliding(
+        t(s, d, "documents"), "doc_id", "text", size = 16, stride = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Export: deterministic global shuffle + shard assignment (the
     // training-loader layout). Lehmer order key, mod-shards, windowed
     // within-shard position — all exact integer arithmetic.
@@ -2380,6 +2387,28 @@ object SparkEntry {
         |       CAST(least(32, n_tok - chunk_idx * 32) AS INT) AS chunk_tok,
         |       n_chunks
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "seq_chunk_sliding" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |                x -> LENGTH(x) > 0) AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, toks, CAST(LEN(toks) AS INT) AS n_tok,
+        |    CASE WHEN LEN(toks) <= 16 THEN 1
+        |         ELSE CAST((LEN(toks) - 16 + 7) // 8 AS INT) + 1 END AS n_win
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    CAST(unnest(generate_series(0, n_win - 1)) AS INT) AS chunk_idx
+        |  FROM w
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(LEAST(16, n_tok - chunk_idx * 8) AS BIGINT) AS chunk_tok,
+        |  array_to_string(toks[chunk_idx * 8 + 1 : chunk_idx * 8 + 16], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "exp_shuffle" ->
       """WITH k AS (

@@ -73,6 +73,44 @@ object Packing {
       .select(col(idCol), col("chunk_idx"), col("chunk_tok"), col("n_chunks"))
   }
 
+  /** Sliding-window chunking with overlap — the embedding/RAG prep
+    * shape ([[chunkByBudget]] cuts disjoint windows; retrieval wants
+    * windows of `size` tokens every `stride` tokens so no boundary
+    * sentence is ever split away from all its context). One row per
+    * window with the ACTUAL token slice re-joined as text:
+    * `(id, chunk_idx, chunk_tok, chunk_text)`. Windows start at
+    * `0, stride, 2·stride, …`; the last starts within `size` of the
+    * end, so every token is covered and trailing windows shrink.
+    * A token-free document yields one empty chunk (explicit, rather
+    * than vanishing — mirrors [[graft.ops.CorpusStats.unigramSurprisal]]'s
+    * empty-doc contract).
+    *
+    * Pure projection + generator over the scan — no shuffle; the
+    * tokens array materializes once per document and every window
+    * slices it (no per-window re-tokenization). */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size > 0, s"window size must be positive: $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size]: $stride")
+    val toks = filter(TextAnalysis.tokens(col(textCol)),
+      t => length(t) > 0)
+    val nWin = when(col("n_tok") <= size, lit(1))
+      .otherwise(((col("n_tok") - size + stride - 1) / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("toks"))
+      .withColumn("n_tok", size_(col("toks")))
+      .withColumn("n_win", nWin)
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_win") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(size), col("n_tok") - col("chunk_idx") * stride)
+          .cast("long").as("chunk_tok"),
+        array_join(slice(col("toks"), col("chunk_idx") * stride + 1,
+          lit(size)), " ").as("chunk_text"))
+  }
+  // `size` the Column function, shadowed by the parameter name above
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   /** Per-pack roll-up of [[packAssignments]]: `(shard, pack_id, n_docs,
     * pack_tokens, fill_frac)`. The partial-aggregate shuffle key
     * (shard, pack_id) is a refinement of the window key, so AQE plans

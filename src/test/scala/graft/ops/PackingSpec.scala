@@ -113,6 +113,43 @@ class PackingSpec extends SparkSpec {
     assert(a.length == 3)
   }
 
+  test("chunkSliding: coverage, overlap, shrinking tail, empty-doc chunk") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"), // under one window
+      (3L, "") // token-free
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkSliding(d, "doc_id", "text", size = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Long, String)].collect()
+    val doc1 = out.filter(_._1 == 1L)
+    // 20 tokens, size 8, stride 4 → windows at 0,4,8,12: ceil((20-8)/4)+1 = 4
+    assert(doc1.length == 4)
+    assert(doc1.map(_._3).toSeq == Seq(8L, 8L, 8L, 8L))
+    assert(doc1(0)._4.startsWith("t1 t2") && doc1(1)._4.startsWith("t5 t6"),
+      "windows advance by stride")
+    // every token appears in at least one window; adjacent windows share size-stride tokens
+    val covered = doc1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 20).map(i => s"t$i").toSet)
+    assert(doc1(0)._4.split(" ").toSet.intersect(doc1(1)._4.split(" ").toSet).size == 4)
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._3 == 3L && doc2.head._4 == "a b c")
+    val doc3 = out.filter(_._1 == 3L)
+    assert(doc3.length == 1 && doc3.head._3 == 0L && doc3.head._4 == "",
+      "token-free doc yields one explicit empty chunk")
+  }
+
+  test("chunkSliding: shrinking tail when length is not a stride multiple") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 13).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.chunkSliding(d, "doc_id", "text", size = 8, stride = 4)
+      .orderBy("chunk_idx").as[(Long, Int, Long, String)].collect()
+    // 13 tokens → windows at 0,4,8: ceil((13-8)/4)+1 = 3; tails 8,8,5
+    assert(out.map(_._3).toSeq == Seq(8L, 8L, 5L))
+    assert(out.last._4 == "t9 t10 t11 t12 t13")
+  }
+
   test("one exchange: documents shuffle once on shard, bodies stay in the scan") {
     val a = Packing.packAssignments(docs, "doc_id", "text", 512L, 8)
     a.collect()
