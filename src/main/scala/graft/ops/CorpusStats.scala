@@ -44,8 +44,7 @@ object CorpusStats {
                textCol: String = "text"): DataFrame =
     graft.io.Sources.fanOut(docs, idCol)
       .select(col(idCol),
-        explode(filter(TextAnalysis.tokens(col(textCol)),
-          t => length(t) > 0)).as("token"))
+        explode(TextAnalysis.nonEmptyTokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
 

@@ -71,13 +71,21 @@ object Export {
     * (shard, key) sort doubles as the write order, and each task owns
     * whole shards for the partitioned write. */
   def writeShuffled(df: DataFrame, idCol: String, dir: String,
-                    numShards: Int, seed: Long = 0L): Unit = {
+                    numShards: Int, seed: Long = 0L): Unit =
+    shuffledForWrite(df, idCol, numShards, seed)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(dir)
+
+  /** The exact frame [[writeShuffled]] writes — exposed so the plan
+    * spec asserts the one-exchange property on the production path,
+    * not a replica. */
+  private[ops] def shuffledForWrite(df: DataFrame, idCol: String,
+                                    numShards: Int,
+                                    seed: Long = 0L): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")
     assigned(df, idCol, numShards, seed)
       .repartition(numShards, col("shard"))
       .withColumn("pos", row_number().over(posWindow(idCol)).cast("long"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("shard")
-      .parquet(dir)
   }
 }

@@ -64,9 +64,16 @@ object Index {
   }
 
   /** Probe the index: ids of documents containing EVERY probe token
-    * (conjunctive membership — the decontamination lookup). Tokens
-    * missing from the pruned index match nothing, which is the right
-    * contract for a screen built over `minDf`-surviving tokens.
+    * (conjunctive membership — the decontamination lookup).
+    *
+    * A token absent from the index matches nothing — and an index-side
+    * ABSENCE is ambiguous: the token may occur in zero documents, or
+    * it may have been pruned by `minDf`/`maxDfFrac` while occurring in
+    * real documents. The two cases are indistinguishable from the
+    * index alone, so a screen that must not miss rare probes has to be
+    * built with `minDf = 1` (and a `maxDfFrac` above every probe
+    * token's df); the defaults exist for planner-style lookups, not
+    * exhaustive screens.
     *
     * A probe token whose posting list was CAPPED (`df` exceeds the
     * stored list length) cannot answer membership for the documents

@@ -93,8 +93,7 @@ object Packing {
     require(size > 0, s"window size must be positive: $size")
     require(stride > 0 && stride <= size,
       s"stride must be in [1, size]: $stride")
-    val toks = filter(TextAnalysis.tokens(col(textCol)),
-      t => length(t) > 0)
+    val toks = TextAnalysis.nonEmptyTokens(col(textCol))
     val nWin = when(col("n_tok") <= size, lit(1))
       .otherwise(((col("n_tok") - size + stride - 1) / stride).cast("int") + 1)
     df.select(col(idCol), toks.as("toks"))

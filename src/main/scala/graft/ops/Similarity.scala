@@ -284,13 +284,10 @@ object Similarity {
   private[graft] def anchoredAnchors(corpus: DataFrame, idCol: String,
                                      vecCol: String,
                                      nlist: Int): Seq[(Long, Array[Double])] = {
-    // two Lehmer rounds mod 2^31-1 (same mixer as ops.Sampling): scatter
-    // sequential ids, stay in BIGINT range under ANSI, replay in plain SQL
-    val hk = {
-      val h1 = pmod(pmod(col(idCol).cast("long"), lit(Sampling.Modulus)) *
-        Sampling.Multiplier, lit(Sampling.Modulus))
-      pmod(h1 * Sampling.Multiplier, lit(Sampling.Modulus))
-    }
+    // the library's shared two-round Lehmer mix: scatter sequential
+    // ids, stay in BIGINT range under ANSI, replay in plain SQL
+    val hk = Sampling.lehmerMix(
+      pmod(col(idCol).cast("long"), lit(Sampling.Modulus)))
     corpus
       .select(col(idCol).cast("long").as("cluster"),
         transform(col(vecCol), x => x.cast("double")).as("cvec"), hk.as("hk"))

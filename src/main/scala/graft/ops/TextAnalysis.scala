@@ -19,6 +19,15 @@ object TextAnalysis {
   /** Whitespace tokenization, lowercased. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** [[tokens]] with empty strings dropped (a blank document tokenizes
+    * to `[""]`; most corpus ops want `[]`). THE tokenize-and-filter
+    * contract the DuckDB oracles replay as
+    * `list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+    * x -> LENGTH(x) > 0)` — one definition so engine and oracle can
+    * never drift apart per call site. */
+  def nonEmptyTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
   /** Exact whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

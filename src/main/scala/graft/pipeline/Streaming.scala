@@ -382,17 +382,32 @@ object Streaming {
             .select(col("id_b").as(idCol)).distinct()
           val afterSelf = b.join(selfDrop, Seq(idCol), "left_anti")
           // (2) cross-batch: screen against the accepted-signature index
+          // STRICTLY-EARLIER batches with COMMITTED data only: a
+          // crash-replayed batch must not see its own half-written
+          // signatures (every doc would match itself and the rewrite
+          // would empty the batch), and a dir that exists but holds no
+          // committed files (crash mid-write) must not break schema
+          // inference and wedge the query in a replay loop — so the
+          // directories are selected explicitly, never discovered
           val sigPath = new org.apache.hadoop.fs.Path(sigDir)
           val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val earlier: Seq[String] =
+            if (!fs.exists(sigPath)) Seq.empty
+            else fs.listStatus(sigPath).toIndexedSeq
+              .filter { st =>
+                st.isDirectory && st.getPath.getName.startsWith("_batch=") &&
+                  st.getPath.getName.stripPrefix("_batch=").toLongOption
+                    .exists(_ < batchId) &&
+                  fs.listStatus(st.getPath).exists { f =>
+                    val n = f.getPath.getName
+                    f.isFile && !n.startsWith("_") && !n.startsWith(".")
+                  }
+              }
+              .map(_.getPath.toString)
           val survivors =
-            if (fs.exists(sigPath)) {
-              // STRICTLY-EARLIER batches only: a crash-replayed batch
-              // must not see its own half-written signatures (every doc
-              // would match itself and the rewrite would empty the
-              // batch), and a lazy recompute after step (4) must not
-              // either — the partition filter prunes both
-              val sigs = spark.read.parquet(sigDir)
-                .filter(col("_batch").cast("long") < batchId)
+            if (earlier.nonEmpty) {
+              val sigs = spark.read.option("basePath", sigDir)
+                .parquet(earlier: _*)
                 .select(col(idCol), col("sig"))
               val dupVsCorpus = graft.ops.Dedup
                 .incrementalNearDup(afterSelf, sigs, idCol, textCol,

@@ -76,16 +76,9 @@ class ExportSpec extends SparkSpec {
   test("writeShuffled plan: the explicit shard repartition is the ONLY corpus exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    // the frame writeShuffled writes: repartition first, window after —
+    // the PRODUCTION pre-write frame: repartition first, window after —
     // the window's clustered requirement is satisfied, so no 2nd exchange
-    val frame = Export.shuffledShards(docs.repartition(4, col("doc_id")), "doc_id", 4)
-    val written = docs
-      .withColumn("shuffle_key", Export.shuffleKey(col("doc_id")))
-      .withColumn("shard", pmod(col("shuffle_key"), lit(4L)))
-      .repartition(4, col("shard"))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
-          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+    val written = Export.shuffledForWrite(docs, "doc_id", 4)
     written.collect()
     def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
       case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(s.plan)
@@ -96,6 +89,11 @@ class ExportSpec extends SparkSpec {
     }
     val n = shuffles(written.queryExecution.executedPlan).size
     assert(n == 1, s"expected exactly one exchange (the shard repartition), got $n")
-    frame.collect() // sanity: the query-shape variant still runs
+    // and it writes the same (shard, pos, id) assignment the declared
+    // query computes
+    val a = written.select("doc_id", "shard", "pos").collect().toSet
+    val b = Export.shuffledShards(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos").collect().toSet
+    assert(a == b)
   }
 }
