@@ -1533,6 +1533,16 @@ object SparkEntry {
           array_join(col("postings"), ",").as("postings"))
         .orderBy(col("token"))),
 
+    // Index: positional postings — (token, doc, ascending occurrence
+    // offsets) under the same df pruning as idx_postings; the layer
+    // exact-phrase probes seek against.
+    "idx_postings_pos" -> ((s, d) =>
+      graft.ops.Index.positionalPostings(t(s, d, "documents"),
+        minDf = 2L, maxDfFrac = 0.8)
+        .select(col("token"), col("doc_id"), col("df"),
+          array_join(col("positions"), ",").as("positions"))
+        .orderBy(col("token"), col("doc_id"))),
+
     // Corpus stats: one-row corpus health report (doc/dup/token/vocab
     // counts) — the summary a curation run logs per stage.
     "corpus_report" -> ((s, d) =>
@@ -2685,6 +2695,34 @@ object SparkEntry {
         |FROM pruned p JOIN ranked r USING (token)
         |WHERE r.rk <= 100
         |GROUP BY p.token, p.df ORDER BY p.token""".stripMargin,
+
+    "idx_postings_pos" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |                x -> LENGTH(x) > 0) AS toks
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, LEN(toks) + 1),
+        |      i -> struct_pack(p := i - 1, t := toks[i])),
+        |      recursive := true)
+        |  FROM t
+        |), pd AS (
+        |  SELECT t AS token, doc_id,
+        |    array_to_string(list(p ORDER BY p), ',') AS positions
+        |  FROM occ GROUP BY t, doc_id
+        |), dfx AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM pd GROUP BY token
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |)
+        |SELECT pd.token, pd.doc_id, dfx.df, pd.positions
+        |FROM pd JOIN dfx USING (token) CROSS JOIN n
+        |WHERE dfx.df >= 2
+        |  AND dfx.df <= CAST(FLOOR(n.n_docs * 0.8) AS BIGINT)
+        |ORDER BY pd.token, pd.doc_id""".stripMargin,
 
     "corpus_report" ->
       """WITH tf AS (

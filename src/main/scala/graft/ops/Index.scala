@@ -63,6 +63,75 @@ object Index {
         sort_array(collect_list(col(idCol))).as("postings"))
   }
 
+  /** Positional postings: `(token, doc_id, positions)` with the
+    * 0-based token offsets of every occurrence, ascending — the layer
+    * under EXACT-PHRASE probes ([[lookupPhrase]]), where the flat
+    * index's conjunctive membership over-matches ("new york" vs "york
+    * new"). Pruning mirrors [[postings]]: `minDf` floor and `maxDfFrac`
+    * stopword ceiling on DOCUMENT frequency; within a surviving
+    * (token, doc) pair the positions list is complete (a capped
+    * positions list would turn phrase probes into silent false
+    * negatives — the failure mode this index exists to avoid — so
+    * boundedness comes from the df pruning, not a per-list cap).
+    *
+    * Scale shape: one (token, doc)-keyed aggregate builds the position
+    * lists from bare (token, doc, pos) triples (map-side combine
+    * collapses each document's occurrences before the exchange); the
+    * df prune is a window count over the SAME token-side partitioning.
+    * Document bodies never shuffle. */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", minDf: Long = 1L,
+                         maxDfFrac: Double = 0.8): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, s"maxDfFrac out of (0,1]: $maxDfFrac")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val occ = graft.io.Sources.fanOut(docs, idCol)
+      .select(col(idCol),
+        posexplode(TextAnalysis.nonEmptyTokens(col(textCol)))
+          .as(Seq("pos", "token")))
+    val perDoc = occ.groupBy(col("token"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    val byToken = Window.partitionBy(col("token"))
+    perDoc
+      .withColumn("df", count(lit(1)).over(byToken))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= minDf &&
+        col("df") <= floor(col("n_docs") * lit(maxDfFrac)).cast("long"))
+      .select(col("token"), col(idCol), col("df"), col("positions"))
+  }
+
+  /** Exact-phrase probe over [[positionalPostings]]: ids of documents
+    * containing the probe tokens CONSECUTIVELY, in order. For each
+    * document holding every phrase token, the occurrence positions of
+    * token i are shifted by −i and intersected — a surviving shifted
+    * position is a phrase start. Tokens missing from the pruned index
+    * match nothing (same ambiguity contract as [[lookupAll]]: an
+    * exhaustive screen builds the index with `minDf = 1` and a
+    * ceiling above every probe token's df).
+    *
+    * The probe is tiny and broadcast as literals; per candidate
+    * document the work is an array intersection over its own
+    * occurrence lists — never a corpus scan. */
+  def lookupPhrase(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    // positionalPostings output shape: (token, idCol, df, positions)
+    val idCol = index.columns(1)
+    val hits = phrase.zipWithIndex.map { case (tok, i) =>
+      index.filter(col("token") === tok)
+        .select(col(idCol),
+          transform(col("positions"), p => p - i).as(s"shift_$i"))
+    }
+    val joined = phrase.indices.tail.foldLeft(
+      hits.head.select(col(idCol), col("shift_0").as("starts"))) {
+      case (acc, i) =>
+        acc.join(hits(i), Seq(idCol))
+          .withColumn("starts",
+            array_intersect(col("starts"), col(s"shift_$i")))
+          .drop(s"shift_$i")
+    }
+    joined.filter(size(col("starts")) > 0).select(col(idCol))
+  }
+
   /** Probe the index: ids of documents containing EVERY probe token
     * (conjunctive membership — the decontamination lookup).
     *

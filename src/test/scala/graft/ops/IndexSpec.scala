@@ -71,6 +71,45 @@ class IndexSpec extends SparkSpec {
     assert(Index.lookupAll(idx, Seq("pair")).count() == 2)
   }
 
+  test("positionalPostings: ascending offsets, repeated occurrences, df pruning") {
+    val d = Seq(
+      (1L, "new york new york city"),
+      (2L, "york new haven"),
+      (3L, "city limits z9")
+    ).toDF("doc_id", "text")
+    val idx = Index.positionalPostings(d, minDf = 1L, maxDfFrac = 1.0)
+      .as[(String, Long, Long, Seq[Int])].collect()
+    val byKey = idx.map(t => (t._1, t._2) -> t).toMap
+    assert(byKey(("new", 1L))._4 == Seq(0, 2), "both occurrences, ascending")
+    assert(byKey(("york", 1L))._4 == Seq(1, 3))
+    assert(byKey(("new", 2L))._4 == Seq(1))
+    assert(byKey(("new", 1L))._3 == 2L, "df counts documents, not occurrences")
+    // df pruning still applies
+    val pruned = Index.positionalPostings(d, minDf = 2L, maxDfFrac = 1.0)
+      .select("token").distinct().as[String].collect().toSet
+    assert(pruned == Set("new", "york", "city"))
+  }
+
+  test("lookupPhrase: consecutive in-order match only; repeated-token phrases work") {
+    val d = Seq(
+      (1L, "new york new york city"),
+      (2L, "york new haven"),      // both tokens, wrong order
+      (3L, "new haven york jail"), // both tokens, not adjacent
+      (4L, "visit new york today")
+    ).toDF("doc_id", "text")
+    val idx = Index.positionalPostings(d, minDf = 1L, maxDfFrac = 1.0)
+    val ny = Index.lookupPhrase(idx, Seq("new", "york"))
+      .as[Long].collect().sorted.toSeq
+    assert(ny == Seq(1L, 4L), s"phrase must be adjacent and ordered: $ny")
+    // conjunctive lookupAll over the SAME corpus would also return 2 and 3
+    val nyny = Index.lookupPhrase(idx, Seq("new", "york", "new", "york"))
+      .as[Long].collect().toSeq
+    assert(nyny == Seq(1L), "repeated-token phrase aligns on shifted positions")
+    assert(Index.lookupPhrase(idx, Seq("york", "city")).as[Long].collect().toSeq
+      == Seq(1L))
+    assert(Index.lookupPhrase(idx, Seq("haven", "city")).count() == 0)
+  }
+
   test("sf0.001 documents: postings agree with a direct group-by") {
     val d = graft.io.Sources.table(spark, sf001, "documents")
     val n = d.count()
