@@ -633,6 +633,35 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // beyond-reference SCD Type-2 history fold (ops.Merge.scd2Apply):
+    // the history-keeping upgrade of mrg_upsert's last-write-wins puts.
+    // Bootstrap every customer at v1, fold two update batches — batch 1
+    // re-segments the even keys (plus verbatim no-op rows for keys
+    // ≡1 mod 5, which must NOT fork a version), batch 2 bumps acctbal
+    // for keys ≡0 mod 4 — and return the full version history. The
+    // oracle rebuilds the expected history arithmetically per key class.
+    "mrg_scd2" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val hist0 = cust
+        .withColumn("valid_from", to_date(lit("2024-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val b1 = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_V2")))
+        .unionByName(cust.filter(
+          col("c_custkey") % 2 =!= 0 && col("c_custkey") % 5 === 1))
+        .withColumn("eff", to_date(lit("2024-02-01")))
+      val h1 = graft.ops.Merge.scd2Apply(hist0, b1, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"), "eff")
+      val b2 = cust.filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_V2")))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("eff", to_date(lit("2024-03-01")))
+      graft.ops.Merge.scd2Apply(h1, b2, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"), "eff")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // beyond-reference lake maintenance (ops.Layout.compact): OPTIMIZE-
     // style small-file bin-packing compaction. The query REALLY runs the
     // write path — fragment a partitioned copy of orders (8 files per
@@ -649,6 +678,25 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       orders.repartition(8).write.partitionBy("o_orderstatus").parquet(dir)
       graft.ops.Layout.compact(s, dir, "o_orderstatus")
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Retention vacuum (ops.Layout.vacuum): REALLY runs the delete path —
+    // partition a copy of orders by status, expire the 'F' partition,
+    // read the table back. The oracle is the retained relation.
+    "lay_vacuum" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_vacuum_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").parquet(dir)
+      graft.ops.Layout.vacuum(s, dir, "o_orderstatus", _ != Some("F"))
       s.read.parquet(dir)
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus").cast("string").as("o_orderstatus"))
@@ -684,6 +732,18 @@ object SparkEntry {
     "txt_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(t(s, d, "documents"))
         .select("doc_id", "quality_score")
+        .orderBy(col("doc_id"))),
+
+    // Gopher §A.1.1 rule gate (TextAnalysis.gopherRules): the published
+    // per-rule booleans + conjunction, fully replayed in the oracle. On
+    // this single-line corpus the line-shape rules are structurally
+    // true — the oracle still computes them; the synthetic-fixture spec
+    // exercises every rule both ways.
+    "doc_gopher" -> ((s, d) =>
+      TextAnalysis.gopherRules(t(s, d, "documents"))
+        .select("doc_id", "r_word_count", "r_mean_word_len",
+          "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+          "r_alpha_words", "r_stopwords", "r_dup_lines", "gopher_kept")
         .orderBy(col("doc_id"))),
 
     // Text analysis: content-addressable fingerprint (normalized md5).
@@ -823,6 +883,31 @@ object SparkEntry {
       Dedup.ngramJaccard(allPairs, docs, "doc_id", "text", n = 3)
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Edit-distance entity resolution (ops.Dedup.fuzzyPairs): distinct
+    // part names within Levenshtein distance 2, candidates from
+    // rarest-first q-gram prefix blocking, verified exactly. The oracle
+    // replays the CONTRACT (all-pairs Levenshtein over distinct names) —
+    // blocking must lose nothing, so the hash match IS the
+    // no-false-negative proof at this scale.
+    "dedup_fuzzy" -> ((s, d) =>
+      Dedup.fuzzyPairs(t(s, d, "part"), "p_name", maxDist = 2)
+        .orderBy(col("str_a"), col("str_b"))),
+
+    // The entity-resolution pipeline completed: fuzzy pairs → connected
+    // components → canonical spelling per variant family (min string).
+    // Same composition contract as dedup_clusters, at the name level;
+    // the oracle replays it with a recursive CTE over the all-pairs
+    // Levenshtein edge set.
+    "dedup_fuzzy_clusters" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name"))
+        .filter(col("p_name").isNotNull).distinct()
+      val pairs = Dedup.fuzzyPairs(t(s, d, "part"), "p_name", maxDist = 2)
+        .select(col("str_a").as("id_a"), col("str_b").as("id_b"))
+      Dedup.connectedComponents(pairs, names, "p_name")
+        .select(col("p_name"), col("cluster_id").as("canonical"))
+        .orderBy(col("p_name"))
     }),
 
     // §2.D breadth: EXACT median (percentile interpolation) per group —
@@ -1951,6 +2036,66 @@ object SparkEntry {
       """SELECT doc_id, md5(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Full replay of every Gopher rule. Tokens/lines follow the shared
+    // contracts (nonEmptyTokens; split on chr(10) keeping empties).
+    // All ratios are small-int-over-small-int IEEE divisions — bitwise
+    // identical across engines, so the booleans can't flap.
+    "doc_gopher" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |                x -> LENGTH(x) > 0) AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(toks) AS DOUBLE) AS nw,
+        |    GREATEST(CAST(LEN(toks) AS DOUBLE), 1.0) AS nws,
+        |    CAST(COALESCE(list_sum(list_transform(toks, t -> LENGTH(t))), 0)
+        |         AS DOUBLE) AS sumlen,
+        |    CAST(LENGTH(text) - LENGTH(replace(text, '#', '')) AS DOUBLE) AS nhash,
+        |    (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3
+        |      + (LENGTH(text) - LENGTH(replace(text, '…', ''))) AS nell,
+        |    CAST(LEN(list_filter(toks, t -> regexp_matches(t, '\p{L}')))
+        |         AS DOUBLE) AS alphaw,
+        |    LEN(list_filter(toks, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], t))) AS stop8,
+        |    GREATEST(CAST(LEN(lines) AS DOUBLE), 1.0) AS nlines,
+        |    CAST(LEN(list_filter(lines, l ->
+        |      substr(TRIM(l), 1, 1) = '-' OR substr(TRIM(l), 1, 1) = '*'
+        |        OR substr(TRIM(l), 1, 1) = '•')) AS DOUBLE) AS bullets,
+        |    CAST(LEN(list_filter(lines, l ->
+        |      ends_with(TRIM(l), '...') OR ends_with(TRIM(l), '…')))
+        |         AS DOUBLE) AS ells,
+        |    CAST(LEN(lines) - LEN(list_distinct(lines)) AS DOUBLE) AS duplines,
+        |    CAST(COALESCE(list_sum(list_transform(lines, l -> LENGTH(l))), 0)
+        |         AS DOUBLE) AS linechars,
+        |    CAST(COALESCE(list_sum(list_transform(list_distinct(lines),
+        |                                          l -> LENGTH(l))), 0)
+        |         AS DOUBLE) AS dlinechars
+        |  FROM s
+        |), r AS (
+        |  SELECT doc_id,
+        |    nw BETWEEN 50.0 AND 100000.0 AS r_word_count,
+        |    (sumlen / nws) BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |    nhash / nws <= 0.1 AND nell / nws <= 0.1 AS r_symbol_ratio,
+        |    bullets / nlines <= 0.9 AS r_bullet_lines,
+        |    ells / nlines <= 0.3 AS r_ellipsis_lines,
+        |    alphaw / nws >= 0.8 AS r_alpha_words,
+        |    stop8 >= 2 AS r_stopwords,
+        |    duplines / nlines <= 0.3
+        |      AND (linechars - dlinechars) / GREATEST(linechars, 1.0) <= 0.2
+        |      AS r_dup_lines
+        |  FROM m
+        |)
+        |SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+        |  r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+        |  r_dup_lines,
+        |  r_word_count AND r_mean_word_len AND r_symbol_ratio
+        |    AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+        |    AND r_stopwords AND r_dup_lines AS gopher_kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "txt_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang, text,
@@ -2153,6 +2298,41 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The fuzzy-join CONTRACT, not its blocking internals: all distinct
+    // name pairs at Levenshtein distance 1..2. Spark and DuckDB both
+    // implement unit-cost Levenshtein over an ASCII corpus. `dist` is
+    // cast BIGINT because Spark's levenshtein returns int, DuckDB's
+    // returns BIGINT.
+    "dedup_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS str_a, b.p_name AS str_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |ORDER BY str_a, str_b""".stripMargin,
+
+    // Min-label propagation to a fixpoint over the Levenshtein ≤ 2 edge
+    // set — the same recursive-CTE replay shape as dedup_clusters.
+    "dedup_fuzzy_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL
+        |), p AS (
+        |  SELECT a.p_name AS id_a, b.p_name AS id_b
+        |  FROM n a JOIN n b ON a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM p
+        |), reach(id, r) AS (
+        |  SELECT p_name, p_name FROM n
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+        |), cl AS (
+        |  SELECT id, MIN(r) AS canonical FROM reach GROUP BY id
+        |)
+        |SELECT id AS p_name, canonical FROM cl ORDER BY p_name""".stripMargin,
+
     "src_csv_multi" ->
       """SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM read_csv('/root/reference/Data/orders/*.csv', header=true)
@@ -2202,11 +2382,44 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Expected SCD2 history rebuilt per key class: every key has a v1
+    // row (closed at 02-01 iff even); evens add a _V2 row at 02-01
+    // (closed at 03-01 iff ≡0 mod 4); keys ≡0 mod 4 add the acctbal+100
+    // row at 03-01. The batch-1 no-op rows (odd keys ≡1 mod 5, verbatim
+    // attributes) must contribute NOTHING — an engine that wrongly
+    // closes/reopens on a no-op emits extra rows and hash-mismatches.
+    // +100.0 on a 2dp double is exact in both engines.
+    "mrg_scd2" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |), hist AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    DATE '2024-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 2 = 0 THEN DATE '2024-02-01' END AS valid_to
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_V2', c_acctbal,
+        |    DATE '2024-02-01',
+        |    CASE WHEN c_custkey % 4 = 0 THEN DATE '2024-03-01' END
+        |  FROM cust WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_V2', c_acctbal + 100.0,
+        |    DATE '2024-03-01', NULL
+        |  FROM cust WHERE c_custkey % 4 = 0
+        |)
+        |SELECT * FROM hist ORDER BY c_custkey, valid_from""".stripMargin,
+
     // Compaction is answer-invariant: the compacted table must read back
     // as exactly the uncompacted relation.
     "lay_compact" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Vacuum keeps exactly the non-expired partitions.
+    "lay_vacuum" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus != 'F'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Same Karp–Rabin recurrence as the Catalyst RollingHash64 (h = h·B
     // + byte, wrapping at 2^64), replayed in 128-bit HUGEINT with an

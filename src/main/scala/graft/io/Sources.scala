@@ -90,19 +90,32 @@ object Sources {
 
   /** Testdata star-schema table loader (TESTDATA.md).
     *
-    * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
-    * sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[graft.Spark.session]]) so it arrives as nanos-since-epoch LongType,
-    * and is normalized here to TimestampType by integer division (micros =
-    * ns DIV 1000 — float division would lose precision above 2^53). DuckDB
-    * truncates ns→µs the same way, keeping oracle parity. */
+    * `events.ts` has shipped in two physical shapes across driver
+    * regenerations, both normalized here to session-zone TimestampType so
+    * every downstream query sees one type:
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright;
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *    [[graft.Spark.session]]) so it arrives as nanos-since-epoch
+    *    LongType and is truncated to micros by integer division (float
+    *    division would lose precision above 2^53). DuckDB truncates
+    *    ns→µs the same way, keeping oracle parity.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ, which time arithmetic like `unix_millis` rejects.
+    *    The session zone is pinned to UTC, so the cast to TimestampType
+    *    is value-identical to DuckDB's naive reading of the same column. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = parquet(spark, s"${stripTrailingSlash(sfDir)}/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000"))))
-      .getOrElse(df)
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** File-presence predicate (infra, reference `lambda_trigger.py:44-61`,

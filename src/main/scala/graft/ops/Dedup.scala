@@ -427,6 +427,81 @@ object Dedup {
                        threshold: Double = 0.95): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, vecCol, threshold)
 
+  /** Edit-distance-bounded string pairs (ed-join family: Gravano '01
+    * q-gram count filtering, Xiao '08 Ed-Join prefix filtering): all
+    * DISTINCT values of `strCol` within Levenshtein distance
+    * `[1, maxDist]` of each other, as `(str_a, str_b, dist)` with
+    * `str_a < str_b`. The entity-resolution complement of the token-set
+    * dedup family above — "cold bolt" vs "old bolt" is one edit but
+    * shares few word shingles, while MinHash's near-identical documents
+    * may be thousands of edits apart. Feed the pairs into
+    * [[connectedComponents]] (string as node id) to cluster variant
+    * spellings; exact-equal rows are [[exact]]'s job (distinct inputs
+    * make dist ≥ 1 structural here).
+    *
+    * Candidate generation is prefix blocking: each padded string's
+    * distinct q-grams are ranked by ascending corpus frequency (the
+    * Ed-Join global order — rarest grams make the smallest buckets) and
+    * only the first `q·maxDist + 1` become blocking keys. Two strings
+    * within distance d share ≥ max(|G_a|,|G_b|) − q·d distinct grams
+    * (each edit destroys ≤ q gram occurrences), so by the prefix-filter
+    * lemma their (q·d+1)-prefixes under any shared total order
+    * intersect — no false negatives while the bound is positive;
+    * hash-collision or shared-gram false positives die in the verify
+    * stage. Strings shorter than q (including empty) still gram thanks
+    * to q−1 sentinel pads on both ends, and the pairs the bound does
+    * NOT cover (both sides gram-poor, see the escape hatch below) share
+    * a catch-all band — together: no false negatives anywhere.
+    *
+    * Scale shape: runs on DISTINCT strings (entity vocabularies are
+    * orders of magnitude smaller than the rows carrying them), the
+    * blocking self-join shuffles (string, band, bucket) triples through
+    * the same [[capBuckets]] degenerate-bucket guard as the LSH paths,
+    * and each string contributes at most q·maxDist+1 keys. Verification
+    * prunes `||a|−|b|| ≤ maxDist` before paying Levenshtein. */
+  def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int = 2,
+                 q: Int = 2, maxBucketSize: Int = 0): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val pad = lit("\u0001" * (q - 1))
+    val strs = df.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val padded = concat(pad, col("s"), pad)
+    val grams = array_distinct(transform(
+      sequence(lit(0), length(padded) - q),
+      i => padded.substr(i + 1, lit(q))))
+    val exploded = strs.select(col("s"), size(grams).as("_ng"),
+      explode(grams).as("g")).persist()
+    // corpus gram frequencies: the global prefix order (rarest first,
+    // gram value as the deterministic tiebreak)
+    val gramDf = exploded.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    val prefix = exploded.join(gramDf, Seq("g"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+          .orderBy(col("_df"), col("g"))))
+      .filter(col("_rn") <= q * maxDist + 1)
+      .select(col("s"), lit(0).as("band"), xxhash64(col("g")).as("bucket"))
+    // GRAM-POOR escape hatch: the prefix-filter overlap bound
+    // max(|G_a|,|G_b|) − q·d is vacuous when BOTH sides have ≤ q·d
+    // distinct grams (only possible for strings of length ≲ q·d after
+    // padding), so two such strings can be within distance d sharing no
+    // gram at all ("a" vs "e" at d=1). They all share one catch-all
+    // band instead — a tiny population (degenerate-short strings), and
+    // a corpus pathologically rich in them (ticker symbols at d=2) hits
+    // the same capBuckets guard as any hot bucket.
+    val gramPoor = exploded.filter(col("_ng") <= q * maxDist)
+      .select(col("s")).distinct()
+      .select(col("s"), lit(1).as("band"), lit(0L).as("bucket"))
+    val cand = candidatePairs(
+      capBuckets(prefix.unionByName(gramPoor), maxBucketSize), "s")
+      .select(col("id_a").as("str_a"), col("id_b").as("str_b"))
+    val verified = cand
+      .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .filter(col("dist") <= maxDist)
+    materializeThenUnpersist(verified, exploded)
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column
     * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", arXiv 2023): cluster the corpus

@@ -190,6 +190,54 @@ object Layout {
     CompactStats(compacted, filesBefore, afterCounts.values.sum)
   }
 
+  final case class VacuumStats(partitionsDropped: Int, partitionsKept: Int,
+                               filesDropped: Int)
+
+  /** Retention vacuum: drop every partition of a `partitionCol`-
+    * partitioned parquet table whose value fails `keep` — the
+    * time-to-live maintenance pass that pairs with [[compact]] (a lake
+    * ingesting daily partitions forever either expires them or pays for
+    * them forever). Deletion is whole-directory: no rewrite, no read of
+    * surviving data, driver state = one entry per partition.
+    *
+    * `keep` sees the UNESCAPED partition value (directory names are
+    * Hive-escaped — `a:b` is stored as `a%3Ab`), and the null partition
+    * (`__HIVE_DEFAULT_PARTITION__`) arrives as `None` — retention on a
+    * column that can be null must decide for those rows explicitly.
+    *
+    * Crash safety: each drop is an independent directory delete;
+    * nothing touches surviving partitions, and a rerun after a crash
+    * simply finishes the remainder (idempotent — spec'd). The predicate
+    * runs on the DRIVER against partition values only (bounded by the
+    * partition count), never against data. */
+  def vacuum(spark: SparkSession, tableDir: String, partitionCol: String,
+             keep: Option[String] => Boolean): VacuumStats = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith(s"$partitionCol="))
+    var dropped = 0
+    var filesDropped = 0
+    dirs.foreach { st =>
+      val raw = st.getPath.getName.stripPrefix(s"$partitionCol=")
+      val value =
+        if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME) None
+        else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw))
+      if (!keep(value)) {
+        filesDropped += fs.listStatus(st.getPath).count(f => f.isFile && {
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        fs.delete(st.getPath, true)
+        dropped += 1
+      }
+    }
+    VacuumStats(dropped, dirs.length - dropped, filesDropped)
+  }
+
   /** Idempotent bucketed-table accessor: create the bucketed copy of
     * `df` on first use, then serve it from the catalog. The table name
     * carries the caller's tag so different scale factors / suites never

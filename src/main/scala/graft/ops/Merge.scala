@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
@@ -119,5 +119,76 @@ object Merge {
       .partitionBy(partitionCol)
       .parquet(targetDir)
     fs.delete(new Path(staging), true)
+  }
+
+  /** SCD Type-2 apply: fold one update batch into a history-preserving
+    * dimension table (Kimball's slowly-changing-dimension type 2 — every
+    * attribute change CLOSES the current row and INSERTS a new version,
+    * so any past state remains queryable with `valid_from <= d <
+    * coalesce(valid_to, 'inf')`). This is the history-keeping upgrade of
+    * [[mergeInto]]'s last-write-wins puts (the reference overwrites each
+    * key in place, `/root/reference/Task_2/task_2.py:144-197`, so history
+    * is lost there by design).
+    *
+    * `history` rows: `keys ++ tracked ++ (validFromCol, validToCol)`;
+    * a row is CURRENT iff `validToCol` is null, and a key has at most one
+    * current row. `updates` rows: `keys ++ tracked ++ effectiveCol`, at
+    * most one row per key per batch (fold multiple snapshots by calling
+    * once per effective date, oldest first).
+    *
+    * Per matched key:
+    *  - tracked values identical (null-safe) → no-op;
+    *  - `effective <= valid_from` of the current row → STALE update,
+    *    dropped (out-of-order replay must not fork history);
+    *  - otherwise → current row closed at `effective`, new version
+    *    opened at `effective`.
+    * Unmatched update keys insert as new current rows; unmatched current
+    * rows and all already-closed rows pass through untouched.
+    *
+    * Scale shape: only the CURRENT rows (live dimension cardinality)
+    * join the batch — the closed majority of a years-old history table
+    * never enters the exchange, and the whole fold is ONE key-shuffle +
+    * an `inline` expansion (the close+reopen pair is emitted from the
+    * single joined row, not via a second join). To make the WRITE pruned
+    * too, partition the table by `date(validToCol)` (null → the live
+    * `__HIVE_DEFAULT_PARTITION__`): a batch then rewrites the live
+    * partition plus the one closed-date partition it creates, and
+    * [[mergeInto]]'s dynamic-overwrite staging applies unchanged. */
+  def scd2Apply(history: DataFrame, updates: DataFrame, keys: Seq[String],
+                tracked: Seq[String], effectiveCol: String,
+                validFromCol: String = "valid_from",
+                validToCol: String = "valid_to"): DataFrame = {
+    val outCols = (keys ++ tracked) :+ validFromCol :+ validToCol
+    val dateType = history.schema(validFromCol).dataType
+    val closed = history.filter(col(validToCol).isNotNull)
+    val current = history.filter(col(validToCol).isNull)
+
+    val joined = current.alias("t").join(updates.alias("u"),
+      keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _),
+      "full_outer")
+    // null-safe per-column compare: a tracked value changing to/from
+    // null is a real change; null staying null is not
+    val changed = tracked.map(c => !(col(s"t.$c") <=> col(s"u.$c")))
+      .reduce(_ || _)
+    val stale = col(s"u.$effectiveCol") <= col(s"t.$validFromCol")
+    // side-presence probes: valid_from / effective are non-null by
+    // contract on every real row, so a null means that side of the
+    // full-outer join is absent
+    val tMissing = col(s"t.$validFromCol").isNull
+    val uMissing = col(s"u.$effectiveCol").isNull
+
+    def row(side: String, from: Column, to: Column) = struct(
+      (keys ++ tracked).map(c => col(s"$side.$c").as(c)) ++
+        Seq(from.as(validFromCol), to.as(validToCol)): _*)
+    val tRow = row("t", col(s"t.$validFromCol"), lit(null).cast(dateType))
+    val tClosed = row("t", col(s"t.$validFromCol"), col(s"u.$effectiveCol"))
+    val uRow = row("u", col(s"u.$effectiveCol"), lit(null).cast(dateType))
+
+    val emitted = joined.select(inline(
+      when(tMissing, array(uRow))
+        .when(uMissing || stale || !changed, array(tRow))
+        .otherwise(array(tClosed, uRow))))
+
+    closed.select(outCols.map(col): _*).unionByName(emitted)
   }
 }

@@ -113,6 +113,80 @@ object TextAnalysis {
           col("word_len_score") * 0.2 + col("stopword_ratio") * 0.2, 4))
   }
 
+  /** Gopher/MassiveText rule filter (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * §A.1.1): the published per-document quality gate as explicit
+    * per-rule booleans plus the conjunction `gopher_kept` — reasons
+    * stay inspectable, unlike [[qualityScore]]'s blended scalar (the
+    * two compose: score for ranking, rules for the hard gate).
+    *
+    * Rules (thresholds verbatim from the paper):
+    *  - `r_word_count`: 50 ≤ words ≤ 100,000;
+    *  - `r_mean_word_len`: mean token length in [3, 10];
+    *  - `r_symbol_ratio`: '#' per word ≤ 0.1 AND ellipsis ("..." or
+    *    "…") per word ≤ 0.1;
+    *  - `r_bullet_lines`: ≤ 90% of lines start with a bullet
+    *    (-, *, •);
+    *  - `r_ellipsis_lines`: ≤ 30% of lines end with an ellipsis;
+    *  - `r_alpha_words`: ≥ 80% of words contain a letter;
+    *  - `r_stopwords`: ≥ 2 hits from the paper's 8-word list (the, be,
+    *    to, of, and, that, have, with);
+    *  - `r_dup_lines`: duplicate-line fraction ≤ 0.30 AND
+    *    duplicate-line CHARACTER fraction ≤ 0.20 (both repetition
+    *    signals from the paper's Table A1; the n-gram repetition
+    *    variants live in [[dupNgramFraction]]).
+    *
+    * Everything is array/HOF arithmetic over one scan of the text —
+    * no shuffle, no UDF; ratios are small-integer divisions, so the
+    * booleans are engine-stable and the whole frame replays in the
+    * DuckDB oracle. */
+  def gopherRules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = nonEmptyTokens(text)
+    val nw = size(toks).cast("double")
+    val nwSafe = greatest(nw, lit(1.0))
+    val sumTokLen = aggregate(toks, lit(0), (a, t) => a + length(t))
+    val meanWordLen = sumTokLen.cast("double") / nwSafe
+    val nHash = length(text) - length(replace(text, lit("#")))
+    val nEllipsis = (length(text) - length(replace(text, lit("...")))) / 3 +
+      (length(text) - length(replace(text, lit("…"))))
+    val alphaWords = size(filter(toks, t => t.rlike("\\p{L}")))
+    val stop8 = size(filter(toks, t => t.isInCollection(
+      Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val trimmed = transform(lines, l => trim(l))
+    val bulletLines = size(filter(trimmed, l =>
+      substring(l, 1, 1).isin("-", "*", "•")))
+    val ellipsisLines = size(filter(trimmed, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val lineChars = aggregate(lines, lit(0), (a, l) => a + length(l))
+    val distinctLineChars =
+      aggregate(array_distinct(lines), lit(0), (a, l) => a + length(l))
+    val dupLineFrac =
+      (size(lines) - size(array_distinct(lines))).cast("double") / nLines
+    val dupCharFrac = (lineChars - distinctLineChars).cast("double") /
+      greatest(lineChars, lit(1)).cast("double")
+
+    df.withColumn("r_word_count", nw.between(50.0, 100000.0))
+      .withColumn("r_mean_word_len", meanWordLen.between(3.0, 10.0))
+      .withColumn("r_symbol_ratio",
+        nHash.cast("double") / nwSafe <= 0.1 &&
+          nEllipsis.cast("double") / nwSafe <= 0.1)
+      .withColumn("r_bullet_lines",
+        bulletLines.cast("double") / nLines <= 0.9)
+      .withColumn("r_ellipsis_lines",
+        ellipsisLines.cast("double") / nLines <= 0.3)
+      .withColumn("r_alpha_words", alphaWords.cast("double") / nwSafe >= 0.8)
+      .withColumn("r_stopwords", stop8 >= 2)
+      .withColumn("r_dup_lines", dupLineFrac <= 0.3 && dupCharFrac <= 0.2)
+      .withColumn("gopher_kept",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords") && col("r_dup_lines"))
+  }
+
   /** Normalized-text fingerprints: md5 (content-addressable id, matches
     * DuckDB's md5 for the oracle) and the rolling Karp–Rabin hash (custom
     * expression — cheap shingling primitive). */

@@ -199,4 +199,58 @@ class DedupSpec extends SparkSpec {
         .filter { case ((n, o), _) => n % 2 == 1 && o % 2 == 0 }
     assert(inc == full && inc.nonEmpty)
   }
+
+  private def bruteEdPairs(strs: Seq[String], maxDist: Int): Set[(String, String, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val u = strs.distinct
+    (for (a <- u; b <- u if a < b; e = lev(a, b) if e >= 1 && e <= maxDist)
+      yield (a, b, e)).toSet
+  }
+
+  private def fuzzySet(df: org.apache.spark.sql.DataFrame, maxDist: Int,
+                       q: Int = 2): Set[(String, String, Int)] =
+    Dedup.fuzzyPairs(df, "s", maxDist = maxDist, q = q)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("fuzzyPairs matches brute-force Levenshtein incl. short/empty strings, both q") {
+    val strs = Seq(
+      "cold bolt", "old bolt", "olt bold", "cold belt", "cold bolts",
+      "gear", "year", "years", "ears", "e", "a", "", "ab", "ba",
+      "exactly the same", "exactly the same", // exact dups collapse, no 0-dist pair
+      "wholly unrelated entity name")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (d <- Seq(1, 2, 3); q <- Seq(2, 3)) {
+      assert(fuzzySet(df, d, q) == bruteEdPairs(strs, d), s"maxDist=$d q=$q")
+    }
+    assert(bruteEdPairs(strs, 2).nonEmpty) // the fixture really exercises pairs
+  }
+
+  test("fuzzyPairs: null strings are ignored, deterministic across runs") {
+    val df = Seq((1L, Some("abc")), (2L, Some("abd")), (3L, Option.empty[String]))
+      .toDF("id", "s")
+    val out = fuzzySet(df, 1)
+    assert(out == Set(("abc", "abd", 1)))
+    assert(fuzzySet(df, 1) == out)
+  }
+
+  test("fuzzyPairs: degenerate-bucket cap kills the hot bucket, spares the rest") {
+    // "x", "xx", ..., x^120: every string's ENTIRE gram set is a subset
+    // of {pad+x, xx, x+pad}, so all 120 share the same ≤3 buckets — the
+    // degenerate clique shape. zzz1/zzz2 carry rare grams of their own.
+    val clique = (1 to 120).map(i => (i.toLong, "x" * i))
+    val df = (clique ++ Seq((900L, "zzz1"), (901L, "zzz2"))).toDF("id", "s")
+    val capped = Dedup.fuzzyPairs(df, "s", maxDist = 1, maxBucketSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // the x-clique's buckets (size ≥ 118 > 10) are dropped wholesale;
+    // the zzz bucket (size 2) survives
+    assert(capped == Set(("zzz1", "zzz2", 1)))
+    // uncapped finds the 119 consecutive-length x pairs too
+    assert(fuzzySet(df, 1).size == 120)
+  }
 }

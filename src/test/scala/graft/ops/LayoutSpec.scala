@@ -160,6 +160,48 @@ class LayoutSpec extends SparkSpec {
         i.toLong -> Seq("a:b", "c%d", "e=f", null)(i % 4)).toMap)
   }
 
+  test("vacuum drops expired partitions, keeps survivors byte-identical, handles escapes and null") {
+    val base = Files.createTempDirectory("graft-vacuum").toString
+    val dir = s"$base/tbl"
+    val df = Seq.tabulate(80) { i =>
+      (i.toLong, Seq(Some("2024-01-01"), Some("2024-02-01"), Some("a:b"),
+        Option.empty[String])(i % 4))
+    }.toDF("id", "p")
+    df.coalesce(1).write.partitionBy("p").parquet(dir) // one file per partition
+
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def survivorFiles(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/p=2024-02-01")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = survivorFiles()
+
+    // expire everything before Feb, the escaped value, and the null
+    // partition — the predicate sees UNESCAPED values and None
+    val seen = scala.collection.mutable.Set[Option[String]]()
+    def retained(v: Option[String]): Boolean =
+      v.exists(s => s.startsWith("2024") && s >= "2024-02-01")
+    val stats = Layout.vacuum(spark, dir, "p", { v =>
+      seen += v
+      retained(v)
+    })
+    assert(seen == Set(Some("2024-01-01"), Some("2024-02-01"), Some("a:b"), None))
+    assert(stats == Layout.VacuumStats(partitionsDropped = 3,
+      partitionsKept = 1, filesDropped = 3))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=2024-01-01")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=a%3Ab")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=__HIVE_DEFAULT_PARTITION__")))
+    // survivors untouched byte-for-byte, table reads back as the remainder
+    assert(survivorFiles() == before)
+    assert(spark.read.parquet(dir).select($"id").collect().map(_.getLong(0)).toSet ==
+      (0 until 80).filter(_ % 4 == 1).map(_.toLong).toSet)
+    // idempotent rerun: nothing left to drop
+    val again = Layout.vacuum(spark, dir, "p", retained)
+    assert(again == Layout.VacuumStats(0, 1, 0))
+  }
+
   test("joins and aggregations on the bucket key plan with zero exchanges") {
     val sfTag = "sf0001"
     val li = Layout.bucketedTable(spark,

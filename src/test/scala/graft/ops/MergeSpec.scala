@@ -170,4 +170,63 @@ class MergeSpec extends SparkSpec {
     Merge.mergeInto(spark, dir, upd, Seq("k"), "p")
     assert(state(dir) == Map(1L -> (5.0, 0L), 2L -> (60.0, 0L)))
   }
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private def hist(rows: Seq[(Long, Option[String], String, Option[String])]) =
+    rows.toDF("k", "attr", "valid_from", "valid_to")
+      .select($"k", $"attr", $"valid_from".cast("date").as("valid_from"),
+        $"valid_to".cast("date").as("valid_to"))
+
+  test("scd2Apply: change closes + reopens; no-op, stale, new key, closed pass-through") {
+    val history = hist(Seq(
+      // key 1: one closed version + a current one (closed must pass through)
+      (1L, Some("a"), "2024-01-01", Some("2024-02-01")),
+      (1L, Some("b"), "2024-02-01", None),
+      (2L, Some("x"), "2024-01-01", None), // will no-op
+      (3L, Some("y"), "2024-01-01", None), // will get a stale update
+      (4L, None,      "2024-01-01", None)  // null attr -> real change
+    ))
+    val updates = Seq(
+      (1L, Some("c"), "2024-03-01"), // change
+      (2L, Some("x"), "2024-03-01"), // identical -> no-op
+      (3L, Some("z"), "2024-01-01"), // effective == valid_from -> stale, dropped
+      (4L, Some("w"), "2024-03-01"), // null -> value is a change
+      (9L, None,      "2024-03-01")  // brand-new key, null attr
+    ).toDF("k", "attr", "eff").select($"k", $"attr", $"eff".cast("date").as("eff"))
+
+    val out = Merge.scd2Apply(history, updates, Seq("k"), Seq("attr"), "eff")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2), Option(r.getDate(3)))).toSet
+
+    assert(out == Set(
+      (1L, Some("a"), d("2024-01-01"), Some(d("2024-02-01"))),
+      (1L, Some("b"), d("2024-02-01"), Some(d("2024-03-01"))),
+      (1L, Some("c"), d("2024-03-01"), None),
+      (2L, Some("x"), d("2024-01-01"), None),
+      (3L, Some("y"), d("2024-01-01"), None),
+      (4L, None,      d("2024-01-01"), Some(d("2024-03-01"))),
+      (4L, Some("w"), d("2024-03-01"), None),
+      (9L, None,      d("2024-03-01"), None)))
+  }
+
+  test("scd2Apply: folding batches oldest-first chains versions; refold of batch 1 is a no-op") {
+    val h0 = hist(Seq((7L, Some("v1"), "2024-01-01", None)))
+    def upd(v: String, eff: String) =
+      Seq((7L, Option(v), eff)).toDF("k", "attr", "eff")
+        .select($"k", $"attr", $"eff".cast("date").as("eff"))
+    val h1 = Merge.scd2Apply(h0, upd("v2", "2024-02-01"), Seq("k"), Seq("attr"), "eff")
+    val h2 = Merge.scd2Apply(h1, upd("v3", "2024-03-01"), Seq("k"), Seq("attr"), "eff")
+    val chain = h2.orderBy($"valid_from").collect()
+      .map(r => (r.getString(1), r.getDate(2), Option(r.getDate(3))))
+    assert(chain.toSeq == Seq(
+      ("v1", d("2024-01-01"), Some(d("2024-02-01"))),
+      ("v2", d("2024-02-01"), Some(d("2024-03-01"))),
+      ("v3", d("2024-03-01"), None)))
+    // replaying an old batch against the newer history must not fork it:
+    // v2@02-01 is stale vs the current row's valid_from 03-01
+    val replay = Merge.scd2Apply(h2, upd("v2", "2024-02-01"), Seq("k"), Seq("attr"), "eff")
+    assert(replay.collect().map(r => (r.getString(1), r.getDate(2))).toSet ==
+      h2.collect().map(r => (r.getString(1), r.getDate(2))).toSet)
+  }
 }

@@ -117,4 +117,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(3) == 1)  // 1
     assert(r.getInt(4) == 2)  // ! ?
   }
+
+  test("gopherRules: every rule fires and passes on targeted fixtures") {
+    // a healthy base document: 60 plain words incl. enough of the
+    // 8-word Gopher stopword list, mean word length in range
+    val good = (Seq("the", "cat", "sat", "and", "that", "dog", "have", "fun",
+      "with", "food", "of", "note") ++ (1 to 48).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      0L -> good,
+      1L -> "too few words here",                        // r_word_count low
+      2L -> (good + " " + ("w" * 700)),                  // mean word len > 10
+      3L -> (good + " " + (1 to 20).map(_ => "#").mkString(" ")), // hash ratio
+      4L -> (good + " " + (1 to 20).map(_ => "see...").mkString(" ")), // ellipsis ratio
+      5L -> ((1 to 19).map(i => s"- bullet $i line").mkString("\n") + "\nonly one plain"), // 95% bullets
+      6L -> ((1 to 2).map(i => s"trailing line $i...").mkString("\n") + "\nplain tail"), // >30% ellipsis ends
+      7L -> (good + " " + (1 to 120).map(i => i.toString).mkString(" ")), // <80% alpha words
+      8L -> (1 to 60).map(i => s"word$i").mkString(" "), // no stopwords
+      9L -> ((1 to 9).map(_ => good).mkString("\n") + "\nunique closing line") // dup lines
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    def rule(id: Long, name: String): Boolean =
+      out(id).getAs[Boolean](name)
+
+    assert(rule(0L, "gopher_kept"), "the healthy doc passes everything")
+    assert(!rule(1L, "r_word_count") && rule(0L, "r_word_count"))
+    assert(!rule(2L, "r_mean_word_len") && rule(0L, "r_mean_word_len"))
+    assert(!rule(3L, "r_symbol_ratio") && rule(0L, "r_symbol_ratio"))
+    assert(!rule(4L, "r_symbol_ratio"))
+    assert(!rule(5L, "r_bullet_lines") && rule(0L, "r_bullet_lines"))
+    assert(!rule(6L, "r_ellipsis_lines") && rule(0L, "r_ellipsis_lines"))
+    assert(!rule(7L, "r_alpha_words") && rule(0L, "r_alpha_words"))
+    assert(!rule(8L, "r_stopwords") && rule(0L, "r_stopwords"))
+    assert(!rule(9L, "r_dup_lines") && rule(0L, "r_dup_lines"))
+    // every failing fixture is rejected overall
+    (1L to 9L).foreach(id => assert(!rule(id, "gopher_kept"), s"doc $id"))
+  }
 }
