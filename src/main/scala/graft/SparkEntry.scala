@@ -633,6 +633,28 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Copy-on-write keyed DELETE (ops.Merge.deleteWhere): bootstrap the
+    // orders table, delete every 7th key, read back. REALLY runs the
+    // write path; the oracle is the retained relation.
+    "mrg_delete" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_delete_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.write.partitionBy("o_orderstatus").parquet(dir)
+      graft.ops.Merge.deleteWhere(s, dir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // beyond-reference SCD Type-2 history fold (ops.Merge.scd2Apply):
     // the history-keeping upgrade of mrg_upsert's last-write-wins puts.
     // Bootstrap every customer at v1, fold two update batches — batch 1
@@ -1153,6 +1175,35 @@ object SparkEntry {
       graft.ops.CorpusStats.unigramSurprisal(
         t(s, d, "documents"), minCount = 2L)
         .orderBy(col("doc_id"))),
+
+    // Bigram conditional surprisal (CorpusStats.bigramSurprisal): the
+    // smallest LM that sees word order; integer-bit log2, so the whole
+    // pipeline replays exactly in SQL.
+    "txt_perplexity_bigram" -> ((s, d) =>
+      graft.ops.CorpusStats.bigramSurprisal(
+        t(s, d, "documents"), minCount = 2L)
+        .orderBy(col("doc_id"))),
+
+    // BPE training's per-round aggregate, round 0 (ops.Tokenize
+    // .pairCounts over the symbolized word dictionary): corpus-weighted
+    // adjacent-symbol-pair counts — the oracle-checked sibling of the
+    // iterative bpe_merges internal.
+    "bpe_pair_counts" -> ((s, d) => {
+      val words = graft.ops.Tokenize.wordDict(t(s, d, "documents"))
+        .select(col("wc"),
+          graft.ops.Tokenize.initialSymbols(col("token")).as("syms"))
+      graft.ops.Tokenize.pairCounts(words)
+        .orderBy(col("l"), col("r"))
+    }),
+
+    // The learned merge table itself (20 rounds on the documents
+    // corpus). Deterministic — argmax by (count DESC, left, right) —
+    // but the iterative argmax has no SQL replay: rows-only here,
+    // parity-gated in TokenizeSpec against an independent reference
+    // implementation (the HLL/IVF accepted-internal pattern).
+    "bpe_merges" -> ((s, d) =>
+      graft.ops.Tokenize.bpeTrain(t(s, d, "documents"), numMerges = 20)
+        .orderBy(col("step"))),
 
     // Corpus stats: top-5 TF-IDF terms per document (integer bit-gap
     // IDF, rank ties broken by token).
@@ -2382,6 +2433,12 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    // DELETE keeps exactly the non-matching keys.
+    "mrg_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Expected SCD2 history rebuilt per key class: every key has a v1
     // row (closed at 02-01 iff even); evens add a _V2 row at 02-01
     // (closed at 03-01 iff ≡0 mod 4); keys ≡0 mod 4 add the acctbal+100
@@ -2677,6 +2734,74 @@ object SparkEntry {
         |  s.bits_per_token
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Bigram replay: adjacent-pair strings from the shared token
+    // contract, pair vocab pruned at minCount=2, context counts over ALL
+    // pairs, integer-bit-length conditional surprisal. substring match
+    // on ' ' is exact because tokens are whitespace-split.
+    "txt_perplexity_bigram" ->
+      """WITH bf AS (
+        |  SELECT doc_id, bg AS bigram, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, LEN(toks)),
+        |            i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM (SELECT doc_id,
+        |                list_filter(
+        |                  regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |                  x -> LENGTH(x) > 0) AS toks
+        |              FROM documents))
+        |  GROUP BY doc_id, bg
+        |), v AS (
+        |  SELECT bigram, CAST(SUM(tf) AS BIGINT) AS c
+        |  FROM bf GROUP BY bigram HAVING SUM(tf) >= 2
+        |), ctx AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(SUM(tf) AS BIGINT) AS c1
+        |  FROM bf GROUP BY split_part(bigram, ' ', 1)
+        |), scored AS (
+        |  SELECT bf.doc_id,
+        |    CAST(SUM(bf.tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN v.c IS NULL THEN bf.tf ELSE 0 END)
+        |         AS BIGINT) AS n_unseen,
+        |    CAST(SUM(bf.tf * (LENGTH(printf('%b', COALESCE(ctx.c1, 0) + 1))
+        |        - LENGTH(printf('%b', COALESCE(v.c, 0) + 1)))) AS DOUBLE)
+        |      / CAST(SUM(bf.tf) AS DOUBLE) AS bits_per_bigram
+        |  FROM bf LEFT JOIN v USING (bigram)
+        |    LEFT JOIN ctx ON split_part(bf.bigram, ' ', 1) = ctx.w1
+        |  GROUP BY bf.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+        |  s.bits_per_bigram
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Round-0 BPE pair counts: word dictionary -> chars + '</w>' ->
+    // adjacent pairs weighted by word count. The pair is carried as
+    // 'l r' (tokens are whitespace-split, so neither side contains a
+    // space) and split back into columns.
+    "bpe_pair_counts" ->
+      """WITH wd AS (
+        |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS wc
+        |  FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |          x -> LENGTH(x) > 0)) AS t
+        |        FROM documents)
+        |  GROUP BY t
+        |), syms AS (
+        |  SELECT wc,
+        |    list_append(regexp_split_to_array(token, ''), '</w>') AS s
+        |  FROM wd
+        |), pairs AS (
+        |  SELECT wc, unnest(list_transform(range(1, LEN(s)),
+        |    i -> s[i] || ' ' || s[i+1])) AS p
+        |  FROM syms
+        |)
+        |SELECT split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+        |  CAST(SUM(wc) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY l, r""".stripMargin,
 
     "txt_tfidf" ->
       """WITH tf AS (

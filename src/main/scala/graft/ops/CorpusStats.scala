@@ -113,6 +113,74 @@ object CorpusStats {
         col("bits_per_token"))
   }
 
+  /** Per-document bigram frequencies `(id, bigram, tf)` where `bigram`
+    * is the space-joined adjacent token pair. Built explicitly (NOT via
+    * [[Dedup.shingles]], whose short-document fallback would fabricate
+    * a fake "bigram" from a one-token document); documents with fewer
+    * than two tokens contribute no rows. Same shuffle discipline as
+    * [[termFreq]]: instances collapse to per-document counts map-side. */
+  def bigramFreq(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.nonEmptyTokens(col(textCol))
+    graft.io.Sources.fanOut(docs, idCol)
+      .select(col(idCol), toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_toks")) - 2),
+        i => concat_ws(" ", element_at(col("_toks"), i + 1),
+          element_at(col("_toks"), i + 2)))).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Bigram conditional surprisal per document — the next step up from
+    * [[unigramSurprisal]] on the CCNet/KenLM ladder (Wenzek et al. '19
+    * score documents by n-gram-LM perplexity; bigrams are the smallest
+    * model that sees word ORDER, so shuffled-word spam that sails
+    * through unigram scoring lights up here).
+    *
+    * Per bigram instance the surprisal is `log2 P(w2|w1)⁻¹` in integer
+    * bits: `bitLen(c(w1·)+1) − bitLen(c(w1w2)+1)`, where `c(w1·)` is
+    * the corpus count of bigrams starting with `w1` (the conditional's
+    * denominator) and `c(w1w2)` the pruned-vocabulary count of the pair
+    * (0 when pruned/unseen — the +1 is the same add-one floor the
+    * unigram path uses). `c(w1w2) ≤ c(w1·)` always, so the difference
+    * is non-negative. Emits `(id, n_bigrams, n_unseen,
+    * bits_per_bigram)`; documents under two tokens keep null bits.
+    *
+    * Scale shape: identical to the unigram path — bigram instances
+    * collapse map-side in [[bigramFreq]]; the pruned pair vocabulary
+    * and the context-count table (unigram-vocabulary-sized) broadcast;
+    * bodies never move. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      minCount: Long = 2L): DataFrame = {
+    val bf = bigramFreq(docs, idCol, textCol)
+    val pairV = vocab(bf.withColumnRenamed("bigram", "token"), minCount)
+      .select(col("token").as("bigram"), col("c"))
+    val ctx = bf.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum("tf").as("c1"))
+    val scored = bf
+      .join(broadcast(pairV), Seq("bigram"), "left")
+      .join(broadcast(ctx),
+        substring_index(col("bigram"), " ", 1) === col("w1"), "left")
+      .withColumn("surprisal",
+        bitLen(coalesce(col("c1"), lit(0L)) + 1) -
+          bitLen(coalesce(col("c"), lit(0L)) + 1))
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_bigrams"),
+        sum(when(col("c").isNull, col("tf")).otherwise(0L)).as("n_unseen"),
+        (sum(col("tf") * col("surprisal")).cast("double") /
+          sum("tf").cast("double")).as("bits_per_bigram"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("bits_per_bigram"))
+  }
+
   /** One-row corpus health report — the summary a curation run logs
     * before and after each stage: document count, exact-duplicate
     * count (docs minus distinct text fingerprints), token-instance

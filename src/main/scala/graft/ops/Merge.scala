@@ -121,6 +121,60 @@ object Merge {
     fs.delete(new Path(staging), true)
   }
 
+  /** Copy-on-write keyed DELETE from a partitioned parquet table — the
+    * GDPR/retention complement of [[mergeInto]] (the reference's
+    * delete_item side of the KV contract). Same partition-pruned shape:
+    * only partitions present in `deletes` are read, anti-joined against
+    * the delete keys, staged, and dynamic-partition-overwritten;
+    * untouched partitions keep their exact files.
+    *
+    * One case the overwrite machinery cannot express: a partition whose
+    * rows are ALL deleted produces no staged rows, so the dynamic
+    * overwrite never touches its directory and the rows would silently
+    * survive. Those emptied partitions are removed explicitly after the
+    * write (the delete-then-rerun crash window matches [[mergeInto]]'s
+    * commit-phase exposure: rerunning the same delete batch finishes the
+    * job). `deletes` must carry `keys ++ partitionCol`; as in
+    * [[mergeInto]], a key's partition value is assumed stable. */
+  def deleteWhere(spark: SparkSession, targetDir: String, deletes: DataFrame,
+                  keys: Seq[String], partitionCol: String,
+                  inListThreshold: Int = InListThreshold): Unit = {
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+
+    val target = prunedTarget(spark, targetDir, deletes, partitionCol,
+      inListThreshold)
+    val remaining = target.join(
+      deletes.select(keys.map(col): _*).distinct(),
+      keys.toSeq, "left_anti")
+
+    val staging = new Path(root, "_delete_staging").toString
+    remaining.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(targetDir)
+
+    // partitions the batch touched but the staged write left empty:
+    // their directories must go, or the "deleted" rows survive
+    val touched = deletes.select(col(partitionCol)).distinct()
+      .collect().map(r => Option(r.get(0)).map(_.toString)).toSet
+    val survived = staged.select(col(partitionCol)).distinct()
+      .collect().map(r => Option(r.get(0)).map(_.toString)).toSet
+    (touched -- survived).foreach { v =>
+      val dirName = v match {
+        case Some(s) =>
+          s"$partitionCol=${ExternalCatalogUtils.escapePathName(s)}"
+        case None =>
+          s"$partitionCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+      }
+      fs.delete(new Path(root, dirName), true)
+    }
+    fs.delete(new Path(staging), true)
+  }
+
   /** SCD Type-2 apply: fold one update batch into a history-preserving
     * dimension table (Kimball's slowly-changing-dimension type 2 — every
     * attribute change CLOSES the current row and INSERTS a new version,

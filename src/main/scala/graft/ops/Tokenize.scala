@@ -1,0 +1,170 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow, Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016) — the standard subword-vocabulary learner every LLM data
+  * pipeline runs before token budgeting. [[TextAnalysis.tokenCountBpe]]
+  * is the cheap regex PROXY for an already-trained tokenizer; this
+  * module learns the actual merge table from the corpus.
+  *
+  * Scale shape (why this survives 100 TB): BPE training never touches
+  * the corpus after ONE [[CorpusStats.termFreq]] pass — the working set
+  * is the WORD DICTIONARY (distinct words + counts, orders of magnitude
+  * smaller than the corpus; Heaps' law says ~O(√N) of it), exactly how
+  * the reference BPE implementations train. Each merge round is one
+  * pair-count aggregate over the dictionary plus a fold-rewrite of the
+  * symbol arrays; the only driver state is the single winning pair per
+  * round. Lineage is truncated per round (`localCheckpoint`) so the
+  * plan does not grow with `numMerges` — the connectedComponents
+  * discipline.
+  *
+  * Determinism: the winning pair is argmax by (count DESC, left ASC,
+  * right ASC) — total order, so the merge table is identical across
+  * runs, partitionings, and cluster sizes. No SQL oracle exists for
+  * the iterative argmax (the same accepted-internal shape as the HLL
+  * sketch and k-means IVF); the gates are the oracle-checked
+  * `bpe_pair_counts` sibling (round-0 counts, plain SQL) and the
+  * TokenizeSpec parity tests against an independent reference
+  * implementation, including the classic low/lower/newest/widest
+  * corpus. */
+object Tokenize {
+
+  /** End-of-word marker, appended as a terminal symbol so merges can
+    * learn suffixes ("est</w>") without crossing word boundaries. */
+  val EndOfWord = "</w>"
+
+  private val symsType = ArrayType(StringType, containsNull = false)
+
+  /** Word dictionary of a corpus: distinct whitespace tokens with
+    * total instance counts — the only thing BPE training ever scans. */
+  def wordDict(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    CorpusStats.termFreq(docs, idCol, textCol)
+      .groupBy(col("token")).agg(sum("tf").as("wc"))
+
+  /** Initial symbol array of a word: its characters plus [[EndOfWord]]. */
+  def initialSymbols(token: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(token)), i => token.substr(i, lit(1))),
+      array(lit(EndOfWord))).cast(symsType)
+
+  /** Adjacent symbol pairs of a symbol array, as (l, r) structs. */
+  private def adjacentPairs(syms: Column): Column =
+    transform(sequence(lit(0), size(syms) - 2),
+      i => struct(element_at(syms, i + 1).as("l"),
+        element_at(syms, i + 2).as("r")))
+
+  /** Corpus-weighted adjacent-pair counts over a symbolized dictionary
+    * — one aggregate; this is the per-round cost of training. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wc").as("pair_count"))
+
+  /** Left-to-right single-pass merge of adjacent (l, r) into the fused
+    * symbol — greedy and non-overlapping ("a a a" under (a,a) gives
+    * [aa, a]), the BPE contract. One fold, no regex. */
+  private[ops] def mergePair(syms: Column, l: String, r: String): Column = {
+    val fused = l + r
+    val zero = struct(
+      array().cast(symsType).as("out"), lit(null).cast("string").as("prev"))
+    aggregate(syms, zero,
+      (acc, x) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev.isNull, struct(out.as("out"), x.as("prev")))
+          .when(prev === lit(l) && x === lit(r),
+            struct(concat(out, array(lit(fused))).as("out"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(struct(concat(out, array(prev)).as("out"), x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("prev")))))
+  }
+
+  /** Learn up to `numMerges` merges. Returns the ordered merge table
+    * `(step, left, right, merged, pair_count)`; stops early when no
+    * pair reaches `minPairCount`. `words` is re-checkpointed every
+    * round, so memory and plan size stay flat in `numMerges`. */
+  def bpeTrain(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    var words = wordDict(docs, idCol, textCol)
+      .select(col("wc"), initialSymbols(col("token")).as("syms"))
+      .localCheckpoint(true)
+    val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(row) if row.getLong(2) >= minPairCount =>
+          step += 1
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((step, l, r, l + r, c))
+          val next = words
+            .withColumn("syms", mergePair(col("syms"), l, r))
+            .localCheckpoint(true)
+          words.unpersist()
+          words = next
+        case _ => done = true
+      }
+    }
+    words.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq.map(Row.fromTuple), 1),
+      StructType(Seq(
+        StructField("step", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Segment a word dictionary with an already-learned merge table —
+    * the encode side. `mergeTable` rows are applied in `step` order
+    * (collected once; it is vocabulary-sized driver state by
+    * construction). Returns `(token, wc, syms)`. */
+  def segmentDict(words: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val ordered = mergeTable.orderBy(col("step"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    var out = words.withColumn("syms", initialSymbols(col("token")))
+    // fold the merges in order; checkpoint every few steps so the plan
+    // doesn't deepen linearly in the merge count
+    ordered.zipWithIndex.foreach { case ((l, r), i) =>
+      out = out.withColumn("syms", mergePair(col("syms"), l, r))
+      if ((i + 1) % 8 == 0) out = out.localCheckpoint(true)
+    }
+    out
+  }
+
+  /** Per-document BPE token counts under a learned merge table: encode
+    * the DISTINCT words once, then join counts back — documents never
+    * re-segment. */
+  def bpeTokenCount(docs: DataFrame, mergeTable: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val tf = CorpusStats.termFreq(docs, idCol, textCol)
+    val dict = tf.groupBy(col("token")).agg(sum("tf").as("wc"))
+    val seg = segmentDict(dict, mergeTable)
+      .select(col("token"), size(col("syms")).as("n_pieces"))
+    docs.select(col(idCol))
+      .join(
+        tf.join(seg, Seq("token"))
+          .groupBy(col(idCol))
+          .agg(sum(col("tf") * col("n_pieces")).as("n_bpe_tokens")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+}

@@ -132,6 +132,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(prunedBefore == Set("beta", "delta"), "prune-before-merge loses xyzzy")
   }
 
+  test("bigramSurprisal: hand-computed corpus incl. pruned pair, short and empty docs") {
+    // corpus bigram counts: "a b":3, "b a":1, "b c":2; minCount=2 prunes
+    // "b a". Context counts over ALL pairs: a·=3, b·=3.
+    // surprisal = bitLen(c1+1) - bitLen(c+1):
+    //   "a b": bitLen(4)-bitLen(4) = 0;  "b c": bitLen(4)-bitLen(3) = 1
+    //   "b a" (pruned -> c=0): bitLen(4)-bitLen(1) = 2
+    val docs = Seq(
+      (0L, "a b a b c"), // bigrams ab,ba,ab,bc -> bits (0+0+2+1)/4 = 0.75
+      (1L, "a b c"),     // ab,bc -> (0+1)/2 = 0.5
+      (2L, "x"),         // one token: no bigrams
+      (3L, "")           // empty
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bigramSurprisal(docs, minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(0L) == ((4L, 1L, Some(0.75))))
+    assert(out(1L) == ((2L, 0L, Some(0.5))))
+    assert(out(2L) == ((0L, 0L, None)))
+    assert(out(3L) == ((0L, 0L, None)))
+  }
+
   test("corpusReport: exact dups counted; all-empty corpus degrades to zeros") {
     val dup = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

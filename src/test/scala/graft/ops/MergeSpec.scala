@@ -171,6 +171,34 @@ class MergeSpec extends SparkSpec {
     assert(state(dir) == Map(1L -> (5.0, 0L), 2L -> (60.0, 0L)))
   }
 
+  test("deleteWhere: keyed delete, untouched partitions intact, emptied partition removed, idempotent") {
+    val dir = Files.createTempDirectory("graft-delete").toString + "/tbl"
+    // partitions: 0 -> keys 1..49, 1 -> keys 50..99, 2 -> key 100
+    val base = spark.range(1, 101)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" / 50).cast("long").as("p"))
+    base.write.partitionBy("p").parquet(dir)
+    val before = partFiles(dir, 1)
+
+    // delete some of partition 0 and ALL of partition 2; partition 1 untouched
+    val dels = (spark.range(10, 21) union spark.range(100, 101))
+      .select($"id".as("k"), when($"id" >= 100, 2L).otherwise(0L).as("p"))
+    Merge.deleteWhere(spark, dir, dels, Seq("k"), "p")
+
+    assert(state(dir) == (1L to 99L).filterNot(k => k >= 10 && k <= 20)
+      .map(k => k -> (k * 1.0, k / 50)).toMap)
+    // the fully-emptied partition's directory is gone (dynamic overwrite
+    // alone can't express it)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=2")))
+    // untouched partition byte-identical
+    assert(partFiles(dir, 1) == before)
+    // idempotent rerun
+    Merge.deleteWhere(spark, dir, dels, Seq("k"), "p")
+    assert(state(dir) == (1L to 99L).filterNot(k => k >= 10 && k <= 20)
+      .map(k => k -> (k * 1.0, k / 50)).toMap)
+  }
+
   private def d(s: String) = java.sql.Date.valueOf(s)
 
   private def hist(rows: Seq[(Long, Option[String], String, Option[String])]) =
