@@ -189,6 +189,54 @@ object Streaming {
       .start()
   }
 
+  /** CDC-to-SCD2 apply: fold a stream of dimension updates into the
+    * history-preserving table at `historyDir`, one
+    * [[graft.ops.Merge.scd2Apply]] fold per micro-batch. The streaming
+    * face of the batch fold — a Debezium-style change feed becomes a
+    * queryable version history as it arrives.
+    *
+    * Replay safety without a transactional format: a crashed micro-batch
+    * REFOLDS on restart, and `scd2Apply` is idempotent under refold —
+    * identical attributes no-op, older effective dates are stale-dropped
+    * (both spec'd in MergeSpec) — so the history cannot fork. The
+    * read-fold-overwrite goes through a staging subdir because Spark
+    * refuses to overwrite a path it is reading, and the staged copy
+    * means a crash mid-overwrite loses nothing the refold can't rebuild.
+    * Within a batch each key may appear at most once (scd2Apply's batch
+    * contract); feeds that can carry several revisions per key per
+    * trigger should pre-collapse to the latest by effective date. */
+  def scd2Stream(updates: DataFrame, historyDir: String, keys: Seq[String],
+                 tracked: Seq[String], effectiveCol: String,
+                 checkpoint: String): StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(historyDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hist =
+          if (fs.exists(root)) spark.read.parquet(historyDir)
+          else {
+            // empty history with the output schema: first batch inserts
+            val dateType = batch.schema(effectiveCol).dataType
+            batch.select((keys ++ tracked).map(col) :+
+              col(effectiveCol).as("valid_from"): _*)
+              .withColumn("valid_to", lit(null).cast(dateType))
+              .filter(lit(false))
+          }
+        val next = graft.ops.Merge.scd2Apply(
+          hist, batch, keys, tracked, effectiveCol)
+        val staging = new org.apache.hadoop.fs.Path(root.getParent,
+          root.getName + "_scd2_staging").toString
+        next.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging)
+          .write.mode("overwrite").parquet(historyDir)
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        ()
+      }
+      .start()
+
   /** Native session windows (gap-close semantics identical to
     * `ops.Sessions`): Spark's `session_window` merges events of a key
     * into variable-length windows that close after `gap` of silence; the

@@ -224,4 +224,34 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("hashpartitioning"),
       s"broadcast as-of must not hash-shuffle either side:\n$s")
   }
+
+  test("dedup_fuzzy: candidate generation is blocked — no all-pairs join shape anywhere") {
+    val s = planString(q("dedup_fuzzy"))
+    assert(!s.contains("CartesianProduct"),
+      s"fuzzy join must never go quadratic:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must never nested-loop:\n$s")
+  }
+
+  test("txt_perplexity_bigram: vocab + context lookups broadcast; text never shuffles") {
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allShuffles(s.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(allShuffles)
+      case other => other.children.flatMap(allShuffles)
+    }
+    val docs = graft.io.Sources.table(spark, sf001, "documents")
+    val plan = executedPlan(graft.ops.CorpusStats.bigramSurprisal(docs))
+    val s = plan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(s).size >= 2,
+      s"pair vocab and context table must both broadcast:\n$s")
+    // exclude fanOut's explicit REPARTITION_BY_NUM: it fires only when
+    // the scan is under-split (this 1-row-group fixture), is a no-op at
+    // lake scale, and is the one exchange ALLOWED to carry text; the
+    // computation's own exchanges (ENSURE_REQUIREMENTS) must not
+    val offenders = allShuffles(plan).filter(e =>
+      e.shuffleOrigin != org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM &&
+        e.output.exists(_.name == "text"))
+    assert(offenders.isEmpty, s"document text crossed a computation shuffle:\n$s")
+  }
 }

@@ -279,6 +279,47 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must keep its docs, not self-screen them away")
   }
 
+  test("scd2Stream folds a CDC feed into the same history the batch folds produce") {
+    implicit val sqlCtx = spark.sqlContext
+    val histDir = Files.createTempDirectory("graft-scd2-stream").toString + "/hist"
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val updates = mem.toDF().toDF("k", "attr", "eff")
+      .select($"k", $"attr", $"eff".cast("date").as("eff"))
+    val q = Streaming.scd2Stream(updates, histDir,
+      keys = Seq("k"), tracked = Seq("attr"), effectiveCol = "eff", ckpt)
+
+    // batch 1 bootstraps, batch 2 revises key 1 + inserts key 3,
+    // batch 3 carries a no-op for key 2 and another revision of key 1
+    val batches = Seq(
+      Seq((1L, "a", "2024-01-01"), (2L, "x", "2024-01-01")),
+      Seq((1L, "b", "2024-02-01"), (3L, "z", "2024-02-01")),
+      Seq((1L, "c", "2024-03-01"), (2L, "x", "2024-03-01")))
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.read.parquet(histDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+
+    // reference: the same three batches folded with batch scd2Apply
+    def asDf(b: Seq[(Long, String, String)]) =
+      b.toDF("k", "attr", "eff").select($"k", $"attr", $"eff".cast("date").as("eff"))
+    val h0 = asDf(batches.head)
+      .select($"k", $"attr", $"eff".as("valid_from"))
+      .withColumn("valid_to", lit(null).cast("date"))
+    val expected = batches.tail.foldLeft(h0) { (h, b) =>
+      graft.ops.Merge.scd2Apply(h, asDf(b), Seq("k"), Seq("attr"), "eff")
+    }.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    assert(streamed == expected)
+    // sanity: key 1 carries its full three-version chain
+    assert(streamed.count(_._1 == 1L) == 3)
+    assert(streamed.contains((1L, "c", "2024-03-01", None)))
+    // the no-op for key 2 did not fork a version
+    assert(streamed.count(_._1 == 2L) == 1)
+  }
+
   test("transformWithState first-seen dedup suppresses cross-batch redelivery") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
