@@ -972,6 +972,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining (Similarity.hardNegatives): top-5 most
+    // similar non-positives per query; each query vec_id<10 declares
+    // positives vec_id+100 and vec_id+200. Rank-only output, same
+    // determinism contract as the brute oracle.
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"))
+        .select(col("query_id"),
+          explode(array(col("query_id") + 100, col("query_id") + 200))
+            .as("positive_id"))
+      Similarity.hardNegatives(emb, pairs, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Similarity: same exact top-k through the bounded TopKAgg
     // aggregator (map-side k-heaps; the window form shuffles every
     // scored pair) — same rank-only oracle as sim_topk_brute.
@@ -2190,6 +2205,26 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Brute ranking minus self and the two declared positives per query.
+    "sim_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id AS negative_id,
+        |    list_cosine_similarity(q.qe, c.embedding::DOUBLE[]) AS sim
+        |  FROM q, embeddings c
+        |  WHERE c.vec_id != q.query_id
+        |    AND c.vec_id != q.query_id + 100
+        |    AND c.vec_id != q.query_id + 200
+        |), r AS (
+        |  SELECT query_id, negative_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, negative_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, negative_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     // identical to sim_topk_brute: the aggregator must reproduce the

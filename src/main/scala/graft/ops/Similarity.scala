@@ -79,6 +79,43 @@ object Similarity {
         col("nb._1").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training (the
+    * in-batch-negatives upgrade every embedding-model pipeline runs:
+    * Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020 mine top
+    * BM25/ANN non-positives as negatives): for each query in `pairs
+    * (query_id, positive_id)`, the `k` corpus items MOST similar to the
+    * query that are neither the query itself nor any of its declared
+    * positives. A query may carry several positives (all excluded);
+    * rank re-closes over the exclusions, so every query gets exactly k
+    * negatives when the corpus allows.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — broadcast queries ×
+    * one corpus scan, per-query top-k of (qid, id, sim) triples — plus
+    * one broadcast anti-join against the (small, training-set-sized)
+    * positives table BEFORE the rank, so excluded rows never reach the
+    * window. The exact contract is the point here (it feeds a training
+    * set); at retrieval scale swap the scorer for [[lshTopK]]/
+    * [[ivfTopKAnchored]] candidates and keep the same exclusion tail. */
+  def hardNegatives(corpus: DataFrame, pairs: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val queries = pairs.select(col("query_id")).distinct()
+      .join(corpus.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+        Seq("query_id"))
+    val q = broadcast(queries)
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .join(broadcast(pairs.select(col("query_id"),
+        col("positive_id").as(idCol)).distinct()),
+        Seq("query_id", idCol), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("negative_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes: plane p, dim d weight
     * derives from a seeded hash — identical on every run/executor, no
     * state to ship. */

@@ -140,10 +140,16 @@ object Tokenize {
       .collect().map(r => (r.getString(0), r.getString(1)))
     var out = words.withColumn("syms", initialSymbols(col("token")))
     // fold the merges in order; checkpoint every few steps so the plan
-    // doesn't deepen linearly in the merge count
+    // doesn't deepen linearly in the merge count, releasing the previous
+    // checkpoint as soon as the next one is materialized
+    var prevCkpt: Option[DataFrame] = None
     ordered.zipWithIndex.foreach { case ((l, r), i) =>
       out = out.withColumn("syms", mergePair(col("syms"), l, r))
-      if ((i + 1) % 8 == 0) out = out.localCheckpoint(true)
+      if ((i + 1) % 8 == 0) {
+        out = out.localCheckpoint(true)
+        prevCkpt.foreach(_.unpersist())
+        prevCkpt = Some(out)
+      }
     }
     out
   }

@@ -167,6 +167,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rrRecall >= recall, "re-ranking must not lose recall")
   }
 
+  test("hardNegatives: positives excluded even from the top slot, ranks re-close to k") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    // make each query's positive its own brute TOP-1 neighbor — the
+    // hardest exclusion case: the mined negatives must be exactly the
+    // brute ranks 2..6, re-ranked 1..5
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val top1 = brute.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
+    val pairs = top1.toSeq.toDF("query_id", "positive_id")
+    val mined = Similarity.hardNegatives(emb, pairs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(mined.length == 5 * top1.size, "every query gets exactly k negatives")
+    for ((q, pos) <- top1) {
+      assert(!mined.exists(m => m._1 == q && m._2 == pos),
+        s"positive $pos leaked into query $q's negatives")
+      assert(!mined.exists(m => m._1 == q && m._2 == q), "self leaked")
+      val expected = brute.filter(t => t._1 == q && t._3 >= 2)
+        .sortBy(_._3).map(_._2).toSeq
+      val got = mined.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+      assert(got == expected, s"query $q: ranks must re-close over the exclusion")
+    }
+  }
+
   test("exact pair generation agrees with LSH on recalled pairs") {
     val exact = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
