@@ -149,19 +149,27 @@ object Merge {
       deletes.select(keys.map(col): _*).distinct(),
       keys.toSeq, "left_anti")
 
-    val staging = new Path(root, "_delete_staging").toString
-    remaining.write.mode("overwrite").parquet(staging)
-    val staged = spark.read.parquet(staging)
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(targetDir)
+    // a batch can empty EVERY touched partition; an all-empty staging
+    // dir has no parquet footers to read back, so branch before writing
+    val hasSurvivors = !remaining.isEmpty
+    val survived: Set[Option[String]] =
+      if (hasSurvivors) {
+        val staging = new Path(root, "_delete_staging").toString
+        remaining.write.mode("overwrite").parquet(staging)
+        val staged = spark.read.parquet(staging)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(targetDir)
+        val s = staged.select(col(partitionCol)).distinct()
+          .collect().map(r => Option(r.get(0)).map(_.toString)).toSet
+        fs.delete(new Path(staging), true)
+        s
+      } else Set.empty
 
     // partitions the batch touched but the staged write left empty:
     // their directories must go, or the "deleted" rows survive
     val touched = deletes.select(col(partitionCol)).distinct()
-      .collect().map(r => Option(r.get(0)).map(_.toString)).toSet
-    val survived = staged.select(col(partitionCol)).distinct()
       .collect().map(r => Option(r.get(0)).map(_.toString)).toSet
     (touched -- survived).foreach { v =>
       val dirName = v match {
@@ -172,7 +180,6 @@ object Merge {
       }
       fs.delete(new Path(root, dirName), true)
     }
-    fs.delete(new Path(staging), true)
   }
 
   /** SCD Type-2 apply: fold one update batch into a history-preserving
@@ -197,7 +204,12 @@ object Merge {
     *  - otherwise → current row closed at `effective`, new version
     *    opened at `effective`.
     * Unmatched update keys insert as new current rows; unmatched current
-    * rows and all already-closed rows pass through untouched.
+    * rows and all already-closed rows pass through untouched. A key
+    * whose versions are ALL closed (a retired dimension member) has no
+    * current row, so an update for it RE-ACTIVATES the key: a fresh
+    * current version opens at `effective` and the closed history stays
+    * intact — the standard SCD2 answer to a member coming back
+    * (spec'd).
     *
     * Scale shape: only the CURRENT rows (live dimension cardinality)
     * join the batch — the closed majority of a years-old history table

@@ -87,7 +87,9 @@ object Similarity {
     * query that are neither the query itself nor any of its declared
     * positives. A query may carry several positives (all excluded);
     * rank re-closes over the exclusions, so every query gets exactly k
-    * negatives when the corpus allows.
+    * negatives when the corpus allows. Query ids with no corpus vector
+    * drop out silently (inner join) — mine against the corpus the
+    * queries were embedded with.
     *
     * Scale shape: identical to [[bruteForceTopK]] — broadcast queries ×
     * one corpus scan, per-query top-k of (qid, id, sim) triples — plus

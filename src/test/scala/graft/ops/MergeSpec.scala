@@ -199,6 +199,21 @@ class MergeSpec extends SparkSpec {
       .map(k => k -> (k * 1.0, k / 50)).toMap)
   }
 
+  test("deleteWhere: a batch that empties every touched partition still completes") {
+    val dir = Files.createTempDirectory("graft-delete-all").toString + "/tbl"
+    val base = Seq((1L, 1.0, 0L), (2L, 2.0, 0L), (3L, 3.0, 1L))
+      .toDF("k", "v", "p")
+    base.write.partitionBy("p").parquet(dir)
+    // wipe ALL of partition 0 — zero survivors among touched partitions,
+    // so there is nothing to stage (the empty-staging read-back case)
+    val dels = Seq((1L, 0L), (2L, 0L)).toDF("k", "p")
+    Merge.deleteWhere(spark, dir, dels, Seq("k"), "p")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=0")))
+    assert(state(dir) == Map(3L -> (3.0, 1L)))
+  }
+
   private def d(s: String) = java.sql.Date.valueOf(s)
 
   private def hist(rows: Seq[(Long, Option[String], String, Option[String])]) =
@@ -236,6 +251,18 @@ class MergeSpec extends SparkSpec {
       (4L, None,      d("2024-01-01"), Some(d("2024-03-01"))),
       (4L, Some("w"), d("2024-03-01"), None),
       (9L, None,      d("2024-03-01"), None)))
+  }
+
+  test("scd2Apply: an all-closed (retired) key re-activates on update, history intact") {
+    val history = hist(Seq(
+      (5L, Some("old"), "2024-01-01", Some("2024-02-01")))) // retired: no current row
+    val upd = Seq((5L, Some("back"), "2024-03-01")).toDF("k", "attr", "eff")
+      .select($"k", $"attr", $"eff".cast("date").as("eff"))
+    val out = Merge.scd2Apply(history, upd, Seq("k"), Seq("attr"), "eff")
+      .collect().map(r => (r.getString(1), r.getDate(2), Option(r.getDate(3)))).toSet
+    assert(out == Set(
+      ("old", d("2024-01-01"), Some(d("2024-02-01"))),
+      ("back", d("2024-03-01"), None)))
   }
 
   test("scd2Apply: folding batches oldest-first chains versions; refold of batch 1 is a no-op") {

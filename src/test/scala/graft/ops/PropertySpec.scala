@@ -262,4 +262,82 @@ class PropertySpec extends SparkSpec {
       assert(c <= t + 0.01 * (mergedCount + 1)) // rounding slack per group
     }
   }
+
+  test("property: fuzzyPairs equals brute-force Levenshtein on random low-alphabet strings") {
+    import spark.implicits._
+    // a 3-letter alphabet maximizes shared grams (the hardest regime for
+    // prefix blocking: ties, gram-poor strings, hot buckets all appear)
+    val strGen = for {
+      len <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = Gen.choose(5, 25).flatMap(n => Gen.listOfN(n, strGen))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    forSamples(corpusGen, 12) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      for (maxDist <- Seq(1, 2)) {
+        val got = Dedup.fuzzyPairs(df, "s", maxDist = maxDist)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        val u = strs.distinct
+        val want = (for (a <- u; b <- u if a < b; e = lev(a, b)
+                         if e >= 1 && e <= maxDist) yield (a, b, e)).toSet
+        assert(got == want, s"maxDist=$maxDist corpus=$strs")
+      }
+    }
+  }
+
+  test("property: scd2Apply matches a reference fold over random update sequences") {
+    import spark.implicits._
+    import java.sql.Date
+    // model: per key, the reference history as an ordered version list
+    def refFold(hist: Map[Long, List[(Option[String], String, Option[String])]],
+                batch: Seq[(Long, Option[String], String)]) =
+      batch.foldLeft(hist) { case (h, (k, attr, eff)) =>
+        val versions = h.getOrElse(k, Nil)
+        versions.find(_._3.isEmpty) match {
+          case None =>
+            h.updated(k, versions :+ ((attr, eff, None)))
+          case Some(cur @ (cAttr, cFrom, _)) =>
+            if (cAttr == attr) h // no-op
+            else if (eff <= cFrom) h // stale
+            else h.updated(k, versions.filterNot(_ == cur) :+
+              ((cAttr, cFrom, Some(eff))) :+ ((attr, eff, None)))
+        }
+      }
+    val batchGen = for {
+      n <- Gen.choose(1, 6)
+      ks <- Gen.pick(n, 1L to 8L) // distinct keys per batch (the contract)
+      rows <- Gen.sequence[Seq[(Long, Option[String], String)], (Long, Option[String], String)](
+        ks.map { k =>
+          for {
+            attr <- Gen.option(Gen.oneOf("a", "b", "c"))
+            day <- Gen.choose(1, 28)
+          } yield (k, attr, f"2024-01-$day%02d")
+        })
+    } yield rows
+    val seqGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, batchGen))
+    forSamples(seqGen, 10) { batches =>
+      def asDf(b: Seq[(Long, Option[String], String)]) =
+        b.toDF("k", "attr", "eff").select($"k", $"attr", $"eff".cast("date").as("eff"))
+      val empty = Seq.empty[(Long, Option[String], String)]
+        .toDF("k", "attr", "eff")
+        .select($"k", $"attr", $"eff".cast("date").as("valid_from"))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val sparkHist = batches.foldLeft(empty) { (h, b) =>
+        Merge.scd2Apply(h, asDf(b), Seq("k"), Seq("attr"), "eff")
+      }.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+      val refHist = batches.foldLeft(
+        Map.empty[Long, List[(Option[String], String, Option[String])]])(refFold)
+        .flatMap { case (k, vs) => vs.map(v => (k, v._1, v._2, v._3)) }.toSet
+      assert(sparkHist == refHist, s"batches=$batches")
+    }
+  }
 }
