@@ -432,6 +432,28 @@ object SparkEntry {
           col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     }),
 
+    // Declarative data-quality constraint suite (ops.Quality, the
+    // Deequ shape): the MEASURING counterpart of the filtering
+    // validators above — named checks over lineitem + orders, each
+    // table one aggregation pass, exact-integer pass/total ratios and
+    // cross-multiplied rational thresholds (no float-boundary flips).
+    "dq_report" -> ((s, d) => {
+      import graft.ops.Quality, Quality.Check._
+      val li = Quality.report(t(s, d, "lineitem"), Seq(
+        Complete("l_orderkey"),
+        Complete("l_partkey"),
+        InRange("l_quantity", 1, 50),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        Satisfies("l_price_pos", col("l_extendedprice") > 0),
+        InRange("l_discount", 0, 0.05, 1, 2))) // ≥ half at most 5% off
+      val ord = Quality.report(t(s, d, "orders"), Seq(
+        Complete("o_custkey"),
+        Unique("o_orderkey"),
+        Satisfies("o_total_pos", col("o_totalprice") > 0),
+        InRange("o_totalprice", 0, 100000, 95, 100)))
+      li.unionByName(ord).orderBy(col("check"))
+    }),
+
     // §2.E window top-k (beyond the reference — engine completeness):
     // top-3 highest-price items per order, deterministic tiebreak.
     "win_topk_per_order" -> ((s, d) => {
@@ -1257,6 +1279,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Lake-scale variant of the same screen: distributed-built Bloom
+    // sketch probed in the scan pass (a miss proves the doc clean, no
+    // join), exact explode-join verify on the bloom-HIT docs only —
+    // for benchmark sets too large to embed as expression constants.
+    // Result is EXACT (one-sided error corrected by the verify), so it
+    // shares txt_contamination's oracle verbatim.
+    "txt_contamination_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminationBloom(docs, docs.filter(col("doc_id") % 50 === 0))
+        .select("doc_id", "n_shingles", "n_contaminated", "contamination_frac")
+        .orderBy(col("doc_id"))
+    }),
+
     // Text analysis: C4-style line-level dedup (fixed 3-word segments as
     // the line unit) — any segment occurring in >= 3 distinct docs is
     // removed corpus-wide and each doc's text is rebuilt from its
@@ -1939,6 +1974,60 @@ object SparkEntry {
         |    SELECT o_orderkey FROM orders
         |    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+
+    // Each check is an exact-integer (n_pass, n_total) pair; metric and
+    // threshold are single double divisions and `passed` is the
+    // cross-multiplied integer compare — bit-identical on both engines.
+    "dq_report" ->
+      """WITH raw AS (
+        |  SELECT 'complete(l_orderkey)' AS "check",
+        |    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |    CAST(COUNT(*) AS BIGINT) AS n_total, 1 AS tn, 1 AS td FROM lineitem
+        |  UNION ALL
+        |  SELECT 'complete(l_partkey)',
+        |    CAST(SUM(CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 1 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity <= 50
+        |                  THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 1 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set(l_returnflag)',
+        |    CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 1 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'satisfies(l_price_pos)',
+        |    CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 1 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount,0.0,0.05)',
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0 AND l_discount <= 0.05
+        |                  THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 2 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'complete(o_custkey)',
+        |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 1 FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |    CAST(COUNT(o_orderkey) AS BIGINT), 1, 1 FROM orders
+        |  UNION ALL
+        |  SELECT 'satisfies(o_total_pos)',
+        |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 1, 1 FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,0.0,100000.0)',
+        |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0
+        |                   AND o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), 95, 100 FROM orders
+        |)
+        |SELECT "check", n_pass, n_total,
+        |  CAST(n_pass AS DOUBLE) / CAST(n_total AS DOUBLE) AS metric,
+        |  CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) AS threshold,
+        |  n_pass * td >= tn * n_total AS passed
+        |FROM raw ORDER BY "check"""".stripMargin,
 
     "win_topk_per_order" ->
       """SELECT * FROM (
@@ -2930,6 +3019,31 @@ object SparkEntry {
         |FROM e ORDER BY doc_id""".stripMargin,
 
     "txt_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, LEN(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' '))
+        |         END) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+        |        FROM documents)
+        |), b AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated,
+        |  CAST(COUNT(b.shingle) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS contamination_frac
+        |FROM d LEFT JOIN b ON d.shingle = b.shingle
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // The Bloom-pruned variant is EXACT (verify join corrects the
+    // sketch's one-sided error), so its oracle is the same equi-join.
+    "txt_contamination_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN LEN(toks) < 3 THEN [array_to_string(toks, ' ')]

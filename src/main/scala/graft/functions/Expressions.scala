@@ -845,6 +845,54 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Count of array elements that MIGHT be in a Bloom filter — the
+    * lake-scale variant of [[ShingleOverlapCount]]'s membership probe.
+    *
+    * [[ShingleOverlapCount]] ships the benchmark shingle SET inside the
+    * expression, which is right while eval sets are KBs; a consolidated
+    * decontamination list (every benchmark + held-out set, 10⁷–10⁸
+    * shingles) stops fitting in an expression constant long before it
+    * stops fitting in executor memory. This probe ships only the
+    * serialized `org.apache.spark.util.sketch.BloomFilter` bits (a few
+    * MB at fpp=1e-2 over 10⁷ items, built DISTRIBUTED by
+    * `TextAnalysis.contaminationBloom`), deserialized lazily once per
+    * executor. One-sided error: a hit may be false (verified exactly
+    * downstream on the hit docs only), a miss is definitive — so
+    * `might_contain_count = 0` proves a document clean without any join.
+    * Probes use the UTF-8 bytes (`mightContainBinary`), symmetric with
+    * the build's `putBinary`. Null elements count as misses, matching
+    * [[ShingleOverlapCount]]. */
+  case class BloomMightContainCount(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, "bloom_might_contain_count", _ == StringType, "array<string>")
+    @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    /** Public: called from generated code (one virtual call per row;
+      * the per-element loop stays inside). */
+    def countMightContain(arr: ArrayData): Long = {
+      var n = 0L
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i) &&
+            bloom.mightContainBinary(arr.getUTF8String(i).getBytes)) n += 1
+        i += 1
+      }
+      n
+    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(countMightContain(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("bloomMightContain", this,
+        classOf[BloomMightContainCount].getName)
+      nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.countMightContain($arr);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContainCount =
+      copy(child = newChild)
+  }
+
   /** Whitespace-token stopword profile in ONE tokenize pass:
     * `[n_tokens, hits(sets(0)), …, hits(sets(k-1))]`.
     *
@@ -995,6 +1043,8 @@ object GraftExpressions {
     c(PqEncode(e(vec), codebook, m, ksub, subDim, scale))
   def shingle_overlap_count(shingles: Column, bench: Array[String]): Column =
     c(ShingleOverlapCount(e(shingles), bench))
+  def bloom_might_contain_count(shingles: Column, bloomBytes: Array[Byte]): Column =
+    c(BloomMightContainCount(e(shingles), bloomBytes))
   def shingles_array(text: Column, n: Int): Column =
     c(ShinglesArray(e(text), n))
   def stopword_stats(text: Column, sets: Seq[Seq[String]]): Column =

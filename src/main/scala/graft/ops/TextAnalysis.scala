@@ -263,6 +263,71 @@ object TextAnalysis {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** [[contamination]] for benchmark sets too large to ship as an
+    * expression constant: a consolidated decontamination list (every
+    * eval + held-out set, 10⁷–10⁸ shingles at lake scale) stops fitting
+    * in [[GraftExpressions.ShingleOverlapCount]]'s embedded string set
+    * long before the corpus scan stops being the bottleneck. Exact
+    * result — same schema, same values, same oracle as
+    * [[contamination]] — in three stages:
+    *
+    *  1. BUILD (distributed): benchmark → distinct shingles → a
+    *     `spark.util.sketch.BloomFilter` merged up a `treeAggregate`
+    *     (executors each fold their partitions, driver holds only the
+    *     final few-MB sketch, never the shingle set).
+    *  2. PROBE (scan pass, zero shuffle):
+    *     [[GraftExpressions.BloomMightContainCount]] counts per-doc
+    *     might-contain hits. A Bloom miss is DEFINITIVE, so
+    *     `hits == 0` proves the document clean with no join — at
+    *     realistic contamination rates that is almost the whole corpus
+    *     (false-positive share bounded by `fpp` per shingle).
+    *  3. VERIFY (exact, hit docs only): bloom-hit documents explode
+    *     their shingles into a left join against the benchmark shingle
+    *     frame — the exchange carries only the hit docs' shingles
+    *     (~`fpp`·corpus + true contamination), and Spark picks the join
+    *     strategy from the benchmark side's real size (no broadcast
+    *     assumption). False positives come back with count 0, restoring
+    *     exactness.
+    *
+    * The benchmark derivation is evaluated twice eagerly (count for the
+    * sketch's `expectedNumItems`, then the build) plus once lazily in
+    * the verify join — all on the SMALL side; persist `benchmark`
+    * upstream if that matters. */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val benchSh = benchmark
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("shingle"))
+      .distinct()
+    val nItems = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.rdd.map(_.getString(0))
+      .treeAggregate(BloomFilter.create(nItems, fpp))(
+        (f, s) => { f.putBinary(s.getBytes("UTF-8")); f },
+        (a, b) => a.mergeInPlace(b))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val sh = array_distinct(Dedup.shingles(col(textCol), n))
+    val probed = corpus
+      .select(col(idCol), sh.as("_sh"))
+      .withColumn("n_shingles", size(col("_sh")).cast("long"))
+      .filter(col("n_shingles") > 0)
+      .withColumn("_hits", GraftExpressions.bloom_might_contain_count(col("_sh"), bytes))
+    val clean = probed.filter(col("_hits") === 0)
+      .select(col(idCol), col("n_shingles"), lit(0L).as("n_contaminated"))
+    val verified = probed.filter(col("_hits") > 0)
+      .select(col(idCol), col("n_shingles"), explode(col("_sh")).as("shingle"))
+      .join(benchSh.withColumn("_bench", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(coalesce(col("_bench"), lit(0))).cast("long").as("n_contaminated"))
+    clean.unionByName(verified)
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** C4-style line-level dedup (Raffel et al. 2020, §2.2: drop any
     * three-sentence span occurring more than once in the corpus;
     * RefinedWeb/Gopher run the same pass per LINE). The corpus here is

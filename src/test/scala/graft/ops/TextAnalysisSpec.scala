@@ -154,4 +154,53 @@ class TextAnalysisSpec extends SparkSpec {
     // every failing fixture is rejected overall
     (1L to 9L).foreach(id => assert(!rule(id, "gopher_kept"), s"doc $id"))
   }
+
+  test("contaminationBloom equals the exact contamination screen") {
+    // corpus with a heavily-contaminated doc, a clean doc, a
+    // partially-overlapping doc, a short (<n tokens, single-shingle)
+    // doc that IS a benchmark shingle, and a blank doc (one empty
+    // whole-text shingle); benchmark holds two docs
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "totally unrelated words live here now"),
+      (2L, "gamma delta epsilon something else entirely new"),
+      (3L, "tiny doc"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "tiny doc")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(TextAnalysis.contamination(corpus, bench))
+    val bloom = rows(TextAnalysis.contaminationBloom(corpus, bench))
+    assert(bloom == exact)
+    // the exact screen itself behaves as expected on this fixture
+    val m = exact.map(t => t._1 -> t).toMap
+    assert(m(0L) == ((0L, 4L, 3L, 0.75))) // abg, bgd, gde hit; dez misses
+    assert(m(1L)._3 == 0L)
+    assert(m(2L) == ((2L, 5L, 1L, 0.2))) // only "gamma delta epsilon"
+    assert(m(3L) == ((3L, 1L, 1L, 1.0))) // whole-text shingle = bench's
+    assert(m(4L)._2 == 1L && m(4L)._3 == 0L) // blank: one empty shingle
+  }
+
+  test("contaminationBloom: bloom probe never misses a true hit (one-sided error)") {
+    // at a punishing fpp the probe may over-count but must never
+    // under-count: per doc, bloom hits >= exact hits on every doc
+    val corpus = (0L until 40L).map(i =>
+      (i, s"w${i} w${i + 1} w${i + 2} w${i + 3} shared tail tokens here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((999L, "shared tail tokens here and more")).toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val loose = TextAnalysis.contaminationBloom(corpus, bench, fpp = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the RESULT is exact even at fpp=0.3 (verify join corrects it)
+    assert(loose == exact)
+    // and every contaminated doc was necessarily a bloom candidate:
+    // a zero-hit doc skips verify, so exact>0 implies it went through
+    exact.filter(_._2 > 0).keys.foreach(id => assert(loose(id) == exact(id)))
+  }
 }
