@@ -677,6 +677,54 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Snapshot-isolated table protocol (ops.Manifest — the table-format
+    // answer to dynamic overwrite's commit-phase crash window): full
+    // lifecycle create → upsert → keyed delete → compact under atomic
+    // manifest commits, then read the final snapshot. Same merge/delete
+    // row semantics as mrg_upsert/mrg_delete, so the oracle composes
+    // their SQL; compaction is answer-invariant.
+    "man_upsert" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_manifest_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.ops.Manifest.create(s, dir, base, "o_orderstatus")
+      graft.ops.Manifest.upsert(s, dir, updates, Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.delete(s, dir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.compact(s, dir, "o_orderstatus")
+      graft.ops.Manifest.read(s, dir).orderBy(col("o_orderkey"))
+    }),
+
+    // Time travel: after the upsert, version 1 must still read back as
+    // EXACTLY the relation the table was created from — snapshot
+    // isolation made oracle-checkable (the oracle is the plain base
+    // SELECT; any leakage of the upsert into old files mismatches).
+    "man_timetravel" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_timetravel_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      graft.ops.Manifest.create(s, dir, base, "o_orderstatus")
+      graft.ops.Manifest.upsert(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.readVersion(s, dir, 1L).orderBy(col("o_orderkey"))
+    }),
+
     // beyond-reference SCD Type-2 history fold (ops.Merge.scd2Apply):
     // the history-keeping upgrade of mrg_upsert's last-write-wins puts.
     // Bootstrap every customer at v1, fold two update batches — batch 1
@@ -2561,6 +2609,29 @@ object SparkEntry {
     "mrg_delete" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Manifest lifecycle = upsert semantics, minus the deleted keys;
+    // compaction is answer-invariant.
+    "man_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 != 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |WHERE COALESCE(u.o_orderkey, b.o_orderkey) % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Version 1 is the unmodified create input, upsert notwithstanding.
+    "man_timetravel" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey % 3 != 0
         |ORDER BY o_orderkey""".stripMargin,
 
     // Expected SCD2 history rebuilt per key class: every key has a v1

@@ -1,0 +1,143 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() = Files.createTempDirectory("graft-manifest").toString + "/tbl"
+
+  private def base = spark.range(1, 101)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" / 50).cast("long").as("p"))
+
+  private def state(dir: String): Map[Long, (Double, Long)] =
+    Manifest.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+  private def baseState =
+    (1L to 100L).map(k => k -> (k * 1.0, k / 50)).toMap
+
+  test("create / read round trip; append adds rows; versions accumulate") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    assert(state(dir) == baseState)
+    assert(Manifest.versions(spark, dir) == Seq(1L))
+
+    Manifest.append(spark, dir,
+      Seq((200L, 2.5, 4L)).toDF("k", "v", "p"), "p")
+    assert(state(dir) == baseState + (200L -> (2.5, 4L)))
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+
+    intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir, Seq((1L, "wrong")).toDF("k", "v"), "p")
+    }
+  }
+
+  test("upsert: update wins column-wise, new keys insert, untouched files carry by reference") {
+    val dir = newDir()
+    // partition 1 goes in as its OWN batch, so its files are isolated
+    // (within one batch, hash clustering may co-locate partition
+    // values in a file — the manifest records the mix and such a file
+    // is then a legitimate rewrite candidate)
+    Manifest.create(spark, dir, base.filter($"p" =!= 1L), "p")
+    Manifest.append(spark, dir, base.filter($"p" === 1L), "p")
+    val updates = (spark.range(10, 21) union spark.range(130, 141))
+      .select($"id".as("k"), ($"id" * 10.0).as("v"),
+        when($"id" >= 100, 2L).otherwise(0L).as("p"))
+    Manifest.upsert(spark, dir, updates, Seq("k"), "p")
+    val expect = baseState ++
+      (10L to 20L).map(k => k -> (k * 10.0, 0L)).toMap ++
+      (130L to 140L).map(k => k -> (k * 10.0, 2L)).toMap
+    assert(state(dir) == expect)
+    // pruning: partition 1's rows (keys 50..99) were NOT read — their
+    // file set is byte-identical across the two versions
+    def filesOfP1(v: Long) = Manifest.readVersion(spark, dir, v)
+      .filter($"p" === 1L).select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(filesOfP1(2L) == filesOfP1(3L))
+    // null-safe: an upsert with a null partition value works
+    Manifest.upsert(spark, dir,
+      Seq((500L, 5.0, Option.empty[Long])).toDF("k", "v", "p"), Seq("k"), "p")
+    val withNull = Manifest.read(spark, dir)
+      .filter($"k" === 500L).collect()
+    assert(withNull.length == 1 && withNull.head.isNullAt(2))
+  }
+
+  test("delete: rows go, a fully-emptied partition just drops out of the manifest") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    // wipe ALL of partition 2 (key 100) and part of partition 0
+    val dels = Seq((100L, 2L), (10L, 0L)).toDF("k", "p")
+    Manifest.delete(spark, dir, dels, Seq("k"), "p")
+    assert(state(dir) == baseState - 100L - 10L)
+    assert(Manifest.read(spark, dir).filter($"p" === 2L).isEmpty)
+    // delete everything: the table reads back empty but keeps schema
+    Manifest.delete(spark, dir,
+      Manifest.read(spark, dir).select("k", "p"), Seq("k"), "p")
+    val empty = Manifest.read(spark, dir)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "v", "p"))
+  }
+
+  test("time travel: every committed version stays readable until vacuumed") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.upsert(spark, dir, Seq((1L, 99.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    Manifest.delete(spark, dir, Seq((2L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    def st(v: Long) = Manifest.readVersion(spark, dir, v)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(st(1L) == baseState)
+    assert(st(2L) == baseState + (1L -> (99.0, 0L)))
+    assert(st(3L) == baseState + (1L -> (99.0, 0L)) - 2L)
+  }
+
+  test("crash safety: staged-but-uncommitted work is invisible; commit CAS loses loudly") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    // simulate a writer that crashed after staging data + manifest but
+    // BEFORE the pointer create: garbage files under data/ and
+    // _manifests/ must not change what readers see
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((666L, 6.0, 0L)).toDF("k", "v", "p")
+      .write.parquet(s"$dir/data/b-crashed-batch")
+    Seq(("data/b-crashed-batch/whatever.parquet", Seq("0"), false, false, 1L, 1L, "k BIGINT"))
+      .toDF("path", "values", "has_null", "overflow", "rows", "bytes", "schema_ddl")
+      .write.parquet(s"$dir/_manifests/m-crashed")
+    assert(state(dir) == baseState) // untouched
+    // a lost CAS race: the next version pointer already exists
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_versions/v00000002"), false)
+    out.write("m-thief".getBytes("UTF-8")); out.close()
+    intercept[Exception] {
+      Manifest.append(spark, dir, Seq((9L, 9.0, 0L)).toDF("k", "v", "p"), "p")
+    }
+  }
+
+  test("compact folds small files; vacuum reclaims orphans but keeps kept versions readable") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((201L, 1.0, 5L)).toDF("k", "v", "p"), "p")
+    Manifest.append(spark, dir, Seq((202L, 1.0, 5L)).toDF("k", "v", "p"), "p")
+    val before = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    Manifest.compact(spark, dir, "p", smallBytes = 32L << 20)
+    val expect = baseState + (201L -> (1.0, 5L)) + (202L -> (1.0, 5L))
+    assert(state(dir) == expect)
+    val after = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    assert(after < before, s"compact must shrink the file count ($before -> $after)")
+
+    // vacuum to the latest 2 versions: both still read; older pointers gone
+    val reclaimed = Manifest.vacuumOrphans(spark, dir, keepVersions = 2)
+    assert(reclaimed > 0)
+    assert(Manifest.versions(spark, dir).length == 2)
+    assert(state(dir) == expect)
+    val prev = Manifest.versions(spark, dir).head
+    assert(Manifest.readVersion(spark, dir, prev).count() == 102)
+    // and a full-history read of a dropped version now fails
+    intercept[Exception] { Manifest.readVersion(spark, dir, 1L) }
+  }
+}
