@@ -35,6 +35,147 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Manifest.append(spark, dir, Seq((1L, "wrong")).toDF("k", "v"), "p")
     }
+    // upsert rejects a partial-schema batch (it would silently null the
+    // missing columns for every rewritten row in candidate files)
+    intercept[IllegalArgumentException] {
+      Manifest.upsert(spark, dir, Seq((1L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    }
+    // delete rejects anything beyond keys :+ partitionCol
+    intercept[IllegalArgumentException] {
+      Manifest.delete(spark, dir,
+        Seq((1L, 1.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    }
+  }
+
+  test("manifest stays slim: schema + stats config once on the sentinel, not per file entry") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))
+    Manifest.append(spark, dir, Seq((200L, 2.5, 4L)).toDF("k", "v", "p"), "p")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
+      .map(_.getPath.toString)
+    manifests.foreach { m =>
+      val rows = spark.read.parquet(m)
+        .select("path", "schema_ddl", "stat_cols").collect()
+      val (sentinels, files) = rows.partition(_.getString(0).isEmpty)
+      assert(sentinels.length == 1)
+      assert(sentinels.head.getString(1).nonEmpty &&
+        sentinels.head.getSeq[String](2) == Seq("v"))
+      assert(files.nonEmpty && files.forall(r =>
+        r.getString(1).isEmpty && r.getSeq[String](2).isEmpty),
+        "file entries must not repeat the schema or stats config")
+    }
+  }
+
+  test("two racing writers: exactly one claims a version; the retried loser lands on top") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(k: Long): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        Manifest.withConflictRetry() {
+          try Manifest.append(spark, dir,
+            Seq((k, k.toDouble, 9L)).toDF("k", "v", "p"), "p")
+          catch { case e: Throwable if Manifest.isConflict(e) =>
+            conflicts.incrementAndGet(); throw e }
+        }
+      })
+      t.start(); t
+    }
+    val ts = Seq(writer(1001L), writer(1002L))
+    start.countDown()
+    ts.foreach(_.join(120000))
+    // both rows present, exactly three committed versions, loser's
+    // retry folded on top of the winner's snapshot
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(state(dir) == baseState +
+      (1001L -> (1001.0, 9L)) + (1002L -> (1002.0, 9L)))
+  }
+
+  test("crash injection: crash after staging but before pointer create leaves the old snapshot intact; rerun completes") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val updates = Seq((10L, -1.0, 0L), (300L, 3.0, 6L)).toDF("k", "v", "p")
+    // run the full upsert, then delete the v2 pointer: the on-disk state
+    // is EXACTLY a crash between staging (data + manifest written) and
+    // the commit — orphaned files present, pointer absent
+    Manifest.upsert(spark, dir, updates, Seq("k"), "p")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_versions/v00000002"), false))
+    assert(Manifest.versions(spark, dir) == Seq(1L))
+    assert(state(dir) == baseState, "crashed writer must be invisible")
+    // the rerun replays the same merge and commits; orphans stay garbage
+    Manifest.upsert(spark, dir, updates, Seq("k"), "p")
+    assert(state(dir) == baseState + (10L -> (-1.0, 0L)) + (300L -> (3.0, 6L)))
+    // vacuum reclaims the crashed attempt's orphaned files
+    assert(Manifest.vacuumOrphans(spark, dir) > 0)
+    assert(state(dir) == baseState + (10L -> (-1.0, 0L)) + (300L -> (3.0, 6L)))
+  }
+
+  test("compact packs one large partition value into ~targetBytes files (bin-packing honors targetBytes)") {
+    val dir = newDir()
+    // ONE partition value: plain hash clustering can never split it
+    val big = spark.range(0, 20000)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), lit(0L).as("p"))
+    Manifest.create(spark, dir, big.filter($"k" < 10000), "p")
+    Manifest.append(spark, dir, big.filter($"k" >= 10000), "p")
+    val bytes = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    assert(bytes == 2)
+    val total = 2 * 80000L // ~ two parquet files of 10k (long,double,long) rows
+    Manifest.compact(spark, dir, "p",
+      smallBytes = 32L << 20, targetBytes = total / 4)
+    val after = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    assert(after >= 2,
+      s"a single partition value must still split into ~targetBytes files (got $after)")
+    assert(Manifest.read(spark, dir).count() == 20000)
+    assert(Manifest.read(spark, dir).agg(sum($"v")).head.getDouble(0) ==
+      (0 until 20000).map(_.toDouble).sum)
+  }
+
+  test("range pruning: min/max file stats skip files outside the predicate's bounds") {
+    val dir = newDir()
+    // one batch per partition value → 3 files with disjoint v ranges
+    // (hash clustering within one batch may co-locate partition values)
+    Manifest.create(spark, dir, base.filter($"p" === 0L), "p", statsCols = Seq("v"))
+    Manifest.append(spark, dir, base.filter($"p" === 1L), "p")
+    Manifest.append(spark, dir, base.filter($"p" === 2L), "p")
+    val all = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    val cands = Manifest.rangeCandidatePaths(spark, dir, "v",
+      Some("10.0"), Some("20.0"))
+    assert(cands.size < all,
+      s"range read must open fewer files (${cands.size} vs $all)")
+    val got = Manifest.readRange(spark, dir, "v", Some("10.0"), Some("20.0"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (10L to 20L).toSet)
+    // open-ended bound; and pruning survives an upsert's rewritten files
+    Manifest.upsert(spark, dir,
+      Seq((1L, 999.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    val hi = Manifest.readRange(spark, dir, "v", Some("150.0"), None)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(hi == Set(1L))
+    val candsHi = Manifest.rangeCandidatePaths(spark, dir, "v", Some("150.0"), None)
+    val allHi = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    assert(candsHi.size < allHi)
+  }
+
+  test("overwrite replaces the snapshot atomically; old version still time-travels") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val replacement = Seq((1L, 1.0, 0L), (2L, 2.0, 0L)).toDF("k", "v", "p")
+    Manifest.overwrite(spark, dir, replacement, "p")
+    assert(state(dir) == Map(1L -> (1.0, 0L), 2L -> (2.0, 0L)))
+    assert(Manifest.readVersion(spark, dir, 1L).count() == 100)
+    intercept[IllegalArgumentException] {
+      Manifest.overwrite(spark, dir, Seq((1L, "x")).toDF("k", "v"), "p")
+    }
   }
 
   test("upsert: update wins column-wise, new keys insert, untouched files carry by reference") {
@@ -104,8 +245,10 @@ class ManifestSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((666L, 6.0, 0L)).toDF("k", "v", "p")
       .write.parquet(s"$dir/data/b-crashed-batch")
-    Seq(("data/b-crashed-batch/whatever.parquet", Seq("0"), false, false, 1L, 1L, "k BIGINT"))
-      .toDF("path", "values", "has_null", "overflow", "rows", "bytes", "schema_ddl")
+    Seq(("data/b-crashed-batch/whatever.parquet", Seq("0"), false, false,
+        1L, 1L, "k BIGINT", Seq.empty[String], Seq.empty[String], Seq.empty[String]))
+      .toDF("path", "values", "has_null", "overflow", "rows", "bytes",
+        "schema_ddl", "stat_cols", "stat_mins", "stat_maxs")
       .write.parquet(s"$dir/_manifests/m-crashed")
     assert(state(dir) == baseState) // untouched
     // a lost CAS race: the next version pointer already exists
