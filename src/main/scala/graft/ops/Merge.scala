@@ -208,18 +208,25 @@ object Merge {
     * whose versions are ALL closed (a retired dimension member) has no
     * current row, so an update for it RE-ACTIVATES the key: a fresh
     * current version opens at `effective` and the closed history stays
-    * intact — the standard SCD2 answer to a member coming back
-    * (spec'd).
+    * intact — the standard SCD2 answer to a member coming back (spec'd).
+    * Re-activation carries its own staleness rule: an update whose
+    * effective date is at or before the key's latest closure
+    * (`max(valid_to)`) is an out-of-order CDC replay — opening a
+    * current row there would OVERLAP the closed interval and a
+    * point-in-time query would return two rows for one key — so it is
+    * dropped, mirroring the current-row stale rule (spec'd).
     *
     * Scale shape: only the CURRENT rows (live dimension cardinality)
-    * join the batch — the closed majority of a years-old history table
-    * never enters the exchange, and the whole fold is ONE key-shuffle +
-    * an `inline` expansion (the close+reopen pair is emitted from the
-    * single joined row, not via a second join). To make the WRITE pruned
-    * too, partition the table by `date(validToCol)` (null → the live
-    * `__HIVE_DEFAULT_PARTITION__`): a batch then rewrites the live
-    * partition plus the one closed-date partition it creates, and
-    * [[mergeInto]]'s dynamic-overwrite staging applies unchanged. */
+    * plus one `max(valid_to)` row per UPDATE key (the closed side is
+    * semi-join-bounded to the batch's keys before aggregating, so the
+    * closed majority contributes a scan but no large exchange) join the
+    * batch — and the fold is emitted in ONE `inline` expansion (the
+    * close+reopen pair comes from the single joined row, not a second
+    * join). To make the WRITE pruned too, partition the table by
+    * `date(validToCol)` (null → the live `__HIVE_DEFAULT_PARTITION__`):
+    * a batch then rewrites the live partition plus the one closed-date
+    * partition it creates, and [[mergeInto]]'s dynamic-overwrite
+    * staging applies unchanged. */
   def scd2Apply(history: DataFrame, updates: DataFrame, keys: Seq[String],
                 tracked: Seq[String], effectiveCol: String,
                 validFromCol: String = "valid_from",
@@ -229,7 +236,26 @@ object Merge {
     val closed = history.filter(col(validToCol).isNotNull)
     val current = history.filter(col(validToCol).isNull)
 
-    val joined = current.alias("t").join(updates.alias("u"),
+    // latest closure per update key (retired-key staleness bound):
+    // bounded by the batch via the semi join, one row per matched key
+    val keyBound = closed.alias("cl")
+      .join(updates.select(keys.map(col): _*).distinct(), keys.toSeq, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(max(col(validToCol)).as("_max_vt"))
+
+    // the per-key STATE row: the current version (if any) + the latest
+    // closure bound (if any); `_t_present` marks side presence after the
+    // outer join with updates (valid_from is null on retired-only rows,
+    // so it can no longer serve as the probe)
+    val state = current.alias("c").join(keyBound.alias("b"),
+        keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _),
+        "full_outer")
+      .select(keys.map(k => coalesce(col(s"c.$k"), col(s"b.$k")).as(k)) ++
+        tracked.map(c => col(s"c.$c").as(c)) ++
+        Seq(col(s"c.$validFromCol").as(validFromCol),
+          col("b._max_vt").as("_max_vt"), lit(true).as("_t_present")): _*)
+
+    val joined = state.alias("t").join(updates.alias("u"),
       keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _),
       "full_outer")
     // null-safe per-column compare: a tracked value changing to/from
@@ -237,11 +263,13 @@ object Merge {
     val changed = tracked.map(c => !(col(s"t.$c") <=> col(s"u.$c")))
       .reduce(_ || _)
     val stale = col(s"u.$effectiveCol") <= col(s"t.$validFromCol")
-    // side-presence probes: valid_from / effective are non-null by
-    // contract on every real row, so a null means that side of the
-    // full-outer join is absent
-    val tMissing = col(s"t.$validFromCol").isNull
+    val tAbsent = col("t._t_present").isNull
+    val hasCurrent = col(s"t.$validFromCol").isNotNull
+    // effective is non-null by contract on every real update row, so a
+    // null means the update side of the full-outer join is absent
     val uMissing = col(s"u.$effectiveCol").isNull
+    val reactStale = col("t._max_vt").isNotNull &&
+      col(s"u.$effectiveCol") <= col("t._max_vt")
 
     def row(side: String, from: Column, to: Column) = struct(
       (keys ++ tracked).map(c => col(s"$side.$c").as(c)) ++
@@ -249,11 +277,17 @@ object Merge {
     val tRow = row("t", col(s"t.$validFromCol"), lit(null).cast(dateType))
     val tClosed = row("t", col(s"t.$validFromCol"), col(s"u.$effectiveCol"))
     val uRow = row("u", col(s"u.$effectiveCol"), lit(null).cast(dateType))
+    val noRows = slice(array(tRow), 1, 0) // typed empty: emit nothing
 
     val emitted = joined.select(inline(
-      when(tMissing, array(uRow))
-        .when(uMissing || stale || !changed, array(tRow))
-        .otherwise(array(tClosed, uRow))))
+      when(tAbsent, array(uRow)) // brand-new key
+        .when(uMissing, when(hasCurrent, array(tRow)).otherwise(noRows))
+        .when(hasCurrent && (stale || !changed), array(tRow))
+        .when(hasCurrent, array(tClosed, uRow))
+        // retired key: re-activate unless the update predates the
+        // latest closure (out-of-order replay must not fork history)
+        .when(reactStale, noRows)
+        .otherwise(array(uRow))))
 
     closed.select(outCols.map(col): _*).unionByName(emitted)
   }

@@ -195,16 +195,22 @@ object Streaming {
     * face of the batch fold — a Debezium-style change feed becomes a
     * queryable version history as it arrives.
     *
-    * Replay safety without a transactional format: a crashed micro-batch
-    * REFOLDS on restart, and `scd2Apply` is idempotent under refold —
-    * identical attributes no-op, older effective dates are stale-dropped
-    * (both spec'd in MergeSpec) — so the history cannot fork. The
-    * read-fold-overwrite goes through a staging subdir because Spark
-    * refuses to overwrite a path it is reading, and the staged copy
-    * means a crash mid-overwrite loses nothing the refold can't rebuild.
-    * Within a batch each key may appear at most once (scd2Apply's batch
-    * contract); feeds that can carry several revisions per key per
-    * trigger should pre-collapse to the latest by effective date. */
+    * The history is a [[graft.ops.Manifest]] table partitioned by
+    * `valid_to` (read it back with [[scd2History]]), so each fold
+    * COMMITS via the atomic version-pointer swap: a crash anywhere —
+    * including mid-write of the refolded history — leaves the previous
+    * snapshot fully intact and readable (an overwrite-in-place here
+    * would have a delete-then-write window that could lose the whole
+    * history). On restart the crashed micro-batch REFOLDS against that
+    * intact snapshot, and `scd2Apply` is idempotent under refold —
+    * identical attributes no-op, older effective dates are
+    * stale-dropped (both spec'd in MergeSpec) — so the history cannot
+    * fork. Each fold adds one table version: the full version history
+    * of the dimension is time-travelable per micro-batch until
+    * vacuumed. Within a batch each key may appear at most once
+    * (scd2Apply's batch contract); feeds that can carry several
+    * revisions per key per trigger should pre-collapse to the latest by
+    * effective date. */
   def scd2Stream(updates: DataFrame, historyDir: String, keys: Seq[String],
                  tracked: Seq[String], effectiveCol: String,
                  checkpoint: String): StreamingQuery =
@@ -213,10 +219,9 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(historyDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = graft.ops.Manifest.latestVersion(spark, historyDir).isDefined
         val hist =
-          if (fs.exists(root)) spark.read.parquet(historyDir)
+          if (exists) graft.ops.Manifest.read(spark, historyDir)
           else {
             // empty history with the output schema: first batch inserts
             val dateType = batch.schema(effectiveCol).dataType
@@ -227,15 +232,16 @@ object Streaming {
           }
         val next = graft.ops.Merge.scd2Apply(
           hist, batch, keys, tracked, effectiveCol)
-        val staging = new org.apache.hadoop.fs.Path(root.getParent,
-          root.getName + "_scd2_staging").toString
-        next.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging)
-          .write.mode("overwrite").parquet(historyDir)
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        if (exists) graft.ops.Manifest.overwrite(spark, historyDir, next, "valid_to")
+        else graft.ops.Manifest.create(spark, historyDir, next, "valid_to")
         ()
       }
       .start()
+
+  /** Read the SCD2 history table maintained by [[scd2Stream]] (latest
+    * committed snapshot). */
+  def scd2History(spark: SparkSession, historyDir: String): DataFrame =
+    graft.ops.Manifest.read(spark, historyDir)
 
   /** Native session windows (gap-close semantics identical to
     * `ops.Sessions`): Spark's `session_window` merges events of a key

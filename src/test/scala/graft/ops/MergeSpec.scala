@@ -265,6 +265,33 @@ class MergeSpec extends SparkSpec {
       ("back", d("2024-03-01"), None)))
   }
 
+  test("scd2Apply: out-of-order replay for a retired key is dropped, not opened inside closed history") {
+    val history = hist(Seq(
+      (5L, Some("v1"), "2024-01-01", Some("2024-02-01")),
+      (5L, Some("v2"), "2024-02-01", Some("2024-04-01")))) // retired at 04-01
+    // an update effective INSIDE the closed range (an out-of-order CDC
+    // replay) must not open a current row overlapping v2's validity
+    def upd(eff: String) = Seq((5L, Some("ghost"), eff)).toDF("k", "attr", "eff")
+      .select($"k", $"attr", $"eff".cast("date").as("eff"))
+    for (eff <- Seq("2024-01-15", "2024-03-01", "2024-04-01")) {
+      val out = Merge.scd2Apply(history, upd(eff), Seq("k"), Seq("attr"), "eff")
+        .collect().map(r => (r.getString(1), r.getDate(2), Option(r.getDate(3)))).toSet
+      assert(out == Set(
+        ("v1", d("2024-01-01"), Some(d("2024-02-01"))),
+        ("v2", d("2024-02-01"), Some(d("2024-04-01")))),
+        s"eff=$eff must be dropped as a stale re-activation")
+      // invariant: no two rows of the key's history may overlap at any date
+      val rows = out.toSeq.map { case (_, f, t) => (f.toString, t.map(_.toString)) }
+      for ((f1, t1) <- rows; (f2, t2) <- rows if (f1, t1) != (f2, t2))
+        assert(t1.exists(_ <= f2) || t2.exists(_ <= f1),
+          s"overlapping validity: [$f1,$t1) vs [$f2,$t2)")
+    }
+    // a later effective date still re-activates
+    val ok = Merge.scd2Apply(history, upd("2024-05-01"), Seq("k"), Seq("attr"), "eff")
+      .collect().map(r => (r.getString(1), r.getDate(2), Option(r.getDate(3)))).toSet
+    assert(ok.contains(("ghost", d("2024-05-01"), None)) && ok.size == 3)
+  }
+
   test("scd2Apply: folding batches oldest-first chains versions; refold of batch 1 is a no-op") {
     val h0 = hist(Seq((7L, Some("v1"), "2024-01-01", None)))
     def upd(v: String, eff: String) =

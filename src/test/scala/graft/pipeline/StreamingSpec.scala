@@ -298,9 +298,12 @@ class StreamingSpec extends SparkSpec {
     batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
     q.stop()
 
-    val streamed = spark.read.parquet(histDir)
+    val streamed = Streaming.scd2History(spark, histDir)
       .collect().map(r => (r.getLong(0), r.getString(1),
         r.getDate(2).toString, Option(r.getDate(3)).map(_.toString))).toSet
+    // each fold committed one snapshot version — the dimension's full
+    // per-batch history is time-travelable
+    assert(graft.ops.Manifest.versions(spark, histDir) == Seq(1L, 2L, 3L))
 
     // reference: the same three batches folded with batch scd2Apply
     def asDf(b: Seq[(Long, String, String)]) =
