@@ -1561,6 +1561,25 @@ object SparkEntry {
           col("n_rows"))
         .orderBy(col("l_returnflag"))),
 
+    // §2.D skew path for the JOIN shape (ops.Skew.saltedJoin): the
+    // fact side salted by row content, the dimension replicated
+    // ×buckets, result row-identical to the plain equi-join — the
+    // explicit fallback for the hot key AQE's runtime skew handling
+    // can't fix (a single key too big for one reducer at 100×).
+    // The oracle is the PLAIN join aggregate, so the hash match proves
+    // the mitigation is invisible in the result.
+    "join_salted" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select(col("l_partkey").as("partkey"), dec2(col("l_extendedprice")).as("price"))
+      val dim = t(s, d, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(fact, dim, "partkey", buckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("price")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Training-data mixture: three "sources" (doc_id mod 3) sampled at
     // different weights into one corpus, with per-source audit counts —
     // the deterministic-mixing op of dataset curation (weights are
@@ -3525,6 +3544,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The salted join must hash-match the plain join's aggregate.
+    "join_salted" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "smp_mixture" ->
       """WITH h AS (

@@ -81,4 +81,19 @@ object Batch {
     writeSinks(cat, ord, s"$workDir/processed", ts, kvFactory)
     Sinks.archive(spark, rawDir, s"$workDir/archive", ts)
   }
+
+  /** [[runAll]] under the reference's per-task wall-clock budget
+    * (`TimeoutSeconds: 300`, StateMachine.txt:31,68): an over-budget
+    * run is CANCELLED (job group kill), the terminal FAILED record
+    * lands under `<workDir>/status/`, and
+    * [[Watchdog.BudgetExceededException]] surfaces — the enforce-able
+    * SLA, not just the recorded one. */
+  def runAllWithBudget(spark: SparkSession, rawDir: String, workDir: String,
+                       kvFactory: () => Sinks.KvClient,
+                       budgetMillis: Long = 300000L,
+                       batchTimeMillis: Long = System.currentTimeMillis()): Unit =
+    Watchdog.runWithBudget(spark, s"$workDir/status",
+      s"batch-${Sinks.batchTimestamp(batchTimeMillis)}", budgetMillis) {
+      runAll(spark, rawDir, workDir, kvFactory, batchTimeMillis)
+    }
 }

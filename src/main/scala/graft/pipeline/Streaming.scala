@@ -89,24 +89,83 @@ object Streaming {
     override def onQueryProgress(event: QueryProgressEvent): Unit = ()
 
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
-      val dir = java.nio.file.Paths.get(statusDir)
-      java.nio.file.Files.createDirectories(dir)
       val status = if (event.exception.isDefined) "FAILED" else "SUCCEEDED"
-      val jm = new java.util.LinkedHashMap[String, String]()
-      jm.put("query_id", event.id.toString)
-      jm.put("run_id", event.runId.toString)
-      jm.put("status", status)
-      jm.put("exception", event.exception.orNull)
-      jm.put("terminated_at_ms", System.currentTimeMillis().toString)
-      val json = new com.fasterxml.jackson.databind.ObjectMapper()
-        .writeValueAsString(jm)
-      val tmp = java.nio.file.Files.createTempFile(dir, ".status-", ".tmp")
-      java.nio.file.Files.write(tmp,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, dir.resolve(s"${event.runId}.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      writeStatusRecord(statusDir, s"${event.runId}.json", Seq(
+        "query_id" -> event.id.toString,
+        "run_id" -> event.runId.toString,
+        "status" -> status,
+        "exception" -> event.exception.orNull))
     }
+  }
+
+  /** Write one terminal-status JSON record atomically (temp + rename —
+    * a monitor never reads a torn record). Shared by the listener and
+    * the budget watchdog ([[Watchdog]]), so every terminal state —
+    * failure, success, or over-budget kill — lands in the same
+    * machine-readable artifact the scheduler polls. */
+  private[pipeline] def writeStatusRecord(statusDir: String, fileName: String,
+                                          fields: Seq[(String, String)]): Unit = {
+    val dir = java.nio.file.Paths.get(statusDir)
+    java.nio.file.Files.createDirectories(dir)
+    val jm = new java.util.LinkedHashMap[String, String]()
+    fields.foreach { case (k, v) => jm.put(k, v) }
+    jm.put("terminated_at_ms", System.currentTimeMillis().toString)
+    val json = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(jm)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".status-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(fileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Enforce a wall-clock budget on a running streaming query — the
+    * runtime half of the reference's 300 s `TimeoutSeconds`
+    * (`/root/reference/StateMachine.txt:31,68`: Step Functions KILLS an
+    * over-budget task and routes to the Fail state; recording the
+    * budget isn't enforcement). Structured Streaming runs each
+    * micro-batch's jobs in a job group keyed by the query's `runId`,
+    * so cancelling that group fails the in-flight batch; the query
+    * then terminates with the cancellation exception and the
+    * registered [[StatusFileListener]] writes the terminal FAILED
+    * record, exactly like any other query failure. If the query
+    * somehow stays active (idle between batches, nothing to cancel),
+    * it is stopped directly and the FAILED record is written here —
+    * either way a durable terminal record exists.
+    *
+    * Returns the watchdog thread; `interrupt()` it when the query
+    * finishes inside its budget. */
+  def enforceBudget(spark: SparkSession, query: StreamingQuery,
+                    budgetMillis: Long, statusDir: String): Thread = {
+    val t = new Thread(() => {
+      // an interrupt at any point = the query finished inside budget
+      val interrupted =
+        try { Thread.sleep(budgetMillis); false }
+        catch { case _: InterruptedException => true }
+      if (!interrupted && query.isActive) {
+        val group = query.runId.toString
+        val deadline = System.currentTimeMillis() + 10000
+        var onTime = false
+        while (!onTime && query.isActive &&
+               System.currentTimeMillis() < deadline) {
+          spark.sparkContext.cancelJobGroup(group)
+          try Thread.sleep(100)
+          catch { case _: InterruptedException => onTime = true }
+        }
+        if (!onTime && query.isActive) { // idle query: no job to fail it with
+          Streaming.writeStatusRecord(statusDir, s"${query.runId}.json", Seq(
+            "query_id" -> query.id.toString,
+            "run_id" -> query.runId.toString,
+            "status" -> "FAILED",
+            "exception" -> s"budget of $budgetMillis ms exceeded (stopped by watchdog)"))
+          query.stop()
+        }
+      }
+    }, s"graft-stream-watchdog-${query.runId}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   /** Register a [[StatusFileListener]] on the session; returns it so the
