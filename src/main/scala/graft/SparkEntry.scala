@@ -756,6 +756,58 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Metadata-only schema evolution (ops.Manifest.evolve): ADD COLUMN
+    // commits a widened sentinel and rewrites NOTHING — old files read
+    // the new column as null, post-evolve appends carry it. O(1) in
+    // table size (Delta's metadata-only ADD COLUMNS contract);
+    // ManifestSpec asserts zero data files rewritten.
+    "man_evolve" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_manevolve_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.evolve(s, dir, Seq("o_flag" -> "STRING"))
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_flag", lit("late")), "o_orderstatus")
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_flag"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Row-level change feed between snapshots (ops.Manifest.changes):
+    // the CDC source computed from the FILE diff — an update surfaces as
+    // its delete+insert pair, unchanged rows of rewritten files cancel
+    // in the multiset difference, and cost scales with the changed
+    // files, never the table.
+    "man_changes" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_manchanges_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.upsert(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.changes(s, dir, 1L, 2L)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("change"))
+        .orderBy(col("o_orderkey"), col("change"))
+    }),
+
     // Keyed DELETE on the Manifest path alone (the mrg_delete sibling):
     // a fully-emptied file just drops out of the manifest — no
     // emptied-directory special case — and the commit is the atomic
@@ -2761,6 +2813,37 @@ object SparkEntry {
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |WHERE COALESCE(u.o_orderkey, b.o_orderkey) % 7 != 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Post-evolve reads: pre-evolution rows carry NULL in the added
+    // column, the appended batch carries its value.
+    "man_evolve" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  CAST(NULL AS VARCHAR) AS o_flag
+        |FROM orders WHERE o_orderkey % 3 != 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, 'late'
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The change feed between create and upsert: updated keys surface
+    // as delete(old)+insert(new), brand-new keys as inserts only;
+    // unchanged rows of rewritten candidate files must NOT appear.
+    "man_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 != 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    'delete' AS change FROM base WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    'insert' AS change FROM upd
+        |)
+        |ORDER BY o_orderkey, change""".stripMargin,
 
     // Manifest delete keeps exactly the non-matching keys (same
     // semantics as mrg_delete, different commit protocol).

@@ -447,6 +447,62 @@ object Manifest {
       writeManifest(spark, root, entries, snap.ddl, snap.statsCols))
   }
 
+  /** Metadata-only ADD COLUMN (schema evolution): commit a new
+    * manifest whose sentinel carries the widened schema — the SAME file
+    * entries, no data rewritten, O(1) in table size (Delta's
+    * metadata-only `ADD COLUMNS` contract). Readers apply the widened
+    * schema to old files and the parquet reader fills the missing
+    * columns with null; subsequent appends/upserts must carry the new
+    * schema. `addCols` are (name, Spark DDL type) pairs; added columns
+    * are nullable by construction. */
+  def evolve(spark: SparkSession, dir: String,
+             addCols: Seq[(String, String)]): Unit = {
+    require(addCols.nonEmpty, "no columns to add")
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    addCols.foreach { case (name, _) =>
+      require(!schema.fieldNames.contains(name),
+        s"column $name already exists in ${snap.ddl}")
+    }
+    val widened = StructType(schema.fields ++ addCols.map { case (n, t) =>
+      StructField(n, DataType.fromDDL(t), nullable = true)
+    })
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, snap.entries, nullableDdl(widened),
+        snap.statsCols))
+  }
+
+  /** Row-level CHANGE FEED between two committed versions — the CDC
+    * source an incremental downstream consumer reads instead of
+    * re-scanning the table. Computed from the FILE diff: only files
+    * added or removed between the snapshots are read (a rewritten
+    * candidate file's unchanged rows appear identically on both sides
+    * and cancel in the multiset difference), so cost scales with the
+    * CHANGED data, never the table. Returns the table columns plus
+    * `change` ∈ ('insert','delete'); an update surfaces as its delete +
+    * insert pair, exactly Delta CDF's update_pre/postimage collapsed.
+    * Both sides are read with the `to` version's schema, so the feed is
+    * well-typed across a metadata-only [[evolve]]. */
+  def changes(spark: SparkSession, dir: String, fromV: Long,
+              toV: Long): DataFrame = {
+    require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
+    val (_, root) = fsOf(spark, dir)
+    val from = readSnapshot(spark, root, fromV)
+    val to = readSnapshot(spark, root, toV)
+    val fromPaths = from.entries.map(_.path).toSet
+    val toPaths = to.entries.map(_.path).toSet
+    val added = to.entries.filterNot(e => fromPaths.contains(e.path))
+    val removed = from.entries.filterNot(e => toPaths.contains(e.path))
+    val addedRows = readEntries(spark, root, added, to.ddl)
+    val removedRows = readEntries(spark, root, removed, to.ddl)
+    addedRows.exceptAll(removedRows).withColumn("change", lit("insert"))
+      .unionByName(
+        removedRows.exceptAll(addedRows).withColumn("change", lit("delete")))
+  }
+
   /** Which live files can hold any of the update batch's partition
     * values — equality on the recorded value sets; overflowed files and
     * (for a null-bearing batch) null-bearing files always qualify. */

@@ -166,6 +166,88 @@ class ManifestSpec extends SparkSpec {
     assert(candsHi.size < allHi)
   }
 
+  test("evolve adds a column metadata-only: same files, old rows read null, new appends carry it") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val filesBefore = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    Manifest.evolve(spark, dir, Seq("tag" -> "STRING"))
+    // metadata-only: version advanced, zero data files written
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+    val evolved = Manifest.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("k", "v", "p", "tag"))
+    val filesAfter = evolved
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(filesAfter == filesBefore, "evolve must not rewrite any data file")
+    assert(evolved.filter($"tag".isNotNull).isEmpty, "old rows read null")
+    // old schema no longer appends; widened schema does
+    intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir, Seq((300L, 3.0, 6L)).toDF("k", "v", "p"), "p")
+    }
+    Manifest.append(spark, dir,
+      Seq((300L, 3.0, 6L, "new")).toDF("k", "v", "p", "tag"), "p")
+    val got = Manifest.read(spark, dir).filter($"k" === 300L).collect()
+    assert(got.length == 1 && got.head.getString(3) == "new")
+    intercept[IllegalArgumentException] {
+      Manifest.evolve(spark, dir, Seq("tag" -> "STRING")) // duplicate
+    }
+  }
+
+  test("changes: version-diff change feed reads only changed files; unchanged rewritten rows cancel") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base.filter($"p" =!= 1L), "p")
+    Manifest.append(spark, dir, base.filter($"p" === 1L), "p")       // v2
+    Manifest.upsert(spark, dir,                                      // v3
+      Seq((10L, 99.0, 0L), (400L, 4.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    Manifest.delete(spark, dir, Seq((50L, 1L)).toDF("k", "p"), Seq("k"), "p") // v4
+
+    def feed(a: Long, b: Long) = Manifest.changes(spark, dir, a, b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3))).toSet
+    // v2 -> v3: partition 0 was rewritten, but only the touched rows surface
+    assert(feed(2L, 3L) == Set(
+      (10L, 10.0, "delete"), (10L, 99.0, "insert"), (400L, 4.0, "insert")))
+    // v3 -> v4: pure delete
+    assert(feed(3L, 4L) == Set((50L, 50.0, "delete")))
+    // v1 -> v2: pure append (no file removed)
+    assert(feed(1L, 2L).forall(_._3 == "insert") &&
+      feed(1L, 2L).map(_._1) == (50L to 99L).toSet)
+    // the feed composes: replaying v2->v4 inserts minus deletes onto v2
+    // reproduces v4 (CDC correctness end-to-end)
+    val v2 = Manifest.readVersion(spark, dir, 2L)
+    val ch = Manifest.changes(spark, dir, 2L, 4L)
+    val replayed = v2
+      .unionByName(ch.filter($"change" === "insert").drop("change"))
+      .exceptAll(ch.filter($"change" === "delete").drop("change"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val v4 = Manifest.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(replayed == v4)
+  }
+
+  test("two racing upserts both land (conflict retry refolds on the winner's snapshot)") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def writer(k: Long, v: Double): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        Manifest.withConflictRetry() {
+          Manifest.upsert(spark, dir,
+            Seq((k, v, k / 50)).toDF("k", "v", "p"), Seq("k"), "p")
+        }
+      })
+      t.start(); t
+    }
+    val ts = Seq(writer(10L, -10.0), writer(60L, -60.0))
+    start.countDown()
+    ts.foreach(_.join(120000))
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L, 3L))
+    val got = state(dir)
+    assert(got(10L) == (-10.0, 0L) && got(60L) == (-60.0, 1L),
+      "neither racing upsert may be lost")
+    assert(got.size == 100)
+  }
+
   test("overwrite replaces the snapshot atomically; old version still time-travels") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
