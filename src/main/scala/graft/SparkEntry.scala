@@ -892,6 +892,106 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // Incrementally-maintained materialized aggregate
+    // (ops.Incremental over ops.Manifest.changes): a per-customer
+    // revenue view kept current from the base table's row-level change
+    // feed — create, full-refresh, then upsert + delete + append the
+    // base and DELTA-refresh. The refresh reads only the changed files
+    // and rewrites only the touched view buckets; the oracle recomputes
+    // the GROUP BY from scratch over the final base relation, so the
+    // hash match proves the delta fold converges to the full answer.
+    "man_incr_kpi" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_incr_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val baseDir = s"$root/base"; val viewDir = s"$root/view"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, baseDir,
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      graft.ops.Incremental.refresh(s, baseDir, viewDir,
+        Seq("o_custkey"), "o_totalprice")
+      graft.ops.Manifest.upsert(s, baseDir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.delete(s, baseDir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Incremental.refresh(s, baseDir, viewDir,
+        Seq("o_custkey"), "o_totalprice")
+      graft.ops.Incremental.read(s, viewDir)
+        .select(col("o_custkey"),
+          col("sum_value").cast("double").as("sum_value"), col("n_rows"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Exactly-once streaming ingest into a Manifest table
+    // (pipeline.Streaming.manifestIngest): orders arrive as files, the
+    // stream appends each micro-batch under an atomic (appId, batchId)
+    // txn commit — the Delta txnAppId/txnVersion sink pattern. The
+    // oracle is the plain full relation: any dropped or double-applied
+    // batch hash-mismatches. Replay idempotence itself is spec-gated
+    // (StreamingSpec pre-commits a batch and replays it).
+    "man_ingest" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_maningest_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.repartition(3).write.parquet(s"$root/raw")
+      val arrivals = s.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1") // several real micro-batches
+        .parquet(s"$root/raw")
+      val q = graft.pipeline.Streaming.manifestIngest(arrivals,
+        s"$root/tbl", "o_orderstatus", s"$root/ckpt", appId = s"ingest_$tag")
+      q.processAllAvailable(); q.stop()
+      graft.ops.Manifest.read(s, s"$root/tbl")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Bloom point-lookup file skipping (ops.Manifest.readPoint): the
+    // table is partitioned by STATUS and ingested in three key bands
+    // with a per-file bloom on o_orderkey, so fetching one order by key
+    // opens only the files whose bloom admits it — the needle-in-the-
+    // lake shape min/max stats can't serve when keys are unclustered.
+    // ManifestSpec asserts the file skip; the oracle pins the ANSWER
+    // (min + max key probes) to plain equality reads.
+    "man_bloom_point" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bloom_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val bounds = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (loK, hiK) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = loK + (hiK - loK) / 3; val cut2 = loK + 2 * (hiK - loK) / 3
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") <= cut1), "o_orderstatus",
+        bloomCols = Seq("o_orderkey"))
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") > cut1 && col("o_orderkey") <= cut2),
+        "o_orderstatus")
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") > cut2), "o_orderstatus")
+      graft.ops.Manifest.readPoint(s, dir, "o_orderkey", loK.toString)
+        .unionByName(
+          graft.ops.Manifest.readPoint(s, dir, "o_orderkey", hiK.toString))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // beyond-reference SCD Type-2 history fold (ops.Merge.scd2Apply):
     // the history-keeping upgrade of mrg_upsert's last-write-wins puts.
     // Bootstrap every customer at v1, fold two update batches — batch 1
@@ -2879,6 +2979,45 @@ object SparkEntry {
         |  FROM cust WHERE c_custkey % 4 = 0
         |)
         |SELECT * FROM hist ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // Full GROUP BY recompute over the final base relation (the same
+    // merged/deleted relation as man_upsert, custkey carried): the
+    // delta-folded view must converge to exactly this. Sums replay in
+    // DECIMAL space (the view's internal accumulator type) before the
+    // double cast, so the compare is exact.
+    "man_incr_kpi" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 != 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), final AS (
+        |  SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+        |    COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        |  FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |  WHERE COALESCE(u.o_orderkey, b.o_orderkey) % 7 != 0
+        |)
+        |SELECT o_custkey,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        |       AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // The streamed table must hold exactly the full relation — a
+    // dropped or double-applied micro-batch hash-mismatches.
+    "man_ingest" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Bloom skipping must not change the answer: min + max key probes
+    // equal plain equality reads.
+    "man_bloom_point" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |   OR o_orderkey = (SELECT max(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Range pruning must not change the answer: the pruned read equals
     // a plain BETWEEN over the whole table.

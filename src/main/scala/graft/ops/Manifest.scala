@@ -74,17 +74,27 @@ import org.apache.spark.sql.types._
   * partition-value set as strings (null partition value tracked by
   * `has_null`); `overflow` = the set was capped, never prune this file.
   *
-  * `schema_ddl` and `stat_cols` are populated ONLY on the schema
-  * sentinel (`path = ""`): the table schema and the stats-column
-  * configuration live once per manifest, not once per file.
-  * `stat_mins`/`stat_maxs` on file entries align positionally with the
-  * sentinel's `stat_cols`; a null slot means the column is all-null in
-  * that file. */
+  * `schema_ddl`, `stat_cols`, and `bloom_cols` are populated ONLY on
+  * the schema sentinel (`path = ""`): the table schema and the
+  * stats/bloom column configuration live once per manifest, not once
+  * per file. `stat_mins`/`stat_maxs` on file entries align
+  * positionally with the sentinel's `stat_cols`; a null slot means the
+  * column is all-null in that file. Bloom BITSETS never live in the
+  * manifest at all — they are per-batch side relations (see
+  * [[Manifest.readPoint]]) so the manifest stays one slim row per
+  * file. */
 case class ManifestEntry(path: String, values: Seq[String],
                          has_null: Boolean, overflow: Boolean,
                          rows: Long, bytes: Long, schema_ddl: String,
                          stat_cols: Seq[String],
-                         stat_mins: Seq[String], stat_maxs: Seq[String])
+                         stat_mins: Seq[String], stat_maxs: Seq[String],
+                         bloom_cols: Seq[String])
+
+/** One per-file bloom filter row of a batch's `_bloom/` side relation
+  * (top-level for the same Encoder-codegen reason as ManifestEntry).
+  * `bits` is the filter as packed 64-bit words, little-endian within
+  * each word. */
+case class BloomEntry(path: String, column: String, bits: Seq[Long])
 
 object Manifest {
 
@@ -92,9 +102,24 @@ object Manifest {
     * file is marked overflow and never pruned out. */
   val ValuesCap: Int = 64
 
+  /** Bloom filter geometry: m bits per file per column, k seeded
+    * hashes. 32 Ki bits = 4 KiB/file/col — ~1% false positives at
+    * ~3.3k distinct values per file, saturated-but-sound (no false
+    * negatives, just no skipping) far beyond that. */
+  val BloomBits: Int = 1 << 15
+  val BloomHashes: Int = 4
+
   private val ManifestsDir = "_manifests"
   private val VersionsDir = "_versions"
   private val DataDir = "data"
+  private val BloomDir = "_bloom"
+
+  /** Bit position of `c` under seed `i` — computed with Spark
+    * expressions on BOTH the write path (over file rows) and the probe
+    * path (over a one-row frame), so writer and reader can never
+    * disagree on the hash. */
+  private def bloomPosition(c: org.apache.spark.sql.Column, i: Int) =
+    pmod(xxhash64(lit(i), c), lit(BloomBits.toLong))
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val root = new Path(dir)
@@ -118,11 +143,17 @@ object Manifest {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  private def readPointer(fs: FileSystem, root: Path, v: Long): String = {
+  /** Pointer file content: line 1 = manifest name; optional line 2 =
+    * `txn:<appId>:<batchId>` — the idempotence marker for exactly-once
+    * writers (see [[appendIfAbsent]]). */
+  private def readPointerLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = fs.open(versionPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
+
+  private def readPointer(fs: FileSystem, root: Path, v: Long): String =
+    readPointerLines(fs, root, v).head.trim
 
   /** The atomic commit: exclusive-create `_versions/v<n>` pointing at
     * `manifestName`. Throws a [[isConflict]]-classified exception if `v`
@@ -136,10 +167,16 @@ object Manifest {
     * stores use `create(path, overwrite = false)`, atomic on HDFS by
     * contract. */
   private def commit(fs: FileSystem, root: Path, v: Long,
-                     manifestName: String): Unit = {
+                     manifestName: String,
+                     txn: Option[(String, Long)] = None): Unit = {
     fs.mkdirs(new Path(root, VersionsDir))
     val target = versionPath(root, v)
-    val bytes = manifestName.getBytes(StandardCharsets.UTF_8)
+    val content = manifestName + txn.map { case (app, b) =>
+      require(!app.contains(':') && !app.contains('\n'),
+        s"txn appId must not contain ':' or newline: $app")
+      s"\ntxn:$app:$b"
+    }.getOrElse("")
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
     if (fs.getUri.getScheme == "file") {
       val dir = java.nio.file.Paths.get(
         new Path(root, VersionsDir).toUri.getPath)
@@ -166,6 +203,22 @@ object Manifest {
     case _ => false
   }
 
+  /** Latest batch id committed for `appId`, scanning version pointers
+    * newest-first (each is a one-line read; version count is bounded by
+    * vacuum retention, and the newest matching marker wins so the scan
+    * short-circuits). The reader half of the exactly-once contract:
+    * a writer that tags commits with `(appId, batchId)` asks this
+    * before re-applying a batch — Delta's `txnAppId`/`txnVersion`
+    * idempotent-writes shape. */
+  def lastTxn(spark: SparkSession, dir: String, appId: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val prefix = s"txn:$appId:"
+    versions(spark, dir).reverseIterator.flatMap { v =>
+      readPointerLines(fs, root, v).drop(1)
+        .find(_.startsWith(prefix)).map(_.stripPrefix(prefix).trim.toLong)
+    }.nextOption()
+  }
+
   /** Run `op` (a whole read-merge-commit cycle), retrying up to
     * `attempts` times on a lost optimistic-concurrency race. Each retry
     * re-reads the latest snapshot, so the loser of a race folds its
@@ -185,9 +238,10 @@ object Manifest {
   private type Entry = ManifestEntry
 
   /** One committed snapshot: live file entries, table schema, and the
-    * stats-column configuration (both carried by the sentinel). */
+    * stats/bloom column configuration (all carried by the sentinel). */
   private case class Snapshot(entries: Seq[Entry], ddl: String,
-                              statsCols: Seq[String])
+                              statsCols: Seq[String],
+                              bloomCols: Seq[String])
 
   /** Every manifest leads with a schema SENTINEL entry (`path = ""`, no
     * file) carrying the table schema and stats configuration ONCE: a
@@ -195,16 +249,19 @@ object Manifest {
     * file entries stay slim. */
   private def writeManifest(spark: SparkSession, root: Path,
                             entries: Seq[Entry], ddl: String,
-                            statsCols: Seq[String]): String = {
+                            statsCols: Seq[String],
+                            bloomCols: Seq[String]): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
     val sentinel = ManifestEntry("", Seq.empty, has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
-      stat_cols = statsCols, stat_mins = Seq.empty, stat_maxs = Seq.empty)
+      stat_cols = statsCols, stat_mins = Seq.empty, stat_maxs = Seq.empty,
+      bloom_cols = bloomCols)
     val slim = entries.map(e =>
-      if (e.schema_ddl.isEmpty && e.stat_cols.isEmpty) e
-      else e.copy(schema_ddl = "", stat_cols = Seq.empty))
+      if (e.schema_ddl.isEmpty && e.stat_cols.isEmpty && e.bloom_cols.isEmpty) e
+      else e.copy(schema_ddl = "", stat_cols = Seq.empty,
+        bloom_cols = Seq.empty))
     (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
     name
   }
@@ -221,7 +278,7 @@ object Manifest {
       .getOrElse(throw new IllegalStateException(
         s"manifest $name has no schema sentinel"))
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
-      sentinel.stat_cols)
+      sentinel.stat_cols, sentinel.bloom_cols)
   }
 
   // -------- batch write + stats --------
@@ -242,7 +299,8 @@ object Manifest {
     * ids, so a retried write task reproduces its exact file content. */
   private def writeBatch(spark: SparkSession, root: Path, df: DataFrame,
                          partitionCol: String, statsCols: Seq[String],
-                         numFiles: Option[Int] = None): Seq[Entry] = {
+                         numFiles: Option[Int] = None,
+                         bloomCols: Seq[String] = Nil): Seq[Entry] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDir = new Path(new Path(root, DataDir), s"b-${UUID.randomUUID()}")
     val clustered = numFiles match {
@@ -261,19 +319,46 @@ object Manifest {
           typedLit(Seq.empty[String]).as("stat_maxs"))
       else Seq(array(statMins: _*).as("stat_mins"),
         array(statMaxs: _*).as("stat_maxs"))
+    // per-file bloom bit positions (k seeded hashes per value), set-
+    // collected in the SAME read-back pass as the other stats; each set
+    // is bounded by BloomBits, so driver memory stays O(batch files)
+    val bloomAggs = bloomCols.flatMap(c => (0 until BloomHashes).map(i =>
+      collect_set(when(col(c).isNotNull, bloomPosition(col(c), i)))
+        .as(s"bloom_${c}_$i")))
     val aggList = Seq(
       slice(sort_array(collect_set(col(partitionCol).cast("string"))),
         1, ValuesCap + 1).as("values"),
       max(col(partitionCol).isNull.cast("int")).as("has_null"),
-      count(lit(1)).as("rows")) ++ statAggs
+      count(lit(1)).as("rows")) ++ statAggs ++ bloomAggs
     val stats = spark.read.parquet(batchDir.toString)
       .groupBy(input_file_name().as("file"))
       .agg(aggList.head, aggList.tail: _*)
       .collect()
-    stats.map { r =>
+    def relOf(r: org.apache.spark.sql.Row): String = {
       val fileUri = new Path(r.getString(0)).toUri.getPath
       require(fileUri.startsWith(rootUri), s"unexpected file path $fileUri")
-      val rel = s"$DataDir/${batchDir.getName}${fileUri.stripPrefix(rootUri)}"
+      s"$DataDir/${batchDir.getName}${fileUri.stripPrefix(rootUri)}"
+    }
+    if (bloomCols.nonEmpty) {
+      import spark.implicits._
+      val bloomRows = stats.flatMap { r =>
+        val rel = relOf(r)
+        bloomCols.zipWithIndex.map { case (c, ci) =>
+          val bits = new java.util.BitSet(BloomBits)
+          (0 until BloomHashes).foreach { i =>
+            r.getSeq[Long](6 + ci * BloomHashes + i)
+              .foreach(p => bits.set(p.toInt))
+          }
+          val words = bits.toLongArray
+          BloomEntry(rel, c,
+            words.toSeq.padTo(BloomBits / 64, 0L))
+        }
+      }.toSeq
+      bloomRows.toDS().coalesce(1).write
+        .parquet(new Path(batchDir, BloomDir).toString)
+    }
+    stats.map { r =>
+      val rel = relOf(r)
       val vals = r.getSeq[String](1)
       ManifestEntry(rel,
         values = vals.take(ValuesCap),
@@ -284,7 +369,8 @@ object Manifest {
         schema_ddl = ddl, // stripped to the sentinel by writeManifest
         stat_cols = Seq.empty,
         stat_mins = r.getSeq[String](4),
-        stat_maxs = r.getSeq[String](5))
+        stat_maxs = r.getSeq[String](5),
+        bloom_cols = Seq.empty)
     }.toSeq
   }
 
@@ -383,20 +469,102 @@ object Manifest {
     bounds.foldLeft(df)(_.filter(_))
   }
 
+  // -------- bloom point-lookup pruning --------
+
+  /** Candidate entries for `column = value`, pruned by min/max stats
+    * (equality = a degenerate range) and then by the per-file bloom
+    * filters when the column is bloom-configured. Bloom rows live in
+    * per-batch `_bloom/` side relations (written once with the batch,
+    * never copied by later commits — the manifest itself stays slim);
+    * the membership test runs DISTRIBUTED over those relations and only
+    * surviving file paths come back to the driver. A file with no bloom
+    * row for the column (written before the column existed, via
+    * [[evolve]]) is always a candidate; a file whose column is all-null
+    * has an empty filter and is skipped — equality never matches null. */
+  private def pointCandidates(spark: SparkSession, root: Path,
+                              snap: Snapshot, dt: DataType, column: String,
+                              value: String): Seq[Entry] = {
+    val rangeCands = rangeCandidates(snap, dt, column,
+      Some(value), Some(value))
+    if (!snap.bloomCols.contains(column) || rangeCands.isEmpty)
+      return rangeCands
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // probe positions via the same Spark expressions the writer used
+    val probeRow = spark.range(1).select(
+      (0 until BloomHashes).map(i =>
+        bloomPosition(lit(value).cast(dt), i)): _*).head()
+    val positions = (0 until BloomHashes).map(probeRow.getLong)
+    // one bloom relation per batch dir holding candidate files
+    val bloomPaths = rangeCands.map(_.path.split('/')(1)).distinct
+      .map(b => new Path(root, s"$DataDir/$b/$BloomDir"))
+      .filter(fs.exists).map(_.toString)
+    if (bloomPaths.isEmpty) return rangeCands
+    val verdicts = spark.read.parquet(bloomPaths: _*)
+      .where(col("column") === column)
+      .select(col("path"),
+        positions.map { p =>
+          (shiftright(element_at(col("bits"), lit(p.toInt / 64 + 1)),
+            p.toInt % 64) % 2 =!= 0).as(s"b$p")
+        }.reduce(_ && _).as("pass"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    rangeCands.filter(e => verdicts.getOrElse(e.path, true))
+  }
+
+  /** Which files a `column = value` read would open — exposed for spec
+    * assertions that bloom pruning actually skips files. */
+  private[ops] def pointCandidatePaths(spark: SparkSession, dir: String,
+                                       column: String,
+                                       value: String): Seq[String] = {
+    val (_, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    pointCandidates(spark, root, snap, schema(column).dataType, column,
+      value).map(_.path)
+  }
+
+  /** Point read with bloom file skipping: only files that can contain
+    * `column = value` — by partition-value set, min/max range, AND the
+    * per-file bloom filter — are opened, then the exact predicate
+    * applies on top. Same answer as `read(...).filter(col === value)`,
+    * fewer files read: the needle-in-a-100 TB-haystack shape (fetch one
+    * order by key from a table partitioned by something else) that
+    * min/max stats alone can't serve when keys are unclustered. */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+                value: String): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    val dt = schema(column).dataType
+    val cands = pointCandidates(spark, root, snap, dt, column, value)
+    readEntries(spark, root, cands, snap.ddl)
+      .filter(col(column) === lit(value).cast(dt))
+  }
+
   // -------- public surface --------
 
   /** Create the table at `dir` as version 1. Fails if a version exists.
     * `statsCols` configures per-file min/max collection for
-    * [[readRange]] pruning on every subsequent write. */
+    * [[readRange]] pruning on every subsequent write; `bloomCols`
+    * configures per-file bloom filters for [[readPoint]] file skipping
+    * on point predicates. */
   def create(spark: SparkSession, dir: String, df: DataFrame,
-             partitionCol: String, statsCols: Seq[String] = Nil): Unit = {
+             partitionCol: String, statsCols: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None,
+             bloomCols: Seq[String] = Nil): Unit = {
     val (fs, root) = fsOf(spark, dir)
     require(latestVersion(spark, dir).isEmpty, s"table already exists at $dir")
-    statsCols.foreach(c => require(df.columns.contains(c),
+    (statsCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(",")}"))
-    val entries = writeBatch(spark, root, df, partitionCol, statsCols)
+    val entries = writeBatch(spark, root, df, partitionCol, statsCols,
+      bloomCols = bloomCols)
     commit(fs, root, 1L,
-      writeManifest(spark, root, entries, nullableDdl(df.schema), statsCols))
+      writeManifest(spark, root, entries, nullableDdl(df.schema), statsCols,
+        bloomCols),
+      txn)
   }
 
   /** Read the latest snapshot. */
@@ -416,17 +584,62 @@ object Manifest {
 
   /** Append `df` as new files (no rewrite of existing data). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-             partitionCol: String): Unit = {
+             partitionCol: String, txn: Option[(String, Long)] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
     require(nullableDdl(df.schema) == snap.ddl,
       s"append schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
-    val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols)
+    val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
+      bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries ++ entries, snap.ddl,
-        snap.statsCols))
+        snap.statsCols, snap.bloomCols), txn)
+  }
+
+  /** Exactly-once append: apply `(appId, batchId)` AT MOST ONCE, in
+    * batch-id order per app. If the table's newest `appId` marker is
+    * already >= `batchId` the call is a no-op (a replay); otherwise the
+    * rows append and the commit carries the marker ATOMICALLY with the
+    * data (one pointer create), so a crash between data commit and the
+    * caller's own progress tracking cannot double-apply — Delta's
+    * `txnAppId`/`txnVersion` contract, and the missing half of
+    * exactly-once for `foreachBatch` sinks (the checkpoint replays a
+    * batch with the same id; this makes the replay idempotent). Creates
+    * the table on the first batch. Lost commit races retry via
+    * [[withConflictRetry]], re-checking the marker each attempt (the
+    * race winner may have been a replay of the same batch from another
+    * writer). Returns true iff this call committed the batch. */
+  def appendIfAbsent(spark: SparkSession, dir: String, df: DataFrame,
+                     partitionCol: String, appId: String, batchId: Long,
+                     statsCols: Seq[String] = Nil): Boolean =
+    withConflictRetry() {
+      if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
+      else if (latestVersion(spark, dir).isEmpty) {
+        create(spark, dir, df, partitionCol, statsCols,
+          txn = Some(appId -> batchId))
+        true
+      } else {
+        append(spark, dir, df, partitionCol, txn = Some(appId -> batchId))
+        true
+      }
+    }
+
+  /** Partition-pruned read: only files whose recorded partition-value
+    * sets intersect `values` (string renderings; overflowed files always
+    * read) are opened, then the exact predicate applies on top — same
+    * answer as `read(...).filter(col(partitionCol).isin(values))`,
+    * fewer files read. */
+  def readPartitions(spark: SparkSession, dir: String, partitionCol: String,
+                     values: Seq[String]): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    val cands = candidates(snap.entries, values.toSet, wantNull = false)
+    readEntries(spark, root, cands, snap.ddl)
+      .filter(col(partitionCol).cast("string").isin(values: _*))
   }
 
   /** Replace the WHOLE snapshot with `df` atomically — the
@@ -442,9 +655,11 @@ object Manifest {
     val snap = readSnapshot(spark, root, v)
     require(nullableDdl(df.schema) == snap.ddl,
       s"overwrite schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
-    val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols)
+    val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
+      bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
-      writeManifest(spark, root, entries, snap.ddl, snap.statsCols))
+      writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
+        snap.bloomCols))
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): commit a new
@@ -472,7 +687,7 @@ object Manifest {
     })
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries, nullableDdl(widened),
-        snap.statsCols))
+        snap.statsCols, snap.bloomCols))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -561,9 +776,10 @@ object Manifest {
   /** Shared copy-on-write shape for [[upsert]]/[[delete]]: prune to
     * candidate files, apply `merge(target, batch)`, write the result as
     * a new batch, commit old−candidates+new. */
-  private def rewrite(spark: SparkSession, dir: String, batch: DataFrame,
-                      partitionCol: String, requireFullSchema: Boolean)
-                     (merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+  private[ops] def rewrite(spark: SparkSession, dir: String, batch: DataFrame,
+                           partitionCol: String, requireFullSchema: Boolean,
+                           txn: Option[(String, Long)] = None)
+                          (merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
@@ -581,12 +797,13 @@ object Manifest {
     val merged = merge(target, batch)
     val newEntries =
       if (merged.isEmpty) Seq.empty
-      else writeBatch(spark, root, merged, partitionCol, snap.statsCols)
+      else writeBatch(spark, root, merged, partitionCol, snap.statsCols,
+        bloomCols = snap.bloomCols)
     val candPaths = cands.map(_.path).toSet
     val kept = snap.entries.filterNot(e => candPaths.contains(e.path))
     commit(fs, root, v + 1,
       writeManifest(spark, root, kept ++ newEntries, snap.ddl,
-        snap.statsCols))
+        snap.statsCols, snap.bloomCols), txn)
   }
 
   /** OPTIMIZE: rewrite the snapshot's small files (< `smallBytes`) into
@@ -609,18 +826,26 @@ object Manifest {
     val compacted = readEntries(spark, root, small, snap.ddl)
     val newEntries = if (compacted.isEmpty) Seq.empty
                      else writeBatch(spark, root, compacted, partitionCol,
-                       snap.statsCols, numFiles = Some(nOut))
+                       snap.statsCols, numFiles = Some(nOut),
+                       bloomCols = snap.bloomCols)
     val smallPaths = small.map(_.path).toSet
     commit(fs, root, v + 1,
       writeManifest(spark, root,
         snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
-        snap.ddl, snap.statsCols))
+        snap.ddl, snap.statsCols, snap.bloomCols))
   }
 
   /** Reclaim files not referenced by any of the newest `keepVersions`
     * manifests, and drop older version pointers + manifests. Time
     * travel reaches back `keepVersions` snapshots afterwards. Safe to
-    * run concurrently with readers OF THOSE VERSIONS only. */
+    * run concurrently with readers OF THOSE VERSIONS only.
+    *
+    * Exactly-once writers ([[appendIfAbsent]] / [[lastTxn]]): dropping
+    * a version pointer also drops any txn marker it carries, so
+    * `keepVersions` must cover the longest possible writer replay
+    * horizon (same retention coupling as Delta's
+    * `delta.setTransactionRetentionDuration`) — a marker older than
+    * the retention window can no longer vouch for its batch. */
   def vacuumOrphans(spark: SparkSession, dir: String,
                     keepVersions: Int = 1): Long = {
     require(keepVersions >= 1, "must keep at least the latest version")
@@ -630,6 +855,10 @@ object Manifest {
     val keep = vs.takeRight(keepVersions)
     val live: Set[String] =
       keep.flatMap(v => readSnapshot(spark, root, v).entries.map(_.path)).toSet
+    // a batch's _bloom/ side relation lives exactly as long as any of
+    // the batch's data files does (it is per-batch immutable metadata,
+    // not manifest-listed)
+    val liveBatches: Set[String] = live.map(_.split('/')(1))
     val liveManifests: Set[String] =
       keep.map(v => readPointer(fs, root, v)).toSet
     var reclaimed = 0L
@@ -641,13 +870,18 @@ object Manifest {
       while (it.hasNext) {
         val st = it.next()
         val rel = s"$DataDir${st.getPath.toUri.getPath.stripPrefix(dataRoot.toUri.getPath)}"
-        if (st.isFile && !live.contains(rel)) doomed += st.getPath
+        val parts = rel.split('/')
+        val isLiveBloom = parts.length > 2 && parts(2) == BloomDir &&
+          liveBatches.contains(parts(1))
+        if (st.isFile && !live.contains(rel) && !isLiveBloom)
+          doomed += st.getPath
       }
       doomed.foreach { p => reclaimed += 1; fs.delete(p, false) }
-      // sweep now-empty batch dirs
+      // sweep fully-dead batch dirs (recursive: removes the emptied
+      // _bloom/ subtree too)
       fs.listStatus(dataRoot).foreach { st =>
-        if (st.isDirectory && fs.listStatus(st.getPath).isEmpty)
-          fs.delete(st.getPath, false)
+        if (st.isDirectory && !liveBatches.contains(st.getPath.getName))
+          fs.delete(st.getPath, true)
       }
     }
     // retired manifests + pointers

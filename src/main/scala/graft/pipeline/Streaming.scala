@@ -454,6 +454,34 @@ object Streaming {
       }
       .start()
 
+  /** Exactly-once streaming append into a [[graft.ops.Manifest]]
+    * table — the transactional-table sink (vs [[corpusIngest]]'s
+    * per-batch-directory layout). `foreachBatch` alone is at-least-once:
+    * a crash after the sink write but before the checkpoint commit
+    * replays the batch with the SAME batchId. Here every batch commits
+    * via [[graft.ops.Manifest.appendIfAbsent]] tagged
+    * `(appId, batchId)`, so the replay sees its own marker and no-ops —
+    * the data commit and the idempotence marker are ONE atomic pointer
+    * create, the Delta `txnAppId`/`txnVersion` sink pattern. Readers get
+    * snapshot isolation (never a half-appended batch), time travel per
+    * micro-batch, and compaction/vacuum run concurrently under the same
+    * optimistic-concurrency protocol — none of which the `_batch=<id>`
+    * directory layout offers. Empty batches skip entirely: replaying an
+    * empty batch is already a no-op, so there is nothing to mark. */
+  def manifestIngest(df: DataFrame, tableDir: String, partitionCol: String,
+                     checkpoint: String, appId: String,
+                     statsCols: Seq[String] = Nil): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Manifest.appendIfAbsent(batch.sparkSession, tableDir,
+            batch, partitionCol, appId, batchId, statsCols)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus ingest with inline near-dup screening — the
     * daily-crawl shape of the training-data surface run continuously:
     * each micro-batch of new documents is (1) self-deduplicated

@@ -1,0 +1,132 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String) =
+    Files.createTempDirectory(s"graft-incr-$tag").toString
+
+  /** (row key, group, value, partition) base rows — keys 1..60, ten
+    * groups, three partitions. */
+  private def rows = spark.range(1, 61)
+    .select($"id".as("k"), ($"id" % 10).as("g"), ($"id" * 1.0).as("v"),
+      ($"id" % 3).as("p"))
+
+  private def fullRecompute(base: DataFrame): Map[Long, (BigDecimal, Long)] =
+    base.groupBy($"g")
+      .agg(sum($"v".cast("decimal(12,2)")).cast("decimal(38,2)").as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (BigDecimal(r.getDecimal(1)), r.getLong(2)))
+      .toMap
+
+  private def viewState(viewDir: String): Map[Long, (BigDecimal, Long)] =
+    Incremental.read(spark, viewDir)
+      .collect()
+      .map(r => r.getLong(0) -> (BigDecimal(r.getDecimal(1)), r.getLong(2)))
+      .toMap
+
+  test("refresh maintains the GROUP BY across upserts, deletes, and appends") {
+    val root = newDir("fold")
+    val baseDir = s"$root/base"; val viewDir = s"$root/view"
+    Manifest.create(spark, baseDir, rows, "p")
+
+    // first refresh = full compute
+    val v1 = Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    assert(v1 == 1L && Incremental.refreshedAt(spark, viewDir) == Some(1L))
+    assert(viewState(viewDir) ==
+      fullRecompute(Manifest.read(spark, baseDir)))
+
+    // mutate the base: revise some values, delete a whole group's rows,
+    // append a brand-new group
+    val cur = Manifest.read(spark, baseDir)
+    Manifest.upsert(spark, baseDir,
+      cur.filter($"g" === 1L).withColumn("v", $"v" * 10),
+      Seq("k"), "p")
+    Manifest.delete(spark, baseDir,
+      cur.filter($"g" === 2L).select($"k", $"p"), Seq("k"), "p")
+    Manifest.append(spark, baseDir,
+      Seq((9999L, 42L, 7.5, 1L)).toDF("k", "g", "v", "p"), "p")
+
+    val v4 = Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    assert(v4 == 4L)
+    val expect = fullRecompute(Manifest.read(spark, baseDir))
+    assert(viewState(viewDir) == expect)
+    // the fully-deleted group left the view; the new group arrived
+    assert(!viewState(viewDir).contains(2L))
+    assert(viewState(viewDir).contains(42L))
+
+    // an already-current view no-ops (same watermark, same answer)
+    val versionsBefore = Manifest.versions(spark, viewDir)
+    assert(Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v") == 4L)
+    assert(Manifest.versions(spark, viewDir) == versionsBefore)
+    assert(viewState(viewDir) == expect)
+  }
+
+  test("delta fold touches only the buckets the delta hits, not the whole view") {
+    val root = newDir("prune")
+    val baseDir = s"$root/base"; val viewDir = s"$root/view"
+    // AQE would coalesce this tiny view into ONE shuffle partition —
+    // one file holding every bucket, so any delta rewrites everything
+    // and the carry-over claim can't be observed. Pin it off so the
+    // view spans several files, as any real-sized view does.
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      // many groups so the 32 buckets are well-populated
+      val wide = spark.range(1, 2001)
+        .select($"id".as("k"), ($"id" % 500).as("g"), lit(1.0).as("v"),
+          ($"id" % 3).as("p"))
+      Manifest.create(spark, baseDir, wide, "p")
+      Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+      val filesBefore = Incremental.read(spark, viewDir)
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      assert(filesBefore.size > 1, "precondition: view spans several files")
+
+      // one-key revision: exactly one bucket partition is touched
+      Manifest.upsert(spark, baseDir,
+        Seq((7L, 7L, 99.0, 1L)).toDF("k", "g", "v", "p"), Seq("k"), "p")
+      Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+      val filesAfter = Incremental.read(spark, viewDir)
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      val surviving = filesBefore.intersect(filesAfter)
+      assert(surviving.nonEmpty,
+        "untouched bucket files must carry over by reference, not rewrite")
+      // and the answer still matches the from-scratch GROUP BY
+      assert(viewState(viewDir) ==
+        fullRecompute(Manifest.read(spark, baseDir)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("the watermark rides the fold commit: a re-run cannot double-count") {
+    val root = newDir("idem")
+    val baseDir = s"$root/base"; val viewDir = s"$root/view"
+    Manifest.create(spark, baseDir,
+      Seq((1L, 1L, 10.0, 0L), (2L, 1L, 5.0, 1L)).toDF("k", "g", "v", "p"), "p")
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    Manifest.append(spark, baseDir,
+      Seq((3L, 1L, 2.0, 0L)).toDF("k", "g", "v", "p"), "p")
+
+    // two refreshes of the same base version: the second must see the
+    // watermark committed by the first and change nothing — the delta
+    // is never applied twice
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    val once = viewState(viewDir)
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    assert(viewState(viewDir) == once)
+    assert(once(1L) == (BigDecimal("17.00"), 3L))
+  }
+}

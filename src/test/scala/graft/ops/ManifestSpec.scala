@@ -365,4 +365,95 @@ class ManifestSpec extends SparkSpec {
     // and a full-history read of a dropped version now fails
     intercept[Exception] { Manifest.readVersion(spark, dir, 1L) }
   }
+
+  test("txn markers: appendIfAbsent applies each (appId, batchId) at most once") {
+    val dir = newDir()
+    assert(Manifest.lastTxn(spark, dir, "app") == None)
+    // batch 0 creates the table, batch 1 appends
+    assert(Manifest.appendIfAbsent(spark, dir, base, "p", "app", 0L))
+    assert(Manifest.appendIfAbsent(spark, dir,
+      Seq((200L, 2.5, 4L)).toDF("k", "v", "p"), "p", "app", 1L))
+    val expect = baseState + (200L -> (2.5, 4L))
+    assert(state(dir) == expect)
+    assert(Manifest.lastTxn(spark, dir, "app") == Some(1L))
+
+    // replaying either batch (the crash-between-sink-and-checkpoint
+    // window) is a no-op: marker seen, nothing re-applied
+    assert(!Manifest.appendIfAbsent(spark, dir, base, "p", "app", 0L))
+    assert(!Manifest.appendIfAbsent(spark, dir,
+      Seq((200L, 2.5, 4L)).toDF("k", "v", "p"), "p", "app", 1L))
+    assert(state(dir) == expect)
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+
+    // a DIFFERENT app's batch 1 is independent — markers are per-app
+    assert(Manifest.appendIfAbsent(spark, dir,
+      Seq((300L, 3.5, 4L)).toDF("k", "v", "p"), "p", "other", 1L))
+    assert(Manifest.lastTxn(spark, dir, "other") == Some(1L))
+    assert(Manifest.lastTxn(spark, dir, "app") == Some(1L))
+
+    // ordinary (marker-less) commits between batches don't disturb the
+    // per-app watermark: newest matching marker wins
+    Manifest.append(spark, dir, Seq((400L, 4.5, 4L)).toDF("k", "v", "p"), "p")
+    assert(Manifest.lastTxn(spark, dir, "app") == Some(1L))
+    assert(Manifest.appendIfAbsent(spark, dir,
+      Seq((401L, 4.6, 4L)).toDF("k", "v", "p"), "p", "app", 2L))
+    assert(Manifest.lastTxn(spark, dir, "app") == Some(2L))
+  }
+
+  test("bloom point lookup: probes skip files that cannot contain the key, answer is exact") {
+    val dir = newDir()
+    def band(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"),
+        ($"id" / 1000).cast("long").as("p"))
+    // three batches with disjoint key bands; no min/max stats on k are
+    // configured and point probes never see the partition column, so
+    // ONLY the bloom on k can separate the files
+    Manifest.create(spark, dir, band(1, 1001), "p", bloomCols = Seq("k"))
+    Manifest.append(spark, dir, band(1001, 2001), "p")
+    Manifest.append(spark, dir, band(2001, 3001), "p")
+
+    val all = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    val cands = Manifest.pointCandidatePaths(spark, dir, "k", "1500")
+    assert(cands.size < all,
+      s"bloom must skip files (candidates ${cands.size} of $all)")
+    assert(Manifest.readPoint(spark, dir, "k", "1500")
+      .select($"v").as[Double].collect().toSeq == Seq(1500.0))
+    // a key in no band: typically zero candidates (FP-rate permitting),
+    // always an empty answer
+    assert(Manifest.readPoint(spark, dir, "k", "999999").count() == 0)
+
+    // rewrites rebuild blooms for the rewritten files: the moved row is
+    // still found afterwards
+    Manifest.upsert(spark, dir,
+      Seq((1500L, 42.0, 1L)).toDF("k", "v", "p"), Seq("k"), "p")
+    assert(Manifest.readPoint(spark, dir, "k", "1500")
+      .select($"v").as[Double].collect().toSeq == Seq(42.0))
+
+    // vacuum keeps the _bloom side relations of live batches
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    val candsAfter = Manifest.pointCandidatePaths(spark, dir, "k", "42")
+    assert(candsAfter.size < Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count(),
+      "bloom pruning must survive vacuum")
+    assert(Manifest.readPoint(spark, dir, "k", "42")
+      .select($"v").as[Double].collect().toSeq == Seq(42.0))
+  }
+
+  test("readPartitions prunes to matching files and returns the exact filter answer") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p") // p in 0..2
+    Manifest.append(spark, dir,
+      Seq((300L, 3.0, 7L), (301L, 3.1, 8L)).toDF("k", "v", "p"), "p")
+    val all = Manifest.read(spark, dir)
+      .select(input_file_name()).distinct().count()
+    val pruned = Manifest.readPartitions(spark, dir, "p", Seq("7"))
+    assert(pruned.select(input_file_name()).distinct().count() < all,
+      "partition read must open fewer files than the full table")
+    assert(pruned.select($"k").as[Long].collect().toSeq == Seq(300L))
+    // answer parity with the unpruned filter
+    val plain = Manifest.read(spark, dir).filter($"p" === 7L)
+      .select($"k").as[Long].collect().toSeq
+    assert(pruned.select($"k").as[Long].collect().toSeq == plain)
+  }
 }

@@ -279,6 +279,38 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must keep its docs, not self-screen them away")
   }
 
+  test("manifestIngest: exactly-once appends into a Manifest table across a replayed batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-man-ingest").toString
+    val tbl = s"$root/tbl"; val ckpt = s"$root/ckpt"
+
+    // simulate the crash window: a previous attempt at batch 0 COMMITTED
+    // the manifest append, but the checkpoint never recorded the batch —
+    // the restarted query will replay batch 0 with the same id
+    val b0 = Seq((1L, 1.0, 0L), (2L, 2.0, 1L)).toDF("k", "v", "p")
+    graft.ops.Manifest.appendIfAbsent(spark, tbl, b0, "p",
+      appId = "ingest-spec", batchId = 0L)
+
+    val mem = MemoryStream[(Long, Double, Long)]
+    val q = Streaming.manifestIngest(mem.toDF().toDF("k", "v", "p"), tbl,
+      "p", ckpt, appId = "ingest-spec")
+    mem.addData((1L, 1.0, 0L), (2L, 2.0, 1L)) // replay of batch 0
+    q.processAllAvailable()
+    mem.addData((3L, 3.0, 0L))                 // genuinely new batch 1
+    q.processAllAvailable()
+    q.stop()
+
+    val got = graft.ops.Manifest.read(spark, tbl)
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"replayed batch must not double-append: $got")
+    assert(graft.ops.Manifest.lastTxn(spark, tbl, "ingest-spec") == Some(1L))
+    // every committed batch is a snapshot version: time travel sees the
+    // table as of batch 0
+    assert(graft.ops.Manifest.readVersion(spark, tbl, 1L).count() == 2)
+  }
+
   test("scd2Stream folds a CDC feed into the same history the batch folds produce") {
     implicit val sqlCtx = spark.sqlContext
     val histDir = Files.createTempDirectory("graft-scd2-stream").toString + "/hist"
