@@ -84,17 +84,27 @@ object Incremental {
       case Some(viewV) if viewV >= baseV => viewV // already current
 
       case Some(viewV) =>
-        // signed delta aggregate per key over the changed files only
-        val sign = when(col("change") === "insert", lit(1L)).otherwise(lit(-1L))
-        val delta = Manifest.changes(spark, baseDir, viewV, baseV)
+        // signed delta aggregate per key over the changed files only.
+        // The UNCANCELLED feed suffices: a row carried unchanged through
+        // a rewrite appears +1 and -1 and cancels in the signed sums, so
+        // the exact feed's two exceptAll shuffles are skipped entirely.
+        // Persisted, because the fold consumes it twice (touched-bucket
+        // discovery, then the join).
+        val delta = Manifest.changesSigned(spark, baseDir, viewV, baseV)
           .groupBy(keyCols.map(col): _*)
-          .agg(sum(sign * money(col(valueCol))).cast(SumType).as("d_sum"),
-            sum(sign).as("d_rows"))
+          .agg(sum(col("sign") * money(col(valueCol))).cast(SumType)
+            .as("d_sum"),
+            sum(col("sign")).as("d_rows"))
+          // keys whose rows were only CARRIED through a rewrite net to
+          // zero — drop them here so they don't count as touched and
+          // inflate the fold's bucket rewrite
+          .filter(col("d_rows") =!= 0 || col("d_sum") =!= zeroSum)
           .select(keyCols.map(col) ++
             Seq(col("d_sum"), col("d_rows")) :+ bucketOf(keyCols): _*)
+          .persist()
         // fold into the view: only bucket partitions the delta touches
         // are read and rewritten; the watermark rides the same commit
-        Manifest.rewrite(spark, viewDir, delta, "bucket",
+        try Manifest.rewrite(spark, viewDir, delta, "bucket",
           requireFullSchema = false, txn = Some(viewAppId -> baseV)) {
           (target, batch) =>
             val joined = target.alias("t").join(batch.alias("d"),
@@ -110,7 +120,7 @@ object Incremental {
                     coalesce(col("d.d_rows"), lit(0L))).as("n_rows"),
                   coalesce(col("t.bucket"), col("d.bucket")).as("bucket")): _*)
               .filter(col("n_rows") > 0)
-        }
+        } finally delta.unpersist()
         baseV
     }
   }
