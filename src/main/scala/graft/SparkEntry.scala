@@ -756,6 +756,89 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Planner-integrated data skipping (plans.ManifestScan): the same
+    // date-banded table, but the predicate is a PLAIN WHERE on the
+    // scan DataFrame — no readRange/readPartitions cooperation. The
+    // custom FileIndex receives Catalyst's pushed dataFilters and skips
+    // files by manifest stats (date min/max) AND partition-value sets
+    // (status equality) during planning; parquet row-group pushdown and
+    // codegen stay stock. ManifestScanSpec asserts the numFiles metric.
+    "man_scan_prune" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scanprune_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderdate") < "1994-01-01"),
+        "o_orderstatus", statsCols = Seq("o_orderdate"))
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderdate") >= "1994-01-01" &&
+          col("o_orderdate") < "1996-01-01"), "o_orderstatus")
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderdate") >= "1996-01-01"), "o_orderstatus")
+      graft.plans.ManifestScan.scan(s, dir, Some("o_orderstatus"))
+        .filter(col("o_orderdate").between("1995-01-01", "1995-12-31") &&
+          col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // MERGE-ON-READ lifecycle (ops.Manifest.upsertMor/deleteMor):
+    // identical row semantics to man_upsert — the oracle SQL is shared —
+    // but neither the upsert nor the delete rewrites ONE data file; each
+    // commits a deletion vector + (for upsert) new files, and the read
+    // applies the position mask. At 100 TB this is the write path that
+    // scales with the CHANGE, not the resident candidate files.
+    "man_upsert_mor" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mor_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.ops.Manifest.create(s, dir, base, "o_orderstatus")
+      graft.ops.Manifest.upsertMor(s, dir, updates, Seq("o_orderkey"),
+        "o_orderstatus")
+      graft.ops.Manifest.deleteMor(s, dir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.read(s, dir).orderBy(col("o_orderkey"))
+    }),
+
+    // DV-aware change feed: a MoR delete's feed rows come from reading
+    // the masked POSITIONS back out of untouched data files (no file
+    // was added or removed — the naive file-diff feed would be empty).
+    "man_changes_mor" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_morcf_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.deleteMor(s, dir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.changes(s, dir, 1L, 2L)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("change"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Metadata-only schema evolution (ops.Manifest.evolve): ADD COLUMN
     // commits a widened sentinel and rewrites NOTHING — old files read
     // the new column as null, post-evolve appends carry it. O(1) in
@@ -3025,6 +3108,40 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
         |FROM orders
         |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Planner-side file skipping must not change the answer: a plain
+    // WHERE over the scan equals the same WHERE over the whole table.
+    "man_scan_prune" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31'
+        |  AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Merge-on-read upsert+delete must equal the copy-on-write result
+    // row for row — same oracle as man_upsert.
+    "man_upsert_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 != 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+        |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |WHERE COALESCE(u.o_orderkey, b.o_orderkey) % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The MoR delete's change feed: exactly the masked rows, as deletes.
+    "man_changes_mor" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |       'delete' AS change
+        |FROM orders
+        |WHERE o_orderkey % 3 != 0 AND o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
     // Version 1 is the unmodified create input, upsert notwithstanding.

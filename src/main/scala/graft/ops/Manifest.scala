@@ -88,7 +88,13 @@ case class ManifestEntry(path: String, values: Seq[String],
                          rows: Long, bytes: Long, schema_ddl: String,
                          stat_cols: Seq[String],
                          stat_mins: Seq[String], stat_maxs: Seq[String],
-                         bloom_cols: Seq[String])
+                         bloom_cols: Seq[String],
+                         dv_dirs: Seq[String] = Nil)
+
+/** One deleted row position of a `_dv/` deletion-vector relation:
+  * `path` is the data file (manifest-relative), `pos` its parquet row
+  * index (`_metadata.row_index`). Top-level for Encoder codegen. */
+case class DvEntry(path: String, pos: Long)
 
 /** One per-file bloom filter row of a batch's `_bloom/` side relation
   * (top-level for the same Encoder-codegen reason as ManifestEntry).
@@ -113,6 +119,7 @@ object Manifest {
   private val VersionsDir = "_versions"
   private val DataDir = "data"
   private val BloomDir = "_bloom"
+  private val DvDir = "_dv"
 
   /** Bit position of `c` under seed `i` — computed with Spark
     * expressions on BOTH the write path (over file rows) and the probe
@@ -237,11 +244,24 @@ object Manifest {
 
   private type Entry = ManifestEntry
 
-  /** One committed snapshot: live file entries, table schema, and the
-    * stats/bloom column configuration (all carried by the sentinel). */
-  private case class Snapshot(entries: Seq[Entry], ddl: String,
-                              statsCols: Seq[String],
-                              bloomCols: Seq[String])
+  /** One committed snapshot: live file entries, table schema, the
+    * stats/bloom column configuration, and the live deletion-vector
+    * dirs (all carried by the sentinel). */
+  private[graft] case class Snapshot(entries: Seq[Entry], ddl: String,
+                                     statsCols: Seq[String],
+                                     bloomCols: Seq[String],
+                                     dvDirs: Seq[String])
+
+  /** The committed snapshot of `dir` at version `v` (or latest) — the
+    * planner-integration entry point ([[graft.plans.ManifestFileIndex]]
+    * builds its file listing and pruning state from it). */
+  private[graft] def loadSnapshot(spark: SparkSession, dir: String,
+                                  v: Option[Long] = None): Snapshot = {
+    val (_, root) = fsOf(spark, dir)
+    val ver = v.orElse(latestVersion(spark, dir))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    readSnapshot(spark, root, ver)
+  }
 
   /** Every manifest leads with a schema SENTINEL entry (`path = ""`, no
     * file) carrying the table schema and stats configuration ONCE: a
@@ -250,18 +270,20 @@ object Manifest {
   private def writeManifest(spark: SparkSession, root: Path,
                             entries: Seq[Entry], ddl: String,
                             statsCols: Seq[String],
-                            bloomCols: Seq[String]): String = {
+                            bloomCols: Seq[String],
+                            dvDirs: Seq[String]): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
     val sentinel = ManifestEntry("", Seq.empty, has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
       stat_cols = statsCols, stat_mins = Seq.empty, stat_maxs = Seq.empty,
-      bloom_cols = bloomCols)
+      bloom_cols = bloomCols, dv_dirs = dvDirs)
     val slim = entries.map(e =>
-      if (e.schema_ddl.isEmpty && e.stat_cols.isEmpty && e.bloom_cols.isEmpty) e
+      if (e.schema_ddl.isEmpty && e.stat_cols.isEmpty &&
+        e.bloom_cols.isEmpty && e.dv_dirs.isEmpty) e
       else e.copy(schema_ddl = "", stat_cols = Seq.empty,
-        bloom_cols = Seq.empty))
+        bloom_cols = Seq.empty, dv_dirs = Seq.empty))
     (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
     name
   }
@@ -278,7 +300,7 @@ object Manifest {
       .getOrElse(throw new IllegalStateException(
         s"manifest $name has no schema sentinel"))
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
-      sentinel.stat_cols, sentinel.bloom_cols)
+      sentinel.stat_cols, sentinel.bloom_cols, sentinel.dv_dirs)
   }
 
   // -------- batch write + stats --------
@@ -300,13 +322,21 @@ object Manifest {
   private def writeBatch(spark: SparkSession, root: Path, df: DataFrame,
                          partitionCol: String, statsCols: Seq[String],
                          numFiles: Option[Int] = None,
-                         bloomCols: Seq[String] = Nil): Seq[Entry] = {
+                         bloomCols: Seq[String] = Nil,
+                         clusterCol: Option[String] = None): Seq[Entry] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDir = new Path(new Path(root, DataDir), s"b-${UUID.randomUUID()}")
-    val clustered = numFiles match {
-      case Some(n) => df.repartition(n, col(partitionCol),
+    val clustered = (clusterCol, numFiles) match {
+      // range clustering: files carry DISJOINT sort-key ranges (plus a
+      // sort inside each for parquet row-group stats), trading away
+      // partition-value locality — see [[cluster]]
+      case (Some(c), Some(n)) =>
+        df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
+      case (Some(c), None) =>
+        df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+      case (None, Some(n)) => df.repartition(n, col(partitionCol),
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n.toLong)))
-      case None => df.repartition(col(partitionCol))
+      case (None, None) => df.repartition(col(partitionCol))
     }
     clustered.write.parquet(batchDir.toString)
     val ddl = nullableDdl(df.schema)
@@ -389,6 +419,91 @@ object Manifest {
   private def nullableDdl(s: StructType): String =
     StructType(s.fields.map(_.copy(nullable = true))).toDDL
 
+  // -------- deletion vectors (merge-on-read) --------
+
+  /** Manifest-relative path of the file a row came from, derived from
+    * `_metadata.file_path`. Splitting on the LAST `/data/` occurrence
+    * is exact: batch dirs (`b-<uuid>`) and parquet part files never
+    * contain that substring, so the last occurrence is always the
+    * table's own data dir, whatever the table root path contains. */
+  private def relPathCol: org.apache.spark.sql.Column =
+    concat(lit(s"$DataDir/"),
+      element_at(split(col("_metadata.file_path"), s"/$DataDir/"), -1))
+
+  /** The union of the snapshot's deletion-vector relations (empty
+    * DataFrame of (path, pos) when the snapshot has none). */
+  private def dvRelation(spark: SparkSession, root: Path,
+                         dvDirs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (dvDirs.isEmpty) spark.emptyDataset[DvEntry].toDF()
+    else spark.read.parquet(dvDirs.map(d =>
+      new Path(new Path(root, DvDir), d).toString): _*)
+  }
+
+  /** Data files (by manifest-relative path) that any DV row references
+    * — bounded by the live file count, same order as the manifest
+    * itself, so the driver collect is safe at 100 TB. */
+  private def dvTouchedPaths(spark: SparkSession, root: Path,
+                             dvDirs: Seq[String]): Set[String] =
+    if (dvDirs.isEmpty) Set.empty
+    else dvRelation(spark, root, dvDirs).select("path").distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** `entries`' rows with their file-position identity attached
+    * (`__rel`, `__pos`) — the join key of the DV world. */
+  private def readWithPos(spark: SparkSession, root: Path,
+                          entries: Seq[Entry], ddl: String): DataFrame =
+    if (entries.isEmpty)
+      // synthesized empty relation has no `_metadata` to project
+      readEntries(spark, root, entries, ddl)
+        .withColumn("__rel", lit(null).cast(StringType))
+        .withColumn("__pos", lit(null).cast(LongType))
+    else
+      readEntries(spark, root, entries, ddl)
+        .withColumn("__rel", relPathCol)
+        .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Anti-join the DV mask. `dv` may reference files outside `df` —
+    * those rows are inert (match nothing). */
+  private def maskRows(df: DataFrame, dv: DataFrame): DataFrame =
+    df.join(dv.select(col("path").as("__rel"), col("pos").as("__pos")),
+      Seq("__rel", "__pos"), "left_anti")
+
+  /** DV mask over an arbitrary file-sourced DataFrame of this table —
+    * the hook [[graft.plans.ManifestScan]] layers on top of its pruned
+    * relation (a single relation can't split touched/untouched files,
+    * so the anti-join spans the scan; [[materialize]] restores the
+    * join-free path). */
+  private[graft] def maskedByDv(spark: SparkSession, dir: String,
+                                df: DataFrame,
+                                dvDirs: Seq[String]): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    maskRows(df.withColumn("__rel", relPathCol)
+        .withColumn("__pos", col("_metadata.row_index")),
+      dvRelation(spark, root, dvDirs))
+      .drop("__rel", "__pos")
+  }
+
+  /** The MoR read: files untouched by any DV read PLAIN (no metadata
+    * columns, no join — the hot path stays the hot path); files with DV
+    * rows read with position identity, anti-join the mask, drop the
+    * helpers. With no DVs this IS `readEntries`. */
+  private def readEntriesMasked(spark: SparkSession, root: Path,
+                                entries: Seq[Entry], ddl: String,
+                                dvDirs: Seq[String]): DataFrame = {
+    val touched = dvTouchedPaths(spark, root, dvDirs)
+      .intersect(entries.map(_.path).toSet)
+    if (touched.isEmpty) readEntries(spark, root, entries, ddl)
+    else {
+      val (masked, plain) = entries.partition(e => touched.contains(e.path))
+      val dv = dvRelation(spark, root, dvDirs)
+      val maskedRows = maskRows(readWithPos(spark, root, masked, ddl), dv)
+        .drop("__rel", "__pos")
+      if (plain.isEmpty) maskedRows
+      else readEntries(spark, root, plain, ddl).unionByName(maskedRows)
+    }
+  }
+
   // -------- range pruning on file stats --------
 
   /** Driver-side ordering over the recorded string renderings, by the
@@ -396,7 +511,7 @@ object Manifest {
     * "9" would invert); dates / strings / timestamps compare
     * lexicographically (their uniform renderings are order-preserving).
     * `None` = no safe ordering for this type — never prune on it. */
-  private def renderedOrdering(dt: DataType): Option[(String, String) => Int] =
+  private[graft] def renderedOrdering(dt: DataType): Option[(String, String) => Int] =
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
@@ -463,7 +578,7 @@ object Manifest {
     val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
     val dt = schema(column).dataType
     val cands = rangeCandidates(snap, dt, column, lo, hi)
-    val df = readEntries(spark, root, cands, snap.ddl)
+    val df = readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
     val bounds = lo.map(l => col(column) >= lit(l).cast(dt)).toSeq ++
       hi.map(h => col(column) <= lit(h).cast(dt))
     bounds.foldLeft(df)(_.filter(_))
@@ -540,7 +655,7 @@ object Manifest {
     val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
     val dt = schema(column).dataType
     val cands = pointCandidates(spark, root, snap, dt, column, value)
-    readEntries(spark, root, cands, snap.ddl)
+    readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
       .filter(col(column) === lit(value).cast(dt))
   }
 
@@ -563,7 +678,7 @@ object Manifest {
       bloomCols = bloomCols)
     commit(fs, root, 1L,
       writeManifest(spark, root, entries, nullableDdl(df.schema), statsCols,
-        bloomCols),
+        bloomCols, dvDirs = Nil),
       txn)
   }
 
@@ -579,7 +694,7 @@ object Manifest {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val (_, root) = fsOf(spark, dir)
     val snap = readSnapshot(spark, root, v)
-    readEntries(spark, root, snap.entries, snap.ddl)
+    readEntriesMasked(spark, root, snap.entries, snap.ddl, snap.dvDirs)
   }
 
   /** Append `df` as new files (no rewrite of existing data). */
@@ -595,7 +710,7 @@ object Manifest {
       bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries ++ entries, snap.ddl,
-        snap.statsCols, snap.bloomCols), txn)
+        snap.statsCols, snap.bloomCols, snap.dvDirs), txn)
   }
 
   /** Exactly-once append: apply `(appId, batchId)` AT MOST ONCE, in
@@ -638,7 +753,7 @@ object Manifest {
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
     val cands = candidates(snap.entries, values.toSet, wantNull = false)
-    readEntries(spark, root, cands, snap.ddl)
+    readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
       .filter(col(partitionCol).cast("string").isin(values: _*))
   }
 
@@ -657,9 +772,10 @@ object Manifest {
       s"overwrite schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
     val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
       bloomCols = snap.bloomCols)
+    // the whole snapshot is replaced, so every previous DV retires too
     commit(fs, root, v + 1,
       writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
-        snap.bloomCols))
+        snap.bloomCols, dvDirs = Nil))
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): commit a new
@@ -687,7 +803,7 @@ object Manifest {
     })
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries, nullableDdl(widened),
-        snap.statsCols, snap.bloomCols))
+        snap.statsCols, snap.bloomCols, snap.dvDirs))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -701,6 +817,49 @@ object Manifest {
     * insert pair, exactly Delta CDF's update_pre/postimage collapsed.
     * Both sides are read with the `to` version's schema, so the feed is
     * well-typed across a metadata-only [[evolve]]. */
+  /** The three DV-aware components of a change feed between two
+    * snapshots. Logical content at `v` = rows of live files MINUS the
+    * version's DV rows on them, so the feed decomposes as:
+    *  - INSERTS: rows of files added in the range, masked by the `to`
+    *    DVs (a row both added and DV-deleted inside the range was never
+    *    visible);
+    *  - file DELETES: rows of files removed in the range, masked by the
+    *    `from` DVs (rows already deleted at `from` don't delete twice);
+    *  - DV DELETES: rows at positions the range's NEW deletion vectors
+    *    (`to.dvDirs \ from.dvDirs`) mark on CARRIED files — a
+    *    carried file's mask only ever grows, and DV rows on
+    *    added/removed files are covered by the first two terms. */
+  private def changeParts(spark: SparkSession, root: Path,
+                          from: Snapshot, to: Snapshot)
+      : (DataFrame, DataFrame) = {
+    val fromPaths = from.entries.map(_.path).toSet
+    val toPaths = to.entries.map(_.path).toSet
+    val added = to.entries.filterNot(e => fromPaths.contains(e.path))
+    val removed = from.entries.filterNot(e => toPaths.contains(e.path))
+    val addedRows = readEntriesMasked(spark, root, added, to.ddl, to.dvDirs)
+    val removedRows =
+      readEntriesMasked(spark, root, removed, to.ddl, from.dvDirs)
+    val dvDelta = to.dvDirs.filterNot(from.dvDirs.toSet)
+    val dvDeleteRows =
+      if (dvDelta.isEmpty) None
+      else {
+        val carried = to.entries.filter(e => fromPaths.contains(e.path))
+        val hit = dvTouchedPaths(spark, root, dvDelta)
+        val files = carried.filter(e => hit.contains(e.path))
+        if (files.isEmpty) None
+        else {
+          val dv = dvRelation(spark, root, dvDelta)
+          Some(readWithPos(spark, root, files, to.ddl)
+            .join(dv.select(col("path").as("__rel"), col("pos").as("__pos")),
+              Seq("__rel", "__pos"), "left_semi")
+            .drop("__rel", "__pos"))
+        }
+      }
+    val deleteSide = dvDeleteRows
+      .map(removedRows.unionByName(_)).getOrElse(removedRows)
+    (addedRows, deleteSide)
+  }
+
   def changes(spark: SparkSession, dir: String, fromV: Long,
               toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
@@ -709,17 +868,17 @@ object Manifest {
     val to = readSnapshot(spark, root, toV)
     val fromPaths = from.entries.map(_.path).toSet
     val toPaths = to.entries.map(_.path).toSet
-    val added = to.entries.filterNot(e => fromPaths.contains(e.path))
-    val removed = from.entries.filterNot(e => toPaths.contains(e.path))
-    val addedRows = readEntries(spark, root, added, to.ddl)
-    val removedRows = readEntries(spark, root, removed, to.ddl)
+    val hasAdded = to.entries.exists(e => !fromPaths.contains(e.path))
+    val hasRemoved = from.entries.exists(e => !toPaths.contains(e.path))
+    val hasDvDelta = to.dvDirs.exists(!from.dvDirs.toSet.contains(_))
+    val (inserts, deletes) = changeParts(spark, root, from, to)
     // one-sided diffs (append-only / delete-only commit ranges) need no
     // cancellation — skip both multiset differences and their shuffles
-    if (removed.isEmpty) addedRows.withColumn("change", lit("insert"))
-    else if (added.isEmpty) removedRows.withColumn("change", lit("delete"))
-    else addedRows.exceptAll(removedRows).withColumn("change", lit("insert"))
+    if (!hasRemoved && !hasDvDelta) inserts.withColumn("change", lit("insert"))
+    else if (!hasAdded) deletes.withColumn("change", lit("delete"))
+    else inserts.exceptAll(deletes).withColumn("change", lit("insert"))
       .unionByName(
-        removedRows.exceptAll(addedRows).withColumn("change", lit("delete")))
+        deletes.exceptAll(inserts).withColumn("change", lit("delete")))
   }
 
   /** UNCANCELLED signed change rows between two versions: every row of
@@ -738,13 +897,9 @@ object Manifest {
     val (_, root) = fsOf(spark, dir)
     val from = readSnapshot(spark, root, fromV)
     val to = readSnapshot(spark, root, toV)
-    val fromPaths = from.entries.map(_.path).toSet
-    val toPaths = to.entries.map(_.path).toSet
-    val added = to.entries.filterNot(e => fromPaths.contains(e.path))
-    val removed = from.entries.filterNot(e => toPaths.contains(e.path))
-    readEntries(spark, root, added, to.ddl).withColumn("sign", lit(1L))
-      .unionByName(readEntries(spark, root, removed, to.ddl)
-        .withColumn("sign", lit(-1L)))
+    val (inserts, deletes) = changeParts(spark, root, from, to)
+    inserts.withColumn("sign", lit(1L))
+      .unionByName(deletes.withColumn("sign", lit(-1L)))
   }
 
   /** Which live files can hold any of the update batch's partition
@@ -802,6 +957,149 @@ object Manifest {
     }
   }
 
+  // -------- merge-on-read (deletion vectors) --------
+
+  /** Positions of the still-visible candidate rows matching `keys` of
+    * `batch`, as DV rows — the shared first half of [[deleteMor]] /
+    * [[upsertMor]]. Masking by the EXISTING DVs first keeps the new
+    * vector disjoint from them (re-deleting a dead row must not
+    * double-count in the change feed). */
+  private def dvHits(spark: SparkSession, root: Path, snap: Snapshot,
+                     cands: Seq[Entry], batch: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
+      dvRelation(spark, root, snap.dvDirs))
+    target.join(batch.select(keys.map(col): _*).distinct(), keys.toSeq,
+        "left_semi")
+      .select(col("__rel").as("path"), col("__pos").as("pos"))
+  }
+
+  /** Stage `hits` as a new `_dv/` relation; returns the dir name, or
+    * None when the vector is empty (nothing to commit). */
+  private def writeDv(spark: SparkSession, root: Path,
+                      hits: DataFrame): Option[String] = {
+    val name = s"d-${UUID.randomUUID()}"
+    val dir = new Path(new Path(root, DvDir), name)
+    hits.write.parquet(dir.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an all-empty write may land zero part files (schema unreadable)
+    val hasParts = fs.listStatus(dir)
+      .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    if (!hasParts || spark.read.parquet(dir.toString).isEmpty) {
+      fs.delete(dir, true)
+      None
+    } else Some(name)
+  }
+
+  /** Keyed DELETE as MERGE-ON-READ: instead of rewriting every
+    * candidate file ([[delete]]'s copy-on-write), commit a DELETION
+    * VECTOR — the (file, row-position) set of the matched rows — and
+    * leave every data file untouched. Readers anti-join the vector
+    * (only for files it references; untouched files stay on the plain
+    * path). At 100 TB this turns "delete 0.1% of rows" from rewriting
+    * every candidate file into writing kilobytes: write cost scales
+    * with the DELETED rows, not the resident data (Delta/Iceberg v2
+    * position deletes). The read-side join cost accrues until
+    * [[compact]] or [[materialize]] folds the vectors in. Same batch
+    * contract as [[delete]]: exactly `keys :+ partitionCol`. */
+  def deleteMor(spark: SparkSession, dir: String, deletes: DataFrame,
+                keys: Seq[String], partitionCol: String): Unit = {
+    val expect = (keys :+ partitionCol).toSet
+    require(deletes.columns.toSet == expect &&
+      deletes.columns.length == expect.size,
+      s"delete batch columns ${deletes.columns.mkString(",")} must be " +
+        s"exactly ${expect.mkString(",")}")
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    val touched = deletes.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)))
+    val cands = candidates(snap.entries, touched.flatten.toSet,
+      touched.contains(None))
+    if (cands.isEmpty) return
+    writeDv(spark, root,
+      dvHits(spark, root, snap, cands, deletes, keys)).foreach { name =>
+      commit(fs, root, v + 1,
+        writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
+          snap.bloomCols, snap.dvDirs :+ name))
+    }
+  }
+
+  /** MERGE (upsert) as MERGE-ON-READ, same row semantics as [[upsert]]
+    * (update wins column-wise via `coalesce(update, target)`, new keys
+    * insert): matched target rows are masked by a new deletion vector
+    * and the batch's one-row-per-key outcome lands as NEW files —
+    * no candidate file is rewritten. The vector and the new files
+    * commit in ONE pointer create, so the swap stays atomic. Write
+    * cost scales with the update batch; the carried 99%+ of a large
+    * candidate file is never copied. */
+  def upsertMor(spark: SparkSession, dir: String, updates: DataFrame,
+                keys: Seq[String], partitionCol: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    require(nullableDdl(updates.schema) == snap.ddl,
+      s"batch schema ${nullableDdl(updates.schema)} != table schema ${snap.ddl}")
+    val touched = updates.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)))
+    val cands = candidates(snap.entries, touched.flatten.toSet,
+      touched.contains(None))
+    val dataCols = updates.columns
+    val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
+      dvRelation(spark, root, snap.dvDirs))
+    // column-wise merge for matched keys; unmatched updates pass
+    // through (left join leaves target columns null → coalesce = update)
+    val merged = updates.alias("u")
+      .join(target.alias("t"),
+        keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
+        "left")
+      .select(dataCols.map(c =>
+        coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+    val newEntries = writeBatch(spark, root, merged, partitionCol,
+      snap.statsCols, bloomCols = snap.bloomCols)
+    val dvName = writeDv(spark, root,
+      dvHits(spark, root, snap, cands, updates, keys))
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, snap.entries ++ newEntries, snap.ddl,
+        snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName))
+  }
+
+  /** Fold every live deletion vector into data: rewrite ONLY the files
+    * a DV references (masked read → new files), drop all vectors from
+    * the new snapshot. The read-side anti-join cost goes back to zero;
+    * cost scales with the DV'd files, not the table (Delta's
+    * `REORG ... APPLY (PURGE)`). No-op when no live file is DV'd. */
+  def materialize(spark: SparkSession, dir: String,
+                  partitionCol: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    if (snap.dvDirs.isEmpty) return
+    val touched = dvTouchedPaths(spark, root, snap.dvDirs)
+      .intersect(snap.entries.map(_.path).toSet)
+    if (touched.isEmpty) {
+      // only inert vectors (their files already rewritten): drop them
+      commit(fs, root, v + 1,
+        writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
+          snap.bloomCols, dvDirs = Nil))
+      return
+    }
+    val dvd = snap.entries.filter(e => touched.contains(e.path))
+    val rewritten = readEntriesMasked(spark, root, dvd, snap.ddl,
+      snap.dvDirs)
+    val newEntries =
+      if (rewritten.isEmpty) Seq.empty
+      else writeBatch(spark, root, rewritten, partitionCol, snap.statsCols,
+        bloomCols = snap.bloomCols)
+    commit(fs, root, v + 1,
+      writeManifest(spark, root,
+        snap.entries.filterNot(e => touched.contains(e.path)) ++ newEntries,
+        snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil))
+  }
+
   /** Shared copy-on-write shape for [[upsert]]/[[delete]]: prune to
     * candidate files, apply `merge(target, batch)`, write the result as
     * a new batch, commit old−candidates+new. */
@@ -822,7 +1120,9 @@ object Manifest {
     val wanted = touched.flatten.toSet
     val wantNull = touched.contains(None)
     val cands = candidates(snap.entries, wanted, wantNull)
-    val target = readEntries(spark, root, cands, snap.ddl)
+    // MASKED read: a candidate file's DV'd rows are logically gone and
+    // must not resurrect through the rewrite
+    val target = readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
     val merged = merge(target, batch)
     val newEntries =
       if (merged.isEmpty) Seq.empty
@@ -830,9 +1130,12 @@ object Manifest {
         bloomCols = snap.bloomCols)
     val candPaths = cands.map(_.path).toSet
     val kept = snap.entries.filterNot(e => candPaths.contains(e.path))
+    // DV dirs carry over: rows referencing the dropped candidate files
+    // are inert from here on (they match no live file), rows on kept
+    // files still mask
     commit(fs, root, v + 1,
       writeManifest(spark, root, kept ++ newEntries, snap.ddl,
-        snap.statsCols, snap.bloomCols), txn)
+        snap.statsCols, snap.bloomCols, snap.dvDirs), txn)
   }
 
   /** OPTIMIZE: rewrite the snapshot's small files (< `smallBytes`) into
@@ -852,7 +1155,9 @@ object Manifest {
     if (small.size < 2) return // nothing to gain
     val total = small.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val compacted = readEntries(spark, root, small, snap.ddl)
+    // masked: compaction materializes any DVs on the small files
+    val compacted = readEntriesMasked(spark, root, small, snap.ddl,
+      snap.dvDirs)
     val newEntries = if (compacted.isEmpty) Seq.empty
                      else writeBatch(spark, root, compacted, partitionCol,
                        snap.statsCols, numFiles = Some(nOut),
@@ -861,7 +1166,49 @@ object Manifest {
     commit(fs, root, v + 1,
       writeManifest(spark, root,
         snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
-        snap.ddl, snap.statsCols, snap.bloomCols))
+        snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs))
+  }
+
+  /** CLUSTER: rewrite the whole snapshot range-partitioned on
+    * `sortCol`, so per-file min/max ranges for it become DISJOINT and a
+    * range/point predicate ([[readRange]], or any WHERE through
+    * [[graft.plans.ManifestScan]]) opens ~`selectivity × files` instead
+    * of every file that happens to contain a few matching rows. The
+    * write also sorts within each file, so parquet row-group stats
+    * align with the file stats. `sortCol` must be one of the table's
+    * `statsCols` — clustering a column nobody can prune on is wasted
+    * I/O, so it is rejected loudly.
+    *
+    * The trade: range files span MANY partition values (the
+    * partition-value sets go wide or overflow), so partition-equality
+    * pruning weakens — cluster a table by the column its dominant read
+    * pattern ranges over, exactly Delta/Iceberg `OPTIMIZE ... ZORDER/
+    * SORT BY` guidance. Masked (DV) rows are folded in by the rewrite.
+    * Commit is one atomic swap; cost is one full-table read+write, the
+    * scheduled-maintenance price of making every later ranged read
+    * sub-linear. */
+  def cluster(spark: SparkSession, dir: String, partitionCol: String,
+              sortCol: String, targetBytes: Long = 128L << 20): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    require(snap.statsCols.contains(sortCol),
+      s"cluster column $sortCol is not a stats column " +
+        s"(${snap.statsCols.mkString(",")}) — pruning could never use it")
+    if (snap.entries.isEmpty) return
+    val total = snap.entries.map(_.bytes).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val rows = readEntriesMasked(spark, root, snap.entries, snap.ddl,
+      snap.dvDirs)
+    val newEntries =
+      if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
+      else writeBatch(spark, root, rows, partitionCol,
+        snap.statsCols, numFiles = Some(nOut), bloomCols = snap.bloomCols,
+        clusterCol = Some(sortCol))
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
+        snap.bloomCols, dvDirs = Nil))
   }
 
   /** Reclaim files not referenced by any of the newest `keepVersions`
@@ -911,6 +1258,15 @@ object Manifest {
       fs.listStatus(dataRoot).foreach { st =>
         if (st.isDirectory && !liveBatches.contains(st.getPath.getName))
           fs.delete(st.getPath, true)
+      }
+    }
+    // deletion-vector dirs not referenced by any kept snapshot
+    val liveDvs: Set[String] =
+      keep.flatMap(v => readSnapshot(spark, root, v).dvDirs).toSet
+    val dvRoot = new Path(root, DvDir)
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
+      if (!liveDvs.contains(st.getPath.getName)) {
+        reclaimed += 1; fs.delete(st.getPath, true)
       }
     }
     // retired manifests + pointers

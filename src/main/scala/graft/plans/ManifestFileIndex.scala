@@ -1,0 +1,237 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+import graft.ops.{Manifest, ManifestEntry}
+
+/** Catalyst-integrated DATA SKIPPING for [[graft.ops.Manifest]] tables.
+  *
+  * [[Manifest.readRange]] / [[Manifest.readPoint]] prune files only when
+  * the caller routes the predicate through those explicit APIs. This
+  * [[FileIndex]] moves the pruning INTO THE PLANNER: the snapshot's file
+  * list and per-file stats become the listing Spark's own
+  * `FileSourceStrategy` consults, so ANY `WHERE` clause over
+  * [[ManifestScan.scan]]'s DataFrame — including one Catalyst derived by
+  * pushing a join predicate or folding a constant — skips files whose
+  * recorded stats cannot match, with zero API cooperation from the
+  * query author. Everything downstream is Spark's stock parquet path:
+  * whole-stage codegen, parquet row-group pushdown (`PushedFilters`),
+  * column pruning (`ReadSchema`), AQE.
+  *
+  * At 100 TB this is the difference between "the engine CAN skip" and
+  * "the engine DOES skip": a 1000-executor query with a date range in
+  * its WHERE clause opens `O(matching files)` of an ~8×10⁵-file table
+  * during PLANNING, before a single task launches. The same shape as
+  * Delta's `TahoeFileIndex` / Iceberg's scan planning.
+  *
+  * Pruning sources, all sound over-approximations (a kept file may
+  * contain no match; a dropped file provably cannot):
+  *  - partition-value SETS (exact distinct values per file, unless
+  *    `overflow`): equality / IN / range / null-ness on `partitionCol`;
+  *  - per-file MIN/MAX for the sentinel's `stat_cols`: range and
+  *    equality, compared with the same type-aware rendered ordering as
+  *    [[Manifest.readRange]];
+  *  - all-null detection: a null min/max slot means the column has no
+  *    non-null row in that file, so the `IsNotNull` guard Catalyst
+  *    attaches to every null-intolerant predicate prunes it.
+  *
+  * The index is FROZEN at one snapshot version (snapshot isolation —
+  * concurrent commits never shift a running query's file list);
+  * `refresh()` is deliberately a no-op. Deletion-vector masking is
+  * layered ON TOP by [[ManifestScan.scan]], not here: the index decides
+  * which files to open, the mask decides which rows of them survive.
+  */
+class ManifestFileIndex(spark: SparkSession, dir: String,
+                        partitionCol: Option[String] = None,
+                        version: Option[Long] = None) extends FileIndex {
+
+  private[graft] val snap = Manifest.loadSnapshot(spark, dir, version)
+
+  val dataSchema: StructType =
+    DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+
+  private val root = new Path(dir)
+  private val fs =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val qualifiedRoot = fs.makeQualified(root)
+
+  private def statusOf(e: ManifestEntry): FileStatus =
+    new FileStatus(e.bytes, false, 1, 128L << 20, 0L,
+      fs.makeQualified(new Path(qualifiedRoot, e.path)))
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def inputFiles: Array[String] =
+    snap.entries.map(e => statusOf(e).getPath.toString).toArray
+
+  override def sizeInBytes: Long = snap.entries.map(_.bytes).sum
+
+  /** Frozen snapshot by design — see class doc. */
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = snap.entries.filter(e => dataFilters.forall(f => admits(e, f)))
+    Seq(PartitionDirectory(InternalRow.empty, keep.map(statusOf).toArray))
+  }
+
+  /** Files the index would open under `filters` — the spec hook (and a
+    * cheap dry-run "EXPLAIN files" for operators sizing a rewrite). */
+  private[graft] def candidateCount(filters: Seq[Expression]): Int =
+    listFiles(Nil, filters).head.files.size
+
+  // -------- pruning: can file `e` hold a row matching `cond`? --------
+
+  private val timeZone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+
+  /** The literal under the SAME rendering the stats were written with
+    * (`Column.cast("string")`), so writer and planner can never
+    * disagree; null literal renders to None. */
+  private def rendered(value: Any, dt: DataType): Option[String] =
+    Option(Cast(Literal(value, dt), StringType, timeZone).eval(null))
+      .map(_.toString)
+
+  private def statSlot(e: ManifestEntry, name: String): Option[Int] = {
+    val i = snap.statsCols.indexWhere(_.equalsIgnoreCase(name))
+    // guard against ragged slots (never written by this module, but a
+    // wrong-length manifest must fail open, not prune wrongly)
+    if (i >= 0 && e.stat_mins.length == snap.statsCols.length &&
+      e.stat_maxs.length == snap.statsCols.length) Some(i)
+    else None
+  }
+
+  private def isPartitionCol(name: String): Boolean =
+    partitionCol.exists(_.equalsIgnoreCase(name))
+
+  private def orderingFor(name: String): Option[(String, String) => Int] =
+    dataSchema.fields.find(_.name.equalsIgnoreCase(name))
+      .flatMap(f => Manifest.renderedOrdering(f.dataType))
+
+  /** Range intersection on a file: can it hold `lo <=(?) c <=(?) hi`?
+    * Checks the exact partition-value set first (no overflow = every
+    * distinct value is recorded), then the min/max stat slot. */
+  private def admitRange(e: ManifestEntry, name: String,
+                         lo: Option[String], loStrict: Boolean,
+                         hi: Option[String], hiStrict: Boolean): Boolean = {
+    val cmpOpt = orderingFor(name)
+    if (cmpOpt.isEmpty) return true // no safe ordering: never prune
+    val cmp = cmpOpt.get
+    def valueOk(v: String): Boolean =
+      lo.forall(l => if (loStrict) cmp(v, l) > 0 else cmp(v, l) >= 0) &&
+        hi.forall(h => if (hiStrict) cmp(v, h) < 0 else cmp(v, h) <= 0)
+    if (isPartitionCol(name) && !e.overflow)
+      e.values.exists(valueOk) // exact: range matches no null row
+    else statSlot(e, name) match {
+      case Some(i) =>
+        val (mn, mx) = (e.stat_mins(i), e.stat_maxs(i))
+        if (mn == null || mx == null) false // all-null column
+        else
+          lo.forall(l => if (loStrict) cmp(mx, l) > 0 else cmp(mx, l) >= 0) &&
+            hi.forall(h => if (hiStrict) cmp(mn, h) < 0 else cmp(mn, h) <= 0)
+      case None => true
+    }
+  }
+
+  private def admitEq(e: ManifestEntry, name: String, value: Any,
+                      dt: DataType): Boolean =
+    rendered(value, dt) match {
+      case None => false // `c = NULL` matches nothing
+      case Some(v) =>
+        if (isPartitionCol(name) && !e.overflow) e.values.contains(v)
+        else admitRange(e, name, Some(v), loStrict = false,
+          Some(v), hiStrict = false)
+    }
+
+  private def admitIsNull(e: ManifestEntry, name: String): Boolean =
+    if (isPartitionCol(name)) e.overflow || e.has_null
+    else true // min/max can't witness absence of nulls
+
+  private def admitNotNull(e: ManifestEntry, name: String): Boolean =
+    if (isPartitionCol(name)) e.overflow || e.values.nonEmpty
+    else statSlot(e, name) match {
+      case Some(i) => e.stat_mins(i) != null // null slot = all-null file
+      case None => true
+    }
+
+  private def admits(e: ManifestEntry, cond: Expression): Boolean =
+    cond match {
+      case And(l, r) => admits(e, l) && admits(e, r)
+      case Or(l, r) => admits(e, l) || admits(e, r)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        admitEq(e, a.name, v, dt)
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        admitEq(e, a.name, v, dt)
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+        if (v == null) admitIsNull(e, a.name) else admitEq(e, a.name, v, dt)
+      case EqualNullSafe(Literal(v, dt), a: AttributeReference) =>
+        if (v == null) admitIsNull(e, a.name) else admitEq(e, a.name, v, dt)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, dt) => admitEq(e, a.name, v, dt) }
+      case InSet(a: AttributeReference, vs) =>
+        vs.exists(v => admitEq(e, a.name, v, a.dataType))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        rendered(v, dt).forall(l =>
+          admitRange(e, a.name, Some(l), loStrict = true, None, hiStrict = false))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        rendered(v, dt).forall(h =>
+          admitRange(e, a.name, None, loStrict = false, Some(h), hiStrict = true))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        rendered(v, dt).forall(l =>
+          admitRange(e, a.name, Some(l), loStrict = false, None, hiStrict = false))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        rendered(v, dt).forall(h =>
+          admitRange(e, a.name, None, loStrict = false, Some(h), hiStrict = false))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        rendered(v, dt).forall(h =>
+          admitRange(e, a.name, None, loStrict = false, Some(h), hiStrict = true))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        rendered(v, dt).forall(l =>
+          admitRange(e, a.name, Some(l), loStrict = true, None, hiStrict = false))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        rendered(v, dt).forall(h =>
+          admitRange(e, a.name, None, loStrict = false, Some(h), hiStrict = false))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        rendered(v, dt).forall(l =>
+          admitRange(e, a.name, Some(l), loStrict = false, None, hiStrict = false))
+      case IsNull(a: AttributeReference) => admitIsNull(e, a.name)
+      case IsNotNull(a: AttributeReference) => admitNotNull(e, a.name)
+      case StartsWith(a: AttributeReference, Literal(v, StringType))
+        if v != null =>
+        // over-approximate prefix range [p, p + U+10FFFF...]: safe, and
+        // exact enough to skip files whose string range sits elsewhere
+        val p = v.toString
+        admitRange(e, a.name, Some(p), loStrict = false,
+          Some(p + Character.toChars(Character.MAX_CODE_POINT).mkString),
+          hiStrict = false)
+      case _ => true // unknown shape: fail open, never prune
+    }
+}
+
+object ManifestScan {
+
+  /** A manifest table as a planner-native DataFrame: file listing from
+    * the committed snapshot (version `v`, default latest), data
+    * skipping from the manifest's stats (see [[ManifestFileIndex]]),
+    * scan/codegen from Spark's stock parquet format. `partitionCol`
+    * additionally enables exact value-set pruning on that column. */
+  def scan(spark: SparkSession, dir: String,
+           partitionCol: Option[String] = None,
+           version: Option[Long] = None): DataFrame = {
+    val index = new ManifestFileIndex(spark, dir, partitionCol, version)
+    val relation = HadoopFsRelation(index, new StructType(),
+      index.dataSchema, None, new ParquetFileFormat(), Map.empty)(spark)
+    val df = spark.baseRelationToDataFrame(relation)
+    // merge-on-read: snapshots with live deletion vectors get the
+    // row-position anti-join on top; pruning still applies underneath
+    if (index.snap.dvDirs.isEmpty) df
+    else Manifest.maskedByDv(spark, dir, df, index.snap.dvDirs)
+  }
+}

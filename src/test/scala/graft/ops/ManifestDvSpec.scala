@@ -1,0 +1,191 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read deletion vectors: deletes/upserts that commit a
+  * (file, row-position) mask instead of rewriting candidate files. */
+class ManifestDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() =
+    Files.createTempDirectory("graft-dv").toString + "/tbl"
+
+  private def base = spark.range(1, 101)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"),
+      ($"id" / 50).cast("long").as("p"))
+
+  private def state(dir: String): Map[Long, (Double, Long)] =
+    Manifest.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+  private def baseState =
+    (1L to 100L).map(k => k -> (k * 1.0, k / 50)).toMap
+
+  private def dataFiles(dir: String): Set[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(dir, "data"), true)
+    val b = scala.collection.mutable.Set[String]()
+    while (it.hasNext) { val st = it.next(); if (st.isFile) b += st.getPath.toString }
+    b.toSet
+  }
+
+  test("deleteMor masks rows without touching any data file") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val filesBefore = dataFiles(dir)
+    Manifest.deleteMor(spark, dir,
+      Seq((7L, 0L), (70L, 1L)).toDF("k", "p"), Seq("k"), "p")
+    assert(dataFiles(dir) == filesBefore, "MoR delete must not write data files")
+    assert(state(dir) == baseState - 7L - 70L)
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+    // time travel: the pre-delete snapshot still shows everything
+    assert(Manifest.readVersion(spark, dir, 1L).count() == 100)
+  }
+
+  test("re-deleting dead rows is a no-op commit (no duplicate DV rows)") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L),
+      "a delete that hits nothing must not commit a version")
+    assert(state(dir) == baseState - 7L)
+  }
+
+  test("upsertMor matches copy-on-write upsert row semantics exactly") {
+    val cow = newDir(); val mor = newDir()
+    val updates = spark.range(90, 111)
+      .select($"id".as("k"), ($"id" * 10.0).as("v"),
+        ($"id" / 50).cast("long").as("p"))
+    Manifest.create(spark, cow, base, "p")
+    Manifest.upsert(spark, cow, updates, Seq("k"), "p")
+    Manifest.create(spark, mor, base, "p")
+    val filesBefore = dataFiles(mor)
+    Manifest.upsertMor(spark, mor, updates, Seq("k"), "p")
+    assert(dataFiles(mor).intersect(filesBefore) == filesBefore,
+      "MoR upsert must only ADD files")
+    assert(state(mor) == state(cow))
+    // null update column keeps the target value (coalesce semantics)
+    val nullV = Seq((5L, Option.empty[Double], 0L)).toDF("k", "v", "p")
+    Manifest.upsertMor(spark, mor, nullV, Seq("k"), "p")
+    assert(state(mor)(5L) == ((5.0, 0L)))
+  }
+
+  test("copy-on-write rewrite after a MoR delete does not resurrect masked rows") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    // CoW upsert rewrites the candidate files of partition 0
+    Manifest.upsert(spark, dir,
+      Seq((8L, 888.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    assert(state(dir) == baseState - 7L + (8L -> (888.0, 0L)))
+    // and the DV'd key can be re-inserted afterwards
+    Manifest.upsert(spark, dir,
+      Seq((7L, 777.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    assert(state(dir)(7L) == ((777.0, 0L)))
+  }
+
+  test("materialize folds vectors into files and drops them") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir,
+      (1L to 10L).map(k => (k, 0L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.materialize(spark, dir, "p")
+    assert(state(dir) == baseState -- (1L to 10L))
+    assert(Manifest.loadSnapshot(spark, dir).dvDirs.isEmpty)
+    // the masked files were rewritten; the untouched partition carried
+    val snap = Manifest.loadSnapshot(spark, dir)
+    assert(snap.entries.nonEmpty)
+    // a second materialize is a no-op (no new version)
+    val vs = Manifest.versions(spark, dir)
+    Manifest.materialize(spark, dir, "p")
+    assert(Manifest.versions(spark, dir) == vs)
+  }
+
+  test("compact applies DVs to the small files it rewrites") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.compact(spark, dir, "p", smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    assert(state(dir) == baseState - 7L)
+  }
+
+  test("change feed is DV-aware: exact and signed") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p") // v1
+    Manifest.deleteMor(spark, dir,
+      Seq((7L, 0L), (70L, 1L)).toDF("k", "p"), Seq("k"), "p") // v2
+    Manifest.append(spark, dir,
+      Seq((200L, 2.0, 4L)).toDF("k", "v", "p"), "p") // v3
+
+    val feed = Manifest.changes(spark, dir, 1L, 3L)
+      .select($"k", $"change").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((7L, "delete"), (70L, "delete"), (200L, "insert")))
+
+    // signed fold: sum(v * sign) over the feed == table-sum delta
+    val signed = Manifest.changesSigned(spark, dir, 1L, 3L)
+      .agg(sum($"v" * $"sign")).collect()(0).getDouble(0)
+    val before = Manifest.readVersion(spark, dir, 1L)
+      .agg(sum($"v")).collect()(0).getDouble(0)
+    val after = Manifest.readVersion(spark, dir, 3L)
+      .agg(sum($"v")).collect()(0).getDouble(0)
+    assert(math.abs(signed - (after - before)) < 1e-9)
+  }
+
+  test("change feed across MoR upsert: update surfaces as delete+insert pair") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p") // v1
+    Manifest.upsertMor(spark, dir,
+      Seq((5L, 555.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p") // v2
+    val feed = Manifest.changes(spark, dir, 1L, 2L)
+      .select($"k", $"v", $"change").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(feed == Set((5L, 5.0, "delete"), (5L, 555.0, "insert")))
+  }
+
+  test("readRange / readPoint / readPartitions honor the mask") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("v"),
+      bloomCols = Seq("k"))
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    assert(Manifest.readRange(spark, dir, "v", Some("6.0"), Some("8.0"))
+      .select("k").collect().map(_.getLong(0)).toSet == Set(6L, 8L))
+    assert(Manifest.readPoint(spark, dir, "k", "7").count() == 0)
+    assert(Manifest.readPartitions(spark, dir, "p", Seq("0"))
+      .filter($"k" === 7L).count() == 0)
+  }
+
+  test("vacuum reclaims DV dirs of dropped versions, keeps live ones") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.materialize(spark, dir, "p") // v3: no DVs
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(dir, "_dv")).nonEmpty)
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    val left = if (fs.exists(new Path(dir, "_dv")))
+      fs.listStatus(new Path(dir, "_dv")).length else 0
+    assert(left == 0, s"dead DV dir survived vacuum ($left left)")
+    assert(state(dir) == baseState - 7L)
+
+    // and a LIVE vector survives vacuum
+    Manifest.deleteMor(spark, dir, Seq((8L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    assert(state(dir) == baseState - 7L - 8L)
+  }
+
+  test("planner scan masks DV'd rows and still prunes by stats") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    val scanned = graft.plans.ManifestScan.scan(spark, dir, Some("p"))
+    assert(scanned.count() == 99)
+    assert(scanned.filter($"k" === 7L).count() == 0)
+  }
+}

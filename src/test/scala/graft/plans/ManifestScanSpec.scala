@@ -1,0 +1,186 @@
+package graft.plans
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Manifest
+
+/** Planner-integrated data skipping: a plain `.filter` over
+  * [[ManifestScan.scan]] must open only the files whose manifest stats
+  * can match — no explicit readRange/readPoint call. */
+class ManifestScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() =
+    Files.createTempDirectory("graft-manscan").toString + "/tbl"
+
+  /** 3 date-banded appends (one per year 1994-96) of 300 rows each —
+    * the time-ordered daily feed. Tiny data = AQE coalesces each band
+    * to ONE file, so the table is exactly 3 files, one per year. */
+  private def mkDateBanded(dir: String): Unit = {
+    def band(year: Int): DataFrame =
+      spark.range(1, 301).select(
+        $"id".as("k"),
+        lit(Date.valueOf(s"$year-06-15")).as("d"),
+        ($"id" % 4).as("p"),
+        ($"id" * 1.0).as("v"))
+    Manifest.create(spark, dir, band(1994), "p", statsCols = Seq("d"))
+    Manifest.append(spark, dir, band(1995), "p")
+    Manifest.append(spark, dir, band(1996), "p")
+  }
+
+  /** 4 single-partition-value appends: file i holds only p = i. */
+  private def mkPartitioned(dir: String): Unit = {
+    def part(p: Int): DataFrame =
+      spark.range(1, 101).select($"id".as("k"), lit(p.toLong).as("p"),
+        ($"id" * 1.0).as("v"))
+    Manifest.create(spark, dir, part(0), "p")
+    (1 to 3).foreach(p => Manifest.append(spark, dir, part(p), "p"))
+  }
+
+  /** Executes `df` and sums the parquet scan's `numFiles` metric
+    * (descending through the AQE wrapper). */
+  private def filesScanned(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: FileSourceScanExec => Seq(f.metrics("numFiles").value)
+        case other => other.children.flatMap(scans)
+      }
+    scans(df.queryExecution.executedPlan).sum
+  }
+
+  test("date-range WHERE prunes to the matching band, result parity with full read") {
+    val dir = newDir()
+    mkDateBanded(dir)
+    val all = filesScanned(ManifestScan.scan(spark, dir))
+    assert(all == 3, s"expected 3 band files, got $all")
+
+    val pruned = ManifestScan.scan(spark, dir)
+      .filter($"d" >= "1995-01-01" && $"d" <= "1995-12-31")
+    assert(filesScanned(pruned) == 1,
+      s"range read opened ${filesScanned(pruned)} of $all files")
+    assert(pruned.count() == 300)
+
+    // parity with the non-pruned path on the same predicate
+    val viaRead = Manifest.read(spark, dir)
+      .filter($"d" >= "1995-01-01" && $"d" <= "1995-12-31")
+      .select("k", "d", "p", "v").collect().toSet
+    assert(pruned.select("k", "d", "p", "v").collect().toSet == viaRead)
+  }
+
+  test("partition-value equality prunes to one file; IN prunes to the union") {
+    val dir = newDir()
+    mkPartitioned(dir)
+    val all = filesScanned(ManifestScan.scan(spark, dir, Some("p")))
+    assert(all == 4, s"expected 4 files, got $all")
+    assert(filesScanned(
+      ManifestScan.scan(spark, dir, Some("p")).filter($"p" === 1)) == 1)
+    assert(filesScanned(
+      ManifestScan.scan(spark, dir, Some("p")).filter($"p".isin(1, 2))) == 2)
+    // range on the partition column prunes via the exact value set too
+    assert(filesScanned(
+      ManifestScan.scan(spark, dir, Some("p")).filter($"p" >= 2)) == 2)
+    assert(ManifestScan.scan(spark, dir, Some("p"))
+      .filter($"p" === 1).count() == 100)
+  }
+
+  test("unsupported predicate fails open: all files, correct answer") {
+    val dir = newDir()
+    mkDateBanded(dir)
+    val df = ManifestScan.scan(spark, dir).filter($"k" % 7 === 1)
+    assert(filesScanned(df) == 3)
+    assert(df.count() === 3 * spark.range(1, 301)
+      .filter($"id" % 7 === 1).count())
+  }
+
+  test("IsNotNull guard prunes a file whose stat column is all null") {
+    val dir = newDir()
+    val withD = spark.range(1, 101).select($"id".as("k"),
+      lit(Date.valueOf("1994-06-15")).as("d"), lit(0L).as("p"))
+    val nullD = spark.range(101, 201).select($"id".as("k"),
+      lit(null).cast("date").as("d"), lit(0L).as("p"))
+    Manifest.create(spark, dir, withD, "p", statsCols = Seq("d"))
+    Manifest.append(spark, dir, nullD, "p")
+    val all = filesScanned(ManifestScan.scan(spark, dir))
+    // d >= X implies IsNotNull(d): the all-null file must be skipped
+    val n = filesScanned(
+      ManifestScan.scan(spark, dir).filter($"d" >= "1990-01-01"))
+    assert(n < all, s"all-null file not skipped: $n of $all")
+    // and IsNull must still find those rows (no pruning on stats)
+    assert(ManifestScan.scan(spark, dir).filter($"d".isNull).count() == 100)
+  }
+
+  test("fact-side predicate prunes inside a broadcast-join query") {
+    val dir = newDir()
+    mkPartitioned(dir)
+    val dim = Seq((2L, "two")).toDF("p", "name")
+    val q = ManifestScan.scan(spark, dir, Some("p")).filter($"p" === 2)
+      .join(broadcast(dim), "p")
+    assert(filesScanned(q) == 1)
+    assert(q.count() == 100)
+  }
+
+  test("parquet-level pushdown still active below the index (PushedFilters)") {
+    val dir = newDir()
+    mkDateBanded(dir)
+    val df = ManifestScan.scan(spark, dir).filter($"k" === 17)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(k,17"),
+      s"no parquet pushdown in:\n$plan")
+  }
+
+  test("cluster makes per-file ranges disjoint: ranged read goes from all files to one") {
+    val dir = newDir()
+    // 3 batches, each INTERLEAVING all three years: every file spans the
+    // full date range, so a year predicate can prune nothing
+    def interleaved(seed: Int): DataFrame =
+      spark.range(1, 301).select(
+        $"id".as("k"),
+        when($"id" % 3 === 0, Date.valueOf("1994-06-15"))
+          .when($"id" % 3 === 1, Date.valueOf("1995-06-15"))
+          .otherwise(Date.valueOf("1996-06-15")).as("d"),
+        lit(seed.toLong).as("p"),
+        ($"id" * 1.0).as("v"))
+    Manifest.create(spark, dir, interleaved(0), "p", statsCols = Seq("d"))
+    Manifest.append(spark, dir, interleaved(1), "p")
+    Manifest.append(spark, dir, interleaved(2), "p")
+
+    def year95(v: Option[Long] = None) = ManifestScan.scan(spark, dir, version = v)
+      .filter($"d" >= "1995-01-01" && $"d" <= "1995-12-31")
+    val before = filesScanned(year95())
+    assert(before == 3, s"interleaved files must all match, got $before")
+
+    val total = Manifest.loadSnapshot(spark, dir).entries.map(_.bytes).sum
+    Manifest.cluster(spark, dir, "p", "d", targetBytes = total / 3 + 1)
+    val after = filesScanned(year95())
+    assert(after == 1, s"clustered ranged read opened $after files")
+    // same relation before and after
+    assert(year95().select("k", "d", "p", "v").collect().toSet ==
+      year95(Some(3L)).select("k", "d", "p", "v").collect().toSet)
+    // clustering a non-stats column is rejected
+    intercept[IllegalArgumentException] {
+      Manifest.cluster(spark, dir, "p", "v")
+    }
+  }
+
+  test("version pin: scan of an old version ignores later commits") {
+    val dir = newDir()
+    mkDateBanded(dir)
+    Manifest.delete(spark, dir,
+      spark.range(1, 301).select($"id".as("k"), ($"id" % 4).as("p")),
+      Seq("k"), "p")
+    assert(ManifestScan.scan(spark, dir).count() == 0)
+    assert(ManifestScan.scan(spark, dir, version = Some(3L)).count() == 900)
+  }
+}
