@@ -77,11 +77,35 @@ object Incremental {
           .agg(sum(money(col(valueCol))).cast(SumType).as("sum_value"),
             count(lit(1)).as("n_rows"))
           .select(outCols :+ bucketOf(keyCols): _*)
-        Manifest.create(spark, viewDir, full, "bucket",
-          txn = Some(viewAppId -> baseV))
+        if (Manifest.latestVersion(spark, viewDir).isEmpty)
+          Manifest.create(spark, viewDir, full, "bucket",
+            txn = Some(viewAppId -> baseV))
+        else
+          // the view EXISTS but its watermark marker was vacuumed off
+          // its version pointers: rebuild in place rather than failing
+          // create's already-exists check
+          Manifest.overwrite(spark, viewDir, full, "bucket",
+            txn = Some(viewAppId -> baseV))
         baseV
 
       case Some(viewV) if viewV >= baseV => viewV // already current
+
+      case Some(viewV)
+        if !Manifest.versions(spark, baseDir).contains(viewV) =>
+        // the watermark version was VACUUMED out of the base (a stalled
+        // view outlived the base's retention): the change feed can no
+        // longer be read, so fall back to one full rebuild — an atomic
+        // overwrite carrying the new watermark — instead of failing
+        // permanently. The vacuum-retention ↔ refresh-cadence coupling
+        // is the same one Delta documents for CDF consumers.
+        val full = Manifest.readVersion(spark, baseDir, baseV)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(money(col(valueCol))).cast(SumType).as("sum_value"),
+            count(lit(1)).as("n_rows"))
+          .select(outCols :+ bucketOf(keyCols): _*)
+        Manifest.overwrite(spark, viewDir, full, "bucket",
+          txn = Some(viewAppId -> baseV))
+        baseV
 
       case Some(viewV) =>
         // signed delta aggregate per key over the changed files only.

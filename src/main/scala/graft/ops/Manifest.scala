@@ -763,7 +763,8 @@ object Manifest {
     * vacuumed; a crash at any point leaves the previous snapshot
     * intact. */
   def overwrite(spark: SparkSession, dir: String, df: DataFrame,
-                partitionCol: String): Unit = {
+                partitionCol: String,
+                txn: Option[(String, Long)] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
@@ -775,7 +776,7 @@ object Manifest {
     // the whole snapshot is replaced, so every previous DV retires too
     commit(fs, root, v + 1,
       writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil))
+        snap.bloomCols, dvDirs = Nil), txn)
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): commit a new

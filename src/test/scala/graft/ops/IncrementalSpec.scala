@@ -129,4 +129,52 @@ class IncrementalSpec extends SparkSpec {
     assert(viewState(viewDir) == once)
     assert(once(1L) == (BigDecimal("17.00"), 3L))
   }
+
+  test("base vacuumed past the watermark: refresh falls back to a full rebuild") {
+    val root = newDir("vac")
+    val baseDir = s"$root/base"; val viewDir = s"$root/view"
+    Manifest.create(spark, baseDir, rows, "p")
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+
+    // advance the base twice, then vacuum away everything older than
+    // the newest snapshot — the view's watermark (v1) is now unreadable
+    Manifest.append(spark, baseDir,
+      Seq((200L, 42L, 7.5, 1L)).toDF("k", "g", "v", "p"), "p")
+    Manifest.delete(spark, baseDir,
+      Seq((5L, 2L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.vacuumOrphans(spark, baseDir, keepVersions = 1)
+    intercept[Exception] { Manifest.changes(spark, baseDir, 1L, 3L) }
+
+    val v = Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    assert(v == 3L && Incremental.refreshedAt(spark, viewDir) == Some(3L))
+    assert(viewState(viewDir) == fullRecompute(Manifest.read(spark, baseDir)))
+
+    // and incremental refresh resumes from the rebuilt watermark
+    Manifest.append(spark, baseDir,
+      Seq((201L, 42L, 2.5, 1L)).toDF("k", "g", "v", "p"), "p")
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    assert(viewState(viewDir) == fullRecompute(Manifest.read(spark, baseDir)))
+  }
+
+  test("view's own watermark marker vacuumed: refresh rebuilds in place instead of failing create") {
+    val root = newDir("vacview")
+    val baseDir = s"$root/base"; val viewDir = s"$root/view"
+    Manifest.create(spark, baseDir, rows, "p")
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    // two un-marked commits push the marker off, then vacuum drops it
+    Manifest.append(spark, viewDir,
+      Seq((999L, BigDecimal("0.00"), 0L, 0L)).toDF("g", "sum_value", "n_rows", "bucket")
+        .select($"g", $"sum_value".cast("decimal(38,2)"), $"n_rows", $"bucket"),
+      "bucket")
+    Manifest.delete(spark, viewDir,
+      Seq((999L, 0L)).toDF("g", "bucket"), Seq("g"), "bucket")
+    Manifest.vacuumOrphans(spark, viewDir, keepVersions = 1)
+    assert(Incremental.refreshedAt(spark, viewDir).isEmpty)
+
+    Manifest.append(spark, baseDir,
+      Seq((200L, 42L, 7.5, 1L)).toDF("k", "g", "v", "p"), "p")
+    Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
+    assert(Incremental.refreshedAt(spark, viewDir) == Some(2L))
+    assert(viewState(viewDir) == fullRecompute(Manifest.read(spark, baseDir)))
+  }
 }
