@@ -625,6 +625,54 @@ object Manifest {
     rangeCands.filter(e => verdicts.getOrElse(e.path, true))
   }
 
+  /** Probe-side cap for [[bloomBatchCandidates]]: above this many
+    * distinct keys the probe set is no longer "small broadcast" and the
+    * batch is churning enough that the candidate scan is inevitable. */
+  private val BloomProbeCap = 10000L
+
+  /** Shrink `cands` to the files whose bloom filter for `keyCol` can
+    * contain ANY of `batch`'s keys — the BATCH form of
+    * [[pointCandidates]]'s single-value probe, used by keyed
+    * deletes/upserts so a small batch against a wide partition touches
+    * only the files that can hold its keys. Files with no bloom row for
+    * the column (pre-[[evolve]] writes) always stay candidates; no
+    * false negatives, so dropping a file is always sound. The test is a
+    * broadcast-nested-loop of (files × keys) bit probes — cheap scalar
+    * work bounded by `|cands| × BloomProbeCap`, no data movement. */
+  private def bloomBatchCandidates(spark: SparkSession, root: Path,
+                                   snap: Snapshot, cands: Seq[Entry],
+                                   batch: DataFrame,
+                                   keyCol: String): Seq[Entry] = {
+    if (!snap.bloomCols.contains(keyCol) || cands.isEmpty) return cands
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bloomPaths = cands.map(_.path.split('/')(1)).distinct
+      .map(b => new Path(root, s"$DataDir/$b/$BloomDir"))
+      .filter(fs.exists).map(_.toString)
+    if (bloomPaths.isEmpty) return cands
+    val distinctKeys = batch.select(col(keyCol)).distinct()
+    if (distinctKeys.limit((BloomProbeCap + 1).toInt).count() > BloomProbeCap)
+      return cands
+    val probes = distinctKeys.filter(col(keyCol).isNotNull).select(
+      (0 until BloomHashes).map(i =>
+        bloomPosition(col(keyCol), i).cast("int").as(s"p$i")): _*)
+    val bloom = spark.read.parquet(bloomPaths: _*)
+      .where(col("column") === keyCol)
+    val covered = bloom.select("path").distinct()
+      .collect().map(_.getString(0)).toSet
+    val pass = (0 until BloomHashes).map(i =>
+      expr(s"(shiftright(element_at(bits, cast(p$i div 64 as int) + 1), " +
+        s"p$i % 64) % 2) != 0")).reduce(_ && _)
+    val hit = bloom.join(broadcast(probes), pass, "inner")
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    // null keys never bloom-probe but `<=>` can match them: a file with
+    // a null key row records has_null at partition level only, so keep
+    // any file when the batch carries a null key
+    val batchHasNullKey =
+      batch.filter(col(keyCol).isNull).limit(1).count() > 0
+    if (batchHasNullKey) cands
+    else cands.filter(e => hit.contains(e.path) || !covered.contains(e.path))
+  }
+
   /** Which files a `column = value` read would open — exposed for spec
     * assertions that bloom pruning actually skips files. */
   private[ops] def pointCandidatePaths(spark: SparkSession, dir: String,
@@ -927,7 +975,7 @@ object Manifest {
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              keys: Seq[String], partitionCol: String): Unit = {
     rewrite(spark, dir, updates, partitionCol,
-      requireFullSchema = true) { (target, batch) =>
+      requireFullSchema = true, keys = keys) { (target, batch) =>
       val dataCols = batch.columns
       target.alias("t")
         .join(batch.alias("u"),
@@ -952,7 +1000,7 @@ object Manifest {
       s"delete batch columns ${deletes.columns.mkString(",")} must be " +
         s"exactly ${expect.mkString(",")}")
     rewrite(spark, dir, deletes, partitionCol,
-      requireFullSchema = false) { (target, batch) =>
+      requireFullSchema = false, keys = keys) { (target, batch) =>
       target.join(batch.select(keys.map(col): _*).distinct(),
         keys.toSeq, "left_anti")
     }
@@ -965,6 +1013,17 @@ object Manifest {
     * [[upsertMor]]. Masking by the EXISTING DVs first keeps the new
     * vector disjoint from them (re-deleting a dead row must not
     * double-count in the change feed). */
+  /** [[bloomBatchCandidates]] when the batch keys on ONE bloom-able
+    * column, identity otherwise — the shared prune of every keyed
+    * write path. */
+  private def keyedCandidates(spark: SparkSession, root: Path,
+                              snap: Snapshot, cands: Seq[Entry],
+                              batch: DataFrame,
+                              keys: Seq[String]): Seq[Entry] =
+    if (keys.size == 1)
+      bloomBatchCandidates(spark, root, snap, cands, batch, keys.head)
+    else cands
+
   private def dvHits(spark: SparkSession, root: Path, snap: Snapshot,
                      cands: Seq[Entry], batch: DataFrame,
                      keys: Seq[String]): DataFrame = {
@@ -1016,8 +1075,9 @@ object Manifest {
     val snap = readSnapshot(spark, root, v)
     val touched = deletes.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
-    val cands = candidates(snap.entries, touched.flatten.toSet,
-      touched.contains(None))
+    val cands = keyedCandidates(spark, root, snap,
+      candidates(snap.entries, touched.flatten.toSet, touched.contains(None)),
+      deletes, keys)
     if (cands.isEmpty) return
     writeDv(spark, root,
       dvHits(spark, root, snap, cands, deletes, keys)).foreach { name =>
@@ -1045,8 +1105,9 @@ object Manifest {
       s"batch schema ${nullableDdl(updates.schema)} != table schema ${snap.ddl}")
     val touched = updates.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
-    val cands = candidates(snap.entries, touched.flatten.toSet,
-      touched.contains(None))
+    val cands = keyedCandidates(spark, root, snap,
+      candidates(snap.entries, touched.flatten.toSet, touched.contains(None)),
+      updates, keys)
     val dataCols = updates.columns
     val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
       dvRelation(spark, root, snap.dvDirs))
@@ -1106,7 +1167,8 @@ object Manifest {
     * a new batch, commit old−candidates+new. */
   private[ops] def rewrite(spark: SparkSession, dir: String, batch: DataFrame,
                            partitionCol: String, requireFullSchema: Boolean,
-                           txn: Option[(String, Long)] = None)
+                           txn: Option[(String, Long)] = None,
+                           keys: Seq[String] = Nil)
                           (merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
@@ -1120,7 +1182,12 @@ object Manifest {
       .collect().map(r => Option(r.getString(0)))
     val wanted = touched.flatten.toSet
     val wantNull = touched.contains(None)
-    val cands = candidates(snap.entries, wanted, wantNull)
+    // bloom-prune on the merge key where available: a candidate file
+    // holding NONE of the batch's keys would be rewritten bit-identical,
+    // so skipping it (it stays carried by reference) changes nothing
+    // but the rewrite volume
+    val cands = keyedCandidates(spark, root, snap,
+      candidates(snap.entries, wanted, wantNull), batch, keys)
     // MASKED read: a candidate file's DV'd rows are logically gone and
     // must not resurrect through the rewrite
     val target = readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)

@@ -234,4 +234,15 @@ object ManifestScan {
     if (index.snap.dvDirs.isEmpty) df
     else Manifest.maskedByDv(spark, dir, df, index.snap.dvDirs)
   }
+
+  /** Register the manifest table as a SQL temp view named `name`, so
+    * `spark.sql("... FROM name WHERE ...")` plans through the pruning
+    * FileIndex like any [[scan]] DataFrame (SQL WHERE clauses become the
+    * same pushed dataFilters). Re-registering refreshes to the then-
+    * latest snapshot — a view is FROZEN at its registration version,
+    * which is snapshot isolation, not staleness. */
+  def register(spark: SparkSession, name: String, dir: String,
+               partitionCol: Option[String] = None,
+               version: Option[Long] = None): Unit =
+    scan(spark, dir, partitionCol, version).createOrReplaceTempView(name)
 }

@@ -36,15 +36,25 @@ object MorBench {
     }
 
     var cowDelMin, morDelMin, cowReadMin, morReadMin, matMin = Double.MaxValue
-    var baseRows = 0L; var delRows = 0L
+    var cowScatMin, morScatMin = Double.MaxValue
+    var baseRows = 0L; var delRows = 0L; var scatRows = 0L
     (1 to passes).foreach { pass =>
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-morbench-$pass").toString
       val orders = graft.io.Sources.table(spark, sfDir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      // month-LOCALIZED churn: candidate pruning caps the CoW rewrite
+      // at one month's files, the favourable case for copy-on-write
       val deletes = orders
         .filter(col("o_month") === "1995-03" && col("o_orderkey") % 347 === 0)
+        .select(col("o_orderkey"), col("o_month"))
+      // SCATTERED churn (the GDPR / right-to-be-forgotten shape): a few
+      // hundred keys spread over every month — every file is a
+      // candidate, so CoW rewrites the whole table while MoR still
+      // writes kilobytes
+      val scattered = orders
+        .filter(col("o_orderkey") % 2347 === 0)
         .select(col("o_orderkey"), col("o_month"))
 
       def agg(dir: String): Unit =
@@ -61,6 +71,10 @@ object MorBench {
         Seq("o_orderkey"), "o_month") }
       val md = time { Manifest.deleteMor(spark, morDir, deletes,
         Seq("o_orderkey"), "o_month") }
+      val cs = time { Manifest.delete(spark, cowDir, scattered,
+        Seq("o_orderkey"), "o_month") }
+      val ms = time { Manifest.deleteMor(spark, morDir, scattered,
+        Seq("o_orderkey"), "o_month") }
       val cr = time { agg(cowDir) }
       val mr = time { agg(morDir) }
       val mm = time { Manifest.materialize(spark, morDir, "o_month") }
@@ -72,12 +86,14 @@ object MorBench {
         "MoR path diverged from CoW")
 
       cowDelMin = math.min(cowDelMin, cd); morDelMin = math.min(morDelMin, md)
+      cowScatMin = math.min(cowScatMin, cs); morScatMin = math.min(morScatMin, ms)
       cowReadMin = math.min(cowReadMin, cr); morReadMin = math.min(morReadMin, mr)
       matMin = math.min(matMin, mm)
       baseRows = orders.count(); delRows = deletes.count()
-      System.err.println(f"[mor-bench] pass $pass cowDel=$cd%.2fs morDel=$md%.2fs cowRead=$cr%.2fs morRead=$mr%.2fs mat=$mm%.2fs")
+      scatRows = scattered.count()
+      System.err.println(f"[mor-bench] pass $pass cowDel=$cd%.2fs morDel=$md%.2fs cowScat=$cs%.2fs morScat=$ms%.2fs cowRead=$cr%.2fs morRead=$mr%.2fs mat=$mm%.2fs")
     }
-    println(f"""{"metric":"mor_vs_cow","cow_delete_s":$cowDelMin%.3f,"mor_delete_s":$morDelMin%.3f,"cow_read_s":$cowReadMin%.3f,"mor_read_s":$morReadMin%.3f,"materialize_s":$matMin%.3f,"base_rows":$baseRows,"deleted_rows":$delRows,"passes":$passes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"mor_vs_cow","cow_delete_s":$cowDelMin%.3f,"mor_delete_s":$morDelMin%.3f,"cow_scattered_s":$cowScatMin%.3f,"mor_scattered_s":$morScatMin%.3f,"cow_read_s":$cowReadMin%.3f,"mor_read_s":$morReadMin%.3f,"materialize_s":$matMin%.3f,"base_rows":$baseRows,"deleted_rows":$delRows,"scattered_rows":$scatRows,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,6 +180,34 @@ class ManifestDvSpec extends SparkSpec {
     assert(state(dir) == baseState - 7L - 8L)
   }
 
+  test("keyed writes bloom-prune their candidate files inside one partition") {
+    val dir = newDir()
+    // 4 files with disjoint key ranges, ONE partition value: partition
+    // pruning is useless here, only the per-file key blooms can narrow
+    def slab(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 100)
+        .select($"id".as("k"), ($"id" * 1.0).as("v"), lit(0L).as("p"))
+    Manifest.create(spark, dir, slab(0), "p", bloomCols = Seq("k"))
+    Seq(100L, 200L, 300L).foreach(lo => Manifest.append(spark, dir, slab(lo), "p"))
+    val before = Manifest.loadSnapshot(spark, dir).entries.map(_.path).toSet
+    assert(before.size == 4)
+
+    // CoW delete of one key: only the file that can hold it is rewritten
+    Manifest.delete(spark, dir, Seq((150L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    val after = Manifest.loadSnapshot(spark, dir).entries.map(_.path).toSet
+    val carried = before.intersect(after)
+    assert(carried.size >= 2,
+      s"bloom prune kept only ${carried.size} of 4 files untouched")
+    assert(Manifest.read(spark, dir).count() == 399)
+
+    // and a MoR upsert through the same prune stays correct
+    Manifest.upsertMor(spark, dir,
+      Seq((250L, 999.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p")
+    assert(Manifest.read(spark, dir).filter($"k" === 250L)
+      .select("v").collect().map(_.getDouble(0)).toSeq == Seq(999.0))
+    assert(Manifest.read(spark, dir).count() == 399)
+  }
+
   test("planner scan masks DV'd rows and still prunes by stats") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))

@@ -174,6 +174,19 @@ class ManifestScanSpec extends SparkSpec {
     }
   }
 
+  test("SQL over a registered view prunes through the same FileIndex") {
+    val dir = newDir()
+    mkDateBanded(dir)
+    ManifestScan.register(spark, "orders_sql_view", dir)
+    val q = spark.sql(
+      """SELECT p, count(*) AS n FROM orders_sql_view
+        |WHERE d BETWEEN '1995-01-01' AND '1995-12-31'
+        |GROUP BY p""".stripMargin)
+    assert(filesScanned(q) == 1, "SQL WHERE must reach the FileIndex")
+    assert(q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 75L, 1L -> 75L, 2L -> 75L, 3L -> 75L))
+  }
+
   test("version pin: scan of an old version ignores later commits") {
     val dir = newDir()
     mkDateBanded(dir)
