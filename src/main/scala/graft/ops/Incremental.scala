@@ -63,49 +63,52 @@ object Incremental {
     * view now reflects. Idempotent: re-running after any crash
     * converges (the watermark commits atomically with the fold), and
     * an already-current view no-ops. `valueCol` must be numeric;
-    * key columns must not be null-valued in the base (group keys). */
+    * key columns must not be null-valued in the base (group keys).
+    *
+    * UNREADABLE-WATERMARK fallback: when the watermark can no longer
+    * anchor a change feed — the base's snapshot at that version was
+    * vacuumed, or the view's own marker was vacuumed off its pointers —
+    * refresh degrades to ONE full rebuild (atomic overwrite carrying a
+    * fresh watermark) instead of wedging; incremental refresh resumes
+    * from there. Retention below refresh cadence therefore costs
+    * rebuild economics, never availability. OWNERSHIP contract:
+    * `viewDir` belongs to exactly one (baseDir, keyCols, valueCol)
+    * definition — the rebuild distinguishes a foreign table at that
+    * path only by schema (overwrite fails loudly on mismatch), so two
+    * same-schema views sharing a dir would silently trade contents. */
   def refresh(spark: SparkSession, baseDir: String, viewDir: String,
               keyCols: Seq[String], valueCol: String): Long = {
     val baseV = Manifest.latestVersion(spark, baseDir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $baseDir"))
     val outCols = keyCols.map(col) ++ Seq(col("sum_value"), col("n_rows"))
 
+    /** The from-scratch view of the base at `baseV` — used by first
+      * build and by every unreadable-watermark rebuild, so the two can
+      * never diverge in shape. */
+    def fullBuild: DataFrame = Manifest.readVersion(spark, baseDir, baseV)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(money(col(valueCol))).cast(SumType).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .select(outCols :+ bucketOf(keyCols): _*)
+
+    def rebuild(): Long = {
+      if (Manifest.latestVersion(spark, viewDir).isEmpty)
+        Manifest.create(spark, viewDir, fullBuild, "bucket",
+          txn = Some(viewAppId -> baseV))
+      else
+        Manifest.overwrite(spark, viewDir, fullBuild, "bucket",
+          txn = Some(viewAppId -> baseV))
+      baseV
+    }
+
     Manifest.lastTxn(spark, viewDir, viewAppId) match {
-      case None =>
-        val full = Manifest.readVersion(spark, baseDir, baseV)
-          .groupBy(keyCols.map(col): _*)
-          .agg(sum(money(col(valueCol))).cast(SumType).as("sum_value"),
-            count(lit(1)).as("n_rows"))
-          .select(outCols :+ bucketOf(keyCols): _*)
-        if (Manifest.latestVersion(spark, viewDir).isEmpty)
-          Manifest.create(spark, viewDir, full, "bucket",
-            txn = Some(viewAppId -> baseV))
-        else
-          // the view EXISTS but its watermark marker was vacuumed off
-          // its version pointers: rebuild in place rather than failing
-          // create's already-exists check
-          Manifest.overwrite(spark, viewDir, full, "bucket",
-            txn = Some(viewAppId -> baseV))
-        baseV
+      case None => rebuild() // first build, or marker vacuumed away
 
       case Some(viewV) if viewV >= baseV => viewV // already current
 
       case Some(viewV)
         if !Manifest.versions(spark, baseDir).contains(viewV) =>
-        // the watermark version was VACUUMED out of the base (a stalled
-        // view outlived the base's retention): the change feed can no
-        // longer be read, so fall back to one full rebuild — an atomic
-        // overwrite carrying the new watermark — instead of failing
-        // permanently. The vacuum-retention ↔ refresh-cadence coupling
-        // is the same one Delta documents for CDF consumers.
-        val full = Manifest.readVersion(spark, baseDir, baseV)
-          .groupBy(keyCols.map(col): _*)
-          .agg(sum(money(col(valueCol))).cast(SumType).as("sum_value"),
-            count(lit(1)).as("n_rows"))
-          .select(outCols :+ bucketOf(keyCols): _*)
-        Manifest.overwrite(spark, viewDir, full, "bucket",
-          txn = Some(viewAppId -> baseV))
-        baseV
+        rebuild() // base vacuumed past the watermark
 
       case Some(viewV) =>
         // signed delta aggregate per key over the changed files only.

@@ -128,6 +128,18 @@ object Manifest {
   private def bloomPosition(c: org.apache.spark.sql.Column, i: Int) =
     pmod(xxhash64(lit(i), c), lit(BloomBits.toLong))
 
+  /** Is bit `pos` set in the packed-long `bits` array? `pos` may be a
+    * literal (single-value probes) or a column (batch probes) — the ONE
+    * encoding of the bloom membership test, shared by every prober so a
+    * layout change cannot desynchronize them. */
+  private def bloomBitTest(bits: org.apache.spark.sql.Column,
+                           pos: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val p = pos.cast("int")
+    val word = element_at(bits, floor(p / 64).cast("int") + lit(1))
+    call_function("shiftright", word, p % 64) % 2 =!= 0
+  }
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val root = new Path(dir)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
@@ -617,10 +629,8 @@ object Manifest {
     val verdicts = spark.read.parquet(bloomPaths: _*)
       .where(col("column") === column)
       .select(col("path"),
-        positions.map { p =>
-          (shiftright(element_at(col("bits"), lit(p.toInt / 64 + 1)),
-            p.toInt % 64) % 2 =!= 0).as(s"b$p")
-        }.reduce(_ && _).as("pass"))
+        positions.map(p => bloomBitTest(col("bits"), lit(p)))
+          .reduce(_ && _).as("pass"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     rangeCands.filter(e => verdicts.getOrElse(e.path, true))
   }
@@ -649,28 +659,34 @@ object Manifest {
       .map(b => new Path(root, s"$DataDir/$b/$BloomDir"))
       .filter(fs.exists).map(_.toString)
     if (bloomPaths.isEmpty) return cands
-    val distinctKeys = batch.select(col(keyCol)).distinct()
-    if (distinctKeys.limit((BloomProbeCap + 1).toInt).count() > BloomProbeCap)
+    // ONE pass over the batch: the capped distinct key set comes to the
+    // driver (≤ cap+1 rows), and both gate checks read it locally —
+    // over-cap batches and null-carrying batches (a null key never
+    // bloom-probes but `<=>` can match it) fail open to `cands`
+    val keyRows = batch.select(col(keyCol)).distinct()
+      .limit((BloomProbeCap + 1).toInt).collect()
+    if (keyRows.length > BloomProbeCap || keyRows.exists(_.isNullAt(0)))
       return cands
-    val probes = distinctKeys.filter(col(keyCol).isNotNull).select(
-      (0 until BloomHashes).map(i =>
-        bloomPosition(col(keyCol), i).cast("int").as(s"p$i")): _*)
+    // probe with the TABLE's column type: the writer hashed the stored
+    // column, so a differently-typed batch key (Int vs the table's
+    // Long) must be cast before hashing or every probe misses — a
+    // bloom false NEGATIVE, i.e. silently skipped deletes
+    val dt = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+      .apply(keyCol).dataType
+    val probes = spark.createDataFrame(
+        spark.sparkContext.parallelize(keyRows.toIndexedSeq, 1),
+        StructType(Seq(batch.schema(keyCol).copy(name = keyCol))))
+      .select((0 until BloomHashes).map(i =>
+        bloomPosition(col(keyCol).cast(dt), i).cast("int").as(s"p$i")): _*)
     val bloom = spark.read.parquet(bloomPaths: _*)
       .where(col("column") === keyCol)
     val covered = bloom.select("path").distinct()
       .collect().map(_.getString(0)).toSet
     val pass = (0 until BloomHashes).map(i =>
-      expr(s"(shiftright(element_at(bits, cast(p$i div 64 as int) + 1), " +
-        s"p$i % 64) % 2) != 0")).reduce(_ && _)
+      bloomBitTest(col("bits"), col(s"p$i"))).reduce(_ && _)
     val hit = bloom.join(broadcast(probes), pass, "inner")
       .select("path").distinct().collect().map(_.getString(0)).toSet
-    // null keys never bloom-probe but `<=>` can match them: a file with
-    // a null key row records has_null at partition level only, so keep
-    // any file when the batch carries a null key
-    val batchHasNullKey =
-      batch.filter(col(keyCol).isNull).limit(1).count() > 0
-    if (batchHasNullKey) cands
-    else cands.filter(e => hit.contains(e.path) || !covered.contains(e.path))
+    cands.filter(e => hit.contains(e.path) || !covered.contains(e.path))
   }
 
   /** Which files a `column = value` read would open — exposed for spec

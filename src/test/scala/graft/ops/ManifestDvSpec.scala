@@ -206,6 +206,18 @@ class ManifestDvSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).filter($"k" === 250L)
       .select("v").collect().map(_.getDouble(0)).toSeq == Seq(999.0))
     assert(Manifest.read(spark, dir).count() == 399)
+
+    // a batch whose key TYPE differs from the table's (Int vs Long)
+    // must still delete: the probe hashes in the TABLE's type — an
+    // untyped probe would bloom-miss every file and silently skip rows
+    Manifest.deleteMor(spark, dir,
+      Seq((351, 0)).toDF("k", "p"), Seq("k"), "p")
+    assert(Manifest.read(spark, dir).filter($"k" === 351L).count() == 0)
+
+    // a null key in the batch fails open (no pruning), matches nothing
+    Manifest.delete(spark, dir,
+      Seq((Option.empty[Long], Some(0L))).toDF("k", "p"), Seq("k"), "p")
+    assert(Manifest.read(spark, dir).count() == 398)
   }
 
   test("planner scan masks DV'd rows and still prunes by stats") {
