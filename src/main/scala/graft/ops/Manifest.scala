@@ -89,7 +89,8 @@ case class ManifestEntry(path: String, values: Seq[String],
                          stat_cols: Seq[String],
                          stat_mins: Seq[String], stat_maxs: Seq[String],
                          bloom_cols: Seq[String],
-                         dv_dirs: Seq[String] = Nil)
+                         dv_dirs: Seq[String] = Nil,
+                         constraints: Seq[String] = Nil)
 
 /** One deleted row position of a `_dv/` deletion-vector relation:
   * `path` is the data file (manifest-relative), `pos` its parquet row
@@ -262,7 +263,8 @@ object Manifest {
   private[graft] case class Snapshot(entries: Seq[Entry], ddl: String,
                                      statsCols: Seq[String],
                                      bloomCols: Seq[String],
-                                     dvDirs: Seq[String])
+                                     dvDirs: Seq[String],
+                                     constraints: Seq[String])
 
   /** The committed snapshot of `dir` at version `v` (or latest) — the
     * planner-integration entry point ([[graft.plans.ManifestFileIndex]]
@@ -283,19 +285,20 @@ object Manifest {
                             entries: Seq[Entry], ddl: String,
                             statsCols: Seq[String],
                             bloomCols: Seq[String],
-                            dvDirs: Seq[String]): String = {
+                            dvDirs: Seq[String],
+                            constraints: Seq[String]): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
     val sentinel = ManifestEntry("", Seq.empty, has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
       stat_cols = statsCols, stat_mins = Seq.empty, stat_maxs = Seq.empty,
-      bloom_cols = bloomCols, dv_dirs = dvDirs)
+      bloom_cols = bloomCols, dv_dirs = dvDirs, constraints = constraints)
     val slim = entries.map(e =>
       if (e.schema_ddl.isEmpty && e.stat_cols.isEmpty &&
-        e.bloom_cols.isEmpty && e.dv_dirs.isEmpty) e
+        e.bloom_cols.isEmpty && e.dv_dirs.isEmpty && e.constraints.isEmpty) e
       else e.copy(schema_ddl = "", stat_cols = Seq.empty,
-        bloom_cols = Seq.empty, dv_dirs = Seq.empty))
+        bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
     (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
     name
   }
@@ -312,7 +315,8 @@ object Manifest {
       .getOrElse(throw new IllegalStateException(
         s"manifest $name has no schema sentinel"))
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
-      sentinel.stat_cols, sentinel.bloom_cols, sentinel.dv_dirs)
+      sentinel.stat_cols, sentinel.bloom_cols, sentinel.dv_dirs,
+      sentinel.constraints)
   }
 
   // -------- batch write + stats --------
@@ -331,8 +335,23 @@ object Manifest {
     * task), which is exactly the case compaction sizes for. The salt is
     * derived from row content (`xxhash64`), not `rand()` or partition
     * ids, so a retried write task reproduces its exact file content. */
+  /** `name: <boolean sql>` → (name, sql). */
+  private def parseConstraint(c: String): (String, String) = {
+    val i = c.indexOf(": ")
+    require(i > 0, s"malformed constraint '$c' (want 'name: <boolean sql>')")
+    (c.take(i), c.drop(i + 2))
+  }
+
+  final case class ConstraintViolationException(name: String, sql: String,
+                                                rows: Long)
+    extends RuntimeException(
+      s"CHECK constraint '$name' ($sql) violated by $rows staged row(s); " +
+        "nothing was committed (staged files are orphans — vacuumOrphans " +
+        "reclaims them)")
+
   private def writeBatch(spark: SparkSession, root: Path, df: DataFrame,
                          partitionCol: String, statsCols: Seq[String],
+                         constraints: Seq[String],
                          numFiles: Option[Int] = None,
                          bloomCols: Seq[String] = Nil,
                          clusterCol: Option[String] = None): Seq[Entry] = {
@@ -367,15 +386,29 @@ object Manifest {
     val bloomAggs = bloomCols.flatMap(c => (0 until BloomHashes).map(i =>
       collect_set(when(col(c).isNotNull, bloomPosition(col(c), i)))
         .as(s"bloom_${c}_$i")))
+    // CHECK constraints ride the SAME read-back pass (zero extra
+    // scans): SQL-standard semantics — a row violates when the
+    // expression is FALSE, null/UNKNOWN passes
+    val parsed = constraints.map(parseConstraint)
+    val violAggs = parsed.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L))
+        .as(s"viol_$i")
+    }
     val aggList = Seq(
       slice(sort_array(collect_set(col(partitionCol).cast("string"))),
         1, ValuesCap + 1).as("values"),
       max(col(partitionCol).isNull.cast("int")).as("has_null"),
-      count(lit(1)).as("rows")) ++ statAggs ++ bloomAggs
+      count(lit(1)).as("rows")) ++ statAggs ++ bloomAggs ++ violAggs
     val stats = spark.read.parquet(batchDir.toString)
       .groupBy(input_file_name().as("file"))
       .agg(aggList.head, aggList.tail: _*)
       .collect()
+    parsed.zipWithIndex.foreach { case ((name, sql), i) =>
+      val viol = stats.map(_.getAs[Long](s"viol_$i")).sum
+      // throwing here aborts BEFORE any manifest/pointer exists: the
+      // staged batch is orphan garbage, the table is untouched
+      if (viol > 0) throw ConstraintViolationException(name, sql, viol)
+    }
     def relOf(r: org.apache.spark.sql.Row): String = {
       val fileUri = new Path(r.getString(0)).toUri.getPath
       require(fileUri.startsWith(rootUri), s"unexpected file path $fileUri")
@@ -739,10 +772,10 @@ object Manifest {
     (statsCols ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"stats column $c not in ${df.columns.mkString(",")}"))
     val entries = writeBatch(spark, root, df, partitionCol, statsCols,
-      bloomCols = bloomCols)
+      constraints = Nil, bloomCols = bloomCols)
     commit(fs, root, 1L,
       writeManifest(spark, root, entries, nullableDdl(df.schema), statsCols,
-        bloomCols, dvDirs = Nil),
+        bloomCols, dvDirs = Nil, constraints = Nil),
       txn)
   }
 
@@ -771,10 +804,10 @@ object Manifest {
     require(nullableDdl(df.schema) == snap.ddl,
       s"append schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
     val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
-      bloomCols = snap.bloomCols)
+      snap.constraints, bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries ++ entries, snap.ddl,
-        snap.statsCols, snap.bloomCols, snap.dvDirs), txn)
+        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
   }
 
   /** Exactly-once append: apply `(appId, batchId)` AT MOST ONCE, in
@@ -836,11 +869,11 @@ object Manifest {
     require(nullableDdl(df.schema) == snap.ddl,
       s"overwrite schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
     val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
-      bloomCols = snap.bloomCols)
+      snap.constraints, bloomCols = snap.bloomCols)
     // the whole snapshot is replaced, so every previous DV retires too
     commit(fs, root, v + 1,
       writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil), txn)
+        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints), txn)
   }
 
   /** Metadata-only ADD COLUMN (schema evolution): commit a new
@@ -868,7 +901,7 @@ object Manifest {
     })
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries, nullableDdl(widened),
-        snap.statsCols, snap.bloomCols, snap.dvDirs))
+        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -1099,7 +1132,7 @@ object Manifest {
       dvHits(spark, root, snap, cands, deletes, keys)).foreach { name =>
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-          snap.bloomCols, snap.dvDirs :+ name))
+          snap.bloomCols, snap.dvDirs :+ name, snap.constraints))
     }
   }
 
@@ -1136,12 +1169,13 @@ object Manifest {
       .select(dataCols.map(c =>
         coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
     val newEntries = writeBatch(spark, root, merged, partitionCol,
-      snap.statsCols, bloomCols = snap.bloomCols)
+      snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
     val dvName = writeDv(spark, root,
       dvHits(spark, root, snap, cands, updates, keys))
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries ++ newEntries, snap.ddl,
-        snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName))
+        snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName,
+        snap.constraints))
   }
 
   /** Fold every live deletion vector into data: rewrite ONLY the files
@@ -1162,7 +1196,7 @@ object Manifest {
       // only inert vectors (their files already rewritten): drop them
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-          snap.bloomCols, dvDirs = Nil))
+          snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
       return
     }
     val dvd = snap.entries.filter(e => touched.contains(e.path))
@@ -1171,11 +1205,12 @@ object Manifest {
     val newEntries =
       if (rewritten.isEmpty) Seq.empty
       else writeBatch(spark, root, rewritten, partitionCol, snap.statsCols,
-        bloomCols = snap.bloomCols)
+        snap.constraints, bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
       writeManifest(spark, root,
         snap.entries.filterNot(e => touched.contains(e.path)) ++ newEntries,
-        snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil))
+        snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil,
+        constraints = snap.constraints))
   }
 
   /** Shared copy-on-write shape for [[upsert]]/[[delete]]: prune to
@@ -1211,7 +1246,7 @@ object Manifest {
     val newEntries =
       if (merged.isEmpty) Seq.empty
       else writeBatch(spark, root, merged, partitionCol, snap.statsCols,
-        bloomCols = snap.bloomCols)
+        snap.constraints, bloomCols = snap.bloomCols)
     val candPaths = cands.map(_.path).toSet
     val kept = snap.entries.filterNot(e => candPaths.contains(e.path))
     // DV dirs carry over: rows referencing the dropped candidate files
@@ -1219,7 +1254,7 @@ object Manifest {
     // files still mask
     commit(fs, root, v + 1,
       writeManifest(spark, root, kept ++ newEntries, snap.ddl,
-        snap.statsCols, snap.bloomCols, snap.dvDirs), txn)
+        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
   }
 
   /** OPTIMIZE: rewrite the snapshot's small files (< `smallBytes`) into
@@ -1244,14 +1279,61 @@ object Manifest {
       snap.dvDirs)
     val newEntries = if (compacted.isEmpty) Seq.empty
                      else writeBatch(spark, root, compacted, partitionCol,
-                       snap.statsCols, numFiles = Some(nOut),
-                       bloomCols = snap.bloomCols)
+                       snap.statsCols, snap.constraints,
+                       numFiles = Some(nOut), bloomCols = snap.bloomCols)
     val smallPaths = small.map(_.path).toSet
     commit(fs, root, v + 1,
       writeManifest(spark, root,
         snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
-        snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs))
+        snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
+        snap.constraints))
   }
+
+  /** ADD a CHECK constraint (`name`, a boolean SQL expression over the
+    * table's columns). EXISTING rows are validated first — one masked
+    * scan, rejected loudly on any violation (Delta's ADD CONSTRAINT
+    * contract) — then every subsequent write validates its staged rows
+    * inside the stats read-back pass it already pays (zero extra
+    * scans; see [[ConstraintViolationException]]). SQL-standard CHECK
+    * semantics: a row fails only when the expression is FALSE — null/
+    * UNKNOWN passes (use `c IS NOT NULL` for NOT NULL). */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    sql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"constraint name '$name' must " +
+      "be alphanumeric/underscore")
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    require(!snap.constraints.map(parseConstraint(_)._1).contains(name),
+      s"constraint '$name' already exists")
+    val existing = readEntriesMasked(spark, root, snap.entries, snap.ddl,
+      snap.dvDirs)
+    val viol = existing.filter(!coalesce(expr(sql), lit(true))).count()
+    if (viol > 0) throw ConstraintViolationException(name, sql, viol)
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
+        snap.bloomCols, snap.dvDirs, snap.constraints :+ s"$name: $sql"))
+  }
+
+  /** DROP a CHECK constraint by name (error if absent). */
+  def dropConstraint(spark: SparkSession, dir: String,
+                     name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    val kept = snap.constraints.filterNot(parseConstraint(_)._1 == name)
+    require(kept.size < snap.constraints.size,
+      s"no constraint named '$name'")
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
+        snap.bloomCols, snap.dvDirs, kept))
+  }
+
+  /** The table's CHECK constraints as (name, sql) pairs. */
+  def constraintsOf(spark: SparkSession, dir: String): Seq[(String, String)] =
+    loadSnapshot(spark, dir).constraints.map(parseConstraint)
 
   /** CLUSTER: rewrite the whole snapshot range-partitioned on
     * `sortCol`, so per-file min/max ranges for it become DISJOINT and a
@@ -1288,11 +1370,32 @@ object Manifest {
     val newEntries =
       if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
       else writeBatch(spark, root, rows, partitionCol,
-        snap.statsCols, numFiles = Some(nOut), bloomCols = snap.bloomCols,
-        clusterCol = Some(sortCol))
+        snap.statsCols, snap.constraints, numFiles = Some(nOut),
+        bloomCols = snap.bloomCols, clusterCol = Some(sortCol))
     commit(fs, root, v + 1,
       writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil))
+        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
+  }
+
+  /** Commit log as a relation — one row per committed version with the
+    * snapshot's shape (file/row/byte counts, DV dirs, constraint count,
+    * txn marker) — the `DESCRIBE HISTORY` surface an operator monitors
+    * and a debugger diffs. `rows` counts FILE-resident rows: rows a
+    * deletion vector masks still count until [[materialize]] folds
+    * them. Cost: one manifest read per RETAINED version (bounded by
+    * vacuum retention), nothing data-sized. */
+  def describeHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    versions(spark, dir).map { v =>
+      val snap = readSnapshot(spark, root, v)
+      val txn = readPointerLines(fs, root, v).drop(1)
+        .find(_.startsWith("txn:")).getOrElse("")
+      (v, snap.entries.size.toLong, snap.entries.map(_.rows).sum,
+        snap.entries.map(_.bytes).sum, snap.dvDirs.size.toLong,
+        snap.constraints.size.toLong, txn)
+    }.toDF("version", "files", "rows", "bytes", "dv_dirs", "constraints",
+      "txn")
   }
 
   /** Reclaim files not referenced by any of the newest `keepVersions`

@@ -220,6 +220,20 @@ class ManifestDvSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).count() == 398)
   }
 
+  test("describeHistory: one row per version with files/rows/DV/txn shape") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.appendIfAbsent(spark, dir,
+      Seq((300L, 3.0, 4L)).toDF("k", "v", "p"), "p", "feeder", 9L)
+    val h = Manifest.describeHistory(spark, dir)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h(0).getLong(2) == 100 && h(2).getLong(2) == 101) // file rows
+    assert(h(0).getLong(4) == 0 && h(1).getLong(4) == 1) // dv_dirs
+    assert(h(2).getString(6) == "txn:feeder:9")
+  }
+
   test("planner scan masks DV'd rows and still prunes by stats") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))
