@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   *    — a crash inside `f` replays the same range on the next poll, so
   *    `f` must be idempotent (keyed upserts are; append-blind sinks
   *    are not);
-  *  - the cursor is a one-line file committed by temp-write + atomic
-  *    rename, so a torn write can never produce a half-cursor;
+  *  - the cursor is a DIRECTORY of monotonically-named version files
+  *    (`c00000042`), read as the max present: advancing writes a NEW
+  *    name (temp + atomic rename to a fresh target, sound on every FS)
+  *    and only then best-effort sweeps older ones — no step ever
+  *    deletes the only copy, so a crash at ANY point leaves a readable
+  *    cursor at either the old or the new position (both are correct
+  *    under at-least-once);
   *  - the FIRST poll delivers the whole current snapshot as inserts
-  *    (the standard CDC "initial load" convention), so a consumer
-  *    bootstraps and stays current through one code path;
+  *    (the standard CDC "initial load" convention), PINNED to the
+  *    version the cursor will record — a concurrent commit cannot make
+  *    the delivered rows disagree with `toV`;
   *  - rows within a delivery are UNORDERED — a key's update arrives as
   *    its delete+insert pair in arbitrary row order, so a keyed
   *    consumer must apply the delivery's deletes before its inserts
@@ -34,67 +40,106 @@ import org.apache.spark.sql.functions._
   * operator decides; `onGap = "resync"` re-delivers the full current
   * snapshot as inserts, which is only correct for consumers whose
   * apply is a full upsert by key (deletes missed during the gap
-  * survive downstream until reconciled). */
+  * survive downstream until reconciled). A cursor AHEAD of the table's
+  * latest version (a dropped-and-recreated base) is a gap too — it is
+  * never silently "current". A vacuum racing the delivery itself is
+  * re-classified to [[FeedGapException]] as well, so gap handling has
+  * one exception type whether the gap appeared before or during the
+  * poll. */
 object ChangeFeed {
 
-  final case class FeedGapException(cursor: Long, oldest: Long)
+  final case class FeedGapException(cursor: Long, oldest: Long,
+                                    latest: Long)
     extends RuntimeException(
-      s"change-feed cursor v$cursor was vacuumed (oldest retained " +
-        s"v$oldest): replay cannot bridge the gap — resync or widen " +
-        "retention")
+      s"change-feed cursor v$cursor cannot anchor a delivery (retained " +
+        s"v$oldest..v$latest): vacuum dropped it or the base was " +
+        "recreated — resync or widen retention")
 
-  private def readCursor(spark: SparkSession, path: String): Option[Long] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def cursorFs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readCursor(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = cursorFs(spark, dir)
+    val p = new Path(dir)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.matches("c\\d{8}")).map(_.drop(1).toLong)
+      .maxOption
   }
 
-  private def writeCursor(spark: SparkSession, path: String, v: Long): Unit = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, p)) { // rename-over requires a delete on HDFS
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"cursor commit failed for $path")
+  /** Publish `v` as a NEW cursor file, then sweep older ones. Both the
+    * temp write and the rename target fresh names, and the sweep runs
+    * only after the new cursor is durably in place — there is no
+    * delete-then-rename window that could leave NO cursor behind. */
+  private def writeCursor(spark: SparkSession, dir: String, v: Long): Unit = {
+    val fs = cursorFs(spark, dir)
+    val p = new Path(dir)
+    fs.mkdirs(p)
+    val target = new Path(p, f"c$v%08d")
+    if (!fs.exists(target)) {
+      val tmp = new Path(p, s".c-$v-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        require(fs.exists(target), s"cursor commit failed for $target")
+      }
+    }
+    // sweep every OTHER cursor file — including any HIGHER one left by
+    // a dropped-and-recreated base, which max-reading would resurrect
+    fs.listStatus(p).map(_.getPath).foreach { f =>
+      val n = f.getName
+      if ((n.matches("c\\d{8}") && n.drop(1).toLong != v) ||
+        n.endsWith(".tmp")) fs.delete(f, false)
     }
   }
 
   /** Deliver pending changes to `f(changes, fromV, toV)` and advance
-    * the cursor at `cursorPath`. Returns the cursor after the call
+    * the cursor at `cursorDir`. Returns the cursor after the call
     * (unchanged when already current). `changes` carries the table
     * columns plus `change` ∈ ('insert','delete'); the first delivery
     * is the full snapshot as inserts with `fromV = 0`. */
-  def poll(spark: SparkSession, baseDir: String, cursorPath: String,
+  def poll(spark: SparkSession, baseDir: String, cursorDir: String,
            onGap: String = "fail")
           (f: (DataFrame, Long, Long) => Unit): Long = {
     require(onGap == "fail" || onGap == "resync", s"bad onGap '$onGap'")
-    val latest = Manifest.latestVersion(spark, baseDir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $baseDir"))
+    val retained = Manifest.versions(spark, baseDir)
+    require(retained.nonEmpty, s"no table at $baseDir")
+    val latest = retained.last
+    def gap(c: Long): Nothing =
+      throw FeedGapException(c, retained.head, latest)
     def initialLoad(fromV: Long): Long = {
-      f(Manifest.read(spark, baseDir).withColumn("change", lit("insert")),
+      // PINNED to `latest`: a commit racing this poll cannot leak its
+      // rows into a delivery labeled toV = latest
+      f(Manifest.readVersion(spark, baseDir, latest)
+          .withColumn("change", lit("insert")),
         fromV, latest)
-      writeCursor(spark, cursorPath, latest)
+      writeCursor(spark, cursorDir, latest)
       latest
     }
-    readCursor(spark, cursorPath) match {
+    readCursor(spark, cursorDir) match {
       case None => initialLoad(0L)
-      case Some(c) if c >= latest => c
+      case Some(c) if c == latest => c
+      case Some(c) if c > latest => // dropped-and-recreated base
+        if (onGap == "fail") gap(c) else initialLoad(c)
       case Some(c) =>
-        val retained = Manifest.versions(spark, baseDir)
         if (!retained.contains(c)) {
-          if (onGap == "fail") throw FeedGapException(c, retained.head)
+          if (onGap == "fail") gap(c)
           initialLoad(c)
         } else {
-          f(Manifest.changes(spark, baseDir, c, latest), c, latest)
-          writeCursor(spark, cursorPath, latest)
+          try f(Manifest.changes(spark, baseDir, c, latest), c, latest)
+          catch {
+            // a vacuum racing the delivery surfaces as a read error on
+            // version c's files: re-classify so gap handling stays one
+            // exception type (the caller's retry then takes the
+            // entry-time gap path)
+            case t: Throwable
+              if !Manifest.versions(spark, baseDir).contains(c) =>
+              throw new FeedGapException(c, Manifest.versions(spark, baseDir)
+                .headOption.getOrElse(latest), latest).initCause(t)
+          }
+          writeCursor(spark, cursorDir, latest)
           latest
         }
     }

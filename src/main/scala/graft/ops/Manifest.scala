@@ -305,12 +305,33 @@ object Manifest {
 
   private def readSnapshot(spark: SparkSession, root: Path,
                            v: Long): Snapshot = {
-    import spark.implicits._
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val name = readPointer(fs, root, v)
-    val all = spark.read
+    readSnapshotByName(spark, root, readPointer(fs, root, v))
+  }
+
+  /** FORWARD-COMPATIBLE manifest read: a manifest written before a
+    * [[ManifestEntry]] field existed simply lacks that column, so it is
+    * backfilled with the field's neutral default (empty list / "" / 0 /
+    * false) instead of failing `.as[Entry]` resolution — old tables and
+    * their time-travel versions stay readable across library upgrades,
+    * the same contract a table FORMAT owes its files. */
+  private def readSnapshotByName(spark: SparkSession, root: Path,
+                                 name: String): Snapshot = {
+    import spark.implicits._
+    val raw = spark.read
       .parquet(new Path(new Path(root, ManifestsDir), name).toString)
-      .as[Entry].collect().toSeq
+    val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
+    val padded = want.fields.foldLeft(raw) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, (f.dataType match {
+        case ArrayType(StringType, _) => array()
+        case StringType => lit("")
+        case LongType => lit(0L)
+        case BooleanType => lit(false)
+        case dt => lit(null)
+      }).cast(f.dataType))
+    }.select(want.fieldNames.map(col).toIndexedSeq: _*)
+    val all = padded.as[Entry].collect().toSeq
     val sentinel = all.find(e => e.path.isEmpty && e.schema_ddl.nonEmpty)
       .getOrElse(throw new IllegalStateException(
         s"manifest $name has no schema sentinel"))
@@ -320,6 +341,20 @@ object Manifest {
   }
 
   // -------- batch write + stats --------
+
+  /** `name: <boolean sql>` → (name, sql). */
+  private def parseConstraint(c: String): (String, String) = {
+    val i = c.indexOf(": ")
+    require(i > 0, s"malformed constraint '$c' (want 'name: <boolean sql>')")
+    (c.take(i), c.drop(i + 2))
+  }
+
+  final case class ConstraintViolationException(name: String, sql: String,
+                                                rows: Long)
+    extends RuntimeException(
+      s"CHECK constraint '$name' ($sql) violated by $rows staged row(s); " +
+        "nothing was committed (staged files are orphans — vacuumOrphans " +
+        "reclaims them)")
 
   /** Write `df` as a fresh immutable batch and return its entries.
     * Rows are clustered by the partition column so per-file value sets
@@ -335,20 +370,6 @@ object Manifest {
     * task), which is exactly the case compaction sizes for. The salt is
     * derived from row content (`xxhash64`), not `rand()` or partition
     * ids, so a retried write task reproduces its exact file content. */
-  /** `name: <boolean sql>` → (name, sql). */
-  private def parseConstraint(c: String): (String, String) = {
-    val i = c.indexOf(": ")
-    require(i > 0, s"malformed constraint '$c' (want 'name: <boolean sql>')")
-    (c.take(i), c.drop(i + 2))
-  }
-
-  final case class ConstraintViolationException(name: String, sql: String,
-                                                rows: Long)
-    extends RuntimeException(
-      s"CHECK constraint '$name' ($sql) violated by $rows staged row(s); " +
-        "nothing was committed (staged files are orphans — vacuumOrphans " +
-        "reclaims them)")
-
   private def writeBatch(spark: SparkSession, root: Path, df: DataFrame,
                          partitionCol: String, statsCols: Seq[String],
                          constraints: Seq[String],
@@ -372,8 +393,19 @@ object Manifest {
     clustered.write.parquet(batchDir.toString)
     val ddl = nullableDdl(df.schema)
     val rootUri = batchDir.toUri.getPath // file-scheme-free for relativizing
-    val statMins = statsCols.map(c => min(col(c)).cast("string"))
-    val statMaxs = statsCols.map(c => max(col(c)).cast("string"))
+    // TIMESTAMP stats are stored as epoch-micros strings, NOT the
+    // session-timezone cast-to-string rendering: a reader session with
+    // a different spark.sql.session.timeZone would otherwise compare
+    // its literals against another zone's wall-clock strings and prune
+    // files that contain matching rows. Micros are zone-free; the
+    // probe side converts its literals the same way (renderedTs).
+    def statRender(agg: org.apache.spark.sql.Column, c: String) =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(agg).cast("string")
+        case _ => agg.cast("string")
+      }
+    val statMins = statsCols.map(c => statRender(min(col(c)), c))
+    val statMaxs = statsCols.map(c => statRender(max(col(c)), c))
     val statAggs =
       if (statsCols.isEmpty)
         Seq(typedLit(Seq.empty[String]).as("stat_mins"),
@@ -564,11 +596,31 @@ object Manifest {
         Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
       case _: DecimalType =>
         Some((a, b) => BigDecimal(a).compare(BigDecimal(b)))
-      case DateType | StringType | TimestampType | TimestampNTZType =>
+      case DateType | StringType | TimestampNTZType =>
         Some((a, b) => a.compareTo(b))
+      // TimestampType stats are epoch-micros strings (zone-free)
+      case TimestampType =>
+        Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
       case BooleanType =>
         Some((a, b) => java.lang.Boolean.compare(a.toBoolean, b.toBoolean))
       case _ => None
+    }
+
+  /** A user-supplied bound/value string in the STORED rendering for
+    * `dt`: timestamps parse in the CALLER's session timezone (that is
+    * what the caller means) and convert to zone-free epoch micros;
+    * every other type is already stored in its plain rendering. `None`
+    * = unparseable — fail open, never prune. */
+  private def renderedBound(s: String, dt: DataType): Option[String] =
+    dt match {
+      case TimestampType =>
+        val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+        Option(org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            StringType), TimestampType, Some(tz)).eval(null))
+          .map(_.toString) // micros Long
+      case _ => Some(s)
     }
 
   /** File entries that can hold a row with `lo <= column <= hi` (either
@@ -576,10 +628,13 @@ object Manifest {
     * always a candidate; a file whose column is all-null (null min/max)
     * never is — range predicates match no null row. */
   private def rangeCandidates(snap: Snapshot, dt: DataType, column: String,
-                              lo: Option[String],
-                              hi: Option[String]): Seq[Entry] = {
+                              rawLo: Option[String],
+                              rawHi: Option[String]): Seq[Entry] = {
     val idx = snap.statsCols.indexOf(column)
     val cmpOpt = renderedOrdering(dt)
+    // a bound that does not parse in the stored rendering cannot prune
+    val lo = rawLo.flatMap(renderedBound(_, dt))
+    val hi = rawHi.flatMap(renderedBound(_, dt))
     if (idx < 0 || cmpOpt.isEmpty || (lo.isEmpty && hi.isEmpty))
       return snap.entries
     val cmp = cmpOpt.get
@@ -849,7 +904,10 @@ object Manifest {
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
-    val cands = candidates(snap.entries, values.toSet, wantNull = false)
+    val cands =
+      if (partitionValuesSafe(snap.ddl, partitionCol))
+        candidates(snap.entries, values.toSet, wantNull = false)
+      else snap.entries
     readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
       .filter(col(partitionCol).cast("string").isin(values: _*))
   }
@@ -1009,6 +1067,17 @@ object Manifest {
       (wantNull && e.has_null) ||
       e.values.exists(wanted.contains))
 
+  /** Partition-VALUE-SET pruning is sound only when the column's string
+    * rendering is session-independent. TimestampType renders in the
+    * session timezone, so a writer and a later reader in different
+    * zones would compare different strings and wrongly prune files a
+    * keyed write must touch — for such a partition column every live
+    * file stays a candidate (min/max stats, stored zone-free, still
+    * prune). */
+  private def partitionValuesSafe(ddl: String, partitionCol: String): Boolean =
+    DataType.fromDDL(ddl).asInstanceOf[StructType]
+      .apply(partitionCol).dataType != TimestampType
+
   /** MERGE (upsert) with [[Merge.mergeInto]]'s row semantics — update
     * rows win column-wise (`coalesce(update, target)`), new keys
     * insert — under snapshot isolation: only files whose recorded
@@ -1125,7 +1194,10 @@ object Manifest {
     val touched = deletes.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
     val cands = keyedCandidates(spark, root, snap,
-      candidates(snap.entries, touched.flatten.toSet, touched.contains(None)),
+      if (partitionValuesSafe(snap.ddl, partitionCol))
+        candidates(snap.entries, touched.flatten.toSet,
+          touched.contains(None))
+      else snap.entries,
       deletes, keys)
     if (cands.isEmpty) return
     writeDv(spark, root,
@@ -1155,7 +1227,10 @@ object Manifest {
     val touched = updates.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
     val cands = keyedCandidates(spark, root, snap,
-      candidates(snap.entries, touched.flatten.toSet, touched.contains(None)),
+      if (partitionValuesSafe(snap.ddl, partitionCol))
+        candidates(snap.entries, touched.flatten.toSet,
+          touched.contains(None))
+      else snap.entries,
       updates, keys)
     val dataCols = updates.columns
     val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
@@ -1238,7 +1313,10 @@ object Manifest {
     // so skipping it (it stays carried by reference) changes nothing
     // but the rewrite volume
     val cands = keyedCandidates(spark, root, snap,
-      candidates(snap.entries, wanted, wantNull), batch, keys)
+      if (partitionValuesSafe(snap.ddl, partitionCol))
+        candidates(snap.entries, wanted, wantNull)
+      else snap.entries,
+      batch, keys)
     // MASKED read: a candidate file's DV'd rows are logically gone and
     // must not resurrect through the rewrite
     val target = readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
@@ -1388,9 +1466,9 @@ object Manifest {
     import spark.implicits._
     val (fs, root) = fsOf(spark, dir)
     versions(spark, dir).map { v =>
-      val snap = readSnapshot(spark, root, v)
-      val txn = readPointerLines(fs, root, v).drop(1)
-        .find(_.startsWith("txn:")).getOrElse("")
+      val lines = readPointerLines(fs, root, v) // one open per version
+      val snap = readSnapshotByName(spark, root, lines.head.trim)
+      val txn = lines.drop(1).find(_.startsWith("txn:")).getOrElse("")
       (v, snap.entries.size.toLong, snap.entries.map(_.rows).sum,
         snap.entries.map(_.bytes).sum, snap.dvDirs.size.toLong,
         snap.constraints.size.toLong, txn)

@@ -93,11 +93,17 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   private val timeZone = Some(spark.sessionState.conf.sessionLocalTimeZone)
 
   /** The literal under the SAME rendering the stats were written with
-    * (`Column.cast("string")`), so writer and planner can never
+    * (`Column.cast("string")`; TIMESTAMPS as zone-free epoch micros —
+    * their Catalyst literal value IS micros, so no cast and no
+    * session-timezone dependence), so writer and planner can never
     * disagree; null literal renders to None. */
   private def rendered(value: Any, dt: DataType): Option[String] =
-    Option(Cast(Literal(value, dt), StringType, timeZone).eval(null))
-      .map(_.toString)
+    dt match {
+      case TimestampType => Option(value).map(_.toString)
+      case _ =>
+        Option(Cast(Literal(value, dt), StringType, timeZone).eval(null))
+          .map(_.toString)
+    }
 
   private def statSlot(e: ManifestEntry, name: String): Option[Int] = {
     val i = snap.statsCols.indexWhere(_.equalsIgnoreCase(name))
@@ -109,7 +115,12 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
   }
 
   private def isPartitionCol(name: String): Boolean =
-    partitionCol.exists(_.equalsIgnoreCase(name))
+    partitionCol.exists(_.equalsIgnoreCase(name)) &&
+      // value-SET pruning compares session-timezone string renderings,
+      // unsound for TimestampType across sessions — such a column falls
+      // through to its (zone-free) min/max stats, if configured
+      !dataSchema.fields.exists(f =>
+        f.name.equalsIgnoreCase(name) && f.dataType == TimestampType)
 
   private def orderingFor(name: String): Option[(String, String) => Int] =
     dataSchema.fields.find(_.name.equalsIgnoreCase(name))

@@ -98,4 +98,30 @@ class ChangeFeedSpec extends SparkSpec {
     assert(sink.state(5L) == 555.0 && sink.state(200L) == 2.0)
     assert(sink.state.toMap == tableState(dir))
   }
+
+  test("a dropped-and-recreated base is a GAP, never silently 'current'") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val cur = s"$root/cursor"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
+    Manifest.append(spark, dir, Seq((201L, 2.1, 2L)).toDF("k", "v", "p"), "p")
+    val sink = new KvSink
+    assert(ChangeFeed.poll(spark, dir, cur)(sink.apply) == 3L)
+
+    // drop + recreate: versions restart at 1, cursor (3) is now AHEAD
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Manifest.create(spark, dir, base, "p")
+
+    intercept[ChangeFeed.FeedGapException] {
+      ChangeFeed.poll(spark, dir, cur)(sink.apply)
+    }
+    assert(ChangeFeed.poll(spark, dir, cur, onGap = "resync")(sink.apply) == 1L)
+    assert(sink.state.toMap == tableState(dir) ++ Map(200L -> 2.0, 201L -> 2.1))
+    // the stale higher cursor file was swept: next poll is current
+    val before = sink.deliveries
+    assert(ChangeFeed.poll(spark, dir, cur)(sink.apply) == 1L)
+    assert(sink.deliveries == before)
+  }
 }

@@ -220,6 +220,69 @@ class ManifestDvSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).count() == 398)
   }
 
+  test("manifests written before a ManifestEntry field existed stay readable") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    // simulate an OLD-WRITER manifest: rewrite the manifest relation
+    // without the newest sentinel columns
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = fs.listStatus(new Path(dir, "_manifests")).head.getPath
+    val legacy = spark.read.parquet(mDir.toString)
+      .drop("constraints", "dv_dirs")
+    val tmp = new Path(dir, "_legacy_manifest")
+    legacy.write.parquet(tmp.toString)
+    fs.delete(mDir, true)
+    assert(fs.rename(tmp, mDir))
+
+    // every read path resolves the missing fields to their defaults
+    assert(state(dir) == baseState)
+    assert(Manifest.loadSnapshot(spark, dir).dvDirs.isEmpty)
+    assert(Manifest.constraintsOf(spark, dir).isEmpty)
+    Manifest.deleteMor(spark, dir, Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    assert(state(dir) == baseState - 7L)
+  }
+
+  test("timestamp stats prune zone-free: write in UTC, query in another zone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val dir = newDir()
+      def band(day: String): org.apache.spark.sql.DataFrame =
+        spark.range(1, 301).select($"id".as("k"),
+          to_timestamp(concat(lit(s"$day "),
+            format_string("%02d:%02d:00", ($"id" / 60).cast("int"),
+              ($"id" % 60).cast("int")))).as("ts"),
+          ($"id" % 4).as("p"))
+      Manifest.create(spark, dir, band("1995-01-01"), "p",
+        statsCols = Seq("ts"))
+      Manifest.append(spark, dir, band("1995-06-01"), "p")
+
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // 1995-05-31 16:00 LA == 1995-05-31 23:00 UTC: only band B matches
+      val scanned = graft.plans.ManifestScan.scan(spark, dir)
+        .filter($"ts" >= "1995-05-31 16:00:00")
+      assert(scanned.count() == 300)
+      val viaRange = Manifest.readRange(spark, dir, "ts",
+        Some("1995-05-31 16:00:00"), None)
+      assert(viaRange.count() == 300)
+      // and the cross-zone read PRUNES (1 of 2 band files opened)
+      assert(Manifest.rangeCandidatePaths(spark, dir, "ts",
+        Some("1995-05-31 16:00:00"), None).size == 1)
+      // keyed delete on a TIMESTAMP-partitioned table stays sound
+      // cross-zone (value-set pruning is disabled for that type)
+      val dir2 = newDir()
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      Manifest.create(spark, dir2,
+        band("1995-01-01").select($"k", ($"k" * 1.0).as("v"), $"ts"), "ts")
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      Manifest.delete(spark, dir2,
+        Manifest.read(spark, dir2).filter($"k" === 7L).select($"k", $"ts"),
+        Seq("k"), "ts")
+      assert(Manifest.read(spark, dir2).filter($"k" === 7L).count() == 0)
+      assert(Manifest.read(spark, dir2).count() == 299)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("describeHistory: one row per version with files/rows/DV/txn shape") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
