@@ -375,17 +375,18 @@ object Manifest {
                          constraints: Seq[String],
                          numFiles: Option[Int] = None,
                          bloomCols: Seq[String] = Nil,
-                         clusterCol: Option[String] = None): Seq[Entry] = {
+                         clusterKey: Option[org.apache.spark.sql.Column] = None)
+      : Seq[Entry] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDir = new Path(new Path(root, DataDir), s"b-${UUID.randomUUID()}")
-    val clustered = (clusterCol, numFiles) match {
-      // range clustering: files carry DISJOINT sort-key ranges (plus a
-      // sort inside each for parquet row-group stats), trading away
-      // partition-value locality — see [[cluster]]
-      case (Some(c), Some(n)) =>
-        df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
-      case (Some(c), None) =>
-        df.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+    val clustered = (clusterKey, numFiles) match {
+      // range clustering: files carry DISJOINT cluster-key ranges (plus
+      // a sort inside each for parquet row-group stats), trading away
+      // partition-value locality — see [[cluster]] / [[clusterZ]]
+      case (Some(k), Some(n)) =>
+        df.repartitionByRange(n, k).sortWithinPartitions(k)
+      case (Some(k), None) =>
+        df.repartitionByRange(k).sortWithinPartitions(k)
       case (None, Some(n)) => df.repartition(n, col(partitionCol),
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n.toLong)))
       case (None, None) => df.repartition(col(partitionCol))
@@ -1449,10 +1450,79 @@ object Manifest {
       if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
       else writeBatch(spark, root, rows, partitionCol,
         snap.statsCols, snap.constraints, numFiles = Some(nOut),
-        bloomCols = snap.bloomCols, clusterCol = Some(sortCol))
+        bloomCols = snap.bloomCols, clusterKey = Some(col(sortCol)))
     commit(fs, root, v + 1,
       writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
+  }
+
+  /** 2-D Z-ORDER clustering: rewrite the snapshot range-partitioned on
+    * the Morton interleave of two stats columns
+    * ([[graft.functions.GraftExpressions.ZOrder2]] — both cast to
+    * bigint, low 31 bits each), so per-file min/max ranges are tight in
+    * BOTH dimensions and a predicate on EITHER column prunes
+    * (single-column [[cluster]] serves one read pattern; this serves
+    * two — Delta/Iceberg `ZORDER BY (a, b)`). Same commit/DV/constraint
+    * mechanics as [[cluster]]. */
+  def clusterZ(spark: SparkSession, dir: String, partitionCol: String,
+               xCol: String, yCol: String,
+               targetBytes: Long = 128L << 20): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    Seq(xCol, yCol).foreach(c => require(snap.statsCols.contains(c),
+      s"z-order column $c is not a stats column " +
+        s"(${snap.statsCols.mkString(",")}) — pruning could never use it"))
+    if (snap.entries.isEmpty) return
+    val total = snap.entries.map(_.bytes).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val rows = readEntriesMasked(spark, root, snap.entries, snap.ddl,
+      snap.dvDirs)
+    val zKey = graft.ops.Layout.zorderKey(
+      col(xCol).cast("long"), col(yCol).cast("long"))
+    val newEntries =
+      if (rows.isEmpty) Seq.empty
+      else writeBatch(spark, root, rows, partitionCol, snap.statsCols,
+        snap.constraints, numFiles = Some(nOut),
+        bloomCols = snap.bloomCols, clusterKey = Some(zKey))
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
+        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
+  }
+
+  /** One-call table MAINTENANCE, each step a separate optimistic
+    * commit under [[withConflictRetry]]: fold deletion vectors into
+    * data when the masked-file fraction crosses `dvFileFrac` (the
+    * read-side anti-join tax goes back to zero), compact small files,
+    * then vacuum to `keepVersions`. The off-peak companion of the
+    * merge-on-read write path: writes stay O(change) all day, one
+    * maintenance call repays the read debt. Returns counts for
+    * monitoring. */
+  def maintain(spark: SparkSession, dir: String, partitionCol: String,
+               smallBytes: Long = 32L << 20,
+               targetBytes: Long = 128L << 20,
+               dvFileFrac: Double = 0.1,
+               keepVersions: Int = 2): Map[String, Long] = {
+    val snap0 = loadSnapshot(spark, dir)
+    val (_, root) = fsOf(spark, dir)
+    val dvTouched = dvTouchedPaths(spark, root, snap0.dvDirs)
+      .intersect(snap0.entries.map(_.path).toSet).size
+    val doMaterialize = snap0.dvDirs.nonEmpty &&
+      (snap0.entries.isEmpty ||
+        dvTouched.toDouble / math.max(1, snap0.entries.size) >= dvFileFrac)
+    if (doMaterialize)
+      withConflictRetry() { materialize(spark, dir, partitionCol) }
+    val filesBefore = loadSnapshot(spark, dir).entries.size
+    withConflictRetry() {
+      compact(spark, dir, partitionCol, smallBytes, targetBytes)
+    }
+    val filesAfter = loadSnapshot(spark, dir).entries.size
+    val reclaimed = vacuumOrphans(spark, dir, keepVersions)
+    Map(
+      "materialized_files" -> (if (doMaterialize) dvTouched.toLong else 0L),
+      "compacted_files" -> math.max(0L, (filesBefore - filesAfter).toLong),
+      "vacuumed_objects" -> reclaimed)
   }
 
   /** Commit log as a relation — one row per committed version with the

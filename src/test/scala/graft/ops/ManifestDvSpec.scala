@@ -283,6 +283,29 @@ class ManifestDvSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("maintain: folds DVs past the threshold, compacts, vacuums — one call") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((200L, 2.0, 4L)).toDF("k", "v", "p"), "p")
+    Manifest.deleteMor(spark, dir,
+      (1L to 10L).map(k => (k, 0L)).toDF("k", "p"), Seq("k"), "p")
+    val counts = Manifest.maintain(spark, dir, "p",
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue,
+      dvFileFrac = 0.0, keepVersions = 1)
+    assert(counts("materialized_files") >= 1)
+    assert(counts("vacuumed_objects") > 0)
+    assert(Manifest.loadSnapshot(spark, dir).dvDirs.isEmpty)
+    assert(state(dir) == baseState -- (1L to 10L) + (200L -> (2.0, 4L)))
+    // below the threshold nothing materializes
+    Manifest.deleteMor(spark, dir, Seq((11L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    // threshold > 1 is unreachable (the table is one file post-compact)
+    val counts2 = Manifest.maintain(spark, dir, "p",
+      smallBytes = 0L, dvFileFrac = 2.0, keepVersions = 10)
+    assert(counts2("materialized_files") == 0)
+    assert(Manifest.loadSnapshot(spark, dir).dvDirs.nonEmpty)
+    assert(state(dir) == baseState -- (1L to 11L) + (200L -> (2.0, 4L)))
+  }
+
   test("describeHistory: one row per version with files/rows/DV/txn shape") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")

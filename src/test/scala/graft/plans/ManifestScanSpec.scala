@@ -187,6 +187,35 @@ class ManifestScanSpec extends SparkSpec {
       Map(0L -> 75L, 1L -> 75L, 2L -> 75L, 3L -> 75L))
   }
 
+  test("clusterZ prunes on BOTH dimensions; single-column cluster only on one") {
+    val dir = newDir()
+    // 32×32 grid, ingested in hash-scattered batches: every file spans
+    // both full axes, so neither axis predicate can prune
+    def grid(seed: Int): DataFrame =
+      spark.range(seed * 256, (seed + 1) * 256).select(
+        $"id".as("k"), ($"id" % 32).as("x"),
+        (($"id" * 2654435761L) % 32).as("y"), // odd multiplier: uniform,
+        lit(0L).as("p"))                      // decorrelated from batch
+    Manifest.create(spark, dir, grid(0), "p", statsCols = Seq("x", "y"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, grid(i), "p"))
+
+    def xSlice = ManifestScan.scan(spark, dir).filter($"x" < 8)
+    def ySlice = ManifestScan.scan(spark, dir).filter($"y" < 8)
+    val all = filesScanned(ManifestScan.scan(spark, dir))
+    assert(all == 4 && filesScanned(xSlice) == 4 && filesScanned(ySlice) == 4)
+
+    val total = Manifest.loadSnapshot(spark, dir).entries.map(_.bytes).sum
+    Manifest.clusterZ(spark, dir, "p", "x", "y", targetBytes = total / 16 + 1)
+    val allZ = filesScanned(ManifestScan.scan(spark, dir))
+    val xz = filesScanned(xSlice); val yz = filesScanned(ySlice)
+    assert(allZ >= 8, s"expected >=8 z-files, got $allZ")
+    assert(xz < allZ && yz < allZ,
+      s"z-order must prune both axes: x=$xz y=$yz of $allZ")
+    // parity: the clustered table is the same relation
+    assert(ManifestScan.scan(spark, dir).count() == 1024)
+    assert(xSlice.count() == 256 && ySlice.count() == 256)
+  }
+
   test("version pin: scan of an old version ignores later commits") {
     val dir = newDir()
     mkDateBanded(dir)
