@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** MODEL-BASED property test of the manifest op algebra: random
+  * sequences of table operations run against both the real table and a
+  * driver-side `Map[Long, (Double, Long)]` model, asserting after EVERY
+  * step that (a) the table equals the model and (b) the change feed
+  * from the previous version replays the step's net effect. This is the
+  * interaction coverage the per-op specs can't give — e.g. a MoR delete
+  * followed by a CoW upsert of the same partition followed by cluster
+  * followed by a feed read crosses four subsystems' invariants in one
+  * sequence. Fixed seeds, so any failure replays. */
+class ManifestModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int)(body: (A, Int) => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)), i)
+    }
+
+  sealed trait Op
+  case class Append(rows: Seq[(Long, Double)]) extends Op
+  case class Upsert(rows: Seq[(Long, Double)], mor: Boolean) extends Op
+  case class Delete(keys: Seq[Long], mor: Boolean) extends Op
+  case object Compact extends Op
+  case object Materialize extends Op
+  case object Cluster extends Op
+
+  private val keyGen = Gen.choose(1L, 40L)
+  private val rowsGen = for {
+    n <- Gen.choose(1, 6)
+    ks <- Gen.pick(n, 1L to 40L)
+    vs <- Gen.listOfN(n, Gen.choose(1, 999))
+  } yield ks.toSeq.zip(vs.map(_.toDouble))
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    3 -> rowsGen.map(Append.apply),
+    4 -> (for { r <- rowsGen; m <- Gen.oneOf(true, false) } yield Upsert(r, m)),
+    4 -> (for {
+      n <- Gen.choose(1, 5); ks <- Gen.pick(n, 1L to 40L)
+      m <- Gen.oneOf(true, false)
+    } yield Delete(ks.toSeq, m)),
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Materialize),
+    1 -> Gen.const(Cluster))
+
+  private val seqGen: Gen[List[Op]] =
+    Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
+
+  private def part(k: Long): Long = k % 3
+
+  private def toDf(rows: Seq[(Long, Double)]) =
+    rows.toDF("k", "v").select($"k", $"v", ($"k" % 3).as("p"))
+
+  private def tableState(dir: String): Map[Long, Double] =
+    Manifest.read(spark, dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("random op sequences: table == model and the feed replays every step") {
+    forSamples(seqGen, 12) { (ops, caseId) =>
+      val dir = Files.createTempDirectory(s"graft-model-$caseId").toString + "/t"
+      var model = Map[Long, Double](1L -> 1.0, 2L -> 2.0, 9L -> 9.0)
+      Manifest.create(spark, dir, toDf(model.toSeq), "p",
+        statsCols = Seq("v"), bloomCols = Seq("k"))
+
+      ops.foreach { op =>
+        val vBefore = Manifest.latestVersion(spark, dir).get
+        val before = model
+        op match {
+          case Append(rows) =>
+            // appends must not duplicate live keys (append is not merge)
+            val fresh = rows.filterNot { case (k, _) => model.contains(k) }
+              .distinctBy(_._1)
+            if (fresh.nonEmpty) {
+              Manifest.append(spark, dir, toDf(fresh), "p")
+              model = model ++ fresh
+            }
+          case Upsert(rows, mor) =>
+            val batch = rows.distinctBy(_._1)
+            if (mor) Manifest.upsertMor(spark, dir, toDf(batch), Seq("k"), "p")
+            else Manifest.upsert(spark, dir, toDf(batch), Seq("k"), "p")
+            model = model ++ batch
+          case Delete(keys, mor) =>
+            val batch = keys.distinct.map(k => (k, part(k))).toDF("k", "p")
+            if (mor) Manifest.deleteMor(spark, dir, batch, Seq("k"), "p")
+            else Manifest.delete(spark, dir, batch, Seq("k"), "p")
+            model = model -- keys
+          case Compact =>
+            Manifest.compact(spark, dir, "p",
+              smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+          case Materialize => Manifest.materialize(spark, dir, "p")
+          case Cluster =>
+            Manifest.cluster(spark, dir, "p", "v", targetBytes = 1L << 16)
+        }
+        val vAfter = Manifest.latestVersion(spark, dir).get
+        assert(tableState(dir) == model,
+          s"case $caseId diverged after $op (v$vBefore->v$vAfter)")
+
+        // feed replay: fold the step's changes over the BEFORE state
+        if (vAfter > vBefore) {
+          val feed = Manifest.changes(spark, dir, vBefore, vAfter)
+            .select("k", "v", "change").collect()
+          val afterDeletes = before -- feed
+            .filter(_.getString(2) == "delete").map(_.getLong(0))
+          val replayed = afterDeletes ++ feed
+            .filter(_.getString(2) == "insert")
+            .map(r => r.getLong(0) -> r.getDouble(1))
+          assert(replayed == model,
+            s"case $caseId feed replay diverged after $op")
+        }
+      }
+
+      // time travel back to v1 still shows the initial relation
+      assert(Manifest.readVersion(spark, dir, 1L).count() == 3)
+    }
+  }
+}
