@@ -248,6 +248,45 @@ class ManifestSpec extends SparkSpec {
     assert(got.size == 100)
   }
 
+  test("sustained contention: 4 writers x 6 mixed commits all land exactly once") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // writer w upserts its own key range and MoR-deletes one key per
+    // round; ranges are disjoint so the expected end state is exact
+    def writer(w: Int): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        try (0 until 6).foreach { round =>
+          val k = 1000L + w * 100 + round
+          Manifest.withConflictRetry(attempts = 60) {
+            Manifest.upsert(spark, dir,
+              Seq((k, w * 1.0, k % 3)).toDF("k", "v", "p"), Seq("k"), "p")
+          }
+          if (round % 2 == 1) Manifest.withConflictRetry(attempts = 60) {
+            Manifest.deleteMor(spark, dir,
+              Seq((k, k % 3)).toDF("k", "p"), Seq("k"), "p")
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      t.start(); t
+    }
+    val ts = (0 until 4).map(writer)
+    start.countDown()
+    ts.foreach(_.join(600000))
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    // every round committed exactly one version: 1 create + 4*6 upserts
+    // + 4*3 MoR deletes = 37 versions, no lost updates, exact end state
+    assert(Manifest.versions(spark, dir).size == 37)
+    val got = state(dir)
+    val expected = baseState ++ (for {
+      w <- 0 until 4; round <- 0 until 6 if round % 2 == 0
+      k = 1000L + w * 100 + round
+    } yield k -> (w * 1.0, k % 3))
+    assert(got == expected, "a concurrent commit was lost or duplicated")
+  }
+
   test("overwrite replaces the snapshot atomically; old version still time-travels") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
