@@ -1258,14 +1258,15 @@ object Manifest {
     * a DV references (masked read → new files), drop all vectors from
     * the new snapshot. The read-side anti-join cost goes back to zero;
     * cost scales with the DV'd files, not the table (Delta's
-    * `REORG ... APPLY (PURGE)`). No-op when no live file is DV'd. */
+    * `REORG ... APPLY (PURGE)`). No-op when no live file is DV'd.
+    * Returns the number of DV'd files folded. */
   def materialize(spark: SparkSession, dir: String,
-                  partitionCol: String): Unit = {
+                  partitionCol: String): Long = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
-    if (snap.dvDirs.isEmpty) return
+    if (snap.dvDirs.isEmpty) return 0L
     val touched = dvTouchedPaths(spark, root, snap.dvDirs)
       .intersect(snap.entries.map(_.path).toSet)
     if (touched.isEmpty) {
@@ -1273,7 +1274,7 @@ object Manifest {
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
           snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
-      return
+      return 0L
     }
     val dvd = snap.entries.filter(e => touched.contains(e.path))
     val rewritten = readEntriesMasked(spark, root, dvd, snap.ddl,
@@ -1287,6 +1288,7 @@ object Manifest {
         snap.entries.filterNot(e => touched.contains(e.path)) ++ newEntries,
         snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil,
         constraints = snap.constraints))
+    touched.size.toLong
   }
 
   /** Shared copy-on-write shape for [[upsert]]/[[delete]]: prune to
@@ -1341,16 +1343,16 @@ object Manifest {
     * by reference. The output file count is enforced through the write
     * (content-salted within a partition value — see [[writeBatch]]), so
     * `targetBytes` bounds output sizes even when one partition value
-    * dominates. */
+    * dominates. Returns the number of small files folded. */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
               smallBytes: Long = 32L << 20,
-              targetBytes: Long = 128L << 20): Unit = {
+              targetBytes: Long = 128L << 20): Long = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
     val small = snap.entries.filter(_.bytes < smallBytes)
-    if (small.size < 2) return // nothing to gain
+    if (small.size < 2) return 0L // nothing to gain
     val total = small.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     // masked: compaction materializes any DVs on the small files
@@ -1366,6 +1368,7 @@ object Manifest {
         snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
         snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
         snap.constraints))
+    small.size.toLong
   }
 
   /** ADD a CHECK constraint (`name`, a boolean SQL expression over the
@@ -1433,14 +1436,24 @@ object Manifest {
     * scheduled-maintenance price of making every later ranged read
     * sub-linear. */
   def cluster(spark: SparkSession, dir: String, partitionCol: String,
-              sortCol: String, targetBytes: Long = 128L << 20): Unit = {
+              sortCol: String, targetBytes: Long = 128L << 20): Unit =
+    clusterBy(spark, dir, partitionCol, Seq(sortCol), targetBytes,
+      _ => col(sortCol))
+
+  /** Shared full-snapshot cluster-rewrite: validate the cluster columns
+    * against statsCols, masked-read everything, range-repartition on
+    * `key`, commit atomically with DVs folded. */
+  private def clusterBy(spark: SparkSession, dir: String,
+                        partitionCol: String, clusterCols: Seq[String],
+                        targetBytes: Long,
+                        key: Snapshot => org.apache.spark.sql.Column): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
-    require(snap.statsCols.contains(sortCol),
-      s"cluster column $sortCol is not a stats column " +
-        s"(${snap.statsCols.mkString(",")}) — pruning could never use it")
+    clusterCols.foreach(c => require(snap.statsCols.contains(c),
+      s"cluster column $c is not a stats column " +
+        s"(${snap.statsCols.mkString(",")}) — pruning could never use it"))
     if (snap.entries.isEmpty) return
     val total = snap.entries.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
@@ -1450,7 +1463,7 @@ object Manifest {
       if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
       else writeBatch(spark, root, rows, partitionCol,
         snap.statsCols, snap.constraints, numFiles = Some(nOut),
-        bloomCols = snap.bloomCols, clusterKey = Some(col(sortCol)))
+        bloomCols = snap.bloomCols, clusterKey = Some(key(snap)))
     commit(fs, root, v + 1,
       writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
@@ -1466,30 +1479,25 @@ object Manifest {
     * mechanics as [[cluster]]. */
   def clusterZ(spark: SparkSession, dir: String, partitionCol: String,
                xCol: String, yCol: String,
-               targetBytes: Long = 128L << 20): Unit = {
-    val (fs, root) = fsOf(spark, dir)
-    val v = latestVersion(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    Seq(xCol, yCol).foreach(c => require(snap.statsCols.contains(c),
-      s"z-order column $c is not a stats column " +
-        s"(${snap.statsCols.mkString(",")}) — pruning could never use it"))
-    if (snap.entries.isEmpty) return
-    val total = snap.entries.map(_.bytes).sum
-    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val rows = readEntriesMasked(spark, root, snap.entries, snap.ddl,
-      snap.dvDirs)
-    val zKey = graft.ops.Layout.zorderKey(
-      col(xCol).cast("long"), col(yCol).cast("long"))
-    val newEntries =
-      if (rows.isEmpty) Seq.empty
-      else writeBatch(spark, root, rows, partitionCol, snap.statsCols,
-        snap.constraints, numFiles = Some(nOut),
-        bloomCols = snap.bloomCols, clusterKey = Some(zKey))
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
-  }
+               targetBytes: Long = 128L << 20): Unit =
+    clusterBy(spark, dir, partitionCol, Seq(xCol, yCol), targetBytes,
+      snap => {
+        // the Morton interleave reads the LOW 31 BITS of each value:
+        // non-integral types would cast to null (one giant un-clustered
+        // file, silently) and negative values scramble the curve — both
+        // rejected loudly instead
+        val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+        Seq(xCol, yCol).foreach { c =>
+          val dt = schema(c).dataType
+          require(Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(dt),
+            s"z-order column $c must be integral, got " +
+              s"${dt.catalogString} — a non-numeric cast would null the " +
+              "curve key (derive an integral column first, e.g. " +
+              "datediff for dates)")
+        }
+        graft.ops.Layout.zorderKey(col(xCol), col(yCol))
+      })
 
   /** One-call table MAINTENANCE, each step a separate optimistic
     * commit under [[withConflictRetry]]: fold deletion vectors into
@@ -1503,7 +1511,8 @@ object Manifest {
                smallBytes: Long = 32L << 20,
                targetBytes: Long = 128L << 20,
                dvFileFrac: Double = 0.1,
-               keepVersions: Int = 2): Map[String, Long] = {
+               keepVersions: Int = 2,
+               staleMillis: Long = 3600 * 1000L): Map[String, Long] = {
     val snap0 = loadSnapshot(spark, dir)
     val (_, root) = fsOf(spark, dir)
     val dvTouched = dvTouchedPaths(spark, root, snap0.dvDirs)
@@ -1511,17 +1520,20 @@ object Manifest {
     val doMaterialize = snap0.dvDirs.nonEmpty &&
       (snap0.entries.isEmpty ||
         dvTouched.toDouble / math.max(1, snap0.entries.size) >= dvFileFrac)
-    if (doMaterialize)
-      withConflictRetry() { materialize(spark, dir, partitionCol) }
-    val filesBefore = loadSnapshot(spark, dir).entries.size
-    withConflictRetry() {
+    // counters come from the ATTEMPT THAT COMMITTED (the ops return
+    // what they actually did), not from pre-retry snapshots a
+    // concurrent commit can stale
+    val materialized =
+      if (doMaterialize)
+        withConflictRetry() { materialize(spark, dir, partitionCol) }
+      else 0L
+    val compacted = withConflictRetry() {
       compact(spark, dir, partitionCol, smallBytes, targetBytes)
     }
-    val filesAfter = loadSnapshot(spark, dir).entries.size
-    val reclaimed = vacuumOrphans(spark, dir, keepVersions)
+    val reclaimed = vacuumOrphans(spark, dir, keepVersions, staleMillis)
     Map(
-      "materialized_files" -> (if (doMaterialize) dvTouched.toLong else 0L),
-      "compacted_files" -> math.max(0L, (filesBefore - filesAfter).toLong),
+      "materialized_files" -> materialized,
+      "compacted_files" -> compacted,
       "vacuumed_objects" -> reclaimed)
   }
 
@@ -1551,6 +1563,16 @@ object Manifest {
     * travel reaches back `keepVersions` snapshots afterwards. Safe to
     * run concurrently with readers OF THOSE VERSIONS only.
     *
+    * CONCURRENT WRITERS: an in-flight write has staged data/DV files
+    * that no manifest references yet — indistinguishable from orphans
+    * by reference-counting alone. `staleMillis` (default 1 h) is the
+    * age floor that protects them: only unreferenced files whose
+    * modification time is older than the floor are deleted, so any
+    * writer that stages and commits within the window can never have
+    * its batch swept out from under its commit (Delta's vacuum
+    * retention-check rationale). Set 0 ONLY when no writer can be
+    * in flight (tests, single-writer maintenance windows).
+    *
     * Exactly-once writers ([[appendIfAbsent]] / [[lastTxn]]): dropping
     * a version pointer also drops any txn marker it carries, so
     * `keepVersions` must cover the longest possible writer replay
@@ -1558,11 +1580,13 @@ object Manifest {
     * `delta.setTransactionRetentionDuration`) — a marker older than
     * the retention window can no longer vouch for its batch. */
   def vacuumOrphans(spark: SparkSession, dir: String,
-                    keepVersions: Int = 1): Long = {
+                    keepVersions: Int = 1,
+                    staleMillis: Long = 3600 * 1000L): Long = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val (fs, root) = fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
+    val cutoff = System.currentTimeMillis() - staleMillis
     val keep = vs.takeRight(keepVersions)
     val live: Set[String] =
       keep.flatMap(v => readSnapshot(spark, root, v).entries.map(_.path)).toSet
@@ -1573,8 +1597,12 @@ object Manifest {
     val liveManifests: Set[String] =
       keep.map(v => readPointer(fs, root, v)).toSet
     var reclaimed = 0L
-    // data files outside the union of kept snapshots
+    // data files outside the union of kept snapshots, old enough that
+    // they cannot be a concurrent writer's staged batch
     val dataRoot = new Path(root, DataDir)
+    // batch dirs holding ANY too-young file are possibly mid-stage:
+    // neither their files nor the dir itself may go
+    val youngBatches = scala.collection.mutable.Set[String]()
     if (fs.exists(dataRoot)) {
       val it = fs.listFiles(dataRoot, true)
       val doomed = scala.collection.mutable.ArrayBuffer[Path]()
@@ -1582,25 +1610,33 @@ object Manifest {
         val st = it.next()
         val rel = s"$DataDir${st.getPath.toUri.getPath.stripPrefix(dataRoot.toUri.getPath)}"
         val parts = rel.split('/')
+        if (st.isFile && st.getModificationTime >= cutoff)
+          youngBatches += parts(1)
         val isLiveBloom = parts.length > 2 && parts(2) == BloomDir &&
           liveBatches.contains(parts(1))
-        if (st.isFile && !live.contains(rel) && !isLiveBloom)
+        if (st.isFile && !live.contains(rel) && !isLiveBloom &&
+          st.getModificationTime < cutoff)
           doomed += st.getPath
       }
       doomed.foreach { p => reclaimed += 1; fs.delete(p, false) }
       // sweep fully-dead batch dirs (recursive: removes the emptied
       // _bloom/ subtree too)
       fs.listStatus(dataRoot).foreach { st =>
-        if (st.isDirectory && !liveBatches.contains(st.getPath.getName))
+        if (st.isDirectory && !liveBatches.contains(st.getPath.getName) &&
+          !youngBatches.contains(st.getPath.getName))
           fs.delete(st.getPath, true)
       }
     }
-    // deletion-vector dirs not referenced by any kept snapshot
+    // deletion-vector dirs not referenced by any kept snapshot (same
+    // age floor: a staged-but-uncommitted DV swept here would UN-DELETE
+    // rows once its commit lands)
     val liveDvs: Set[String] =
       keep.flatMap(v => readSnapshot(spark, root, v).dvDirs).toSet
     val dvRoot = new Path(root, DvDir)
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
-      if (!liveDvs.contains(st.getPath.getName)) {
+      val young = fs.listStatus(st.getPath)
+        .exists(_.getModificationTime >= cutoff)
+      if (!liveDvs.contains(st.getPath.getName) && !young) {
         reclaimed += 1; fs.delete(st.getPath, true)
       }
     }

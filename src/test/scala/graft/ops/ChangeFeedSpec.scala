@@ -87,7 +87,7 @@ class ChangeFeedSpec extends SparkSpec {
     Manifest.upsert(spark, dir, Seq((5L, 555.0, 2L)).toDF("k", "v", "p"),
       Seq("k"), "p")
     Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
-    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
 
     intercept[ChangeFeed.FeedGapException] {
       ChangeFeed.poll(spark, dir, cur)(sink.apply)

@@ -142,7 +142,7 @@ class IncrementalSpec extends SparkSpec {
       Seq((200L, 42L, 7.5, 1L)).toDF("k", "g", "v", "p"), "p")
     Manifest.delete(spark, baseDir,
       Seq((5L, 2L)).toDF("k", "p"), Seq("k"), "p")
-    Manifest.vacuumOrphans(spark, baseDir, keepVersions = 1)
+    Manifest.vacuumOrphans(spark, baseDir, keepVersions = 1, staleMillis = 0L)
     intercept[Exception] { Manifest.changes(spark, baseDir, 1L, 3L) }
 
     val v = Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")
@@ -168,7 +168,7 @@ class IncrementalSpec extends SparkSpec {
       "bucket")
     Manifest.delete(spark, viewDir,
       Seq((999L, 0L)).toDF("g", "bucket"), Seq("g"), "bucket")
-    Manifest.vacuumOrphans(spark, viewDir, keepVersions = 1)
+    Manifest.vacuumOrphans(spark, viewDir, keepVersions = 1, staleMillis = 0L)
     assert(Incremental.refreshedAt(spark, viewDir).isEmpty)
 
     Manifest.append(spark, baseDir,

@@ -37,7 +37,7 @@ class ManifestConstraintSpec extends SparkSpec {
     assert(Manifest.versions(spark, dir) == vsBefore)
     assert(Manifest.read(spark, dir).count() == 101)
     // the staged files are orphans; vacuum reclaims them
-    assert(Manifest.vacuumOrphans(spark, dir, keepVersions = 3) > 0)
+    assert(Manifest.vacuumOrphans(spark, dir, keepVersions = 3, staleMillis = 0L) > 0)
     assert(Manifest.read(spark, dir).count() == 101)
   }
 

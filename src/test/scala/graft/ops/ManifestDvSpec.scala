@@ -168,7 +168,7 @@ class ManifestDvSpec extends SparkSpec {
     Manifest.materialize(spark, dir, "p") // v3: no DVs
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(new Path(dir, "_dv")).nonEmpty)
-    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
     val left = if (fs.exists(new Path(dir, "_dv")))
       fs.listStatus(new Path(dir, "_dv")).length else 0
     assert(left == 0, s"dead DV dir survived vacuum ($left left)")
@@ -176,7 +176,7 @@ class ManifestDvSpec extends SparkSpec {
 
     // and a LIVE vector survives vacuum
     Manifest.deleteMor(spark, dir, Seq((8L, 0L)).toDF("k", "p"), Seq("k"), "p")
-    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
     assert(state(dir) == baseState - 7L - 8L)
   }
 
@@ -291,7 +291,7 @@ class ManifestDvSpec extends SparkSpec {
       (1L to 10L).map(k => (k, 0L)).toDF("k", "p"), Seq("k"), "p")
     val counts = Manifest.maintain(spark, dir, "p",
       smallBytes = Long.MaxValue, targetBytes = Long.MaxValue,
-      dvFileFrac = 0.0, keepVersions = 1)
+      dvFileFrac = 0.0, keepVersions = 1, staleMillis = 0L)
     assert(counts("materialized_files") >= 1)
     assert(counts("vacuumed_objects") > 0)
     assert(Manifest.loadSnapshot(spark, dir).dvDirs.isEmpty)
@@ -300,7 +300,8 @@ class ManifestDvSpec extends SparkSpec {
     Manifest.deleteMor(spark, dir, Seq((11L, 0L)).toDF("k", "p"), Seq("k"), "p")
     // threshold > 1 is unreachable (the table is one file post-compact)
     val counts2 = Manifest.maintain(spark, dir, "p",
-      smallBytes = 0L, dvFileFrac = 2.0, keepVersions = 10)
+      smallBytes = 0L, dvFileFrac = 2.0, keepVersions = 10,
+      staleMillis = 0L)
     assert(counts2("materialized_files") == 0)
     assert(Manifest.loadSnapshot(spark, dir).dvDirs.nonEmpty)
     assert(state(dir) == baseState -- (1L to 11L) + (200L -> (2.0, 4L)))

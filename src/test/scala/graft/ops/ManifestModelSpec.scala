@@ -59,9 +59,11 @@ class ManifestModelSpec extends SparkSpec {
   private def toDf(rows: Seq[(Long, Double)]) =
     rows.toDF("k", "v").select($"k", $"v", ($"k" % 3).as("p"))
 
-  private def tableState(dir: String): Map[Long, Double] =
+  /** Row MULTISET (sorted seq, not a map): a duplicate-row corruption
+    * must fail the compare, not collapse into one arbitrary entry. */
+  private def tableState(dir: String): Seq[(Long, Double)] =
     Manifest.read(spark, dir).select("k", "v").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
 
   test("random op sequences: table == model and the feed replays every step") {
     forSamples(seqGen, 12) { (ops, caseId) =>
@@ -100,13 +102,16 @@ class ManifestModelSpec extends SparkSpec {
             Manifest.cluster(spark, dir, "p", "v", targetBytes = 1L << 16)
         }
         val vAfter = Manifest.latestVersion(spark, dir).get
-        assert(tableState(dir) == model,
+        assert(tableState(dir) == model.toSeq.sorted,
           s"case $caseId diverged after $op (v$vBefore->v$vAfter)")
 
         // feed replay: fold the step's changes over the BEFORE state
         if (vAfter > vBefore) {
           val feed = Manifest.changes(spark, dir, vBefore, vAfter)
             .select("k", "v", "change").collect()
+          val ins = feed.filter(_.getString(2) == "insert")
+          assert(ins.map(_.getLong(0)).distinct.length == ins.length,
+            s"case $caseId: duplicate insert keys in one step's feed")
           val afterDeletes = before -- feed
             .filter(_.getString(2) == "delete").map(_.getLong(0))
           val replayed = afterDeletes ++ feed

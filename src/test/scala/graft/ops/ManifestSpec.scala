@@ -112,7 +112,7 @@ class ManifestSpec extends SparkSpec {
     Manifest.upsert(spark, dir, updates, Seq("k"), "p")
     assert(state(dir) == baseState + (10L -> (-1.0, 0L)) + (300L -> (3.0, 6L)))
     // vacuum reclaims the crashed attempt's orphaned files
-    assert(Manifest.vacuumOrphans(spark, dir) > 0)
+    assert(Manifest.vacuumOrphans(spark, dir, staleMillis = 0L) > 0)
     assert(state(dir) == baseState + (10L -> (-1.0, 0L)) + (300L -> (3.0, 6L)))
   }
 
@@ -395,7 +395,7 @@ class ManifestSpec extends SparkSpec {
     assert(after < before, s"compact must shrink the file count ($before -> $after)")
 
     // vacuum to the latest 2 versions: both still read; older pointers gone
-    val reclaimed = Manifest.vacuumOrphans(spark, dir, keepVersions = 2)
+    val reclaimed = Manifest.vacuumOrphans(spark, dir, keepVersions = 2, staleMillis = 0L)
     assert(reclaimed > 0)
     assert(Manifest.versions(spark, dir).length == 2)
     assert(state(dir) == expect)
@@ -470,7 +470,7 @@ class ManifestSpec extends SparkSpec {
       .select($"v").as[Double].collect().toSeq == Seq(42.0))
 
     // vacuum keeps the _bloom side relations of live batches
-    Manifest.vacuumOrphans(spark, dir, keepVersions = 1)
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
     val candsAfter = Manifest.pointCandidatePaths(spark, dir, "k", "42")
     assert(candsAfter.size < Manifest.read(spark, dir)
       .select(input_file_name()).distinct().count(),

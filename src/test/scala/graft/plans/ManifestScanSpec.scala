@@ -189,13 +189,13 @@ class ManifestScanSpec extends SparkSpec {
 
   test("clusterZ prunes on BOTH dimensions; single-column cluster only on one") {
     val dir = newDir()
-    // 32×32 grid, ingested in hash-scattered batches: every file spans
-    // both full axes, so neither axis predicate can prune
-    def grid(seed: Int): DataFrame =
-      spark.range(seed * 256, (seed + 1) * 256).select(
+    // full 32×32 grid (x = id%32, y = id div 32 — genuinely 2-D),
+    // ingested in 4 residue-interleaved batches so every file spans
+    // BOTH full axes and neither axis predicate can prune pre-cluster
+    def grid(residue: Int): DataFrame =
+      spark.range(0, 1024).filter($"id" % 4 === residue).select(
         $"id".as("k"), ($"id" % 32).as("x"),
-        (($"id" * 2654435761L) % 32).as("y"), // odd multiplier: uniform,
-        lit(0L).as("p"))                      // decorrelated from batch
+        ($"id" / 32).cast("long").as("y"), lit(0L).as("p"))
     Manifest.create(spark, dir, grid(0), "p", statsCols = Seq("x", "y"))
     (1 to 3).foreach(i => Manifest.append(spark, dir, grid(i), "p"))
 
