@@ -815,6 +815,39 @@ object SparkEntry {
       graft.ops.Manifest.read(s, dir).orderBy(col("o_orderkey"))
     }),
 
+    // Layout maintenance must NEVER change the answer: cluster (range
+    // clustering on the date stat column) and the full maintain cycle
+    // (materialize DVs + compact + vacuum) both rewrite files, and the
+    // oracle pins the relation as invariant across them. The deleteMor
+    // in the middle proves the maintenance path folds vectors, not
+    // drops them.
+    "man_maintain" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_maint_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderdate") < "1995-01-01"),
+        "o_orderstatus", statsCols = Seq("o_orderdate"))
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderdate") >= "1995-01-01"), "o_orderstatus")
+      graft.ops.Manifest.deleteMor(s, dir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.cluster(s, dir, "o_orderstatus", "o_orderdate")
+      graft.ops.Manifest.maintain(s, dir, "o_orderstatus",
+        keepVersions = 1, staleMillis = 0L)
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // DV-aware change feed: a MoR delete's feed rows come from reading
     // the masked POSITIONS back out of untouched data files (no file
     // was added or removed — the naive file-diff feed would be empty).
@@ -3134,6 +3167,15 @@ object SparkEntry {
         |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
         |FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         |WHERE COALESCE(u.o_orderkey, b.o_orderkey) % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Maintenance (cluster + materialize + compact + vacuum) is
+    // answer-invariant: the final read equals the base minus the
+    // MoR-deleted keys.
+    "man_maintain" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 7 != 0
         |ORDER BY o_orderkey""".stripMargin,
 
     // The MoR delete's change feed: exactly the masked rows, as deletes.
