@@ -850,19 +850,47 @@ object Manifest {
     readEntriesMasked(spark, root, snap.entries, snap.ddl, snap.dvDirs)
   }
 
-  /** Append `df` as new files (no rewrite of existing data). */
+  /** Append `df` as new files (no rewrite of existing data).
+    *
+    * `mergeSchema = true` accepts a batch carrying EXTRA columns: the
+    * widened schema (existing fields, then the new ones, all nullable)
+    * commits ATOMICALLY with the data — one pointer create, so a crash
+    * cannot strand data files the table schema doesn't describe. Old
+    * files read the new columns as null. A batch MISSING an existing
+    * column, or retyping one, is still rejected loudly in both modes:
+    * silent null-out and silent coercion are the two drift accidents
+    * schema enforcement exists to stop (Delta's mergeSchema contract). */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-             partitionCol: String, txn: Option[(String, Long)] = None): Unit = {
+             partitionCol: String, txn: Option[(String, Long)] = None,
+             mergeSchema: Boolean = false): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
-    require(nullableDdl(df.schema) == snap.ddl,
-      s"append schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
+    val ddlOut =
+      if (nullableDdl(df.schema) == snap.ddl) snap.ddl
+      else if (mergeSchema) {
+        val table = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+        table.fields.foreach { f =>
+          val got = df.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"mergeSchema batch is missing table column ${f.name} " +
+                s"(${snap.ddl})"))
+          require(got.dataType == f.dataType,
+            s"mergeSchema cannot retype ${f.name}: table has " +
+              s"${f.dataType.catalogString}, batch has " +
+              s"${got.dataType.catalogString}")
+        }
+        val extra = df.schema.fields.filterNot(f =>
+          table.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        nullableDdl(StructType(table.fields ++ extra))
+      } else throw new IllegalArgumentException(
+        s"append schema ${nullableDdl(df.schema)} != table schema " +
+          s"${snap.ddl} (pass mergeSchema = true to widen)")
     val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
       snap.constraints, bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
-      writeManifest(spark, root, snap.entries ++ entries, snap.ddl,
+      writeManifest(spark, root, snap.entries ++ entries, ddlOut,
         snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
   }
 
@@ -881,7 +909,8 @@ object Manifest {
     * writer). Returns true iff this call committed the batch. */
   def appendIfAbsent(spark: SparkSession, dir: String, df: DataFrame,
                      partitionCol: String, appId: String, batchId: Long,
-                     statsCols: Seq[String] = Nil): Boolean =
+                     statsCols: Seq[String] = Nil,
+                     mergeSchema: Boolean = false): Boolean =
     withConflictRetry() {
       if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
       else if (latestVersion(spark, dir).isEmpty) {
@@ -889,7 +918,8 @@ object Manifest {
           txn = Some(appId -> batchId))
         true
       } else {
-        append(spark, dir, df, partitionCol, txn = Some(appId -> batchId))
+        append(spark, dir, df, partitionCol, txn = Some(appId -> batchId),
+          mergeSchema = mergeSchema)
         true
       }
     }

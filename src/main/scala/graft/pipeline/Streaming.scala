@@ -470,13 +470,15 @@ object Streaming {
     * empty batch is already a no-op, so there is nothing to mark. */
   def manifestIngest(df: DataFrame, tableDir: String, partitionCol: String,
                      checkpoint: String, appId: String,
-                     statsCols: Seq[String] = Nil): StreamingQuery =
+                     statsCols: Seq[String] = Nil,
+                     mergeSchema: Boolean = false): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.Manifest.appendIfAbsent(batch.sparkSession, tableDir,
-            batch, partitionCol, appId, batchId, statsCols)
+            batch, partitionCol, appId, batchId, statsCols,
+            mergeSchema = mergeSchema)
           ()
         }
       }

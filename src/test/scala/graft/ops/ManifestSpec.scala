@@ -166,6 +166,41 @@ class ManifestSpec extends SparkSpec {
     assert(candsHi.size < allHi)
   }
 
+  test("mergeSchema append widens atomically on drift; missing/retyped columns still reject") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    // drift without opting in: loud reject (the round-trip contract)
+    intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir,
+        Seq((200L, 2.0, 4L, "x")).toDF("k", "v", "p", "w"), "p")
+    }
+    // opted in: ONE commit carries the widened schema + the data
+    val vs = Manifest.versions(spark, dir)
+    Manifest.append(spark, dir,
+      Seq((200L, 2.0, 4L, "x")).toDF("k", "v", "p", "w"), "p",
+      mergeSchema = true)
+    assert(Manifest.versions(spark, dir).size == vs.size + 1)
+    val rows = Manifest.read(spark, dir)
+    assert(rows.columns.toSeq == Seq("k", "v", "p", "w"))
+    assert(rows.filter($"k" === 200L).select("w").head().getString(0) == "x")
+    assert(rows.filter($"w".isNull).count() == 100) // old files read null
+    // post-widen, a batch carrying the new column appends plainly
+    Manifest.append(spark, dir,
+      Seq((201L, 2.1, 4L, "y")).toDF("k", "v", "p", "w"), "p")
+    // but a batch MISSING an existing column is rejected even merged
+    intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir,
+        Seq((202L, 4L, "z")).toDF("k", "p", "w"), "p", mergeSchema = true)
+    }
+    // and retyping is rejected even merged
+    intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir,
+        Seq((203L, "oops", 4L, "z")).toDF("k", "v", "p", "w"), "p",
+        mergeSchema = true)
+    }
+    assert(Manifest.read(spark, dir).count() == 102)
+  }
+
   test("evolve adds a column metadata-only: same files, old rows read null, new appends carry it") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
