@@ -1513,9 +1513,12 @@ object Manifest {
     clusterBy(spark, dir, partitionCol, Seq(xCol, yCol), targetBytes,
       snap => {
         // the Morton interleave reads the LOW 31 BITS of each value:
-        // non-integral types would cast to null (one giant un-clustered
-        // file, silently) and negative values scramble the curve — both
-        // rejected loudly instead
+        // a non-integral TYPE is rejected loudly here (its cast would
+        // null the key and silently collapse the table into one
+        // un-clustered file). Negative VALUES remain the caller's
+        // contract — they mask to the top of the 31-bit range and
+        // degrade locality without erroring (checking data would cost
+        // a scan).
         val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
         Seq(xCol, yCol).foreach { c =>
           val dt = schema(c).dataType
@@ -1526,6 +1529,8 @@ object Manifest {
               "curve key (derive an integral column first, e.g. " +
               "datediff for dates)")
         }
+        // zorderKey casts both inputs to long itself (Expressions
+        // .zorder2), so narrower integral types widen there
         graft.ops.Layout.zorderKey(col(xCol), col(yCol))
       })
 
@@ -1634,8 +1639,11 @@ object Manifest {
     // neither their files nor the dir itself may go
     val youngBatches = scala.collection.mutable.Set[String]()
     if (fs.exists(dataRoot)) {
+      // TWO passes: first learn which batches are possibly mid-stage,
+      // THEN delete — so an old file never falls to a doomed-list built
+      // before its sibling young file marked the batch
       val it = fs.listFiles(dataRoot, true)
-      val doomed = scala.collection.mutable.ArrayBuffer[Path]()
+      val doomed = scala.collection.mutable.ArrayBuffer[(Path, String)]()
       while (it.hasNext) {
         val st = it.next()
         val rel = s"$DataDir${st.getPath.toUri.getPath.stripPrefix(dataRoot.toUri.getPath)}"
@@ -1646,34 +1654,44 @@ object Manifest {
           liveBatches.contains(parts(1))
         if (st.isFile && !live.contains(rel) && !isLiveBloom &&
           st.getModificationTime < cutoff)
-          doomed += st.getPath
+          doomed += ((st.getPath, parts(1)))
       }
-      doomed.foreach { p => reclaimed += 1; fs.delete(p, false) }
+      doomed.foreach { case (p, batch) =>
+        if (!youngBatches.contains(batch)) { reclaimed += 1; fs.delete(p, false) }
+      }
       // sweep fully-dead batch dirs (recursive: removes the emptied
-      // _bloom/ subtree too)
+      // _bloom/ subtree too). The dir's OWN mtime guards a batch born
+      // after the file scan above (its files were never seen, so
+      // youngBatches cannot vouch for it).
       fs.listStatus(dataRoot).foreach { st =>
         if (st.isDirectory && !liveBatches.contains(st.getPath.getName) &&
-          !youngBatches.contains(st.getPath.getName))
+          !youngBatches.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
     }
     // deletion-vector dirs not referenced by any kept snapshot (same
     // age floor: a staged-but-uncommitted DV swept here would UN-DELETE
-    // rows once its commit lands)
+    // rows once its commit lands). The dir's own mtime covers the
+    // moment it exists but its first part file doesn't; the content
+    // listing runs only for non-live dirs (LIST is the costly call).
     val liveDvs: Set[String] =
       keep.flatMap(v => readSnapshot(spark, root, v).dvDirs).toSet
     val dvRoot = new Path(root, DvDir)
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
-      val young = fs.listStatus(st.getPath)
-        .exists(_.getModificationTime >= cutoff)
-      if (!liveDvs.contains(st.getPath.getName) && !young) {
+      if (!liveDvs.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff &&
+        !fs.listStatus(st.getPath).exists(_.getModificationTime >= cutoff)) {
         reclaimed += 1; fs.delete(st.getPath, true)
       }
     }
-    // retired manifests + pointers
+    // retired manifests + pointers — same age floor: a freshly written
+    // manifest is unreferenced until its writer's pointer create lands
     val md = new Path(root, ManifestsDir)
     if (fs.exists(md)) fs.listStatus(md).foreach { st =>
-      if (!liveManifests.contains(st.getPath.getName)) {
+      if (!liveManifests.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff &&
+        !fs.listStatus(st.getPath).exists(_.getModificationTime >= cutoff)) {
         reclaimed += 1; fs.delete(st.getPath, true)
       }
     }

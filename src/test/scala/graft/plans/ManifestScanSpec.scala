@@ -206,6 +206,19 @@ class ManifestScanSpec extends SparkSpec {
 
     val total = Manifest.loadSnapshot(spark, dir).entries.map(_.bytes).sum
     Manifest.clusterZ(spark, dir, "p", "x", "y", targetBytes = total / 16 + 1)
+    // narrower integral types must work too (zorderKey widens to long);
+    // non-integral ones are rejected loudly
+    val intDir = newDir()
+    Manifest.create(spark, intDir,
+      spark.range(0, 64).select($"id".as("k"),
+        ($"id" % 8).cast("int").as("x"), ($"id" / 8).cast("int").as("y"),
+        ($"id" * 1.5).as("w"), lit(0L).as("p")),
+      "p", statsCols = Seq("x", "y", "w"))
+    Manifest.clusterZ(spark, intDir, "p", "x", "y", targetBytes = 1L)
+    assert(graft.plans.ManifestScan.scan(spark, intDir).count() == 64)
+    intercept[IllegalArgumentException] { // double col: type guard fires
+      Manifest.clusterZ(spark, intDir, "p", "x", "w")
+    }
     val allZ = filesScanned(ManifestScan.scan(spark, dir))
     val xz = filesScanned(xSlice); val yz = filesScanned(ySlice)
     assert(allZ >= 8, s"expected >=8 z-files, got $allZ")
