@@ -500,13 +500,18 @@ object Manifest {
   // -------- deletion vectors (merge-on-read) --------
 
   /** Manifest-relative path of the file a row came from, derived from
-    * `_metadata.file_path`. Splitting on the LAST `/data/` occurrence
-    * is exact: batch dirs (`b-<uuid>`) and parquet part files never
-    * contain that substring, so the last occurrence is always the
-    * table's own data dir, whatever the table root path contains. */
+    * `_metadata.file_path`. Anchored on the batch-dir pattern
+    * (`/data/b-<uuid>/<file>` at END of path) rather than any split on
+    * `/data/`: a table ROOT whose own path ends in `/data` produces
+    * overlapping `/data/data/` occurrences that a left-to-right split
+    * mis-segments (yielding `data/data/b-...`, which matches no
+    * manifest entry — DV masking would silently skip and deleted rows
+    * resurrect). The UUID'd batch dir cannot occur anywhere but the
+    * table's own data dir, so the rightmost match is always exact. */
   private def relPathCol: org.apache.spark.sql.Column =
     concat(lit(s"$DataDir/"),
-      element_at(split(col("_metadata.file_path"), s"/$DataDir/"), -1))
+      regexp_extract(col("_metadata.file_path"),
+        s"/$DataDir/(b-[0-9a-f-]{36}/[^/]+)$$", 1))
 
   /** The union of the snapshot's deletion-vector relations (empty
     * DataFrame of (path, pos) when the snapshot has none). */
@@ -643,7 +648,13 @@ object Manifest {
       if (e.stat_mins.length <= idx || e.stat_maxs.length <= idx) true
       else (Option(e.stat_mins(idx)), Option(e.stat_maxs(idx))) match {
         case (Some(mn), Some(mx)) =>
-          lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+          // a stored stat that does not parse in the CURRENT rendering
+          // (e.g. a timestamp manifest written before stats moved to
+          // epoch-micros holds wall-clock strings) cannot order — fail
+          // open, keep the file: old tables stay readable, never
+          // wrongly pruned
+          try lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
+          catch { case _: NumberFormatException => true }
         case _ => false // all-null column in this file
       }
     }
@@ -1173,13 +1184,24 @@ object Manifest {
       bloomBatchCandidates(spark, root, snap, cands, batch, keys.head)
     else cands
 
+  /** `nullSafeKeys` must mirror the caller's own match predicate:
+    * [[upsertMor]] merges with `<=>` (a null-keyed update row DOES
+    * match a null-keyed target row), so its mask must use `<=>` too —
+    * a `===` semi-join here would emit the merged replacement row into
+    * new files while never masking the original, silently duplicating
+    * every null-keyed row. [[deleteMor]] mirrors [[delete]]'s `===`
+    * (null keys delete nothing on either path). */
   private def dvHits(spark: SparkSession, root: Path, snap: Snapshot,
                      cands: Seq[Entry], batch: DataFrame,
-                     keys: Seq[String]): DataFrame = {
+                     keys: Seq[String], nullSafeKeys: Boolean): DataFrame = {
     val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
       dvRelation(spark, root, snap.dvDirs))
-    target.join(batch.select(keys.map(col): _*).distinct(), keys.toSeq,
-        "left_semi")
+    val probe = batch.select(keys.map(col): _*).distinct().alias("b")
+    val cond = keys.map { k =>
+      if (nullSafeKeys) col(s"b.$k") <=> col(s"t.$k")
+      else col(s"b.$k") === col(s"t.$k")
+    }.reduce(_ && _)
+    target.alias("t").join(probe, cond, "left_semi")
       .select(col("__rel").as("path"), col("__pos").as("pos"))
   }
 
@@ -1232,7 +1254,8 @@ object Manifest {
       deletes, keys)
     if (cands.isEmpty) return
     writeDv(spark, root,
-      dvHits(spark, root, snap, cands, deletes, keys)).foreach { name =>
+      dvHits(spark, root, snap, cands, deletes, keys,
+        nullSafeKeys = false)).foreach { name =>
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
           snap.bloomCols, snap.dvDirs :+ name, snap.constraints))
@@ -1274,14 +1297,22 @@ object Manifest {
         "left")
       .select(dataCols.map(c =>
         coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
-    val newEntries = writeBatch(spark, root, merged, partitionCol,
-      snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
-    val dvName = writeDv(spark, root,
-      dvHits(spark, root, snap, cands, updates, keys))
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, snap.entries ++ newEntries, snap.ddl,
-        snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName,
-        snap.constraints))
+    // empty-batch guard, as in [[rewrite]]: an empty parquet write can
+    // land zero part files and the stats read-back then fails — an
+    // empty updates batch must no-op, not crash
+    val newEntries =
+      if (merged.isEmpty) Seq.empty
+      else writeBatch(spark, root, merged, partitionCol,
+        snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
+    val dvName =
+      if (newEntries.isEmpty) None
+      else writeDv(spark, root,
+        dvHits(spark, root, snap, cands, updates, keys, nullSafeKeys = true))
+    if (newEntries.nonEmpty || dvName.nonEmpty)
+      commit(fs, root, v + 1,
+        writeManifest(spark, root, snap.entries ++ newEntries, snap.ddl,
+          snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName,
+          snap.constraints))
   }
 
   /** Fold every live deletion vector into data: rewrite ONLY the files

@@ -131,7 +131,7 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
     * distinct value is recorded), then the min/max stat slot. */
   private def admitRange(e: ManifestEntry, name: String,
                          lo: Option[String], loStrict: Boolean,
-                         hi: Option[String], hiStrict: Boolean): Boolean = {
+                         hi: Option[String], hiStrict: Boolean): Boolean = try {
     val cmpOpt = orderingFor(name)
     if (cmpOpt.isEmpty) return true // no safe ordering: never prune
     val cmp = cmpOpt.get
@@ -149,6 +149,11 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
             hi.forall(h => if (hiStrict) cmp(mn, h) < 0 else cmp(mn, h) <= 0)
       case None => true
     }
+  } catch {
+    // a stored stat that does not parse in the current rendering (e.g.
+    // pre-epoch-micros timestamp manifests hold wall-clock strings)
+    // cannot order — fail open, keep the file
+    case _: NumberFormatException => true
   }
 
   private def admitEq(e: ManifestEntry, name: String, value: Any,
@@ -216,12 +221,24 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
       case IsNotNull(a: AttributeReference) => admitNotNull(e, a.name)
       case StartsWith(a: AttributeReference, Literal(v, StringType))
         if v != null =>
-        // over-approximate prefix range [p, p + U+10FFFF...]: safe, and
-        // exact enough to skip files whose string range sits elsewhere
+        // exact prefix range under UTF-16 code-UNIT ordering (the
+        // String.compareTo the string stats use): p <= s < successor(p)
+        // where successor increments p's last code unit below \uFFFF
+        // (trailing \uFFFF units drop -- they admit no successor; an
+        // all-\uFFFF prefix has no upper bound). Appending U+10FFFF
+        // would be WRONG: it encodes as the surrogate pair DBFF DFFF,
+        // which sorts BELOW the unpaired code units [E000, FFFF] under
+        // compareTo -- a file holding only rows whose char after the
+        // prefix lies in that range would be pruned, silently missing
+        // rows.
         val p = v.toString
+        val succ = {
+          val trimmed = p.reverse.dropWhile(_ == '\uFFFF').reverse
+          if (trimmed.isEmpty) None
+          else Some(trimmed.init + (trimmed.last + 1).toChar)
+        }
         admitRange(e, a.name, Some(p), loStrict = false,
-          Some(p + Character.toChars(Character.MAX_CODE_POINT).mkString),
-          hiStrict = false)
+          succ, hiStrict = true)
       case _ => true // unknown shape: fail open, never prune
     }
 }
