@@ -1,0 +1,140 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The COMMIT PRIMITIVE seam of [[Manifest]]: "create this pointer file
+  * iff it does not exist, atomically" — the one operation the whole
+  * table format's atomicity claim rests on, isolated behind a
+  * per-scheme pluggable interface exactly like Delta's `LogStore`.
+  *
+  * Why a seam: `FileSystem.create(path, overwrite = false)` is atomic
+  * on HDFS by contract (a namenode CAS), but on S3-class object stores
+  * the Hadoop connector implements it as CHECK-THEN-PUT — two writers
+  * can both pass the existence check and both "succeed", and the
+  * second PUT silently replaces the first: a LOST COMMIT, not a
+  * conflict. The reference pipeline lives on exactly such a store
+  * (`lambda_trigger.py:25-28` reads `s3://...`), so the primitive must
+  * be swappable per scheme:
+  *
+  *  - `file:` → [[LocalLinkLogStore]] (temp-write + atomic hard link);
+  *  - HDFS-like → [[HadoopCreateLogStore]] (`create(overwrite=false)`);
+  *  - S3-class → a conditional-put store ([[ConditionalPutLogStore]]):
+  *    the exclusivity decision moves to an operation the store really
+  *    does make atomic — S3's conditional `PUT ... If-None-Match: *`
+  *    (a 412 on the loser), or an external lock/CAS service (the
+  *    DynamoDB table Delta's S3 multi-cluster LogStore uses).
+  *
+  * Selection is CONFIG-ONLY, mirroring `fs.<scheme>.impl` wiring:
+  * `graft.logstore.<scheme> = <fully.qualified.ClassName>` in the
+  * Hadoop configuration (settable as `spark.hadoop.graft.logstore.s3a`
+  * on the Spark conf). Unconfigured schemes fall back to the defaults
+  * above. Implementations must be classes with a no-arg constructor.
+  */
+trait LogStore {
+  /** Create `path` holding exactly `bytes`, atomically, iff it does
+    * not already exist. MUST throw a [[Manifest.isConflict]]-classified
+    * exception when the path exists or another writer wins the race —
+    * never succeed twice for one path, never leave a half-written or
+    * torn pointer visible to readers. */
+  def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit
+}
+
+object LogStore {
+
+  /** Hadoop-conf key prefix: `graft.logstore.<scheme>` → LogStore FQCN. */
+  val ConfPrefix = "graft.logstore."
+
+  private val cache = new ConcurrentHashMap[String, LogStore]()
+
+  private def instantiate(cls: String): LogStore =
+    cache.computeIfAbsent(cls, c =>
+      Class.forName(c).getDeclaredConstructor().newInstance()
+        .asInstanceOf[LogStore])
+
+  /** The store for `fs`'s scheme: configured class if present, else
+    * the scheme defaults documented on the trait. */
+  def forFs(fs: FileSystem): LogStore = {
+    val scheme = fs.getUri.getScheme
+    Option(fs.getConf.get(ConfPrefix + scheme)) match {
+      case Some(cls) => instantiate(cls.trim)
+      case None if scheme == "file" => instantiate(
+        classOf[LocalLinkLogStore].getName)
+      case None => instantiate(classOf[HadoopCreateLogStore].getName)
+    }
+  }
+}
+
+/** `file:` default — temp-write + atomic hard link: O_EXCL exclusivity
+  * AND full-content visibility in one syscall. (`FileSystem.create` on
+  * the local FS is itself check-then-create, unsound under a real
+  * two-writer race; the link either lands whole or throws
+  * `FileAlreadyExistsException`.) */
+class LocalLinkLogStore extends LogStore {
+  override def putIfAbsent(fs: FileSystem, path: Path,
+                           bytes: Array[Byte]): Unit = {
+    val dir = java.nio.file.Paths.get(path.getParent.toUri.getPath)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".v-", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.createLink(dir.resolve(path.getName), tmp)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}
+
+/** HDFS-class default — `create(path, overwrite = false)`, atomic
+  * there by contract (the namenode arbitrates). NOT sound on S3-class
+  * stores, where the connector emulates it as check-then-put: two
+  * racers can both succeed and one commit is silently lost
+  * ([[LogStoreSpec]] proves exactly this with an injected
+  * check-then-put filesystem). Configure a [[ConditionalPutLogStore]]
+  * there instead. */
+class HadoopCreateLogStore extends LogStore {
+  override def putIfAbsent(fs: FileSystem, path: Path,
+                           bytes: Array[Byte]): Unit = {
+    val out = fs.create(path, false)
+    try out.write(bytes)
+    finally out.close()
+  }
+}
+
+/** S3-class template: exclusivity comes from an atomic RESERVE —
+  * conditional on the pointer name — that the backing store really
+  * arbitrates; only the winner performs the (plain, overwriting) PUT.
+  * A production S3 implementation makes [[reserve]] the conditional
+  * `PUT If-None-Match: *` itself (success = reserved, HTTP 412 =
+  * lost) or a DynamoDB `attribute_not_exists` put; the write below
+  * then either is that PUT or follows the lock. The JVM-global
+  * [[JvmCasLogStore]] instance is the single-driver concrete form:
+  * correct whenever every writer shares one JVM (local[*], one Spark
+  * driver with many threads — this engine's deployment unit), and the
+  * injectable stand-in for the real conditional PUT in race specs. */
+abstract class ConditionalPutLogStore extends LogStore {
+  /** Atomically claim `path`; false = another writer holds it. */
+  protected def reserve(path: Path): Boolean
+
+  override def putIfAbsent(fs: FileSystem, path: Path,
+                           bytes: Array[Byte]): Unit = {
+    if (!reserve(path))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"conditional put lost: $path already committed")
+    // reservation won: the overwrite flag is irrelevant (no other
+    // writer can reach this put), and readers still never see a torn
+    // pointer — the reserve gate means nobody reads before this write
+    // completes its close()
+    val out = fs.create(path, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+}
+
+/** Process-global CAS registry keyed by fully-qualified pointer URI. */
+object JvmCasLogStore {
+  private[ops] val claimed = ConcurrentHashMap.newKeySet[String]()
+}
+
+class JvmCasLogStore extends ConditionalPutLogStore {
+  override protected def reserve(path: Path): Boolean =
+    JvmCasLogStore.claimed.add(path.toUri.toString)
+}

@@ -180,12 +180,14 @@ object Manifest {
     * is already claimed (lost race — re-read the table and retry the
     * whole operation, e.g. via [[withConflictRetry]]).
     *
-    * Scheme-aware like Delta's LogStore: `file:` publishes via
-    * temp-write + atomic hard link (O_EXCL semantics AND full-content
-    * visibility — `FileSystem.create` on the local FS is a non-atomic
-    * check-then-create, unsound under a real two-writer race); other
-    * stores use `create(path, overwrite = false)`, atomic on HDFS by
-    * contract. */
+    * The primitive itself is pluggable PER SCHEME ([[LogStore]],
+    * Delta's LogStore shape): `file:` publishes via temp-write +
+    * atomic hard link, HDFS-class stores via
+    * `create(path, overwrite = false)` (atomic there by contract), and
+    * S3-class stores — where that call is check-then-put and two
+    * racers silently lose a commit — configure a conditional-put store
+    * (`graft.logstore.<scheme>` in the Hadoop conf; see
+    * [[ConditionalPutLogStore]]). */
   private def commit(fs: FileSystem, root: Path, v: Long,
                      manifestName: String,
                      txn: Option[(String, Long)] = None): Unit = {
@@ -196,20 +198,8 @@ object Manifest {
         s"txn appId must not contain ':' or newline: $app")
       s"\ntxn:$app:$b"
     }.getOrElse("")
-    val bytes = content.getBytes(StandardCharsets.UTF_8)
-    if (fs.getUri.getScheme == "file") {
-      val dir = java.nio.file.Paths.get(
-        new Path(root, VersionsDir).toUri.getPath)
-      val tmp = java.nio.file.Files.createTempFile(dir, s".v-", ".tmp")
-      try {
-        java.nio.file.Files.write(tmp, bytes)
-        java.nio.file.Files.createLink(dir.resolve(target.getName), tmp)
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val out = fs.create(target, false) // atomic CAS on HDFS-like stores
-      try out.write(bytes)
-      finally out.close()
-    }
+    LogStore.forFs(fs).putIfAbsent(fs, target,
+      content.getBytes(StandardCharsets.UTF_8))
   }
 
   /** True iff `t` is the lost-commit-race signature of [[commit]] —
