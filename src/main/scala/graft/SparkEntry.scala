@@ -1074,6 +1074,46 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MULTI-TABLE atomic commit (ops.Manifest.commitAll): the
+    // Step-Function contract — publish the category KPI and the order
+    // KPI as ONE unit (reference StateMachine.txt:3-41 runs both tasks
+    // inside one execution). A first commitAll creates both tables
+    // with deliberately WRONG placeholder rows, a second atomically
+    // OVERWRITES both with the real aggregates; the read-back proves
+    // readers only ever see the final all-or-nothing state (a torn
+    // publish would leak a placeholder row and mismatch the oracle —
+    // MultiCommitSpec covers the crash-between-pointers half).
+    "man_commit_all" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_commitall_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, d, "orders")
+      def kpi(keyCol: String, kpiName: String) = orders
+        .groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("rev"))
+        .select(lit(kpiName).as("kpi"), col("k"), col("n"), col("rev"))
+      val catReal = kpi("o_orderpriority", "priority")
+      val ordReal = kpi("o_orderstatus", "status")
+      val placeholder = catReal.limit(1)
+        .select(lit("placeholder").as("kpi"), lit("x").as("k"),
+          lit(-1L).as("n"), lit(-1.0).as("rev"))
+      graft.ops.Manifest.commitAll(s, Seq(
+        graft.ops.StagedWrite(s"$root/cat_kpi", placeholder, "kpi"),
+        graft.ops.StagedWrite(s"$root/ord_kpi", placeholder, "kpi")),
+        s"$root/_txns")
+      graft.ops.Manifest.commitAll(s, Seq(
+        graft.ops.StagedWrite(s"$root/cat_kpi", catReal, "kpi",
+          overwrite = true),
+        graft.ops.StagedWrite(s"$root/ord_kpi", ordReal, "kpi",
+          overwrite = true)),
+        s"$root/_txns")
+      graft.ops.Manifest.read(s, s"$root/cat_kpi")
+        .unionByName(graft.ops.Manifest.read(s, s"$root/ord_kpi"))
+        .orderBy(col("kpi"), col("k"))
+    }),
+
     // Bloom point-lookup file skipping (ops.Manifest.readPoint): the
     // table is partitioned by STATUS and ingested in three key bands
     // with a per-file bloom on o_orderkey, so fetching one order by key
@@ -3125,6 +3165,25 @@ object SparkEntry {
     "man_ingest" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // All-or-nothing multi-table publish: both KPI tables must hold
+    // exactly the final aggregates — any placeholder row leaking from
+    // the first (overwritten) commit, or one table left stale, breaks
+    // the hash.
+    "man_commit_all" ->
+      """WITH cat AS (
+        |  SELECT 'priority' AS kpi, CAST(o_orderpriority AS VARCHAR) AS k,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 2
+        |), ord AS (
+        |  SELECT 'status' AS kpi, CAST(o_orderstatus AS VARCHAR) AS k,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 2
+        |)
+        |SELECT * FROM cat UNION ALL SELECT * FROM ord
+        |ORDER BY kpi, k""".stripMargin,
 
     // Bloom skipping must not change the answer: min + max key probes
     // equal plain equality reads.

@@ -55,6 +55,14 @@ object ChangeFeed {
         s"v$oldest..v$latest): vacuum dropped it or the base was " +
         "recreated — resync or widen retention")
 
+  /** The cursor's RETENTION PIN name on the base table — derived from
+    * the cursor dir so each consumer has exactly one pin and re-polls
+    * advance it in place. */
+  private[ops] def pinName(cursorDir: String): String =
+    "feed-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(cursorDir.getBytes(StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+
   private def cursorFs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -115,8 +123,15 @@ object ChangeFeed {
       f(Manifest.readVersion(spark, baseDir, latest)
           .withColumn("change", lit("insert")),
         fromV, latest)
-      writeCursor(spark, cursorDir, latest)
+      advance(latest)
       latest
+    }
+    /** Cursor + retention pin move together: once the cursor records
+      * `v`, the pin tells vacuum that v must stay readable — the next
+      * delivery anchors its diff there. */
+    def advance(v: Long): Unit = {
+      writeCursor(spark, cursorDir, v)
+      Manifest.pin(spark, baseDir, pinName(cursorDir), v)
     }
     readCursor(spark, cursorDir) match {
       case None => initialLoad(0L)
@@ -139,9 +154,17 @@ object ChangeFeed {
               throw new FeedGapException(c, Manifest.versions(spark, baseDir)
                 .headOption.getOrElse(latest), latest).initCause(t)
           }
-          writeCursor(spark, cursorDir, latest)
+          advance(latest)
           latest
         }
     }
+  }
+
+  /** Decommission a consumer: drop its retention pin from the base
+    * table (vacuum stops waiting for it) and delete its cursor dir. */
+  def retire(spark: SparkSession, baseDir: String, cursorDir: String): Unit = {
+    Manifest.unpin(spark, baseDir, pinName(cursorDir))
+    val fs = cursorFs(spark, cursorDir)
+    fs.delete(new Path(cursorDir), true)
   }
 }

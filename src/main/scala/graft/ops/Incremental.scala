@@ -43,6 +43,13 @@ object Incremental {
   /** Txn app-id namespace for view watermarks. */
   private def viewAppId: String = "graft-incr-view"
 
+  /** The view's RETENTION PIN name on its base table: the watermark's
+    * public claim that the base snapshot it anchors on must survive
+    * vacuum ([[Manifest.pin]]). */
+  private def basePinName(viewDir: String): String =
+    "view-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(viewDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
   private val Buckets = 32
 
   private def bucketOf(keyCols: Seq[String]) =
@@ -98,6 +105,7 @@ object Incremental {
       else
         Manifest.overwrite(spark, viewDir, fullBuild, "bucket",
           txn = Some(viewAppId -> baseV))
+      Manifest.pin(spark, baseDir, basePinName(viewDir), baseV)
       baseV
     }
 
@@ -148,6 +156,10 @@ object Incremental {
                   coalesce(col("t.bucket"), col("d.bucket")).as("bucket")): _*)
               .filter(col("n_rows") > 0)
         } finally delta.unpersist()
+        // watermark advanced: move the base pin with it (crash between
+        // commit and pin leaves the pin LOWER — vacuum just retains
+        // more than needed until the next refresh, never less)
+        Manifest.pin(spark, baseDir, basePinName(viewDir), baseV)
         baseV
     }
   }

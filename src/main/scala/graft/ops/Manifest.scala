@@ -97,6 +97,12 @@ case class ManifestEntry(path: String, values: Seq[String],
   * index (`_metadata.row_index`). Top-level for Encoder codegen. */
 case class DvEntry(path: String, pos: Long)
 
+/** One table's contribution to a [[Manifest.commitAll]] multi-table
+  * commit: append `df` at `dir` (creating the table if absent), or
+  * replace the whole snapshot when `overwrite`. */
+case class StagedWrite(dir: String, df: DataFrame, partitionCol: String,
+                       overwrite: Boolean = false)
+
 /** One per-file bloom filter row of a batch's `_bloom/` side relation
   * (top-level for the same Encoder-codegen reason as ManifestEntry).
   * `bits` is the filter as packed 64-bit words, little-endian within
@@ -151,13 +157,40 @@ object Manifest {
   private def versionPath(root: Path, v: Long): Path =
     new Path(new Path(root, VersionsDir), f"v$v%08d")
 
-  /** All committed versions, ascending (empty = no table). */
+  /** Pointer line marking a MULTI-TABLE commit participant: the
+    * pointer is visible iff the named parent marker file exists — the
+    * all-or-nothing gate of [[commitAll]]. */
+  private val MtxnPrefix = "mtxn:"
+
+  /** Is a pointer with these lines a COMMITTED version? A pointer with
+    * no `mtxn:` line is plainly committed; one carrying the line is
+    * committed only once its parent marker exists (a crashed
+    * [[commitAll]] leaves pending pointers that must read as absent
+    * forever). Marker existence is one `exists` probe, paid only for
+    * multi-commit pointers. */
+  private def pointerVisible(fs: FileSystem, lines: Seq[String]): Boolean =
+    lines.drop(1).find(_.startsWith(MtxnPrefix)) match {
+      case Some(l) =>
+        try fs.exists(new Path(new java.net.URI(l.stripPrefix(MtxnPrefix).trim)))
+        catch { case _: Exception => false } // unreadable marker = pending
+      case None => true
+    }
+
+  /** All committed versions, ascending (empty = no table). Pending
+    * multi-commit pointers (parent marker absent) are filtered out —
+    * to every reader and every subsequent writer they do not exist. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, dir)
     val vd = new Path(root, VersionsDir)
     if (!fs.exists(vd)) Seq.empty
     else fs.listStatus(vd).map(_.getPath.getName)
       .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted.toSeq
+      .filter { v =>
+        try pointerVisible(fs, readPointerLines(fs, root, v))
+        catch { // racing vacuum deleted the pointer mid-walk
+          case _: java.io.FileNotFoundException => false
+        }
+      }
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
@@ -198,9 +231,49 @@ object Manifest {
         s"txn appId must not contain ':' or newline: $app")
       s"\ntxn:$app:$b"
     }.getOrElse("")
-    LogStore.forFs(fs).putIfAbsent(fs, target,
-      content.getBytes(StandardCharsets.UTF_8))
+    putPointer(fs, target, content.getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Exclusive pointer create with DEAD-PENDING healing: a conflict
+    * against a pointer that is still INVISIBLE (its [[commitAll]]
+    * parent marker never appeared) and older than the pending-grace
+    * window (`graft.manifest.pendingGraceMillis`, default 10 min) is a
+    * crashed multi-commit's leftover occupying the version slot — it
+    * can never become visible (its writer is gone and its marker name
+    * was never published anywhere else), so it is deleted and the
+    * create retried once. Without this, one crashed multi-commit would
+    * wedge every later writer in an eternal conflict loop. A FRESH
+    * pending pointer (in-flight commitAll) conflicts normally — the
+    * grace window is the same liveness assumption vacuum's
+    * `staleMillis` makes. (Conditional-put stores that arbitrate at a
+    * store-level reserve need the matching store-side release; the
+    * grace semantics are this layer's contract.) */
+  private def putPointer(fs: FileSystem, target: Path,
+                         bytes: Array[Byte]): Unit =
+    try LogStore.forFs(fs).putIfAbsent(fs, target, bytes)
+    catch {
+      case t: Throwable if isConflict(t) && healDeadPending(fs, target) =>
+        LogStore.forFs(fs).putIfAbsent(fs, target, bytes)
+    }
+
+  private def healDeadPending(fs: FileSystem, target: Path): Boolean =
+    try {
+      // session conf first (the FileSystem CACHE may hold a conf copy
+      // snapshotted before the caller set the key), then the FS conf
+      val grace = org.apache.spark.sql.SparkSession.getDefaultSession
+        .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf)
+        .getLong("graft.manifest.pendingGraceMillis", 10 * 60 * 1000L)
+      val st = fs.getFileStatus(target)
+      val in = fs.open(target)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      if (!pointerVisible(fs, lines) &&
+        st.getModificationTime < System.currentTimeMillis() - grace) {
+        fs.delete(target, false)
+        true
+      } else false
+    } catch { case _: java.io.FileNotFoundException => false }
 
   /** True iff `t` is the lost-commit-race signature of [[commit]] —
     * the caller's cue to re-read the table and retry. */
@@ -296,7 +369,12 @@ object Manifest {
   private def readSnapshot(spark: SparkSession, root: Path,
                            v: Long): Snapshot = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readSnapshotByName(spark, root, readPointer(fs, root, v))
+    val lines = readPointerLines(fs, root, v)
+    // a pending multi-commit pointer is not a committed version: time
+    // travel to it would read a snapshot that never happened
+    require(pointerVisible(fs, lines),
+      s"version $v at $root is a pending multi-table commit, not committed")
+    readSnapshotByName(spark, root, lines.head.trim)
   }
 
   /** FORWARD-COMPATIBLE manifest read: a manifest written before a
@@ -966,6 +1044,137 @@ object Manifest {
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints), txn)
   }
 
+  /** TEST-ONLY failpoint: simulate a crash (raw throw, NO cleanup)
+    * after the Nth pending-pointer create inside [[commitAll]]. */
+  private[ops] var commitAllCrashAfter: Option[Int] = None
+
+  /** MULTI-TABLE atomic commit: apply every [[StagedWrite]] — across
+    * DIFFERENT manifest tables — as one all-or-nothing unit. The shape
+    * the reference's Step Function needs (`StateMachine.txt:3-41`
+    * commits CategoryKPI + OrderKPI + archive as one run): a reader
+    * can never observe one KPI table refreshed and the other stale.
+    *
+    * Protocol (parent-marker two-phase publish):
+    *  1. STAGE everything: each table's data batch and manifest are
+    *     written (the heavy, crash-inert work) with no pointer.
+    *  2. CLAIM each table's next version with a PENDING pointer that
+    *     names a parent marker file (`mtxn:<uri>`) which does not
+    *     exist yet. Pending pointers are invisible to every reader and
+    *     writer ([[versions]] filters them).
+    *  3. COMMIT by one atomic create of the marker ([[LogStore]]) —
+    *     the single instant all participating pointers become visible
+    *     together.
+    *
+    * Crash anywhere before step 3 leaves EVERY table at its previous
+    * snapshot (pending pointers never become visible; their version
+    * slots self-heal after the pending-grace window — [[putPointer]]).
+    * A CONFLICT during step 2 (another writer claimed a slot first)
+    * rolls back this commit's own pending pointers and rethrows, so
+    * [[withConflictRetry]] around the whole call re-stages on top of
+    * the winner. `txnDir` hosts the marker and must outlive the tables'
+    * vacuum retention (markers are tiny; sweep with
+    * [[vacuumTxnMarkers]]). */
+  def commitAll(spark: SparkSession, writes: Seq[StagedWrite],
+                txnDir: String): Unit = {
+    require(writes.nonEmpty, "no writes")
+    require(writes.map(_.dir).distinct.size == writes.size,
+      s"duplicate table dir in ${writes.map(_.dir).mkString(", ")}")
+    val (txnFs, txnRoot) = fsOf(spark, txnDir)
+    txnFs.mkdirs(txnRoot)
+    val marker = txnFs.makeQualified(new Path(txnRoot, s"t-${UUID.randomUUID()}"))
+    // phase 1: stage data + manifests (no pointers — pure orphans on crash)
+    val staged = writes.map { w =>
+      val (fs, root) = fsOf(spark, w.dir)
+      val (v, entries, ddl, statsCols, bloomCols, dvDirs, constraints) =
+        latestVersion(spark, w.dir) match {
+          case None =>
+            val e = writeBatch(spark, root, w.df, w.partitionCol, Nil, Nil)
+            (0L, e, nullableDdl(w.df.schema), Seq.empty[String],
+              Seq.empty[String], Seq.empty[String], Seq.empty[String])
+          case Some(v) =>
+            val snap = readSnapshot(spark, root, v)
+            require(nullableDdl(w.df.schema) == snap.ddl,
+              s"commitAll schema ${nullableDdl(w.df.schema)} != table " +
+                s"schema ${snap.ddl} at ${w.dir}")
+            val e = writeBatch(spark, root, w.df, w.partitionCol,
+              snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
+            if (w.overwrite)
+              (v, e, snap.ddl, snap.statsCols, snap.bloomCols,
+                Seq.empty[String], snap.constraints)
+            else
+              (v, snap.entries ++ e, snap.ddl, snap.statsCols,
+                snap.bloomCols, snap.dvDirs, snap.constraints)
+        }
+      val name = writeManifest(spark, root, entries, ddl, statsCols,
+        bloomCols, dvDirs, constraints)
+      (fs, root, v + 1, name)
+    }
+    // phase 2: claim every slot with a pending pointer naming the marker
+    val created = scala.collection.mutable.ArrayBuffer[(FileSystem, Path)]()
+    try {
+      staged.zipWithIndex.foreach { case ((fs, root, v, name), i) =>
+        fs.mkdirs(new Path(root, VersionsDir))
+        val target = versionPath(root, v)
+        putPointer(fs, target,
+          (name + "\n" + MtxnPrefix + marker.toUri.toString)
+            .getBytes(StandardCharsets.UTF_8))
+        created += ((fs, target))
+        if (commitAllCrashAfter.contains(i + 1))
+          throw new RuntimeException(s"simulated crash after pointer ${i + 1}")
+      }
+    } catch {
+      // a LOST SLOT RACE rolls back this commit's own pending pointers
+      // (safe: our marker does not exist and never will) and rethrows
+      // for the caller's conflict retry. Any other throwable is a
+      // crash-equivalent: propagate raw — pending pointers stay
+      // invisible and the slots self-heal after the grace window.
+      case t: Throwable if isConflict(t) =>
+        created.foreach { case (fs, p) =>
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => () }
+        }
+        throw t
+    }
+    // phase 3: the commit point — one atomic marker create
+    LogStore.forFs(txnFs).putIfAbsent(txnFs, marker,
+      staged.map { case (_, root, v, _) => s"$root v$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Reclaim txn markers no retained pointer references. A marker may
+    * only go once every pointer that names it is itself gone (else
+    * deleting it would UN-COMMIT those versions), so this scans the
+    * given tables' retained pointers for `mtxn:` references and
+    * deletes unreferenced markers older than `staleMillis` (younger
+    * ones may belong to an in-flight commitAll whose pointers are not
+    * all created yet). */
+  def vacuumTxnMarkers(spark: SparkSession, txnDir: String,
+                       tableDirs: Seq[String],
+                       staleMillis: Long = 3600 * 1000L): Long = {
+    val (txnFs, txnRoot) = fsOf(spark, txnDir)
+    if (!txnFs.exists(txnRoot)) return 0L
+    val referenced: Set[String] = tableDirs.flatMap { d =>
+      val (fs, root) = fsOf(spark, d)
+      val vd = new Path(root, VersionsDir)
+      if (!fs.exists(vd)) Seq.empty
+      else fs.listStatus(vd).map(_.getPath.getName)
+        .filter(_.matches("v\\d{8}")).toSeq.flatMap { n =>
+          readPointerLines(fs, root, n.drop(1).toLong).drop(1)
+            .find(_.startsWith(MtxnPrefix)).map(_.stripPrefix(MtxnPrefix).trim)
+        }
+    }.toSet
+    val cutoff = System.currentTimeMillis() - staleMillis
+    var n = 0L
+    txnFs.listStatus(txnRoot).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("t-") &&
+        !referenced.contains(txnFs.makeQualified(st.getPath).toUri.toString) &&
+        st.getModificationTime < cutoff) {
+        n += 1; txnFs.delete(st.getPath, false)
+      }
+    }
+    n
+  }
+
   /** Metadata-only ADD COLUMN (schema evolution): commit a new
     * manifest whose sentinel carries the widened schema — the SAME file
     * entries, no data rewritten, O(1) in table size (Delta's
@@ -1614,10 +1823,79 @@ object Manifest {
       "txn")
   }
 
+  // -------- retention pins --------
+
+  private val PinsDir = "_pins"
+
+  final case class RetentionPinnedException(pins: Map[String, Long],
+                                            oldestKept: Long)
+    extends RuntimeException(
+      s"vacuum would drop versions below v$oldestKept that active " +
+        s"consumers still anchor on: ${pins.map { case (n, v) => s"$n@v$v" }
+          .mkString(", ")} — let the consumers advance, widen " +
+        "keepVersions, retire the pins, or pass force = true " +
+        "(forced vacuum gaps those consumers into resync)")
+
+  /** Register (or advance) a named RETENTION PIN: a downstream
+    * consumer's public claim that it still anchors on version `v`, so
+    * [[vacuumOrphans]] must not drop `v` or anything after it. The
+    * change-feed cursor ([[ChangeFeed.poll]]) and the incremental-view
+    * watermark ([[Incremental.refresh]]) register themselves here —
+    * turning the "vacuum silently invalidates my cursor" coupling from
+    * convention into a checked contract. Pins are tiny files under
+    * `_pins/<name>` (temp + rename publish, last write wins — each
+    * name has one owner). */
+  def pin(spark: SparkSession, dir: String, name: String, v: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"bad pin name '$name'")
+    val (fs, root) = fsOf(spark, dir)
+    val pd = new Path(root, PinsDir)
+    fs.mkdirs(pd)
+    val tmp = new Path(pd, s".$name-${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(pd, name)
+    fs.delete(target, false) // rename-over is not portable; delete first
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      require(fs.exists(target), s"pin publish failed for $target")
+    }
+  }
+
+  /** Remove a retention pin (no-op if absent) — the consumer is
+    * decommissioned and no longer constrains vacuum. */
+  def unpin(spark: SparkSession, dir: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    fs.delete(new Path(new Path(root, PinsDir), name), false)
+  }
+
+  /** All registered retention pins (name → anchored version). */
+  def pins(spark: SparkSession, dir: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val pd = new Path(root, PinsDir)
+    if (!fs.exists(pd)) Map.empty
+    else fs.listStatus(pd).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith(".")).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.toLongOption.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
   /** Reclaim files not referenced by any of the newest `keepVersions`
     * manifests, and drop older version pointers + manifests. Time
     * travel reaches back `keepVersions` snapshots afterwards. Safe to
     * run concurrently with readers OF THOSE VERSIONS only.
+    *
+    * RETENTION PINS: when a registered pin ([[pin]]) anchors a STILL-
+    * RETAINED version that this call would drop, the call REFUSES with
+    * [[RetentionPinnedException]] before touching anything — a lagging
+    * change-feed cursor or view watermark blocks the vacuum that would
+    * gap it. `force = true` overrides (the pinned consumers gap and
+    * must resync); a pin whose version is already gone no longer
+    * blocks (that consumer is already gapped — refusing forever would
+    * wedge maintenance).
     *
     * CONCURRENT WRITERS: an in-flight write has staged data/DV files
     * that no manifest references yet — indistinguishable from orphans
@@ -1637,13 +1915,21 @@ object Manifest {
     * the retention window can no longer vouch for its batch. */
   def vacuumOrphans(spark: SparkSession, dir: String,
                     keepVersions: Int = 1,
-                    staleMillis: Long = 3600 * 1000L): Long = {
+                    staleMillis: Long = 3600 * 1000L,
+                    force: Boolean = false): Long = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val (fs, root) = fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
     val cutoff = System.currentTimeMillis() - staleMillis
     val keep = vs.takeRight(keepVersions)
+    if (!force) {
+      val lagging = pins(spark, dir).filter { case (_, pv) =>
+        pv < keep.head && vs.contains(pv)
+      }
+      if (lagging.nonEmpty)
+        throw RetentionPinnedException(lagging, keep.head)
+    }
     val live: Set[String] =
       keep.flatMap(v => readSnapshot(spark, root, v).entries.map(_.path)).toSet
     // a batch's _bloom/ side relation lives exactly as long as any of
@@ -1718,6 +2004,19 @@ object Manifest {
     }
     vs.dropRight(keepVersions).foreach { v =>
       fs.delete(versionPath(root, v), false)
+    }
+    // stale PENDING pointers (crashed multi-commits): invisible to
+    // every reader, but they occupy version slots — sweep them once
+    // they are past the age floor (a younger one may be an in-flight
+    // commitAll about to publish its marker)
+    val vd = new Path(root, VersionsDir)
+    val visible = vs.toSet
+    if (fs.exists(vd)) fs.listStatus(vd).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("v\\d{8}") && !visible.contains(n.drop(1).toLong) &&
+        st.getModificationTime < cutoff) {
+        reclaimed += 1; fs.delete(st.getPath, false)
+      }
     }
     reclaimed
   }

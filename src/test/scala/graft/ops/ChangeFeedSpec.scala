@@ -87,7 +87,8 @@ class ChangeFeedSpec extends SparkSpec {
     Manifest.upsert(spark, dir, Seq((5L, 555.0, 2L)).toDF("k", "v", "p"),
       Seq("k"), "p")
     Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
-    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L,
+      force = true) // the cursor's pin would (rightly) refuse this
 
     intercept[ChangeFeed.FeedGapException] {
       ChangeFeed.poll(spark, dir, cur)(sink.apply)
@@ -123,5 +124,34 @@ class ChangeFeedSpec extends SparkSpec {
     val before = sink.deliveries
     assert(ChangeFeed.poll(spark, dir, cur)(sink.apply) == 1L)
     assert(sink.deliveries == before)
+  }
+  test("retention pin: vacuum blocked while the cursor lags, allowed after it advances") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val cur = s"$root/cursor"
+    Manifest.create(spark, dir, base, "p")
+    val sink = new KvSink
+    ChangeFeed.poll(spark, dir, cur)(sink.apply) // cursor + pin at v1
+    Manifest.upsert(spark, dir, Seq((5L, 555.0, 2L)).toDF("k", "v", "p"),
+      Seq("k"), "p")
+    Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
+
+    // the cursor still anchors on v1 — dropping to keepVersions=1 would
+    // gap it, so vacuum REFUSES before touching anything
+    val ex = intercept[Manifest.RetentionPinnedException] {
+      Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+    }
+    assert(ex.pins.values.toSeq == Seq(1L) && ex.oldestKept == 3L)
+    // nothing was reclaimed: the lagging consumer still replays cleanly
+    assert(ChangeFeed.poll(spark, dir, cur)(sink.apply) == 3L)
+    assert(sink.state.toMap == tableState(dir))
+
+    // cursor advanced to v3 -> the same vacuum now proceeds
+    assert(Manifest.pins(spark, dir).values.toSeq == Seq(3L))
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+    assert(Manifest.versions(spark, dir) == Seq(3L))
+
+    // retiring the consumer removes its pin entirely
+    ChangeFeed.retire(spark, dir, cur)
+    assert(Manifest.pins(spark, dir).isEmpty)
   }
 }

@@ -142,7 +142,8 @@ class IncrementalSpec extends SparkSpec {
       Seq((200L, 42L, 7.5, 1L)).toDF("k", "g", "v", "p"), "p")
     Manifest.delete(spark, baseDir,
       Seq((5L, 2L)).toDF("k", "p"), Seq("k"), "p")
-    Manifest.vacuumOrphans(spark, baseDir, keepVersions = 1, staleMillis = 0L)
+    Manifest.vacuumOrphans(spark, baseDir, keepVersions = 1, staleMillis = 0L,
+      force = true) // the view's pin would (rightly) refuse this
     intercept[Exception] { Manifest.changes(spark, baseDir, 1L, 3L) }
 
     val v = Incremental.refresh(spark, baseDir, viewDir, Seq("g"), "v")

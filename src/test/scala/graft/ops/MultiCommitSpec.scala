@@ -1,0 +1,149 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Multi-table atomic commit ([[Manifest.commitAll]]): the Step-
+  * Function-shaped "publish CategoryKPI + OrderKPI + archive as one
+  * unit" contract — all tables advance together or none do. */
+class MultiCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("graft-multi").toString
+
+  private def catKpi(tag: Double) =
+    Seq(("toys", tag, 0L), ("books", tag + 1, 1L)).toDF("cat", "rev", "p")
+  private def ordKpi(tag: Double) =
+    Seq((100L, tag, 0L), (101L, tag + 1, 1L)).toDF("o", "rev", "p")
+
+  private def revs(dir: String): Set[Double] =
+    Manifest.read(spark, dir).select("rev").as[Double].collect().toSet
+
+  test("happy path: create-then-overwrite two tables as one unit") {
+    val root = newRoot()
+    val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
+    // first run creates both tables atomically
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(1.0), "p"),
+      StagedWrite(b, ordKpi(10.0), "p")), txns)
+    assert(Manifest.versions(spark, a) == Seq(1L))
+    assert(Manifest.versions(spark, b) == Seq(1L))
+    assert(revs(a) == Set(1.0, 2.0) && revs(b) == Set(10.0, 11.0))
+    // the daily republish overwrites both atomically
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+      StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+    assert(revs(a) == Set(3.0, 4.0) && revs(b) == Set(30.0, 31.0))
+    // and plain append mode composes too
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(5.0), "p"),
+      StagedWrite(b, ordKpi(50.0), "p")), txns)
+    assert(revs(a) == Set(3.0, 4.0, 5.0, 6.0))
+    assert(Manifest.versions(spark, a) == Seq(1L, 2L, 3L))
+  }
+
+  test("crash between the two pointer writes leaves BOTH tables at the old snapshot") {
+    val root = newRoot()
+    val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(1.0), "p"),
+      StagedWrite(b, ordKpi(10.0), "p")), txns)
+
+    // crash AFTER table a's pending pointer lands, BEFORE table b's —
+    // and therefore before the parent marker: nothing may be visible
+    Manifest.commitAllCrashAfter = Some(1)
+    try intercept[RuntimeException] {
+      Manifest.commitAll(spark, Seq(
+        StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+        StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+    } finally Manifest.commitAllCrashAfter = None
+
+    // both tables still read the OLD snapshot; the pending pointer on
+    // `a` is invisible to readers, writers, and time travel
+    assert(Manifest.versions(spark, a) == Seq(1L))
+    assert(Manifest.versions(spark, b) == Seq(1L))
+    assert(revs(a) == Set(1.0, 2.0) && revs(b) == Set(10.0, 11.0))
+    intercept[IllegalArgumentException] {
+      Manifest.readVersion(spark, a, 2L)
+    }
+
+    // a later writer heals the dead pending slot (grace window elapsed)
+    // and the retried publish lands atomically on both tables
+    spark.sparkContext.hadoopConfiguration
+      .setLong("graft.manifest.pendingGraceMillis", 0L)
+    try {
+      Manifest.commitAll(spark, Seq(
+        StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+        StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+    } finally spark.sparkContext.hadoopConfiguration
+      .unset("graft.manifest.pendingGraceMillis")
+    assert(Manifest.versions(spark, a) == Seq(1L, 2L))
+    assert(Manifest.versions(spark, b) == Seq(1L, 2L))
+    assert(revs(a) == Set(3.0, 4.0) && revs(b) == Set(30.0, 31.0))
+  }
+
+  test("slot conflict mid-claim rolls back this commit's pending pointers") {
+    val root = newRoot()
+    val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(1.0), "p"),
+      StagedWrite(b, ordKpi(10.0), "p")), txns)
+    // a CONCURRENT in-flight multi-commit already claimed b's next
+    // slot (fresh pending pointer, its marker not yet published)
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fake = new org.apache.hadoop.fs.Path(b, "_versions/v00000002")
+    val out = fs.create(fake, false)
+    try out.write(s"m-other\nmtxn:$root/_txns/t-never-published"
+      .getBytes("UTF-8"))
+    finally out.close()
+    assert(Manifest.versions(spark, b) == Seq(1L), "pending slot invisible")
+
+    val t = intercept[Throwable] {
+      Manifest.commitAll(spark, Seq(
+        StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+        StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+    }
+    assert(Manifest.isConflict(t), s"expected retryable conflict, got $t")
+    // a's pending pointer was rolled back: its slot is free again
+    val aPointers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(a, "_versions"))
+      .map(_.getPath.getName).filter(_.matches("v\\d{8}")).toSeq
+    assert(aPointers == Seq("v00000001"),
+      s"rolled-back commit must free a's claimed slot, got $aPointers")
+    assert(revs(a) == Set(1.0, 2.0) && revs(b) == Set(10.0, 11.0))
+
+    // the other commit aborts (its pointer goes away) -> retry lands
+    fs.delete(fake, false)
+    Manifest.withConflictRetry() {
+      Manifest.commitAll(spark, Seq(
+        StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+        StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+    }
+    assert(revs(a) == Set(3.0, 4.0) && revs(b) == Set(30.0, 31.0))
+    assert(Manifest.versions(spark, b) == Seq(1L, 2L))
+  }
+
+  test("txn-marker vacuum keeps referenced markers, sweeps unreferenced stale ones") {
+    val root = newRoot()
+    val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(1.0), "p"),
+      StagedWrite(b, ordKpi(10.0), "p")), txns)
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+      StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+    // both markers still referenced by retained pointers: nothing goes
+    assert(Manifest.vacuumTxnMarkers(spark, txns, Seq(a, b),
+      staleMillis = 0L) == 0L)
+    assert(revs(a) == Set(3.0, 4.0))
+    // retire v1 on both tables, then the first marker is sweepable
+    Manifest.vacuumOrphans(spark, a, keepVersions = 1, staleMillis = 0L)
+    Manifest.vacuumOrphans(spark, b, keepVersions = 1, staleMillis = 0L)
+    assert(Manifest.vacuumTxnMarkers(spark, txns, Seq(a, b),
+      staleMillis = 0L) == 1L)
+    // the surviving marker still vouches for the live version
+    assert(Manifest.versions(spark, a) == Seq(2L) && revs(a) == Set(3.0, 4.0))
+  }
+}
