@@ -1003,6 +1003,31 @@ object Manifest {
       }
     }
 
+  /** Exactly-once MERGE: the [[appendIfAbsent]] contract for keyed
+    * upserts — apply `(appId, batchId)` at most once, marker and data
+    * in ONE pointer create. The streaming-KPI sink shape: an
+    * update-mode micro-batch re-emits full rows per changed key, the
+    * upsert folds them in, and a crash-replayed batch (same id) no-ops
+    * against its own marker instead of re-running the rewrite. Creates
+    * the table on the first batch. Returns true iff this call
+    * committed. */
+  def upsertIfAbsent(spark: SparkSession, dir: String, updates: DataFrame,
+                     keys: Seq[String], partitionCol: String,
+                     appId: String, batchId: Long,
+                     statsCols: Seq[String] = Nil): Boolean =
+    withConflictRetry() {
+      if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
+      else if (latestVersion(spark, dir).isEmpty) {
+        create(spark, dir, updates, partitionCol, statsCols,
+          txn = Some(appId -> batchId))
+        true
+      } else {
+        upsert(spark, dir, updates, keys, partitionCol,
+          txn = Some(appId -> batchId))
+        true
+      }
+    }
+
   /** Partition-pruned read: only files whose recorded partition-value
     * sets intersect `values` (string renderings; overflowed files always
     * read) are opened, then the exact predicate applies on top — same
@@ -1332,9 +1357,10 @@ object Manifest {
     * for every rewritten row in the candidate files, so it is rejected
     * loudly, exactly like [[append]]. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-             keys: Seq[String], partitionCol: String): Unit = {
+             keys: Seq[String], partitionCol: String,
+             txn: Option[(String, Long)] = None): Unit = {
     rewrite(spark, dir, updates, partitionCol,
-      requireFullSchema = true, keys = keys) { (target, batch) =>
+      requireFullSchema = true, txn = txn, keys = keys) { (target, batch) =>
       val dataCols = batch.columns
       target.alias("t")
         .join(batch.alias("u"),

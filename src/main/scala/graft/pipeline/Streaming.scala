@@ -269,33 +269,92 @@ object Streaming {
     * vacuumed. Within a batch each key may appear at most once
     * (scd2Apply's batch contract); feeds that can carry several
     * revisions per key per trigger should pre-collapse to the latest by
-    * effective date. */
+    * effective date.
+    *
+    * EXACTLY-ONCE: each fold commits with an `(appId, batchId)` txn
+    * marker riding the same pointer create as the refolded history
+    * ([[graft.ops.Manifest.lastTxn]]). A crash between the fold commit
+    * and the checkpoint commit replays the batch with the SAME id; the
+    * marker vouches for it and the replay no-ops — no refold, no extra
+    * version, no possibility of forking (scd2Apply's refold idempotence
+    * remains the second line of defense, but the marker means it is
+    * never needed). `appId` must be unique per logical stream writing
+    * to this history dir. */
   def scd2Stream(updates: DataFrame, historyDir: String, keys: Seq[String],
                  tracked: Seq[String], effectiveCol: String,
-                 checkpoint: String): StreamingQuery =
+                 checkpoint: String,
+                 appId: String = "graft-scd2-stream"): StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val exists = graft.ops.Manifest.latestVersion(spark, historyDir).isDefined
-        val hist =
-          if (exists) graft.ops.Manifest.read(spark, historyDir)
+        graft.ops.Manifest.withConflictRetry() {
+          if (graft.ops.Manifest.lastTxn(spark, historyDir, appId)
+              .exists(_ >= batchId)) () // replayed batch: marker vouches
           else {
-            // empty history with the output schema: first batch inserts
-            val dateType = batch.schema(effectiveCol).dataType
-            batch.select((keys ++ tracked).map(col) :+
-              col(effectiveCol).as("valid_from"): _*)
-              .withColumn("valid_to", lit(null).cast(dateType))
-              .filter(lit(false))
+            val exists =
+              graft.ops.Manifest.latestVersion(spark, historyDir).isDefined
+            val hist =
+              if (exists) graft.ops.Manifest.read(spark, historyDir)
+              else {
+                // empty history with the output schema: first batch inserts
+                val dateType = batch.schema(effectiveCol).dataType
+                batch.select((keys ++ tracked).map(col) :+
+                  col(effectiveCol).as("valid_from"): _*)
+                  .withColumn("valid_to", lit(null).cast(dateType))
+                  .filter(lit(false))
+              }
+            val next = graft.ops.Merge.scd2Apply(
+              hist, batch, keys, tracked, effectiveCol)
+            if (exists) graft.ops.Manifest.overwrite(spark, historyDir, next,
+              "valid_to", txn = Some(appId -> batchId))
+            else graft.ops.Manifest.create(spark, historyDir, next,
+              "valid_to", txn = Some(appId -> batchId))
           }
-        val next = graft.ops.Merge.scd2Apply(
-          hist, batch, keys, tracked, effectiveCol)
-        if (exists) graft.ops.Manifest.overwrite(spark, historyDir, next, "valid_to")
-        else graft.ops.Manifest.create(spark, historyDir, next, "valid_to")
+        }
         ()
       }
       .start()
+
+  /** The continuous daily-KPI pipeline landing on a TRANSACTIONAL
+    * table instead of a KV store: same watermarked day-window UPDATE
+    * aggregation as [[continuousDailyKpi]], but each micro-batch's
+    * changed (day × key) rows MERGE into a [[graft.ops.Manifest]]
+    * table via [[graft.ops.Manifest.upsertIfAbsent]] — keyed upsert
+    * with the `(appId, batchId)` marker in the same atomic commit, so
+    * a crash-replayed batch no-ops instead of re-merging. What the KV
+    * sink cannot give: snapshot-isolated readers (a dashboard query
+    * never sees half a batch), time travel per micro-batch, change
+    * feeds off the KPI table itself, and vacuum/compaction under the
+    * usual protocol. Partitioned by `order_date`, so a day's upsert
+    * rewrites only that day's files. */
+  def continuousDailyKpiManifest(df: DataFrame, tableDir: String,
+                                 checkpoint: String,
+                                 keyCols: Seq[String] = Nil,
+                                 watermark: String = "2 days",
+                                 appId: String = "graft-daily-kpi")
+      : StreamingQuery = {
+    val kpi = df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day") +: keyCols.map(col): _*)
+      .agg(sum(col("price")).as("total_revenue"),
+        count(lit(1)).as("total_orders"),
+        avg(col("price")).as("avg_order_value"))
+      .select(col("window.start").cast("date").as("order_date") +:
+        (keyCols.map(col) ++ Seq(col("total_revenue"), col("total_orders"),
+          col("avg_order_value"))): _*)
+    kpi.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Manifest.upsertIfAbsent(batch.sparkSession, tableDir,
+            batch, "order_date" +: keyCols, "order_date", appId, batchId)
+          ()
+        }
+      }
+      .start()
+  }
 
   /** Read the SCD2 history table maintained by [[scd2Stream]] (latest
     * committed snapshot). */

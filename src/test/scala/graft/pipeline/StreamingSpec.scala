@@ -355,6 +355,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._1 == 2L) == 1)
   }
 
+  test("scd2Stream: killed-and-replayed batches no-op against their txn markers (no fork)") {
+    implicit val sqlCtx = spark.sqlContext
+    val histDir = Files.createTempDirectory("graft-scd2-replay").toString + "/hist"
+    def run(ckpt: String, data: Seq[Seq[(Long, String, String)]]): Unit = {
+      val mem = MemoryStream[(Long, String, String)]
+      val updates = mem.toDF().toDF("k", "attr", "eff")
+        .select($"k", $"attr", $"eff".cast("date").as("eff"))
+      val q = Streaming.scd2Stream(updates, histDir,
+        keys = Seq("k"), tracked = Seq("attr"), effectiveCol = "eff", ckpt)
+      data.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    val batches = Seq(
+      Seq((1L, "a", "2024-01-01"), (2L, "x", "2024-01-01")),
+      Seq((1L, "b", "2024-02-01")))
+    run(Files.createTempDirectory("graft-scd2-ck1").toString, batches)
+    val vsBefore = graft.ops.Manifest.versions(spark, histDir)
+    val histBefore = Streaming.scd2History(spark, histDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(vsBefore == Seq(1L, 2L))
+
+    // crash-equivalent replay: a FRESH checkpoint re-delivers the same
+    // feed with restarted batch ids — every fold must no-op against the
+    // committed (appId, batchId) markers: same history, same versions,
+    // no refold, no fork
+    run(Files.createTempDirectory("graft-scd2-ck2").toString, batches)
+    assert(graft.ops.Manifest.versions(spark, histDir) == vsBefore,
+      "replayed batches must not commit new versions")
+    assert(Streaming.scd2History(spark, histDir).collect()
+      .map(_.toString).sorted.toSeq == histBefore)
+  }
+
+  test("continuousDailyKpiManifest: KPI table converges and replay cannot double-merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-kpi-manifest").toString
+    val tbl = s"$root/kpi_tbl"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((ts("2024-01-01 10:00:00"), "toys", 10.0),
+      (ts("2024-01-01 11:00:00"), "toys", 20.0),
+      (ts("2024-01-01 12:00:00"), "books", 5.0))
+    val b2 = Seq((ts("2024-01-01 13:00:00"), "toys", 30.0), // revises day 1
+      (ts("2024-01-02 09:00:00"), "toys", 7.0))             // opens day 2
+    def run(ckpt: String, data: Seq[Seq[(java.sql.Timestamp, String, Double)]]): Unit = {
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("ts", "category", "price")
+      val q = Streaming.continuousDailyKpiManifest(df, tbl,
+        ckpt, keyCols = Seq("category"))
+      data.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    run(s"$root/ck1", Seq(b1, b2))
+    def state() = graft.ops.Manifest.read(spark, tbl)
+      .select($"order_date".cast("string"), $"category", $"total_revenue",
+        $"total_orders")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // converged to the from-scratch daily answer across the revision
+    assert(state() == Set(
+      ("2024-01-01", "toys", 60.0, 3L),
+      ("2024-01-01", "books", 5.0, 1L),
+      ("2024-01-02", "toys", 7.0, 1L)))
+    val vsBefore = graft.ops.Manifest.versions(spark, tbl)
+
+    // crash-equivalent replay from a fresh checkpoint: the upsert
+    // markers vouch for every batch id — no re-merge, no double counts
+    run(s"$root/ck2", Seq(b1, b2))
+    assert(graft.ops.Manifest.versions(spark, tbl) == vsBefore,
+      "replayed batches must not commit new versions")
+    assert(state() == Set(
+      ("2024-01-01", "toys", 60.0, 3L),
+      ("2024-01-01", "books", 5.0, 1L),
+      ("2024-01-02", "toys", 7.0, 1L)))
+  }
+
   test("transformWithState first-seen dedup suppresses cross-batch redelivery") {
     implicit val sqlCtx = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
