@@ -1552,12 +1552,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Similarity: IVF (k-means coarse quantizer) top-5 — the trained
-    // scale path beside LSH (rows-only; seeded k-means has no SQL oracle).
+    // Similarity: IVF with a TRAINED coarse quantizer — spherical
+    // Lloyd's over integer-quantized vectors with sum-vector centroids
+    // (cosine is scale-invariant, so no float mean ever exists), Lehmer-
+    // anchored init, two unrolled update rounds. ORACLE-CHECKED END TO
+    // END including training: every centroid sum is an exact integer
+    // vector, so DuckDB replays init, both Lloyd rounds, the final
+    // assignment, probing, and the rank (the Spark-ML k-means variant
+    // ivfTopK remains spec-gated by recall — seeded distributed float
+    // k-means is not engine-replayable).
     "sim_topk_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3, iters = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2854,6 +2861,78 @@ object SparkEntry {
         |    list_cosine_similarity(qp.qe, asg.e) AS sim
         |  FROM qp JOIN asg ON qp.cluster = asg.cluster
         |  WHERE asg.vec_id != qp.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // TRAINED IVF replayed end to end: quantize to ints, Lehmer-anchor
+    // init, two spherical-Lloyd rounds with exact integer SUM-vector
+    // centroids (cosine is scale-invariant so counts never divide),
+    // final assignment + 3-probe + rank. Every centroid component is an
+    // exact integer in both engines, so training replays bit-for-bit.
+    "sim_topk_ivf" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x*1000)) AS v
+        |  FROM embeddings
+        |), a0 AS (
+        |  SELECT vec_id AS cluster, v AS s FROM c
+        |  ORDER BY ((((vec_id % 2147483647) * 48271) % 2147483647) * 48271)
+        |             % 2147483647, vec_id
+        |  LIMIT 8
+        |), asg1 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT c.vec_id, c.v, a0.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, a0.s) DESC, a0.cluster) AS rn
+        |    FROM c, a0) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a0.cluster, COALESCE(u.s, a0.s) AS s FROM a0 LEFT JOIN (
+        |    SELECT cluster, list(sv ORDER BY idx) AS s FROM (
+        |      SELECT cluster, idx, SUM(val) AS sv FROM (
+        |        SELECT cluster, unnest(v) AS val,
+        |          generate_subscripts(v, 1) AS idx FROM asg1)
+        |      GROUP BY cluster, idx) GROUP BY cluster
+        |  ) u ON a0.cluster = u.cluster
+        |), asg2 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT c.vec_id, c.v, c1.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, c1.s) DESC, c1.cluster) AS rn
+        |    FROM c, c1) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT c1.cluster, COALESCE(u.s, c1.s) AS s FROM c1 LEFT JOIN (
+        |    SELECT cluster, list(sv ORDER BY idx) AS s FROM (
+        |      SELECT cluster, idx, SUM(val) AS sv FROM (
+        |        SELECT cluster, unnest(v) AS val,
+        |          generate_subscripts(v, 1) AS idx FROM asg2)
+        |      GROUP BY cluster, idx) GROUP BY cluster
+        |  ) u ON c1.cluster = u.cluster
+        |), asgf AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT c.vec_id, c2.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, c2.s) DESC, c2.cluster) AS rn
+        |    FROM c, c2) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, e AS qe, v AS qv FROM c WHERE vec_id < 10
+        |), qp AS (
+        |  SELECT query_id, qe, cluster FROM (
+        |    SELECT q.query_id, q.qe, c2.cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c2.s) DESC, c2.cluster) AS rn
+        |    FROM q, c2) WHERE rn <= 3
+        |), s AS (
+        |  SELECT qp.query_id, t.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qp.qe, t.e) AS sim
+        |  FROM qp JOIN asgf a ON qp.cluster = a.cluster
+        |    JOIN c t ON t.vec_id = a.vec_id
+        |  WHERE t.vec_id != qp.query_id
         |), r AS (
         |  SELECT query_id, neighbor_id,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id

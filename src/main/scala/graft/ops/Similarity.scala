@@ -356,6 +356,90 @@ object Similarity {
       (-best.getField("negc")).as("cluster"))
   }
 
+  /** IVF with a TRAINED coarse quantizer that stays SQL-replayable —
+    * the oracle-checkable form of [[ivfTopK]]'s k-means path (round-8
+    * verdict: seeded Spark-ML k-means can never be replayed by another
+    * engine, so the trained main path sat rows-only while only the
+    * untrained anchored sibling had an oracle).
+    *
+    * Training is spherical Lloyd's over QUANTIZED vectors with every
+    * number exact:
+    *  - corpus vectors quantize to integers (`floor(x·scale)` — the
+    *    [[pqTopKAnchored]] trick), so centroid SUMS are exact integer
+    *    vectors, order-independent under any aggregation plan;
+    *  - centroids are represented by their un-normalized assigned-set
+    *    SUM: cosine is scale-invariant (`cos(v, s/n) = cos(v, s)`), so
+    *    the count never divides anything and no float mean exists
+    *    anywhere — the one step that makes distributed k-means
+    *    engine-replayable;
+    *  - init = the [[anchoredAnchors]] Lehmer-smallest corpus vectors
+    *    (deterministic, already SQL-proven), `iters` update rounds
+    *    unrolled, ties to the smaller cluster id, empty clusters carry
+    *    their previous sum.
+    * Assignment is the same zero-shuffle literal-argmax projection as
+    * [[ivfTopKAnchored]] ([[anchoredAssign]]'s plan shape); each update
+    * round is one groupBy of `nlist × dim` integer partial sums. The
+    * final rank scores RAW vectors by exact cosine, rank-only output —
+    * the candidate-set decision (assignment + probes) replays in DuckDB
+    * by construction, the rank by the usual margin argument. At 100 TB:
+    * `iters + 1` corpus scans at train time (vs the anchored path's
+    * one), each a map-side projection; probing cost identical. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 8,
+                     nprobe: Int = 3, iters: Int = 2,
+                     scale: Int = 1000): DataFrame = {
+    val quant = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("double"))
+    val withVq = corpus.select(col(idCol), col(vecCol), quant.as("vq"))
+    val dim = anchoredAnchors(corpus, idCol, vecCol, 1).head._2.length
+    // init: quantized Lehmer anchors (exact ints as doubles)
+    var sums: Seq[(Long, Array[Double])] =
+      anchoredAnchors(corpus, idCol, vecCol, nlist)
+        .map { case (cid, v) => (cid, v.map(x => math.floor(x * scale))) }
+    // argmax over the literal sum vectors: ties to the SMALLER cluster
+    // id, matching the replay's ORDER BY csim DESC, cluster
+    def assignCol(ss: Seq[(Long, Array[Double])]): Column =
+      -array_max(array(ss.sortBy(_._1).map { case (cid, s) =>
+        struct(cosine(col("vq"), array(s.map(lit).toIndexedSeq: _*)).as("csim"),
+          lit(-cid).as("negc"))
+      }.toIndexedSeq: _*)).getField("negc")
+    for (_ <- 1 to iters) {
+      val sumAggs = (0 until dim).map(i =>
+        sum(element_at(col("vq"), i + 1)).as(s"s$i"))
+      val updated = withVq.select(col("vq"), assignCol(sums).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(sumAggs.head, sumAggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (0 until dim).map(i => r.getDouble(i + 1)).toArray)
+        .toMap
+      // empty cluster: carry the previous sum (its list stays probeable)
+      sums = sums.map { case (cid, prev) => (cid, updated.getOrElse(cid, prev)) }
+    }
+    val assigned = withVq.select(col(idCol), col(vecCol),
+      assignCol(sums).as("cluster"))
+    val spark = corpus.sparkSession
+    val centDf = broadcast(spark.createDataFrame(
+      sums.map { case (cid, s) => (cid, s.toSeq) }).toDF("cluster", "cvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        quant.as("qvq"))
+      .crossJoin(centDf)
+      .withColumn("csim", cosine(col("qvq"), col("cvec")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cluster")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol))
+    assigned.join(probes, Seq("cluster"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
   /** Lake-scale IVF layout: fit the quantizer and write the corpus
     * PARTITIONED BY cluster id (`path/cluster=N/...`), returning the
     * centroid table to keep beside the index. This is the physical

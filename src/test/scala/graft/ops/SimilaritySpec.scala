@@ -113,6 +113,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= 0.999, s"nprobe=nlist must reproduce brute force, got $r8")
   }
 
+  test("trained (integer-Lloyd) ivf recall@k clears the same 0.6 floor") {
+    // the oracle proves sim_topk_ivf's training REPLAYS exactly; this
+    // gate proves the trained quantizer is also a GOOD quantizer at the
+    // declared parameters, same bar as the Spark-ML k-means sibling
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+    val q = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfTopKTrained(emb, q, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = nprobe, iters = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r3 = recallAt(3)
+    info(s"trained ivf recall@5 nprobe=3: $r3")
+    assert(r3 >= 0.6, s"trained ivf recall@5 collapsed: $r3")
+    assert(recallAt(8) >= 0.999,
+      "nprobe=nlist must reproduce brute force")
+  }
+
   test("ivf partitioned index: pruned probe matches in-session ivf, plan prunes partitions") {
     val emb = graft.io.Sources.table(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
