@@ -247,11 +247,25 @@ object TextAnalysis {
     * explode form's semantics. */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3, maxShingles: Int = 1000000): DataFrame = {
+    // LOUD size guard (the lookupAll capped-probe contract): the
+    // benchmark shingle set ships to every task as an expression
+    // constant, so a consolidated 10^7-10^8-shingle decontamination
+    // list would OOM the driver and bloat every task binary before any
+    // correctness problem surfaced. The collect is bounded to cap+1
+    // rows, so even probing an oversized set cannot OOM the check
+    // itself.
     val benchShingles: Array[String] =
       benchmark.select(explode(array_distinct(Dedup.shingles(col(textCol), n)))
           .as("shingle")).distinct()
+        .limit(maxShingles + 1)
         .collect().map(_.getString(0))
+    if (benchShingles.length > maxShingles)
+      throw new IllegalArgumentException(
+        s"benchmark set has more than $maxShingles distinct $n-shingles — " +
+          "too large to embed as an expression constant; use " +
+          "contaminationBloom (distributed sketch build + exact verify " +
+          "of hits), which computes the same result at any benchmark size")
     val sh = array_distinct(Dedup.shingles(col(textCol), n))
     corpus
       .select(col(idCol),

@@ -1,0 +1,102 @@
+package graft.tools
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.ManifestEntry
+import graft.plans.ManifestFileIndex
+
+/** Measures the DRIVER cost of manifest planning at lake scale —
+  * round-8 verdict #2: `Manifest.snapshot` collects every entry to the
+  * driver and `ManifestFileIndex` plans from that list; the ~8×10⁵-row
+  * budget for 100 TB at 128 MB files was "plausible but unmeasured".
+  *
+  * Synthesizes a committed manifest of N slim entries (no data files —
+  * planning never opens them): one partition value per file, date
+  * min/max stats striped over a 4-year span, then measures
+  *  - snapshot load latency + retained driver heap,
+  *  - ManifestFileIndex construction,
+  *  - listFiles under a one-month date predicate (the planner's
+  *    pruning pass) and the surviving file count.
+  * Prints one JSON line per run. */
+object ManifestPlanBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 100000
+    val spark = graft.Spark.session(appName = "graft-plan-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-planbench")
+      .toString + "/tbl"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // --- synthesize the committed manifest (sentinel + n slim rows) ---
+    val ddl = "k BIGINT,d DATE,p STRING"
+    val sentinel = ManifestEntry("", Seq.empty, has_null = false,
+      overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
+      stat_cols = Seq("d"), stat_mins = Seq.empty, stat_maxs = Seq.empty,
+      bloom_cols = Seq.empty)
+    val day0 = java.time.LocalDate.parse("1992-01-01")
+    val span = 4 * 365
+    val batch = s"b-${UUID.randomUUID()}"
+    val entries = spark.range(n.toLong).map { i =>
+      val lo = day0.plusDays(((i * 37) % span).toInt)
+      ManifestEntry(s"data/$batch/part-$i.parquet",
+        values = Seq((i % 1024).toString), has_null = false,
+        overflow = false, rows = 100000L, bytes = 128L << 20,
+        schema_ddl = "", stat_cols = Seq.empty,
+        stat_mins = Seq(lo.toString), stat_maxs = Seq(lo.plusDays(6).toString),
+        bloom_cols = Seq.empty)
+    }
+    val mName = s"m-${UUID.randomUUID()}"
+    spark.createDataset(Seq(sentinel)).union(entries)
+      .toDF().coalesce(4).write.parquet(s"$root/_manifests/$mName")
+    fs.mkdirs(new Path(root, "_versions"))
+    val out = fs.create(new Path(root, "_versions/v00000001"), false)
+    try out.write(mName.getBytes("UTF-8")) finally out.close()
+
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- snapshot load: latency + retained heap ---
+    val h0 = heapUsed()
+    val (index, tLoad) = time(new ManifestFileIndex(spark, root,
+      partitionCol = Some("p")))
+    val h1 = heapUsed()
+    // hold the reference so gc cannot reclaim what we are measuring
+    require(index.sizeInBytes > 0)
+
+    // --- pruning pass: one-month date predicate ---
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", DateType)()
+    val filter = org.apache.spark.sql.catalyst.expressions.And(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-01"), DateType)),
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-30"), DateType)))
+    // warm once (class loading), then measure
+    index.candidateCount(Seq(filter))
+    val (kept, tPrune) = time(index.candidateCount(Seq(filter)))
+    // a full (unfiltered) listing for comparison
+    val (_, tList) = time(index.listFiles(Nil, Nil))
+
+    println(
+      s"""{"metric":"manifest_planning","entries":$n,""" +
+        s""""snapshot_load_sec":${f"$tLoad%.2f"},""" +
+        s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
+        s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
+        s""""list_all_sec":${f"$tList%.3f"}}""")
+  }
+}

@@ -203,4 +203,19 @@ class TextAnalysisSpec extends SparkSpec {
     // a zero-hit doc skips verify, so exact>0 implies it went through
     exact.filter(_._2 > 0).keys.foreach(id => assert(loose(id) == exact(id)))
   }
+  test("contamination refuses an over-cap benchmark set loudly, pointing at the bloom path") {
+    val corpus = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // cap below the benchmark's distinct 3-shingle count: the guard
+    // must throw BEFORE shipping the set as an expression constant
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.contamination(corpus, bench, maxShingles = 3).collect()
+    }
+    assert(ex.getMessage.contains("contaminationBloom"),
+      s"refusal must point at the scale path: ${ex.getMessage}")
+    // at or under the cap the screen runs normally
+    assert(TextAnalysis.contamination(corpus, bench, maxShingles = 100)
+      .count() == 1L)
+  }
 }
