@@ -24,17 +24,14 @@ import graft.plans.ManifestFileIndex
   * Prints one JSON line per run. */
 object ManifestPlanBench {
 
-  def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toInt else 100000
-    val spark = graft.Spark.session(appName = "graft-plan-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+  /** Commit a synthetic manifest table of `n` slim entries at `root`
+    * (no data files — planning never opens them): one partition value
+    * per file, 7-day date stat stripes over a 4-year span. Shared by
+    * the bench main and the spec that pins planning cost/behavior. */
+  def synthesize(spark: org.apache.spark.sql.SparkSession, root: String,
+                 n: Int): Unit = {
     import spark.implicits._
-
-    val root = java.nio.file.Files.createTempDirectory("graft-planbench")
-      .toString + "/tbl"
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-    // --- synthesize the committed manifest (sentinel + n slim rows) ---
     val ddl = "k BIGINT,d DATE,p STRING"
     val sentinel = ManifestEntry("", Seq.empty, has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
@@ -58,6 +55,16 @@ object ManifestPlanBench {
     fs.mkdirs(new Path(root, "_versions"))
     val out = fs.create(new Path(root, "_versions/v00000001"), false)
     try out.write(mName.getBytes("UTF-8")) finally out.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 100000
+    val spark = graft.Spark.session(appName = "graft-plan-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-planbench")
+      .toString + "/tbl"
+    synthesize(spark, root, n)
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
