@@ -11,7 +11,12 @@ object Spark {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores)
+      // shuffle parallelism sizes with the DATA, not the cores, once
+      // partitions stop fitting in memory — at sf30 (180 M-row facts)
+      // 32 partitions spill/OOM an 8-16 g heap, so big-SF bench runs
+      // raise this (AQE coalesces the excess back down when small)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // graft's Catalyst extension: plans graft.plans.AsOfJoinPlan into
