@@ -125,6 +125,56 @@ class MultiCommitSpec extends SparkSpec {
     assert(Manifest.versions(spark, b) == Seq(1L, 2L))
   }
 
+  test("sustained contention: racing multi-commits and appends all land, atomically") {
+    val root = newRoot()
+    val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(1.0), "p"),
+      StagedWrite(b, ordKpi(10.0), "p")), txns)
+    // 4 writers: two multi-committers (each appending a tagged row to
+    // BOTH tables as one unit), one plain appender per table — every
+    // slot race must resolve to a clean conflict + retry, never a lost
+    // update or a half-visible multi-commit
+    val writers = Seq(
+      () => Manifest.withConflictRetry(20) {
+        Manifest.commitAll(spark, Seq(
+          StagedWrite(a, Seq(("mc1", 100.0, 0L)).toDF("cat", "rev", "p"), "p"),
+          StagedWrite(b, Seq((900L, 100.0, 0L)).toDF("o", "rev", "p"), "p")),
+          txns)
+      },
+      () => Manifest.withConflictRetry(20) {
+        Manifest.commitAll(spark, Seq(
+          StagedWrite(a, Seq(("mc2", 200.0, 1L)).toDF("cat", "rev", "p"), "p"),
+          StagedWrite(b, Seq((901L, 200.0, 1L)).toDF("o", "rev", "p"), "p")),
+          txns)
+      },
+      () => Manifest.withConflictRetry(20) {
+        Manifest.append(spark, a,
+          Seq(("plainA", 300.0, 0L)).toDF("cat", "rev", "p"), "p")
+      },
+      () => Manifest.withConflictRetry(20) {
+        Manifest.append(spark, b,
+          Seq((902L, 300.0, 0L)).toDF("o", "rev", "p"), "p")
+      })
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.map(w => new Thread(() =>
+      try w() catch { case t: Throwable => failures.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"writers failed: ${failures.toArray.toSeq}")
+    // no lost updates: every writer's row is present exactly once
+    val cats = Manifest.read(spark, a).select("cat").as[String].collect()
+    assert(cats.count(_ == "mc1") == 1 && cats.count(_ == "mc2") == 1 &&
+      cats.count(_ == "plainA") == 1, s"lost/duplicated append: ${cats.toSeq}")
+    val os = Manifest.read(spark, b).select("o").as[Long].collect()
+    assert(Seq(900L, 901L, 902L).forall(k => os.count(_ == k) == 1))
+    // atomicity: both halves of each multi-commit are visible together
+    // (trivially true at quiescence IF neither crashed mid-way — the
+    // crash case is the dedicated spec above; here we assert nothing
+    // was rolled back without retry landing it)
+    assert(Manifest.versions(spark, a).size == 4)
+    assert(Manifest.versions(spark, b).size == 4)
+  }
+
   test("txn-marker vacuum keeps referenced markers, sweeps unreferenced stale ones") {
     val root = newRoot()
     val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
