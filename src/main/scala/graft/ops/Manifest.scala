@@ -176,6 +176,21 @@ object Manifest {
       case None => true
     }
 
+  /** Pointers whose visibility has been POSITIVELY verified, by
+    * qualified URI. Sound to cache forever: visibility is MONOTONE —
+    * a plain pointer is visible from birth, and a multi-commit
+    * pointer's parent marker, once present, is only vacuumable
+    * ([[vacuumTxnMarkers]]) after every pointer naming it is itself
+    * gone (and a deleted pointer never appears in the listing again).
+    * Pending (invisible) verdicts are NOT cached — the marker may land
+    * a moment later. This keeps steady-state [[versions]] at one LIST
+    * plus content reads for NEW pointers only, instead of a GET per
+    * retained version per call — the difference between O(1) and
+    * O(retention) round-trips per operation on an object store. */
+  private val visibleCache =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   /** All committed versions, ascending (empty = no table). Pending
     * multi-commit pointers (parent marker absent) are filtered out —
     * to every reader and every subsequent writer they do not exist. */
@@ -183,14 +198,30 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val vd = new Path(root, VersionsDir)
     if (!fs.exists(vd)) Seq.empty
-    else fs.listStatus(vd).map(_.getPath.getName)
-      .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong).sorted.toSeq
-      .filter { v =>
-        try pointerVisible(fs, readPointerLines(fs, root, v))
-        catch { // racing vacuum deleted the pointer mid-walk
-          case _: java.io.FileNotFoundException => false
+    else fs.listStatus(vd)
+      .filter(_.getPath.getName.matches("v\\d{8}"))
+      .sortBy(_.getPath.getName).toSeq
+      .filter { st =>
+        // keyed on (uri, mtime, len): a table dropped and recreated at
+        // the same path gets fresh pointer files with new stamps, so a
+        // stale verdict can never vouch for a DIFFERENT file
+        val key = st.getPath.toUri.toString +
+          s"@${st.getModificationTime}:${st.getLen}"
+        visibleCache.contains(key) || {
+          val v = st.getPath.getName.drop(1).toLong
+          val ok =
+            try pointerVisible(fs, readPointerLines(fs, root, v))
+            catch { // racing vacuum deleted the pointer mid-walk
+              case _: java.io.FileNotFoundException => false
+            }
+          if (ok) {
+            if (visibleCache.size() > 100000) visibleCache.clear() // bound
+            visibleCache.add(key)
+          }
+          ok
         }
       }
+      .map(_.getPath.getName.drop(1).toLong)
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
