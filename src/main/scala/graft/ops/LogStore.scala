@@ -39,6 +39,16 @@ trait LogStore {
     * never succeed twice for one path, never leave a half-written or
     * torn pointer visible to readers. */
   def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit
+
+  /** Release any store-side claim held for `path`, called AFTER the
+    * pointer file itself has been deleted (dead-pending healing,
+    * [[Manifest.commitAll]] conflict rollback, vacuum's stale-pending
+    * sweep). Filesystem-arbitrated stores need nothing — the file's
+    * absence IS the released state — so the default is a no-op; a
+    * [[ConditionalPutLogStore]] MUST drop its reservation here or the
+    * version slot stays wedged: every retried create against it
+    * conflicts forever even though no pointer file exists. */
+  def release(fs: FileSystem, path: Path): Unit = ()
 }
 
 object LogStore {
@@ -112,11 +122,16 @@ class HadoopCreateLogStore extends LogStore {
   * injectable stand-in for the real conditional PUT in race specs. */
 abstract class ConditionalPutLogStore extends LogStore {
   /** Atomically claim `path`; false = another writer holds it. */
-  protected def reserve(path: Path): Boolean
+  protected def reserve(fs: FileSystem, path: Path): Boolean
+
+  /** Drop the claim on `path` (idempotent). Implementations MUST wire
+    * this to the same arbiter [[reserve]] uses — see
+    * [[LogStore.release]] for when the protocol calls it. */
+  override def release(fs: FileSystem, path: Path): Unit
 
   override def putIfAbsent(fs: FileSystem, path: Path,
                            bytes: Array[Byte]): Unit = {
-    if (!reserve(path))
+    if (!reserve(fs, path))
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(
         s"conditional put lost: $path already committed")
     // reservation won: the overwrite flag is irrelevant (no other
@@ -129,12 +144,17 @@ abstract class ConditionalPutLogStore extends LogStore {
   }
 }
 
-/** Process-global CAS registry keyed by fully-qualified pointer URI. */
+/** Process-global CAS registry keyed by fully-QUALIFIED pointer URI
+  * (qualification makes the reserve and release sides agree even when
+  * one caller passes a scheme-less path and the other a listing's
+  * qualified one). */
 object JvmCasLogStore {
   private[ops] val claimed = ConcurrentHashMap.newKeySet[String]()
 }
 
 class JvmCasLogStore extends ConditionalPutLogStore {
-  override protected def reserve(path: Path): Boolean =
-    JvmCasLogStore.claimed.add(path.toUri.toString)
+  override protected def reserve(fs: FileSystem, path: Path): Boolean =
+    JvmCasLogStore.claimed.add(fs.makeQualified(path).toUri.toString)
+  override def release(fs: FileSystem, path: Path): Unit =
+    JvmCasLogStore.claimed.remove(fs.makeQualified(path).toUri.toString)
 }

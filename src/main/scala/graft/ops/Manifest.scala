@@ -167,17 +167,34 @@ object Manifest {
     * committed only once its parent marker exists (a crashed
     * [[commitAll]] leaves pending pointers that must read as absent
     * forever). Marker existence is one `exists` probe, paid only for
-    * multi-commit pointers. */
+    * multi-commit pointers.
+    *
+    * The marker is resolved via ITS OWN filesystem: [[commitAll]]
+    * permits a `txnDir` on a different scheme/authority than a
+    * participating table, and probing such a marker with the TABLE's fs
+    * throws "Wrong FS" deterministically. An earlier form swallowed
+    * every probe exception as "pending", which made cross-fs commits
+    * invisible forever AND let [[healDeadPending]] delete their
+    * committed pointers after the grace window — silent loss of
+    * committed data. Now only a malformed marker URI reads as pending
+    * (it can never name an existing file); every other probe failure —
+    * auth, transient store error — PROPAGATES, because "cannot verify"
+    * must never silently become "not committed". */
   private def pointerVisible(fs: FileSystem, lines: Seq[String]): Boolean =
     lines.drop(1).find(_.startsWith(MtxnPrefix)) match {
       case Some(l) =>
-        try fs.exists(new Path(new java.net.URI(l.stripPrefix(MtxnPrefix).trim)))
-        catch { case _: Exception => false } // unreadable marker = pending
+        val raw = l.stripPrefix(MtxnPrefix).trim
+        val uri =
+          try new java.net.URI(raw)
+          catch { case _: java.net.URISyntaxException => return false }
+        val p = new Path(uri)
+        val mfs = if (uri.getScheme == null) fs else p.getFileSystem(fs.getConf)
+        mfs.exists(p) // exists() maps plain absence to false itself
       case None => true
     }
 
   /** Pointers whose visibility has been POSITIVELY verified, by
-    * qualified URI. Sound to cache forever: visibility is MONOTONE —
+    * qualified URI. Sound to cache: visibility is MONOTONE —
     * a plain pointer is visible from birth, and a multi-commit
     * pointer's parent marker, once present, is only vacuumable
     * ([[vacuumTxnMarkers]]) after every pointer naming it is itself
@@ -186,10 +203,42 @@ object Manifest {
     * a moment later. This keeps steady-state [[versions]] at one LIST
     * plus content reads for NEW pointers only, instead of a GET per
     * retained version per call — the difference between O(1) and
-    * O(retention) round-trips per operation on an object store. */
+    * O(retention) round-trips per operation on an object store.
+    *
+    * Two guards on the `(uri, mtime, len)` key:
+    *  - verdicts for pointers younger than [[VisibleFreshMillis]] are
+    *    NOT cached. Pointer names are near-constant-length `m-<uuid>`
+    *    strings, so `len` barely discriminates, and on stores with
+    *    second-granularity mtimes a drop-and-recreate within the same
+    *    tick could collide a NEW pending pointer with a cached positive
+    *    verdict. Past the margin the collision is impossible: a
+    *    recreate happening after the margin necessarily stamps a later
+    *    mtime than the cached key's.
+    *  - the cache is a PER-TABLE LRU ([[VisibleCachePerTable]], far
+    *    above any vacuum retention), so one hot table crossing its
+    *    bound evicts only its own eldest entries — never a global
+    *    clear that would stampede every other table back into
+    *    O(retention) pointer re-verification. */
+  private[ops] var VisibleCachePerTable = 4096
+  private val VisibleFreshMillis = 5000L
   private val visibleCache =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.Map[String, java.lang.Boolean]]()
+  private def tableVisibleCache(table: String)
+      : java.util.Map[String, java.lang.Boolean] =
+    visibleCache.computeIfAbsent(table, _ =>
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, java.lang.Boolean](
+          64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+            size() > VisibleCachePerTable
+        }))
+  private[ops] def visibleCacheSize(spark: SparkSession, dir: String): Int = {
+    val (_, root) = fsOf(spark, dir)
+    Option(visibleCache.get(new Path(root, VersionsDir).toUri.toString))
+      .map(_.size()).getOrElse(0)
+  }
 
   /** All committed versions, ascending (empty = no table). Pending
     * multi-commit pointers (parent marker absent) are filtered out —
@@ -198,30 +247,31 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val vd = new Path(root, VersionsDir)
     if (!fs.exists(vd)) Seq.empty
-    else fs.listStatus(vd)
-      .filter(_.getPath.getName.matches("v\\d{8}"))
-      .sortBy(_.getPath.getName).toSeq
-      .filter { st =>
-        // keyed on (uri, mtime, len): a table dropped and recreated at
-        // the same path gets fresh pointer files with new stamps, so a
-        // stale verdict can never vouch for a DIFFERENT file
-        val key = st.getPath.toUri.toString +
-          s"@${st.getModificationTime}:${st.getLen}"
-        visibleCache.contains(key) || {
-          val v = st.getPath.getName.drop(1).toLong
-          val ok =
-            try pointerVisible(fs, readPointerLines(fs, root, v))
-            catch { // racing vacuum deleted the pointer mid-walk
-              case _: java.io.FileNotFoundException => false
-            }
-          if (ok) {
-            if (visibleCache.size() > 100000) visibleCache.clear() // bound
-            visibleCache.add(key)
+    else {
+      val cache = tableVisibleCache(vd.toUri.toString)
+      fs.listStatus(vd)
+        .filter(_.getPath.getName.matches("v\\d{8}"))
+        .sortBy(_.getPath.getName).toSeq
+        .filter { st =>
+          // keyed on (uri, mtime, len); only pointers past the
+          // freshness margin are cached — see visibleCache's contract
+          val key = st.getPath.toUri.toString +
+            s"@${st.getModificationTime}:${st.getLen}"
+          cache.containsKey(key) || {
+            val v = st.getPath.getName.drop(1).toLong
+            val ok =
+              try pointerVisible(fs, readPointerLines(fs, root, v))
+              catch { // racing vacuum deleted the pointer mid-walk
+                case _: java.io.FileNotFoundException => false
+              }
+            if (ok && System.currentTimeMillis() - st.getModificationTime >
+              VisibleFreshMillis)
+              cache.put(key, java.lang.Boolean.TRUE)
+            ok
           }
-          ok
         }
-      }
-      .map(_.getPath.getName.drop(1).toLong)
+        .map(_.getPath.getName.drop(1).toLong)
+    }
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
@@ -283,16 +333,21 @@ object Manifest {
                          bytes: Array[Byte]): Unit =
     try LogStore.forFs(fs).putIfAbsent(fs, target, bytes)
     catch {
-      case t: Throwable if isConflict(t) && healDeadPending(fs, target) =>
-        LogStore.forFs(fs).putIfAbsent(fs, target, bytes)
+      case t: Throwable if isConflict(t) =>
+        if (healDeadPending(fs, target) || waitOutPending(fs, target))
+          LogStore.forFs(fs).putIfAbsent(fs, target, bytes)
+        else throw t
     }
+
+  /** Session conf first (the FileSystem CACHE may hold a conf copy
+    * snapshotted before the caller set the key), then the FS conf. */
+  private def confOf(fs: FileSystem) =
+    org.apache.spark.sql.SparkSession.getDefaultSession
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf)
 
   private def healDeadPending(fs: FileSystem, target: Path): Boolean =
     try {
-      // session conf first (the FileSystem CACHE may hold a conf copy
-      // snapshotted before the caller set the key), then the FS conf
-      val grace = org.apache.spark.sql.SparkSession.getDefaultSession
-        .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf)
+      val grace = confOf(fs)
         .getLong("graft.manifest.pendingGraceMillis", 10 * 60 * 1000L)
       val st = fs.getFileStatus(target)
       val in = fs.open(target)
@@ -302,9 +357,45 @@ object Manifest {
       if (!pointerVisible(fs, lines) &&
         st.getModificationTime < System.currentTimeMillis() - grace) {
         fs.delete(target, false)
+        LogStore.forFs(fs).release(fs, target) // free any store-side claim
         true
       } else false
     } catch { case _: java.io.FileNotFoundException => false }
+
+  /** A conflict against a PENDING pointer (an in-flight [[commitAll]]
+    * holding the slot) should not surface instantly: the pending
+    * pointer is invisible, so `latestVersion` cannot advance and a
+    * plain [[withConflictRetry]] loop would burn all its attempts
+    * against the SAME slot in milliseconds even though no competing
+    * commit ever became visible. Poll the pointer up to
+    * `graft.manifest.pendingWaitMillis` (default 10 s):
+    *  - it becomes VISIBLE (marker landed) → return false; the caller
+    *    surfaces the conflict and the retry re-reads the advanced
+    *    table — the normal lost-race path;
+    *  - it VANISHES (the commitAll rolled back or was healed) → return
+    *    true; the slot is genuinely free, retry the create;
+    *  - still pending at the deadline → false; surface the conflict
+    *    (the grace-window healing in [[healDeadPending]] owns the
+    *    crashed-writer case).
+    * A conflict against an already-visible pointer pays ONE content
+    * read and zero sleep. */
+  private def waitOutPending(fs: FileSystem, target: Path): Boolean = {
+    val wait = confOf(fs).getLong("graft.manifest.pendingWaitMillis", 10000L)
+    val deadline = System.currentTimeMillis() + wait
+    var first = true
+    while (first || System.currentTimeMillis() < deadline) {
+      try {
+        val in = fs.open(target)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        if (pointerVisible(fs, lines)) return false
+      } catch { case _: java.io.FileNotFoundException => return true }
+      first = false
+      if (System.currentTimeMillis() < deadline) Thread.sleep(100)
+    }
+    false
+  }
 
   /** True iff `t` is the lost-commit-race signature of [[commit]] —
     * the caller's cue to re-read the table and retry. */
@@ -336,12 +427,19 @@ object Manifest {
   /** Run `op` (a whole read-merge-commit cycle), retrying up to
     * `attempts` times on a lost optimistic-concurrency race. Each retry
     * re-reads the latest snapshot, so the loser of a race folds its
-    * change on top of the winner's commit. */
+    * change on top of the winner's commit. The first retry is
+    * immediate (the common case — the winner's commit is already
+    * visible to the re-read); later ones back off briefly so N
+    * contending writers do not re-collide in lockstep. Conflicts whose
+    * blocking pointer is merely PENDING are waited out upstream
+    * ([[waitOutPending]]), so by the time a conflict reaches here a
+    * competing commit is normally visible. */
   def withConflictRetry[T](attempts: Int = 5)(op: => T): T = {
     var i = 0
     while (true) {
       try return op
       catch { case t: Throwable if isConflict(t) && i < attempts - 1 =>
+        if (i > 0) Thread.sleep(math.min(25L << (i - 1), 200L))
         i += 1 }
     }
     throw new IllegalStateException("unreachable")
@@ -1186,8 +1284,10 @@ object Manifest {
       // invisible and the slots self-heal after the grace window.
       case t: Throwable if isConflict(t) =>
         created.foreach { case (fs, p) =>
-          try fs.delete(p, false)
-          catch { case _: java.io.IOException => () }
+          try {
+            fs.delete(p, false)
+            LogStore.forFs(fs).release(fs, p) // free any store-side claim
+          } catch { case _: java.io.IOException => () }
         }
         throw t
     }
@@ -1912,10 +2012,36 @@ object Manifest {
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(pd, name)
-    fs.delete(target, false) // rename-over is not portable; delete first
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      require(fs.exists(target), s"pin publish failed for $target")
+    // Publish so the OLD pin survives until the new one lands: an
+    // earlier delete-then-rename form had a crash window with NO pin
+    // file at all — exactly the silent loss of vacuum protection the
+    // pin exists to prevent. Preferred path is an atomic overwriting
+    // rename (FileContext + Options.Rename.OVERWRITE — supported on
+    // local and HDFS-class stores); where FileContext has no binding,
+    // fall back to delete+rename with a bounded retry, whose residual
+    // window is at worst one failed rename wide, never unbounded.
+    val renamed =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, fs.getConf)
+          .rename(fs.makeQualified(tmp), fs.makeQualified(target),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!renamed) {
+      var done = fs.rename(tmp, target) // fast path: target absent
+      var attempts = 0
+      while (!done && attempts < 3) {
+        fs.delete(target, false)
+        done = fs.rename(tmp, target)
+        attempts += 1
+      }
+      if (!done) {
+        fs.delete(tmp, false)
+        require(fs.exists(target), s"pin publish failed for $target")
+      }
     }
   }
 
@@ -2061,6 +2187,10 @@ object Manifest {
     }
     vs.dropRight(keepVersions).foreach { v =>
       fs.delete(versionPath(root, v), false)
+      // old slots are never re-created, but releasing keeps a
+      // conditional-put store's claim registry from growing without
+      // bound over the table's lifetime
+      LogStore.forFs(fs).release(fs, versionPath(root, v))
     }
     // stale PENDING pointers (crashed multi-commits): invisible to
     // every reader, but they occupy version slots — sweep them once
@@ -2073,6 +2203,9 @@ object Manifest {
       if (n.matches("v\\d{8}") && !visible.contains(n.drop(1).toLong) &&
         st.getModificationTime < cutoff) {
         reclaimed += 1; fs.delete(st.getPath, false)
+        // this slot WILL be retried by the next writer: without the
+        // release a conditional-put store would conflict it forever
+        LogStore.forFs(fs).release(fs, st.getPath)
       }
     }
     reclaimed

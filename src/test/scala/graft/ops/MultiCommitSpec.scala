@@ -100,11 +100,17 @@ class MultiCommitSpec extends SparkSpec {
     finally out.close()
     assert(Manifest.versions(spark, b) == Seq(1L), "pending slot invisible")
 
-    val t = intercept[Throwable] {
-      Manifest.commitAll(spark, Seq(
-        StagedWrite(a, catKpi(3.0), "p", overwrite = true),
-        StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
-    }
+    // bound the pending-slot wait so the conflict surfaces promptly
+    // (the competitor in this scenario never publishes)
+    spark.sparkContext.hadoopConfiguration
+      .setLong("graft.manifest.pendingWaitMillis", 300L)
+    val t =
+      try intercept[Throwable] {
+        Manifest.commitAll(spark, Seq(
+          StagedWrite(a, catKpi(3.0), "p", overwrite = true),
+          StagedWrite(b, ordKpi(30.0), "p", overwrite = true)), txns)
+      } finally spark.sparkContext.hadoopConfiguration
+        .unset("graft.manifest.pendingWaitMillis")
     assert(Manifest.isConflict(t), s"expected retryable conflict, got $t")
     // a's pending pointer was rolled back: its slot is free again
     val aPointers = fs.listStatus(
