@@ -1114,6 +1114,30 @@ object SparkEntry {
         .orderBy(col("kpi"), col("k"))
     }),
 
+    // Dynamic partition overwrite (Manifest.overwritePartitions): one
+    // priority partition's rows are replaced (price doubled) in one
+    // atomic commit; every other partition carries by reference. The
+    // final table must equal the per-partition CASE rewrite.
+    "man_overwrite_parts" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_owparts_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val dir = s"$root/tbl"
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      graft.ops.Manifest.create(s, dir, base, "o_orderpriority")
+      val repl = base.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.ops.Manifest.overwritePartitions(s, dir, repl,
+        "o_orderpriority")
+      graft.ops.Manifest.read(s, dir)
+        .orderBy(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+    }),
+
     // Bloom point-lookup file skipping (ops.Manifest.readPoint): the
     // table is partitioned by STATUS and ingested in three key bands
     // with a per-file bloom on o_orderkey, so fetching one order by key
@@ -3263,6 +3287,17 @@ object SparkEntry {
         |)
         |SELECT * FROM cat UNION ALL SELECT * FROM ord
         |ORDER BY kpi, k""".stripMargin,
+
+    // Dynamic partition overwrite: only the 1-URGENT partition's rows
+    // were replaced (doubled price); a stale carried partition or a
+    // lost untouched row breaks the hash.
+    "man_overwrite_parts" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderkey, o_totalprice, o_orderpriority""".stripMargin,
 
     // Bloom skipping must not change the answer: min + max key probes
     // equal plain equality reads.

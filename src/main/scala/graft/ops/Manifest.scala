@@ -99,9 +99,21 @@ case class DvEntry(path: String, pos: Long)
 
 /** One table's contribution to a [[Manifest.commitAll]] multi-table
   * commit: append `df` at `dir` (creating the table if absent), or
-  * replace the whole snapshot when `overwrite`. */
+  * replace the whole snapshot when `overwrite`.
+  *
+  * `statsCols` / `bloomCols` / `constraints` mirror [[Manifest.create]]
+  * and apply ONLY when this write creates the table — a table born
+  * inside a multi-table commit is a first-class table, with the same
+  * stats pruning, bloom point lookups, and CHECK enforcement a
+  * standalone `create` would configure. Against an EXISTING table the
+  * snapshot's own configuration governs and these must be left empty
+  * (a mid-stream reconfiguration would silently fork the table's
+  * pruning contract, so it is rejected loudly). */
 case class StagedWrite(dir: String, df: DataFrame, partitionCol: String,
-                       overwrite: Boolean = false)
+                       overwrite: Boolean = false,
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil,
+                       constraints: Seq[String] = Nil)
 
 /** One per-file bloom filter row of a batch's `_bloom/` side relation
   * (top-level for the same Encoder-codegen reason as ManifestEntry).
@@ -1198,6 +1210,107 @@ object Manifest {
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints), txn)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE under snapshot isolation: replace
+    * exactly the partitions `df` carries (its distinct partition
+    * values, a null value included) with `df`'s rows, in ONE atomic
+    * pointer swap. Files holding only untouched partition values carry
+    * over BY REFERENCE, so write cost scales with the touched
+    * partitions, never the table — the commit shape [[overwrite]]
+    * cannot give (it restages every row), and the one a streaming
+    * sink folding into a large partitioned table needs
+    * ([[graft.pipeline.Streaming.scd2Stream]]: the live partition plus
+    * the batch's closed-date partitions, while years of closed history
+    * ride along untouched).
+    *
+    * A candidate file that SPANS touched and untouched values (hash
+    * clustering can co-locate several partition values in one file,
+    * and overflowed value sets assert nothing) has its
+    * untouched-partition rows rewritten into new files so they
+    * survive the swap — same answer, more rewrite volume; tables laid
+    * out by [[writeBatch]]'s partition clustering rarely span. Files
+    * whose every recorded value is replaced drop WITHOUT being read.
+    * DV rows on dropped files become inert; on carried files they
+    * still mask (and the kept-row rewrite reads masked). An empty
+    * `df` is a no-op (it names no partitions); to empty a partition,
+    * [[delete]] its keys instead. A TimestampType partition column
+    * disables value pruning ([[partitionValuesSafe]]) — every file
+    * becomes a rewrite candidate, correct but unpruned, so partition
+    * such tables by a date/string derivative instead. */
+  def overwritePartitions(spark: SparkSession, dir: String, df: DataFrame,
+                          partitionCol: String,
+                          txn: Option[(String, Long)] = None): Unit =
+    overwritePartitionsSliced(spark, dir, Seq(df), partitionCol, txn)
+
+  /** [[overwritePartitions]] with the replacement rows pre-split into
+    * SLICES, each landing in its own files (one [[writeBatch]] per
+    * non-empty slice, all in the same atomic commit). Hash clustering
+    * alone can co-locate several partition values — or a null and a
+    * non-null value — in one small file, and a file that mixes rows
+    * with DIFFERENT rewrite lifetimes drags the long-lived rows
+    * through every future overwrite of the short-lived ones. A caller
+    * that knows the lifetimes (the streaming SCD2 sink: the live
+    * partition is rewritten every batch, a closed-date partition never
+    * again) slices accordingly and the long-lived files then carry by
+    * reference forever. */
+  def overwritePartitionsSliced(spark: SparkSession, dir: String,
+                                slices: Seq[DataFrame], partitionCol: String,
+                                txn: Option[(String, Long)] = None): Unit = {
+    require(slices.nonEmpty, "no slices")
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val snap = readSnapshot(spark, root, v)
+    slices.foreach(df => require(nullableDdl(df.schema) == snap.ddl,
+      s"overwritePartitions schema ${nullableDdl(df.schema)} != table " +
+        s"schema ${snap.ddl}"))
+    val touched = slices.map(
+        _.select(col(partitionCol).cast("string")).distinct())
+      .reduce(_ union _).distinct()
+      .collect().map(r => Option(r.getString(0)))
+    if (touched.isEmpty) return // empty batch names no partitions
+    val wanted = touched.flatten.toSet
+    val wantNull = touched.contains(None)
+    val cands =
+      if (partitionValuesSafe(snap.ddl, partitionCol))
+        candidates(snap.entries, wanted, wantNull)
+      else snap.entries
+    // spanning candidates hold rows OUTSIDE the replaced partitions
+    // (an untouched recorded value, an un-replaced null, or a capped
+    // value set that asserts nothing) — only those need reading
+    val (spanning, whole) = cands.partition { e =>
+      e.overflow || e.values.exists(x => !wanted.contains(x)) ||
+        (e.has_null && !wantNull)
+    }
+    val _ = whole // dropped wholesale: every recorded value is replaced
+    val keptEntries =
+      if (spanning.isEmpty) Seq.empty
+      else {
+        val replacedRow =
+          when(col(partitionCol).isNull, lit(wantNull))
+            .otherwise(col(partitionCol).cast("string")
+              .isin(wanted.toSeq: _*))
+        val keptRows =
+          readEntriesMasked(spark, root, spanning, snap.ddl, snap.dvDirs)
+            .filter(!replacedRow)
+        if (keptRows.isEmpty) Seq.empty
+        else writeBatch(spark, root, keptRows, partitionCol, snap.statsCols,
+          snap.constraints, bloomCols = snap.bloomCols)
+      }
+    // a single slice is provably non-empty here (touched was); only
+    // multi-slice calls pay the per-slice emptiness probe
+    val newEntries = slices.flatMap { df =>
+      if (slices.sizeIs > 1 && df.isEmpty) Seq.empty
+      else writeBatch(spark, root, df, partitionCol,
+        snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
+    }
+    val candPaths = cands.map(_.path).toSet
+    val carried = snap.entries.filterNot(e => candPaths.contains(e.path))
+    commit(fs, root, v + 1,
+      writeManifest(spark, root, carried ++ keptEntries ++ newEntries,
+        snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
+        snap.constraints), txn)
+  }
+
   /** TEST-ONLY failpoint: simulate a crash (raw throw, NO cleanup)
     * after the Nth pending-pointer create inside [[commitAll]]. */
   private[ops] var commitAllCrashAfter: Option[Int] = None
@@ -1242,10 +1355,22 @@ object Manifest {
       val (v, entries, ddl, statsCols, bloomCols, dvDirs, constraints) =
         latestVersion(spark, w.dir) match {
           case None =>
-            val e = writeBatch(spark, root, w.df, w.partitionCol, Nil, Nil)
-            (0L, e, nullableDdl(w.df.schema), Seq.empty[String],
-              Seq.empty[String], Seq.empty[String], Seq.empty[String])
+            // a table born here gets the staged configuration, exactly
+            // as a standalone create would record it
+            (w.statsCols ++ w.bloomCols).foreach(c =>
+              require(w.df.columns.contains(c),
+                s"stats column $c not in ${w.df.columns.mkString(",")}"))
+            val e = writeBatch(spark, root, w.df, w.partitionCol,
+              w.statsCols, w.constraints, bloomCols = w.bloomCols)
+            (0L, e, nullableDdl(w.df.schema), w.statsCols,
+              w.bloomCols, Seq.empty[String], w.constraints)
           case Some(v) =>
+            require(w.statsCols.isEmpty && w.bloomCols.isEmpty &&
+              w.constraints.isEmpty,
+              s"stats/bloom/constraint configuration on a StagedWrite " +
+                s"against the EXISTING table at ${w.dir} — the snapshot's " +
+                "own configuration governs; use addConstraint/create to " +
+                "change it")
             val snap = readSnapshot(spark, root, v)
             require(nullableDdl(w.df.schema) == snap.ddl,
               s"commitAll schema ${nullableDdl(w.df.schema)} != table " +

@@ -307,8 +307,33 @@ object Streaming {
               }
             val next = graft.ops.Merge.scd2Apply(
               hist, batch, keys, tracked, effectiveCol)
-            if (exists) graft.ops.Manifest.overwrite(spark, historyDir, next,
-              "valid_to", txn = Some(appId -> batchId))
+            if (exists) {
+              // PARTITION-PRUNED commit: a fold can only change the
+              // LIVE partition (valid_to null — every current row) and
+              // the closed-date partitions this batch creates
+              // (valid_to = an update's effective date; scd2Apply
+              // passes all other closed rows through verbatim, so
+              // their partitions are identical in `next`). Commit just
+              // that slice via dynamic partition overwrite — write
+              // amplification is O(live + batch dates), not O(history)
+              // — exactly the layout Merge.scd2Apply's Scaladoc
+              // prescribes for the batch path.
+              val dates = batch.select(col(effectiveCol)).distinct()
+                .collect().map(_.get(0)).filter(_ != null).toSeq
+              val closedPred =
+                if (dates.isEmpty) lit(false)
+                else col("valid_to").isin(dates: _*)
+              // the live rows and the batch's closed rows land as
+              // SEPARATE slices (separate files): live files are
+              // rewritten every batch, closed-date files never again —
+              // mixing them in one small file would drag each closure
+              // through one extra rewrite on the following batch
+              graft.ops.Manifest.overwritePartitionsSliced(spark,
+                historyDir,
+                Seq(next.filter(col("valid_to").isNull),
+                  next.filter(closedPred)),
+                "valid_to", txn = Some(appId -> batchId))
+            }
             else graft.ops.Manifest.create(spark, historyDir, next,
               "valid_to", txn = Some(appId -> batchId))
           }

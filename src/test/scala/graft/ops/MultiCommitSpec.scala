@@ -43,6 +43,31 @@ class MultiCommitSpec extends SparkSpec {
     assert(Manifest.versions(spark, a) == Seq(1L, 2L, 3L))
   }
 
+  test("a table born inside commitAll is first-class: stats pruning and CHECK enforcement") {
+    val root = newRoot()
+    val (a, txns) = (s"$root/kpi", s"$root/_txns")
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(a, catKpi(1.0), "p", statsCols = Seq("rev"),
+        constraints = Seq("rev_pos: rev > 0"))), txns)
+    // min/max stats were recorded at birth: an out-of-range read opens
+    // no files, an in-range one does
+    assert(Manifest.rangeCandidatePaths(spark, a, "rev",
+      Some("100"), None).isEmpty,
+      "commitAll-created table must prune on its staged statsCols")
+    assert(Manifest.rangeCandidatePaths(spark, a, "rev",
+      Some("1"), Some("2")).nonEmpty)
+    // the CHECK constraint is enforced on every subsequent write
+    intercept[Manifest.ConstraintViolationException] {
+      Manifest.append(spark, a, catKpi(-5.0), "p")
+    }
+    assert(revs(a) == Set(1.0, 2.0), "violating batch must not commit")
+    // reconfiguring an EXISTING table through a StagedWrite is a bug
+    intercept[IllegalArgumentException] {
+      Manifest.commitAll(spark, Seq(
+        StagedWrite(a, catKpi(2.0), "p", statsCols = Seq("rev"))), txns)
+    }
+  }
+
   test("crash between the two pointer writes leaves BOTH tables at the old snapshot") {
     val root = newRoot()
     val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")

@@ -355,6 +355,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._1 == 2L) == 1)
   }
 
+  test("scd2Stream rewrites only the live + batch's closed-date partitions; old history carries by reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val histDir = Files.createTempDirectory("graft-scd2-prune").toString + "/hist"
+    val ckpt = Files.createTempDirectory("graft-scd2-prune-ck").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val updates = mem.toDF().toDF("k", "attr", "eff")
+      .select($"k", $"attr", $"eff".cast("date").as("eff"))
+    val q = Streaming.scd2Stream(updates, histDir,
+      keys = Seq("k"), tracked = Seq("attr"), effectiveCol = "eff", ckpt)
+
+    mem.addData((1L, "a", "2024-01-01"), (2L, "x", "2024-01-01"))
+    q.processAllAvailable()
+    mem.addData((1L, "b", "2024-02-01")) // closes (1,a) into 2024-02-01
+    q.processAllAvailable()
+    // files of the now-closed 2024-02-01 partition
+    val closedFeb = graft.ops.Manifest.loadSnapshot(spark, histDir)
+      .entries.filter(_.values.contains("2024-02-01")).map(_.path).toSet
+    assert(closedFeb.nonEmpty, "batch 2 must have closed a Feb partition")
+
+    mem.addData((2L, "y", "2024-03-01")) // closes (2,x) into 2024-03-01
+    q.processAllAvailable()
+    q.stop()
+
+    val after = graft.ops.Manifest.loadSnapshot(spark, histDir)
+      .entries.map(_.path).toSet
+    assert(closedFeb.subsetOf(after),
+      "a micro-batch must not rewrite closed-date partitions it does " +
+        s"not touch — Feb files $closedFeb missing from $after")
+    // and the fold is still the correct SCD2 answer
+    val hist = Streaming.scd2History(spark, histDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(hist == Set(
+      (1L, "a", "2024-01-01", Some("2024-02-01")),
+      (1L, "b", "2024-02-01", None),
+      (2L, "x", "2024-01-01", Some("2024-03-01")),
+      (2L, "y", "2024-03-01", None)))
+  }
+
   test("scd2Stream: killed-and-replayed batches no-op against their txn markers (no fork)") {
     implicit val sqlCtx = spark.sqlContext
     val histDir = Files.createTempDirectory("graft-scd2-replay").toString + "/hist"
