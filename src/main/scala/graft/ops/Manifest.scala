@@ -518,19 +518,17 @@ object Manifest {
     readSnapshotByName(spark, root, lines.head.trim)
   }
 
-  /** FORWARD-COMPATIBLE manifest read: a manifest written before a
+  /** FORWARD-COMPATIBLE manifest relation: a manifest written before a
     * [[ManifestEntry]] field existed simply lacks that column, so it is
     * backfilled with the field's neutral default (empty list / "" / 0 /
     * false) instead of failing `.as[Entry]` resolution — old tables and
     * their time-travel versions stay readable across library upgrades,
     * the same contract a table FORMAT owes its files. */
-  private def readSnapshotByName(spark: SparkSession, root: Path,
-                                 name: String): Snapshot = {
-    import spark.implicits._
-    val raw = spark.read
-      .parquet(new Path(new Path(root, ManifestsDir), name).toString)
+  private def paddedManifest(spark: SparkSession,
+                             manifestDir: String): DataFrame = {
+    val raw = spark.read.parquet(manifestDir)
     val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
-    val padded = want.fields.foldLeft(raw) { (df, f) =>
+    want.fields.foldLeft(raw) { (df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, (f.dataType match {
         case ArrayType(StringType, _) => array()
@@ -540,6 +538,13 @@ object Manifest {
         case dt => lit(null)
       }).cast(f.dataType))
     }.select(want.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  private def readSnapshotByName(spark: SparkSession, root: Path,
+                                 name: String): Snapshot = {
+    import spark.implicits._
+    val padded = paddedManifest(spark,
+      new Path(new Path(root, ManifestsDir), name).toString)
     val all = padded.as[Entry].collect().toSeq
     val sentinel = all.find(e => e.path.isEmpty && e.schema_ddl.nonEmpty)
       .getOrElse(throw new IllegalStateException(
@@ -547,6 +552,65 @@ object Manifest {
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
       sentinel.stat_cols, sentinel.bloom_cols, sentinel.dv_dirs,
       sentinel.constraints)
+  }
+
+  /** Lightweight snapshot HEADER: the sentinel's configuration plus
+    * the manifest's location and on-disk size — everything planning
+    * needs to decide HOW to plan, without collecting a single file
+    * entry. One pointer read, one manifest-dir LIST, one
+    * filter-pushdown read of the sentinel row; cost is O(manifest
+    * files), never O(entries) driver heap. */
+  private[graft] case class SnapshotMeta(ddl: String, statsCols: Seq[String],
+                                         bloomCols: Seq[String],
+                                         dvDirs: Seq[String],
+                                         constraints: Seq[String],
+                                         manifestDir: String,
+                                         manifestBytes: Long)
+
+  /** On-disk size of the committed manifest itself (NOT the data) —
+    * the cheap proxy [[graft.plans.ManifestScan.scan]] uses to choose
+    * its planning venue. One pointer read + one LIST; no Spark job. */
+  private[graft] def manifestBytes(spark: SparkSession, dir: String,
+                                   v: Option[Long] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val ver = v.orElse(latestVersion(spark, dir))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val mdir = new Path(new Path(root, ManifestsDir),
+      readPointer(fs, root, ver))
+    fs.listStatus(mdir).filter(_.isFile).map(_.getLen).sum
+  }
+
+  private[graft] def snapshotMeta(spark: SparkSession, dir: String,
+                                  v: Option[Long] = None): SnapshotMeta = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    val ver = v.orElse(latestVersion(spark, dir))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val lines = readPointerLines(fs, root, ver)
+    require(pointerVisible(fs, lines),
+      s"version $ver at $root is a pending multi-table commit, not committed")
+    val mdir = new Path(new Path(root, ManifestsDir), lines.head.trim)
+    val bytes = fs.listStatus(mdir).filter(_.isFile).map(_.getLen).sum
+    val sentinel = paddedManifest(spark, mdir.toString)
+      .filter(col("path") === "" && col("schema_ddl") =!= "")
+      .as[Entry].head()
+    SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
+      sentinel.bloom_cols, sentinel.dv_dirs, sentinel.constraints,
+      mdir.toString, bytes)
+  }
+
+  /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
+    * excluded) — the planning input for
+    * [[graft.plans.DistributedManifestFileIndex]], which prunes on
+    * executors and collects only the surviving paths instead of
+    * materializing O(entries) [[ManifestEntry]] objects on the
+    * driver. */
+  private[graft] def entriesDataset(spark: SparkSession,
+                                    meta: SnapshotMeta)
+      : org.apache.spark.sql.Dataset[ManifestEntry] = {
+    import spark.implicits._
+    paddedManifest(spark, meta.manifestDir)
+      .filter(col("path") =!= "").as[ManifestEntry]
   }
 
   // -------- batch write + stats --------

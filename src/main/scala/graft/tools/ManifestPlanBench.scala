@@ -59,12 +59,19 @@ object ManifestPlanBench {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 100000
+    // "driver" (default) = the collect-everything ManifestFileIndex;
+    // "dist" = DistributedManifestFileIndex (prunes on executors,
+    // collects only kept paths — the venue for manifests past ~10⁶
+    // entries, where the driver collect stops fitting)
+    val mode = if (args.length > 1) args(1) else "driver"
     val spark = graft.Spark.session(appName = "graft-plan-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     val root = java.nio.file.Files.createTempDirectory("graft-planbench")
       .toString + "/tbl"
     synthesize(spark, root, n)
+
+    if (mode == "dist") { distMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -105,5 +112,43 @@ object ManifestPlanBench {
         s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
         s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
         s""""list_all_sec":${f"$tList%.3f"}}""")
+  }
+
+  /** The distributed-venue measurement: index construction reads only
+    * the sentinel (flat in n); each listing is a Spark job over the
+    * manifest relation; retained driver heap stays O(kept). */
+  private def distMain(spark: org.apache.spark.sql.SparkSession,
+                       root: String, n: Int): Unit = {
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val h0 = heapUsed()
+    val (index, tLoad) = time(
+      new graft.plans.DistributedManifestFileIndex(spark, root,
+        partitionCol = Some("p")))
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", DateType)()
+    val filter = org.apache.spark.sql.catalyst.expressions.And(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-01"), DateType)),
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-30"), DateType)))
+    index.candidateCount(Seq(filter)) // warm (codegen, class loading)
+    val (kept, tPrune) = time(index.candidateCount(Seq(filter)))
+    val (all, tList) = time(index.listFiles(Nil, Nil).head.files.size)
+    val h1 = heapUsed()
+    println(
+      s"""{"metric":"manifest_planning_dist","entries":$n,""" +
+        s""""meta_load_sec":${f"$tLoad%.2f"},""" +
+        s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
+        s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
+        s""""list_all_sec":${f"$tList%.3f"},"all_files":$all}""")
   }
 }

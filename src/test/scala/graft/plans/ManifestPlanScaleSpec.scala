@@ -62,4 +62,62 @@ class ManifestPlanScaleSpec extends SparkSpec {
     assert(a.head.fileStatus eq b.head.fileStatus,
       "FileStatus array must be built once and cached")
   }
+
+  test("distributed planning keeps the exact same file set as the driver venue") {
+    val root = Files.createTempDirectory("graft-planpar").toString + "/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, root, 20000)
+    val drv = new ManifestFileIndex(spark, root, partitionCol = Some("p"))
+    val dist = new DistributedManifestFileIndex(spark, root,
+      partitionCol = Some("p"))
+
+    val d = AttributeReference("d", DateType)()
+    val p = AttributeReference("p",
+      org.apache.spark.sql.types.StringType)()
+    val june93 = And(
+      GreaterThanOrEqual(d,
+        Literal.create(java.sql.Date.valueOf("1993-06-01"), DateType)),
+      LessThanOrEqual(d,
+        Literal.create(java.sql.Date.valueOf("1993-06-30"), DateType)))
+    val cases: Seq[Seq[Expression]] = Seq(
+      Nil, // full listing
+      Seq(june93),
+      Seq(EqualTo(p, Literal("7"))),
+      Seq(In(p, Seq(Literal("3"), Literal("513")))),
+      Seq(IsNull(p)),
+      Seq(IsNotNull(d)),
+      Seq(StartsWith(p, Literal("10"))),
+      Seq(june93, EqualTo(p, Literal("7"))))
+    cases.foreach { filters =>
+      val dp = drv.listFiles(Nil, filters).head.files
+        .map(_.getPath.toString).toSet
+      val xp = dist.listFiles(Nil, filters).head.files
+        .map(_.getPath.toString).toSet
+      assert(dp == xp,
+        s"venues disagree under $filters: driver=${dp.size} dist=${xp.size}")
+    }
+    assert(drv.sizeInBytes == dist.sizeInBytes)
+  }
+
+  test("scan forced through the distributed venue answers identically, DVs included") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-distscan").toString + "/tbl"
+    val df = spark.range(0, 200)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 5).as("p"))
+    graft.ops.Manifest.create(spark, root, df, "p", statsCols = Seq("k"))
+    graft.ops.Manifest.deleteMor(spark, root,
+      Seq((7L, 2L), (10L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(ManifestScan.DistributedMinBytesKey, -1L)
+    try {
+      val got = ManifestScan.scan(spark, root, Some("p"))
+        .filter($"k" < 50).select("k").as[Long].collect().toSet
+      val want = (0L until 50L).toSet - 7L - 10L
+      assert(got == want,
+        "distributed-venue scan must return the masked, filtered rows")
+    } finally hconf.unset(ManifestScan.DistributedMinBytesKey)
+    // and the default threshold keeps a small table on the driver venue
+    val viaDefault = ManifestScan.scan(spark, root, Some("p"))
+      .filter($"k" < 50).count()
+    assert(viaDefault == 48)
+  }
 }
