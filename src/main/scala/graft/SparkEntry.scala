@@ -1744,6 +1744,18 @@ object SparkEntry {
       graft.ops.Tokenize.bpeTrain(t(s, d, "documents"), numMerges = 20)
         .orderBy(col("step"))),
 
+    // Three BATCHED training rounds (budget 8), SQL-replayed end to
+    // end: pair counting, the greedy disjoint-prefix selection with
+    // its strictness trim (a recursive CTE over the ranked pair list),
+    // and the one-pass multi-merge fold — so the batching logic that
+    // makes 32k-merge training round-bound (not merge-bound) is
+    // oracle-PROVEN, not only parity-spec'd against the reference
+    // implementation.
+    "bpe_merges_batched" -> ((s, d) =>
+      graft.ops.Tokenize.bpeTrain(t(s, d, "documents"), numMerges = 1000,
+        batchCap = 8, maxRounds = 8)
+        .orderBy(col("step"))),
+
     // Corpus stats: top-5 TF-IDF terms per document (integer bit-gap
     // IDF, rank ties broken by token).
     "txt_tfidf" -> ((s, d) =>
@@ -2329,7 +2341,134 @@ object SparkEntry {
       |  FROM reach GROUP BY id
       |)""".stripMargin
 
+  /** SQL replay of [[graft.ops.Tokenize.bpeTrain]]'s BATCHED rounds —
+    * generated per round (straight-line CTE chain, `rounds` deep) so
+    * every piece of the batching machinery is DuckDB-checkable: pair
+    * counting over the symbolized dictionary, the greedy
+    * disjoint-prefix selection with its strictness trim (a recursive
+    * CTE walking the ranked pair list carrying the used-symbol set),
+    * and the one-pass non-overlapping multi-merge (a per-word
+    * positional recursion — DuckDB 1.0's `list_reduce` corrupts
+    * struct-with-list accumulators, so the fold recurses on (row,
+    * position) instead). CTEs are MATERIALIZED: default inlining
+    * re-expands each round's two references exponentially. */
+  private def bpeBatchedOracleSql(rounds: Int, budget: Int,
+                                  minc: Long): String = {
+    def roundSql(i: Int): String = s"""
+c$i AS MATERIALIZED (
+  SELECT p[1] AS l, p[2] AS r, CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, unnest(list_transform(range(1, LEN(syms)),
+          j -> [syms[j], syms[j+1]])) AS p
+        FROM s$i WHERE LEN(syms) >= 2)
+  GROUP BY 1, 2
+),
+t$i AS MATERIALIZED (
+  SELECT l, r, pair_count,
+    row_number() OVER (ORDER BY pair_count DESC, l, r) AS rn
+  FROM c$i
+  QUALIFY rn <= ${budget + 1}
+),
+g$i(rn, used, sel, cstop, halted) AS (
+  SELECT 0, []::VARCHAR[],
+    []::STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[],
+    CAST(${minc - 1} AS BIGINT), false
+  UNION ALL
+  SELECT t.rn,
+    CASE WHEN t.pair_count >= $minc AND LEN(g$i.sel) < $budget
+           AND NOT list_contains(g$i.used, t.l)
+           AND NOT list_contains(g$i.used, t.r)
+      THEN list_append(list_append(g$i.used, t.l), t.r)
+      ELSE g$i.used END,
+    CASE WHEN t.pair_count >= $minc AND LEN(g$i.sel) < $budget
+           AND NOT list_contains(g$i.used, t.l)
+           AND NOT list_contains(g$i.used, t.r)
+      THEN list_append(g$i.sel, {'l': t.l, 'r': t.r, 'c': t.pair_count})
+      ELSE g$i.sel END,
+    CASE WHEN t.pair_count >= $minc AND (LEN(g$i.sel) = $budget
+           OR list_contains(g$i.used, t.l) OR list_contains(g$i.used, t.r))
+      THEN t.pair_count ELSE g$i.cstop END,
+    (t.pair_count < $minc OR LEN(g$i.sel) = $budget
+      OR list_contains(g$i.used, t.l) OR list_contains(g$i.used, t.r))
+  FROM g$i, t$i t
+  WHERE t.rn = g$i.rn + 1 AND NOT g$i.halted
+),
+p$i AS MATERIALIZED (
+  SELECT sel, cstop FROM g$i ORDER BY rn DESC LIMIT 1
+),
+b$i AS MATERIALIZED (
+  SELECT CASE
+    WHEN LEN(trimmed) > 0 THEN trimmed
+    WHEN EXISTS (SELECT 1 FROM t$i WHERE rn = 1 AND pair_count >= $minc)
+      THEN (SELECT [{'l': l, 'r': r, 'c': pair_count}]
+            FROM t$i WHERE rn = 1)
+    ELSE []::STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[] END AS batch
+  FROM (SELECT list_filter(sel, x -> x.c > cstop) AS trimmed FROM p$i)
+),
+sr$i AS MATERIALIZED (
+  SELECT row_number() OVER () AS rid, wc, syms FROM s$i
+),
+f$i(rid, pos, out, prev) AS (
+  SELECT rid, 1, []::VARCHAR[], syms[1] FROM sr$i
+  UNION ALL
+  SELECT f.rid, f.pos + 1,
+    CASE WHEN f.prev IS NULL THEN f.out
+         WHEN LEN(list_filter(batch,
+                q -> q.l = f.prev AND q.r = s.syms[f.pos + 1])) > 0
+           THEN list_append(f.out, f.prev || s.syms[f.pos + 1])
+         ELSE list_append(f.out, f.prev) END,
+    CASE WHEN f.prev IS NULL THEN s.syms[f.pos + 1]
+         WHEN LEN(list_filter(batch,
+                q -> q.l = f.prev AND q.r = s.syms[f.pos + 1])) > 0
+           THEN CAST(NULL AS VARCHAR)
+         ELSE s.syms[f.pos + 1] END
+  FROM f$i f JOIN sr$i s ON s.rid = f.rid, b$i
+  WHERE f.pos < LEN(s.syms)
+),
+s${i + 1} AS MATERIALIZED (
+  SELECT s.wc,
+    CASE WHEN f.prev IS NULL THEN f.out
+         ELSE list_append(f.out, f.prev) END AS syms
+  FROM f$i f JOIN sr$i s ON s.rid = f.rid
+  WHERE f.pos = LEN(s.syms)
+),
+m$i AS MATERIALIZED (
+  SELECT j AS ord, batch[j].l AS lft, batch[j].r AS rgt,
+    batch[j].l || batch[j].r AS merged, batch[j].c AS pair_count
+  FROM b$i, (SELECT unnest(range(1, ${budget + 1})) AS j)
+  WHERE j <= LEN(batch)
+)"""
+    def offsetExpr(i: Int): String =
+      if (i == 0) "0"
+      else (0 until i).map(k => s"(SELECT LEN(batch) FROM b$k)")
+        .mkString(" + ")
+    val unions = (0 until rounds).map { i =>
+      s"""SELECT CAST(ord + ${offsetExpr(i)} AS INTEGER) AS step, """ +
+        s"""lft AS "left", rgt AS "right", merged, pair_count FROM m$i"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+wd AS MATERIALIZED (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
+          x -> LENGTH(x) > 0)) AS t
+        FROM documents)
+  GROUP BY t
+),
+s0 AS MATERIALIZED (
+  SELECT wc, list_append(regexp_split_to_array(token, ''), '</w>') AS syms
+  FROM wd
+),${(0 until rounds).map(roundSql).mkString(",")}
+$unions
+ORDER BY step"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    // Eight batched BPE training rounds replayed end to end in SQL —
+    // the selection/trim/multi-merge logic itself is oracle-proven
+    // (rounds 6-8 carry multi-merge batches on this corpus).
+    "bpe_merges_batched" -> bpeBatchedOracleSql(rounds = 8, budget = 8,
+      minc = 2L),
 
     "sim_topk_lsh" ->
       s"""WITH c AS (

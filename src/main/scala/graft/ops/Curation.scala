@@ -75,12 +75,29 @@ object Curation {
     * what incremental ingest wants anyway. The result is materialized
     * while the cache is hot and the cache released
     * ([[Dedup.materializeThenUnpersist]]), so back-to-back runs don't
-    * accumulate block-manager state. */
+    * accumulate block-manager state.
+    *
+    * The two LAKE-SCALE knobs (defaults preserve the oracle-checked
+    * small-SF semantics exactly):
+    *  - `maxBucketSize` flows into the stage-4 banded self-join
+    *    ([[Dedup.DefaultMaxBucketSize]] by default). A boilerplate-heavy
+    *    corpus (the kind with 100k-copy template cliques) needs a LOWER
+    *    cap so degenerate buckets drop wholesale before any pair forms —
+    *    the same rationale as [[Dedup.minhashPairs]]'s cap doc.
+    *  - `bloomContamination = true` routes stage 5 through
+    *    [[TextAnalysis.contaminationBloom]] — same schema, same values,
+    *    same oracle, but the benchmark shingle set is built as a
+    *    distributed Bloom sketch instead of a driver-collected expression
+    *    constant, which [[TextAnalysis.contamination]]'s `maxShingles`
+    *    guard refuses (loudly) once a consolidated decontamination list
+    *    passes ~10⁶ distinct shingles. */
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              lang: String = "en", minQuality: Double = 0.65,
              jaccard: Double = 0.4,
-             maxContamination: Double = 0.2): DataFrame = {
+             maxContamination: Double = 0.2,
+             maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+             bloomContamination: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // the single corpus scan: stages 1-4's per-doc scalars in one pass
@@ -107,14 +124,18 @@ object Curation {
     // self-join over the already-computed signatures, bodies never read
     val surv3Sigs = surv2.join(dropExact.select(id), Seq(idCol), "left_anti")
       .select(id, col("sig"))
-    val dropNear = Dedup.minhashPairsFromSigs(surv3Sigs, idCol, threshold = jaccard)
+    val dropNear = Dedup.minhashPairsFromSigs(surv3Sigs, idCol,
+        threshold = jaccard, maxBucketSize = maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("near_dup", lit(true))
 
     // stage 5 measure: corpus-wide per-doc contamination vs the fixed
     // benchmark (commutes with the other stages; see class doc)
-    val contam = TextAnalysis.contamination(docs, benchmark, idCol, textCol)
-      .select(id, col("contamination_frac"))
+    val contam =
+      (if (bloomContamination)
+         TextAnalysis.contaminationBloom(docs, benchmark, idCol, textCol)
+       else TextAnalysis.contamination(docs, benchmark, idCol, textCol))
+        .select(id, col("contamination_frac"))
 
     val out = perDoc
       .join(dropExact, Seq(idCol), "left")

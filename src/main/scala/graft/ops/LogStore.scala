@@ -158,3 +158,75 @@ class JvmCasLogStore extends ConditionalPutLogStore {
   override def release(fs: FileSystem, path: Path): Unit =
     JvmCasLogStore.claimed.remove(fs.makeQualified(path).toUri.toString)
 }
+
+/** A REAL multi-driver conditional-put arbiter over HTTP — the
+  * production form of [[ConditionalPutLogStore]] for S3-class tables,
+  * with zero SDK dependency (`java.net.HttpURLConnection` only, so it
+  * is never "falling back" on a missing client library).
+  *
+  * reserve = `PUT <endpoint>/<url-encoded qualified pointer URI>` with
+  * `If-None-Match: *` — the S3 conditional-write dialect (RFC 7232 on
+  * any store): 200/201/204 = claimed, 412 Precondition Failed =
+  * another writer holds it. release = `DELETE` on the same key
+  * (404 = already free). Point
+  * `graft.logstore.http.endpoint` (Hadoop conf, settable as
+  * `spark.hadoop.graft.logstore.http.endpoint`) at an S3 bucket
+  * prefix, an S3 mock (MinIO/LocalStack), or any sidecar speaking the
+  * dialect, and wire the table scheme with
+  * `graft.logstore.s3a = graft.ops.HttpCasLogStore` — config-only,
+  * exactly like `fs.<scheme>.impl`.
+  *
+  * Every non-{claimed, 412, 404} response and every transport failure
+  * THROWS: "cannot arbitrate" must never silently become "claimed" (a
+  * fake claim is a lost commit on the next real race) — the same
+  * fail-loud contract as the marker-visibility probe. Reference
+  * substrate: the reference pipeline's own commit point lives on such
+  * a store (`lambda_trigger.py:25-28`). */
+class HttpCasLogStore extends ConditionalPutLogStore {
+
+  private def open(fs: FileSystem, path: Path, method: String)
+      : java.net.HttpURLConnection = {
+    val base = Option(fs.getConf.get(HttpCasLogStore.EndpointKey))
+      .getOrElse(throw new IllegalStateException(
+        s"${HttpCasLogStore.EndpointKey} is not set — the HTTP CAS " +
+          "arbiter needs an endpoint"))
+    val enc = java.net.URLEncoder.encode(
+      fs.makeQualified(path).toUri.toString, "UTF-8")
+    val url = java.net.URI.create(s"${base.stripSuffix("/")}/$enc").toURL
+    val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setConnectTimeout(10000)
+    c.setReadTimeout(10000)
+    c.setRequestMethod(method)
+    c
+  }
+
+  override protected def reserve(fs: FileSystem, path: Path): Boolean = {
+    val c = open(fs, path, "PUT")
+    c.setRequestProperty("If-None-Match", "*")
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(0)
+    try {
+      c.getOutputStream.close()
+      c.getResponseCode match {
+        case 200 | 201 | 204 => true
+        case 412 => false
+        case other => throw new java.io.IOException(
+          s"HTTP CAS arbiter returned $other for reserve of $path")
+      }
+    } finally c.disconnect()
+  }
+
+  override def release(fs: FileSystem, path: Path): Unit = {
+    val c = open(fs, path, "DELETE")
+    try c.getResponseCode match {
+      case 200 | 202 | 204 | 404 => ()
+      case other => throw new java.io.IOException(
+        s"HTTP CAS arbiter returned $other for release of $path")
+    } finally c.disconnect()
+  }
+}
+
+object HttpCasLogStore {
+  /** Hadoop-conf key naming the arbiter's base URL. */
+  val EndpointKey = "graft.logstore.http.endpoint"
+}

@@ -1602,6 +1602,45 @@ object Manifest {
     (addedRows, deleteSide)
   }
 
+  /** The table's current (or `v`-pinned) schema, from the manifest's
+    * schema sentinel — a metadata-only read (no data file is listed or
+    * opened), so it is safe to call per micro-batch. */
+  def tableSchema(spark: SparkSession, dir: String,
+                  v: Option[Long] = None): StructType =
+    DataType.fromDDL(snapshotMeta(spark, dir, v).ddl)
+      .asInstanceOf[StructType]
+
+  /** The rows ADDED across `(fromV, toV]` IF every commit in the range
+    * only added files — `None` as soon as any file was removed or any
+    * deletion vector appeared (an upsert, delete, compaction, or
+    * clustering rewrite), because then "the new rows" is not a
+    * well-defined file-level question and the caller needs the
+    * row-level [[changes]] diff instead.
+    *
+    * The append-only fast path matters at scale: it reads ONLY the
+    * added files (a streaming-ingest table's usual delta), where
+    * [[changes]] on the same range would still read both snapshots'
+    * entry lists and, on rewrite-bearing ranges, both row sets. Old
+    * deletion vectors cannot mask the added files (a DV predates the
+    * range; the files did not exist), so the read is a plain scan with
+    * the range-end schema — files written before an in-range
+    * [[evolve]] surface the widened columns as null, same as
+    * [[readVersion]]. */
+  def appendedBetween(spark: SparkSession, dir: String, fromV: Long,
+                      toV: Long): Option[DataFrame] = {
+    require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
+    val (_, root) = fsOf(spark, dir)
+    val from = readSnapshot(spark, root, fromV)
+    val to = readSnapshot(spark, root, toV)
+    val fromPaths = from.entries.map(_.path).toSet
+    val toPaths = to.entries.map(_.path).toSet
+    val hasRemoved = from.entries.exists(e => !toPaths.contains(e.path))
+    val hasDvDelta = to.dvDirs.exists(!from.dvDirs.toSet.contains(_))
+    if (hasRemoved || hasDvDelta) None
+    else Some(readEntries(spark, root,
+      to.entries.filter(e => !fromPaths.contains(e.path)), to.ddl))
+  }
+
   def changes(spark: SparkSession, dir: String, fromV: Long,
               toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")

@@ -136,7 +136,8 @@ object Tokenize {
     * `batchCap` merges) instead of 2 jobs per MERGE. */
   def bpeTrain(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
                idCol: String = "doc_id", textCol: String = "text",
-               batchCap: Int = 32): DataFrame = {
+               batchCap: Int = 32,
+               maxRounds: Int = Int.MaxValue): DataFrame = {
     require(batchCap >= 1, s"batchCap must be >= 1: $batchCap")
     val spark = docs.sparkSession
     var words = wordDict(docs, idCol, textCol)
@@ -144,8 +145,14 @@ object Tokenize {
       .localCheckpoint(true)
     val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 0
+    var rounds = 0
     var done = false
-    while (step < numMerges && !done) {
+    // `maxRounds` bounds the ROUND count (each round = one pair-count
+    // aggregate + one fold rewrite) independently of the merge budget —
+    // the knob the SQL-replayed `bpe_merges_batched` oracle pins, and a
+    // useful job-budget cap on its own
+    while (step < numMerges && rounds < maxRounds && !done) {
+      rounds += 1
       val budget = math.min(batchCap, numMerges - step)
       // budget+1 rows: the extra row (when present) upper-bounds every
       // pair OUTSIDE the collected prefix

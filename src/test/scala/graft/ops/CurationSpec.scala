@@ -66,6 +66,32 @@ class CurationSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !(keptIds(a) && keptIds(b)) })
   }
 
+  test("lake-scale knobs preserve semantics: bloom contamination is row-identical") {
+    // the sf30 configuration (CurateScale): distributed Bloom screen in
+    // place of the embedded-constant screen. Exact parity is the whole
+    // contract — same rows, same fractions, same verdicts.
+    val viaBloom = Curation.curate(docs, docs.filter($"doc_id" === 5),
+      minQuality = 0.6, bloomContamination = true)
+    val cols = curated.columns.map(col).toSeq
+    assert(viaBloom.select(cols: _*).except(curated.select(cols: _*)).isEmpty &&
+      curated.select(cols: _*).except(viaBloom.select(cols: _*)).isEmpty,
+      "bloom-screened curate must be row-identical to the embedded form")
+  }
+
+  test("lake-scale knobs: a cap of 1 drops every near-dup bucket wholesale") {
+    // cap=1 makes every 2+ bucket degenerate → stage 4 can't form pairs,
+    // so the near-dup doc (2) survives while everything upstream and
+    // downstream is unchanged — proving the cap reaches the banded join
+    // (and is therefore the real knob CurateScale turns at sf30)
+    val capped = Curation.curate(docs, docs.filter($"doc_id" === 5),
+      minQuality = 0.6, maxBucketSize = 1)
+    val stages = capped.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_stage")).toMap
+    assert(stages(2L) == null, "capped-out bucket must not drop the near dup")
+    assert(stages(1L) == "exact" && stages(4L) == "lang" &&
+      stages(5L) == "contamination" && stages(6L) == "quality")
+  }
+
   test("keepBestInCluster: quality-argmax survivor, id tiebreak, singletons kept") {
     val d = Seq(
       (1L, "aaa", 10L), (2L, "aab", 30L), (3L, "aac", 30L), // cluster 1
