@@ -1243,13 +1243,30 @@ object SparkEntry {
     }),
 
     // §2.D declared approx variant (SURVEY §2.D: offer HLL alongside the
-    // exact countDistinct, never silently substitute; rows-only — sketch
-    // internals have no SQL oracle, determinism spec-tested instead).
+    // exact countDistinct, never silently substitute). The sketch's raw
+    // estimate has no SQL oracle (DuckDB's HLL internals differ), so the
+    // query carries its own quantitative contract instead: per group it
+    // emits the EXACT distinct plus a flag that the HLL estimate landed
+    // within max(2%, ±1) of it — the oracle replays the exact half and
+    // pins the flag TRUE, so an out-of-bound sketch is a correctness
+    // FAILURE, not an unchecked number. The ±1 absolute slack is for
+    // tiny groups, where 2% demands bit-exactness and a single
+    // sparse-mode hash collision (measured: one 6-customer date at
+    // sf0.01 estimates 5) is within the sketch's design, not a defect.
+    // (PropertySpec holds the pure ≤2% gate at sf0.1 across three
+    // grouping cardinalities, where groups are large enough that the
+    // slack never engages.)
     "agg_approx_distinct" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("order_date", to_date(col("o_orderdate")))
         .groupBy(col("order_date"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.008).as("approx"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("order_date"), col("exact_customers"),
+          (abs(col("approx") - col("exact_customers"))
+            <= greatest(lit(1.0), col("exact_customers") * lit(0.02)))
+            .as("within_bound"))
         .orderBy(col("order_date"))),
 
     // beyond-reference §2.I: gap-based sessionization (30-min gap) over
@@ -2575,6 +2592,15 @@ ORDER BY step"""
     "agg_count_distinct" ->
       """SELECT CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sketch estimate itself is un-oracle-able (different HLL
+    // internals); the exact half replays in SQL and the max(2%, ±1)
+    // flag is pinned TRUE — an out-of-bound estimate hash-mismatches
+    "agg_approx_distinct" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+        |  TRUE AS within_bound
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_bool" ->

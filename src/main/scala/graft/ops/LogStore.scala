@@ -49,6 +49,25 @@ trait LogStore {
     * version slot stays wedged: every retried create against it
     * conflicts forever even though no pointer file exists. */
   def release(fs: FileSystem, path: Path): Unit = ()
+
+  /** The store-side claim on `path`, as `(identity token, age millis)`
+    * — `None` when no claim is held or the store does not track claims
+    * (filesystem-arbitrated stores: the pointer file IS the claim).
+    * The heal path uses this two ways: a claim whose pointer file has
+    * been absent past the pending-grace window is a WEDGED slot (its
+    * writer died between reserve and publish, or the publish response
+    * was lost after the store recorded the claim) and is released; and
+    * the token makes that release CONDITIONAL ([[releaseIf]]) so a
+    * concurrent healer that already freed and re-claimed the slot is
+    * never stomped. */
+  def claimInfo(fs: FileSystem, path: Path): Option[(String, Long)] = None
+
+  /** Release the claim on `path` only if it still carries `token`
+    * (from [[claimInfo]]) — a no-op when the claim was already
+    * released or re-acquired under a new token. Stores without claim
+    * identity fall back to the unconditional [[release]]. */
+  def releaseIf(fs: FileSystem, path: Path, token: String): Unit =
+    release(fs, path)
 }
 
 object LogStore {
@@ -138,25 +157,62 @@ abstract class ConditionalPutLogStore extends LogStore {
     // writer can reach this put), and readers still never see a torn
     // pointer — the reserve gate means nobody reads before this write
     // completes its close()
-    val out = fs.create(path, true)
-    try out.write(bytes)
-    finally out.close()
+    try {
+      val out = fs.create(path, true)
+      try out.write(bytes)
+      finally out.close()
+    } catch {
+      // the claim must not outlive a failed publish: without this, a
+      // create/write error leaves the slot reserved with NO pointer
+      // file — invisible to healDeadPending (nothing to read) and so
+      // wedged for every driver sharing the arbiter. We still hold the
+      // reservation (nobody else can have touched it), so the release
+      // is safely unconditional. A writer that dies OUTRIGHT in this
+      // window cannot run this handler — that case is the wedged-slot
+      // heal's job (claimInfo age past the pending grace window).
+      case t: Throwable =>
+        try release(fs, path)
+        catch { case u: Throwable => t.addSuppressed(u) }
+        throw t
+    }
   }
 }
 
 /** Process-global CAS registry keyed by fully-QUALIFIED pointer URI
   * (qualification makes the reserve and release sides agree even when
   * one caller passes a scheme-less path and the other a listing's
-  * qualified one). */
+  * qualified one). Each claim carries an identity token and its birth
+  * time, backing [[LogStore.claimInfo]]/[[LogStore.releaseIf]]: the
+  * heal path can free a wedged claim (pointer file absent past the
+  * grace window) and can never stomp a claim that was re-acquired by a
+  * healthier writer in the meantime (token mismatch → no-op, via the
+  * atomic two-arg `remove`). */
 object JvmCasLogStore {
-  private[ops] val claimed = ConcurrentHashMap.newKeySet[String]()
+  private[ops] final case class Claim(token: String, sinceMillis: Long)
+  private[ops] val claimed = new ConcurrentHashMap[String, Claim]()
 }
 
 class JvmCasLogStore extends ConditionalPutLogStore {
+  import JvmCasLogStore._
+  private def key(fs: FileSystem, path: Path): String =
+    fs.makeQualified(path).toUri.toString
   override protected def reserve(fs: FileSystem, path: Path): Boolean =
-    JvmCasLogStore.claimed.add(fs.makeQualified(path).toUri.toString)
-  override def release(fs: FileSystem, path: Path): Unit =
-    JvmCasLogStore.claimed.remove(fs.makeQualified(path).toUri.toString)
+    claimed.putIfAbsent(key(fs, path),
+      Claim(java.util.UUID.randomUUID().toString,
+        System.currentTimeMillis())) == null
+  override def release(fs: FileSystem, path: Path): Unit = {
+    claimed.remove(key(fs, path)); ()
+  }
+  override def releaseIf(fs: FileSystem, path: Path,
+                         token: String): Unit = {
+    val k = key(fs, path)
+    Option(claimed.get(k)).filter(_.token == token)
+      .foreach(c => claimed.remove(k, c))
+  }
+  override def claimInfo(fs: FileSystem,
+                         path: Path): Option[(String, Long)] =
+    Option(claimed.get(key(fs, path)))
+      .map(c => (c.token, System.currentTimeMillis() - c.sinceMillis))
 }
 
 /** A REAL multi-driver conditional-put arbiter over HTTP — the
@@ -181,7 +237,34 @@ class JvmCasLogStore extends ConditionalPutLogStore {
   * fake claim is a lost commit on the next real race) — the same
   * fail-loud contract as the marker-visibility probe. Reference
   * substrate: the reference pipeline's own commit point lives on such
-  * a store (`lambda_trigger.py:25-28`). */
+  * a store (`lambda_trigger.py:25-28`).
+  *
+  * == Tested dialect — the compatibility contract ==
+  *
+  * No S3-mock service exists in this build environment, so the arbiter
+  * is proven against an in-process stand-in speaking exactly this
+  * dialect (LogStoreSpec; the gated integration spec below runs the
+  * same assertions against a real endpoint when one is configured). A
+  * deployment endpoint MUST honor:
+  *
+  *  - `PUT <key>` + `If-None-Match: *`, body = claim token:
+  *    200/201/204 = claimed, **412** = held (S3's conditional-write
+  *    code; an endpoint answering 409 instead needs a shim — 409 here
+  *    throws, by the fail-loud rule);
+  *  - `GET <key>`: 200 + stored body + `Last-Modified`, 404 when free
+  *    (age falls back to 0 without the header — wedged-slot healing
+  *    then never triggers, a safe degradation);
+  *  - `DELETE <key>`: 200/202/204, 404 when already free;
+  *  - `DELETE <key>` + `If-Match: <token>`: as above plus **412** when
+  *    the stored body no longer equals the token (match on the VERBATIM
+  *    body, not an ETag hash). Stores without conditional DELETE
+  *    (plain S3) degrade to the unconditional delete — the healer-race
+  *    guard then rests on the mtime/len re-check in
+  *    [[Manifest]]'s heal path alone.
+  *
+  * To run the integration spec against a real endpoint:
+  * `SPARK_GRAFT_HTTP_CAS_ENDPOINT=http://host:port/prefix sbt test`
+  * (LogStoreSpec gates on the variable and skips otherwise). */
 class HttpCasLogStore extends ConditionalPutLogStore {
 
   private def open(fs: FileSystem, path: Path, method: String)
@@ -201,12 +284,18 @@ class HttpCasLogStore extends ConditionalPutLogStore {
   }
 
   override protected def reserve(fs: FileSystem, path: Path): Boolean = {
+    // the claim BODY is a per-writer identity token: claimInfo reads
+    // it back, and releaseIf matches on it so a healer can never free
+    // a claim that a different writer re-acquired in the meantime
+    val token = java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val c = open(fs, path, "PUT")
     c.setRequestProperty("If-None-Match", "*")
     c.setDoOutput(true)
-    c.setFixedLengthStreamingMode(0)
+    c.setFixedLengthStreamingMode(token.length)
     try {
-      c.getOutputStream.close()
+      val out = c.getOutputStream
+      try out.write(token) finally out.close()
       c.getResponseCode match {
         case 200 | 201 | 204 => true
         case 412 => false
@@ -222,6 +311,43 @@ class HttpCasLogStore extends ConditionalPutLogStore {
       case 200 | 202 | 204 | 404 => ()
       case other => throw new java.io.IOException(
         s"HTTP CAS arbiter returned $other for release of $path")
+    } finally c.disconnect()
+  }
+
+  /** GET on the claim key: 200 → `(body token, now − Last-Modified)`;
+    * 404 → no claim. A store that omits `Last-Modified` reports age 0
+    * — conservatively NEVER old enough for the wedged-slot heal, since
+    * a fabricated age could free a live writer's claim. */
+  override def claimInfo(fs: FileSystem,
+                         path: Path): Option[(String, Long)] = {
+    val c = open(fs, path, "GET")
+    try c.getResponseCode match {
+      case 200 =>
+        val body = new String(c.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val lm = c.getLastModified // 0 when the header is absent
+        val age =
+          if (lm == 0L) 0L
+          else math.max(0L, System.currentTimeMillis() - lm)
+        Some((body, age))
+      case 404 => None
+      case other => throw new java.io.IOException(
+        s"HTTP CAS arbiter returned $other for claimInfo of $path")
+    } finally c.disconnect()
+  }
+
+  /** `DELETE` with `If-Match: <token>`: 412 = the claim changed hands
+    * since [[claimInfo]] (another healer freed it and a new writer
+    * re-reserved) — a successful no-op, exactly the conditional-release
+    * contract. 404 = already free. */
+  override def releaseIf(fs: FileSystem, path: Path,
+                         token: String): Unit = {
+    val c = open(fs, path, "DELETE")
+    c.setRequestProperty("If-Match", token)
+    try c.getResponseCode match {
+      case 200 | 202 | 204 | 404 | 412 => ()
+      case other => throw new java.io.IOException(
+        s"HTTP CAS arbiter returned $other for releaseIf of $path")
     } finally c.disconnect()
   }
 }

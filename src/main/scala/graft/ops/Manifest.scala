@@ -232,10 +232,23 @@ object Manifest {
     *    clear that would stampede every other table back into
     *    O(retention) pointer re-verification. */
   private[ops] var VisibleCachePerTable = 4096
+  /** Outer bound too: a long-lived driver touching many distinct table
+    * dirs (a catalog sweep, per-tenant tables) must not retain a dead
+    * table's cache map forever — least-recently-USED tables evict
+    * whole. Eviction only costs the evicted table a re-verification
+    * walk on its next touch; 512 concurrently-hot tables per driver is
+    * far above any real working set. */
+  private[ops] var VisibleCacheTables = 512
   private val VisibleFreshMillis = 5000L
   private val visibleCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.Map[String, java.lang.Boolean]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+        String, java.util.Map[String, java.lang.Boolean]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[
+              String, java.util.Map[String, java.lang.Boolean]]): Boolean =
+          size() > VisibleCacheTables
+      })
   private def tableVisibleCache(table: String)
       : java.util.Map[String, java.lang.Boolean] =
     visibleCache.computeIfAbsent(table, _ =>
@@ -246,6 +259,8 @@ object Manifest {
               e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
             size() > VisibleCachePerTable
         }))
+  private[ops] def visibleTableCount: Int = visibleCache.size()
+  private[ops] def clearVisibleCacheForTest(): Unit = visibleCache.clear()
   private[ops] def visibleCacheSize(spark: SparkSession, dir: String): Int = {
     val (_, root) = fsOf(spark, dir)
     Option(visibleCache.get(new Path(root, VersionsDir).toUri.toString))
@@ -357,10 +372,12 @@ object Manifest {
     org.apache.spark.sql.SparkSession.getDefaultSession
       .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf)
 
+  private def pendingGrace(fs: FileSystem): Long = confOf(fs)
+    .getLong("graft.manifest.pendingGraceMillis", 10 * 60 * 1000L)
+
   private def healDeadPending(fs: FileSystem, target: Path): Boolean =
     try {
-      val grace = confOf(fs)
-        .getLong("graft.manifest.pendingGraceMillis", 10 * 60 * 1000L)
+      val grace = pendingGrace(fs)
       val st = fs.getFileStatus(target)
       val in = fs.open(target)
       val lines =
@@ -368,11 +385,57 @@ object Manifest {
         finally in.close()
       if (!pointerVisible(fs, lines) &&
         st.getModificationTime < System.currentTimeMillis() - grace) {
+        val store = LogStore.forFs(fs)
+        // capture the dead claim's identity BEFORE touching anything:
+        // the release below must free exactly this claim, never one a
+        // concurrent healer already freed and a new writer re-acquired
+        val deadToken = store.claimInfo(fs, target).map(_._1)
+        // TOCTOU guard: a concurrent healer may have healed this slot
+        // (delete + release) and a fresh writer re-published it while
+        // we were reading the stale pointer above — re-stat immediately
+        // before the delete and abort on ANY change (a re-published
+        // pointer stamps a later mtime). This narrows the unguardable
+        // window from "grace-read plus heal work" to the stat→delete
+        // gap; the token-conditional release below closes the claim
+        // side entirely.
+        val st2 = fs.getFileStatus(target)
+        if (st2.getModificationTime != st.getModificationTime ||
+          st2.getLen != st.getLen) return false
         fs.delete(target, false)
-        LogStore.forFs(fs).release(fs, target) // free any store-side claim
+        deadToken match {
+          case Some(t) => store.releaseIf(fs, target, t)
+          case None => store.release(fs, target)
+        }
         true
       } else false
-    } catch { case _: java.io.FileNotFoundException => false }
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        healWedgedClaim(fs, target)
+    }
+
+  /** The conflict came from a store-side claim with NO pointer file —
+    * a writer that died between its reserve and its publish (or whose
+    * publish response was lost after the store recorded the claim).
+    * Such a slot can never complete on its own: grace-window healing
+    * needs a pointer file to read, and the dead writer will never
+    * create one. Past the same pending-grace window the claim is
+    * released — conditionally on its identity token, so a writer that
+    * is merely slow (claim re-acquired between our read and our
+    * release) is never stomped. A store that cannot date its claims
+    * reports age 0 and the slot waits for an operator (`release` by
+    * hand), which beats silently freeing a live writer's claim. */
+  private def healWedgedClaim(fs: FileSystem, target: Path): Boolean = {
+    val store = LogStore.forFs(fs)
+    store.claimInfo(fs, target) match {
+      case Some((token, age)) if age > pendingGrace(fs) =>
+        // re-probe: the claim may have published its pointer between
+        // the caller's FileNotFound and our claimInfo read — a file
+        // that exists now means the slot is NOT wedged
+        if (fs.exists(target)) false
+        else { store.releaseIf(fs, target, token); true }
+      case _ => false
+    }
+  }
 
   /** A conflict against a PENDING pointer (an in-flight [[commitAll]]
     * holding the slot) should not surface instantly: the pending
@@ -1321,12 +1384,8 @@ object Manifest {
                                 txn: Option[(String, Long)] = None): Unit = {
     require(slices.nonEmpty, "no slices")
     val (fs, root) = fsOf(spark, dir)
-    val v = latestVersion(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    slices.foreach(df => require(nullableDdl(df.schema) == snap.ddl,
-      s"overwritePartitions schema ${nullableDdl(df.schema)} != table " +
-        s"schema ${snap.ddl}"))
+    // the touched-partition set depends only on the input, not the
+    // snapshot — computed once, reused by every conflict-retry attempt
     val touched = slices.map(
         _.select(col(partitionCol).cast("string")).distinct())
       .reduce(_ union _).distinct()
@@ -1334,45 +1393,79 @@ object Manifest {
     if (touched.isEmpty) return // empty batch names no partitions
     val wanted = touched.flatten.toSet
     val wantNull = touched.contains(None)
-    val cands =
-      if (partitionValuesSafe(snap.ddl, partitionCol))
-        candidates(snap.entries, wanted, wantNull)
-      else snap.entries
-    // spanning candidates hold rows OUTSIDE the replaced partitions
-    // (an untouched recorded value, an un-replaced null, or a capped
-    // value set that asserts nothing) — only those need reading
-    val (spanning, whole) = cands.partition { e =>
-      e.overflow || e.values.exists(x => !wanted.contains(x)) ||
-        (e.has_null && !wantNull)
-    }
-    val _ = whole // dropped wholesale: every recorded value is replaced
-    val keptEntries =
-      if (spanning.isEmpty) Seq.empty
-      else {
-        val replacedRow =
-          when(col(partitionCol).isNull, lit(wantNull))
-            .otherwise(col(partitionCol).cast("string")
-              .isin(wanted.toSeq: _*))
-        val keptRows =
-          readEntriesMasked(spark, root, spanning, snap.ddl, snap.dvDirs)
-            .filter(!replacedRow)
-        if (keptRows.isEmpty) Seq.empty
-        else writeBatch(spark, root, keptRows, partitionCol, snap.statsCols,
-          snap.constraints, bloomCols = snap.bloomCols)
+    // a lost commit race restages on the fresh snapshot (its stats/
+    // constraint configuration and its entries both may have moved) —
+    // the same shape as upsertIfAbsent; losers' staged files are
+    // orphans for vacuumOrphans
+    withConflictRetry() {
+      val v = latestVersion(spark, dir)
+        .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+      val snap = readSnapshot(spark, root, v)
+      slices.foreach(df => require(nullableDdl(df.schema) == snap.ddl,
+        s"overwritePartitions schema ${nullableDdl(df.schema)} != table " +
+          s"schema ${snap.ddl}"))
+      val safe = partitionValuesSafe(snap.ddl, partitionCol)
+      val cands =
+        if (safe) candidates(snap.entries, wanted, wantNull)
+        else snap.entries
+      // spanning candidates hold rows OUTSIDE the replaced partitions
+      // (an untouched recorded value, an un-replaced null, or a capped
+      // value set that asserts nothing) — only those need reading. The
+      // wholesale drop is sound ONLY under safe partition renderings:
+      // an unsafe type's recorded values are writer-session-timezone
+      // strings, so this session's `wanted` set cannot prove a file
+      // fully replaced — every candidate is then a rewrite candidate
+      // (read + kept-row rewrite), exactly as the Scaladoc promises.
+      val (spanning, whole) =
+        if (safe) cands.partition { e =>
+          e.overflow || e.values.exists(x => !wanted.contains(x)) ||
+            (e.has_null && !wantNull)
+        }
+        else (cands, Seq.empty[Entry])
+      val _ = whole // dropped wholesale: every recorded value is replaced
+      val keptEntries =
+        if (spanning.isEmpty) Seq.empty
+        else {
+          val base =
+            readEntriesMasked(spark, root, spanning, snap.ddl, snap.dvDirs)
+          // past the In-literal threshold a giant isin is a driver
+          // planning blowup (Merge.InListThreshold's rationale) — the
+          // kept-row selection switches to a broadcast anti-join on
+          // the same string rendering
+          val keptRows =
+            if (wanted.size <= Merge.InListThreshold) {
+              val replacedRow =
+                when(col(partitionCol).isNull, lit(wantNull))
+                  .otherwise(col(partitionCol).cast("string")
+                    .isin(wanted.toSeq: _*))
+              base.filter(!replacedRow)
+            } else {
+              import spark.implicits._
+              val wantedDf = wanted.toSeq.toDF("__graft_pv")
+              val nonReplaced = base.join(broadcast(wantedDf),
+                base(partitionCol).cast("string") === col("__graft_pv"),
+                "left_anti")
+              if (wantNull) nonReplaced.filter(col(partitionCol).isNotNull)
+              else nonReplaced
+            }
+          if (keptRows.isEmpty) Seq.empty
+          else writeBatch(spark, root, keptRows, partitionCol, snap.statsCols,
+            snap.constraints, bloomCols = snap.bloomCols)
+        }
+      // a single slice is provably non-empty here (touched was); only
+      // multi-slice calls pay the per-slice emptiness probe
+      val newEntries = slices.flatMap { df =>
+        if (slices.sizeIs > 1 && df.isEmpty) Seq.empty
+        else writeBatch(spark, root, df, partitionCol,
+          snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
       }
-    // a single slice is provably non-empty here (touched was); only
-    // multi-slice calls pay the per-slice emptiness probe
-    val newEntries = slices.flatMap { df =>
-      if (slices.sizeIs > 1 && df.isEmpty) Seq.empty
-      else writeBatch(spark, root, df, partitionCol,
-        snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
+      val candPaths = cands.map(_.path).toSet
+      val carried = snap.entries.filterNot(e => candPaths.contains(e.path))
+      commit(fs, root, v + 1,
+        writeManifest(spark, root, carried ++ keptEntries ++ newEntries,
+          snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
+          snap.constraints), txn)
     }
-    val candPaths = cands.map(_.path).toSet
-    val carried = snap.entries.filterNot(e => candPaths.contains(e.path))
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, carried ++ keptEntries ++ newEntries,
-        snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
-        snap.constraints), txn)
   }
 
   /** TEST-ONLY failpoint: simulate a crash (raw throw, NO cleanup)
@@ -1452,10 +1545,19 @@ object Manifest {
         bloomCols, dvDirs, constraints)
       (fs, root, v + 1, name)
     }
-    // phase 2: claim every slot with a pending pointer naming the marker
+    // phase 2: claim every slot with a pending pointer naming the
+    // marker — in CANONICAL order (qualified table URI), so two
+    // commitAll calls contending over the same tables collide on their
+    // FIRST common table instead of each grabbing a different slot and
+    // mutually polling the other's pending pointer for the full
+    // pendingWait window (an attempts × wait livelock before either
+    // surfaced a conflict)
+    val claimOrder = staged.sortBy { case (fs, root, _, _) =>
+      fs.makeQualified(root).toUri.toString
+    }
     val created = scala.collection.mutable.ArrayBuffer[(FileSystem, Path)]()
     try {
-      staged.zipWithIndex.foreach { case ((fs, root, v, name), i) =>
+      claimOrder.zipWithIndex.foreach { case ((fs, root, v, name), i) =>
         fs.mkdirs(new Path(root, VersionsDir))
         val target = versionPath(root, v)
         putPointer(fs, target,

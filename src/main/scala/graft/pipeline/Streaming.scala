@@ -320,9 +320,25 @@ object Streaming {
               // prescribes for the batch path.
               val dates = batch.select(col(effectiveCol)).distinct()
                 .collect().map(_.get(0)).filter(_ != null).toSeq
-              val closedPred =
-                if (dates.isEmpty) lit(false)
-                else col("valid_to").isin(dates: _*)
+              // CDC cadence: a handful of distinct effective dates →
+              // an In-literal filter. A BACKFILL replaying years in
+              // one batch would turn that into a thousand-literal In
+              // expression (a driver planning blowup — every Catalyst
+              // transform walks and copies the list), so past
+              // Merge.InListThreshold the closed-slice selection
+              // switches to a broadcast semi join on the same dates.
+              val closedSlice =
+                if (dates.isEmpty) next.filter(lit(false))
+                else if (dates.sizeIs <= graft.ops.Merge.InListThreshold)
+                  next.filter(col("valid_to").isin(dates: _*))
+                else
+                  next.join(
+                    broadcast(batch.select(col(effectiveCol).as("valid_to"))
+                      .filter(col("valid_to").isNotNull).distinct()),
+                    Seq("valid_to"), "left_semi")
+                    // a USING join hoists the key column first; the
+                    // commit requires the table's exact column order
+                    .select(next.columns.map(col).toIndexedSeq: _*)
               // the live rows and the batch's closed rows land as
               // SEPARATE slices (separate files): live files are
               // rewritten every batch, closed-date files never again —
@@ -330,8 +346,7 @@ object Streaming {
               // through one extra rewrite on the following batch
               graft.ops.Manifest.overwritePartitionsSliced(spark,
                 historyDir,
-                Seq(next.filter(col("valid_to").isNull),
-                  next.filter(closedPred)),
+                Seq(next.filter(col("valid_to").isNull), closedSlice),
                 "valid_to", txn = Some(appId -> batchId))
             }
             else graft.ops.Manifest.create(spark, historyDir, next,

@@ -215,6 +215,54 @@ class ManifestProtocolSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).count() == 4)
   }
 
+  test("commitAll claims slots in canonical table order regardless of write order") {
+    // two commitAll calls listing the same tables in OPPOSITE order
+    // must contend on the same FIRST slot (no each-holds-one mutual
+    // pending wait). Pinned via the crash failpoint: crash after
+    // pointer #1, handing the writes in REVERSE canonical order — the
+    // leftover pending pointer must sit on the canonically-FIRST
+    // table, proving the claim loop sorted.
+    val root = newRoot()
+    val (a, b) = (s"$root/aaa_cat", s"$root/zzz_ord")
+    val txns = s"$root/_txns"
+    Manifest.commitAll(spark, Seq(
+      StagedWrite(b, kpi(10.0), "p"), StagedWrite(a, kpi(1.0), "p")), txns)
+    Manifest.commitAllCrashAfter = Some(1)
+    try intercept[RuntimeException] {
+      Manifest.commitAll(spark, Seq(
+        StagedWrite(b, kpi(30.0), "p", overwrite = true),
+        StagedWrite(a, kpi(3.0), "p", overwrite = true)), txns)
+    } finally Manifest.commitAllCrashAfter = None
+    val fs = new Path(root).getFileSystem(hconf)
+    assert(fs.exists(new Path(a, "_versions/v00000002")),
+      "the first claimed slot must be the canonically-first table's")
+    assert(!fs.exists(new Path(b, "_versions/v00000002")),
+      "the canonically-later table must not have been claimed yet")
+  }
+
+  test("outer visibility cache evicts whole least-recently-used TABLES") {
+    val saved = Manifest.VisibleCacheTables
+    Manifest.VisibleCacheTables = 4
+    // LinkedHashMap eviction removes ONE eldest per insert: the bound
+    // only holds from an empty start, so drop earlier suites' tables
+    Manifest.clearVisibleCacheForTest()
+    try {
+      val roots = (1 to 7).map(i => s"${newRoot()}/t$i")
+      roots.foreach { d =>
+        Manifest.create(spark, d, kpi(1.0), "p")
+        // age the pointer past the freshness margin so it caches
+        val fs = new Path(d).getFileSystem(hconf)
+        val vp = new Path(d, "_versions/v00000001")
+        fs.setTimes(vp, System.currentTimeMillis() - 60000, -1)
+        Manifest.versions(spark, d)
+      }
+      assert(Manifest.visibleTableCount <= 4,
+        s"outer table cache must be bounded, got ${Manifest.visibleTableCount}")
+      // an evicted table is merely re-verified, never wrong
+      assert(Manifest.versions(spark, roots.head) == Seq(1L))
+    } finally Manifest.VisibleCacheTables = saved
+  }
+
   test("visibility cache: fresh pointers uncached (no same-tick stale vouch), old ones cached per-table LRU") {
     val root = newRoot()
     val dir = s"$root/tbl"

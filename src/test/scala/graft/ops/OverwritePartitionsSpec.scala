@@ -110,6 +110,66 @@ class OverwritePartitionsSpec extends SparkSpec {
     assert(ks.contains(5L) && ks.contains(10L), "other partitions intact")
   }
 
+  test("TimestampType partition col: a cross-timezone session never drops files unread") {
+    // Recorded partition values are writer-session-timezone string
+    // renderings, unsound to compare across sessions (that is exactly
+    // why partitionValuesSafe disables pruning for TimestampType).
+    // The wholesale file drop must be disabled too: a reader session
+    // an hour east renders a DIFFERENT instant to the same string, so
+    // "every recorded value is replaced" proves nothing — a file
+    // dropped on that evidence silently loses its rows.
+    val dir = newDir()
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    def mk(k: Long, v: Double, ts: String) =
+      Seq((k, v)).toDF("k", "v").withColumn("p", to_timestamp(lit(ts)))
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // instant 12:00Z, recorded under UTC as "2024-03-01 12:00:00"
+      Manifest.create(spark, dir, mk(1L, 1.0, "2024-03-01 12:00:00"), "p")
+      // an hour east, the SAME string now names instant 11:00Z — a
+      // different partition than the stored row's
+      spark.conf.set("spark.sql.session.timeZone", "GMT+01:00")
+      Manifest.overwritePartitions(spark, dir,
+        mk(9L, 9.0, "2024-03-01 12:00:00"), "p")
+      val out = Manifest.read(spark, dir).select("k").as[Long]
+        .collect().toSet
+      assert(out == Set(1L, 9L),
+        s"the 12:00Z row must survive a replace of 11:00Z, got $out")
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+  }
+
+  test("overwritePartitions racing a concurrent append: both land, exact final state") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.racycas.impl", classOf[RacyCasFileSystem].getName)
+    hconf.set(LogStore.ConfPrefix + "racycas", classOf[JvmCasLogStore].getName)
+    val dir = "racycas://" +
+      Files.createTempDirectory("graft-owrace").toString + "/tbl"
+    Manifest.create(spark, dir,
+      Seq((1L, 1.0, 0L), (2L, 2.0, 1L)).toDF("k", "v", "p"), "p")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(body: => Unit) = new Thread(() => {
+      start.await()
+      try body catch { case t: Throwable => errs.add(t) }
+    })
+    // the overwrite carries its own conflict retry now (restage on the
+    // fresh snapshot); the raw append gets the standard caller wrap
+    val t1 = racer(Manifest.overwritePartitions(spark, dir,
+      Seq((20L, 20.0, 1L)).toDF("k", "v", "p"), "p"))
+    val t2 = racer(Manifest.withConflictRetry() {
+      Manifest.append(spark, dir,
+        Seq((3L, 3.0, 2L)).toDF("k", "v", "p"), "p")
+    })
+    t1.start(); t2.start(); start.countDown()
+    t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty, s"both writers must land: $errs")
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(state(dir).map(t => (t._1, t._2, t._3.get)) == Set(
+      (1L, 1.0, 0L), (20L, 20.0, 1L), (3L, 3.0, 2L)),
+      "partition 1 replaced, partition 0 intact, append present — " +
+        "in either commit order")
+  }
+
   test("empty batch is a no-op; schema drift is rejected loudly") {
     val dir = newDir()
     Manifest.create(spark, dir,

@@ -83,21 +83,22 @@ class PropertySpec extends SparkSpec {
       s"estimate $a too far from exact $exact")
   }
 
-  test("approx_count_distinct: ≤5% relative error at sf0.1 across 3 group cardinalities") {
-    // The quality gate for the rows-only `agg_approx_distinct` query (the
-    // HLL++ sketch has no SQL oracle; its exact sibling
-    // `agg_count_distinct` is the oracled one). At sf0.1 (150k orders,
-    // ~100k distinct custkeys) the sketch at rsd=0.02 must stay within
-    // 5% (2.5σ) of exact at EVERY group in three grouping grains: global
-    // (1 group), order status (3), order month (~80). Measured here:
-    // the default rsd=0.05 lands right at its 1σ bound (5.1% global,
-    // 8.8% worst month) — exactly the advertised precision, but a ≤5%
-    // gate needs the tighter configured sketch. Deterministic: HLL++
-    // has no RNG, so these are fixed numbers, not a flaky tolerance.
+  test("approx_count_distinct: per-group ≤2% relative error at sf0.1 across 3 cardinalities") {
+    // The quantitative contract behind `agg_approx_distinct` (whose
+    // oracle replays the exact half and pins the within-2% flag — this
+    // spec holds the SAME 2% bound at heavy cardinalities the sf0.01
+    // verify run never reaches). At sf0.1 (150k orders, ~100k distinct
+    // custkeys) the sketch at rsd=0.008 (the query's configured
+    // precision, 2% = 2.5σ) must stay within 2% of exact at EVERY group
+    // in three grouping grains: global (1), order status (3), order
+    // month (~80). Earlier measurements for context: default rsd=0.05
+    // ran 5.1% global / 8.8% worst month; rsd=0.02 passed a 5% gate.
+    // Deterministic: HLL++ has no RNG — fixed numbers, not a flaky
+    // tolerance.
     val orders = graft.io.Sources.table(spark, "/root/testdata/sf0.1", "orders")
     def maxRelErr(groups: Seq[org.apache.spark.sql.Column]): Double = {
       val agg = if (groups.isEmpty) orders.groupBy() else orders.groupBy(groups: _*)
-      agg.agg(approx_count_distinct(col("o_custkey"), 0.02).as("a"),
+      agg.agg(approx_count_distinct(col("o_custkey"), 0.008).as("a"),
           countDistinct(col("o_custkey")).as("e"))
         .select(abs(col("a") - col("e")).cast("double") / col("e"))
         .collect().map(_.getDouble(0)).max
@@ -105,10 +106,10 @@ class PropertySpec extends SparkSpec {
     val global = maxRelErr(Nil)
     val byStatus = maxRelErr(Seq(col("o_orderstatus")))
     val byMonth = maxRelErr(Seq(date_trunc("month", to_date(col("o_orderdate")))))
-    info(f"HLL rel-err at rsd=0.02: global $global%.4f, status $byStatus%.4f, month $byMonth%.4f")
-    assert(global <= 0.05, s"global HLL error $global > 5%")
-    assert(byStatus <= 0.05, s"per-status HLL error $byStatus > 5%")
-    assert(byMonth <= 0.05, s"per-month HLL error $byMonth > 5%")
+    info(f"HLL rel-err at rsd=0.008: global $global%.4f, status $byStatus%.4f, month $byMonth%.4f")
+    assert(global <= 0.02, s"global HLL error $global > 2%")
+    assert(byStatus <= 0.02, s"per-status HLL error $byStatus > 2%")
+    assert(byMonth <= 0.02, s"per-month HLL error $byMonth > 2%")
   }
 
   test("property: assignSplit partitions exactly and agrees with sampleByHash") {

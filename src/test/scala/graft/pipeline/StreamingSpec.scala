@@ -394,6 +394,43 @@ class StreamingSpec extends SparkSpec {
       (2L, "y", "2024-03-01", None)))
   }
 
+  test("scd2Stream backfill: thousands of distinct effective dates fold without a giant In literal") {
+    // a batch replaying years of history crosses Merge.InListThreshold:
+    // both the closed-slice selection (Streaming) and the kept-row
+    // selection (overwritePartitionsSliced) must switch from In-literal
+    // filters to broadcast semi/anti joins — this drives that path end
+    // to end and pins the fold's exactness on it
+    implicit val sqlCtx = spark.sqlContext
+    val n = 1500 // > Merge.InListThreshold (1000)
+    val histDir = Files.createTempDirectory("graft-scd2-bf").toString + "/hist"
+    val ckpt = Files.createTempDirectory("graft-scd2-bf-ck").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val updates = mem.toDF().toDF("k", "attr", "eff")
+      .select($"k", $"attr", $"eff".cast("date").as("eff"))
+    val q = Streaming.scd2Stream(updates, histDir,
+      keys = Seq("k"), tracked = Seq("attr"), effectiveCol = "eff", ckpt)
+
+    val epoch = java.time.LocalDate.parse("2020-01-01")
+    mem.addData((1L to n).map(k => (k, "a", epoch.toString)): _*)
+    q.processAllAvailable()
+    // the backfill: every key revised at its OWN distinct date
+    mem.addData((1L to n).map(k =>
+      (k, "b", epoch.plusDays(k).toString)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val hist = Streaming.scd2History(spark, histDir)
+    assert(hist.count() == 2L * n,
+      "every key must carry exactly its closed + live rows")
+    assert(hist.filter($"valid_to".isNull).count() == n.toLong)
+    val k7 = hist.filter($"k" === 7L).collect()
+      .map(r => (r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(k7 == Set(
+      ("a", "2020-01-01", Some(epoch.plusDays(7).toString)),
+      ("b", epoch.plusDays(7).toString, None)))
+  }
+
   test("scd2Stream: killed-and-replayed batches no-op against their txn markers (no fork)") {
     implicit val sqlCtx = spark.sqlContext
     val histDir = Files.createTempDirectory("graft-scd2-replay").toString + "/hist"
