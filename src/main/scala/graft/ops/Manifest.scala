@@ -628,7 +628,8 @@ object Manifest {
                                          dvDirs: Seq[String],
                                          constraints: Seq[String],
                                          manifestDir: String,
-                                         manifestBytes: Long)
+                                         manifestBytes: Long,
+                                         version: Long)
 
   /** On-disk size of the committed manifest itself (NOT the data) —
     * the cheap proxy [[graft.plans.ManifestScan.scan]] uses to choose
@@ -659,7 +660,7 @@ object Manifest {
       .as[Entry].head()
     SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs, sentinel.constraints,
-      mdir.toString, bytes)
+      mdir.toString, bytes, ver)
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -675,6 +676,201 @@ object Manifest {
     paddedManifest(spark, meta.manifestDir)
       .filter(col("path") =!= "").as[ManifestEntry]
   }
+
+  // -------- planning checkpoints --------
+
+  private val CheckpointsDir = "_checkpoints"
+
+  /** Commits between automatic planning checkpoints (≤0 disables). */
+  val CheckpointIntervalKey = "graft.manifest.checkpoint.intervalCommits"
+  val CheckpointIntervalDefault = 16L
+
+  /** Manifests below this on-disk size skip AUTO-checkpointing: the
+    * driver venue plans them in milliseconds and a checkpoint would be
+    * a Spark job per interval for nothing. (Explicit [[checkpoint]]
+    * calls ignore the gate.) */
+  val CheckpointMinBytesKey = "graft.manifest.checkpoint.minBytes"
+  val CheckpointMinBytesDefault: Long = 64L << 20
+
+  // flattened planning-bound columns ("__g_" prefix keeps them disjoint
+  // from ManifestEntry's own fields forever)
+  private[graft] val CkPmin = "__g_pmin"
+  private[graft] val CkPmax = "__g_pmax"
+  private[graft] val CkStatsOk = "__g_stats_ok"
+  private[graft] def ckSmin(i: Int) = s"__g_smin_$i"
+  private[graft] def ckSmax(i: Int) = s"__g_smax_$i"
+  private[graft] def ckSnull(i: Int) = s"__g_snull_$i"
+  // leading underscore: invisible to Spark's parquet listing
+  private val CkMetaFile = "_graft_ck_partition"
+
+  private def checkpointPath(root: Path, v: Long): Path =
+    new Path(new Path(root, CheckpointsDir), f"c-v$v%08d")
+
+  /** Native parquet type a stored stat rendering of `dt` flattens to,
+    * order-preservingly — `None` = not flattenable (exact closures
+    * still prune it, just without footer help). TimestampType stats are
+    * zone-free epoch-micros strings → LONG. */
+  private def ckFlattenType(dt: DataType): Option[DataType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | StringType | BooleanType => Some(dt)
+    case d: DecimalType => Some(d)
+    case TimestampType => Some(LongType)
+    case _ => None
+  }
+
+  /** Partition-value flattening additionally EXCLUDES TimestampType:
+    * recorded values are writer-session renderings there (the same
+    * reason [[graft.plans.ManifestPruning]] refuses value pruning). */
+  private def ckPartFlattenType(dt: DataType): Option[DataType] = dt match {
+    case TimestampType => None
+    case other => ckFlattenType(other)
+  }
+
+  /** Write the PLANNING CHECKPOINT for the table's latest version: the
+    * manifest's entries re-laid as a footer-prunable columnar snapshot
+    * under `_checkpoints/c-v<version>`, the same move as Delta planning
+    * over its checkpoint parquet. Each entry carries, alongside its
+    * verbatim [[ManifestEntry]] fields, NATIVE-typed bound columns —
+    * partition-value min/max and per-stats-column min/max — and the
+    * rows are range-laid by the dominant pruning dimension, so a
+    * listing's predicate pushes into the parquet scan and touches only
+    * matching row groups BEFORE any entry deserializes. This is what
+    * cuts the distributed venue's per-listing cost from a full typed
+    * scan of O(entries) to a pushed-down read of O(matching):
+    * [[graft.plans.DistributedManifestFileIndex]] runs its coarse
+    * predicate over these columns, then re-runs the EXACT compiled
+    * closures over the survivors, so the kept set is byte-identical to
+    * both other venues (spec-pinned).
+    *
+    * Publish is atomic (write to a dotted temp dir, one rename): a
+    * reader either sees a complete checkpoint or falls back to the
+    * live manifest — a mid-compaction read can never observe a torn
+    * one. Content is deterministic for a version, so a lost publish
+    * race simply discards its temp. Retention keeps the two newest
+    * checkpoints; listings of older (time-travel) versions fall back
+    * to their manifests, exact as ever. */
+  def checkpoint(spark: SparkSession, dir: String,
+                 partitionCol: Option[String] = None): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val meta = snapshotMeta(spark, dir)
+    val target = checkpointPath(root, meta.version)
+    if (fs.exists(target)) return // deterministic content: first writer won
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val pFlat = partitionCol
+      .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))
+      .flatMap(f => ckPartFlattenType(f.dataType).map(_ => f.dataType))
+    var df = entriesDataset(spark, meta).toDF()
+    pFlat.foreach { dt =>
+      val castVals = transform(col("values"), x => x.cast(dt))
+      // a rendered value that fails the cast back makes the whole bound
+      // UNKNOWN (null pmin/pmax): the coarse predicates keep such files
+      // rather than prune on a partial min
+      val unknown = exists(castVals, x => x.isNull) ||
+        size(col("values")) === 0
+      df = df
+        .withColumn(CkPmin,
+          when(unknown, lit(null).cast(dt)).otherwise(array_min(castVals)))
+        .withColumn(CkPmax,
+          when(unknown, lit(null).cast(dt)).otherwise(array_max(castVals)))
+    }
+    val nStats = meta.statsCols.length
+    df = df.withColumn(CkStatsOk,
+      size(col("stat_mins")) === nStats && size(col("stat_maxs")) === nStats)
+    meta.statsCols.zipWithIndex.foreach { case (c, i) =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .flatMap(ckFlattenType).foreach { t =>
+          val mn = element_at(col("stat_mins"), i + 1)
+          val mx = element_at(col("stat_maxs"), i + 1)
+          df = df
+            // raw null slot = all-null column (droppable for value
+            // predicates) — distinct from a failed cast (unknown: keep)
+            .withColumn(ckSnull(i),
+              col(CkStatsOk) && (mn.isNull || mx.isNull))
+            .withColumn(ckSmin(i), when(col(CkStatsOk), mn.cast(t)))
+            .withColumn(ckSmax(i), when(col(CkStatsOk), mx.cast(t)))
+        }
+    }
+    // linear layout by the dominant pruning dimension: the FIRST
+    // flattened stats column (statsCols exist precisely because queries
+    // range-filter them), else the partition bound — tight per-file and
+    // per-row-group footer ranges on that dimension
+    val sortCol =
+      if (df.columns.contains(ckSmin(0))) col(ckSmin(0))
+      else if (pFlat.isDefined) col(CkPmin)
+      else col("path")
+    val nFiles = math.max(1L,
+      math.min(256L, meta.manifestBytes / (16L << 20) + 1)).toInt
+    val tmp = new Path(new Path(root, CheckpointsDir),
+      s".tmp-${UUID.randomUUID()}")
+    df.repartitionByRange(nFiles, sortCol)
+      .sortWithinPartitions(sortCol)
+      .write.parquet(tmp.toString)
+    // record which column the partition bounds describe — a reader
+    // planning a different partitionCol uses stats-only coarse pruning
+    val metaOut = fs.create(new Path(tmp, CkMetaFile), true)
+    try metaOut.write(partitionCol.filter(_ => pFlat.isDefined)
+      .getOrElse("").getBytes(StandardCharsets.UTF_8))
+    finally metaOut.close()
+    if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost publish race
+    val ckRoot = new Path(root, CheckpointsDir)
+    fs.listStatus(ckRoot)
+      .filter(st => st.getPath.getName.matches("c-v\\d{8}"))
+      .sortBy(_.getPath.getName).dropRight(2)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** A completed checkpoint's location + the partition column its
+    * bounds describe. */
+  private[graft] case class CheckpointInfo(dir: String,
+                                           partCol: Option[String])
+
+  /** The completed planning checkpoint for exactly version `v`, if one
+    * exists — one `exists` probe; the atomic rename publish means a
+    * visible directory is always whole. */
+  private[graft] def checkpointFor(spark: SparkSession, dir: String,
+                                   v: Long): Option[CheckpointInfo] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = checkpointPath(root, v)
+    if (!fs.exists(p)) None
+    else {
+      val mf = new Path(p, CkMetaFile)
+      val pc =
+        if (!fs.exists(mf)) None
+        else {
+          val in = fs.open(mf)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          Some(s.trim).filter(_.nonEmpty)
+        }
+      Some(CheckpointInfo(p.toString, pc))
+    }
+  }
+
+  /** Auto-checkpoint hook, called by the mutating ops after their
+    * commit: every [[CheckpointIntervalKey]]-th version of a manifest
+    * past [[CheckpointMinBytesKey]] gets a checkpoint. Failures are
+    * swallowed loudly (stderr) — the commit already landed and a
+    * checkpoint is a pure planning accelerator; the next interval
+    * commit retries. */
+  private def maybeCheckpoint(spark: SparkSession, dir: String,
+                              partitionCol: String): Unit =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val interval =
+        conf.getLong(CheckpointIntervalKey, CheckpointIntervalDefault)
+      if (interval <= 0) return
+      val (fs, root) = fsOf(spark, dir)
+      val v = latestVersion(spark, dir).getOrElse(return)
+      if (v % interval != 0) return
+      if (fs.exists(checkpointPath(root, v))) return
+      if (manifestBytes(spark, dir, Some(v)) <
+        conf.getLong(CheckpointMinBytesKey, CheckpointMinBytesDefault)) return
+      checkpoint(spark, dir, Some(partitionCol))
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(
+          s"[graft] planning checkpoint for $dir skipped: $t")
+    }
 
   // -------- batch write + stats --------
 
@@ -1239,6 +1435,7 @@ object Manifest {
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries ++ entries, ddlOut,
         snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
+    maybeCheckpoint(spark, dir, partitionCol)
   }
 
   /** Exactly-once append: apply `(appId, batchId)` AT MOST ONCE, in
@@ -1466,6 +1663,7 @@ object Manifest {
           snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
           snap.constraints), txn)
     }
+    maybeCheckpoint(spark, dir, partitionCol)
   }
 
   /** TEST-ONLY failpoint: simulate a crash (raw throw, NO cleanup)
@@ -2083,6 +2281,7 @@ object Manifest {
     commit(fs, root, v + 1,
       writeManifest(spark, root, kept ++ newEntries, snap.ddl,
         snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
+    maybeCheckpoint(spark, dir, partitionCol)
   }
 
   /** OPTIMIZE: rewrite the snapshot's small files (< `smallBytes`) into
@@ -2115,6 +2314,7 @@ object Manifest {
         snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
         snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
         snap.constraints))
+    maybeCheckpoint(spark, dir, partitionCol)
     small.size.toLong
   }
 

@@ -72,6 +72,7 @@ object ManifestPlanBench {
     synthesize(spark, root, n)
 
     if (mode == "dist") { distMain(spark, root, n); return }
+    if (mode == "ckpt") { ckptMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -112,6 +113,49 @@ object ManifestPlanBench {
         s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
         s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
         s""""list_all_sec":${f"$tList%.3f"}}""")
+  }
+
+  /** The checkpoint-venue measurement: one-time planning-checkpoint
+    * write, then the SAME distributed listings as `dist` — each now a
+    * pushed-down parquet read over the checkpoint's flattened bounds
+    * (date-sorted layout → row-group skipping) instead of a full typed
+    * scan of the manifest relation. */
+  private def ckptMain(spark: org.apache.spark.sql.SparkSession,
+                       root: String, n: Int): Unit = {
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tCk) = time(graft.ops.Manifest.checkpoint(spark, root,
+      partitionCol = Some("p")))
+    val h0 = heapUsed()
+    val (index, tLoad) = time(
+      new graft.plans.DistributedManifestFileIndex(spark, root,
+        partitionCol = Some("p")))
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", DateType)()
+    val filter = org.apache.spark.sql.catalyst.expressions.And(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-01"), DateType)),
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-30"), DateType)))
+    index.candidateCount(Seq(filter)) // warm (codegen, class loading)
+    val (kept, tPrune) = time(index.candidateCount(Seq(filter)))
+    val (all, tList) = time(index.listFiles(Nil, Nil).head.files.size)
+    val h1 = heapUsed()
+    println(
+      s"""{"metric":"manifest_planning_ckpt","entries":$n,""" +
+        s""""checkpoint_write_sec":${f"$tCk%.2f"},""" +
+        s""""meta_load_sec":${f"$tLoad%.2f"},""" +
+        s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
+        s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
+        s""""list_all_sec":${f"$tList%.3f"},"all_files":$all}""")
   }
 
   /** The distributed-venue measurement: index construction reads only

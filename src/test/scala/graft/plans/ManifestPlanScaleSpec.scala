@@ -98,6 +98,141 @@ class ManifestPlanScaleSpec extends SparkSpec {
     assert(drv.sizeInBytes == dist.sizeInBytes)
   }
 
+  test("checkpoint planning keeps the exact same file set as both other venues") {
+    val root = Files.createTempDirectory("graft-planck").toString + "/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, root, 20000)
+    graft.ops.Manifest.checkpoint(spark, root, partitionCol = Some("p"))
+    val drv = new ManifestFileIndex(spark, root, partitionCol = Some("p"))
+    val ck = new DistributedManifestFileIndex(spark, root,
+      partitionCol = Some("p"))
+    assert(ck.usesCheckpoint,
+      "the distributed index must plan through the fresh checkpoint")
+
+    val d = AttributeReference("d", DateType)()
+    val p = AttributeReference("p",
+      org.apache.spark.sql.types.StringType)()
+    val june93 = And(
+      GreaterThanOrEqual(d,
+        Literal.create(java.sql.Date.valueOf("1993-06-01"), DateType)),
+      LessThanOrEqual(d,
+        Literal.create(java.sql.Date.valueOf("1993-06-30"), DateType)))
+    val cases: Seq[Seq[Expression]] = Seq(
+      Nil, // full listing: checkpoint content must equal the manifest
+      Seq(june93),
+      Seq(EqualTo(p, Literal("7"))),
+      Seq(In(p, Seq(Literal("3"), Literal("513")))),
+      Seq(IsNull(p)),
+      Seq(IsNotNull(d)),
+      Seq(StartsWith(p, Literal("10"))),
+      Seq(Or(EqualTo(p, Literal("7")), june93)),
+      Seq(june93, EqualTo(p, Literal("7"))))
+    cases.foreach { filters =>
+      val dp = drv.listFiles(Nil, filters).head.files
+        .map(_.getPath.toString).toSet
+      val cp = ck.listFiles(Nil, filters).head.files
+        .map(_.getPath.toString).toSet
+      assert(dp == cp,
+        s"checkpoint venue disagrees under $filters: " +
+          s"driver=${dp.size} ckpt=${cp.size}")
+    }
+  }
+
+  test("checkpoint is version-exact: a later commit falls back to the live manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckfresh").toString + "/tbl"
+    val df = spark.range(0, 100)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 5).as("p"))
+    graft.ops.Manifest.create(spark, root, df, "p", statsCols = Seq("k"))
+    graft.ops.Manifest.checkpoint(spark, root, Some("p"))
+    assert(new DistributedManifestFileIndex(spark, root, Some("p"))
+      .usesCheckpoint)
+    // the table moves on: the stale checkpoint must NOT serve v2
+    graft.ops.Manifest.append(spark, root,
+      Seq((500L, 1.0, 9L)).toDF("k", "v", "p"), "p")
+    val idx = new DistributedManifestFileIndex(spark, root, Some("p"))
+    assert(!idx.usesCheckpoint, "a v1 checkpoint must not plan v2")
+    val all = idx.listFiles(Nil, Nil).head.files.size
+    assert(all == graft.ops.Manifest.loadSnapshot(spark, root)
+      .entries.size, "fallback listing must see the NEW snapshot whole")
+    // ...while time travel to v1 still plans through its checkpoint
+    assert(new DistributedManifestFileIndex(spark, root, Some("p"),
+      version = Some(1L)).usesCheckpoint)
+  }
+
+  test("a torn checkpoint write (tmp dir, no rename) is invisible to planning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cktorn").toString + "/tbl"
+    val df = spark.range(0, 50)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 5).as("p"))
+    graft.ops.Manifest.create(spark, root, df, "p")
+    // a writer that died mid-checkpoint leaves only a dotted temp dir
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root,
+      "_checkpoints/.tmp-dead-writer"))
+    val idx = new DistributedManifestFileIndex(spark, root, Some("p"))
+    assert(!idx.usesCheckpoint, "a torn checkpoint must never be read")
+    assert(idx.listFiles(Nil, Nil).head.files.nonEmpty)
+  }
+
+  test("auto-checkpoint: interval commits write one; retention keeps the two newest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckauto").toString + "/tbl"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(graft.ops.Manifest.CheckpointIntervalKey, 2L)
+    hconf.setLong(graft.ops.Manifest.CheckpointMinBytesKey, 0L)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(hconf)
+      def cks() =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_checkpoints")))
+          Seq.empty
+        else fs.listStatus(new org.apache.hadoop.fs.Path(root, "_checkpoints"))
+          .map(_.getPath.getName).filter(_.startsWith("c-v")).toSeq.sorted
+      graft.ops.Manifest.create(spark, root,
+        Seq((1L, 0L)).toDF("k", "p"), "p")
+      assert(cks().isEmpty, "v1 is off-interval")
+      (2 to 7).foreach(i => graft.ops.Manifest.append(spark, root,
+        Seq((i.toLong, 0L)).toDF("k", "p"), "p"))
+      // intervals 2,4,6 fired; retention keeps the newest two
+      assert(cks() == Seq("c-v00000004", "c-v00000006"), s"got ${cks()}")
+      assert(new DistributedManifestFileIndex(spark, root, Some("p"),
+        version = Some(6L)).usesCheckpoint)
+    } finally {
+      hconf.unset(graft.ops.Manifest.CheckpointIntervalKey)
+      hconf.unset(graft.ops.Manifest.CheckpointMinBytesKey)
+    }
+  }
+
+  test("TimestampType partition col: checkpoint disables partition bounds, stays exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckts").toString + "/tbl"
+    val df = spark.range(0, 100)
+      .select($"id".as("k"),
+        org.apache.spark.sql.functions.timestamp_seconds(
+          org.apache.spark.sql.functions.lit(1709251200L) +
+            $"id" % 7 * 3600).as("ts"))
+    graft.ops.Manifest.create(spark, root, df, "ts", statsCols = Seq("k"))
+    graft.ops.Manifest.checkpoint(spark, root, Some("ts"))
+    val drv = new ManifestFileIndex(spark, root, partitionCol = Some("ts"))
+    val ck = new DistributedManifestFileIndex(spark, root,
+      partitionCol = Some("ts"))
+    assert(ck.usesCheckpoint)
+    val k = AttributeReference("k", org.apache.spark.sql.types.LongType)()
+    val cases: Seq[Seq[Expression]] = Seq(
+      Nil,
+      Seq(LessThan(k, Literal(10L))),
+      Seq(And(GreaterThanOrEqual(k, Literal(20L)),
+        LessThanOrEqual(k, Literal(40L)))))
+    cases.foreach { filters =>
+      val dp = drv.listFiles(Nil, filters).head.files
+        .map(_.getPath.toString).toSet
+      val cp = ck.listFiles(Nil, filters).head.files
+        .map(_.getPath.toString).toSet
+      assert(dp == cp, s"timestamp-partition venues disagree: $filters")
+    }
+  }
+
   test("scan forced through the distributed venue answers identically, DVs included") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-distscan").toString + "/tbl"
