@@ -677,6 +677,40 @@ object Manifest {
       .filter(col("path") =!= "").as[ManifestEntry]
   }
 
+  /** Write-amplification ledger for one snapshot transition:
+    * `carried*` counts files present in BOTH versions (carried by
+    * reference — zero write cost), `added*` the files the newer
+    * version physically wrote, `removed*` the files it dropped.
+    * [[writeAmplification]] is the fraction of the newer snapshot's
+    * bytes this transition wrote: ~0 for a pure append or a
+    * partition-pruned overwrite of a small slice, 1.0 for a full
+    * rewrite. The counter [[overwritePartitionsSliced]]'s O(live +
+    * batch dates) claim is priced and spec-asserted with
+    * (tools/Scd2Scale; StreamingSpec). */
+  case class VersionDelta(carriedFiles: Long, carriedBytes: Long,
+                          addedFiles: Long, addedBytes: Long,
+                          removedFiles: Long, removedBytes: Long) {
+    def writeAmplification: Double =
+      if (carriedBytes + addedBytes == 0L) 0.0
+      else addedBytes.toDouble / (carriedBytes + addedBytes)
+  }
+
+  /** The [[VersionDelta]] between two committed versions of `dir` —
+    * a METADATA diagnostic over the two manifests (driver-side, same
+    * budget as [[loadSnapshot]]; never touches data files). */
+  def versionDelta(spark: SparkSession, dir: String,
+                   vFrom: Long, vTo: Long): VersionDelta = {
+    val before = loadSnapshot(spark, dir, Some(vFrom)).entries
+    val after = loadSnapshot(spark, dir, Some(vTo)).entries
+    val beforePaths = before.map(_.path).toSet
+    val afterPaths = after.map(_.path).toSet
+    val (carried, added) = after.partition(e => beforePaths.contains(e.path))
+    val removed = before.filterNot(e => afterPaths.contains(e.path))
+    VersionDelta(carried.size, carried.map(_.bytes).sum,
+      added.size, added.map(_.bytes).sum,
+      removed.size, removed.map(_.bytes).sum)
+  }
+
   // -------- planning checkpoints --------
 
   private val CheckpointsDir = "_checkpoints"
