@@ -135,6 +135,10 @@ object Manifest {
   val BloomHashes: Int = 4
 
   private val ManifestsDir = "_manifests"
+  /** Per-commit delta sidecar file INSIDE its manifest's directory —
+    * leading underscore keeps it invisible to the parquet read of the
+    * manifest relation, and vacuum reclaims it with the manifest. */
+  private val DeltaFile = "_graft_delta"
   private val VersionsDir = "_versions"
   private val DataDir = "data"
   private val BloomDir = "_bloom"
@@ -526,12 +530,15 @@ object Manifest {
 
   /** One committed snapshot: live file entries, table schema, the
     * stats/bloom column configuration, and the live deletion-vector
-    * dirs (all carried by the sentinel). */
+    * dirs (all carried by the sentinel). `name` is the manifest's
+    * content-addressed directory name (`m-<uuid>`) — the identity the
+    * per-commit delta sidecars chain on (see [[writeManifest]]). */
   private[graft] case class Snapshot(entries: Seq[Entry], ddl: String,
                                      statsCols: Seq[String],
                                      bloomCols: Seq[String],
                                      dvDirs: Seq[String],
-                                     constraints: Seq[String])
+                                     constraints: Seq[String],
+                                     name: String = "")
 
   /** The committed snapshot of `dir` at version `v` (or latest) — the
     * planner-integration entry point ([[graft.plans.ManifestFileIndex]]
@@ -547,13 +554,26 @@ object Manifest {
   /** Every manifest leads with a schema SENTINEL entry (`path = ""`, no
     * file) carrying the table schema and stats configuration ONCE: a
     * snapshot whose rows were all deleted still knows its schema, and
-    * file entries stay slim. */
+    * file entries stay slim.
+    *
+    * When `prev` names the parent snapshot (manifest name + entries),
+    * a DELTA SIDECAR (`_manifests/<name>/_graft_delta`, a plain text
+    * file) is additionally written: the entry-level adds/removes vs the parent
+    * plus the parent's name, so a between-checkpoints listing can plan
+    * from the newest checkpoint and REPLAY the short tail of deltas
+    * instead of full-scanning this manifest — the Delta/Iceberg
+    * checkpoint-plus-log shape (see [[tailReplay]]). The sidecar is
+    * skipped when the change set is large (a compaction, an overwrite
+    * — replaying it would approach the full scan it exists to avoid)
+    * or when no parent is known; readers then fall back to the exact
+    * distributed scan, never to a wrong answer. */
   private def writeManifest(spark: SparkSession, root: Path,
                             entries: Seq[Entry], ddl: String,
                             statsCols: Seq[String],
                             bloomCols: Seq[String],
                             dvDirs: Seq[String],
-                            constraints: Seq[String]): String = {
+                            constraints: Seq[String],
+                            prev: Option[Snapshot] = None): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
@@ -567,8 +587,121 @@ object Manifest {
       else e.copy(schema_ddl = "", stat_cols = Seq.empty,
         bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
     (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
+    prev.filter(_.name.nonEmpty)
+      .foreach(p => writeDelta(spark, root, name, slim, p))
     name
   }
+
+  /** Entry-level diff of `entries` vs the parent snapshot as the delta
+    * sidecar `_manifests/<name>/_graft_delta`. A CHANGED entry (same path,
+    * different stats — a DV attach, a recomputed bound) is an add
+    * whose path shadows the parent's version at replay. O(n) driver
+    * hash passes over seqs both already materialized at every commit;
+    * failure is swallowed (the sidecar is a pure planning accelerator
+    * — the manifest it describes is already complete). */
+  private def writeDelta(spark: SparkSession, root: Path, name: String,
+                         entries: Seq[Entry], prev: Snapshot): Unit =
+    try {
+      val prevByPath = prev.entries.iterator.map(e => e.path -> e).toMap
+      val newPaths = entries.iterator.map(_.path).toSet
+      val adds = entries.filter(e => !prevByPath.get(e.path).contains(e))
+      val removes = prev.entries.iterator.map(_.path)
+        .filterNot(newPaths.contains).toSeq
+      // oversized change set: replay cost would approach the scan it
+      // replaces — skip, and the reader falls back
+      if (adds.size + removes.size >
+        math.max(4096, entries.size / 8)) return
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // inside the manifest dir, leading underscore: invisible to the
+      // parquet read of the manifest relation, vacuumed with it
+      val p = new Path(new Path(new Path(root, ManifestsDir), name),
+        DeltaFile)
+      val out = fs.create(p, true)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+        var n = 0
+        def line(s: String): Unit = { w.write(s); w.write('\n'); n += 1 }
+        line(s"parent:${prev.name}")
+        removes.foreach(r => line(s"remove:$r"))
+        adds.foreach(a =>
+          line(s"add:${org.json4s.jackson.Serialization.write(a)}"))
+        // trailer makes a torn write detectable: no valid trailer, no
+        // replay (the reader falls back to the exact scan)
+        w.write(s"end:$n\n"); w.flush()
+      } finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[graft] delta sidecar for $name skipped: $t")
+    }
+
+  /** One parsed delta sidecar: parent manifest name, full entries
+    * added (changed entries shadow the parent's by path), paths
+    * removed. */
+  private[graft] case class ManifestDelta(parent: String,
+                                          adds: Seq[ManifestEntry],
+                                          removePaths: Seq[String])
+
+  /** The delta sidecar for manifest `name`, or None when absent or
+    * torn (missing/mismatched `end:` trailer, unparseable line). */
+  private[graft] def readDelta(fs: FileSystem, root: Path,
+                               name: String): Option[ManifestDelta] = {
+    val p = new Path(new Path(new Path(root, ManifestsDir), name), DeltaFile)
+    if (!fs.exists(p)) return None
+    try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val in = fs.open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      if (lines.isEmpty || !lines.head.startsWith("parent:")) return None
+      val last = lines.last
+      if (!last.startsWith("end:") ||
+        last.drop(4).toLong != lines.size - 1) return None
+      val body = lines.tail.dropRight(1)
+      val adds = Seq.newBuilder[ManifestEntry]
+      val removes = Seq.newBuilder[String]
+      body.foreach {
+        case l if l.startsWith("add:") =>
+          adds += org.json4s.jackson.Serialization
+            .read[ManifestEntry](l.drop(4))
+        case l if l.startsWith("remove:") => removes += l.drop(7)
+        case _ => return None
+      }
+      Some(ManifestDelta(lines.head.drop(7), adds.result(), removes.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Net entry-level correction that turns the checkpoint at `ckV`'s
+    * entry set into version `v`'s: drop `dropFromCk` paths from the
+    * checkpoint's entries, then union `adds`. */
+  private[graft] case class TailReplay(dropFromCk: Set[String],
+                                       adds: Seq[ManifestEntry])
+
+  /** Assemble the (ckV, v] delta chain into one net [[TailReplay]], or
+    * None when any link is missing, torn, or does not chain (its
+    * recorded parent is not the previous version's manifest) — the
+    * caller then falls back to the exact distributed scan of `v`'s own
+    * manifest. Cost is O(changes in the tail): one pointer read + one
+    * small sidecar read per version, all driver-side, no Spark job. */
+  private[graft] def tailReplay(spark: SparkSession, dir: String,
+                                ckV: Long, v: Long): Option[TailReplay] =
+    try {
+      val (fs, root) = fsOf(spark, dir)
+      val names = (ckV to v).map(i => readPointerLines(fs, root, i).head.trim)
+      val adds = scala.collection.mutable.LinkedHashMap[String, Entry]()
+      val removed = scala.collection.mutable.Set[String]()
+      var i = 1
+      while (i < names.size) {
+        val d = readDelta(fs, root, names(i)).getOrElse(return None)
+        if (d.parent != names(i - 1)) return None
+        d.removePaths.foreach { p => adds.remove(p); removed += p }
+        d.adds.foreach { e => adds(e.path) = e }
+        i += 1
+      }
+      Some(TailReplay(removed.toSet ++ adds.keySet, adds.values.toSeq))
+    } catch { case _: java.io.FileNotFoundException => None }
 
   private def readSnapshot(spark: SparkSession, root: Path,
                            v: Long): Snapshot = {
@@ -614,7 +747,7 @@ object Manifest {
         s"manifest $name has no schema sentinel"))
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
       sentinel.stat_cols, sentinel.bloom_cols, sentinel.dv_dirs,
-      sentinel.constraints)
+      sentinel.constraints, name)
   }
 
   /** Lightweight snapshot HEADER: the sentinel's configuration plus
@@ -736,6 +869,26 @@ object Manifest {
   private[graft] def ckSnull(i: Int) = s"__g_snull_$i"
   // leading underscore: invisible to Spark's parquet listing
   private val CkMetaFile = "_graft_ck_partition"
+  /** Completion marker, created STRICTLY AFTER the directory publish:
+    * on a copy-per-object store (S3A-class) a directory "rename" is
+    * non-atomic, so a bare `exists(dir)` probe could see a PARTIAL
+    * checkpoint and silently under-list — a wrong answer. Readers
+    * ([[checkpointFor]]) require this marker; a markerless directory
+    * is invisible (torn or in-flight) and is reclaimed by age-gated GC
+    * at the next checkpoint write. */
+  private val CkDoneFile = "_graft_ck_complete"
+  /** Age before a markerless checkpoint dir / dotted temp dir is
+    * presumed a crashed writer's residue and GC'd — the same liveness
+    * assumption as the commit arbiter's pending grace. */
+  private val CkResidueGraceMillis = 3600L * 1000
+
+  /** Fire the auto-checkpoint on a daemon thread instead of inside the
+    * committing caller. The checkpoint is a pure planning accelerator
+    * whose failure is already swallowed, so detaching it removes the
+    * one-in-`intervalCommits` latency spike (seconds at 10⁶ entries,
+    * ~30 s at 10⁷ — measured in BASELINE.md) from the commit path; the
+    * marker protocol makes a crashed/overlapping writer invisible. */
+  val CheckpointAsyncKey = "graft.manifest.checkpoint.async"
 
   private def checkpointPath(root: Path, v: Long): Path =
     new Path(new Path(root, CheckpointsDir), f"c-v$v%08d")
@@ -776,19 +929,29 @@ object Manifest {
     * closures over the survivors, so the kept set is byte-identical to
     * both other venues (spec-pinned).
     *
-    * Publish is atomic (write to a dotted temp dir, one rename): a
-    * reader either sees a complete checkpoint or falls back to the
-    * live manifest — a mid-compaction read can never observe a torn
-    * one. Content is deterministic for a version, so a lost publish
-    * race simply discards its temp. Retention keeps the two newest
-    * checkpoints; listings of older (time-travel) versions fall back
-    * to their manifests, exact as ever. */
+    * Publish: write to a dotted temp dir, one rename, then the
+    * [[CkDoneFile]] completion marker STRICTLY AFTER — readers require
+    * the marker, so even on a copy-per-object store (where rename is
+    * not atomic and a bare exists-probe could see a partial directory)
+    * a reader either sees a complete checkpoint or falls back to the
+    * live manifest, never a torn one. Content is deterministic for a
+    * version, so a lost publish race simply discards its temp; a
+    * markerless directory is never overwritten in place (its writer
+    * may still be mid-copy) — age-gated GC reclaims it. Retention
+    * keeps the two newest COMPLETE checkpoints; listings of older
+    * (time-travel) versions fall back to their manifests (or the
+    * delta-chain replay), exact as ever. */
   def checkpoint(spark: SparkSession, dir: String,
                  partitionCol: Option[String] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val meta = snapshotMeta(spark, dir)
     val target = checkpointPath(root, meta.version)
-    if (fs.exists(target)) return // deterministic content: first writer won
+    // deterministic content: first COMPLETE writer won; a markerless
+    // target is in-flight or torn — do not overwrite a path another
+    // writer may still be publishing to (deleting under a mid-copy
+    // rename could leave marker + partial data = a wrong answer);
+    // age-gated GC below reclaims abandoned ones
+    if (fs.exists(target)) return
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
     val pFlat = partitionCol
       .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))
@@ -845,12 +1008,34 @@ object Manifest {
     try metaOut.write(partitionCol.filter(_ => pFlat.isDefined)
       .getOrElse("").getBytes(StandardCharsets.UTF_8))
     finally metaOut.close()
-    if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost publish race
+    // publish: guard the rename (Hadoop rename onto an EXISTING dir
+    // moves src INSIDE it and returns true — the lost racer's temp
+    // would nest as garbage), then the completion marker strictly
+    // after. A crash anywhere before the marker leaves an invisible
+    // directory, reclaimed below on a later write.
+    if (fs.exists(target)) fs.delete(tmp, true) // lost publish race
+    else if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+    else {
+      val nested = new Path(target, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true) // raced rename-into
+      else fs.create(new Path(target, CkDoneFile), true).close()
+    }
     val ckRoot = new Path(root, CheckpointsDir)
-    fs.listStatus(ckRoot)
-      .filter(st => st.getPath.getName.matches("c-v\\d{8}"))
-      .sortBy(_.getPath.getName).dropRight(2)
+    val sts = fs.listStatus(ckRoot)
+    val isCk = (n: String) => n.matches("c-v\\d{8}")
+    val complete = sts.filter(st => isCk(st.getPath.getName) &&
+      fs.exists(new Path(st.getPath, CkDoneFile)))
+    complete.sortBy(_.getPath.getName).dropRight(2)
       .foreach(st => fs.delete(st.getPath, true))
+    // crashed writers' residue: dotted temps and markerless (torn)
+    // checkpoint dirs, past the liveness grace
+    val cutoff = System.currentTimeMillis() - CkResidueGraceMillis
+    val completeNames = complete.map(_.getPath.getName).toSet
+    sts.filter { st =>
+      val n = st.getPath.getName
+      (n.startsWith(".tmp-") || (isCk(n) && !completeNames.contains(n))) &&
+        st.getModificationTime < cutoff
+    }.foreach(st => fs.delete(st.getPath, true))
   }
 
   /** A completed checkpoint's location + the partition column its
@@ -859,13 +1044,15 @@ object Manifest {
                                            partCol: Option[String])
 
   /** The completed planning checkpoint for exactly version `v`, if one
-    * exists — one `exists` probe; the atomic rename publish means a
-    * visible directory is always whole. */
+    * exists — one probe of the COMPLETION MARKER (not the directory:
+    * on a copy-per-object store a visible directory is not necessarily
+    * a whole one; the marker is written strictly after the publish and
+    * is the only thing that makes a checkpoint readable). */
   private[graft] def checkpointFor(spark: SparkSession, dir: String,
                                    v: Long): Option[CheckpointInfo] = {
     val (fs, root) = fsOf(spark, dir)
     val p = checkpointPath(root, v)
-    if (!fs.exists(p)) None
+    if (!fs.exists(new Path(p, CkDoneFile))) None
     else {
       val mf = new Path(p, CkMetaFile)
       val pc =
@@ -878,6 +1065,26 @@ object Manifest {
         }
       Some(CheckpointInfo(p.toString, pc))
     }
+  }
+
+  /** The newest COMPLETE checkpoint at a version ≤ `v`, with its
+    * version — the base a between-checkpoints listing plans from
+    * before replaying the (ckV, v] delta tail ([[tailReplay]]). One
+    * directory LIST + one marker probe per candidate, newest first. */
+  private[graft] def checkpointAtOrBefore(spark: SparkSession, dir: String,
+                                          v: Long)
+      : Option[(CheckpointInfo, Long)] = {
+    val (fs, root) = fsOf(spark, dir)
+    val ckRoot = new Path(root, CheckpointsDir)
+    if (!fs.exists(ckRoot)) return None
+    fs.listStatus(ckRoot).iterator
+      .map(_.getPath.getName)
+      .filter(_.matches("c-v\\d{8}"))
+      .map(_.drop(3).toLong)
+      .filter(_ <= v)
+      .toSeq.sorted.reverseIterator
+      .flatMap(cv => checkpointFor(spark, dir, cv).map(_ -> cv))
+      .nextOption()
   }
 
   /** Auto-checkpoint hook, called by the mutating ops after their
@@ -899,7 +1106,20 @@ object Manifest {
       if (fs.exists(checkpointPath(root, v))) return
       if (manifestBytes(spark, dir, Some(v)) <
         conf.getLong(CheckpointMinBytesKey, CheckpointMinBytesDefault)) return
-      checkpoint(spark, dir, Some(partitionCol))
+      if (conf.getBoolean(CheckpointAsyncKey, false)) {
+        // detached: the commit already landed and the checkpoint is a
+        // pure accelerator — don't make the interval commit pay its
+        // multi-second write (BASELINE.md prices it). A crash mid-write
+        // leaves only an invisible (markerless/dotted) dir.
+        val t = new Thread(() =>
+          try checkpoint(spark, dir, Some(partitionCol))
+          catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[graft] async planning checkpoint for $dir skipped: $e")
+          }, s"graft-checkpoint-$v")
+        t.setDaemon(true)
+        t.start()
+      } else checkpoint(spark, dir, Some(partitionCol))
     } catch {
       case scala.util.control.NonFatal(t) =>
         System.err.println(
@@ -1468,7 +1688,8 @@ object Manifest {
       snap.constraints, bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries ++ entries, ddlOut,
-        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
+        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints,
+        prev = Some(snap)), txn)
     maybeCheckpoint(spark, dir, partitionCol)
   }
 
@@ -1565,7 +1786,8 @@ object Manifest {
     // the whole snapshot is replaced, so every previous DV retires too
     commit(fs, root, v + 1,
       writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints), txn)
+        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
+        prev = Some(snap)), txn)
   }
 
   /** DYNAMIC PARTITION OVERWRITE under snapshot isolation: replace
@@ -1695,7 +1917,7 @@ object Manifest {
       commit(fs, root, v + 1,
         writeManifest(spark, root, carried ++ keptEntries ++ newEntries,
           snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
-          snap.constraints), txn)
+          snap.constraints, prev = Some(snap)), txn)
     }
     maybeCheckpoint(spark, dir, partitionCol)
   }
@@ -1879,7 +2101,8 @@ object Manifest {
     })
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries, nullableDdl(widened),
-        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints))
+        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints,
+        prev = Some(snap)))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -2176,7 +2399,8 @@ object Manifest {
         nullSafeKeys = false)).foreach { name =>
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-          snap.bloomCols, snap.dvDirs :+ name, snap.constraints))
+          snap.bloomCols, snap.dvDirs :+ name, snap.constraints,
+          prev = Some(snap)))
     }
   }
 
@@ -2230,7 +2454,7 @@ object Manifest {
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries ++ newEntries, snap.ddl,
           snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName,
-          snap.constraints))
+          snap.constraints, prev = Some(snap)))
   }
 
   /** Fold every live deletion vector into data: rewrite ONLY the files
@@ -2252,7 +2476,8 @@ object Manifest {
       // only inert vectors (their files already rewritten): drop them
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-          snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
+          snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
+          prev = Some(snap)))
       return 0L
     }
     val dvd = snap.entries.filter(e => touched.contains(e.path))
@@ -2266,7 +2491,7 @@ object Manifest {
       writeManifest(spark, root,
         snap.entries.filterNot(e => touched.contains(e.path)) ++ newEntries,
         snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil,
-        constraints = snap.constraints))
+        constraints = snap.constraints, prev = Some(snap)))
     touched.size.toLong
   }
 
@@ -2314,7 +2539,8 @@ object Manifest {
     // files still mask
     commit(fs, root, v + 1,
       writeManifest(spark, root, kept ++ newEntries, snap.ddl,
-        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints), txn)
+        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints,
+        prev = Some(snap)), txn)
     maybeCheckpoint(spark, dir, partitionCol)
   }
 
@@ -2347,7 +2573,7 @@ object Manifest {
       writeManifest(spark, root,
         snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
         snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
-        snap.constraints))
+        snap.constraints, prev = Some(snap)))
     maybeCheckpoint(spark, dir, partitionCol)
     small.size.toLong
   }
@@ -2376,7 +2602,8 @@ object Manifest {
     if (viol > 0) throw ConstraintViolationException(name, sql, viol)
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, snap.dvDirs, snap.constraints :+ s"$name: $sql"))
+        snap.bloomCols, snap.dvDirs, snap.constraints :+ s"$name: $sql",
+        prev = Some(snap)))
   }
 
   /** DROP a CHECK constraint by name (error if absent). */
@@ -2391,7 +2618,7 @@ object Manifest {
       s"no constraint named '$name'")
     commit(fs, root, v + 1,
       writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, snap.dvDirs, kept))
+        snap.bloomCols, snap.dvDirs, kept, prev = Some(snap)))
   }
 
   /** The table's CHECK constraints as (name, sql) pairs. */
@@ -2447,7 +2674,8 @@ object Manifest {
         bloomCols = snap.bloomCols, clusterKey = Some(key(snap)))
     commit(fs, root, v + 1,
       writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints))
+        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
+        prev = Some(snap)))
   }
 
   /** 2-D Z-ORDER clustering: rewrite the snapshot range-partitioned on
@@ -2741,6 +2969,7 @@ object Manifest {
     }
     // retired manifests + pointers — same age floor: a freshly written
     // manifest is unreferenced until its writer's pointer create lands
+    // (the delta sidecar lives inside the manifest dir and goes with it)
     val md = new Path(root, ManifestsDir)
     if (fs.exists(md)) fs.listStatus(md).foreach { st =>
       if (!liveManifests.contains(st.getPath.getName) &&

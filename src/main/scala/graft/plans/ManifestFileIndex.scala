@@ -167,18 +167,41 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
 
   private def entries = Manifest.entriesDataset(spark, meta)
 
-  /** The planning checkpoint for EXACTLY this snapshot version, when
-    * one exists (one `exists` probe): listings then run as pushed-down
-    * parquet reads over its flattened bound columns instead of full
-    * typed scans of the manifest — the coarse cut happens inside the
-    * parquet scan (row-group skipping + pre-deserialization filter),
-    * and only the survivors pay entry deserialization and the exact
-    * closures. Absent (pre-checkpoint table, time-travel past
-    * retention), everything below falls back to the manifest relation
-    * — same kept set either way (spec-pinned). */
-  private val ckpt: Option[Manifest.CheckpointInfo] =
-    Manifest.checkpointFor(spark, dir, meta.version)
+  /** The planning checkpoint this snapshot version plans from, when
+    * one exists: EXACTLY this version's when present (one marker
+    * probe), else the newest complete checkpoint at an earlier version
+    * PLUS the verified (ckV, v] delta-sidecar chain folded into one
+    * net correction ([[Manifest.tailReplay]]) — the Delta/Iceberg
+    * checkpoint-plus-log shape, so the ~15/16 of listings that land
+    * between interval checkpoints still run as pushed-down parquet
+    * reads over flattened bound columns instead of full typed scans of
+    * the manifest. The coarse cut happens inside the parquet scan
+    * (row-group skipping + pre-deserialization filter); only survivors
+    * pay entry deserialization and the exact closures; the replay
+    * correction (drop superseded paths, union the tail's adds through
+    * the same exact closures) is O(changes in the tail), driver-side.
+    * Absent or unverifiable (pre-checkpoint table, time-travel past
+    * retention, a compaction in the tail that skipped its oversized
+    * sidecar), everything below falls back to the manifest relation —
+    * same kept set every way (spec-pinned). */
+  private val resolved
+      : (Option[Manifest.CheckpointInfo], Option[Manifest.TailReplay]) =
+    Manifest.checkpointFor(spark, dir, meta.version) match {
+      case some @ Some(_) => (some, None)
+      case None =>
+        Manifest.checkpointAtOrBefore(spark, dir, meta.version) match {
+          case Some((ci, ckV)) if ckV < meta.version =>
+            Manifest.tailReplay(spark, dir, ckV, meta.version) match {
+              case some @ Some(_) => (Some(ci), some)
+              case None => (None, None)
+            }
+          case _ => (None, None)
+        }
+    }
+  private val ckpt: Option[Manifest.CheckpointInfo] = resolved._1
+  private val ckptTail: Option[Manifest.TailReplay] = resolved._2
   private[graft] def usesCheckpoint: Boolean = ckpt.isDefined
+  private[graft] def usesTailReplay: Boolean = ckptTail.isDefined
   private lazy val ckDf: Option[DataFrame] =
     ckpt.map(ci => spark.read.parquet(ci.dir))
   private lazy val ckCols: Set[String] =
@@ -212,25 +235,52 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
       : Seq[PartitionDirectory] = {
     import spark.implicits._
     val preds = dataFilters.map(pruning.compile)
+    // exact distributed scan of this version's own manifest — the
+    // venue of record; also the runtime fallback when the checkpoint
+    // directory vanishes between construction and scan (retention
+    // keeps two: a long-lived index or cached plan can outlive its
+    // base ~32 commits later, and a FileNotFoundException here must
+    // degrade to the manifest, not fail the query)
+    def manifestKept(): Array[(String, Long)] =
+      entries
+        .filter(e => preds.forall(p => p(e)))
+        .select($"path", $"bytes").as[(String, Long)]
+        .collect()
+    def isFnf(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        isFnf(t.getCause))
     val kept = ckDf match {
       case Some(ck) =>
-        // checkpoint venue: coarse bounds push into the parquet scan,
-        // exact closures re-decide over the (few) survivors
-        val pre = dataFilters
-          .map(e => pruning.coarse(e, ckpt.get.partCol, ckCols))
-          .foldLeft(ck)((d, c) => d.filter(c))
-        val entryCols = org.apache.spark.sql.Encoders
-          .product[ManifestEntry].schema.fieldNames
-        pre.select(entryCols.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
-          .as[ManifestEntry]
-          .filter(e => preds.forall(p => p(e)))
-          .map(e => (e.path, e.bytes)).collect()
-      case None =>
-        entries
-          .filter(e => preds.forall(p => p(e)))
-          .select($"path", $"bytes").as[(String, Long)]
-          .collect()
+        try {
+          // checkpoint venue: coarse bounds push into the parquet scan,
+          // exact closures re-decide over the (few) survivors; a tail
+          // replay additionally drops the paths the (ckV, v] delta
+          // chain superseded and unions its adds through the SAME
+          // exact closures — identical kept set to the venue of record
+          val pre = dataFilters
+            .map(e => pruning.coarse(e, ckpt.get.partCol, ckCols))
+            .foldLeft(ck)((d, c) => d.filter(c))
+          val entryCols = org.apache.spark.sql.Encoders
+            .product[ManifestEntry].schema.fieldNames
+          val drop = ckptTail.map(_.dropFromCk).getOrElse(Set.empty)
+          val fromCk = pre
+            .select(entryCols.map(org.apache.spark.sql.functions.col)
+              .toIndexedSeq: _*)
+            .as[ManifestEntry]
+            .filter(e => !drop.contains(e.path) && preds.forall(p => p(e)))
+            .map(e => (e.path, e.bytes)).collect()
+          val fromTail = ckptTail.toSeq.flatMap(_.adds)
+            .filter(e => preds.forall(p => p(e)))
+            .map(e => (e.path, e.bytes))
+          fromCk ++ fromTail
+        } catch {
+          case t: Throwable if isFnf(t) =>
+            System.err.println(s"[graft] planning checkpoint for $dir " +
+              s"vanished mid-scan (retention); falling back to the " +
+              s"manifest venue: $t")
+            manifestKept()
+        }
+      case None => manifestKept()
     }
     val files = kept.map { case (p, bytes) =>
       new FileStatus(bytes, false, 1, 128L << 20, 0L,

@@ -137,7 +137,7 @@ class ManifestPlanScaleSpec extends SparkSpec {
     }
   }
 
-  test("checkpoint is version-exact: a later commit falls back to the live manifest") {
+  test("a later commit plans from the v1 checkpoint + delta tail; a broken chain falls back") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-ckfresh").toString + "/tbl"
     val df = spark.range(0, 100)
@@ -146,17 +146,72 @@ class ManifestPlanScaleSpec extends SparkSpec {
     graft.ops.Manifest.checkpoint(spark, root, Some("p"))
     assert(new DistributedManifestFileIndex(spark, root, Some("p"))
       .usesCheckpoint)
-    // the table moves on: the stale checkpoint must NOT serve v2
+    // the table moves on: v2 plans from the v1 checkpoint plus the
+    // commit's delta sidecar — never from the stale checkpoint alone
     graft.ops.Manifest.append(spark, root,
       Seq((500L, 1.0, 9L)).toDF("k", "v", "p"), "p")
     val idx = new DistributedManifestFileIndex(spark, root, Some("p"))
-    assert(!idx.usesCheckpoint, "a v1 checkpoint must not plan v2")
+    assert(idx.usesCheckpoint && idx.usesTailReplay,
+      "v2 should plan as v1 checkpoint + tail replay")
     val all = idx.listFiles(Nil, Nil).head.files.size
     assert(all == graft.ops.Manifest.loadSnapshot(spark, root)
-      .entries.size, "fallback listing must see the NEW snapshot whole")
+      .entries.size, "replayed listing must see the NEW snapshot whole")
     // ...while time travel to v1 still plans through its checkpoint
-    assert(new DistributedManifestFileIndex(spark, root, Some("p"),
-      version = Some(1L)).usesCheckpoint)
+    // exactly (no tail)
+    val v1 = new DistributedManifestFileIndex(spark, root, Some("p"),
+      version = Some(1L))
+    assert(v1.usesCheckpoint && !v1.usesTailReplay)
+    // a missing link (sidecar gone) breaks the chain: fall back to the
+    // exact manifest scan, same kept set
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_graft_delta"))
+      .filter(fs.exists(_))
+      .foreach(p => fs.delete(p, false))
+    val broken = new DistributedManifestFileIndex(spark, root, Some("p"))
+    assert(!broken.usesCheckpoint && !broken.usesTailReplay,
+      "a broken delta chain must fall back, not under-list")
+    assert(broken.listFiles(Nil, Nil).head.files.size == all)
+  }
+
+  test("tail replay parity: filtered listings match the manifest venue at several offsets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cktail").toString + "/tbl"
+    val df = spark.range(0, 200)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 5).as("p"))
+    graft.ops.Manifest.create(spark, root, df, "p", statsCols = Seq("k"))
+    graft.ops.Manifest.checkpoint(spark, root, Some("p"))
+    // offsets 1..3: an append, a copy-on-write upsert (drops + adds
+    // files), a delete — each commit writes its sidecar
+    graft.ops.Manifest.append(spark, root,
+      Seq((500L, 1.0, 9L), (501L, 2.0, 9L)).toDF("k", "v", "p"), "p")
+    graft.ops.Manifest.upsert(spark, root,
+      Seq((10L, -1.0, 0L), (600L, 3.0, 2L)).toDF("k", "v", "p"),
+      Seq("k"), "p")
+    graft.ops.Manifest.delete(spark, root,
+      Seq((500L, 9L)).toDF("k", "p"), Seq("k"), "p")
+    val latest = graft.ops.Manifest.latestVersion(spark, root).get
+    (2L to latest).foreach { v =>
+      val idx = new DistributedManifestFileIndex(spark, root, Some("p"),
+        version = Some(v))
+      assert(idx.usesTailReplay, s"v$v should replay from the v1 checkpoint")
+      val k = AttributeReference("k",
+        org.apache.spark.sql.types.LongType)()
+      val cases: Seq[Seq[Expression]] = Seq(
+        Nil,
+        Seq(And(GreaterThan(k, Literal(50L)), LessThan(k, Literal(120L)))))
+      cases.foreach { exprs =>
+        val a = idx.listFiles(Nil, exprs).head.files
+          .map(_.getPath.toString).sorted
+        // venue of record: a fresh driver-side snapshot listing
+        val keptDriver = new ManifestFileIndex(spark, root, Some("p"),
+          version = Some(v)).listFiles(Nil, exprs).head.files
+          .map(_.getPath.toString).sorted
+        assert(a == keptDriver,
+          s"tail-replay venue disagrees with driver at v$v under $exprs")
+      }
+    }
   }
 
   test("a torn checkpoint write (tmp dir, no rename) is invisible to planning") {
@@ -173,6 +228,74 @@ class ManifestPlanScaleSpec extends SparkSpec {
     val idx = new DistributedManifestFileIndex(spark, root, Some("p"))
     assert(!idx.usesCheckpoint, "a torn checkpoint must never be read")
     assert(idx.listFiles(Nil, Nil).head.files.nonEmpty)
+  }
+
+  test("a PARTIAL checkpoint directory (files present, marker absent) is invisible") {
+    // the copy-per-object failure mode: a non-atomic store "rename"
+    // died mid-copy, so the target directory EXISTS and holds some
+    // parquet — without the completion marker it must never plan, or a
+    // listing would silently under-list
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpartial").toString + "/tbl"
+    val df = spark.range(0, 80)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 4).as("p"))
+    graft.ops.Manifest.create(spark, root, df, "p", statsCols = Seq("k"))
+    graft.ops.Manifest.checkpoint(spark, root, Some("p"))
+    val whole = new DistributedManifestFileIndex(spark, root, Some("p"))
+    assert(whole.usesCheckpoint)
+    val kept = whole.listFiles(Nil, Nil).head.files
+      .map(_.getPath.toString).sorted
+    // simulate the partial publish: the directory and its data files
+    // survive, the strictly-after marker never landed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckDir = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_checkpoints"))
+      .map(_.getPath).find(_.getName.startsWith("c-v")).get
+    fs.delete(new org.apache.hadoop.fs.Path(ckDir, "_graft_ck_complete"),
+      false)
+    val idx = new DistributedManifestFileIndex(spark, root, Some("p"))
+    assert(!idx.usesCheckpoint,
+      "a markerless checkpoint directory must be invisible to planning")
+    assert(idx.listFiles(Nil, Nil).head.files
+      .map(_.getPath.toString).sorted == kept,
+      "the fallback must list the identical kept set")
+    // and a fresh checkpoint() call must not trust or overwrite the
+    // torn path in place (another writer may still be mid-copy): it
+    // returns without making the torn dir visible
+    graft.ops.Manifest.checkpoint(spark, root, Some("p"))
+    assert(!new DistributedManifestFileIndex(spark, root, Some("p"))
+      .usesCheckpoint)
+  }
+
+  test("async auto-checkpoint: the interval commit returns first, the checkpoint lands after") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckasync").toString + "/tbl"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(graft.ops.Manifest.CheckpointIntervalKey, 2L)
+    hconf.setLong(graft.ops.Manifest.CheckpointMinBytesKey, 0L)
+    hconf.setBoolean(graft.ops.Manifest.CheckpointAsyncKey, true)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(hconf)
+      graft.ops.Manifest.create(spark, root,
+        Seq((1L, 0L)).toDF("k", "p"), "p")
+      graft.ops.Manifest.append(spark, root,
+        Seq((2L, 0L)).toDF("k", "p"), "p")
+      val target = new org.apache.hadoop.fs.Path(root,
+        "_checkpoints/c-v00000002/_graft_ck_complete")
+      // detached: eventually complete (marker strictly after publish)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!fs.exists(target) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(fs.exists(target), "async checkpoint never completed")
+      assert(new DistributedManifestFileIndex(spark, root, Some("p"),
+        version = Some(2L)).usesCheckpoint)
+    } finally {
+      hconf.unset(graft.ops.Manifest.CheckpointIntervalKey)
+      hconf.unset(graft.ops.Manifest.CheckpointMinBytesKey)
+      hconf.unset(graft.ops.Manifest.CheckpointAsyncKey)
+    }
   }
 
   test("auto-checkpoint: interval commits write one; retention keeps the two newest") {
