@@ -63,11 +63,14 @@ trait LogStore {
   def claimInfo(fs: FileSystem, path: Path): Option[(String, Long)] = None
 
   /** Release the claim on `path` only if it still carries `token`
-    * (from [[claimInfo]]) — a no-op when the claim was already
-    * released or re-acquired under a new token. Stores without claim
-    * identity fall back to the unconditional [[release]]. */
-  def releaseIf(fs: FileSystem, path: Path, token: String): Unit =
-    release(fs, path)
+    * (from [[claimInfo]]); returns whether THIS call freed it — false
+    * when the claim was already released or re-acquired under a new
+    * token (the caller must then treat the slot as owned by someone
+    * livelier and back off). Stores without claim identity fall back
+    * to the unconditional [[release]] and report true. */
+  def releaseIf(fs: FileSystem, path: Path, token: String): Boolean = {
+    release(fs, path); true
+  }
 }
 
 object LogStore {
@@ -140,8 +143,11 @@ class HadoopCreateLogStore extends LogStore {
   * driver with many threads — this engine's deployment unit), and the
   * injectable stand-in for the real conditional PUT in race specs. */
 abstract class ConditionalPutLogStore extends LogStore {
-  /** Atomically claim `path`; false = another writer holds it. */
-  protected def reserve(fs: FileSystem, path: Path): Boolean
+  /** Atomically claim `path`, returning the claim's fresh identity
+    * token; None = another writer holds it. The token lets every later
+    * release of THIS claim be conditional ([[LogStore.releaseIf]]), so
+    * no cleanup path can ever free a claim that changed hands. */
+  protected def reserve(fs: FileSystem, path: Path): Option[String]
 
   /** Drop the claim on `path` (idempotent). Implementations MUST wire
     * this to the same arbiter [[reserve]] uses — see
@@ -150,9 +156,9 @@ abstract class ConditionalPutLogStore extends LogStore {
 
   override def putIfAbsent(fs: FileSystem, path: Path,
                            bytes: Array[Byte]): Unit = {
-    if (!reserve(fs, path))
+    val token = reserve(fs, path).getOrElse(
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-        s"conditional put lost: $path already committed")
+        s"conditional put lost: $path already committed"))
     // reservation won: the overwrite flag is irrelevant (no other
     // writer can reach this put), and readers still never see a torn
     // pointer — the reserve gate means nobody reads before this write
@@ -165,13 +171,17 @@ abstract class ConditionalPutLogStore extends LogStore {
       // the claim must not outlive a failed publish: without this, a
       // create/write error leaves the slot reserved with NO pointer
       // file — invisible to healDeadPending (nothing to read) and so
-      // wedged for every driver sharing the arbiter. We still hold the
-      // reservation (nobody else can have touched it), so the release
-      // is safely unconditional. A writer that dies OUTRIGHT in this
-      // window cannot run this handler — that case is the wedged-slot
-      // heal's job (claimInfo age past the pending grace window).
+      // wedged for every driver sharing the arbiter. The release is
+      // CONDITIONAL on our own token: if the create stalled past the
+      // pending grace and a wedged-slot healer already freed the claim
+      // (and a new writer re-acquired it), an unconditional release
+      // here would free the LIVE writer's claim and reopen the
+      // double-publish window — the token makes that a no-op. A writer
+      // that dies OUTRIGHT in this window cannot run this handler —
+      // that case is the wedged-slot heal's job (claimInfo age past
+      // the pending grace window).
       case t: Throwable =>
-        try release(fs, path)
+        try releaseIf(fs, path, token)
         catch { case u: Throwable => t.addSuppressed(u) }
         throw t
     }
@@ -196,18 +206,21 @@ class JvmCasLogStore extends ConditionalPutLogStore {
   import JvmCasLogStore._
   private def key(fs: FileSystem, path: Path): String =
     fs.makeQualified(path).toUri.toString
-  override protected def reserve(fs: FileSystem, path: Path): Boolean =
-    claimed.putIfAbsent(key(fs, path),
-      Claim(java.util.UUID.randomUUID().toString,
-        System.currentTimeMillis())) == null
+  override protected def reserve(fs: FileSystem,
+                                 path: Path): Option[String] = {
+    val c = Claim(java.util.UUID.randomUUID().toString,
+      System.currentTimeMillis())
+    if (claimed.putIfAbsent(key(fs, path), c) == null) Some(c.token)
+    else None
+  }
   override def release(fs: FileSystem, path: Path): Unit = {
     claimed.remove(key(fs, path)); ()
   }
   override def releaseIf(fs: FileSystem, path: Path,
-                         token: String): Unit = {
+                         token: String): Boolean = {
     val k = key(fs, path)
     Option(claimed.get(k)).filter(_.token == token)
-      .foreach(c => claimed.remove(k, c))
+      .exists(c => claimed.remove(k, c))
   }
   override def claimInfo(fs: FileSystem,
                          path: Path): Option[(String, Long)] =
@@ -283,22 +296,23 @@ class HttpCasLogStore extends ConditionalPutLogStore {
     c
   }
 
-  override protected def reserve(fs: FileSystem, path: Path): Boolean = {
+  override protected def reserve(fs: FileSystem,
+                                 path: Path): Option[String] = {
     // the claim BODY is a per-writer identity token: claimInfo reads
     // it back, and releaseIf matches on it so a healer can never free
     // a claim that a different writer re-acquired in the meantime
     val token = java.util.UUID.randomUUID().toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val body = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val c = open(fs, path, "PUT")
     c.setRequestProperty("If-None-Match", "*")
     c.setDoOutput(true)
-    c.setFixedLengthStreamingMode(token.length)
+    c.setFixedLengthStreamingMode(body.length)
     try {
       val out = c.getOutputStream
-      try out.write(token) finally out.close()
+      try out.write(body) finally out.close()
       c.getResponseCode match {
-        case 200 | 201 | 204 => true
-        case 412 => false
+        case 200 | 201 | 204 => Some(token)
+        case 412 => None
         case other => throw new java.io.IOException(
           s"HTTP CAS arbiter returned $other for reserve of $path")
       }
@@ -338,14 +352,16 @@ class HttpCasLogStore extends ConditionalPutLogStore {
 
   /** `DELETE` with `If-Match: <token>`: 412 = the claim changed hands
     * since [[claimInfo]] (another healer freed it and a new writer
-    * re-reserved) — a successful no-op, exactly the conditional-release
-    * contract. 404 = already free. */
+    * re-reserved) — a successful no-op reported false, exactly the
+    * conditional-release contract. 404 = already free (also false:
+    * this call freed nothing). */
   override def releaseIf(fs: FileSystem, path: Path,
-                         token: String): Unit = {
+                         token: String): Boolean = {
     val c = open(fs, path, "DELETE")
     c.setRequestProperty("If-Match", token)
     try c.getResponseCode match {
-      case 200 | 202 | 204 | 404 | 412 => ()
+      case 200 | 202 | 204 => true
+      case 404 | 412 => false
       case other => throw new java.io.IOException(
         s"HTTP CAS arbiter returned $other for releaseIf of $path")
     } finally c.disconnect()

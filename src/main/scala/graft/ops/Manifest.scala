@@ -390,27 +390,37 @@ object Manifest {
       if (!pointerVisible(fs, lines) &&
         st.getModificationTime < System.currentTimeMillis() - grace) {
         val store = LogStore.forFs(fs)
-        // capture the dead claim's identity BEFORE touching anything:
-        // the release below must free exactly this claim, never one a
-        // concurrent healer already freed and a new writer re-acquired
-        val deadToken = store.claimInfo(fs, target).map(_._1)
-        // TOCTOU guard: a concurrent healer may have healed this slot
-        // (delete + release) and a fresh writer re-published it while
-        // we were reading the stale pointer above — re-stat immediately
-        // before the delete and abort on ANY change (a re-published
-        // pointer stamps a later mtime). This narrows the unguardable
-        // window from "grace-read plus heal work" to the stat→delete
-        // gap; the token-conditional release below closes the claim
-        // side entirely.
-        val st2 = fs.getFileStatus(target)
-        if (st2.getModificationTime != st.getModificationTime ||
-          st2.getLen != st.getLen) return false
-        fs.delete(target, false)
-        deadToken match {
-          case Some(t) => store.releaseIf(fs, target, t)
-          case None => store.release(fs, target)
+        store.claimInfo(fs, target).map(_._1) match {
+          case Some(deadToken) =>
+            // claim-arbitrated store: the CLAIM gates every publish, so
+            // the heal is ONLY the token-conditional claim release — no
+            // pointer-file delete at all. A paused healer resuming here
+            // after another healer freed the slot and a new writer
+            // re-claimed it simply no-ops (token mismatch) and can
+            // never remove the live writer's pointer; the stale
+            // pending file is overwritten by the next reserve winner's
+            // publish (ConditionalPutLogStore.putIfAbsent creates with
+            // overwrite=true behind its reserve gate). Heal succeeded
+            // only if OUR release freed the dead claim.
+            store.releaseIf(fs, target, deadToken)
+          case None =>
+            // filesystem-arbitrated store: the pointer file IS the
+            // claim, and a file delete cannot be made conditional on
+            // content — re-stat immediately before the delete and
+            // abort on ANY change (a re-published pointer stamps a
+            // later mtime). The stat→delete gap remains a BOUNDED
+            // RESIDUAL RACE on plain-FS arbiters: two healers pausing
+            // exactly there can free a just-re-claimed slot; its
+            // consequence is a lost re-commit that the re-committer's
+            // own conflict retry re-drives. Claim-arbitrated stores
+            // (above) do not have the window.
+            val st2 = fs.getFileStatus(target)
+            if (st2.getModificationTime != st.getModificationTime ||
+              st2.getLen != st.getLen) return false
+            fs.delete(target, false)
+            store.release(fs, target)
+            true
         }
-        true
       } else false
     } catch {
       case _: java.io.FileNotFoundException =>
@@ -434,9 +444,11 @@ object Manifest {
       case Some((token, age)) if age > pendingGrace(fs) =>
         // re-probe: the claim may have published its pointer between
         // the caller's FileNotFound and our claimInfo read — a file
-        // that exists now means the slot is NOT wedged
+        // that exists now means the slot is NOT wedged. Healed only if
+        // OUR conditional release freed the claim (false = another
+        // healer got there first, or a livelier writer re-acquired).
         if (fs.exists(target)) false
-        else { store.releaseIf(fs, target, token); true }
+        else store.releaseIf(fs, target, token)
       case _ => false
     }
   }

@@ -323,6 +323,50 @@ class LogStoreSpec extends SparkSpec {
     assert(now.exists(_.token != "dead-writer-token"))
   }
 
+  test("paused healer: a dead-pending heal cannot remove a re-claimed slot's commit") {
+    val dir = "racycas://" +
+      Files.createTempDirectory("graft-caspause").toString + "/tbl"
+    Manifest.create(spark, dir, base, "p")
+    val fs = new Path(dir).getFileSystem(hconf)
+    val target = fs.makeQualified(new Path(dir, "_versions/v00000002"))
+    // a crashed multi-commit writer left a stale PENDING pointer (its
+    // parent marker never appeared) plus its store-side claim
+    val out = fs.create(target, true)
+    out.write(("m-dead-manifest\nmtxn:file:/graft-never-appears")
+      .getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(target, System.currentTimeMillis() - 60000, -1)
+    JvmCasLogStore.claimed.put(target.toUri.toString,
+      JvmCasLogStore.Claim("dead-writer-token",
+        System.currentTimeMillis() - 60000))
+    // healer A captured the dead claim's token, then PAUSED (GC stall,
+    // scheduler hiccup) for longer than the whole heal+recommit cycle
+    val store = new JvmCasLogStore
+    val pausedToken = store.claimInfo(fs, target).get._1
+    hconf.setLong("graft.manifest.pendingGraceMillis", 1000L)
+    try {
+      // healer B + writer C in one: the next append heals the slot —
+      // on a claim-arbitrated store that is ONLY the token-conditional
+      // claim release, never a pointer-file delete — then re-claims
+      // and publishes v2 over the stale pending file
+      Manifest.append(spark, dir, batchA, "p")
+    } finally hconf.unset("graft.manifest.pendingGraceMillis")
+    assert(Manifest.versions(spark, dir) == Seq(1L, 2L))
+    val liveClaim = Option(JvmCasLogStore.claimed.get(target.toUri.toString))
+    assert(liveClaim.exists(_.token != "dead-writer-token"))
+    // healer A resumes: its entire remaining heal step is the
+    // CONDITIONAL claim release — the stale token must free nothing
+    // and touch no file, so C's commit survives
+    assert(!store.releaseIf(fs, target, pausedToken),
+      "a stale heal token must report nothing freed")
+    assert(Option(JvmCasLogStore.claimed.get(target.toUri.toString))
+      == liveClaim,
+      "the re-claimed slot's claim must survive the resumed healer")
+    assert(fs.exists(target) && Manifest.versions(spark, dir) == Seq(1L, 2L),
+      "the re-claimed slot's commit must survive the resumed healer")
+    assert(Manifest.read(spark, dir).count() == 62)
+  }
+
   test("releaseIf: a stale heal token never frees a re-acquired claim") {
     val fs = new Path(Files.createTempDirectory("graft-tok").toString)
       .getFileSystem(hconf)
