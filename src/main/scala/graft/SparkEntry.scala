@@ -1752,13 +1752,15 @@ object SparkEntry {
         .orderBy(col("l"), col("r"))
     }),
 
-    // The learned merge table itself (20 rounds on the documents
-    // corpus). Deterministic — argmax by (count DESC, left, right) —
-    // but the iterative argmax has no SQL replay: rows-only here,
-    // parity-gated in TokenizeSpec against an independent reference
-    // implementation (the HLL/IVF accepted-internal pattern).
+    // The learned merge table itself: 20 SEQUENTIAL merges (batchCap 1
+    // = one argmax by (count DESC, left, right) per round) — the
+    // textbook BPE loop, which TokenizeSpec proves the batched path
+    // reproduces exactly. Sequential rounds ARE the batched replay at
+    // budget 1, so the same recursive-CTE oracle replays this end to
+    // end (rounds = merges) — the last formerly rows-only query.
     "bpe_merges" -> ((s, d) =>
-      graft.ops.Tokenize.bpeTrain(t(s, d, "documents"), numMerges = 20)
+      graft.ops.Tokenize.bpeTrain(t(s, d, "documents"), numMerges = 20,
+        batchCap = 1, maxRounds = 20)
         .orderBy(col("step"))),
 
     // Three BATCHED training rounds (budget 8), SQL-replayed end to
@@ -2485,6 +2487,12 @@ ORDER BY step"""
     // the selection/trim/multi-merge logic itself is oracle-proven
     // (rounds 6-8 carry multi-merge batches on this corpus).
     "bpe_merges_batched" -> bpeBatchedOracleSql(rounds = 8, budget = 8,
+      minc = 2L),
+
+    // Sequential BPE = the batched replay at budget 1: each round's
+    // recursive-CTE selection degenerates to the single argmax, so 20
+    // rounds replay the 20-merge textbook loop exactly.
+    "bpe_merges" -> bpeBatchedOracleSql(rounds = 20, budget = 1,
       minc = 2L),
 
     "sim_topk_lsh" ->

@@ -383,6 +383,19 @@ class StreamingSpec extends SparkSpec {
     assert(closedFeb.subsetOf(after),
       "a micro-batch must not rewrite closed-date partitions it does " +
         s"not touch — Feb files $closedFeb missing from $after")
+    // the write-amplification LEDGER says the same thing in counters:
+    // the last fold carried the untouched closed partition by reference
+    // (zero write cost) and wrote only the live + batch-date slices —
+    // the shape tools/Scd2Scale prices at sf30
+    val vLast = graft.ops.Manifest.latestVersion(spark, histDir).get
+    val delta = graft.ops.Manifest.versionDelta(spark, histDir,
+      vLast - 1, vLast)
+    assert(delta.carriedFiles >= closedFeb.size,
+      s"closed files must carry by reference: $delta")
+    assert(delta.writeAmplification < 1.0,
+      s"a partition-pruned fold must not rewrite the table: $delta")
+    assert(delta.addedFiles > 0 && delta.removedFiles > 0,
+      s"the live slice must have been rewritten: $delta")
     // and the fold is still the correct SCD2 answer
     val hist = Streaming.scd2History(spark, histDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
