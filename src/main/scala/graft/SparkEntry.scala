@@ -1255,7 +1255,10 @@ object SparkEntry {
     // sf0.01 estimates 5) is within the sketch's design, not a defect.
     // (PropertySpec holds the pure ≤2% gate at sf0.1 across three
     // grouping cardinalities, where groups are large enough that the
-    // slack never engages.)
+    // slack never engages.) This exact+flag form is the CORRECTNESS
+    // shape only — the exact countDistinct dominates its runtime, so
+    // it is deliberately NOT in benchQueries; time the sketch through
+    // a bare approx_count_distinct if perf ever matters.
     "agg_approx_distinct" -> ((s, d) =>
       t(s, d, "orders")
         .withColumn("order_date", to_date(col("o_orderdate")))

@@ -139,10 +139,32 @@ object Manifest {
     * leading underscore keeps it invisible to the parquet read of the
     * manifest relation, and vacuum reclaims it with the manifest. */
   private val DeltaFile = "_graft_delta"
+  /** Base pointer of a LINKED manifest (see [[linkManifest]]): a
+    * one-line file inside the manifest dir naming the parent manifest
+    * whose entries this one extends. Leading underscore keeps it
+    * invisible to the parquet read; readers resolve the chain with
+    * [[manifestChain]]. Unlike the delta sidecar this is NOT an
+    * accelerator — a linked manifest without its base is an incomplete
+    * entry set, so a corrupt base fails LOUDLY, never falls back. */
+  private val BaseFile = "_graft_base"
   private val VersionsDir = "_versions"
   private val DataDir = "data"
   private val BloomDir = "_bloom"
   private val DvDir = "_dv"
+
+  /** Linked-append chain cap: an append onto a chain already this deep
+    * COMPACTS (distributed full-manifest rewrite) instead of linking,
+    * bounding the per-listing directory fan-out and the vacuum
+    * closure. Conf-tunable for tests. */
+  val AppendMaxChainKey = "graft.manifest.append.maxChain"
+  private val AppendMaxChainDefault = 64L
+  /** Escape hatch: `false` forces every append through the compacting
+    * path (the pre-linked-manifest layout). */
+  val AppendLinkedKey = "graft.manifest.append.linked"
+  /** Target parquet bytes per manifest part when COMPACTING — sizes
+    * the distributed rewrite's file count so a 10⁷-entry manifest
+    * compacts in parallel instead of through one writer task. */
+  private val ManifestTargetBytes = 64L << 20
 
   /** Bit position of `c` under seed `i` — computed with Spark
     * expressions on BOTH the write path (over file rows) and the probe
@@ -623,30 +645,40 @@ object Manifest {
       // replaces — skip, and the reader falls back
       if (adds.size + removes.size >
         math.max(4096, entries.size / 8)) return
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // inside the manifest dir, leading underscore: invisible to the
-      // parquet read of the manifest relation, vacuumed with it
-      val p = new Path(new Path(new Path(root, ManifestsDir), name),
-        DeltaFile)
-      val out = fs.create(p, true)
-      try {
-        val w = new java.io.BufferedWriter(
-          new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
-        var n = 0
-        def line(s: String): Unit = { w.write(s); w.write('\n'); n += 1 }
-        line(s"parent:${prev.name}")
-        removes.foreach(r => line(s"remove:$r"))
-        adds.foreach(a =>
-          line(s"add:${org.json4s.jackson.Serialization.write(a)}"))
-        // trailer makes a torn write detectable: no valid trailer, no
-        // replay (the reader falls back to the exact scan)
-        w.write(s"end:$n\n"); w.flush()
-      } finally out.close()
+      writeDeltaFile(spark, root, name,
+        ManifestDelta(prev.name, adds, removes))
     } catch {
       case scala.util.control.NonFatal(t) =>
         System.err.println(s"[graft] delta sidecar for $name skipped: $t")
     }
+
+  /** Serialize one [[ManifestDelta]] as manifest `name`'s sidecar —
+    * the single place the on-disk delta format is written
+    * ([[readDelta]] is its inverse). */
+  private[graft] def writeDeltaFile(spark: SparkSession, root: Path,
+                                    name: String,
+                                    delta: ManifestDelta): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // inside the manifest dir, leading underscore: invisible to the
+    // parquet read of the manifest relation, vacuumed with it
+    val p = new Path(new Path(new Path(root, ManifestsDir), name),
+      DeltaFile)
+    val out = fs.create(p, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8))
+      var n = 0
+      def line(s: String): Unit = { w.write(s); w.write('\n'); n += 1 }
+      line(s"parent:${delta.parent}")
+      delta.removePaths.foreach(r => line(s"remove:$r"))
+      delta.adds.foreach(a =>
+        line(s"add:${org.json4s.jackson.Serialization.write(a)}"))
+      // trailer makes a torn write detectable: no valid trailer, no
+      // replay (the reader falls back to the exact scan)
+      w.write(s"end:$n\n"); w.flush()
+    } finally out.close()
+  }
 
   /** One parsed delta sidecar: parent manifest name, full entries
     * added (changed entries shadow the parent's by path), paths
@@ -697,9 +729,17 @@ object Manifest {
     * caller then falls back to the exact distributed scan of `v`'s own
     * manifest. Cost is O(changes in the tail): one pointer read + one
     * small sidecar read per version, all driver-side, no Spark job. */
+  /** Longest (ckV, v] chain the replay will assemble — 4 checkpoint
+    * intervals. Past it (auto-checkpointing off or its min-bytes gate
+    * holding the table in driver-venue territory anyway), the net
+    * correction could grow unbounded; the exact scan is the safer
+    * venue there. */
+  private val TailReplayMaxVersions = 64L
+
   private[graft] def tailReplay(spark: SparkSession, dir: String,
                                 ckV: Long, v: Long): Option[TailReplay] =
     try {
+      if (v - ckV > TailReplayMaxVersions) return None
       val (fs, root) = fsOf(spark, dir)
       val names = (ckV to v).map(i => readPointerLines(fs, root, i).head.trim)
       val adds = scala.collection.mutable.LinkedHashMap[String, Entry]()
@@ -733,8 +773,12 @@ object Manifest {
     * their time-travel versions stay readable across library upgrades,
     * the same contract a table FORMAT owes its files. */
   private def paddedManifest(spark: SparkSession,
-                             manifestDir: String): DataFrame = {
-    val raw = spark.read.parquet(manifestDir)
+                             manifestDir: String): DataFrame =
+    paddedManifest(spark, Seq(manifestDir))
+
+  private def paddedManifest(spark: SparkSession,
+                             manifestDirs: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(manifestDirs: _*)
     val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
     want.fields.foldLeft(raw) { (df, f) =>
       if (df.columns.contains(f.name)) df
@@ -748,11 +792,58 @@ object Manifest {
     }.select(want.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Parent manifest a LINKED manifest extends, or None for a full
+    * (self-contained) manifest. A base that exists but is unreadable
+    * or malformed fails LOUDLY: unlike the delta sidecar there is no
+    * sound fallback — the linked dir alone is an incomplete entry
+    * set, and listing it as whole would silently drop files. */
+  private def readBase(fs: FileSystem, root: Path,
+                       name: String): Option[String] = {
+    val p = new Path(new Path(new Path(root, ManifestsDir), name), BaseFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(s.matches("m-[0-9a-f]{8}-[0-9a-f-]{27}"),
+        s"corrupt $BaseFile in manifest $name: '$s'")
+      Some(s)
+    }
+  }
+
+  /** The manifest-name chain that materializes `name`'s full entry
+    * set, BASE FIRST (the self-contained root manifest) with `name`
+    * last. Length 1 for a full manifest. Every link was schema-guarded
+    * at write time ([[linkedAppendEligible]]), so all dirs in a chain
+    * share one physical parquet schema and read as a single relation.
+    * Cycle/degeneracy guard fails loudly at 4096 links (the writer
+    * compacts at [[AppendMaxChainKey]], default 64). */
+  private[graft] def manifestChain(fs: FileSystem, root: Path,
+                                   name: String): Seq[String] = {
+    var chain: List[String] = List(name)
+    var cur = name
+    while ({
+      readBase(fs, root, cur) match {
+        case Some(parent) =>
+          require(chain.length < 4096,
+            s"manifest base chain at $root exceeds 4096 links — cycle?")
+          chain = parent :: chain; cur = parent; true
+        case None => false
+      }
+    }) ()
+    chain
+  }
+
+  private def chainDirs(fs: FileSystem, root: Path,
+                        name: String): Seq[String] =
+    manifestChain(fs, root, name)
+      .map(n => new Path(new Path(root, ManifestsDir), n).toString)
+
   private def readSnapshotByName(spark: SparkSession, root: Path,
                                  name: String): Snapshot = {
     import spark.implicits._
-    val padded = paddedManifest(spark,
-      new Path(new Path(root, ManifestsDir), name).toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val padded = paddedManifest(spark, chainDirs(fs, root, name))
     val all = padded.as[Entry].collect().toSeq
     val sentinel = all.find(e => e.path.isEmpty && e.schema_ddl.nonEmpty)
       .getOrElse(throw new IllegalStateException(
@@ -763,30 +854,33 @@ object Manifest {
   }
 
   /** Lightweight snapshot HEADER: the sentinel's configuration plus
-    * the manifest's location and on-disk size — everything planning
-    * needs to decide HOW to plan, without collecting a single file
-    * entry. One pointer read, one manifest-dir LIST, one
-    * filter-pushdown read of the sentinel row; cost is O(manifest
-    * files), never O(entries) driver heap. */
+    * the manifest chain's locations and on-disk size — everything
+    * planning needs to decide HOW to plan, without collecting a single
+    * file entry. One pointer read, one LIST + base-probe per chain
+    * link, one filter-pushdown read of the sentinel row; cost is
+    * O(manifest files), never O(entries) driver heap.
+    * `manifestDirs` is base-first; the last element is the committed
+    * tip ([[Snapshot.name]]'s dir). */
   private[graft] case class SnapshotMeta(ddl: String, statsCols: Seq[String],
                                          bloomCols: Seq[String],
                                          dvDirs: Seq[String],
                                          constraints: Seq[String],
-                                         manifestDir: String,
+                                         manifestDirs: Seq[String],
                                          manifestBytes: Long,
                                          version: Long)
 
-  /** On-disk size of the committed manifest itself (NOT the data) —
-    * the cheap proxy [[graft.plans.ManifestScan.scan]] uses to choose
-    * its planning venue. One pointer read + one LIST; no Spark job. */
+  /** On-disk size of the committed manifest chain itself (NOT the
+    * data) — the cheap proxy [[graft.plans.ManifestScan.scan]] uses to
+    * choose its planning venue. One pointer read + one LIST per chain
+    * link; no Spark job. */
   private[graft] def manifestBytes(spark: SparkSession, dir: String,
                                    v: Option[Long] = None): Long = {
     val (fs, root) = fsOf(spark, dir)
     val ver = v.orElse(latestVersion(spark, dir))
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val mdir = new Path(new Path(root, ManifestsDir),
-      readPointer(fs, root, ver))
-    fs.listStatus(mdir).filter(_.isFile).map(_.getLen).sum
+    chainDirs(fs, root, readPointer(fs, root, ver))
+      .map(d => fs.listStatus(new Path(d)).filter(_.isFile)
+        .map(_.getLen).sum).sum
   }
 
   private[graft] def snapshotMeta(spark: SparkSession, dir: String,
@@ -798,14 +892,15 @@ object Manifest {
     val lines = readPointerLines(fs, root, ver)
     require(pointerVisible(fs, lines),
       s"version $ver at $root is a pending multi-table commit, not committed")
-    val mdir = new Path(new Path(root, ManifestsDir), lines.head.trim)
-    val bytes = fs.listStatus(mdir).filter(_.isFile).map(_.getLen).sum
-    val sentinel = paddedManifest(spark, mdir.toString)
+    val dirs = chainDirs(fs, root, lines.head.trim)
+    val bytes = dirs.map(d => fs.listStatus(new Path(d))
+      .filter(_.isFile).map(_.getLen).sum).sum
+    val sentinel = paddedManifest(spark, dirs)
       .filter(col("path") === "" && col("schema_ddl") =!= "")
       .as[Entry].head()
     SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs, sentinel.constraints,
-      mdir.toString, bytes, ver)
+      dirs, bytes, ver)
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -818,7 +913,7 @@ object Manifest {
                                     meta: SnapshotMeta)
       : org.apache.spark.sql.Dataset[ManifestEntry] = {
     import spark.implicits._
-    paddedManifest(spark, meta.manifestDir)
+    paddedManifest(spark, meta.manifestDirs)
       .filter(col("path") =!= "").as[ManifestEntry]
   }
 
@@ -1675,16 +1770,20 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
+    // the commit plans from the snapshot HEADER only — O(manifest
+    // files) driver cost, never O(entries): an append must stay cheap
+    // on a 10⁷-entry table (collecting that snapshot is ~4 GB of
+    // driver heap, the ceiling a streaming ingest hits first)
+    val meta = snapshotMeta(spark, dir, Some(v))
     val ddlOut =
-      if (nullableDdl(df.schema) == snap.ddl) snap.ddl
+      if (nullableDdl(df.schema) == meta.ddl) meta.ddl
       else if (mergeSchema) {
-        val table = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+        val table = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
         table.fields.foreach { f =>
           val got = df.schema.fields.find(_.name.equalsIgnoreCase(f.name))
             .getOrElse(throw new IllegalArgumentException(
               s"mergeSchema batch is missing table column ${f.name} " +
-                s"(${snap.ddl})"))
+                s"(${meta.ddl})"))
           require(got.dataType == f.dataType,
             s"mergeSchema cannot retype ${f.name}: table has " +
               s"${f.dataType.catalogString}, batch has " +
@@ -1695,14 +1794,121 @@ object Manifest {
         nullableDdl(StructType(table.fields ++ extra))
       } else throw new IllegalArgumentException(
         s"append schema ${nullableDdl(df.schema)} != table schema " +
-          s"${snap.ddl} (pass mergeSchema = true to widen)")
-    val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
-      snap.constraints, bloomCols = snap.bloomCols)
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, snap.entries ++ entries, ddlOut,
-        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints,
-        prev = Some(snap)), txn)
+          s"${meta.ddl} (pass mergeSchema = true to widen)")
+    val entries = writeBatch(spark, root, df, partitionCol, meta.statsCols,
+      meta.constraints, bloomCols = meta.bloomCols)
+    val name =
+      if (ddlOut == meta.ddl && linkedAppendEligible(spark, fs, meta))
+        linkManifest(spark, fs, root, meta, entries)
+      else compactManifest(spark, root, meta, ddlOut, entries)
+    commit(fs, root, v + 1, name, txn)
     maybeCheckpoint(spark, dir, partitionCol)
+  }
+
+  /** A LINKED append writes only the batch's entries plus a base
+    * pointer — O(batch), not O(table). Eligible when (a) linking is on
+    * ([[AppendLinkedKey]]); (b) the chain has headroom
+    * ([[AppendMaxChainKey]] — at the cap the append compacts, which
+    * re-roots the chain); and (c) the parent chain's PHYSICAL parquet
+    * schema matches this writer's [[ManifestEntry]] encoder exactly —
+    * a chain must read as ONE uniform relation, and mixing an
+    * old-library manifest (missing a column) with a new part would
+    * leave schema inference to whichever footer Spark samples. Guard
+    * (c) reads one footer; all links passed it inductively at their
+    * own write, so checking the chain ROOT covers the chain. */
+  private def linkedAppendEligible(spark: SparkSession, fs: FileSystem,
+                                   meta: SnapshotMeta): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!conf.getBoolean(AppendLinkedKey, true)) return false
+    if (meta.manifestDirs.length >=
+      conf.getLong(AppendMaxChainKey, AppendMaxChainDefault)) return false
+    val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
+    val got = try spark.read.parquet(meta.manifestDirs.head).schema
+    catch { case scala.util.control.NonFatal(_) => return false }
+    got.fields.map(f => (f.name, f.dataType)).toSeq ==
+      want.fields.map(f => (f.name, f.dataType)).toSeq
+  }
+
+  /** Stage the O(batch) linked manifest: one small parquet part with
+    * the batch's slim entries, the [[BaseFile]] pointer naming the
+    * parent tip, and the adds-only delta sidecar (tail replay works
+    * across linked commits unchanged). The dir is an orphan until the
+    * caller's pointer create lands — a crash anywhere here leaves
+    * vacuum-reclaimable garbage, never a readable partial manifest. */
+  private def linkManifest(spark: SparkSession, fs: FileSystem, root: Path,
+                           meta: SnapshotMeta, adds: Seq[Entry]): String = {
+    import spark.implicits._
+    val name = s"m-${UUID.randomUUID()}"
+    val dst = new Path(new Path(root, ManifestsDir), name)
+    val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
+      bloom_cols = Seq.empty, dv_dirs = Seq.empty,
+      constraints = Seq.empty))
+    if (slim.nonEmpty) {
+      // spark-write to a dotted temp (invisible to manifest listing),
+      // move the part in — the same encoder pipeline that wrote the
+      // parent chain, so the physical schemas stay identical
+      val tmp = new Path(new Path(root, ManifestsDir), s".tmp-$name")
+      slim.toDF().coalesce(1).write.parquet(tmp.toString)
+      fs.mkdirs(dst)
+      fs.listStatus(tmp)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => require(
+          fs.rename(s.getPath, new Path(dst, s.getPath.getName)),
+          s"could not stage linked manifest part into $dst"))
+      fs.delete(tmp, true)
+    } else fs.mkdirs(dst)
+    val tip = new Path(meta.manifestDirs.last).getName
+    val out = fs.create(new Path(dst, BaseFile), false)
+    try out.write(tip.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // adds-only sidecar, same economics rule as [[writeDelta]] (entry
+    // count estimated from chain bytes — the rule is economic, not
+    // correctness: an oversized replay is just slower than the scan)
+    val estEntries = math.max(1L, meta.manifestBytes / 64)
+    if (slim.size <= math.max(4096, estEntries / 8))
+      try writeDeltaFile(spark, root, name, ManifestDelta(tip, slim, Nil))
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[graft] delta sidecar for $name skipped: $t")
+      }
+    name
+  }
+
+  /** Compact (re-root) the manifest chain DISTRIBUTEDLY: sentinel +
+    * batch adds unioned with the parent chain's entry relation, written
+    * as a fresh self-contained manifest sized to [[ManifestTargetBytes]]
+    * per part. Driver heap stays O(batch) — the parent's entries flow
+    * executor-to-executor. Serves three append shapes: the chain cap,
+    * a mergeSchema widening (new sentinel DDL), and a parent whose
+    * physical schema predates this library (the rewrite pads it
+    * uniform). */
+  private def compactManifest(spark: SparkSession, root: Path,
+                              meta: SnapshotMeta, ddlOut: String,
+                              adds: Seq[Entry]): String = {
+    import spark.implicits._
+    val name = s"m-${UUID.randomUUID()}"
+    val dir = new Path(new Path(root, ManifestsDir), name).toString
+    val sentinel = ManifestEntry("", Seq.empty, has_null = false,
+      overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddlOut,
+      stat_cols = meta.statsCols, stat_mins = Seq.empty,
+      stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
+      dv_dirs = meta.dvDirs, constraints = meta.constraints)
+    val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
+      bloom_cols = Seq.empty, dv_dirs = Seq.empty,
+      constraints = Seq.empty))
+    val nFiles = math.max(1L,
+      meta.manifestBytes / ManifestTargetBytes).toInt
+    (sentinel +: slim).toDF()
+      .unionByName(entriesDataset(spark, meta).toDF())
+      .coalesce(nFiles).write.parquet(dir)
+    val tip = new Path(meta.manifestDirs.last).getName
+    val estEntries = math.max(1L, meta.manifestBytes / 64)
+    if (slim.size <= math.max(4096, estEntries / 8))
+      try writeDeltaFile(spark, root, name, ManifestDelta(tip, slim, Nil))
+      catch {
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[graft] delta sidecar for $name skipped: $t")
+      }
+    name
   }
 
   /** Exactly-once append: apply `(appId, batchId)` AT MOST ONCE, in
@@ -1975,7 +2181,8 @@ object Manifest {
     // phase 1: stage data + manifests (no pointers — pure orphans on crash)
     val staged = writes.map { w =>
       val (fs, root) = fsOf(spark, w.dir)
-      val (v, entries, ddl, statsCols, bloomCols, dvDirs, constraints) =
+      val (v, entries, ddl, statsCols, bloomCols, dvDirs, constraints,
+           prevSnap) =
         latestVersion(spark, w.dir) match {
           case None =>
             // a table born here gets the staged configuration, exactly
@@ -1986,7 +2193,8 @@ object Manifest {
             val e = writeBatch(spark, root, w.df, w.partitionCol,
               w.statsCols, w.constraints, bloomCols = w.bloomCols)
             (0L, e, nullableDdl(w.df.schema), w.statsCols,
-              w.bloomCols, Seq.empty[String], w.constraints)
+              w.bloomCols, Seq.empty[String], w.constraints,
+              None: Option[Snapshot])
           case Some(v) =>
             require(w.statsCols.isEmpty && w.bloomCols.isEmpty &&
               w.constraints.isEmpty,
@@ -2002,13 +2210,13 @@ object Manifest {
               snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
             if (w.overwrite)
               (v, e, snap.ddl, snap.statsCols, snap.bloomCols,
-                Seq.empty[String], snap.constraints)
+                Seq.empty[String], snap.constraints, Some(snap))
             else
               (v, snap.entries ++ e, snap.ddl, snap.statsCols,
-                snap.bloomCols, snap.dvDirs, snap.constraints)
+                snap.bloomCols, snap.dvDirs, snap.constraints, Some(snap))
         }
       val name = writeManifest(spark, root, entries, ddl, statsCols,
-        bloomCols, dvDirs, constraints)
+        bloomCols, dvDirs, constraints, prev = prevSnap)
       (fs, root, v + 1, name)
     }
     // phase 2: claim every slot with a pending pointer naming the
@@ -2923,8 +3131,11 @@ object Manifest {
     // the batch's data files does (it is per-batch immutable metadata,
     // not manifest-listed)
     val liveBatches: Set[String] = live.map(_.split('/')(1))
+    // transitive base closure: a LINKED manifest's entry set lives in
+    // its whole chain, so every base of a kept tip is itself live
     val liveManifests: Set[String] =
-      keep.map(v => readPointer(fs, root, v)).toSet
+      keep.flatMap(v => manifestChain(fs, root, readPointer(fs, root, v)))
+        .toSet
     var reclaimed = 0L
     // data files outside the union of kept snapshots, old enough that
     // they cannot be a concurrent writer's staged batch

@@ -73,6 +73,7 @@ object ManifestPlanBench {
 
     if (mode == "dist") { distMain(spark, root, n); return }
     if (mode == "ckpt") { ckptMain(spark, root, n); return }
+    if (mode == "tail") { tailMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -156,6 +157,117 @@ object ManifestPlanBench {
         s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
         s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
         s""""list_all_sec":${f"$tList%.3f"},"all_files":$all}""")
+  }
+
+  /** The BETWEEN-CHECKPOINTS measurement (round-11 verdict #3): commit
+    * REAL appends on top of the v1 checkpoint, so the latest version
+    * has no exact checkpoint and must plan as checkpoint + delta-tail
+    * replay — the path ~15/16 of a steadily-committing table's
+    * listings take. Also prices the auto-checkpoint cadence (round-11
+    * verdict #7): one interval commit with the checkpoint write INLINE
+    * vs one with it detached (`graft.manifest.checkpoint.async`),
+    * against the plain-append floor. */
+  private def tailMain(spark: org.apache.spark.sql.SparkSession,
+                       root: String, n: Int): Unit = {
+    import spark.implicits._
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tCk) = time(graft.ops.Manifest.checkpoint(spark, root,
+      partitionCol = Some("p")))
+    def appendOne(i: Int): Double = {
+      val df = Seq((1000000000L + i,
+        java.sql.Date.valueOf("1993-06-15"), "tail")).toDF("k", "d", "p")
+      time(graft.ops.Manifest.append(spark, root, df, "p"))._2
+    }
+    // real appends run the DRIVER-side commit path (readSnapshot
+    // collects O(entries)); past ~2×10⁶ that is the commit-side heap
+    // budget, a separate axis from the LISTING this bench prices — the
+    // tail is then staged synthetically (full v2 manifest + sidecar
+    // through the REAL writer + real pointer), so the measured read
+    // path stays production end to end
+    val synthetic = n > 2000000
+    val (tA1, tA2) =
+      if (synthetic) { stageSyntheticTail(spark, root); (-1.0, -1.0) }
+      else (appendOne(1), appendOne(2)) // → v3: ck v1 + 2-version tail
+    val (index, tLoad) = time(
+      new graft.plans.DistributedManifestFileIndex(spark, root,
+        partitionCol = Some("p")))
+    require(index.usesTailReplay,
+      "tail bench must exercise the checkpoint + delta-tail path")
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", DateType)()
+    val filter = org.apache.spark.sql.catalyst.expressions.And(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-01"), DateType)),
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-30"), DateType)))
+    index.candidateCount(Seq(filter)) // warm (codegen, class loading)
+    val (kept, tPrune) = time(index.candidateCount(Seq(filter)))
+    val (all, tList) = time(index.listFiles(Nil, Nil).head.files.size)
+    // auto-checkpoint cadence price: the same append, paying the
+    // interval checkpoint write inline vs detached vs not at all (the
+    // plain appends above); commit-path pricing, so real-append mode only
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (tSync, tAsync) =
+      if (synthetic) (-1.0, -1.0)
+      else {
+        hconf.setLong(graft.ops.Manifest.CheckpointIntervalKey, 1L)
+        hconf.setLong(graft.ops.Manifest.CheckpointMinBytesKey, 0L)
+        val s = appendOne(3)
+        hconf.setBoolean(graft.ops.Manifest.CheckpointAsyncKey, true)
+        val a = appendOne(4)
+        hconf.unset(graft.ops.Manifest.CheckpointIntervalKey)
+        hconf.unset(graft.ops.Manifest.CheckpointMinBytesKey)
+        hconf.unset(graft.ops.Manifest.CheckpointAsyncKey)
+        (s, a)
+      }
+    println(
+      s"""{"metric":"manifest_planning_tail","entries":$n,""" +
+        s""""checkpoint_write_sec":${f"$tCk%.2f"},""" +
+        s""""append_secs":[${f"$tA1%.2f"},${f"$tA2%.2f"}],""" +
+        s""""meta_load_sec":${f"$tLoad%.2f"},""" +
+        s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
+        s""""list_all_sec":${f"$tList%.3f"},"all_files":$all,""" +
+        s""""interval_commit_sync_sec":${f"$tSync%.2f"},""" +
+        s""""interval_commit_async_sec":${f"$tAsync%.2f"},""" +
+        s""""synthetic_tail":$synthetic}""")
+  }
+
+  /** Stage v2 on top of [[synthesize]]'s v1 without the driver-side
+    * commit path: re-path 1 000 of v1's entries into a FULL v2
+    * manifest (distributed write — the fallback venue stays honest),
+    * write its delta sidecar through the real
+    * [[graft.ops.Manifest.writeDeltaFile]], and commit the v2 pointer
+    * with an exclusive create — so the measured listing's pointer
+    * walk, sidecar parse, chain verify, and net correction are the
+    * production path end to end. */
+  private def stageSyntheticTail(spark: org.apache.spark.sql.SparkSession,
+                                 root: String): Unit = {
+    import spark.implicits._
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(root, "_versions/v00000001"))
+    val m1 = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    val df = spark.read.parquet(s"$root/_manifests/$m1")
+    val changed = col("path").rlike("/part-[0-9]{1,3}\\.parquet$")
+    val df2 = df.withColumn("path",
+      when(col("path") =!= "" && changed,
+        concat(col("path"), lit(".v2"))).otherwise(col("path")))
+    val m2 = s"m-${UUID.randomUUID()}"
+    df2.coalesce(4).write.parquet(s"$root/_manifests/$m2")
+    val adds = df2.filter(col("path").endsWith(".v2"))
+      .as[ManifestEntry].collect().toSeq
+    val removes = df.filter(col("path") =!= "" && changed)
+      .select("path").as[String].collect().toSeq
+    graft.ops.Manifest.writeDeltaFile(spark, new Path(root), m2,
+      graft.ops.Manifest.ManifestDelta(m1, adds, removes))
+    val out = fs.create(new Path(root, "_versions/v00000002"), false)
+    try out.write(m2.getBytes("UTF-8")) finally out.close()
   }
 
   /** The distributed-venue measurement: index construction reads only

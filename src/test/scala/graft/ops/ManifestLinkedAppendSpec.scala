@@ -1,0 +1,193 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.DistributedManifestFileIndex
+
+/** The O(batch) LINKED append commit: a steady appender must not pay
+  * O(table entries) driver heap per commit (a 10⁷-entry snapshot is
+  * ~4 GB collected — the ceiling a streaming ingest hits first). An
+  * eligible append stages only its batch's entries plus a `_graft_base`
+  * pointer; readers resolve the chain as one relation. These specs pin
+  * the layout, read parity across every consumer venue, the compaction
+  * triggers (chain cap / mergeSchema / legacy physical schema), vacuum's
+  * chain closure, and the loud-failure contract for a corrupt base. */
+class ManifestLinkedAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() = Files.createTempDirectory("graft-linked").toString + "/tbl"
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def base = spark.range(1, 101)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"),
+      ($"id" / 50).cast("long").as("p"))
+
+  private def batch(k: Long, p: Long) = Seq((k, k * 1.0, p)).toDF("k", "v", "p")
+
+  private def tipManifest(dir: String): Path = {
+    val fs = fsOf(dir)
+    val v = Manifest.versions(spark, dir).last
+    val in = fs.open(new Path(dir, f"_versions/v$v%08d"))
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next().trim finally in.close()
+    new Path(dir, s"_manifests/$name")
+  }
+
+  private def hasBase(dir: String): Boolean =
+    fsOf(dir).exists(new Path(tipManifest(dir), "_graft_base"))
+
+  test("append links: O(batch) manifest + base pointer, full read parity") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, batch(200L + i, 4L), "p"))
+    assert(hasBase(dir), "an eligible append must stage a linked manifest")
+    // the tip dir carries ONLY the batch's entries (O(batch), no sentinel)
+    val tipRows = spark.read.parquet(tipManifest(dir).toString)
+      .select("path", "schema_ddl").collect()
+    assert(tipRows.length == 1 && tipRows.forall(r =>
+      r.getString(0).nonEmpty && r.getString(1).isEmpty))
+    // read parity: latest + time travel through every version
+    assert(Manifest.read(spark, dir).count() == 103)
+    assert(Manifest.readVersion(spark, dir, 2L).count() == 101)
+    assert(Manifest.read(spark, dir).agg(sum("k")).as[Long].head() ==
+      (1L to 100L).sum + 201 + 202 + 203)
+    // stats pruning still prunes ACROSS the chain: v bounds live on
+    // each entry, old files cannot satisfy v > 200
+    val idx = new DistributedManifestFileIndex(spark, dir, Some("p"))
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "v", org.apache.spark.sql.types.DoubleType)()
+    val pred = org.apache.spark.sql.catalyst.expressions.GreaterThan(attr,
+      org.apache.spark.sql.catalyst.expressions.Literal(200.5))
+    val all = idx.listFiles(Nil, Nil).head.files.size
+    assert(idx.candidateCount(Seq(pred)) < all,
+      "stat bounds on linked entries must keep pruning")
+  }
+
+  test("chain cap compacts: tip re-roots as a self-contained manifest") {
+    val dir = newDir()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(Manifest.AppendMaxChainKey, 3L)
+    try {
+      Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))
+      (1 to 2).foreach(i => Manifest.append(spark, dir, batch(300L + i, 4L), "p"))
+      assert(hasBase(dir), "below the cap appends link")
+      Manifest.append(spark, dir, batch(310L, 4L), "p") // chain at cap → compact
+      assert(!hasBase(dir), "at the cap the append compacts (re-roots)")
+      // the compacted manifest is complete and keeps the table config
+      val rows = spark.read.parquet(tipManifest(dir).toString)
+        .select("path", "schema_ddl", "stat_cols").collect()
+      val (sent, files) = rows.partition(_.getString(0).isEmpty)
+      assert(sent.length == 1 && sent.head.getSeq[String](2) == Seq("v"))
+      assert(files.length.toLong ==
+        Manifest.read(spark, dir).inputFiles.length)
+      assert(Manifest.read(spark, dir).count() == 103)
+      // and the next append links onto the NEW root
+      Manifest.append(spark, dir, batch(320L, 4L), "p")
+      assert(hasBase(dir))
+      assert(Manifest.read(spark, dir).count() == 104)
+    } finally hconf.unset(Manifest.AppendMaxChainKey)
+  }
+
+  test("mergeSchema widening compacts; old rows read the new column as null") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, batch(201L, 4L), "p")
+    assert(hasBase(dir))
+    Manifest.append(spark, dir,
+      Seq((500L, 5.0, 4L, "x")).toDF("k", "v", "p", "tag"), "p",
+      mergeSchema = true)
+    assert(!hasBase(dir), "a schema-widening append must compact")
+    val out = Manifest.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "v", "p", "tag"))
+    assert(out.filter($"tag".isNull).count() == 101)
+    assert(out.filter($"tag" === "x").count() == 1)
+  }
+
+  test("legacy parent (old physical manifest schema) compacts instead of linking") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    // simulate an OLD-WRITER manifest: strip the newest sentinel columns
+    val fs = fsOf(dir)
+    val mDir = tipManifest(dir)
+    val legacy = spark.read.parquet(mDir.toString)
+      .drop("constraints", "dv_dirs")
+    val tmp = new Path(dir, "_legacy_manifest")
+    legacy.write.parquet(tmp.toString)
+    fs.delete(mDir, true)
+    assert(fs.rename(tmp, mDir))
+    Manifest.append(spark, dir, batch(201L, 4L), "p")
+    assert(!hasBase(dir),
+      "mixing physical parquet schemas in one chain would leave schema " +
+        "inference to footer sampling — the append must compact")
+    assert(Manifest.read(spark, dir).count() == 101)
+  }
+
+  test("corrupt base pointer fails loudly — never a silent partial listing") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, batch(201L, 4L), "p")
+    val fs = fsOf(dir)
+    val bp = new Path(tipManifest(dir), "_graft_base")
+    fs.delete(bp, false)
+    val out = fs.create(bp, true)
+    try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    val err = intercept[IllegalArgumentException] {
+      Manifest.read(spark, dir).count()
+    }
+    assert(err.getMessage.contains("corrupt"))
+  }
+
+  test("vacuum keeps every base of a kept tip; a compacted chain reclaims") {
+    val dir = newDir()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(Manifest.AppendMaxChainKey, 4L)
+    try {
+      Manifest.create(spark, dir, base, "p")
+      (1 to 2).foreach(i => Manifest.append(spark, dir, batch(200L + i, 4L), "p"))
+      val fs = fsOf(dir)
+      val before = fs.listStatus(new Path(dir, "_manifests")).length
+      assert(before == 3)
+      // keep only the tip: its chain (all 3 manifests) must survive
+      Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+      assert(fs.listStatus(new Path(dir, "_manifests")).length == 3,
+        "every base of the kept tip is live")
+      assert(Manifest.read(spark, dir).count() == 102)
+      // compact (cap reached), vacuum again: the old chain is garbage
+      (3 to 4).foreach(i => Manifest.append(spark, dir, batch(200L + i, 4L), "p"))
+      assert(!hasBase(dir))
+      Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+      assert(fs.listStatus(new Path(dir, "_manifests")).length == 1,
+        "a re-rooted tip frees its predecessors")
+      assert(Manifest.read(spark, dir).count() == 104)
+    } finally hconf.unset(Manifest.AppendMaxChainKey)
+  }
+
+  test("tail replay rides linked commits: checkpoint + linked tail, parity") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.checkpoint(spark, dir, partitionCol = Some("p"))
+    (1 to 2).foreach(i => Manifest.append(spark, dir, batch(400L + i, 4L), "p"))
+    assert(hasBase(dir))
+    val idx = new DistributedManifestFileIndex(spark, dir, Some("p"))
+    assert(idx.usesTailReplay,
+      "linked commits still write the delta sidecars the replay folds")
+    val listed = idx.listFiles(Nil, Nil).head.files.size
+    assert(listed == Manifest.read(spark, dir).inputFiles.length)
+  }
+
+  test("exactly-once txn markers ride the linked commit pointer") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    assert(Manifest.appendIfAbsent(spark, dir, batch(201L, 4L), "p", "app", 1L))
+    assert(hasBase(dir))
+    assert(!Manifest.appendIfAbsent(spark, dir, batch(201L, 4L), "p", "app", 1L),
+      "a replayed batch no-ops")
+    assert(Manifest.read(spark, dir).count() == 101)
+  }
+}

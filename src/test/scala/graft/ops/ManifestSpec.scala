@@ -55,17 +55,21 @@ class ManifestSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifests = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
       .map(_.getPath.toString)
-    manifests.foreach { m =>
+    // the sentinel lives ONCE per manifest CHAIN: a linked (appended)
+    // manifest carries only its batch's slim entries + the base pointer
+    val counts = manifests.map { m =>
       val rows = spark.read.parquet(m)
         .select("path", "schema_ddl", "stat_cols").collect()
       val (sentinels, files) = rows.partition(_.getString(0).isEmpty)
-      assert(sentinels.length == 1)
-      assert(sentinels.head.getString(1).nonEmpty &&
-        sentinels.head.getSeq[String](2) == Seq("v"))
+      assert(sentinels.length <= 1)
+      sentinels.foreach(s => assert(s.getString(1).nonEmpty &&
+        s.getSeq[String](2) == Seq("v")))
       assert(files.nonEmpty && files.forall(r =>
         r.getString(1).isEmpty && r.getSeq[String](2).isEmpty),
         "file entries must not repeat the schema or stats config")
+      sentinels.length
     }
+    assert(counts.sum >= 1, "at least one manifest carries the sentinel")
   }
 
   test("two racing writers: exactly one claims a version; the retried loser lands on top") {
