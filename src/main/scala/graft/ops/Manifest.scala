@@ -161,6 +161,13 @@ object Manifest {
   /** Escape hatch: `false` forces every append through the compacting
     * path (the pre-linked-manifest layout). */
   val AppendLinkedKey = "graft.manifest.append.linked"
+  /** Cumulative-remove bound for a linked commit: the chain's base
+    * file carries every path removed along it (read once per
+    * listing), so once the set stops being small — a steady partition
+    * overwriter drops a few files per commit, so this covers hundreds
+    * of commits — re-rooting (compaction) is cheaper than dragging
+    * it. */
+  private val LinkedRemovesCap = 65536
   /** Target parquet bytes per manifest part when COMPACTING — sizes
     * the distributed rewrite's file count so a 10⁷-entry manifest
     * compacts in parallel instead of through one writer task. */
@@ -774,13 +781,14 @@ object Manifest {
     * the same contract a table FORMAT owes its files. */
   private def paddedManifest(spark: SparkSession,
                              manifestDir: String): DataFrame =
-    paddedManifest(spark, Seq(manifestDir))
+    paddedManifest(spark, Seq(manifestDir), Nil)
 
   private def paddedManifest(spark: SparkSession,
-                             manifestDirs: Seq[String]): DataFrame = {
+                             manifestDirs: Seq[String],
+                             removedPaths: Seq[String]): DataFrame = {
     val raw = spark.read.parquet(manifestDirs: _*)
     val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
-    want.fields.foldLeft(raw) { (df, f) =>
+    val padded = want.fields.foldLeft(raw) { (df, f) =>
       if (df.columns.contains(f.name)) df
       else df.withColumn(f.name, (f.dataType match {
         case ArrayType(StringType, _) => array()
@@ -790,49 +798,74 @@ object Manifest {
         case dt => lit(null)
       }).cast(f.dataType))
     }.select(want.fieldNames.map(col).toIndexedSeq: _*)
-  }
-
-  /** Parent manifest a LINKED manifest extends, or None for a full
-    * (self-contained) manifest. A base that exists but is unreadable
-    * or malformed fails LOUDLY: unlike the delta sidecar there is no
-    * sound fallback — the linked dir alone is an incomplete entry
-    * set, and listing it as whole would silently drop files. */
-  private def readBase(fs: FileSystem, root: Path,
-                       name: String): Option[String] = {
-    val p = new Path(new Path(new Path(root, ManifestsDir), name), BaseFile)
-    if (!fs.exists(p)) None
+    // chain-removed entries are subtracted HERE, the single chokepoint
+    // every reader venue goes through; past the In-literal planning
+    // threshold the subtraction becomes a broadcast anti-join
+    if (removedPaths.isEmpty) padded
+    else if (removedPaths.size <= Merge.InListThreshold)
+      padded.filter(!col("path").isin(removedPaths: _*))
     else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      require(s.matches("m-[0-9a-f]{8}-[0-9a-f-]{27}"),
-        s"corrupt $BaseFile in manifest $name: '$s'")
-      Some(s)
+      import spark.implicits._
+      padded.join(
+        broadcast(removedPaths.toDF("__graft_rm")),
+        padded("path") === col("__graft_rm"), "left_anti")
     }
   }
 
-  /** The manifest-name chain that materializes `name`'s full entry
-    * set, BASE FIRST (the self-contained root manifest) with `name`
-    * last. Length 1 for a full manifest. Every link was schema-guarded
-    * at write time ([[linkedAppendEligible]]), so all dirs in a chain
-    * share one physical parquet schema and read as a single relation.
-    * Cycle/degeneracy guard fails loudly at 4096 links (the writer
-    * compacts at [[AppendMaxChainKey]], default 64). */
-  private[graft] def manifestChain(fs: FileSystem, root: Path,
-                                   name: String): Seq[String] = {
-    var chain: List[String] = List(name)
-    var cur = name
-    while ({
-      readBase(fs, root, cur) match {
-        case Some(parent) =>
-          require(chain.length < 4096,
-            s"manifest base chain at $root exceeds 4096 links — cycle?")
-          chain = parent :: chain; cur = parent; true
-        case None => false
-      }
-    }) ()
-    chain
+  /** Everything a reader needs to materialize a manifest's full entry
+    * set from ONE small read: the ancestor chain (base-first, `name`
+    * last — length 1 and no removes for a full manifest) and the
+    * CUMULATIVE set of entry paths removed along it. The relation is
+    * union(parts of every chain dir) minus `removedPaths` — sound as a
+    * flat subtraction because batch paths are UUID'd and never reused,
+    * so a removed path cannot be re-added by a later link. */
+  private[graft] case class ChainState(names: Seq[String],
+                                       removedPaths: Seq[String])
+
+  /** Parse `name`'s [[BaseFile]]. The format is cumulative (each link
+    * rewrites the full state), so resolution is one read at any depth
+    * — an object-store listing must not pay a sequential O(depth)
+    * pointer walk. The `end:<count>` trailer makes a torn write
+    * detectable, and ANY malformation fails LOUDLY: unlike the delta
+    * sidecar there is no sound fallback — the linked dir alone is an
+    * incomplete entry set, and a lost remove line would RESURRECT
+    * overwritten rows. Every link was schema-guarded at write time
+    * ([[linkedAppendEligible]]), so all dirs in a chain share one
+    * physical parquet schema and read as a single relation. */
+  private[graft] def chainState(fs: FileSystem, root: Path,
+                                name: String): ChainState = {
+    val p = new Path(new Path(new Path(root, ManifestsDir), name), BaseFile)
+    if (!fs.exists(p)) return ChainState(Seq(name), Nil)
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList
+    finally in.close()
+    def corrupt(why: String) = throw new IllegalArgumentException(
+      s"corrupt $BaseFile in manifest $name ($why)")
+    val last = lines.lastOption.getOrElse(corrupt("empty"))
+    if (!last.startsWith("end:") ||
+      !last.drop(4).toLongOption.contains(lines.size - 1L))
+      corrupt("missing or mismatched end trailer — torn write?")
+    val bases = Seq.newBuilder[String]
+    val removes = Seq.newBuilder[String]
+    lines.dropRight(1).foreach {
+      case l if l.startsWith("base:") =>
+        val n = l.drop(5)
+        if (!n.matches("m-[0-9a-f]{8}-[0-9a-f-]{27}")) corrupt(s"bad base '$n'")
+        bases += n
+      case l if l.startsWith("remove:") => removes += l.drop(7)
+      case l => corrupt(s"unrecognized line '${l.take(40)}'")
+    }
+    val names = bases.result()
+    if (names.isEmpty) corrupt("no base names")
+    ChainState(names :+ name, removes.result())
   }
+
+  /** The manifest-name chain (base first, `name` last) — see
+    * [[chainState]]. */
+  private[graft] def manifestChain(fs: FileSystem, root: Path,
+                                   name: String): Seq[String] =
+    chainState(fs, root, name).names
 
   private def chainDirs(fs: FileSystem, root: Path,
                         name: String): Seq[String] =
@@ -843,7 +876,10 @@ object Manifest {
                                  name: String): Snapshot = {
     import spark.implicits._
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val padded = paddedManifest(spark, chainDirs(fs, root, name))
+    val st = chainState(fs, root, name)
+    val padded = paddedManifest(spark,
+      st.names.map(n => new Path(new Path(root, ManifestsDir), n).toString),
+      st.removedPaths)
     val all = padded.as[Entry].collect().toSeq
     val sentinel = all.find(e => e.path.isEmpty && e.schema_ddl.nonEmpty)
       .getOrElse(throw new IllegalStateException(
@@ -866,6 +902,7 @@ object Manifest {
                                          dvDirs: Seq[String],
                                          constraints: Seq[String],
                                          manifestDirs: Seq[String],
+                                         removedPaths: Seq[String],
                                          manifestBytes: Long,
                                          version: Long)
 
@@ -892,15 +929,17 @@ object Manifest {
     val lines = readPointerLines(fs, root, ver)
     require(pointerVisible(fs, lines),
       s"version $ver at $root is a pending multi-table commit, not committed")
-    val dirs = chainDirs(fs, root, lines.head.trim)
+    val st = chainState(fs, root, lines.head.trim)
+    val dirs = st.names
+      .map(n => new Path(new Path(root, ManifestsDir), n).toString)
     val bytes = dirs.map(d => fs.listStatus(new Path(d))
       .filter(_.isFile).map(_.getLen).sum).sum
-    val sentinel = paddedManifest(spark, dirs)
+    val sentinel = paddedManifest(spark, dirs, Nil)
       .filter(col("path") === "" && col("schema_ddl") =!= "")
       .as[Entry].head()
     SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs, sentinel.constraints,
-      dirs, bytes, ver)
+      dirs, st.removedPaths, bytes, ver)
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -913,7 +952,7 @@ object Manifest {
                                     meta: SnapshotMeta)
       : org.apache.spark.sql.Dataset[ManifestEntry] = {
     import spark.implicits._
-    paddedManifest(spark, meta.manifestDirs)
+    paddedManifest(spark, meta.manifestDirs, meta.removedPaths)
       .filter(col("path") =!= "").as[ManifestEntry]
   }
 
@@ -1830,13 +1869,17 @@ object Manifest {
   }
 
   /** Stage the O(batch) linked manifest: one small parquet part with
-    * the batch's slim entries, the [[BaseFile]] pointer naming the
-    * parent tip, and the adds-only delta sidecar (tail replay works
-    * across linked commits unchanged). The dir is an orphan until the
-    * caller's pointer create lands — a crash anywhere here leaves
-    * vacuum-reclaimable garbage, never a readable partial manifest. */
+    * the batch's slim entries, the [[BaseFile]] carrying the FULL
+    * cumulative chain state (ancestors base-first + every path removed
+    * along the chain + this commit's `removes`, trailer-guarded so a
+    * torn write can never silently resurrect rows), and the delta
+    * sidecar (tail replay works across linked commits unchanged). The
+    * dir is an orphan until the caller's pointer create lands — a
+    * crash anywhere here leaves vacuum-reclaimable garbage, never a
+    * readable partial manifest. */
   private def linkManifest(spark: SparkSession, fs: FileSystem, root: Path,
-                           meta: SnapshotMeta, adds: Seq[Entry]): String = {
+                           meta: SnapshotMeta, adds: Seq[Entry],
+                           removes: Seq[String] = Nil): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dst = new Path(new Path(root, ManifestsDir), name)
@@ -1858,14 +1901,21 @@ object Manifest {
       fs.delete(tmp, true)
     } else fs.mkdirs(dst)
     val tip = new Path(meta.manifestDirs.last).getName
+    val chain = meta.manifestDirs.map(d => new Path(d).getName)
+    val allRemoves = meta.removedPaths ++ removes
+    val lines = chain.map(n => s"base:$n") ++
+      allRemoves.map(r => s"remove:$r")
     val out = fs.create(new Path(dst, BaseFile), false)
-    try out.write(tip.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // adds-only sidecar, same economics rule as [[writeDelta]] (entry
+    try out.write((lines.mkString("\n") + s"\nend:${lines.size}\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // delta sidecar, same economics rule as [[writeDelta]] (entry
     // count estimated from chain bytes — the rule is economic, not
     // correctness: an oversized replay is just slower than the scan)
     val estEntries = math.max(1L, meta.manifestBytes / 64)
-    if (slim.size <= math.max(4096, estEntries / 8))
-      try writeDeltaFile(spark, root, name, ManifestDelta(tip, slim, Nil))
+    if (slim.size + removes.size <= math.max(4096, estEntries / 8))
+      try writeDeltaFile(spark, root, name,
+        ManifestDelta(tip, slim, removes))
       catch {
         case scala.util.control.NonFatal(t) =>
           System.err.println(s"[graft] delta sidecar for $name skipped: $t")
@@ -1883,7 +1933,8 @@ object Manifest {
     * uniform). */
   private def compactManifest(spark: SparkSession, root: Path,
                               meta: SnapshotMeta, ddlOut: String,
-                              adds: Seq[Entry]): String = {
+                              adds: Seq[Entry],
+                              removes: Seq[String] = Nil): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
@@ -1897,13 +1948,20 @@ object Manifest {
       constraints = Seq.empty))
     val nFiles = math.max(1L,
       meta.manifestBytes / ManifestTargetBytes).toInt
-    (sentinel +: slim).toDF()
-      .unionByName(entriesDataset(spark, meta).toDF())
+    // this commit's own removes ride the same chokepoint subtraction
+    // the chain reader uses (entriesDataset already subtracts the
+    // CHAIN's accumulated removes)
+    val carried =
+      if (removes.isEmpty) entriesDataset(spark, meta).toDF()
+      else paddedManifest(spark, meta.manifestDirs,
+        meta.removedPaths ++ removes).filter(col("path") =!= "")
+    (sentinel +: slim).toDF().unionByName(carried)
       .coalesce(nFiles).write.parquet(dir)
     val tip = new Path(meta.manifestDirs.last).getName
     val estEntries = math.max(1L, meta.manifestBytes / 64)
-    if (slim.size <= math.max(4096, estEntries / 8))
-      try writeDeltaFile(spark, root, name, ManifestDelta(tip, slim, Nil))
+    if (slim.size + removes.size <= math.max(4096, estEntries / 8))
+      try writeDeltaFile(spark, root, name,
+        ManifestDelta(tip, slim, removes))
       catch {
         case scala.util.control.NonFatal(t) =>
           System.err.println(s"[graft] delta sidecar for $name skipped: $t")
@@ -2071,14 +2129,27 @@ object Manifest {
     withConflictRetry() {
       val v = latestVersion(spark, dir)
         .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-      val snap = readSnapshot(spark, root, v)
-      slices.foreach(df => require(nullableDdl(df.schema) == snap.ddl,
+      // plan from the snapshot HEADER: like [[append]], a partition
+      // overwrite must stay O(touched + batch) on a 10⁷-entry table —
+      // candidate selection runs WHERE the entries live and only the
+      // touched entries ever reach the driver
+      val meta = snapshotMeta(spark, dir, Some(v))
+      slices.foreach(df => require(nullableDdl(df.schema) == meta.ddl,
         s"overwritePartitions schema ${nullableDdl(df.schema)} != table " +
-          s"schema ${snap.ddl}"))
-      val safe = partitionValuesSafe(snap.ddl, partitionCol)
-      val cands =
-        if (safe) candidates(snap.entries, wanted, wantNull)
-        else snap.entries
+          s"schema ${meta.ddl}"))
+      val safe = partitionValuesSafe(meta.ddl, partitionCol)
+      val cands: Seq[Entry] =
+        if (safe) {
+          val candCond = col("overflow") ||
+            arrays_overlap(col("values"), typedLit(wanted.toSeq)) ||
+            (if (wantNull) col("has_null") else lit(false))
+          entriesDataset(spark, meta).filter(candCond).collect().toSeq
+        } else
+          // unsafe rendering: this session's `wanted` strings cannot
+          // prove anything about recorded values — EVERY live entry is
+          // a rewrite candidate, and the collect is O(entries) by
+          // necessity (each file is read and its kept rows rewritten)
+          entriesDataset(spark, meta).collect().toSeq
       // spanning candidates hold rows OUTSIDE the replaced partitions
       // (an untouched recorded value, an un-replaced null, or a capped
       // value set that asserts nothing) — only those need reading. The
@@ -2098,7 +2169,7 @@ object Manifest {
         if (spanning.isEmpty) Seq.empty
         else {
           val base =
-            readEntriesMasked(spark, root, spanning, snap.ddl, snap.dvDirs)
+            readEntriesMasked(spark, root, spanning, meta.ddl, meta.dvDirs)
           // past the In-literal threshold a giant isin is a driver
           // planning blowup (Merge.InListThreshold's rationale) — the
           // kept-row selection switches to a broadcast anti-join on
@@ -2120,22 +2191,26 @@ object Manifest {
               else nonReplaced
             }
           if (keptRows.isEmpty) Seq.empty
-          else writeBatch(spark, root, keptRows, partitionCol, snap.statsCols,
-            snap.constraints, bloomCols = snap.bloomCols)
+          else writeBatch(spark, root, keptRows, partitionCol, meta.statsCols,
+            meta.constraints, bloomCols = meta.bloomCols)
         }
       // a single slice is provably non-empty here (touched was); only
       // multi-slice calls pay the per-slice emptiness probe
       val newEntries = slices.flatMap { df =>
         if (slices.sizeIs > 1 && df.isEmpty) Seq.empty
         else writeBatch(spark, root, df, partitionCol,
-          snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
+          meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
       }
-      val candPaths = cands.map(_.path).toSet
-      val carried = snap.entries.filterNot(e => candPaths.contains(e.path))
-      commit(fs, root, v + 1,
-        writeManifest(spark, root, carried ++ keptEntries ++ newEntries,
-          snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
-          snap.constraints, prev = Some(snap)), txn)
+      val removes = cands.map(_.path)
+      val adds = keptEntries ++ newEntries
+      // the cumulative remove set rides every future listing's base
+      // read — once it stops being small, re-rooting is cheaper
+      val name =
+        if (linkedAppendEligible(spark, fs, meta) &&
+          meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+          linkManifest(spark, fs, root, meta, adds, removes)
+        else compactManifest(spark, root, meta, meta.ddl, adds, removes)
+      commit(fs, root, v + 1, name, txn)
     }
     maybeCheckpoint(spark, dir, partitionCol)
   }

@@ -181,16 +181,12 @@ object ManifestPlanBench {
         java.sql.Date.valueOf("1993-06-15"), "tail")).toDF("k", "d", "p")
       time(graft.ops.Manifest.append(spark, root, df, "p"))._2
     }
-    // real appends run the DRIVER-side commit path (readSnapshot
-    // collects O(entries)); past ~2×10⁶ that is the commit-side heap
-    // budget, a separate axis from the LISTING this bench prices — the
-    // tail is then staged synthetically (full v2 manifest + sidecar
-    // through the REAL writer + real pointer), so the measured read
-    // path stays production end to end
-    val synthetic = n > 2000000
-    val (tA1, tA2) =
-      if (synthetic) { stageSyntheticTail(spark, root); (-1.0, -1.0) }
-      else (appendOne(1), appendOne(2)) // → v3: ck v1 + 2-version tail
+    // real appends at EVERY size: the linked-append commit stages
+    // O(batch) — one slim part + a base pointer — so the 10⁷ case that
+    // used to exhaust the driver on the snapshot collect (the round-11
+    // bench staged it synthetically) now just runs; tA1/tA2 ARE the
+    // headline append-cost-at-scale numbers
+    val (tA1, tA2) = (appendOne(1), appendOne(2)) // → v3: ck v1 + 2-tail
     val (index, tLoad) = time(
       new graft.plans.DistributedManifestFileIndex(spark, root,
         partitionCol = Some("p")))
@@ -210,21 +206,19 @@ object ManifestPlanBench {
     val (all, tList) = time(index.listFiles(Nil, Nil).head.files.size)
     // auto-checkpoint cadence price: the same append, paying the
     // interval checkpoint write inline vs detached vs not at all (the
-    // plain appends above); commit-path pricing, so real-append mode only
+    // plain appends above)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val (tSync, tAsync) =
-      if (synthetic) (-1.0, -1.0)
-      else {
-        hconf.setLong(graft.ops.Manifest.CheckpointIntervalKey, 1L)
-        hconf.setLong(graft.ops.Manifest.CheckpointMinBytesKey, 0L)
-        val s = appendOne(3)
-        hconf.setBoolean(graft.ops.Manifest.CheckpointAsyncKey, true)
-        val a = appendOne(4)
-        hconf.unset(graft.ops.Manifest.CheckpointIntervalKey)
-        hconf.unset(graft.ops.Manifest.CheckpointMinBytesKey)
-        hconf.unset(graft.ops.Manifest.CheckpointAsyncKey)
-        (s, a)
-      }
+    val (tSync, tAsync) = {
+      hconf.setLong(graft.ops.Manifest.CheckpointIntervalKey, 1L)
+      hconf.setLong(graft.ops.Manifest.CheckpointMinBytesKey, 0L)
+      val s = appendOne(3)
+      hconf.setBoolean(graft.ops.Manifest.CheckpointAsyncKey, true)
+      val a = appendOne(4)
+      hconf.unset(graft.ops.Manifest.CheckpointIntervalKey)
+      hconf.unset(graft.ops.Manifest.CheckpointMinBytesKey)
+      hconf.unset(graft.ops.Manifest.CheckpointAsyncKey)
+      (s, a)
+    }
     println(
       s"""{"metric":"manifest_planning_tail","entries":$n,""" +
         s""""checkpoint_write_sec":${f"$tCk%.2f"},""" +
@@ -233,41 +227,7 @@ object ManifestPlanBench {
         s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
         s""""list_all_sec":${f"$tList%.3f"},"all_files":$all,""" +
         s""""interval_commit_sync_sec":${f"$tSync%.2f"},""" +
-        s""""interval_commit_async_sec":${f"$tAsync%.2f"},""" +
-        s""""synthetic_tail":$synthetic}""")
-  }
-
-  /** Stage v2 on top of [[synthesize]]'s v1 without the driver-side
-    * commit path: re-path 1 000 of v1's entries into a FULL v2
-    * manifest (distributed write — the fallback venue stays honest),
-    * write its delta sidecar through the real
-    * [[graft.ops.Manifest.writeDeltaFile]], and commit the v2 pointer
-    * with an exclusive create — so the measured listing's pointer
-    * walk, sidecar parse, chain verify, and net correction are the
-    * production path end to end. */
-  private def stageSyntheticTail(spark: org.apache.spark.sql.SparkSession,
-                                 root: String): Unit = {
-    import spark.implicits._
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(root, "_versions/v00000001"))
-    val m1 = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString.trim finally in.close()
-    val df = spark.read.parquet(s"$root/_manifests/$m1")
-    val changed = col("path").rlike("/part-[0-9]{1,3}\\.parquet$")
-    val df2 = df.withColumn("path",
-      when(col("path") =!= "" && changed,
-        concat(col("path"), lit(".v2"))).otherwise(col("path")))
-    val m2 = s"m-${UUID.randomUUID()}"
-    df2.coalesce(4).write.parquet(s"$root/_manifests/$m2")
-    val adds = df2.filter(col("path").endsWith(".v2"))
-      .as[ManifestEntry].collect().toSeq
-    val removes = df.filter(col("path") =!= "" && changed)
-      .select("path").as[String].collect().toSeq
-    graft.ops.Manifest.writeDeltaFile(spark, new Path(root), m2,
-      graft.ops.Manifest.ManifestDelta(m1, adds, removes))
-    val out = fs.create(new Path(root, "_versions/v00000002"), false)
-    try out.write(m2.getBytes("UTF-8")) finally out.close()
+        s""""interval_commit_async_sec":${f"$tAsync%.2f"}}""")
   }
 
   /** The distributed-venue measurement: index construction reads only

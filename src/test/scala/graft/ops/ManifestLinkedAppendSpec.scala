@@ -181,6 +181,82 @@ class ManifestLinkedAppendSpec extends SparkSpec {
     assert(listed == Manifest.read(spark, dir).inputFiles.length)
   }
 
+  test("partition overwrite links too: O(touched) commit, removes in the base") {
+    val dir = newDir()
+    // SCD2 shape: per-partition batches (partition-PURE files — hash
+    // clustering can co-locate values, which would make untouched
+    // files spanning rewrite candidates), live partition 2 rewritten
+    Manifest.create(spark, dir, base.filter($"p" === 0), "p")
+    Manifest.append(spark, dir, base.filter($"p" === 1), "p")
+    Manifest.append(spark, dir, base.filter($"p" === 2), "p")
+    // which physical file holds each partition (row-level filters do
+    // not prune inputFiles, so resolve via input_file_name)
+    val fileOf = Manifest.read(spark, dir)
+      .select($"p", input_file_name().as("f")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Manifest.overwritePartitions(spark, dir,
+      Seq((900L, 9.0, 2L), (901L, 9.1, 2L)).toDF("k", "v", "p"), "p")
+    assert(hasBase(dir), "a safe-rendering partition overwrite links")
+    // the base file carries the dropped files as removes
+    val fs = fsOf(dir)
+    val in = fs.open(new Path(tipManifest(dir), "_graft_base"))
+    val baseLines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    assert(baseLines.count(_.startsWith("remove:")) >= 1)
+    assert(baseLines.last.startsWith("end:"))
+    // read parity: partition 2 fully replaced, others untouched —
+    // and untouched files carried BY REFERENCE (same physical paths)
+    val out = Manifest.read(spark, dir)
+    assert(out.filter($"p" === 2).select("k").as[Long].collect().sorted
+      .toSeq == Seq(900L, 901L))
+    assert(out.filter($"p" < 2).count() == base.filter($"p" < 2).count())
+    val after = out.inputFiles.toSet
+    assert(after.contains(fileOf(0L)) && after.contains(fileOf(1L)),
+      "untouched partitions' files are carried by reference")
+    assert(!after.contains(fileOf(2L)), "the replaced file is dropped")
+    // time travel still sees the pre-overwrite partition 2
+    assert(Manifest.readVersion(spark, dir, 3L)
+      .filter($"p" === 2).count() == base.filter($"p" === 2).count())
+  }
+
+  test("a torn base file (lost remove line) fails loudly, never resurrects") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.overwritePartitions(spark, dir,
+      Seq((900L, 9.0, 2L)).toDF("k", "v", "p"), "p")
+    val fs = fsOf(dir)
+    val bp = new Path(tipManifest(dir), "_graft_base")
+    val in = fs.open(bp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    // drop one remove line but keep the stale trailer — a torn write
+    val torn = lines.filterNot(_.startsWith("remove:")).dropRight(1) ++
+      lines.takeRight(1)
+    val out = fs.create(bp, true)
+    try out.write(torn.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val err = intercept[IllegalArgumentException] {
+      Manifest.read(spark, dir).count()
+    }
+    assert(err.getMessage.contains("corrupt"))
+  }
+
+  test("vacuum reclaims overwritten data files; chain manifests stay live") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    val replaced = Manifest.read(spark, dir)
+      .filter($"p" === 2).inputFiles.toSet
+    Manifest.overwritePartitions(spark, dir,
+      Seq((900L, 9.0, 2L)).toDF("k", "v", "p"), "p")
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+    val fs = fsOf(dir)
+    replaced.foreach(f => assert(!fs.exists(new Path(f.stripPrefix("file:"))),
+      s"overwritten file must be reclaimed: $f"))
+    assert(Manifest.read(spark, dir).filter($"p" === 2)
+      .select("k").as[Long].head() == 900L)
+    assert(Manifest.read(spark, dir).count() ==
+      base.filter($"p" < 2).count() + 1)
+  }
+
   test("exactly-once txn markers ride the linked commit pointer") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
