@@ -814,13 +814,17 @@ object Manifest {
 
   /** Everything a reader needs to materialize a manifest's full entry
     * set from ONE small read: the ancestor chain (base-first, `name`
-    * last — length 1 and no removes for a full manifest) and the
-    * CUMULATIVE set of entry paths removed along it. The relation is
-    * union(parts of every chain dir) minus `removedPaths` — sound as a
-    * flat subtraction because batch paths are UUID'd and never reused,
-    * so a removed path cannot be re-added by a later link. */
+    * last — length 1 and no removes for a full manifest), the
+    * CUMULATIVE set of entry paths removed along it, and the deletion-
+    * vector dirs attached along it (effective DV set = the root
+    * sentinel's ++ these — a MoR delete must not pay a sentinel
+    * rewrite). The relation is union(parts of every chain dir) minus
+    * `removedPaths` — sound as a flat subtraction because batch paths
+    * are UUID'd and never reused, so a removed path cannot be re-added
+    * by a later link. */
   private[graft] case class ChainState(names: Seq[String],
-                                       removedPaths: Seq[String])
+                                       removedPaths: Seq[String],
+                                       dvDirs: Seq[String])
 
   /** Parse `name`'s [[BaseFile]]. The format is cumulative (each link
     * rewrites the full state), so resolution is one read at any depth
@@ -835,7 +839,7 @@ object Manifest {
   private[graft] def chainState(fs: FileSystem, root: Path,
                                 name: String): ChainState = {
     val p = new Path(new Path(new Path(root, ManifestsDir), name), BaseFile)
-    if (!fs.exists(p)) return ChainState(Seq(name), Nil)
+    if (!fs.exists(p)) return ChainState(Seq(name), Nil, Nil)
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList
@@ -848,17 +852,19 @@ object Manifest {
       corrupt("missing or mismatched end trailer — torn write?")
     val bases = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
+    val dvs = Seq.newBuilder[String]
     lines.dropRight(1).foreach {
       case l if l.startsWith("base:") =>
         val n = l.drop(5)
         if (!n.matches("m-[0-9a-f]{8}-[0-9a-f-]{27}")) corrupt(s"bad base '$n'")
         bases += n
       case l if l.startsWith("remove:") => removes += l.drop(7)
+      case l if l.startsWith("dv:") => dvs += l.drop(3)
       case l => corrupt(s"unrecognized line '${l.take(40)}'")
     }
     val names = bases.result()
     if (names.isEmpty) corrupt("no base names")
-    ChainState(names :+ name, removes.result())
+    ChainState(names :+ name, removes.result(), dvs.result())
   }
 
   /** The manifest-name chain (base first, `name` last) — see
@@ -885,8 +891,8 @@ object Manifest {
       .getOrElse(throw new IllegalStateException(
         s"manifest $name has no schema sentinel"))
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
-      sentinel.stat_cols, sentinel.bloom_cols, sentinel.dv_dirs,
-      sentinel.constraints, name)
+      sentinel.stat_cols, sentinel.bloom_cols,
+      sentinel.dv_dirs ++ st.dvDirs, sentinel.constraints, name)
   }
 
   /** Lightweight snapshot HEADER: the sentinel's configuration plus
@@ -897,12 +903,16 @@ object Manifest {
     * O(manifest files), never O(entries) driver heap.
     * `manifestDirs` is base-first; the last element is the committed
     * tip ([[Snapshot.name]]'s dir). */
+  /** `dvDirs` is the EFFECTIVE set (root sentinel's ++ those attached
+    * along the chain); `chainDvDirs` is the chain-attached subset — a
+    * linked writer re-emits it cumulatively into the next base file. */
   private[graft] case class SnapshotMeta(ddl: String, statsCols: Seq[String],
                                          bloomCols: Seq[String],
                                          dvDirs: Seq[String],
                                          constraints: Seq[String],
                                          manifestDirs: Seq[String],
                                          removedPaths: Seq[String],
+                                         chainDvDirs: Seq[String],
                                          manifestBytes: Long,
                                          version: Long)
 
@@ -938,8 +948,8 @@ object Manifest {
       .filter(col("path") === "" && col("schema_ddl") =!= "")
       .as[Entry].head()
     SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
-      sentinel.bloom_cols, sentinel.dv_dirs, sentinel.constraints,
-      dirs, st.removedPaths, bytes, ver)
+      sentinel.bloom_cols, sentinel.dv_dirs ++ st.dvDirs,
+      sentinel.constraints, dirs, st.removedPaths, st.dvDirs, bytes, ver)
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -1682,10 +1692,10 @@ object Manifest {
     * broadcast-nested-loop of (files × keys) bit probes — cheap scalar
     * work bounded by `|cands| × BloomProbeCap`, no data movement. */
   private def bloomBatchCandidates(spark: SparkSession, root: Path,
-                                   snap: Snapshot, cands: Seq[Entry],
-                                   batch: DataFrame,
+                                   ddl: String, bloomCols: Seq[String],
+                                   cands: Seq[Entry], batch: DataFrame,
                                    keyCol: String): Seq[Entry] = {
-    if (!snap.bloomCols.contains(keyCol) || cands.isEmpty) return cands
+    if (!bloomCols.contains(keyCol) || cands.isEmpty) return cands
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bloomPaths = cands.map(_.path.split('/')(1)).distinct
       .map(b => new Path(root, s"$DataDir/$b/$BloomDir"))
@@ -1703,7 +1713,7 @@ object Manifest {
     // column, so a differently-typed batch key (Int vs the table's
     // Long) must be cast before hashing or every probe misses — a
     // bloom false NEGATIVE, i.e. silently skipped deletes
-    val dt = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    val dt = DataType.fromDDL(ddl).asInstanceOf[StructType]
       .apply(keyCol).dataType
     val probes = spark.createDataFrame(
         spark.sparkContext.parallelize(keyRows.toIndexedSeq, 1),
@@ -1879,7 +1889,8 @@ object Manifest {
     * readable partial manifest. */
   private def linkManifest(spark: SparkSession, fs: FileSystem, root: Path,
                            meta: SnapshotMeta, adds: Seq[Entry],
-                           removes: Seq[String] = Nil): String = {
+                           removes: Seq[String] = Nil,
+                           dvAdds: Seq[String] = Nil): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dst = new Path(new Path(root, ManifestsDir), name)
@@ -1903,8 +1914,9 @@ object Manifest {
     val tip = new Path(meta.manifestDirs.last).getName
     val chain = meta.manifestDirs.map(d => new Path(d).getName)
     val allRemoves = meta.removedPaths ++ removes
+    val allDvs = meta.chainDvDirs ++ dvAdds
     val lines = chain.map(n => s"base:$n") ++
-      allRemoves.map(r => s"remove:$r")
+      allRemoves.map(r => s"remove:$r") ++ allDvs.map(d => s"dv:$d")
     val out = fs.create(new Path(dst, BaseFile), false)
     try out.write((lines.mkString("\n") + s"\nend:${lines.size}\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -1934,15 +1946,18 @@ object Manifest {
   private def compactManifest(spark: SparkSession, root: Path,
                               meta: SnapshotMeta, ddlOut: String,
                               adds: Seq[Entry],
-                              removes: Seq[String] = Nil): String = {
+                              removes: Seq[String] = Nil,
+                              dvAdds: Seq[String] = Nil): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
+    // the re-rooted sentinel absorbs the chain's effective DV set (and
+    // this commit's own), so the fresh chain starts with no dv lines
     val sentinel = ManifestEntry("", Seq.empty, has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddlOut,
       stat_cols = meta.statsCols, stat_mins = Seq.empty,
       stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
-      dv_dirs = meta.dvDirs, constraints = meta.constraints)
+      dv_dirs = meta.dvDirs ++ dvAdds, constraints = meta.constraints)
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
       bloom_cols = Seq.empty, dv_dirs = Seq.empty,
       constraints = Seq.empty))
@@ -2034,12 +2049,12 @@ object Manifest {
     val (_, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val cands =
-      if (partitionValuesSafe(snap.ddl, partitionCol))
-        candidates(snap.entries, values.toSet, wantNull = false)
-      else snap.entries
-    readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
+    // header-only planning: the candidate selection runs where the
+    // entries live, so this read is O(matching files) driver-side
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val cands = partitionCandidates(spark, meta, partitionCol,
+      values.toSet, wantNull = false)
+    readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
       .filter(col(partitionCol).cast("string").isin(values: _*))
   }
 
@@ -2138,18 +2153,12 @@ object Manifest {
         s"overwritePartitions schema ${nullableDdl(df.schema)} != table " +
           s"schema ${meta.ddl}"))
       val safe = partitionValuesSafe(meta.ddl, partitionCol)
+      // under an unsafe rendering this session's `wanted` strings
+      // cannot prove anything about recorded values — EVERY live entry
+      // is a rewrite candidate, and the collect is O(entries) by
+      // necessity (each file is read and its kept rows rewritten)
       val cands: Seq[Entry] =
-        if (safe) {
-          val candCond = col("overflow") ||
-            arrays_overlap(col("values"), typedLit(wanted.toSeq)) ||
-            (if (wantNull) col("has_null") else lit(false))
-          entriesDataset(spark, meta).filter(candCond).collect().toSeq
-        } else
-          // unsafe rendering: this session's `wanted` strings cannot
-          // prove anything about recorded values — EVERY live entry is
-          // a rewrite candidate, and the collect is O(entries) by
-          // necessity (each file is read and its kept rows rewritten)
-          entriesDataset(spark, meta).collect().toSeq
+        partitionCandidates(spark, meta, partitionCol, wanted, wantNull)
       // spanning candidates hold rows OUTSIDE the replaced partitions
       // (an untouched recorded value, an un-replaced null, or a capped
       // value set that asserts nothing) — only those need reading. The
@@ -2535,15 +2544,6 @@ object Manifest {
       .unionByName(deletes.withColumn("sign", lit(-1L)))
   }
 
-  /** Which live files can hold any of the update batch's partition
-    * values — equality on the recorded value sets; overflowed files and
-    * (for a null-bearing batch) null-bearing files always qualify. */
-  private def candidates(entries: Seq[Entry], wanted: Set[String],
-                         wantNull: Boolean): Seq[Entry] =
-    entries.filter(e => e.overflow ||
-      (wantNull && e.has_null) ||
-      e.values.exists(wanted.contains))
-
   /** Partition-VALUE-SET pruning is sound only when the column's string
     * rendering is session-independent. TimestampType renders in the
     * session timezone, so a writer and a later reader in different
@@ -2613,11 +2613,12 @@ object Manifest {
     * column, identity otherwise — the shared prune of every keyed
     * write path. */
   private def keyedCandidates(spark: SparkSession, root: Path,
-                              snap: Snapshot, cands: Seq[Entry],
-                              batch: DataFrame,
+                              ddl: String, bloomCols: Seq[String],
+                              cands: Seq[Entry], batch: DataFrame,
                               keys: Seq[String]): Seq[Entry] =
     if (keys.size == 1)
-      bloomBatchCandidates(spark, root, snap, cands, batch, keys.head)
+      bloomBatchCandidates(spark, root, ddl, bloomCols, cands, batch,
+        keys.head)
     else cands
 
   /** `nullSafeKeys` must mirror the caller's own match predicate:
@@ -2627,11 +2628,12 @@ object Manifest {
     * new files while never masking the original, silently duplicating
     * every null-keyed row. [[deleteMor]] mirrors [[delete]]'s `===`
     * (null keys delete nothing on either path). */
-  private def dvHits(spark: SparkSession, root: Path, snap: Snapshot,
+  private def dvHits(spark: SparkSession, root: Path, ddl: String,
+                     dvDirs: Seq[String],
                      cands: Seq[Entry], batch: DataFrame,
                      keys: Seq[String], nullSafeKeys: Boolean): DataFrame = {
-    val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
-      dvRelation(spark, root, snap.dvDirs))
+    val target = maskRows(readWithPos(spark, root, cands, ddl),
+      dvRelation(spark, root, dvDirs))
     val probe = batch.select(keys.map(col): _*).distinct().alias("b")
     val cond = keys.map { k =>
       if (nullSafeKeys) col(s"b.$k") <=> col(s"t.$k")
@@ -2679,23 +2681,26 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
+    // header-only planning: a MoR delete writes kilobytes of vector —
+    // its COMMIT must not collect the snapshot either (the DV attach
+    // rides the linked chain as a `dv:` line, no sentinel rewrite)
+    val meta = snapshotMeta(spark, dir, Some(v))
     val touched = deletes.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
-    val cands = keyedCandidates(spark, root, snap,
-      if (partitionValuesSafe(snap.ddl, partitionCol))
-        candidates(snap.entries, touched.flatten.toSet,
-          touched.contains(None))
-      else snap.entries,
+    val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
+      partitionCandidates(spark, meta, partitionCol,
+        touched.flatten.toSet, touched.contains(None)),
       deletes, keys)
     if (cands.isEmpty) return
     writeDv(spark, root,
-      dvHits(spark, root, snap, cands, deletes, keys,
+      dvHits(spark, root, meta.ddl, meta.dvDirs, cands, deletes, keys,
         nullSafeKeys = false)).foreach { name =>
-      commit(fs, root, v + 1,
-        writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-          snap.bloomCols, snap.dvDirs :+ name, snap.constraints,
-          prev = Some(snap)))
+      val mName =
+        if (linkedAppendEligible(spark, fs, meta))
+          linkManifest(spark, fs, root, meta, Nil, dvAdds = Seq(name))
+        else compactManifest(spark, root, meta, meta.ddl, Nil,
+          dvAdds = Seq(name))
+      commit(fs, root, v + 1, mName)
     }
   }
 
@@ -2712,20 +2717,19 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    require(nullableDdl(updates.schema) == snap.ddl,
-      s"batch schema ${nullableDdl(updates.schema)} != table schema ${snap.ddl}")
+    // header-only planning, as in [[deleteMor]]
+    val meta = snapshotMeta(spark, dir, Some(v))
+    require(nullableDdl(updates.schema) == meta.ddl,
+      s"batch schema ${nullableDdl(updates.schema)} != table schema ${meta.ddl}")
     val touched = updates.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
-    val cands = keyedCandidates(spark, root, snap,
-      if (partitionValuesSafe(snap.ddl, partitionCol))
-        candidates(snap.entries, touched.flatten.toSet,
-          touched.contains(None))
-      else snap.entries,
+    val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
+      partitionCandidates(spark, meta, partitionCol,
+        touched.flatten.toSet, touched.contains(None)),
       updates, keys)
     val dataCols = updates.columns
-    val target = maskRows(readWithPos(spark, root, cands, snap.ddl),
-      dvRelation(spark, root, snap.dvDirs))
+    val target = maskRows(readWithPos(spark, root, cands, meta.ddl),
+      dvRelation(spark, root, meta.dvDirs))
     // column-wise merge for matched keys; unmatched updates pass
     // through (left join leaves target columns null → coalesce = update)
     val merged = updates.alias("u")
@@ -2740,16 +2744,21 @@ object Manifest {
     val newEntries =
       if (merged.isEmpty) Seq.empty
       else writeBatch(spark, root, merged, partitionCol,
-        snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
+        meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
     val dvName =
       if (newEntries.isEmpty) None
       else writeDv(spark, root,
-        dvHits(spark, root, snap, cands, updates, keys, nullSafeKeys = true))
-    if (newEntries.nonEmpty || dvName.nonEmpty)
-      commit(fs, root, v + 1,
-        writeManifest(spark, root, snap.entries ++ newEntries, snap.ddl,
-          snap.statsCols, snap.bloomCols, snap.dvDirs ++ dvName,
-          snap.constraints, prev = Some(snap)))
+        dvHits(spark, root, meta.ddl, meta.dvDirs, cands, updates, keys,
+          nullSafeKeys = true))
+    if (newEntries.nonEmpty || dvName.nonEmpty) {
+      val mName =
+        if (linkedAppendEligible(spark, fs, meta))
+          linkManifest(spark, fs, root, meta, newEntries,
+            dvAdds = dvName.toSeq)
+        else compactManifest(spark, root, meta, meta.ddl, newEntries,
+          dvAdds = dvName.toSeq)
+      commit(fs, root, v + 1, mName)
+    }
   }
 
   /** Fold every live deletion vector into data: rewrite ONLY the files
@@ -2801,10 +2810,12 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
+    // snapshot HEADER only: like [[append]]/[[overwritePartitionsSliced]]
+    // the keyed rewrite stays O(touched + batch) driver-side
+    val meta = snapshotMeta(spark, dir, Some(v))
     if (requireFullSchema)
-      require(nullableDdl(batch.schema) == snap.ddl,
-        s"batch schema ${nullableDdl(batch.schema)} != table schema ${snap.ddl}")
+      require(nullableDdl(batch.schema) == meta.ddl,
+        s"batch schema ${nullableDdl(batch.schema)} != table schema ${meta.ddl}")
     // one row per touched partition — bounded by the batch, as in mergeInto
     val touched = batch.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
@@ -2814,30 +2825,44 @@ object Manifest {
     // holding NONE of the batch's keys would be rewritten bit-identical,
     // so skipping it (it stays carried by reference) changes nothing
     // but the rewrite volume
-    val cands = keyedCandidates(spark, root, snap,
-      if (partitionValuesSafe(snap.ddl, partitionCol))
-        candidates(snap.entries, wanted, wantNull)
-      else snap.entries,
+    val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
+      partitionCandidates(spark, meta, partitionCol, wanted, wantNull),
       batch, keys)
     // MASKED read: a candidate file's DV'd rows are logically gone and
     // must not resurrect through the rewrite
-    val target = readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
+    val target = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
     val merged = merge(target, batch)
     val newEntries =
       if (merged.isEmpty) Seq.empty
-      else writeBatch(spark, root, merged, partitionCol, snap.statsCols,
-        snap.constraints, bloomCols = snap.bloomCols)
-    val candPaths = cands.map(_.path).toSet
-    val kept = snap.entries.filterNot(e => candPaths.contains(e.path))
+      else writeBatch(spark, root, merged, partitionCol, meta.statsCols,
+        meta.constraints, bloomCols = meta.bloomCols)
     // DV dirs carry over: rows referencing the dropped candidate files
     // are inert from here on (they match no live file), rows on kept
     // files still mask
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, kept ++ newEntries, snap.ddl,
-        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints,
-        prev = Some(snap)), txn)
+    val removes = cands.map(_.path)
+    val name =
+      if (linkedAppendEligible(spark, fs, meta) &&
+        meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+        linkManifest(spark, fs, root, meta, newEntries, removes)
+      else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
+    commit(fs, root, v + 1, name, txn)
     maybeCheckpoint(spark, dir, partitionCol)
   }
+
+  /** The partition-touched candidate set, selected WHERE the entries
+    * live: O(entries) executor work, O(candidates) driver heap. The
+    * distributed mirror of [[candidates]]; under an UNSAFE partition
+    * rendering every live entry is a candidate (same soundness
+    * argument as [[overwritePartitionsSliced]]). */
+  private def partitionCandidates(spark: SparkSession, meta: SnapshotMeta,
+                                  partitionCol: String, wanted: Set[String],
+                                  wantNull: Boolean): Seq[Entry] =
+    if (partitionValuesSafe(meta.ddl, partitionCol)) {
+      val cond = col("overflow") ||
+        arrays_overlap(col("values"), typedLit(wanted.toSeq)) ||
+        (if (wantNull) col("has_null") else lit(false))
+      entriesDataset(spark, meta).filter(cond).collect().toSeq
+    } else entriesDataset(spark, meta).collect().toSeq
 
   /** OPTIMIZE: rewrite the snapshot's small files (< `smallBytes`) into
     * ~`targetBytes` files, swap atomically. Untouched files carry over

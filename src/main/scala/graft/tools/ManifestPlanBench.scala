@@ -74,6 +74,7 @@ object ManifestPlanBench {
     if (mode == "dist") { distMain(spark, root, n); return }
     if (mode == "ckpt") { ckptMain(spark, root, n); return }
     if (mode == "tail") { tailMain(spark, root, n); return }
+    if (mode == "chain") { chainMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -228,6 +229,62 @@ object ManifestPlanBench {
         s""""list_all_sec":${f"$tList%.3f"},"all_files":$all,""" +
         s""""interval_commit_sync_sec":${f"$tSync%.2f"},""" +
         s""""interval_commit_async_sec":${f"$tAsync%.2f"}}""")
+  }
+
+  /** What the READ side pays for O(batch) linked commits: prune
+    * latency over the manifest relation as the base chain deepens
+    * (checkpoints disabled so nothing masks the chain), plus the cost
+    * of the compacting append at the 64-link cap — the amortized
+    * re-root every 64th commit. */
+  private def chainMain(spark: org.apache.spark.sql.SparkSession,
+                        root: String, n: Int): Unit = {
+    import spark.implicits._
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(graft.ops.Manifest.CheckpointIntervalKey, 1000000L)
+    def appendOne(i: Int): Double = {
+      val df = Seq((2000000000L + i,
+        java.sql.Date.valueOf("1993-06-15"), "chain")).toDF("k", "d", "p")
+      time(graft.ops.Manifest.append(spark, root, df, "p"))._2
+    }
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", DateType)()
+    val filter = org.apache.spark.sql.catalyst.expressions.And(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-01"), DateType)),
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-30"), DateType)))
+    def measure(depth: Int): Unit = {
+      val (index, tLoad) = time(
+        new graft.plans.DistributedManifestFileIndex(spark, root,
+          partitionCol = Some("p")))
+      index.candidateCount(Seq(filter)) // warm
+      val (kept, tPrune) = time(index.candidateCount(Seq(filter)))
+      println(
+        s"""{"metric":"manifest_planning_chain","entries":$n,""" +
+          s""""depth":$depth,"meta_load_sec":${f"$tLoad%.3f"},""" +
+          s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept}""")
+    }
+    measure(1)
+    var d = 1
+    Seq(8, 32, 63).foreach { target =>
+      while (d < target) { appendOne(d); d += 1 }
+      measure(d)
+    }
+    // the 64th link hits the cap: this append COMPACTS (distributed
+    // re-root) — its latency is the amortized cost of keeping chains
+    // bounded, paid once per 64 commits
+    val tCompact = appendOne(d)
+    measure(1) // post-compact the chain is re-rooted: depth 1 again
+    println(
+      s"""{"metric":"manifest_chain_compact","entries":$n,""" +
+        s""""compact_append_sec":${f"$tCompact%.2f"}}""")
+    hconf.unset(graft.ops.Manifest.CheckpointIntervalKey)
   }
 
   /** The distributed-venue measurement: index construction reads only

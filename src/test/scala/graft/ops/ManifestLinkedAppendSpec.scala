@@ -257,6 +257,76 @@ class ManifestLinkedAppendSpec extends SparkSpec {
       base.filter($"p" < 2).count() + 1)
   }
 
+  test("MoR delete/upsert ride the chain as dv: lines — no sentinel rewrite") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, batch(201L, 4L), "p")
+    // MoR delete: kilobytes of vector, O(batch) commit
+    Manifest.deleteMor(spark, dir,
+      Seq((5L, 0L), (201L, 4L)).toDF("k", "p"), Seq("k"), "p")
+    assert(hasBase(dir))
+    val fs = fsOf(dir)
+    val in = fs.open(new Path(tipManifest(dir), "_graft_base"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    assert(lines.count(_.startsWith("dv:")) == 1,
+      "the DV attach is a chain line, not a sentinel rewrite")
+    // no manifest part was written at all for the pure-DV commit
+    assert(!fs.listStatus(tipManifest(dir)).exists(st =>
+      st.isFile && !st.getPath.getName.startsWith("_")))
+    val out = Manifest.read(spark, dir)
+    assert(out.count() == 99)
+    assert(out.filter($"k".isin(5L, 201L)).isEmpty)
+    // time travel: pre-delete rows still visible
+    assert(Manifest.readVersion(spark, dir, 2L).count() == 101)
+    // MoR upsert on top: new files + a second vector, still linked
+    Manifest.upsertMor(spark, dir,
+      Seq((10L, 99.0, 0L), (300L, 3.0, 4L)).toDF("k", "v", "p"),
+      Seq("k"), "p")
+    assert(hasBase(dir))
+    val out2 = Manifest.read(spark, dir)
+    assert(out2.count() == 100) // 99 - masked 10 + updated 10 + new 300
+    assert(out2.filter($"k" === 10L).select("v").as[Double].head() == 99.0)
+    assert(out2.filter($"k" === 300L).count() == 1)
+    // materialize folds the chain's vectors and re-roots (full manifest)
+    assert(Manifest.materialize(spark, dir, "p") > 0L)
+    assert(!hasBase(dir))
+    val out3 = Manifest.read(spark, dir)
+    assert(out3.count() == 100)
+    assert(out3.filter($"k" === 10L).select("v").as[Double].head() == 99.0)
+    // vacuum keeps nothing stranded: read still exact afterwards
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 1, staleMillis = 0L)
+    assert(Manifest.read(spark, dir).count() == 100)
+  }
+
+  test("CoW upsert/delete over a linked chain: carried files untouched") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base.filter($"p" === 0), "p")
+    Manifest.append(spark, dir, base.filter($"p" === 1), "p")
+    val fileOf = Manifest.read(spark, dir)
+      .select($"p", input_file_name().as("f")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // keyed upsert touching only partition 1
+    Manifest.upsert(spark, dir,
+      Seq((60L, 60.5, 1L), (999L, 9.9, 1L)).toDF("k", "v", "p"),
+      Seq("k"), "p")
+    assert(hasBase(dir))
+    val out = Manifest.read(spark, dir)
+    assert(out.filter($"k" === 60L).select("v").as[Double].head() == 60.5)
+    assert(out.filter($"k" === 999L).count() == 1)
+    assert(out.count() == base.filter($"p" < 2).count() + 1)
+    assert(out.inputFiles.contains(fileOf(0L)),
+      "the untouched partition's file is carried by reference")
+    assert(!out.inputFiles.contains(fileOf(1L)),
+      "the rewritten candidate is dropped via the chain's remove set")
+    // keyed delete, same shape
+    Manifest.delete(spark, dir, Seq((999L, 1L)).toDF("k", "p"),
+      Seq("k"), "p")
+    assert(hasBase(dir))
+    assert(Manifest.read(spark, dir).count() ==
+      base.filter($"p" < 2).count())
+  }
+
   test("exactly-once txn markers ride the linked commit pointer") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
