@@ -2394,19 +2394,20 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    // header-only: the sentinel change rides a DISTRIBUTED manifest
+    // re-root (entries flow executor-to-executor), so widening a
+    // 10M-entry table's schema never collects its snapshot
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
     addCols.foreach { case (name, _) =>
       require(!schema.fieldNames.contains(name),
-        s"column $name already exists in ${snap.ddl}")
+        s"column $name already exists in ${meta.ddl}")
     }
     val widened = StructType(schema.fields ++ addCols.map { case (n, t) =>
       StructField(n, DataType.fromDDL(t), nullable = true)
     })
     commit(fs, root, v + 1,
-      writeManifest(spark, root, snap.entries, nullableDdl(widened),
-        snap.statsCols, snap.bloomCols, snap.dvDirs, snap.constraints,
-        prev = Some(snap)))
+      compactManifest(spark, root, meta, nullableDdl(widened), Nil))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -2432,27 +2433,59 @@ object Manifest {
     *    (`to.dvDirs \ from.dvDirs`) mark on CARRIED files — a
     *    carried file's mask only ever grows, and DV rows on
     *    added/removed files are covered by the first two terms. */
+  /** The file-level diff between two versions, computed WHERE the
+    * entries live (one anti-join each way over the manifest relations):
+    * only the CHANGED entries ever reach the driver, honoring the
+    * change feed's O(changed data) contract on a 10⁷-entry table. */
+  private def entryDiff(spark: SparkSession, metaFrom: SnapshotMeta,
+                        metaTo: SnapshotMeta): (Seq[Entry], Seq[Entry]) = {
+    import spark.implicits._
+    val f = entriesDataset(spark, metaFrom).toDF()
+    val t = entriesDataset(spark, metaTo).toDF()
+    val added = t.join(f.select("path"), Seq("path"), "left_anti")
+      .as[ManifestEntry].collect().toSeq
+    val removed = f.join(t.select("path"), Seq("path"), "left_anti")
+      .as[ManifestEntry].collect().toSeq
+    (added, removed)
+  }
+
+  /** The subset of `meta`'s entries whose path is in `paths` —
+    * distributed selection, In-literals below the planning threshold,
+    * broadcast semi-join past it. */
+  private def entriesByPaths(spark: SparkSession, meta: SnapshotMeta,
+                             paths: Seq[String]): Seq[Entry] = {
+    import spark.implicits._
+    if (paths.isEmpty) return Seq.empty
+    val ds = entriesDataset(spark, meta)
+    if (paths.size <= Merge.InListThreshold)
+      ds.filter(col("path").isin(paths: _*)).collect().toSeq
+    else ds.toDF().join(broadcast(paths.toDF("path")), Seq("path"),
+      "left_semi").as[ManifestEntry].collect().toSeq
+  }
+
   private def changeParts(spark: SparkSession, root: Path,
-                          from: Snapshot, to: Snapshot)
+                          metaFrom: SnapshotMeta, metaTo: SnapshotMeta,
+                          added: Seq[Entry], removed: Seq[Entry])
       : (DataFrame, DataFrame) = {
-    val fromPaths = from.entries.map(_.path).toSet
-    val toPaths = to.entries.map(_.path).toSet
-    val added = to.entries.filterNot(e => fromPaths.contains(e.path))
-    val removed = from.entries.filterNot(e => toPaths.contains(e.path))
-    val addedRows = readEntriesMasked(spark, root, added, to.ddl, to.dvDirs)
+    val addedRows =
+      readEntriesMasked(spark, root, added, metaTo.ddl, metaTo.dvDirs)
     val removedRows =
-      readEntriesMasked(spark, root, removed, to.ddl, from.dvDirs)
-    val dvDelta = to.dvDirs.filterNot(from.dvDirs.toSet)
+      readEntriesMasked(spark, root, removed, metaTo.ddl, metaFrom.dvDirs)
+    val dvDelta = metaTo.dvDirs.filterNot(metaFrom.dvDirs.toSet)
     val dvDeleteRows =
       if (dvDelta.isEmpty) None
       else {
-        val carried = to.entries.filter(e => fromPaths.contains(e.path))
-        val hit = dvTouchedPaths(spark, root, dvDelta)
-        val files = carried.filter(e => hit.contains(e.path))
+        // carried ∩ DV-hit, all bounded by the new vectors' file set —
+        // a file is carried iff the hit path exists in BOTH versions
+        val hit = dvTouchedPaths(spark, root, dvDelta).toSeq
+        val inFrom = entriesByPaths(spark, metaFrom, hit)
+          .map(_.path).toSet
+        val files = entriesByPaths(spark, metaTo, hit)
+          .filter(e => inFrom.contains(e.path))
         if (files.isEmpty) None
         else {
           val dv = dvRelation(spark, root, dvDelta)
-          Some(readWithPos(spark, root, files, to.ddl)
+          Some(readWithPos(spark, root, files, metaTo.ddl)
             .join(dv.select(col("path").as("__rel"), col("pos").as("__pos")),
               Seq("__rel", "__pos"), "left_semi")
             .drop("__rel", "__pos"))
@@ -2491,29 +2524,26 @@ object Manifest {
                       toV: Long): Option[DataFrame] = {
     require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
     val (_, root) = fsOf(spark, dir)
-    val from = readSnapshot(spark, root, fromV)
-    val to = readSnapshot(spark, root, toV)
-    val fromPaths = from.entries.map(_.path).toSet
-    val toPaths = to.entries.map(_.path).toSet
-    val hasRemoved = from.entries.exists(e => !toPaths.contains(e.path))
-    val hasDvDelta = to.dvDirs.exists(!from.dvDirs.toSet.contains(_))
-    if (hasRemoved || hasDvDelta) None
-    else Some(readEntries(spark, root,
-      to.entries.filter(e => !fromPaths.contains(e.path)), to.ddl))
+    val metaFrom = snapshotMeta(spark, dir, Some(fromV))
+    val metaTo = snapshotMeta(spark, dir, Some(toV))
+    val (added, removed) = entryDiff(spark, metaFrom, metaTo)
+    val hasDvDelta = metaTo.dvDirs.exists(!metaFrom.dvDirs.toSet.contains(_))
+    if (removed.nonEmpty || hasDvDelta) None
+    else Some(readEntries(spark, root, added, metaTo.ddl))
   }
 
   def changes(spark: SparkSession, dir: String, fromV: Long,
               toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
     val (_, root) = fsOf(spark, dir)
-    val from = readSnapshot(spark, root, fromV)
-    val to = readSnapshot(spark, root, toV)
-    val fromPaths = from.entries.map(_.path).toSet
-    val toPaths = to.entries.map(_.path).toSet
-    val hasAdded = to.entries.exists(e => !fromPaths.contains(e.path))
-    val hasRemoved = from.entries.exists(e => !toPaths.contains(e.path))
-    val hasDvDelta = to.dvDirs.exists(!from.dvDirs.toSet.contains(_))
-    val (inserts, deletes) = changeParts(spark, root, from, to)
+    val metaFrom = snapshotMeta(spark, dir, Some(fromV))
+    val metaTo = snapshotMeta(spark, dir, Some(toV))
+    val (added, removed) = entryDiff(spark, metaFrom, metaTo)
+    val hasAdded = added.nonEmpty
+    val hasRemoved = removed.nonEmpty
+    val hasDvDelta = metaTo.dvDirs.exists(!metaFrom.dvDirs.toSet.contains(_))
+    val (inserts, deletes) =
+      changeParts(spark, root, metaFrom, metaTo, added, removed)
     // one-sided diffs (append-only / delete-only commit ranges) need no
     // cancellation — skip both multiset differences and their shuffles
     if (!hasRemoved && !hasDvDelta) inserts.withColumn("change", lit("insert"))
@@ -2537,9 +2567,11 @@ object Manifest {
                     toV: Long): DataFrame = {
     require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
     val (_, root) = fsOf(spark, dir)
-    val from = readSnapshot(spark, root, fromV)
-    val to = readSnapshot(spark, root, toV)
-    val (inserts, deletes) = changeParts(spark, root, from, to)
+    val metaFrom = snapshotMeta(spark, dir, Some(fromV))
+    val metaTo = snapshotMeta(spark, dir, Some(toV))
+    val (added, removed) = entryDiff(spark, metaFrom, metaTo)
+    val (inserts, deletes) =
+      changeParts(spark, root, metaFrom, metaTo, added, removed)
     inserts.withColumn("sign", lit(1L))
       .unionByName(deletes.withColumn("sign", lit(-1L)))
   }
