@@ -1575,18 +1575,22 @@ object Manifest {
     * bound optional). A file with no recorded stats for the column is
     * always a candidate; a file whose column is all-null (null min/max)
     * never is — range predicates match no null row. */
-  private def rangeCandidates(snap: Snapshot, dt: DataType, column: String,
+  private def rangeCandidates(spark: SparkSession, meta: SnapshotMeta,
+                              dt: DataType, column: String,
                               rawLo: Option[String],
                               rawHi: Option[String]): Seq[Entry] = {
-    val idx = snap.statsCols.indexOf(column)
+    val idx = meta.statsCols.indexOf(column)
     val cmpOpt = renderedOrdering(dt)
     // a bound that does not parse in the stored rendering cannot prune
     val lo = rawLo.flatMap(renderedBound(_, dt))
     val hi = rawHi.flatMap(renderedBound(_, dt))
+    val ds = entriesDataset(spark, meta)
     if (idx < 0 || cmpOpt.isEmpty || (lo.isEmpty && hi.isEmpty))
-      return snap.entries
+      return ds.collect().toSeq // unprunable: the read opens every file
     val cmp = cmpOpt.get
-    snap.entries.filter { e =>
+    // the EXACT closure, run where the entries live (a typed filter on
+    // executors) — only surviving candidates reach the driver
+    ds.filter { e =>
       if (e.stat_mins.length <= idx || e.stat_maxs.length <= idx) true
       else (Option(e.stat_mins(idx)), Option(e.stat_maxs(idx))) match {
         case (Some(mn), Some(mx)) =>
@@ -1599,7 +1603,7 @@ object Manifest {
           catch { case _: NumberFormatException => true }
         case _ => false // all-null column in this file
       }
-    }
+    }.collect().toSeq
   }
 
   /** Which files a `lo <= column <= hi` read would open (paths) —
@@ -1608,12 +1612,10 @@ object Manifest {
   private[ops] def rangeCandidatePaths(spark: SparkSession, dir: String,
                                        column: String, lo: Option[String],
                                        hi: Option[String]): Seq[String] = {
-    val (_, root) = fsOf(spark, dir)
-    val v = latestVersion(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
-    rangeCandidates(snap, schema(column).dataType, column, lo, hi).map(_.path)
+    val meta = snapshotMeta(spark, dir)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    rangeCandidates(spark, meta, schema(column).dataType, column, lo, hi)
+      .map(_.path)
   }
 
   /** Range read with file skipping: only files whose recorded min/max
@@ -1626,13 +1628,11 @@ object Manifest {
   def readRange(spark: SparkSession, dir: String, column: String,
                 lo: Option[String], hi: Option[String]): DataFrame = {
     val (_, root) = fsOf(spark, dir)
-    val v = latestVersion(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    val meta = snapshotMeta(spark, dir)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
     val dt = schema(column).dataType
-    val cands = rangeCandidates(snap, dt, column, lo, hi)
-    val df = readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
+    val cands = rangeCandidates(spark, meta, dt, column, lo, hi)
+    val df = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
     val bounds = lo.map(l => col(column) >= lit(l).cast(dt)).toSeq ++
       hi.map(h => col(column) <= lit(h).cast(dt))
     bounds.foldLeft(df)(_.filter(_))
@@ -1651,11 +1651,12 @@ object Manifest {
     * [[evolve]]) is always a candidate; a file whose column is all-null
     * has an empty filter and is skipped — equality never matches null. */
   private def pointCandidates(spark: SparkSession, root: Path,
-                              snap: Snapshot, dt: DataType, column: String,
+                              meta: SnapshotMeta, dt: DataType,
+                              column: String,
                               value: String): Seq[Entry] = {
-    val rangeCands = rangeCandidates(snap, dt, column,
+    val rangeCands = rangeCandidates(spark, meta, dt, column,
       Some(value), Some(value))
-    if (!snap.bloomCols.contains(column) || rangeCands.isEmpty)
+    if (!meta.bloomCols.contains(column) || rangeCands.isEmpty)
       return rangeCands
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // probe positions via the same Spark expressions the writer used
@@ -1737,11 +1738,9 @@ object Manifest {
                                        column: String,
                                        value: String): Seq[String] = {
     val (_, root) = fsOf(spark, dir)
-    val v = latestVersion(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
-    pointCandidates(spark, root, snap, schema(column).dataType, column,
+    val meta = snapshotMeta(spark, dir)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    pointCandidates(spark, root, meta, schema(column).dataType, column,
       value).map(_.path)
   }
 
@@ -1755,13 +1754,11 @@ object Manifest {
   def readPoint(spark: SparkSession, dir: String, column: String,
                 value: String): DataFrame = {
     val (_, root) = fsOf(spark, dir)
-    val v = latestVersion(spark, dir)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+    val meta = snapshotMeta(spark, dir)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
     val dt = schema(column).dataType
-    val cands = pointCandidates(spark, root, snap, dt, column, value)
-    readEntriesMasked(spark, root, cands, snap.ddl, snap.dvDirs)
+    val cands = pointCandidates(spark, root, meta, dt, column, value)
+    readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
       .filter(col(column) === lit(value).cast(dt))
   }
 
