@@ -1944,7 +1944,9 @@ object Manifest {
                               meta: SnapshotMeta, ddlOut: String,
                               adds: Seq[Entry],
                               removes: Seq[String] = Nil,
-                              dvAdds: Seq[String] = Nil): String = {
+                              dvAdds: Seq[String] = Nil,
+                              constraintsOut: Option[Seq[String]] = None)
+      : String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
@@ -1954,7 +1956,8 @@ object Manifest {
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddlOut,
       stat_cols = meta.statsCols, stat_mins = Seq.empty,
       stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
-      dv_dirs = meta.dvDirs ++ dvAdds, constraints = meta.constraints)
+      dv_dirs = meta.dvDirs ++ dvAdds,
+      constraints = constraintsOut.getOrElse(meta.constraints))
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
       bloom_cols = Seq.empty, dv_dirs = Seq.empty,
       constraints = Seq.empty))
@@ -2898,31 +2901,40 @@ object Manifest {
     * by reference. The output file count is enforced through the write
     * (content-salted within a partition value — see [[writeBatch]]), so
     * `targetBytes` bounds output sizes even when one partition value
-    * dominates. Returns the number of small files folded. */
+    * dominates. Returns the number of small files folded.
+    *
+    * Plans from the snapshot HEADER: the small-file set is selected
+    * where the entries live (a `bytes <` filter on the manifest
+    * relation) and only the candidates reach the driver, so compacting
+    * a 10⁷-entry table costs O(small files) driver heap — the commit
+    * rides the linked-manifest chain (adds + removes) when eligible,
+    * exactly like [[rewrite]]. */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
               smallBytes: Long = 32L << 20,
               targetBytes: Long = 128L << 20): Long = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val small = snap.entries.filter(_.bytes < smallBytes)
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val small = entriesDataset(spark, meta)
+      .filter(col("bytes") < smallBytes).collect().toSeq
     if (small.size < 2) return 0L // nothing to gain
     val total = small.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     // masked: compaction materializes any DVs on the small files
-    val compacted = readEntriesMasked(spark, root, small, snap.ddl,
-      snap.dvDirs)
+    val compacted = readEntriesMasked(spark, root, small, meta.ddl,
+      meta.dvDirs)
     val newEntries = if (compacted.isEmpty) Seq.empty
                      else writeBatch(spark, root, compacted, partitionCol,
-                       snap.statsCols, snap.constraints,
-                       numFiles = Some(nOut), bloomCols = snap.bloomCols)
-    val smallPaths = small.map(_.path).toSet
-    commit(fs, root, v + 1,
-      writeManifest(spark, root,
-        snap.entries.filterNot(e => smallPaths.contains(e.path)) ++ newEntries,
-        snap.ddl, snap.statsCols, snap.bloomCols, snap.dvDirs,
-        snap.constraints, prev = Some(snap)))
+                       meta.statsCols, meta.constraints,
+                       numFiles = Some(nOut), bloomCols = meta.bloomCols)
+    val removes = small.map(_.path)
+    val name =
+      if (linkedAppendEligible(spark, fs, meta) &&
+        meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+        linkManifest(spark, fs, root, meta, newEntries, removes)
+      else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
+    commit(fs, root, v + 1, name)
     maybeCheckpoint(spark, dir, partitionCol)
     small.size.toLong
   }
@@ -2942,32 +2954,39 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    require(!snap.constraints.map(parseConstraint(_)._1).contains(name),
+    val meta = snapshotMeta(spark, dir, Some(v))
+    require(!meta.constraints.map(parseConstraint(_)._1).contains(name),
       s"constraint '$name' already exists")
-    val existing = readEntriesMasked(spark, root, snap.entries, snap.ddl,
-      snap.dvDirs)
+    // the validation scan's file list is transient (Spark's scan
+    // planning needs the paths); the COMMIT is a distributed re-root —
+    // a sentinel-only change never re-serializes the entry list
+    // through the driver (same shape as [[evolve]])
+    val entries = entriesDataset(spark, meta).collect().toSeq
+    val existing = readEntriesMasked(spark, root, entries, meta.ddl,
+      meta.dvDirs)
     val viol = existing.filter(!coalesce(expr(sql), lit(true))).count()
     if (viol > 0) throw ConstraintViolationException(name, sql, viol)
     commit(fs, root, v + 1,
-      writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, snap.dvDirs, snap.constraints :+ s"$name: $sql",
-        prev = Some(snap)))
+      compactManifest(spark, root, meta, meta.ddl, Nil,
+        constraintsOut = Some(meta.constraints :+ s"$name: $sql")))
   }
 
-  /** DROP a CHECK constraint by name (error if absent). */
+  /** DROP a CHECK constraint by name (error if absent). Metadata-only:
+    * no data file is listed or read — the sentinel change rides a
+    * distributed manifest re-root, O(1) driver heap at any table
+    * size. */
   def dropConstraint(spark: SparkSession, dir: String,
                      name: String): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val kept = snap.constraints.filterNot(parseConstraint(_)._1 == name)
-    require(kept.size < snap.constraints.size,
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val kept = meta.constraints.filterNot(parseConstraint(_)._1 == name)
+    require(kept.size < meta.constraints.size,
       s"no constraint named '$name'")
     commit(fs, root, v + 1,
-      writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, snap.dvDirs, kept, prev = Some(snap)))
+      compactManifest(spark, root, meta, meta.ddl, Nil,
+        constraintsOut = Some(kept)))
   }
 
   /** The table's CHECK constraints as (name, sql) pairs. */
@@ -3254,12 +3273,28 @@ object Manifest {
       if (lagging.nonEmpty)
         throw RetentionPinnedException(lagging, keep.head)
     }
-    val live: Set[String] =
-      keep.flatMap(v => readSnapshot(spark, root, v).entries.map(_.path)).toSet
+    // live-path membership via a DISTRIBUTED Bloom filter over the kept
+    // snapshots' entry relations — O(entries) executor work, ~2 MB/10⁶
+    // paths driver heap instead of the O(entries) Set a 10⁷-entry
+    // table would turn into gigabytes. Safety is one-sided by
+    // construction: a Bloom has no false NEGATIVES, so a live file can
+    // never test as orphan; a false POSITIVE (rate 1e-4) merely retains
+    // an orphan for a later pass.
+    val metas = keep.map(v => snapshotMeta(spark, dir, Some(v)))
+    val liveDf = metas.map(m => entriesDataset(spark, m).select(col("path")))
+      .reduce(_.unionAll(_))
+    // expected-count estimate from manifest bytes (~64 B/slim entry on
+    // disk): an overestimate only widens the filter, never weakens it
+    val expectedLive =
+      math.max(1024L, metas.map(_.manifestBytes).sum / 64)
+    val live = liveDf.stat.bloomFilter("path", expectedLive, 1e-4)
     // a batch's _bloom/ side relation lives exactly as long as any of
     // the batch's data files does (it is per-batch immutable metadata,
-    // not manifest-listed)
-    val liveBatches: Set[String] = live.map(_.split('/')(1))
+    // not manifest-listed); one batch dir per commit, so the distinct
+    // collect is O(commits)
+    val liveBatches: Set[String] = liveDf
+      .select(split(col("path"), "/").getItem(1).as("b"))
+      .distinct().collect().map(_.getString(0)).toSet
     // transitive base closure: a LINKED manifest's entry set lives in
     // its whole chain, so every base of a kept tip is itself live
     val liveManifests: Set[String] =
@@ -3286,7 +3321,7 @@ object Manifest {
           youngBatches += parts(1)
         val isLiveBloom = parts.length > 2 && parts(2) == BloomDir &&
           liveBatches.contains(parts(1))
-        if (st.isFile && !live.contains(rel) && !isLiveBloom &&
+        if (st.isFile && !live.mightContain(rel) && !isLiveBloom &&
           st.getModificationTime < cutoff)
           doomed += ((st.getPath, parts(1)))
       }
@@ -3309,8 +3344,7 @@ object Manifest {
     // rows once its commit lands). The dir's own mtime covers the
     // moment it exists but its first part file doesn't; the content
     // listing runs only for non-live dirs (LIST is the costly call).
-    val liveDvs: Set[String] =
-      keep.flatMap(v => readSnapshot(spark, root, v).dvDirs).toSet
+    val liveDvs: Set[String] = metas.flatMap(_.dvDirs).toSet
     val dvRoot = new Path(root, DvDir)
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
       if (!liveDvs.contains(st.getPath.getName) &&
