@@ -1,0 +1,388 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Manifest
+
+/** A [[Manifest]] table as a Structured Streaming SOURCE —
+  * `spark.readStream.format("graft-manifest").load(tableDir)` — the
+  * upstream half of CDC that [[graft.ops.ChangeFeed]]'s poll loop serves
+  * imperatively. Offsets are table VERSIONS, so a micro-batch is a
+  * version range `(start, end]` and replay after a crash recomputes the
+  * exact same rows from the exact same snapshots: the engine's offset
+  * log plus manifest snapshot isolation gives end-to-end exactly-once
+  * into any idempotent/transactional sink with zero source-side state
+  * beyond one retention pin.
+  *
+  * Two modes (`option("mode", ...)`):
+  *
+  *  - `cdc` (default): each batch carries the table columns plus
+  *    `_change` ('insert' | 'delete') and `_commit_version`. A commit's
+  *    rows come from [[Manifest.changes]] on that single version step,
+  *    so an upsert arrives as its delete+insert pair, exactly like the
+  *    poll feed. The FIRST batch (no `afterVersion`) is the standard
+  *    CDC initial load: the full snapshot as inserts, labeled with the
+  *    snapshot's version.
+  *  - `append`: table columns plus `_commit_version`, served by the
+  *    [[Manifest.appendedBetween]] fast path — only each commit's ADDED
+  *    files are ever read (the streaming-ingest shape: at 100 TB the
+  *    per-trigger read is O(new data), never O(table)). Any in-range
+  *    rewrite (upsert/delete/compact/cluster) fails the batch LOUDLY
+  *    with a pointer at cdc mode — silently treating rewritten rows as
+  *    fresh inserts is the corruption this mode refuses.
+  *
+  * Options:
+  *  - `afterVersion`: exclusive anchor — start from the changes AFTER
+  *    this retained version instead of an initial snapshot load (the
+  *    cursor convention of [[graft.ops.ChangeFeed.poll]], NOT Delta's
+  *    inclusive `startingVersion`; the name differs deliberately).
+  *  - `maxVersionsPerTrigger` (default 64): admission control — at most
+  *    this many commits per micro-batch, so a backlogged stream catches
+  *    up in bounded, checkpointable steps instead of one giant batch.
+  *
+  * Retention: the source owns one named pin (derived from the query's
+  * checkpoint source path, stable across restarts) and advances it on
+  * every committed batch, so vacuum can never drop the snapshot the
+  * next batch diffs against — restart state IS the pin, no extra
+  * bookkeeping files. Decommission a stream with [[ManifestStream.retire]].
+  *
+  * Schema is FIXED at stream start (the engine analyzes the plan once):
+  * a mid-stream [[Manifest.evolve]] widening keeps batches planning —
+  * new columns are simply not selected — and any incompatible change
+  * (dropped/retyped column) fails loudly with a restart hint rather
+  * than mis-typing rows. */
+object ManifestStream {
+
+  val ChangeCol = "_change"
+  val VersionCol = "_commit_version"
+
+  private[io] def optCI(params: Map[String, String], key: String)
+      : Option[String] =
+    params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  /** The stream's retention-pin name on the base table — derived from
+    * the engine's per-source checkpoint path (`<ckpt>/sources/<i>`), so
+    * a restarted query reuses the pin and two queries never collide.
+    * The path is FS-QUALIFIED before hashing: the engine hands
+    * createSource a resolved URI (`file:/...`), while [[retire]] gets
+    * the user's raw string — both must land on the same pin. */
+  private[io] def pinName(spark: SparkSession, metadataPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath)
+    val u = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(p).toUri
+    // component-wise canonical form: Hadoop renders a null vs empty
+    // authority differently ("file:/x" vs "file:///x") depending on
+    // whether the input string already carried a scheme
+    val canon =
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    "stream-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Decommission a stopped stream: drop its retention pin so vacuum
+    * stops waiting for it (`sourceIndex` = position in the query's
+    * source list; 0 for the usual single-source query). */
+  def retire(spark: SparkSession, tableDir: String,
+             checkpointLocation: String, sourceIndex: Int = 0): Unit =
+    Manifest.unpin(spark, tableDir,
+      pinName(spark,
+        s"${checkpointLocation.stripSuffix("/")}/sources/$sourceIndex"))
+
+  private[io] def afterVersionOpt(params: Map[String, String]): Option[Long] =
+    optCI(params, "afterVersion").map { s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"afterVersion must be a version number, got '$s'"))
+    }
+
+  private[io] def maxVersionsOpt(params: Map[String, String]): Long =
+    optCI(params, "maxVersionsPerTrigger").map { s =>
+      s.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerTrigger must be a positive integer, got '$s'"))
+    }.getOrElse(64L)
+
+  /** Schema + full option validation — runs at `.load()` time (the
+    * provider's sourceSchema hook), so a malformed option fails in the
+    * caller's stack, not asynchronously on the stream thread. */
+  private[io] def sourceSchema(spark: SparkSession,
+                               params: Map[String, String]): StructType = {
+    val dir = optCI(params, "path").getOrElse(throw new IllegalArgumentException(
+      "graft-manifest source needs a table path: .load(dir) or option(\"path\", dir)"))
+    val mode = optCI(params, "mode").getOrElse("cdc").toLowerCase
+    require(mode == "cdc" || mode == "append",
+      s"graft-manifest mode must be 'cdc' or 'append', got '$mode'")
+    afterVersionOpt(params); maxVersionsOpt(params)
+    val base = Manifest.tableSchema(spark, dir)
+    Seq(ChangeCol, VersionCol).foreach { c =>
+      require(!base.fieldNames.contains(c),
+        s"table column '$c' collides with the graft-manifest metadata column")
+    }
+    val extras =
+      if (mode == "cdc") Seq(StructField(ChangeCol, StringType, nullable = false),
+        StructField(VersionCol, LongType, nullable = false))
+      else Seq(StructField(VersionCol, LongType, nullable = false))
+    StructType(base.map(_.copy(nullable = true)) ++ extras)
+  }
+}
+
+class ManifestStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+  import ManifestStream._
+
+  override def shortName(): String = "graft-manifest"
+
+  /** `writeStream.format("graft-manifest")` — the sink half: each
+    * micro-batch commits through [[Manifest.appendIfAbsent]] (or
+    * [[Manifest.upsertIfAbsent]] when `keys` is set), with the engine's
+    * `(queryId, batchId)` as the transaction marker, so a
+    * checkpoint-replayed batch no-ops against its own marker and the
+    * source→sink chain is exactly-once END TO END with both halves on
+    * manifest tables. Options: `path`, `partitionCol` (or a single
+    * `.partitionBy(...)` column), `keys` (comma-separated — switches to
+    * keyed upsert), `statsCols` (comma-separated min/max stat columns,
+    * first batch only), `mergeSchema` (append path only). Output modes:
+    * Append for the append path; Append or Update for the keyed path
+    * (an update-mode aggregation re-emits full rows per changed key —
+    * exactly what the upsert folds); Complete is refused (rewriting the
+    * whole table every trigger is a batch job, not a stream). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val dir = optCI(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest sink needs a table path: option(\"path\", dir)"))
+    val partitionCol = (partitionColumns, optCI(parameters, "partitionCol")) match {
+      case (Seq(one), None) => one
+      case (Seq(), Some(c)) => c
+      case (Seq(one), Some(c)) if one == c => c
+      case (ps, o) => throw new IllegalArgumentException(
+        "graft-manifest sink needs exactly ONE partition column via " +
+          s".partitionBy or option(\"partitionCol\") — got partitionBy=$ps, option=$o")
+    }
+    val keys = optCI(parameters, "keys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val statsCols = optCI(parameters, "statsCols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val mergeSchema = optCI(parameters, "mergeSchema").exists(_.toBoolean)
+    require(outputMode != OutputMode.Complete(),
+      "graft-manifest sink refuses Complete mode: rewriting the full " +
+        "result every trigger is a batch overwrite, not a stream — use " +
+        "foreachBatch with Manifest.overwritePartitions if that is really wanted")
+    require(keys.nonEmpty || outputMode == OutputMode.Append(),
+      "Update mode needs option(\"keys\", ...) — without keys an " +
+        "update-mode batch would blind-append re-emitted rows")
+    require(!(keys.nonEmpty && mergeSchema),
+      "mergeSchema applies to the append path only")
+    new ManifestSink(sqlContext.sparkSession, dir, partitionCol, keys,
+      statsCols, mergeSchema)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-manifest reads the table's own schema; a user schema cannot apply")
+    (shortName(), ManifestStream.sourceSchema(sqlContext.sparkSession, parameters))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val dir = optCI(parameters, "path").get // validated in sourceSchema
+    val mode = optCI(parameters, "mode").getOrElse("cdc").toLowerCase
+    val after = afterVersionOpt(parameters)
+    val maxV = maxVersionsOpt(parameters)
+    new ManifestStreamSource(spark, dir, mode, after, maxV,
+      ManifestStream.sourceSchema(spark, parameters),
+      pinName(spark, metadataPath))
+  }
+}
+
+class ManifestStreamSource(spark: SparkSession, tableDir: String,
+                           mode: String, afterVersion: Option[Long],
+                           maxVersionsPerTrigger: Long,
+                           override val schema: StructType,
+                           pin: String) extends Source {
+  import ManifestStream._
+
+  // Anchor the pin BEFORE the first trigger so a vacuum between stream
+  // start and the first commit can never drop the snapshot the initial
+  // batch reads. A restarted query finds its previous pin (advanced by
+  // commit()) and must NOT regress it to `latest`; a brand-new query
+  // pins the anchor it will actually start from.
+  locally {
+    val retained = Manifest.versions(spark, tableDir)
+    require(retained.nonEmpty, s"no manifest table at $tableDir")
+    afterVersion.foreach { a =>
+      require(retained.contains(a),
+        s"afterVersion v$a is not retained (have v${retained.head}.." +
+          s"v${retained.last}) — it cannot anchor a change feed")
+    }
+    if (!Manifest.pins(spark, tableDir).contains(pin))
+      Manifest.pin(spark, tableDir, pin,
+        afterVersion.getOrElse(retained.last))
+  }
+
+  /** Highest version already handed to the engine THIS run — the
+    * admission-control floor. Absent (fresh start or restart), the
+    * durable pin is the floor: it sits at the last committed batch. */
+  private var planned: Option[Long] = None
+
+  private def ver(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = Manifest.latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"manifest table at $tableDir vanished"))
+    val floor = planned.getOrElse(
+      Manifest.pins(spark, tableDir).getOrElse(pin,
+        afterVersion.getOrElse(latest)))
+    // the initial-snapshot batch must fire even when floor == latest —
+    // `planned`/a committed pin distinguish "nothing delivered yet"
+    // only for afterVersion-anchored streams, so a fresh snapshot-mode
+    // stream offers `latest` and the engine's offset log dedups it
+    val firstSnapshot = planned.isEmpty && afterVersion.isEmpty &&
+      !committedOnce
+    val end = math.min(latest, floor + maxVersionsPerTrigger)
+    if (end > floor) Some(LongOffset(end))
+    else if (firstSnapshot) Some(LongOffset(latest))
+    else None
+  }
+
+  /** Whether any batch of this query was ever committed — true exactly
+    * when the pin moved past its construction-time anchor is
+    * unknowable (the anchor may equal the first commit), so track the
+    * one bit durably alongside the pin: the pin file's presence is not
+    * enough, but commit() always runs before the next getOffset of a
+    * restarted query only when the engine replayed the batch, whose
+    * offset the engine's own log already holds — the engine never asks
+    * the source "did batch 0 happen". The only case this bit guards is
+    * a FRESH query on a table whose latest version never advances: the
+    * first offer must happen once, and re-offering the same offset to
+    * an engine that committed it is a no-op (equal offsets plan no
+    * batch). So a session-local bit is sufficient and safe. */
+  private var committedOnce: Boolean = false
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = ver(end)
+    planned = Some(math.max(endV, planned.getOrElse(Long.MinValue)))
+    val raw = start match {
+      case Some(s) => rangeChanges(ver(s), endV)
+      case None => afterVersion match {
+        case Some(a) =>
+          if (a == endV) emptyBatch() else rangeChanges(a, endV)
+        case None => snapshotAsOf(endV)
+      }
+    }
+    GraftStreamBridge.asStreaming(conform(raw))
+  }
+
+  override def commit(end: OffsetV1): Unit = {
+    committedOnce = true
+    Manifest.pin(spark, tableDir, pin, ver(end))
+  }
+
+  override def stop(): Unit = () // the pin outlives the run: see retire()
+
+  /** The CDC initial load: the full snapshot at `v` as inserts, labeled
+    * with the snapshot version (rows from many commits read as one
+    * consistent version — the poll feed's fromV = 0 convention). */
+  private def snapshotAsOf(v: Long): DataFrame = {
+    val base = Manifest.readVersion(spark, tableDir, v)
+    val tagged =
+      if (mode == "cdc") base.withColumn(ChangeCol, lit("insert"))
+      else base
+    tagged.withColumn(VersionCol, lit(v))
+  }
+
+  /** Changes over `(fromV, toV]`, one single-version step at a time so
+    * `_commit_version` is honest per row. Each step's plan reads only
+    * that commit's delta files (append-only fast path in both modes);
+    * admission control bounds the union width. */
+  private def rangeChanges(fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"bad change range ($fromV, $toV]")
+    val retained = Manifest.versions(spark, tableDir)
+    require(retained.contains(fromV),
+      s"stream anchor v$fromV was vacuumed (retained v${retained.head}.." +
+        s"v${retained.last}) — the feed has a gap; retire the stream " +
+        "and restart from a fresh snapshot, or widen retention")
+    val steps = (fromV until toV).map { v =>
+      val stepEnd = v + 1
+      val step =
+        if (mode == "cdc")
+          Manifest.changes(spark, tableDir, v, stepEnd)
+            .withColumnRenamed("change", ChangeCol)
+        else Manifest.appendedBetween(spark, tableDir, v, stepEnd)
+          .getOrElse(throw new IllegalStateException(
+            s"commit v$stepEnd of $tableDir rewrote or deleted files — " +
+              "append mode cannot represent it; restart the stream " +
+              "with option(\"mode\", \"cdc\")"))
+      step.withColumn(VersionCol, lit(stepEnd))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  private def emptyBatch(): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Pin every batch to the stream's fixed schema: select its columns
+    * in order and verify the types still line up. A widened table keeps
+    * streaming (extra columns ignored until a restart picks them up); a
+    * dropped or retyped column fails loudly HERE — handing
+    * `internalCreateDataFrame` rows of the wrong shape would mis-read
+    * memory, not raise. */
+  private def conform(df: DataFrame): DataFrame = {
+    val out = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    schema.fields.zip(out.schema.fields).foreach { case (want, got) =>
+      require(org.apache.spark.sql.types.DataType
+          .equalsIgnoreNullability(want.dataType, got.dataType),
+        s"column '${want.name}' changed type ${want.dataType.sql} -> " +
+          s"${got.dataType.sql} mid-stream — restart the query to adopt " +
+          "the evolved schema")
+    }
+    out
+  }
+}
+
+/** The manifest sink: one snapshot commit per micro-batch, idempotent
+  * under checkpoint replay. The engine publishes the query id as a
+  * local property before every addBatch; `(queryId, batchId)` rides
+  * the commit as the table's transaction marker, so the crash-replay
+  * of an already-committed batch is detected INSIDE the commit's
+  * conflict-retry loop and no-ops — exactly-once without any
+  * sink-side bookkeeping beyond the marker the table already keeps. */
+class ManifestSink(spark: SparkSession, tableDir: String,
+                   partitionCol: String, keys: Seq[String],
+                   statsCols: Seq[String], mergeSchema: Boolean)
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val appId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(throw new IllegalStateException(
+        "graft-manifest sink: no streaming query id on this thread — " +
+          "addBatch must run inside a streaming query"))
+    val batch = GraftStreamBridge.asBatch(data)
+    if (keys.nonEmpty)
+      Manifest.upsertIfAbsent(spark, tableDir, batch, keys, partitionCol,
+        appId, batchId, statsCols)
+    else
+      Manifest.appendIfAbsent(spark, tableDir, batch, partitionCol,
+        appId, batchId, statsCols, mergeSchema)
+  }
+}

@@ -1,0 +1,285 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.sum
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.ops.Manifest
+
+/** The manifest table as a Structured Streaming source: version-range
+  * offsets, CDC initial load, per-commit `_commit_version` labeling,
+  * admission control, checkpoint restart, the append-mode fast path's
+  * loud rewrite refusal, and the retention pin's lifecycle. */
+class ManifestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() = Files.createTempDirectory("graft-mstream").toString
+
+  private def base = spark.range(1, 7)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 2).as("p"))
+
+  private def start(dir: String, ckpt: String, name: String,
+                    opts: Map[String, String] = Map.empty): StreamingQuery = {
+    val r = opts.foldLeft(spark.readStream.format("graft-manifest")) {
+      case (b, (k, v)) => b.option(k, v)
+    }
+    r.load(dir).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+  }
+
+  private def sinkRows(name: String): DataFrame = spark.table(name)
+
+  /** Fold the CDC stream's rows back into table state: per key, apply
+    * versions in order, deletes before inserts within a version (the
+    * documented delivery contract). */
+  private def foldCdc(rows: Seq[(Long, Double, String, Long)])
+      : Map[Long, Double] = {
+    val state = scala.collection.mutable.Map[Long, Double]()
+    rows.groupBy(_._4).toSeq.sortBy(_._1).foreach { case (_, batch) =>
+      batch.filter(_._3 == "delete").foreach(r => state.remove(r._1))
+      batch.filter(_._3 == "insert").foreach(r => state(r._1) = r._2)
+    }
+    state.toMap
+  }
+
+  test("cdc: initial snapshot, then per-commit delete+insert changes, convergent with the table") {
+    val root = newDir()
+    val dir = s"$root/tbl"
+    Manifest.create(spark, dir, base, "p")
+    val q = start(dir, s"$root/ckpt", "ms_cdc")
+    try {
+      q.processAllAvailable()
+      val snap = sinkRows("ms_cdc")
+        .select("k", "v", "_change", "_commit_version")
+        .as[(Long, Double, String, Long)].collect().toSeq
+      assert(snap.size == 6 && snap.forall(r => r._3 == "insert" && r._4 == 1L),
+        s"initial load must be the v1 snapshot as inserts, got $snap")
+
+      Manifest.append(spark, dir,
+        Seq((100L, 100.0, 0L), (101L, 101.0, 1L)).toDF("k", "v", "p"), "p")
+      Manifest.upsert(spark, dir, Seq((1L, 111.0, 1L)).toDF("k", "v", "p"),
+        Seq("k"), "p")
+      q.processAllAvailable()
+
+      val all = sinkRows("ms_cdc")
+        .select("k", "v", "_change", "_commit_version")
+        .as[(Long, Double, String, Long)].collect().toSeq
+      val appended = all.filter(_._4 == 2L)
+      assert(appended.map(r => (r._1, r._3)).toSet ==
+        Set((100L, "insert"), (101L, "insert")),
+        s"commit v2 must arrive as its two inserts, got $appended")
+      val upserted = all.filter(_._4 == 3L)
+      assert(upserted.collect { case (1L, _, c, _) => c }.toSet ==
+        Set("delete", "insert"),
+        s"the upsert of k=1 must arrive as a delete+insert pair, got $upserted")
+
+      val expect = Manifest.read(spark, dir).select("k", "v")
+        .as[(Long, Double)].collect().toMap
+      assert(foldCdc(all) == expect,
+        "folding the CDC stream must reproduce the table state exactly")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at the committed version; pin survives and retire drops it") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    Manifest.create(spark, dir, base, "p")
+    // the FILE sink supports checkpoint recovery (memory does not), so
+    // the pair of runs also proves source-offsets + sink-log
+    // end-to-end exactly-once: no snapshot replay, no duplicates
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+
+    // the pin is the stream's durable floor: present after the run
+    val pinned = Manifest.pins(spark, dir).filter(_._1.startsWith("stream-"))
+    assert(pinned.size == 1, s"expected the stream's retention pin, got $pinned")
+
+    Manifest.append(spark, dir, Seq((200L, 2.0, 0L)).toDF("k", "v", "p"), "p")
+    run()
+    val rows = spark.read.parquet(out)
+      .select("k", "_commit_version").as[(Long, Long)].collect().toSeq
+    assert(rows.count(_._2 == 1L) == 6 && rows.count(_._2 == 2L) == 1 &&
+      rows.size == 7,
+      s"restart must deliver ONLY the new commit (no snapshot replay), got $rows")
+
+    ManifestStream.retire(spark, dir, ckpt)
+    assert(!Manifest.pins(spark, dir).keys.exists(_.startsWith("stream-")),
+      s"retire must drop the stream's retention pin; left ${Manifest
+        .pins(spark, dir)}, retire computed ${ManifestStream
+        .pinName(spark, s"$ckpt/sources/0")}")
+  }
+
+  test("afterVersion anchor + maxVersionsPerTrigger=1: no snapshot, one commit per batch") {
+    val root = newDir()
+    val dir = s"$root/tbl"
+    Manifest.create(spark, dir, base, "p")                              // v1
+    (1 to 3).foreach { i =>                                             // v2..v4
+      Manifest.append(spark, dir,
+        Seq((1000L + i, i.toDouble, 0L)).toDF("k", "v", "p"), "p")
+    }
+    val q = start(dir, s"$root/ckpt", "ms_adm",
+      Map("afterVersion" -> "1", "maxVersionsPerTrigger" -> "1"))
+    try {
+      q.processAllAvailable()
+      val rows = sinkRows("ms_adm")
+        .select("k", "_commit_version").as[(Long, Long)].collect().toSeq
+      assert(rows.toSet ==
+        Set((1001L, 2L), (1002L, 3L), (1003L, 4L)),
+        s"anchored stream must carry exactly the post-anchor commits, got $rows")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"admission control must split 3 commits into 3 batches, got $dataBatches")
+    } finally q.stop()
+  }
+
+  test("append mode: fast path streams appends, a rewrite fails loudly pointing at cdc") {
+    val root = newDir()
+    val dir = s"$root/tbl"
+    Manifest.create(spark, dir, base, "p")
+    val q = start(dir, s"$root/ckpt", "ms_app", Map("mode" -> "append"))
+    try {
+      q.processAllAvailable()
+      assert(!sinkRows("ms_app").columns.contains("_change"),
+        "append mode carries no change column")
+      Manifest.append(spark, dir, Seq((300L, 3.0, 1L)).toDF("k", "v", "p"), "p")
+      q.processAllAvailable()
+      assert(sinkRows("ms_app").where($"_commit_version" === 2L).count() == 1)
+
+      Manifest.delete(spark, dir, Seq((300L, 1L)).toDF("k", "p"), Seq("k"), "p")
+      val failed = intercept[Throwable] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.toString +: chain(t.getCause)
+      val msgs = (chain(failed) ++
+        q.exception.toSeq.flatMap(chain)).mkString("\n")
+      assert(msgs.contains("cdc"),
+        s"a rewrite under append mode must fail pointing at cdc mode, got:\n$msgs")
+    } finally q.stop()
+  }
+
+  test("sink: table-to-table streaming ETL, one commit per batch, convergent downstream") {
+    val root = newDir()
+    val up = s"$root/up"; val down = s"$root/down"
+    Manifest.create(spark, up, base, "p")
+    // second run drives Trigger.AvailableNow — the batch-scope trigger
+    // the rest of the pipeline standardizes on — so both the default
+    // and the available-now wrapper paths are exercised
+    def run(availableNow: Boolean): Unit = {
+      val w = spark.readStream.format("graft-manifest")
+        .option("mode", "append").load(up)
+        .where($"v" > 1.0)
+        .select($"k", ($"v" * 10).as("v10"), $"p")
+        .writeStream.format("graft-manifest")
+        .option("path", down).option("partitionCol", "p")
+        .option("checkpointLocation", s"$root/ckpt")
+      if (availableNow) {
+        val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(120000),
+          "AvailableNow run must self-terminate") finally q.stop()
+      } else {
+        val q = w.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    run(availableNow = false)
+    Manifest.append(spark, up, Seq((50L, 50.0, 0L)).toDF("k", "v", "p"), "p")
+    run(availableNow = true)
+    val got = Manifest.read(spark, down).select("k", "v10")
+      .as[(Long, Double)].collect().toMap
+    val want = Manifest.read(spark, up).where($"v" > 1.0)
+      .select($"k", $"v" * 10).as[(Long, Double)].collect().toMap
+    assert(got == want,
+      s"downstream must equal the transformed upstream, got $got want $want")
+    // no duplicate appends across the restart: one row for the v2 commit
+    assert(Manifest.read(spark, down).where($"k" === 50L).count() == 1)
+  }
+
+  test("sink: update-mode aggregation upserts by key, convergent with the batch aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = newDir()
+    val down = s"$root/kpi"
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("total"))
+      .select($"k", $"total", ($"k" % 2).as("p"))
+      .writeStream.outputMode("update").format("graft-manifest")
+      .option("path", down).option("partitionCol", "p")
+      .option("keys", "k")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, 10.0), (3L, 3.0))
+      q.processAllAvailable()
+      val got = Manifest.read(spark, down).select("k", "total")
+        .as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 11.0, 2L -> 2.0, 3L -> 3.0),
+        s"keyed upsert sink must fold update-mode re-emissions, got $got")
+    } finally q.stop()
+  }
+
+  test("sink: a replayed batch id no-ops against the txn marker (exactly-once)") {
+    val root = newDir()
+    val down = s"$root/tbl"
+    val sink = new ManifestSink(spark, down, "p", Seq.empty, Seq.empty,
+      mergeSchema = false)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "q-replay")
+    try {
+      sink.addBatch(0L, base)
+      sink.addBatch(0L, base) // crash-replay of the same batch
+      assert(Manifest.read(spark, down).count() == 6,
+        "the replayed batch must not double-append")
+      assert(Manifest.lastTxn(spark, down, "q-replay").contains(0L))
+      sink.addBatch(1L, Seq((99L, 9.0, 1L)).toDF("k", "v", "p"))
+      assert(Manifest.read(spark, down).count() == 7)
+    } finally spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
+  test("sink: Complete mode and keyless Update are refused at start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = newDir()
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val agg = mem.toDF().toDF("k", "v").groupBy($"k")
+      .agg(sum($"v").as("total")).select($"k", $"total", ($"k" % 2).as("p"))
+    intercept[IllegalArgumentException] {
+      agg.writeStream.outputMode("complete").format("graft-manifest")
+        .option("path", s"$root/t1").option("partitionCol", "p")
+        .option("checkpointLocation", s"$root/ck1").start()
+    }
+    intercept[IllegalArgumentException] {
+      agg.writeStream.outputMode("update").format("graft-manifest")
+        .option("path", s"$root/t2").option("partitionCol", "p")
+        .option("checkpointLocation", s"$root/ck2").start()
+    }
+  }
+
+  test("option validation fails at load time; metadata-column collision is refused") {
+    val root = newDir()
+    val dir = s"$root/tbl"
+    Manifest.create(spark, dir, base, "p")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-manifest").option("mode", "weird").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-manifest")
+        .option("maxVersionsPerTrigger", "0").load(dir)
+    }
+    val cdir = s"$root/ctbl"
+    Manifest.create(spark, cdir,
+      base.withColumnRenamed("v", "_commit_version"), "p")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-manifest").load(cdir)
+    }
+  }
+}
