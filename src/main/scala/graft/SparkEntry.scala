@@ -725,6 +725,34 @@ object SparkEntry {
       graft.ops.Manifest.readVersion(s, dir, 1L).orderBy(col("o_orderkey"))
     }),
 
+    // RESTORE: after an upsert AND a keyed delete, rolling back to v1
+    // must make the TIP read as exactly the create input again — and as
+    // a new commit, not a pointer mutation (the pre-restore tip stays
+    // time-travelable; ManifestRestoreSpec pins that and the O(1)
+    // no-new-manifest property). The oracle is the plain base SELECT:
+    // any leakage of the undone writes into the restored tip mismatches.
+    "man_restore" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_restore_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      graft.ops.Manifest.create(s, dir, base, "o_orderstatus")
+      graft.ops.Manifest.upsert(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.delete(s, dir,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.restore(s, dir, 1L)
+      graft.ops.Manifest.read(s, dir).orderBy(col("o_orderkey"))
+    }),
+
     // File-stat range pruning (ops.Manifest.readRange): the table is
     // partitioned by STATUS but ingested in date bands (the time-ordered
     // append pattern of a daily feed), so per-file min/max on
@@ -3537,6 +3565,13 @@ ORDER BY step"""
 
     // Version 1 is the unmodified create input, upsert notwithstanding.
     "man_timetravel" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey % 3 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // RESTORE to v1 makes the TIP the unmodified create input again —
+    // the upsert and the keyed delete both undone.
+    "man_restore" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE o_orderkey % 3 != 0
         |ORDER BY o_orderkey""".stripMargin,

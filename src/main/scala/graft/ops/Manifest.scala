@@ -1800,6 +1800,47 @@ object Manifest {
     readEntriesMasked(spark, root, snap.entries, snap.ddl, snap.dvDirs)
   }
 
+  /** RESTORE: make retained version `v` the table's CURRENT state
+    * again, as a NEW commit (Delta's RESTORE shape) — the bad-deploy /
+    * fat-finger undo. Returns the new version (or `v` itself when it
+    * is already the tip — restoring to now is a no-op, no empty commit).
+    *
+    * The commit is O(1) METADATA-ONLY at any table size: the new
+    * pointer names version `v`'s EXISTING manifest verbatim — no entry
+    * is listed, copied, or rewritten, and no data file moves. Snapshot
+    * reuse is sound end to end because every consumer resolves through
+    * the pointer: reads, stats pruning, DV masking (the sentinel's
+    * `dv_dirs` come back with it), linked-chain closure, the change
+    * feed (`changes(tip, restored)` is the honest row-level undo diff —
+    * deleted rows reappear as inserts), and [[vacuumOrphans]], whose
+    * live set is computed from KEPT versions' pointers with chain
+    * closure, so the shared manifest and its files survive as long as
+    * ANY retained version names them — even after the original `v`'s
+    * pointer ages out.
+    *
+    * Restoring resurrects the WHOLE snapshot sentinel: schema,
+    * constraints, and stats configuration added after `v` are undone
+    * with the data (stated here because it is the point, not a
+    * side effect). Txn markers are NOT carried over — a restore is an
+    * operator action, not an exactly-once batch replay. Lost commit
+    * races retry on a fresh read of the tip, like every other commit. */
+  def restore(spark: SparkSession, dir: String, v: Long): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    withConflictRetry() {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no table at $dir")
+      require(vs.contains(v),
+        s"cannot restore $dir to v$v: not retained " +
+          s"(have v${vs.head}..v${vs.last}) — vacuum already dropped it")
+      val latest = vs.last
+      if (latest == v) v
+      else {
+        commit(fs, root, latest + 1, readPointer(fs, root, v))
+        latest + 1
+      }
+    }
+  }
+
   /** Append `df` as new files (no rewrite of existing data).
     *
     * `mergeSchema = true` accepts a batch carrying EXTRA columns: the
@@ -2440,13 +2481,63 @@ object Manifest {
   private def entryDiff(spark: SparkSession, metaFrom: SnapshotMeta,
                         metaTo: SnapshotMeta): (Seq[Entry], Seq[Entry]) = {
     import spark.implicits._
-    val f = entriesDataset(spark, metaFrom).toDF()
-    val t = entriesDataset(spark, metaTo).toDF()
-    val added = t.join(f.select("path"), Seq("path"), "left_anti")
-      .as[ManifestEntry].collect().toSeq
-    val removed = f.join(t.select("path"), Seq("path"), "left_anti")
-      .as[ManifestEntry].collect().toSeq
-    (added, removed)
+    entryDiffChain(spark, metaFrom, metaTo).getOrElse {
+      val f = entriesDataset(spark, metaFrom).toDF()
+      val t = entriesDataset(spark, metaTo).toDF()
+      val added = t.join(f.select("path"), Seq("path"), "left_anti")
+        .as[ManifestEntry].collect().toSeq
+      val removed = f.join(t.select("path"), Seq("path"), "left_anti")
+        .as[ManifestEntry].collect().toSeq
+      (added, removed)
+    }
+  }
+
+  /** Chain-aware diff FAST PATH: when `metaTo`'s manifest chain EXTENDS
+    * `metaFrom`'s (the linked-commit shape — appends, keyed rewrites,
+    * partition overwrites, DV attaches), the range's adds are exactly
+    * the new links' own slim parts and its removes are the cumulative
+    * remove-set delta, so the diff costs O(new data) instead of two
+    * anti-joins over both FULL entry relations. This is what holds a
+    * change-feed consumer ([[ChangeFeed.poll]], the `graft-manifest`
+    * streaming source) to O(new data) per delivery on a 10⁷-entry
+    * table — without it every trigger re-scanned the whole manifest
+    * twice. A re-rooted range (compaction, schema widening, restore)
+    * is not an extension and falls back to the full diff: rare,
+    * maintenance-shaped commits.
+    *
+    * Parity with the full diff leans on the chain chokepoint's own
+    * invariant (see [[paddedManifest]]): batch paths are UUID'd and
+    * never reused, so within an extending chain a live path appears in
+    * exactly one link and a removed path is never re-added. A file
+    * both added AND removed inside the range is transient at the
+    * endpoints — excluded from adds (the remove-delta filter) and from
+    * removes (`entriesByPaths` resolves only paths live at `metaFrom`),
+    * exactly as the endpoint anti-joins would have it. */
+  private def entryDiffChain(spark: SparkSession, metaFrom: SnapshotMeta,
+                             metaTo: SnapshotMeta)
+      : Option[(Seq[Entry], Seq[Entry])] = {
+    import spark.implicits._
+    if (metaTo.manifestDirs.size <= metaFrom.manifestDirs.size ||
+      !metaTo.manifestDirs.startsWith(metaFrom.manifestDirs)) None
+    else {
+      val fs = new Path(metaTo.manifestDirs.last)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // part-less links (a pure DV attach stages no parquet) would
+      // break the union read — LIST each new dir and keep data parts
+      val newDirs = metaTo.manifestDirs.drop(metaFrom.manifestDirs.size)
+        .filter(d => fs.listStatus(new Path(d)).exists(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")))
+      val fromRm = metaFrom.removedPaths.toSet
+      val rmDelta = metaTo.removedPaths.filterNot(fromRm)
+      val rmSet = rmDelta.toSet
+      val adds =
+        if (newDirs.isEmpty) Seq.empty[Entry]
+        else paddedManifest(spark, newDirs, Nil)
+          .filter(col("path") =!= "").as[ManifestEntry].collect().toSeq
+          .filterNot(e => rmSet.contains(e.path))
+      Some((adds, entriesByPaths(spark, metaFrom, rmDelta)))
+    }
   }
 
   /** The subset of `meta`'s entries whose path is in `paths` —

@@ -75,6 +75,7 @@ object ManifestPlanBench {
     if (mode == "ckpt") { ckptMain(spark, root, n); return }
     if (mode == "tail") { tailMain(spark, root, n); return }
     if (mode == "chain") { chainMain(spark, root, n); return }
+    if (mode == "stream") { streamMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -168,6 +169,49 @@ object ManifestPlanBench {
     * verdict #7): one interval commit with the checkpoint write INLINE
     * vs one with it detached (`graft.manifest.checkpoint.async`),
     * against the plain-append floor. */
+  /** Prices one STREAMING-SOURCE trigger against an `n`-entry table:
+    * commit a real 10 k-row append on top of the synthetic snapshot,
+    * then drive `readStream.format("graft-manifest")` (append mode,
+    * anchored past the snapshot) through one AvailableNow micro-batch
+    * into a noop sink. The claim under test is the source's 100 TB
+    * contract: a trigger costs O(new data) — the n-entry snapshot is
+    * never listed, so the per-trigger seconds must be FLAT in n. Two
+    * batches run; the second is the steady-state number (the first
+    * carries stream-start + JIT). */
+  private def streamMain(spark: org.apache.spark.sql.SparkSession,
+                         root: String, n: Int): Unit = {
+    import spark.implicits._
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def appendRows(i: Int): Unit = {
+      val df = spark.range(10000)
+        .select(($"id" + 2000000000L * i).as("k"),
+          to_date(lit("1993-06-15")).as("d"), lit(s"stream-$i").as("p"))
+      graft.ops.Manifest.append(spark, root, df, "p")
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streambench-ck").toString
+    def runBatch(): Double = time {
+      val q = spark.readStream.format("graft-manifest")
+        .option("mode", "append").option("afterVersion", "1").load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "trigger did not finish")
+      q.stop()
+    }._2
+    appendRows(1)
+    val t1 = runBatch() // v2: stream start + JIT + the batch
+    appendRows(2)
+    val t2 = runBatch() // v3: steady-state restart + one-commit batch
+    println(s"""{"metric":"manifest_stream_trigger","n":$n,""" +
+      s""""rows_per_batch":10000,"first_sec":${f"$t1%.2f"},""" +
+      s""""steady_sec":${f"$t2%.2f"}}""")
+  }
+
   private def tailMain(spark: org.apache.spark.sql.SparkSession,
                        root: String, n: Int): Unit = {
     import spark.implicits._

@@ -165,6 +165,34 @@ class ManifestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc across a compaction commit: a pure rewrite nets ZERO change rows") {
+    val root = newDir()
+    val dir = s"$root/tbl"
+    Manifest.create(spark, dir, base, "p")                               // v1
+    Manifest.append(spark, dir, Seq((10L, 1.0, 0L)).toDF("k", "v", "p"),
+      "p")                                                               // v2
+    val q = start(dir, s"$root/ckpt", "ms_compact")
+    try {
+      q.processAllAvailable()
+      val vBefore = Manifest.versions(spark, dir).last
+      Manifest.compact(spark, dir, "p", smallBytes = 32L << 20)
+      val vAfter = Manifest.versions(spark, dir).last
+      assert(vAfter > vBefore, "the compaction must actually commit")
+      q.processAllAvailable()
+      // the rewrite carried every row unchanged: inserts and deletes
+      // cancel in the per-commit diff, so the feed stays SILENT — a
+      // consumer never sees a phantom full-table churn from maintenance
+      assert(sinkRows("ms_compact")
+        .where($"_commit_version" === vAfter).count() == 0,
+        "a pure compaction rewrite must net zero change rows")
+      Manifest.append(spark, dir, Seq((20L, 2.0, 1L)).toDF("k", "v", "p"),
+        "p")
+      q.processAllAvailable()
+      assert(sinkRows("ms_compact").where($"k" === 20L).count() == 1,
+        "the feed must keep flowing after the silent maintenance commit")
+    } finally q.stop()
+  }
+
   test("sink: table-to-table streaming ETL, one commit per batch, convergent downstream") {
     val root = newDir()
     val up = s"$root/up"; val down = s"$root/down"

@@ -336,4 +336,27 @@ class ManifestLinkedAppendSpec extends SparkSpec {
       "a replayed batch no-ops")
     assert(Manifest.read(spark, dir).count() == 101)
   }
+
+  test("chain-aware change diff: transient add+remove inside the range nets out (endpoint parity)") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")                               // v1
+    Manifest.append(spark, dir,
+      Seq((500L, 5.0, 0L), (501L, 5.1, 0L)).toDF("k", "v", "p"), "p")    // v2
+    Manifest.delete(spark, dir,
+      Seq((500L, 0L), (501L, 0L)).toDF("k", "p"), Seq("k"), "p")         // v3
+    assert(hasBase(dir), "the range must be a linked chain (fast path)")
+    // rows added at v2 and deleted at v3 are invisible at the
+    // endpoints; the delete's CoW rewrite of sibling candidates is a
+    // remove+add of identical rows that cancels in the multiset diff —
+    // the fast chain diff must agree with the endpoint anti-joins: NOTHING
+    assert(Manifest.changes(spark, dir, 1L, 3L).count() == 0,
+      "an intra-range transient file must net to zero change rows")
+    // and a surviving append past the churn surfaces exactly itself
+    Manifest.append(spark, dir, Seq((600L, 6.0, 1L)).toDF("k", "v", "p"),
+      "p")                                                               // v4
+    val net = Manifest.changes(spark, dir, 1L, 4L)
+      .select("k", "change").as[(Long, String)].collect().toSet
+    assert(net == Set((600L, "insert")),
+      s"only the surviving row may appear across the whole range, got $net")
+  }
 }
