@@ -3,6 +3,7 @@ package graft.io
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
@@ -214,7 +215,8 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
                            mode: String, afterVersion: Option[Long],
                            maxVersionsPerTrigger: Long,
                            override val schema: StructType,
-                           pin: String) extends Source {
+                           pin: String)
+    extends Source with SupportsAdmissionControl {
   import ManifestStream._
 
   // Anchor the pin BEFORE the first trigger so a vacuum between stream
@@ -235,51 +237,46 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
         afterVersion.getOrElse(retained.last))
   }
 
-  /** Highest version already handed to the engine THIS run — the
-    * admission-control floor. Absent (fresh start or restart), the
-    * durable pin is the floor: it sits at the last committed batch. */
-  private var planned: Option[Long] = None
-
-  private def ver(o: OffsetV1): Long = o match {
+  private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
   }
 
+  /** The authoritative pacing hook ([[SupportsAdmissionControl]], the
+    * path MicroBatchExecution prefers for V1 sources that offer it —
+    * Delta's DeltaSource shape): the ENGINE supplies the true start
+    * offset from its own log, so catch-up pacing is exact across
+    * restarts — no floor has to be guessed from the (commit-lagging)
+    * retention pin, which could otherwise offer an offset at or below
+    * the committed one after a restart and stall the paced stream.
+    * `null` start = nothing planned yet (the initial-snapshot / first
+    * anchored batch); `null` return = no new data. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = Manifest.latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"manifest table at $tableDir vanished"))
+    val floor = Option(start).map(ver).orElse(afterVersion)
+    floor match {
+      case None => LongOffset(latest) // initial snapshot, never paced
+      case Some(f) =>
+        val end = math.min(latest, f + maxVersionsPerTrigger)
+        if (end > f) LongOffset(end) else null
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Legacy hook, kept only because [[Source]] requires it (the engine
+    * routes this source through [[latestOffset]]): unpaced —
+    * correct without in-session state, just possibly large first
+    * catch-up batch. */
   override def getOffset: Option[OffsetV1] = {
     val latest = Manifest.latestVersion(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"manifest table at $tableDir vanished"))
-    val floor = planned.getOrElse(
-      Manifest.pins(spark, tableDir).getOrElse(pin,
-        afterVersion.getOrElse(latest)))
-    // the initial-snapshot batch must fire even when floor == latest —
-    // `planned`/a committed pin distinguish "nothing delivered yet"
-    // only for afterVersion-anchored streams, so a fresh snapshot-mode
-    // stream offers `latest` and the engine's offset log dedups it
-    val firstSnapshot = planned.isEmpty && afterVersion.isEmpty &&
-      !committedOnce
-    val end = math.min(latest, floor + maxVersionsPerTrigger)
-    if (end > floor) Some(LongOffset(end))
-    else if (firstSnapshot) Some(LongOffset(latest))
-    else None
+    Some(LongOffset(latest))
   }
-
-  /** Whether any batch of this query was ever committed — true exactly
-    * when the pin moved past its construction-time anchor is
-    * unknowable (the anchor may equal the first commit), so track the
-    * one bit durably alongside the pin: the pin file's presence is not
-    * enough, but commit() always runs before the next getOffset of a
-    * restarted query only when the engine replayed the batch, whose
-    * offset the engine's own log already holds — the engine never asks
-    * the source "did batch 0 happen". The only case this bit guards is
-    * a FRESH query on a table whose latest version never advances: the
-    * first offer must happen once, and re-offering the same offset to
-    * an engine that committed it is a no-op (equal offsets plan no
-    * batch). So a session-local bit is sufficient and safe. */
-  private var committedOnce: Boolean = false
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = ver(end)
-    planned = Some(math.max(endV, planned.getOrElse(Long.MinValue)))
     val raw = start match {
       case Some(s) => rangeChanges(ver(s), endV)
       case None => afterVersion match {
@@ -291,10 +288,8 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
     GraftStreamBridge.asStreaming(conform(raw))
   }
 
-  override def commit(end: OffsetV1): Unit = {
-    committedOnce = true
+  override def commit(end: OffsetV1): Unit =
     Manifest.pin(spark, tableDir, pin, ver(end))
-  }
 
   override def stop(): Unit = () // the pin outlives the run: see retire()
 

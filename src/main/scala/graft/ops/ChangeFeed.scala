@@ -107,11 +107,20 @@ object ChangeFeed {
     * the cursor at `cursorDir`. Returns the cursor after the call
     * (unchanged when already current). `changes` carries the table
     * columns plus `change` ∈ ('insert','delete'); the first delivery
-    * is the full snapshot as inserts with `fromV = 0`. */
+    * is the full snapshot as inserts with `fromV = 0`.
+    *
+    * `maxVersions` paces catch-up: a delivery spans at most that many
+    * commits past the cursor, so a consumer that lagged a thousand
+    * commits drains in bounded, individually-committed deliveries
+    * (re-poll until the returned cursor stops moving) instead of one
+    * giant diff — the cursor-side analog of the streaming source's
+    * `maxVersionsPerTrigger`. The initial snapshot load is never
+    * paced (it is one consistent version, not a range). */
   def poll(spark: SparkSession, baseDir: String, cursorDir: String,
-           onGap: String = "fail")
+           onGap: String = "fail", maxVersions: Long = Long.MaxValue)
           (f: (DataFrame, Long, Long) => Unit): Long = {
     require(onGap == "fail" || onGap == "resync", s"bad onGap '$onGap'")
+    require(maxVersions >= 1, s"maxVersions must be positive, got $maxVersions")
     val retained = Manifest.versions(spark, baseDir)
     require(retained.nonEmpty, s"no table at $baseDir")
     val latest = retained.last
@@ -143,7 +152,15 @@ object ChangeFeed {
           if (onGap == "fail") gap(c)
           initialLoad(c)
         } else {
-          try f(Manifest.changes(spark, baseDir, c, latest), c, latest)
+          // Pace: the delivery's upper bound is at most `maxVersions`
+          // RETAINED commits past the cursor (retained versions are
+          // the only valid diff endpoints — a vacuumed intermediate is
+          // not a gap for the feed, just not an anchor candidate).
+          val newer = retained.dropWhile(_ <= c)
+          val toV =
+            if (maxVersions >= newer.size) latest
+            else newer(maxVersions.toInt - 1)
+          try f(Manifest.changes(spark, baseDir, c, toV), c, toV)
           catch {
             // a vacuum racing the delivery surfaces as a read error on
             // version c's files: re-classify so gap handling stays one
@@ -154,8 +171,8 @@ object ChangeFeed {
               throw new FeedGapException(c, Manifest.versions(spark, baseDir)
                 .headOption.getOrElse(latest), latest).initCause(t)
           }
-          advance(latest)
-          latest
+          advance(toV)
+          toV
         }
     }
   }

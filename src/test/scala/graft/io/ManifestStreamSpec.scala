@@ -165,6 +165,41 @@ class ManifestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("paced restart under commit lag: the engine's start offset drives pacing, no stall") {
+    // the retention pin advances on Source.commit, which LAGS the
+    // engine's own commit log by up to a batch — a paced source that
+    // guessed its floor from the pin could offer an offset at or below
+    // the committed one after a restart and stall forever. Pacing now
+    // rides SupportsAdmissionControl.latestOffset(start, _), where the
+    // engine supplies the true start; this pins the restart behavior.
+    val root = newDir()
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    Manifest.create(spark, dir, base, "p")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()                                                // snapshot batch
+    Manifest.append(spark, dir, Seq((500L, 5.0, 0L)).toDF("k", "v", "p"), "p")
+    run()                                                // one paced batch; pin lags
+    (1 to 3).foreach { i =>
+      Manifest.append(spark, dir,
+        Seq((600L + i, i.toDouble, 1L)).toDF("k", "v", "p"), "p")
+    }
+    run()
+    val got = spark.read.parquet(out)
+      .where($"_commit_version" >= 3L).select("k", "_commit_version")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((601L, 3L), (602L, 4L), (603L, 5L)),
+      s"the paced restart must catch up across all three commits, got $got")
+    assert(spark.read.parquet(out).count() == 6 + 1 + 3,
+      "no batch may be dropped or duplicated across the paced restarts")
+  }
+
   test("cdc across a compaction commit: a pure rewrite nets ZERO change rows") {
     val root = newDir()
     val dir = s"$root/tbl"

@@ -60,6 +60,29 @@ class ChangeFeedSpec extends SparkSpec {
     assert(sink.state.toMap == tableState(dir))
   }
 
+  test("maxVersions paces catch-up into bounded, individually-committed deliveries") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val cur = s"$root/cursor"
+    Manifest.create(spark, dir, base, "p")
+    val sink = new KvSink
+    // initial snapshot load is never paced
+    assert(ChangeFeed.poll(spark, dir, cur, maxVersions = 1L)(sink.apply) == 1L)
+    (1 to 5).foreach { i =>
+      Manifest.append(spark, dir,
+        Seq((1000L + i, i.toDouble, 0L)).toDF("k", "v", "p"), "p")
+    }
+    // 5 commits behind, paced 2 per delivery: 3 polls drain the lag,
+    // each advancing (and durably committing) its own cursor
+    assert(ChangeFeed.poll(spark, dir, cur, maxVersions = 2L)(sink.apply) == 3L)
+    assert(ChangeFeed.poll(spark, dir, cur, maxVersions = 2L)(sink.apply) == 5L)
+    assert(ChangeFeed.poll(spark, dir, cur, maxVersions = 2L)(sink.apply) == 6L)
+    assert(sink.deliveries == 4)
+    assert(sink.state.toMap == tableState(dir))
+    // drained: a paced poll on a current cursor is a no-op
+    assert(ChangeFeed.poll(spark, dir, cur, maxVersions = 2L)(sink.apply) == 6L)
+    assert(sink.deliveries == 4)
+  }
+
   test("a crash inside f replays the same range (at-least-once)") {
     val root = newDir()
     val dir = s"$root/tbl"; val cur = s"$root/cursor"
