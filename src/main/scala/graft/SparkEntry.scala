@@ -753,6 +753,40 @@ object SparkEntry {
       graft.ops.Manifest.read(s, dir).orderBy(col("o_orderkey"))
     }),
 
+    // The graft-manifest BATCH DataSource end to end (io.ManifestRelation
+    // / ManifestStreamProvider.createRelation): CREATE through
+    // DataFrameWriter, SaveMode.Append, an atomic whole-snapshot
+    // Overwrite (prices doubled), then read the TIP and a versionAsOf=1
+    // time travel back through spark.read.format — the left join flags
+    // which keys the first commit carried, so ONE result pins both
+    // snapshots and the writer/reader round trip.
+    "man_datasource" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_datasource_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .write.format("graft-manifest")
+        .option("partitionCol", "o_orderstatus").save(dir)
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .write.format("graft-manifest").mode("append")
+        .option("partitionCol", "o_orderstatus").save(dir)
+      orders.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.format("graft-manifest").mode("overwrite")
+        .option("partitionCol", "o_orderstatus").save(dir)
+      val tip = s.read.format("graft-manifest").load(dir)
+      val v1 = s.read.format("graft-manifest").option("versionAsOf", "1")
+        .load(dir).select(col("o_orderkey").as("k1"))
+      tip.join(v1, tip("o_orderkey") === v1("k1"), "left")
+        .select(col("o_orderkey"), col("o_totalprice").as("tp2"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("k1").isNotNull.as("in_v1"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // File-stat range pruning (ops.Manifest.readRange): the table is
     // partitioned by STATUS but ingested in date bands (the time-ordered
     // append pattern of a daily feed), so per-file min/max on
@@ -3574,6 +3608,16 @@ ORDER BY step"""
     "man_restore" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE o_orderkey % 3 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Tip after the overwrite = every order at doubled price (×2 on a
+    // ≤2dp double is exact in both engines); in_v1 flags the keys the
+    // create commit carried (o_orderkey % 3 = 0), read back through
+    // versionAsOf = 1.
+    "man_datasource" ->
+      """SELECT o_orderkey, o_totalprice * 2 AS tp2, o_orderstatus,
+        |       (o_orderkey % 3 = 0) AS in_v1
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // Expected SCD2 history rebuilt per key class: every key has a v1

@@ -2,12 +2,13 @@ package graft.io
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.DataSourceUtils
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -136,10 +137,86 @@ object ManifestStream {
 }
 
 class ManifestStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   import ManifestStream._
 
   override def shortName(): String = "graft-manifest"
+
+  /** `spark.read.format("graft-manifest")` — the BATCH read half (and
+    * the resolution target of `CREATE TABLE ... USING graft-manifest`):
+    * the latest snapshot, or a time-travel one via `versionAsOf` /
+    * `timestampAsOf`. Full contract on [[ManifestRelation]]. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = optCI(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest needs a table path: .load(dir) or option(\"path\", dir)"))
+    val version = ManifestRelation.resolveVersion(spark, dir, parameters)
+    ManifestRelation.forRead(spark, dir, optCI(parameters, "partitionCol"),
+      version)
+  }
+
+  /** `df.write.format("graft-manifest")` — the BATCH write half: every
+    * SaveMode lands as ONE atomic manifest commit (crash leaves the
+    * previous snapshot intact; Overwrite keeps old versions
+    * time-travelable until vacuum). Full contract on
+    * [[ManifestRelation]]. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = optCI(parameters, "path").getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest needs a table path: .save(dir) or option(\"path\", dir)"))
+    require(optCI(parameters, "versionAsOf").isEmpty &&
+      optCI(parameters, "timestampAsOf").isEmpty,
+      "versionAsOf/timestampAsOf are read options — a write always " +
+        "commits the next version")
+    val partitionCol =
+      (parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+        .map(DataSourceUtils.decodePartitioningColumns(_).toSeq)
+        .getOrElse(Nil),
+        optCI(parameters, "partitionCol")) match {
+        case (Seq(one), None) => one
+        case (Seq(), Some(c)) => c
+        case (Seq(one), Some(c)) if one == c => c
+        case (ps, o) => throw new IllegalArgumentException(
+          "graft-manifest write needs exactly ONE partition column via " +
+            s".partitionBy or option(\"partitionCol\") — got partitionBy=$ps, option=$o")
+      }
+    def listOpt(key: String) = optCI(parameters, key).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val statsCols = listOpt("statsCols")
+    val bloomCols = listOpt("bloomCols")
+    val mergeSchema = optCI(parameters, "mergeSchema").exists(_.toBoolean)
+    val exists = Manifest.latestVersion(spark, dir).isDefined
+    // stats/bloom configuration is a CREATE-time contract (StagedWrite's
+    // rule): reconfiguring an existing table would silently fork its
+    // pruning semantics, so refuse rather than ignore
+    require(!exists || (statsCols.isEmpty && bloomCols.isEmpty),
+      s"statsCols/bloomCols configure a table at CREATE only; $dir " +
+        "already exists with its own pruning configuration")
+    mode match {
+      case _ if !exists =>
+        if (mode == SaveMode.Ignore || mode == SaveMode.ErrorIfExists ||
+          mode == SaveMode.Append || mode == SaveMode.Overwrite)
+          Manifest.create(spark, dir, data, partitionCol, statsCols,
+            bloomCols = bloomCols)
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalArgumentException(
+          s"graft-manifest table already exists at $dir " +
+            "(SaveMode.ErrorIfExists) — use append or overwrite")
+      case SaveMode.Ignore => ()
+      case SaveMode.Append =>
+        Manifest.append(spark, dir, data, partitionCol,
+          mergeSchema = mergeSchema)
+      case SaveMode.Overwrite =>
+        Manifest.overwrite(spark, dir, data, partitionCol)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   /** `writeStream.format("graft-manifest")` — the sink half: each
     * micro-batch commits through [[Manifest.appendIfAbsent]] (or

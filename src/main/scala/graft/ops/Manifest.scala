@@ -337,6 +337,24 @@ object Manifest {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
+  /** Committed versions paired with their commit times (pointer-file
+    * modification times, MONOTONICALLY adjusted: a clock-skewed or
+    * retried pointer can carry an mtime below its predecessor's, and a
+    * non-monotone series would make `timestampAsOf` resolution
+    * ambiguous — the running max restores a total order without moving
+    * any version, Delta's commit-timestamp discipline). Ascending by
+    * version; O(retained versions) stat calls, no entry read. */
+  private[graft] def versionTimes(spark: SparkSession,
+                                  dir: String): Seq[(Long, Long)] = {
+    val (fs, root) = fsOf(spark, dir)
+    var floor = Long.MinValue
+    versions(spark, dir).map { v =>
+      val t = fs.getFileStatus(versionPath(root, v)).getModificationTime
+      floor = math.max(floor, t)
+      (v, floor)
+    }
+  }
+
   /** Pointer file content: line 1 = manifest name; optional line 2 =
     * `txn:<appId>:<batchId>` — the idempotence marker for exactly-once
     * writers (see [[appendIfAbsent]]). */

@@ -621,6 +621,26 @@ object ManifestScan {
   def scan(spark: SparkSession, dir: String,
            partitionCol: Option[String] = None,
            version: Option[Long] = None): DataFrame = {
+    val (relation, dvDirs) = planned(spark, dir, partitionCol, version)
+    val df = spark.baseRelationToDataFrame(relation)
+    // merge-on-read: snapshots with live deletion vectors get the
+    // row-position anti-join on top; pruning still applies underneath
+    if (dvDirs.isEmpty) df
+    else Manifest.maskedByDv(spark, dir, df, dvDirs)
+  }
+
+  /** [[scan]]'s planning half, exposed for the `graft-manifest` batch
+    * DataSource ([[graft.io.ManifestStreamProvider.createRelation]]):
+    * the pruning-FileIndex-backed [[HadoopFsRelation]] plus the
+    * snapshot's live deletion-vector dirs. A caller that gets
+    * `dvDirs.isEmpty` may hand the relation straight to Catalyst (full
+    * pushdown, stock parquet codegen); live DVs need
+    * [[Manifest.maskedByDv]] layered on top — returning the bare
+    * relation then would resurrect deleted rows. */
+  private[graft] def planned(spark: SparkSession, dir: String,
+                             partitionCol: Option[String] = None,
+                             version: Option[Long] = None)
+      : (HadoopFsRelation, Seq[String]) = {
     val threshold = spark.sparkContext.hadoopConfiguration
       .getLong(DistributedMinBytesKey, DistributedMinBytesDefault)
     // the venue decision costs one pointer read + one LIST — no Spark
@@ -635,13 +655,8 @@ object ManifestScan {
         val i = new ManifestFileIndex(spark, dir, partitionCol, version)
         (i, i.dataSchema, i.snap.dvDirs)
       }
-    val relation = HadoopFsRelation(index, new StructType(),
-      schema, None, new ParquetFileFormat(), Map.empty)(spark)
-    val df = spark.baseRelationToDataFrame(relation)
-    // merge-on-read: snapshots with live deletion vectors get the
-    // row-position anti-join on top; pruning still applies underneath
-    if (dvDirs.isEmpty) df
-    else Manifest.maskedByDv(spark, dir, df, dvDirs)
+    (HadoopFsRelation(index, new StructType(),
+      schema, None, new ParquetFileFormat(), Map.empty)(spark), dvDirs)
   }
 
   /** Register the manifest table as a SQL temp view named `name`, so

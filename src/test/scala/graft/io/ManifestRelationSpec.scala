@@ -1,0 +1,195 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Manifest
+
+/** The `graft-manifest` BATCH DataSource: `spark.read.format(...)` with
+  * versionAsOf / timestampAsOf time travel, save-mode writes, planner
+  * integration (the pruning FileIndex rides under the stock parquet
+  * scan), the DV-masked fallback relation, and the SQL `CREATE TABLE
+  * ... USING graft-manifest` surface. */
+class ManifestRelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() = Files.createTempDirectory("graft-mrel").toString
+
+  private def base = spark.range(1, 61)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 3).as("p"))
+
+  private def readFmt(dir: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("graft-manifest")) {
+      case (b, (k, v)) => b.option(k, v)
+    }.load(dir)
+
+  private def rows(df: DataFrame): Set[(Long, Double, Long)] =
+    df.select("k", "v", "p").as[(Long, Double, Long)].collect().toSet
+
+  test("save modes: create, ErrorIfExists refusal, Ignore no-op, append, overwrite") {
+    val dir = s"${newDir()}/tbl"
+    base.write.format("graft-manifest").option("partitionCol", "p").save(dir)
+    assert(rows(readFmt(dir)) == rows(base))
+
+    // default mode is ErrorIfExists: a second create refuses
+    val e = intercept[Exception] {
+      base.write.format("graft-manifest").option("partitionCol", "p").save(dir)
+    }
+    assert(e.getMessage.contains("already exists"))
+    // Ignore: existing table untouched, no new version
+    base.limit(1).write.format("graft-manifest").mode("ignore")
+      .option("partitionCol", "p").save(dir)
+    assert(Manifest.latestVersion(spark, dir).contains(1L))
+
+    val extra = Seq((100L, 9.0, 1L)).toDF("k", "v", "p")
+    extra.write.format("graft-manifest").mode("append")
+      .option("partitionCol", "p").save(dir)
+    assert(rows(readFmt(dir)) == rows(base) + ((100L, 9.0, 1L)))
+
+    val replacement = Seq((7L, 7.0, 0L)).toDF("k", "v", "p")
+    replacement.write.format("graft-manifest").mode("overwrite")
+      .option("partitionCol", "p").save(dir)
+    assert(rows(readFmt(dir)) == Set((7L, 7.0, 0L)))
+    // overwrite was a commit, not a truncation: history time-travels
+    assert(rows(readFmt(dir, "versionAsOf" -> "2")) ==
+      rows(base) + ((100L, 9.0, 1L)))
+  }
+
+  test("partitionBy spelling works and disagreeing specs refuse") {
+    val dir = s"${newDir()}/tbl"
+    base.write.format("graft-manifest").partitionBy("p").save(dir)
+    assert(rows(readFmt(dir)) == rows(base))
+    val e = intercept[Exception] {
+      base.write.format("graft-manifest").mode("append").partitionBy("p")
+        .option("partitionCol", "k").save(dir)
+    }
+    assert(e.getMessage.contains("exactly ONE partition column"))
+  }
+
+  test("versionAsOf parity with Manifest.readVersion; bad/mixed options refuse") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
+    Manifest.delete(spark, dir, Seq((1L, 1L)).toDF("k", "p"), Seq("k"), "p")
+    (1L to 3L).foreach { v =>
+      assert(rows(readFmt(dir, "versionAsOf" -> v.toString)) ==
+        rows(Manifest.readVersion(spark, dir, v)), s"v$v diverged")
+    }
+    val e = intercept[Exception] {
+      readFmt(dir, "versionAsOf" -> "1", "timestampAsOf" -> "2026-01-01")
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("timestampAsOf resolves via monotone commit times; pre-history refuses loudly") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
+    Manifest.append(spark, dir, Seq((300L, 3.0, 0L)).toDF("k", "v", "p"), "p")
+    // pin the pointer mtimes so the test is clock-independent
+    val (fs, root) = (new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir))
+    def setT(v: Long, t: Long): Unit =
+      fs.setTimes(new Path(root, f"_versions/v$v%08d"), t, -1)
+    setT(1L, 1000000L); setT(2L, 2000000L); setT(3L, 3000000L)
+    assert(rows(readFmt(dir, "timestampAsOf" -> "1500000")) ==
+      rows(Manifest.readVersion(spark, dir, 1L)))
+    assert(rows(readFmt(dir, "timestampAsOf" -> "2000000")) ==
+      rows(Manifest.readVersion(spark, dir, 2L)))
+    // at or past the newest commit reads the tip
+    assert(rows(readFmt(dir, "timestampAsOf" -> "99999999999")) ==
+      rows(Manifest.read(spark, dir)))
+    val e = intercept[IllegalArgumentException] {
+      readFmt(dir, "timestampAsOf" -> "999999")
+    }
+    assert(e.getMessage.contains("predates the earliest retained commit"))
+    // a skewed middle pointer (mtime BELOW its predecessor) cannot make
+    // resolution non-monotone: the running max reorders time, not versions
+    setT(2L, 500000L)
+    assert(rows(readFmt(dir, "timestampAsOf" -> "1500000")) ==
+      rows(Manifest.readVersion(spark, dir, 2L)),
+      "the adjusted series floors v2's time at v1's")
+  }
+
+  test("no live DVs: the batch relation IS the pruning-FileIndex parquet scan") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("k"))
+    val df = readFmt(dir, "partitionCol" -> "p").where($"p" === 1L && $"k" < 10L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected the stock FileSourceScan (codegen path)")
+    // partition-value-set + stats pruning fired during planning: only
+    // files that can hold p=1 ∧ k<10 are listed
+    val opened = scans.head.inputRDDs().map(_.partitions.length).sum
+    assert(rows(df) == rows(base.where($"p" === 1L && $"k" < 10L)))
+    val all = readFmt(dir).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head.inputRDDs().map(_.partitions.length).sum
+    assert(opened <= all, s"pruned scan opened $opened vs full $all")
+  }
+
+  test("live DVs switch to the masked relation: answers stay exact, filters still apply") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.deleteMor(spark, dir, Seq((5L, 2L), (6L, 0L)).toDF("k", "p"),
+      Seq("k"), "p")
+    val got = readFmt(dir)
+    assert(rows(got) == rows(base.where(!$"k".isin(5L, 6L))),
+      "DV-deleted rows must not resurrect through the batch relation")
+    // pushed filters round-trip through the nested masked scan
+    assert(rows(got.where($"k" >= 10L && $"p" =!= 1L)) ==
+      rows(base.where($"k" >= 10L && $"p" =!= 1L && !$"k".isin(5L, 6L))))
+    assert(got.where($"k".isNotNull).count() == 58L)
+    // compaction materializes the DVs into rewritten files — answers
+    // must be unchanged through the relation either way
+    Manifest.compact(spark, dir, "p")
+    assert(rows(readFmt(dir)) == rows(base.where(!$"k".isin(5L, 6L))))
+    // a whole-snapshot overwrite retires every DV: the relation drops
+    // back to the direct pruning-FileIndex parquet scan
+    Manifest.overwrite(spark, dir, base, "p")
+    val scans = readFmt(dir).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "a DV-free snapshot reads via the direct scan")
+  }
+
+  test("SQL surface: CREATE TABLE USING graft-manifest, SELECT, and time travel") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((500L, 5.0, 1L)).toDF("k", "v", "p"), "p")
+    spark.sql("DROP TABLE IF EXISTS mrel_sql")
+    spark.sql(s"CREATE TABLE mrel_sql USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    try {
+      assert(spark.sql("SELECT sum(k) AS s FROM mrel_sql").as[Long].head() ==
+        base.agg(sum($"k")).as[Long].head() + 500L)
+      spark.sql("DROP TABLE IF EXISTS mrel_sql_v1")
+      spark.sql(s"CREATE TABLE mrel_sql_v1 USING `graft-manifest` " +
+        s"OPTIONS (path '$dir', versionAsOf '1')")
+      try assert(spark.sql("SELECT count(*) AS c FROM mrel_sql_v1")
+        .as[Long].head() == 60L)
+      finally spark.sql("DROP TABLE mrel_sql_v1")
+    } finally spark.sql("DROP TABLE mrel_sql")
+  }
+
+  test("write-side contract refusals: time-travel options, late stats reconfiguration") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p")
+    val e1 = intercept[Exception] {
+      base.write.format("graft-manifest").mode("append")
+        .option("partitionCol", "p").option("versionAsOf", "1").save(dir)
+    }
+    assert(e1.getMessage.contains("read options"))
+    val e2 = intercept[Exception] {
+      base.write.format("graft-manifest").mode("append")
+        .option("partitionCol", "p").option("statsCols", "k").save(dir)
+    }
+    assert(e2.getMessage.contains("CREATE only"))
+  }
+}
