@@ -207,6 +207,17 @@ object Manifest {
     * all-or-nothing gate of [[commitAll]]. */
   private val MtxnPrefix = "mtxn:"
 
+  /** Pointer line carrying the IN-COMMIT timestamp (epoch millis,
+    * writer's clock at publish). `timestampAsOf` resolution prefers it
+    * over the pointer file's modification time because object-store
+    * copies, healing re-publishes, and backup/restore all rewrite
+    * mtimes — the committed content is the only time record that
+    * survives the file's own lifecycle (Delta's in-commit-timestamps
+    * rationale). Legacy pointers without the line fall back to mtime;
+    * monotonicity is restored at READ by [[versionTimes]]'s running
+    * max, so the write path pays no extra round trip. */
+  private val TsPrefix = "ts:"
+
   /** Is a pointer with these lines a COMMITTED version? A pointer with
     * no `mtxn:` line is plainly committed; one carrying the line is
     * committed only once its parent marker exists (a crashed
@@ -337,27 +348,37 @@ object Manifest {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  /** Committed versions paired with their commit times (pointer-file
-    * modification times, MONOTONICALLY adjusted: a clock-skewed or
-    * retried pointer can carry an mtime below its predecessor's, and a
-    * non-monotone series would make `timestampAsOf` resolution
-    * ambiguous — the running max restores a total order without moving
-    * any version, Delta's commit-timestamp discipline). Ascending by
-    * version; O(retained versions) stat calls, no entry read. */
+  /** Committed versions paired with their commit times — the pointer's
+    * IN-COMMIT `ts:` line when present (see [[TsPrefix]]: store copies
+    * and healing rewrite mtimes, committed content survives), the
+    * pointer file's modification time for legacy/corrupt lines — then
+    * MONOTONICALLY adjusted: a clock-skewed or retried pointer can
+    * carry a time below its predecessor's, and a non-monotone series
+    * would make `timestampAsOf` resolution ambiguous; the running max
+    * restores a total order without moving any version (Delta's
+    * commit-timestamp discipline). Ascending by version; O(retained
+    * versions) pointer reads, no entry read. */
   private[graft] def versionTimes(spark: SparkSession,
                                   dir: String): Seq[(Long, Long)] = {
     val (fs, root) = fsOf(spark, dir)
     var floor = Long.MinValue
     versions(spark, dir).map { v =>
-      val t = fs.getFileStatus(versionPath(root, v)).getModificationTime
+      val t = readPointerLines(fs, root, v).drop(1)
+        .find(_.startsWith(TsPrefix))
+        .flatMap(l => l.stripPrefix(TsPrefix).trim.toLongOption)
+        .getOrElse(fs.getFileStatus(versionPath(root, v)).getModificationTime)
       floor = math.max(floor, t)
       (v, floor)
     }
   }
 
-  /** Pointer file content: line 1 = manifest name; optional line 2 =
-    * `txn:<appId>:<batchId>` — the idempotence marker for exactly-once
-    * writers (see [[appendIfAbsent]]). */
+  /** Pointer file content: line 1 = manifest name; then optional TAGGED
+    * lines in any order — `txn:<appId>:<batchId>` (the idempotence
+    * marker for exactly-once writers, see [[appendIfAbsent]]),
+    * `mtxn:<markerUri>` (multi-table commit gate, see [[commitAll]]),
+    * `ts:<epochMillis>` (in-commit timestamp, see [[TsPrefix]]).
+    * Consumers prefix-match their tag and MUST tolerate unknown lines
+    * (forward compatibility — an old reader meets new tags first). */
   private def readPointerLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     val in = fs.open(versionPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -389,7 +410,7 @@ object Manifest {
       require(!app.contains(':') && !app.contains('\n'),
         s"txn appId must not contain ':' or newline: $app")
       s"\ntxn:$app:$b"
-    }.getOrElse("")
+    }.getOrElse("") + s"\n$TsPrefix${System.currentTimeMillis()}"
     putPointer(fs, target, content.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -2378,7 +2399,8 @@ object Manifest {
         fs.mkdirs(new Path(root, VersionsDir))
         val target = versionPath(root, v)
         putPointer(fs, target,
-          (name + "\n" + MtxnPrefix + marker.toUri.toString)
+          (name + "\n" + MtxnPrefix + marker.toUri.toString +
+            s"\n$TsPrefix${System.currentTimeMillis()}")
             .getBytes(StandardCharsets.UTF_8))
         created += ((fs, target))
         if (commitAllCrashAfter.contains(i + 1))

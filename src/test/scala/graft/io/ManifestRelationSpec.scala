@@ -86,16 +86,26 @@ class ManifestRelationSpec extends SparkSpec {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
-  test("timestampAsOf resolves via monotone commit times; pre-history refuses loudly") {
+  test("timestampAsOf resolves via monotone IN-COMMIT times; pre-history refuses loudly") {
     val dir = s"${newDir()}/tbl"
     Manifest.create(spark, dir, base, "p")
     Manifest.append(spark, dir, Seq((200L, 2.0, 2L)).toDF("k", "v", "p"), "p")
     Manifest.append(spark, dir, Seq((300L, 3.0, 0L)).toDF("k", "v", "p"), "p")
-    // pin the pointer mtimes so the test is clock-independent
+    // pin the pointers' in-commit ts: lines so the test is
+    // clock-independent (raw rewrite — a test-only liberty)
     val (fs, root) = (new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration), new Path(dir))
-    def setT(v: Long, t: Long): Unit =
-      fs.setTimes(new Path(root, f"_versions/v$v%08d"), t, -1)
+    def setT(v: Long, t: Long): Unit = {
+      val p = new Path(root, f"_versions/v$v%08d")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val out = lines.filterNot(_.startsWith("ts:")) :+ s"ts:$t"
+      fs.delete(p, false)
+      val os = fs.create(p, false)
+      try os.write(out.mkString("\n").getBytes("UTF-8")) finally os.close()
+      // mtime deliberately WRONG (now ≫ t): resolution must not use it
+    }
     setT(1L, 1000000L); setT(2L, 2000000L); setT(3L, 3000000L)
     assert(rows(readFmt(dir, "timestampAsOf" -> "1500000")) ==
       rows(Manifest.readVersion(spark, dir, 1L)))
@@ -108,12 +118,26 @@ class ManifestRelationSpec extends SparkSpec {
       readFmt(dir, "timestampAsOf" -> "999999")
     }
     assert(e.getMessage.contains("predates the earliest retained commit"))
-    // a skewed middle pointer (mtime BELOW its predecessor) cannot make
-    // resolution non-monotone: the running max reorders time, not versions
+    // a skewed middle pointer (in-commit ts BELOW its predecessor's)
+    // cannot make resolution non-monotone: the running max reorders
+    // time, not versions
     setT(2L, 500000L)
     assert(rows(readFmt(dir, "timestampAsOf" -> "1500000")) ==
       rows(Manifest.readVersion(spark, dir, 2L)),
       "the adjusted series floors v2's time at v1's")
+    // LEGACY pointer (no ts: line at all) falls back to the file mtime
+    val p3 = new Path(root, f"_versions/v${3L}%08d")
+    val in3 = fs.open(p3)
+    val noTs = try scala.io.Source.fromInputStream(in3, "UTF-8")
+      .getLines().toList.filterNot(_.startsWith("ts:"))
+      finally in3.close()
+    fs.delete(p3, false)
+    val os3 = fs.create(p3, false)
+    try os3.write(noTs.mkString("\n").getBytes("UTF-8")) finally os3.close()
+    fs.setTimes(p3, 3000000L, -1)
+    assert(rows(readFmt(dir, "timestampAsOf" -> "3000000")) ==
+      rows(Manifest.readVersion(spark, dir, 3L)),
+      "a pre-ts-line pointer must still resolve via its mtime")
   }
 
   test("no live DVs: the batch relation IS the pruning-FileIndex parquet scan") {
