@@ -787,6 +787,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // COLUMN MAPPING (ops.Manifest.renameColumn): RENAME is a
+    // metadata-only commit — no data file rewrites — and every later
+    // write speaks the new name; the read surfaces the logical face.
+    // Half the orders commit under the OLD name, the rename lands, the
+    // other half appends under the NEW name, and the tip must read as
+    // the full table renamed.
+    "man_rename" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_rename_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderstatus")
+      graft.ops.Manifest.renameColumn(s, dir, "o_totalprice", "price")
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumnRenamed("o_totalprice", "price"),
+        "o_orderstatus")
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("price"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // File-stat range pruning (ops.Manifest.readRange): the table is
     // partitioned by STATUS but ingested in date bands (the time-ordered
     // append pattern of a daily feed), so per-file min/max on
@@ -3617,6 +3644,14 @@ ORDER BY step"""
     "man_datasource" ->
       """SELECT o_orderkey, o_totalprice * 2 AS tp2, o_orderstatus,
         |       (o_orderkey % 3 = 0) AS in_v1
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // RENAME is metadata-only: the tip is simply the whole table with
+    // the column under its new name, whichever side of the rename each
+    // row committed on.
+    "man_rename" ->
+      """SELECT o_orderkey, o_totalprice AS price, o_orderstatus
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 

@@ -110,11 +110,14 @@ object ManifestRelation {
   private[io] def forRead(spark: SparkSession, dir: String,
                           partitionCol: Option[String],
                           version: Option[Long]): BaseRelation = {
-    val (relation, dvDirs) = ManifestScan.planned(spark, dir, partitionCol,
-      version)
-    if (dvDirs.isEmpty) relation
+    val (relation, dvDirs, colMap) = ManifestScan.planned(spark, dir,
+      partitionCol, version)
+    if (dvDirs.isEmpty && colMap.isEmpty) relation
+    // live DVs (mask join) or a column map (logical-face projection):
+    // both need a plan ON TOP of the bare file relation, which the V1
+    // relation API can only express behind a row boundary
     else new MaskedManifestRelation(spark, dir, partitionCol, version,
-      relation.dataSchema)
+      Manifest.logicalStruct(relation.dataSchema, colMap))
   }
 
   /** Best-effort V1 `Filter` → `Column` translation for the masked
@@ -148,14 +151,17 @@ object ManifestRelation {
   }
 }
 
-/** Merge-on-read fallback relation for snapshots with live deletion
-  * vectors: [[buildScan]] rebuilds the DV-masked [[ManifestScan.scan]]
-  * DataFrame, re-injects the translatable pushed filters (so manifest
-  * file skipping and parquet row-group pushdown still fire inside the
-  * nested plan), prunes to the required columns, and crosses the
-  * row boundary once. Spark re-evaluates all filters above this scan
-  * (default `unhandledFilters`), so partial translation cannot change
-  * answers. */
+/** Fallback relation for snapshots that need a plan on top of the bare
+  * file scan — live deletion vectors (mask anti-join) and/or a column
+  * map (logical-face projection): [[buildScan]] rebuilds the full
+  * [[ManifestScan.scan]] DataFrame (already masked and logical),
+  * re-injects the translatable pushed filters (so manifest file
+  * skipping and parquet row-group pushdown still fire inside the
+  * nested plan — a logical-name filter pushes through the aliasing
+  * projection untouched), prunes to the required columns, and crosses
+  * the row boundary once. Spark re-evaluates all filters above this
+  * scan (default `unhandledFilters`), so partial translation cannot
+  * change answers. */
 class MaskedManifestRelation(spark: SparkSession, dir: String,
                              partitionCol: Option[String],
                              version: Option[Long],

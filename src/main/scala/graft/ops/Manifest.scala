@@ -618,7 +618,8 @@ object Manifest {
                                      bloomCols: Seq[String],
                                      dvDirs: Seq[String],
                                      constraints: Seq[String],
-                                     name: String = "")
+                                     name: String = "",
+                                     colMap: Seq[String] = Nil)
 
   /** The committed snapshot of `dir` at version `v` (or latest) — the
     * planner-integration entry point ([[graft.plans.ManifestFileIndex]]
@@ -657,7 +658,14 @@ object Manifest {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
-    val sentinel = ManifestEntry("", Seq.empty, has_null = false,
+    // the sentinel's (otherwise meaningless) `values` slot carries the
+    // COLUMN MAP ("logical=physical" per entry, see [[renameColumn]]):
+    // zero format change — every existing manifest reads as the empty
+    // (identity) map, and every Entry-shaped consumer (checkpoints,
+    // delta sidecars, chain state) carries it verbatim. Inherited from
+    // the parent snapshot: plain data commits never change the mapping.
+    val sentinel = ManifestEntry("", prev.map(_.colMap).getOrElse(Seq.empty),
+      has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
       stat_cols = statsCols, stat_mins = Seq.empty, stat_maxs = Seq.empty,
       bloom_cols = bloomCols, dv_dirs = dvDirs, constraints = constraints)
@@ -931,7 +939,8 @@ object Manifest {
         s"manifest $name has no schema sentinel"))
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
       sentinel.stat_cols, sentinel.bloom_cols,
-      sentinel.dv_dirs ++ st.dvDirs, sentinel.constraints, name)
+      sentinel.dv_dirs ++ st.dvDirs, sentinel.constraints, name,
+      colMap = sentinel.values)
   }
 
   /** Lightweight snapshot HEADER: the sentinel's configuration plus
@@ -953,7 +962,8 @@ object Manifest {
                                          removedPaths: Seq[String],
                                          chainDvDirs: Seq[String],
                                          manifestBytes: Long,
-                                         version: Long)
+                                         version: Long,
+                                         colMap: Seq[String] = Nil)
 
   /** On-disk size of the committed manifest chain itself (NOT the
     * data) — the cheap proxy [[graft.plans.ManifestScan.scan]] uses to
@@ -988,7 +998,8 @@ object Manifest {
       .as[Entry].head()
     SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs ++ st.dvDirs,
-      sentinel.constraints, dirs, st.removedPaths, st.dvDirs, bytes, ver)
+      sentinel.constraints, dirs, st.removedPaths, st.dvDirs, bytes, ver,
+      colMap = sentinel.values)
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -1140,6 +1151,16 @@ object Manifest {
                  partitionCol: Option[String] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val meta = snapshotMeta(spark, dir)
+    // LENIENT name resolution: public callers pass the logical name,
+    // internal post-translation callers the physical one — both must
+    // land on the physical column (it's a layout hint, and an unknown
+    // name already degrades to a bound-less checkpoint below)
+    val pColCk = partitionCol.map { c =>
+      if (meta.colMap.isEmpty) c
+      else colPairs(meta.colMap).collectFirst {
+        case (l, p) if l.equalsIgnoreCase(c) => p
+      }.getOrElse(c)
+    }
     val target = checkpointPath(root, meta.version)
     // deterministic content: first COMPLETE writer won; a markerless
     // target is in-flight or torn — do not overwrite a path another
@@ -1148,7 +1169,7 @@ object Manifest {
     // age-gated GC below reclaims abandoned ones
     if (fs.exists(target)) return
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
-    val pFlat = partitionCol
+    val pFlat = pColCk
       .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))
       .flatMap(f => ckPartFlattenType(f.dataType).map(_ => f.dataType))
     var df = entriesDataset(spark, meta).toDF()
@@ -1200,7 +1221,7 @@ object Manifest {
     // record which column the partition bounds describe — a reader
     // planning a different partitionCol uses stats-only coarse pruning
     val metaOut = fs.create(new Path(tmp, CkMetaFile), true)
-    try metaOut.write(partitionCol.filter(_ => pFlat.isDefined)
+    try metaOut.write(pColCk.filter(_ => pFlat.isDefined)
       .getOrElse("").getBytes(StandardCharsets.UTF_8))
     finally metaOut.close()
     // publish: guard the rename (Hadoop rename onto an EXISTING dir
@@ -1668,13 +1689,14 @@ object Manifest {
                 lo: Option[String], hi: Option[String]): DataFrame = {
     val (_, root) = fsOf(spark, dir)
     val meta = snapshotMeta(spark, dir)
+    val pCol = physName(meta.colMap, column)
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
-    val dt = schema(column).dataType
-    val cands = rangeCandidates(spark, meta, dt, column, lo, hi)
+    val dt = schema(pCol).dataType
+    val cands = rangeCandidates(spark, meta, dt, pCol, lo, hi)
     val df = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
-    val bounds = lo.map(l => col(column) >= lit(l).cast(dt)).toSeq ++
-      hi.map(h => col(column) <= lit(h).cast(dt))
-    bounds.foldLeft(df)(_.filter(_))
+    val bounds = lo.map(l => col(pCol) >= lit(l).cast(dt)).toSeq ++
+      hi.map(h => col(pCol) <= lit(h).cast(dt))
+    toLogical(bounds.foldLeft(df)(_.filter(_)), meta.colMap)
   }
 
   // -------- bloom point-lookup pruning --------
@@ -1794,11 +1816,217 @@ object Manifest {
                 value: String): DataFrame = {
     val (_, root) = fsOf(spark, dir)
     val meta = snapshotMeta(spark, dir)
+    val pCol = physName(meta.colMap, column)
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
-    val dt = schema(column).dataType
-    val cands = pointCandidates(spark, root, meta, dt, column, value)
-    readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
-      .filter(col(column) === lit(value).cast(dt))
+    val dt = schema(pCol).dataType
+    val cands = pointCandidates(spark, root, meta, dt, pCol, value)
+    toLogical(readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
+      .filter(col(pCol) === lit(value).cast(dt)), meta.colMap)
+  }
+
+  // -------- column mapping (logical <-> physical names) --------
+  //
+  // RENAME/DROP COLUMN at 100 TB must be METADATA-ONLY: rewriting every
+  // parquet file to change a header string is the one cost a lake
+  // cannot pay. The discipline (Delta's column-mapping shape, re-cut
+  // for this format): the PHYSICAL schema — `schema_ddl`, what the
+  // files actually contain — is IMMUTABLE under rename and drop; a
+  // sentinel-carried map ("logical=physical" per visible column, in
+  // display order) translates at the PUBLIC API boundary, and
+  // everything beneath it (stats, blooms, constraints, partition value
+  // sets, DVs, checkpoints, linked chains, all three planning venues)
+  // speaks physical names and is untouched. An EMPTY map is the
+  // identity (every pre-mapping table), so unmapped tables pay zero.
+  // A DROPPED column's physical slot stays in the files and is
+  // null-filled by later writes, keeping the physical schema constant
+  // forever; re-adding the same logical name via [[evolve]] binds a
+  // FRESH physical slot. Time travel reads each version with ITS OWN
+  // map (a restore likewise restores the names of the restored
+  // version) — the rename history is part of the history.
+
+  private def colPairs(raw: Seq[String]): Seq[(String, String)] =
+    raw.map { s =>
+      val i = s.indexOf('=')
+      require(i > 0 && i < s.length - 1, s"corrupt column-mapping entry '$s'")
+      (s.take(i), s.drop(i + 1))
+    }
+
+  /** The effective logical→physical pairs: identity over the physical
+    * schema when the table was never renamed/dropped. */
+  private def effectivePairs(ddl: String,
+                             raw: Seq[String]): Seq[(String, String)] =
+    if (raw.nonEmpty) colPairs(raw)
+    else DataType.fromDDL(ddl).asInstanceOf[StructType]
+      .fieldNames.toIndexedSeq.map(n => (n, n))
+
+  /** Physical name of logical column `c`; loud when `c` is not a
+    * visible column of the mapped table. */
+  private def physName(raw: Seq[String], c: String): String =
+    if (raw.isEmpty) c
+    else colPairs(raw).collectFirst {
+      case (l, p) if l.equalsIgnoreCase(c) => p
+    }.getOrElse(throw new IllegalArgumentException(
+      s"column $c does not exist on this table (visible columns: " +
+        colPairs(raw).map(_._1).mkString(", ") + ")"))
+
+  /** Physical rows → the table's LOGICAL face: one projection renaming
+    * each mapped physical column, dropping unmapped (dropped) ones,
+    * keeping `extras` (feed markers like `change`) verbatim. Identity
+    * when the map is empty — the pre-mapping fast path stays
+    * projection-free. */
+  private[graft] def toLogical(df: DataFrame, raw: Seq[String],
+                               extras: Seq[String] = Nil): DataFrame =
+    if (raw.isEmpty) df
+    else df.select(colPairs(raw).map { case (l, p) => col(p).as(l) } ++
+      extras.map(col): _*)
+
+  /** Full-row logical batch → the EXACT physical schema: mapped columns
+    * rename, dropped physical slots null-fill (the physical schema is
+    * immutable — see the section note), column order = physical order,
+    * so every downstream `nullableDdl(df.schema) == ddl` conformance
+    * check holds verbatim. Extra logical columns refuse loudly (a
+    * mapped table widens through [[evolve]], which binds the physical
+    * slot first). */
+  private def toPhysicalFull(df: DataFrame, raw: Seq[String],
+                             ddl: String): DataFrame =
+    if (raw.isEmpty) df
+    else {
+      val pairs = colPairs(raw)
+      val stray = df.columns.filterNot(c =>
+        pairs.exists(_._1.equalsIgnoreCase(c)))
+      require(stray.isEmpty,
+        s"batch columns ${stray.mkString(", ")} do not exist on this " +
+          s"table (visible: ${pairs.map(_._1).mkString(", ")}); to add " +
+          "columns to a renamed/dropped table, evolve() first")
+      val phys = DataType.fromDDL(ddl).asInstanceOf[StructType]
+      df.select(phys.fields.toIndexedSeq.map { f =>
+        pairs.find(_._2 == f.name) match {
+          case Some((l, _)) => col(l).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name) // dropped slot
+        }
+      }: _*)
+    }
+
+  /** Key/partial batch (delete keys, MoR probes) → physical names:
+    * renames exactly the columns present, refusing unknown ones. */
+  private def renameToPhysical(df: DataFrame, raw: Seq[String]): DataFrame =
+    if (raw.isEmpty) df
+    else {
+      val pairs = colPairs(raw)
+      df.select(df.columns.toIndexedSeq.map { c =>
+        pairs.collectFirst {
+          case (l, p) if l.equalsIgnoreCase(c) => col(c).as(p)
+        }.getOrElse(throw new IllegalArgumentException(
+          s"column $c does not exist on this table (visible: " +
+            pairs.map(_._1).mkString(", ") + ")"))
+      }: _*)
+    }
+
+  /** LENIENT logical→physical resolution: a logical name maps, any
+    * other string passes through unchanged. For pure layout/pruning
+    * hints ([[graft.plans.ManifestFileIndex]]'s partitionCol), where an
+    * unknown name already degrades to "no value-set pruning", never to
+    * a wrong answer. */
+  private[graft] def resolvePhysical(raw: Seq[String], c: String): String =
+    if (raw.isEmpty) c
+    else colPairs(raw).collectFirst {
+      case (l, p) if l.equalsIgnoreCase(c) => p
+    }.getOrElse(c)
+
+  /** The LOGICAL face of a physical schema under the map. */
+  private[graft] def logicalStruct(physical: StructType,
+                                   raw: Seq[String]): StructType =
+    if (raw.isEmpty) physical
+    else StructType(colPairs(raw).map { case (l, p) =>
+      physical.fields.find(_.name.equalsIgnoreCase(p))
+        .getOrElse(throw new IllegalStateException(
+          s"column map names physical column $p absent from $physical"))
+        .copy(name = l)
+    })
+
+  /** Constraint SQL arrives over LOGICAL names; stored constraints
+    * validate PHYSICAL staged rows inside [[writeBatch]], so attribute
+    * references rewrite through the map at ADD time (parse → transform
+    * unresolved attributes → re-render). */
+  private def sqlToPhysical(spark: SparkSession, sql: String,
+                            raw: Seq[String]): String =
+    if (raw.isEmpty) sql
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val pairs = colPairs(raw)
+      spark.sessionState.sqlParser.parseExpression(sql).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          pairs.collectFirst {
+            case (l, p) if l.equalsIgnoreCase(a.nameParts.head) =>
+              UnresolvedAttribute(Seq(p))
+          }.getOrElse(throw new IllegalArgumentException(
+            s"constraint references column ${a.nameParts.head}, which " +
+              s"does not exist (visible: ${pairs.map(_._1).mkString(", ")})"))
+      }.sql
+    }
+
+  /** RENAME COLUMN — a sentinel-only commit, METADATA-ONLY at any
+    * table size: no data file, stat, bloom, DV, or checkpoint is
+    * touched; reads at older versions keep the old name (the map
+    * travels with the snapshot). */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Unit = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad column name '$to' (need [A-Za-z_][A-Za-z0-9_]*)")
+    val (fs, root) = fsOf(spark, dir)
+    withConflictRetry() {
+      val v = latestVersion(spark, dir)
+        .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+      val meta = snapshotMeta(spark, dir, Some(v))
+      val pairs = effectivePairs(meta.ddl, meta.colMap)
+      require(pairs.exists(_._1.equalsIgnoreCase(from)),
+        s"no column $from (visible: ${pairs.map(_._1).mkString(", ")})")
+      require(!pairs.exists(_._1.equalsIgnoreCase(to)),
+        s"column $to already exists")
+      val out = pairs.map { case (l, p) =>
+        if (l.equalsIgnoreCase(from)) (to, p) else (l, p)
+      }
+      commit(fs, root, v + 1,
+        compactManifest(spark, root, meta, meta.ddl, Nil,
+          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })))
+    }
+  }
+
+  /** DROP COLUMN — the same sentinel-only, metadata-only commit: the
+    * physical slot stays in the files (and null-fills in later writes,
+    * keeping the physical schema constant), it just stops being
+    * visible. Refused while a CHECK constraint references the column
+    * (Delta's rule — the constraint would silently start evaluating
+    * over nulls). Time travel before the drop still shows it. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    withConflictRetry() {
+      val v = latestVersion(spark, dir)
+        .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+      val meta = snapshotMeta(spark, dir, Some(v))
+      val pairs = effectivePairs(meta.ddl, meta.colMap)
+      val hit = pairs.find(_._1.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $name (visible: ${pairs.map(_._1).mkString(", ")})"))
+      require(pairs.size > 1, s"cannot drop the only column $name")
+      meta.constraints.foreach { c =>
+        require(!c.toLowerCase.contains(hit._2.toLowerCase),
+          s"cannot drop $name: constraint '$c' references it — drop the " +
+            "constraint first")
+      }
+      val out = pairs.filterNot(_._1.equalsIgnoreCase(name))
+      commit(fs, root, v + 1,
+        compactManifest(spark, root, meta, meta.ddl, Nil,
+          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })))
+    }
+  }
+
+  /** The table's current logical→physical column mapping (identity
+    * entries included) — the inspection face of [[renameColumn]] /
+    * [[dropColumn]]. */
+  def columnMapping(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val meta = snapshotMeta(spark, dir)
+    effectivePairs(meta.ddl, meta.colMap)
   }
 
   // -------- public surface --------
@@ -1836,7 +2064,9 @@ object Manifest {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val (_, root) = fsOf(spark, dir)
     val snap = readSnapshot(spark, root, v)
-    readEntriesMasked(spark, root, snap.entries, snap.ddl, snap.dvDirs)
+    toLogical(
+      readEntriesMasked(spark, root, snap.entries, snap.ddl, snap.dvDirs),
+      snap.colMap)
   }
 
   /** RESTORE: make retained version `v` the table's CURRENT state
@@ -1901,12 +2131,20 @@ object Manifest {
     // on a 10⁷-entry table (collecting that snapshot is ~4 GB of
     // driver heap, the ceiling a streaming ingest hits first)
     val meta = snapshotMeta(spark, dir, Some(v))
+    // mapped table: the logical batch reshapes to the immutable
+    // physical schema (widening goes through evolve() first — the
+    // physical slot must be bound before rows can carry it)
+    require(meta.colMap.isEmpty || !mergeSchema,
+      "mergeSchema on a renamed/dropped table: evolve() the new columns " +
+        "first, then append them without mergeSchema")
+    val dfP = toPhysicalFull(df, meta.colMap, meta.ddl)
+    val pCol = physName(meta.colMap, partitionCol)
     val ddlOut =
-      if (nullableDdl(df.schema) == meta.ddl) meta.ddl
+      if (nullableDdl(dfP.schema) == meta.ddl) meta.ddl
       else if (mergeSchema) {
         val table = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
         table.fields.foreach { f =>
-          val got = df.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+          val got = dfP.schema.fields.find(_.name.equalsIgnoreCase(f.name))
             .getOrElse(throw new IllegalArgumentException(
               s"mergeSchema batch is missing table column ${f.name} " +
                 s"(${meta.ddl})"))
@@ -1915,20 +2153,20 @@ object Manifest {
               s"${f.dataType.catalogString}, batch has " +
               s"${got.dataType.catalogString}")
         }
-        val extra = df.schema.fields.filterNot(f =>
+        val extra = dfP.schema.fields.filterNot(f =>
           table.fieldNames.exists(_.equalsIgnoreCase(f.name)))
         nullableDdl(StructType(table.fields ++ extra))
       } else throw new IllegalArgumentException(
-        s"append schema ${nullableDdl(df.schema)} != table schema " +
+        s"append schema ${nullableDdl(dfP.schema)} != table schema " +
           s"${meta.ddl} (pass mergeSchema = true to widen)")
-    val entries = writeBatch(spark, root, df, partitionCol, meta.statsCols,
+    val entries = writeBatch(spark, root, dfP, pCol, meta.statsCols,
       meta.constraints, bloomCols = meta.bloomCols)
     val name =
       if (ddlOut == meta.ddl && linkedAppendEligible(spark, fs, meta))
         linkManifest(spark, fs, root, meta, entries)
       else compactManifest(spark, root, meta, ddlOut, entries)
     commit(fs, root, v + 1, name, txn)
-    maybeCheckpoint(spark, dir, partitionCol)
+    maybeCheckpoint(spark, dir, pCol)
   }
 
   /** A LINKED append writes only the batch's entries plus a base
@@ -2025,14 +2263,17 @@ object Manifest {
                               adds: Seq[Entry],
                               removes: Seq[String] = Nil,
                               dvAdds: Seq[String] = Nil,
-                              constraintsOut: Option[Seq[String]] = None)
+                              constraintsOut: Option[Seq[String]] = None,
+                              colMapOut: Option[Seq[String]] = None)
       : String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
     // the re-rooted sentinel absorbs the chain's effective DV set (and
-    // this commit's own), so the fresh chain starts with no dv lines
-    val sentinel = ManifestEntry("", Seq.empty, has_null = false,
+    // this commit's own), so the fresh chain starts with no dv lines;
+    // `values` carries the column map (see [[writeManifest]])
+    val sentinel = ManifestEntry("", colMapOut.getOrElse(meta.colMap),
+      has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddlOut,
       stat_cols = meta.statsCols, stat_mins = Seq.empty,
       stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
@@ -2132,10 +2373,11 @@ object Manifest {
     // header-only planning: the candidate selection runs where the
     // entries live, so this read is O(matching files) driver-side
     val meta = snapshotMeta(spark, dir, Some(v))
-    val cands = partitionCandidates(spark, meta, partitionCol,
+    val pCol = physName(meta.colMap, partitionCol)
+    val cands = partitionCandidates(spark, meta, pCol,
       values.toSet, wantNull = false)
-    readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
-      .filter(col(partitionCol).cast("string").isin(values: _*))
+    toLogical(readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
+      .filter(col(pCol).cast("string").isin(values: _*)), meta.colMap)
   }
 
   /** Replace the WHOLE snapshot with `df` atomically — the
@@ -2150,9 +2392,11 @@ object Manifest {
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
-    require(nullableDdl(df.schema) == snap.ddl,
-      s"overwrite schema ${nullableDdl(df.schema)} != table schema ${snap.ddl}")
-    val entries = writeBatch(spark, root, df, partitionCol, snap.statsCols,
+    val dfP = toPhysicalFull(df, snap.colMap, snap.ddl)
+    val pCol = physName(snap.colMap, partitionCol)
+    require(nullableDdl(dfP.schema) == snap.ddl,
+      s"overwrite schema ${nullableDdl(dfP.schema)} != table schema ${snap.ddl}")
+    val entries = writeBatch(spark, root, dfP, pCol, snap.statsCols,
       snap.constraints, bloomCols = snap.bloomCols)
     // the whole snapshot is replaced, so every previous DV retires too
     commit(fs, root, v + 1,
@@ -2221,7 +2465,7 @@ object Manifest {
     // constraint configuration and its entries both may have moved) —
     // the same shape as upsertIfAbsent; losers' staged files are
     // orphans for vacuumOrphans
-    withConflictRetry() {
+    val pColOut = withConflictRetry() {
       val v = latestVersion(spark, dir)
         .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
       // plan from the snapshot HEADER: like [[append]], a partition
@@ -2229,16 +2473,21 @@ object Manifest {
       // candidate selection runs WHERE the entries live and only the
       // touched entries ever reach the driver
       val meta = snapshotMeta(spark, dir, Some(v))
-      slices.foreach(df => require(nullableDdl(df.schema) == meta.ddl,
+      // mapped table: logical slices reshape to the physical schema;
+      // `wanted` is name-independent (partition VALUES), so the
+      // outside-the-retry computation stays valid
+      val slicesP = slices.map(toPhysicalFull(_, meta.colMap, meta.ddl))
+      val pCol = physName(meta.colMap, partitionCol)
+      slicesP.foreach(df => require(nullableDdl(df.schema) == meta.ddl,
         s"overwritePartitions schema ${nullableDdl(df.schema)} != table " +
           s"schema ${meta.ddl}"))
-      val safe = partitionValuesSafe(meta.ddl, partitionCol)
+      val safe = partitionValuesSafe(meta.ddl, pCol)
       // under an unsafe rendering this session's `wanted` strings
       // cannot prove anything about recorded values — EVERY live entry
       // is a rewrite candidate, and the collect is O(entries) by
       // necessity (each file is read and its kept rows rewritten)
       val cands: Seq[Entry] =
-        partitionCandidates(spark, meta, partitionCol, wanted, wantNull)
+        partitionCandidates(spark, meta, pCol, wanted, wantNull)
       // spanning candidates hold rows OUTSIDE the replaced partitions
       // (an untouched recorded value, an un-replaced null, or a capped
       // value set that asserts nothing) — only those need reading. The
@@ -2266,28 +2515,28 @@ object Manifest {
           val keptRows =
             if (wanted.size <= Merge.InListThreshold) {
               val replacedRow =
-                when(col(partitionCol).isNull, lit(wantNull))
-                  .otherwise(col(partitionCol).cast("string")
+                when(col(pCol).isNull, lit(wantNull))
+                  .otherwise(col(pCol).cast("string")
                     .isin(wanted.toSeq: _*))
               base.filter(!replacedRow)
             } else {
               import spark.implicits._
               val wantedDf = wanted.toSeq.toDF("__graft_pv")
               val nonReplaced = base.join(broadcast(wantedDf),
-                base(partitionCol).cast("string") === col("__graft_pv"),
+                base(pCol).cast("string") === col("__graft_pv"),
                 "left_anti")
-              if (wantNull) nonReplaced.filter(col(partitionCol).isNotNull)
+              if (wantNull) nonReplaced.filter(col(pCol).isNotNull)
               else nonReplaced
             }
           if (keptRows.isEmpty) Seq.empty
-          else writeBatch(spark, root, keptRows, partitionCol, meta.statsCols,
+          else writeBatch(spark, root, keptRows, pCol, meta.statsCols,
             meta.constraints, bloomCols = meta.bloomCols)
         }
       // a single slice is provably non-empty here (touched was); only
       // multi-slice calls pay the per-slice emptiness probe
-      val newEntries = slices.flatMap { df =>
-        if (slices.sizeIs > 1 && df.isEmpty) Seq.empty
-        else writeBatch(spark, root, df, partitionCol,
+      val newEntries = slicesP.flatMap { df =>
+        if (slicesP.sizeIs > 1 && df.isEmpty) Seq.empty
+        else writeBatch(spark, root, df, pCol,
           meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
       }
       val removes = cands.map(_.path)
@@ -2300,8 +2549,9 @@ object Manifest {
           linkManifest(spark, fs, root, meta, adds, removes)
         else compactManifest(spark, root, meta, meta.ddl, adds, removes)
       commit(fs, root, v + 1, name, txn)
+      pCol
     }
-    maybeCheckpoint(spark, dir, partitionCol)
+    maybeCheckpoint(spark, dir, pColOut)
   }
 
   /** TEST-ONLY failpoint: simulate a crash (raw throw, NO cleanup)
@@ -2480,15 +2730,34 @@ object Manifest {
     // 10M-entry table's schema never collects its snapshot
     val meta = snapshotMeta(spark, dir, Some(v))
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val pairs = effectivePairs(meta.ddl, meta.colMap)
     addCols.foreach { case (name, _) =>
-      require(!schema.fieldNames.contains(name),
-        s"column $name already exists in ${meta.ddl}")
+      require(!pairs.exists(_._1.equalsIgnoreCase(name)),
+        s"column $name already exists (visible: " +
+          pairs.map(_._1).mkString(", ") + ")")
     }
-    val widened = StructType(schema.fields ++ addCols.map { case (n, t) =>
-      StructField(n, DataType.fromDDL(t), nullable = true)
+    // each new LOGICAL column binds a fresh PHYSICAL slot: usually its
+    // own name, but a dropped column's slot still occupies the physical
+    // schema (it null-fills forever — the immutability contract), so a
+    // re-added name takes a version-suffixed slot instead
+    val bound = addCols.map { case (n, t) =>
+      val p =
+        if (!schema.fieldNames.exists(_.equalsIgnoreCase(n))) n
+        else s"${n}_p${v + 1}"
+      (n, p, t)
+    }
+    val widened = StructType(schema.fields ++ bound.map { case (_, p, t) =>
+      StructField(p, DataType.fromDDL(t), nullable = true)
     })
+    // the map only materializes once it stops being the identity
+    val mapOut =
+      if (meta.colMap.isEmpty && bound.forall { case (n, p, _) => n == p })
+        None
+      else Some((pairs ++ bound.map { case (n, p, _) => (n, p) })
+        .map { case (l, p) => s"$l=$p" })
     commit(fs, root, v + 1,
-      compactManifest(spark, root, meta, nullableDdl(widened), Nil))
+      compactManifest(spark, root, meta, nullableDdl(widened), Nil,
+        colMapOut = mapOut))
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -2631,9 +2900,14 @@ object Manifest {
     * schema sentinel — a metadata-only read (no data file is listed or
     * opened), so it is safe to call per micro-batch. */
   def tableSchema(spark: SparkSession, dir: String,
-                  v: Option[Long] = None): StructType =
-    DataType.fromDDL(snapshotMeta(spark, dir, v).ddl)
-      .asInstanceOf[StructType]
+                  v: Option[Long] = None): StructType = {
+    val meta = snapshotMeta(spark, dir, v)
+    // the public face is LOGICAL: mapped tables surface their visible
+    // columns (the streaming source's fixed schema then matches the
+    // logical rows changes()/appendedBetween deliver)
+    logicalStruct(
+      DataType.fromDDL(meta.ddl).asInstanceOf[StructType], meta.colMap)
+  }
 
   /** The rows ADDED across `(fromV, toV]` IF every commit in the range
     * only added files — `None` as soon as any file was removed or any
@@ -2660,7 +2934,8 @@ object Manifest {
     val (added, removed) = entryDiff(spark, metaFrom, metaTo)
     val hasDvDelta = metaTo.dvDirs.exists(!metaFrom.dvDirs.toSet.contains(_))
     if (removed.nonEmpty || hasDvDelta) None
-    else Some(readEntries(spark, root, added, metaTo.ddl))
+    else Some(toLogical(readEntries(spark, root, added, metaTo.ddl),
+      metaTo.colMap))
   }
 
   def changes(spark: SparkSession, dir: String, fromV: Long,
@@ -2677,11 +2952,15 @@ object Manifest {
       changeParts(spark, root, metaFrom, metaTo, added, removed)
     // one-sided diffs (append-only / delete-only commit ranges) need no
     // cancellation — skip both multiset differences and their shuffles
-    if (!hasRemoved && !hasDvDelta) inserts.withColumn("change", lit("insert"))
-    else if (!hasAdded) deletes.withColumn("change", lit("delete"))
-    else inserts.exceptAll(deletes).withColumn("change", lit("insert"))
-      .unionByName(
-        deletes.exceptAll(inserts).withColumn("change", lit("delete")))
+    val out =
+      if (!hasRemoved && !hasDvDelta)
+        inserts.withColumn("change", lit("insert"))
+      else if (!hasAdded) deletes.withColumn("change", lit("delete"))
+      else inserts.exceptAll(deletes).withColumn("change", lit("insert"))
+        .unionByName(
+          deletes.exceptAll(inserts).withColumn("change", lit("delete")))
+    // the feed speaks the TO version's logical names, like its schema
+    toLogical(out, metaTo.colMap, extras = Seq("change"))
   }
 
   /** UNCANCELLED signed change rows between two versions: every row of
@@ -2703,8 +2982,9 @@ object Manifest {
     val (added, removed) = entryDiff(spark, metaFrom, metaTo)
     val (inserts, deletes) =
       changeParts(spark, root, metaFrom, metaTo, added, removed)
-    inserts.withColumn("sign", lit(1L))
-      .unionByName(deletes.withColumn("sign", lit(-1L)))
+    toLogical(inserts.withColumn("sign", lit(1L))
+      .unionByName(deletes.withColumn("sign", lit(-1L))),
+      metaTo.colMap, extras = Seq("sign"))
   }
 
   /** Partition-VALUE-SET pruning is sound only when the column's string
@@ -2733,12 +3013,12 @@ object Manifest {
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
              keys: Seq[String], partitionCol: String,
              txn: Option[(String, Long)] = None): Unit = {
-    rewrite(spark, dir, updates, partitionCol,
-      requireFullSchema = true, txn = txn, keys = keys) { (target, batch) =>
+    rewriteKeyed(spark, dir, updates, partitionCol,
+      requireFullSchema = true, txn = txn, keys = keys) { (target, batch, k) =>
       val dataCols = batch.columns
       target.alias("t")
         .join(batch.alias("u"),
-          keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
+          k.map(c => col(s"u.$c") <=> col(s"t.$c")).reduce(_ && _),
           "full_outer")
         .select(dataCols.map(c =>
           coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
@@ -2758,10 +3038,10 @@ object Manifest {
       deletes.columns.length == expect.size,
       s"delete batch columns ${deletes.columns.mkString(",")} must be " +
         s"exactly ${expect.mkString(",")}")
-    rewrite(spark, dir, deletes, partitionCol,
-      requireFullSchema = false, keys = keys) { (target, batch) =>
-      target.join(batch.select(keys.map(col): _*).distinct(),
-        keys.toSeq, "left_anti")
+    rewriteKeyed(spark, dir, deletes, partitionCol,
+      requireFullSchema = false, keys = keys) { (target, batch, k) =>
+      target.join(batch.select(k.map(col): _*).distinct(),
+        k, "left_anti")
     }
   }
 
@@ -2848,15 +3128,18 @@ object Manifest {
     // its COMMIT must not collect the snapshot either (the DV attach
     // rides the linked chain as a `dv:` line, no sentinel rewrite)
     val meta = snapshotMeta(spark, dir, Some(v))
-    val touched = deletes.select(col(partitionCol).cast("string")).distinct()
+    val delP = renameToPhysical(deletes, meta.colMap)
+    val keysP = keys.map(physName(meta.colMap, _))
+    val pCol = physName(meta.colMap, partitionCol)
+    val touched = delP.select(col(pCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
     val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
-      partitionCandidates(spark, meta, partitionCol,
+      partitionCandidates(spark, meta, pCol,
         touched.flatten.toSet, touched.contains(None)),
-      deletes, keys)
+      delP, keysP)
     if (cands.isEmpty) return
     writeDv(spark, root,
-      dvHits(spark, root, meta.ddl, meta.dvDirs, cands, deletes, keys,
+      dvHits(spark, root, meta.ddl, meta.dvDirs, cands, delP, keysP,
         nullSafeKeys = false)).foreach { name =>
       val mName =
         if (linkedAppendEligible(spark, fs, meta))
@@ -2882,22 +3165,25 @@ object Manifest {
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     // header-only planning, as in [[deleteMor]]
     val meta = snapshotMeta(spark, dir, Some(v))
-    require(nullableDdl(updates.schema) == meta.ddl,
-      s"batch schema ${nullableDdl(updates.schema)} != table schema ${meta.ddl}")
-    val touched = updates.select(col(partitionCol).cast("string")).distinct()
+    val updP = toPhysicalFull(updates, meta.colMap, meta.ddl)
+    val keysP = keys.map(physName(meta.colMap, _))
+    val pCol = physName(meta.colMap, partitionCol)
+    require(nullableDdl(updP.schema) == meta.ddl,
+      s"batch schema ${nullableDdl(updP.schema)} != table schema ${meta.ddl}")
+    val touched = updP.select(col(pCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
     val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
-      partitionCandidates(spark, meta, partitionCol,
+      partitionCandidates(spark, meta, pCol,
         touched.flatten.toSet, touched.contains(None)),
-      updates, keys)
-    val dataCols = updates.columns
+      updP, keysP)
+    val dataCols = updP.columns
     val target = maskRows(readWithPos(spark, root, cands, meta.ddl),
       dvRelation(spark, root, meta.dvDirs))
     // column-wise merge for matched keys; unmatched updates pass
     // through (left join leaves target columns null → coalesce = update)
-    val merged = updates.alias("u")
+    val merged = updP.alias("u")
       .join(target.alias("t"),
-        keys.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
+        keysP.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
         "left")
       .select(dataCols.map(c =>
         coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
@@ -2906,12 +3192,12 @@ object Manifest {
     // empty updates batch must no-op, not crash
     val newEntries =
       if (merged.isEmpty) Seq.empty
-      else writeBatch(spark, root, merged, partitionCol,
+      else writeBatch(spark, root, merged, pCol,
         meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
     val dvName =
       if (newEntries.isEmpty) None
       else writeDv(spark, root,
-        dvHits(spark, root, meta.ddl, meta.dvDirs, cands, updates, keys,
+        dvHits(spark, root, meta.ddl, meta.dvDirs, cands, updP, keysP,
           nullSafeKeys = true))
     if (newEntries.nonEmpty || dvName.nonEmpty) {
       val mName =
@@ -2952,7 +3238,8 @@ object Manifest {
       snap.dvDirs)
     val newEntries =
       if (rewritten.isEmpty) Seq.empty
-      else writeBatch(spark, root, rewritten, partitionCol, snap.statsCols,
+      else writeBatch(spark, root, rewritten,
+        physName(snap.colMap, partitionCol), snap.statsCols,
         snap.constraints, bloomCols = snap.bloomCols)
     commit(fs, root, v + 1,
       writeManifest(spark, root,
@@ -2969,18 +3256,40 @@ object Manifest {
                            partitionCol: String, requireFullSchema: Boolean,
                            txn: Option[(String, Long)] = None,
                            keys: Seq[String] = Nil)
-                          (merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+                          (merge: (DataFrame, DataFrame) => DataFrame): Unit =
+    rewriteKeyed(spark, dir, batch, partitionCol, requireFullSchema, txn,
+      keys)((t, b, _) => merge(t, b))
+
+  /** [[rewrite]] whose `merge` receives the TRANSLATED batch and key
+    * names — the form [[upsert]]/[[delete]] need on a column-mapped
+    * table (their closures reference key columns by name, which below
+    * this point are PHYSICAL). The 2-arg [[rewrite]] shim serves
+    * internal identity-mapped tables ([[Incremental]]'s view). */
+  private[ops] def rewriteKeyed(spark: SparkSession, dir: String,
+                                batch0: DataFrame,
+                                partitionCol: String,
+                                requireFullSchema: Boolean,
+                                txn: Option[(String, Long)] = None,
+                                keys: Seq[String] = Nil)
+      (merge: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     // snapshot HEADER only: like [[append]]/[[overwritePartitionsSliced]]
     // the keyed rewrite stays O(touched + batch) driver-side
     val meta = snapshotMeta(spark, dir, Some(v))
+    // mapped table: full batches reshape to the physical schema, key
+    // batches rename in place; below here everything speaks physical
+    val batch =
+      if (requireFullSchema) toPhysicalFull(batch0, meta.colMap, meta.ddl)
+      else renameToPhysical(batch0, meta.colMap)
+    val keysP = keys.map(physName(meta.colMap, _))
+    val pCol = physName(meta.colMap, partitionCol)
     if (requireFullSchema)
       require(nullableDdl(batch.schema) == meta.ddl,
         s"batch schema ${nullableDdl(batch.schema)} != table schema ${meta.ddl}")
     // one row per touched partition — bounded by the batch, as in mergeInto
-    val touched = batch.select(col(partitionCol).cast("string")).distinct()
+    val touched = batch.select(col(pCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)))
     val wanted = touched.flatten.toSet
     val wantNull = touched.contains(None)
@@ -2989,15 +3298,15 @@ object Manifest {
     // so skipping it (it stays carried by reference) changes nothing
     // but the rewrite volume
     val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
-      partitionCandidates(spark, meta, partitionCol, wanted, wantNull),
-      batch, keys)
+      partitionCandidates(spark, meta, pCol, wanted, wantNull),
+      batch, keysP)
     // MASKED read: a candidate file's DV'd rows are logically gone and
     // must not resurrect through the rewrite
     val target = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
-    val merged = merge(target, batch)
+    val merged = merge(target, batch, keysP)
     val newEntries =
       if (merged.isEmpty) Seq.empty
-      else writeBatch(spark, root, merged, partitionCol, meta.statsCols,
+      else writeBatch(spark, root, merged, pCol, meta.statsCols,
         meta.constraints, bloomCols = meta.bloomCols)
     // DV dirs carry over: rows referencing the dropped candidate files
     // are inert from here on (they match no live file), rows on kept
@@ -3009,7 +3318,7 @@ object Manifest {
         linkManifest(spark, fs, root, meta, newEntries, removes)
       else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
     commit(fs, root, v + 1, name, txn)
-    maybeCheckpoint(spark, dir, partitionCol)
+    maybeCheckpoint(spark, dir, pCol)
   }
 
   /** The partition-touched candidate set, selected WHERE the entries
@@ -3047,6 +3356,7 @@ object Manifest {
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val meta = snapshotMeta(spark, dir, Some(v))
+    val pCol = physName(meta.colMap, partitionCol)
     val small = entriesDataset(spark, meta)
       .filter(col("bytes") < smallBytes).collect().toSeq
     if (small.size < 2) return 0L // nothing to gain
@@ -3056,7 +3366,7 @@ object Manifest {
     val compacted = readEntriesMasked(spark, root, small, meta.ddl,
       meta.dvDirs)
     val newEntries = if (compacted.isEmpty) Seq.empty
-                     else writeBatch(spark, root, compacted, partitionCol,
+                     else writeBatch(spark, root, compacted, pCol,
                        meta.statsCols, meta.constraints,
                        numFiles = Some(nOut), bloomCols = meta.bloomCols)
     val removes = small.map(_.path)
@@ -3066,7 +3376,7 @@ object Manifest {
         linkManifest(spark, fs, root, meta, newEntries, removes)
       else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
     commit(fs, root, v + 1, name)
-    maybeCheckpoint(spark, dir, partitionCol)
+    maybeCheckpoint(spark, dir, pCol)
     small.size.toLong
   }
 
@@ -3092,14 +3402,18 @@ object Manifest {
     // planning needs the paths); the COMMIT is a distributed re-root —
     // a sentinel-only change never re-serializes the entry list
     // through the driver (same shape as [[evolve]])
+    // mapped table: the caller's SQL speaks logical names; the stored
+    // constraint validates PHYSICAL staged rows, so rewrite attribute
+    // references through the map once, here
+    val sqlP = sqlToPhysical(spark, sql, meta.colMap)
     val entries = entriesDataset(spark, meta).collect().toSeq
     val existing = readEntriesMasked(spark, root, entries, meta.ddl,
       meta.dvDirs)
-    val viol = existing.filter(!coalesce(expr(sql), lit(true))).count()
-    if (viol > 0) throw ConstraintViolationException(name, sql, viol)
+    val viol = existing.filter(!coalesce(expr(sqlP), lit(true))).count()
+    if (viol > 0) throw ConstraintViolationException(name, sqlP, viol)
     commit(fs, root, v + 1,
       compactManifest(spark, root, meta, meta.ddl, Nil,
-        constraintsOut = Some(meta.constraints :+ s"$name: $sql")))
+        constraintsOut = Some(meta.constraints :+ s"$name: $sqlP")))
   }
 
   /** DROP a CHECK constraint by name (error if absent). Metadata-only:
@@ -3145,7 +3459,7 @@ object Manifest {
   def cluster(spark: SparkSession, dir: String, partitionCol: String,
               sortCol: String, targetBytes: Long = 128L << 20): Unit =
     clusterBy(spark, dir, partitionCol, Seq(sortCol), targetBytes,
-      _ => col(sortCol))
+      (_, cols) => col(cols.head))
 
   /** Shared full-snapshot cluster-rewrite: validate the cluster columns
     * against statsCols, masked-read everything, range-repartition on
@@ -3153,12 +3467,16 @@ object Manifest {
   private def clusterBy(spark: SparkSession, dir: String,
                         partitionCol: String, clusterCols: Seq[String],
                         targetBytes: Long,
-                        key: Snapshot => org.apache.spark.sql.Column): Unit = {
+                        key: (Snapshot, Seq[String]) =>
+                          org.apache.spark.sql.Column): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val snap = readSnapshot(spark, root, v)
-    clusterCols.foreach(c => require(snap.statsCols.contains(c),
+    // cluster columns arrive LOGICAL like every public name; stats
+    // columns are stored physical
+    val clusterP = clusterCols.map(physName(snap.colMap, _))
+    clusterP.foreach(c => require(snap.statsCols.contains(c),
       s"cluster column $c is not a stats column " +
         s"(${snap.statsCols.mkString(",")}) — pruning could never use it"))
     if (snap.entries.isEmpty) return
@@ -3168,9 +3486,10 @@ object Manifest {
       snap.dvDirs)
     val newEntries =
       if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
-      else writeBatch(spark, root, rows, partitionCol,
+      else writeBatch(spark, root, rows,
+        physName(snap.colMap, partitionCol),
         snap.statsCols, snap.constraints, numFiles = Some(nOut),
-        bloomCols = snap.bloomCols, clusterKey = Some(key(snap)))
+        bloomCols = snap.bloomCols, clusterKey = Some(key(snap, clusterP)))
     commit(fs, root, v + 1,
       writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
@@ -3189,7 +3508,7 @@ object Manifest {
                xCol: String, yCol: String,
                targetBytes: Long = 128L << 20): Unit =
     clusterBy(spark, dir, partitionCol, Seq(xCol, yCol), targetBytes,
-      snap => {
+      (snap, colsP) => {
         // the Morton interleave reads the LOW 31 BITS of each value:
         // a non-integral TYPE is rejected loudly here (its cast would
         // null the key and silently collapse the table into one
@@ -3198,7 +3517,7 @@ object Manifest {
         // degrade locality without erroring (checking data would cost
         // a scan).
         val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
-        Seq(xCol, yCol).foreach { c =>
+        colsP.foreach { c =>
           val dt = schema(c).dataType
           require(Seq(ByteType, ShortType, IntegerType, LongType)
             .contains(dt),
@@ -3209,7 +3528,7 @@ object Manifest {
         }
         // zorderKey casts both inputs to long itself (Expressions
         // .zorder2), so narrower integral types widen there
-        graft.ops.Layout.zorderKey(col(xCol), col(yCol))
+        graft.ops.Layout.zorderKey(col(colsP.head), col(colsP(1)))
       })
 
   /** One-call table MAINTENANCE, each step a separate optimistic

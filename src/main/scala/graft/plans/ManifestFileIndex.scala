@@ -75,7 +75,8 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
     DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
 
   private val pruning = new ManifestPruning(dataSchema, snap.statsCols,
-    partitionCol, spark.sessionState.conf.sessionLocalTimeZone)
+    partitionCol.map(Manifest.resolvePhysical(snap.colMap, _)),
+    spark.sessionState.conf.sessionLocalTimeZone)
 
   private val root = new Path(dir)
   private val fs =
@@ -158,7 +159,8 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
     DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
 
   private val pruning = new ManifestPruning(dataSchema, meta.statsCols,
-    partitionCol, spark.sessionState.conf.sessionLocalTimeZone)
+    partitionCol.map(Manifest.resolvePhysical(meta.colMap, _)),
+    spark.sessionState.conf.sessionLocalTimeZone)
 
   private val root = new Path(dir)
   private val fs =
@@ -621,42 +623,53 @@ object ManifestScan {
   def scan(spark: SparkSession, dir: String,
            partitionCol: Option[String] = None,
            version: Option[Long] = None): DataFrame = {
-    val (relation, dvDirs) = planned(spark, dir, partitionCol, version)
+    val (relation, dvDirs, colMap) = planned(spark, dir, partitionCol,
+      version)
     val df = spark.baseRelationToDataFrame(relation)
     // merge-on-read: snapshots with live deletion vectors get the
     // row-position anti-join on top; pruning still applies underneath
-    if (dvDirs.isEmpty) df
-    else Manifest.maskedByDv(spark, dir, df, dvDirs)
+    val masked =
+      if (dvDirs.isEmpty) df
+      else Manifest.maskedByDv(spark, dir, df, dvDirs)
+    // column-mapped tables surface their LOGICAL face as one aliasing
+    // projection on top — Catalyst pushes WHERE predicates straight
+    // through the aliases into the physical scan, so file skipping and
+    // parquet pushdown are unaffected
+    Manifest.toLogical(masked, colMap)
   }
 
   /** [[scan]]'s planning half, exposed for the `graft-manifest` batch
     * DataSource ([[graft.io.ManifestStreamProvider.createRelation]]):
     * the pruning-FileIndex-backed [[HadoopFsRelation]] plus the
-    * snapshot's live deletion-vector dirs. A caller that gets
-    * `dvDirs.isEmpty` may hand the relation straight to Catalyst (full
-    * pushdown, stock parquet codegen); live DVs need
-    * [[Manifest.maskedByDv]] layered on top — returning the bare
-    * relation then would resurrect deleted rows. */
+    * snapshot's live deletion-vector dirs and column map. A caller that
+    * gets `dvDirs.isEmpty && colMap.isEmpty` may hand the relation
+    * straight to Catalyst (full pushdown, stock parquet codegen); live
+    * DVs need [[Manifest.maskedByDv]] layered on top — returning the
+    * bare relation then would resurrect deleted rows — and a non-empty
+    * column map means the relation's schema is PHYSICAL (a logical-face
+    * projection must wrap it). `partitionCol` is expected PHYSICAL here
+    * (callers translate at their own boundary). */
   private[graft] def planned(spark: SparkSession, dir: String,
                              partitionCol: Option[String] = None,
                              version: Option[Long] = None)
-      : (HadoopFsRelation, Seq[String]) = {
+      : (HadoopFsRelation, Seq[String], Seq[String]) = {
     val threshold = spark.sparkContext.hadoopConfiguration
       .getLong(DistributedMinBytesKey, DistributedMinBytesDefault)
     // the venue decision costs one pointer read + one LIST — no Spark
     // job, no entry materialization
     val mBytes = Manifest.manifestBytes(spark, dir, version)
-    val (index: FileIndex, schema, dvDirs) =
+    val (index: FileIndex, schema, dvDirs, colMap) =
       if (mBytes >= threshold || threshold < 0) {
         val i = new DistributedManifestFileIndex(spark, dir, partitionCol,
           version)
-        (i, i.dataSchema, i.meta.dvDirs)
+        (i, i.dataSchema, i.meta.dvDirs, i.meta.colMap)
       } else {
         val i = new ManifestFileIndex(spark, dir, partitionCol, version)
-        (i, i.dataSchema, i.snap.dvDirs)
+        (i, i.dataSchema, i.snap.dvDirs, i.snap.colMap)
       }
     (HadoopFsRelation(index, new StructType(),
-      schema, None, new ParquetFileFormat(), Map.empty)(spark), dvDirs)
+      schema, None, new ParquetFileFormat(), Map.empty)(spark), dvDirs,
+      colMap)
   }
 
   /** Register the manifest table as a SQL temp view named `name`, so

@@ -1,0 +1,219 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Column mapping: RENAME/DROP COLUMN as metadata-only commits — the
+  * physical files never rewrite; a sentinel-carried map translates at
+  * the public API boundary; pruning, DVs, constraints, the change feed,
+  * time travel, and the batch DataSource all keep working on the
+  * logical names. */
+class ManifestColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir() = s"${Files.createTempDirectory("graft-cmap")}/tbl"
+
+  private def base = spark.range(1, 61)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 3).as("p"))
+
+  private def kv(df: DataFrame, valueCol: String): Map[Long, Double] =
+    df.select(col("k"), col(valueCol)).as[(Long, Double)].collect().toMap
+
+  test("rename is METADATA-ONLY: same physical files, new logical face, old face time-travels") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("k"))
+    Manifest.append(spark, dir, Seq((100L, 9.0, 1L)).toDF("k", "v", "p"), "p")
+    val filesBefore = Manifest.read(spark, dir).inputFiles.toSet
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    val out = Manifest.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "amount", "p"))
+    assert(out.inputFiles.toSet == filesBefore,
+      "a rename must not touch one data file")
+    assert(kv(out, "amount") == kv(
+      Manifest.readVersion(spark, dir, 2L), "v"),
+      "same rows under the new name")
+    // the map is part of the snapshot: older versions keep THEIR names
+    assert(Manifest.readVersion(spark, dir, 1L).columns.toSeq ==
+      Seq("k", "v", "p"))
+    assert(Manifest.columnMapping(spark, dir) ==
+      Seq(("k", "k"), ("amount", "v"), ("p", "p")))
+    // restore to the pre-rename version restores the pre-rename name
+    Manifest.restore(spark, dir, 2L)
+    assert(Manifest.read(spark, dir).columns.toSeq == Seq("k", "v", "p"))
+  }
+
+  test("every write path speaks the logical name after a rename") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    Manifest.renameColumn(spark, dir, "p", "part")
+    def logical(rows: Seq[(Long, Double, Long)]) =
+      rows.toDF("k", "amount", "part")
+    Manifest.append(spark, dir, logical(Seq((100L, 9.0, 0L))), "part")
+    Manifest.upsert(spark, dir, logical(Seq((5L, 555.0, 2L))),
+      Seq("k"), "part")
+    Manifest.delete(spark, dir, Seq((7L, 1L)).toDF("k", "part"),
+      Seq("k"), "part")
+    Manifest.deleteMor(spark, dir, Seq((8L, 2L)).toDF("k", "part"),
+      Seq("k"), "part")
+    Manifest.upsertMor(spark, dir, logical(Seq((9L, 999.0, 0L))),
+      Seq("k"), "part")
+    Manifest.overwritePartitions(spark, dir, logical(Seq((900L, 1.0, 1L))),
+      "part")
+    val expect = (1L to 60L).map(i => i -> i * 1.0).toMap ++
+      Map(100L -> 9.0, 5L -> 555.0, 9L -> 999.0, 900L -> 1.0) --
+      Seq(7L, 8L) -- (1L to 60L).filter(_ % 3 == 1) // partition 1 replaced
+    assert(kv(Manifest.read(spark, dir), "amount") == expect)
+    // maintenance keeps working on the logical names too
+    Manifest.compact(spark, dir, "part", smallBytes = Long.MaxValue / 2)
+    Manifest.materialize(spark, dir, "part")
+    assert(kv(Manifest.read(spark, dir), "amount") == expect)
+    // an unknown (old) name refuses loudly everywhere
+    val e = intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir,
+        Seq((1L, 1.0, 0L)).toDF("k", "v", "part"), "part")
+    }
+    assert(e.getMessage.contains("do not exist"))
+  }
+
+  test("stats/partition pruning and point reads keep firing through the map") {
+    val dir = newDir()
+    val wide = spark.range(1, 4001)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), ($"id" % 3).as("p"))
+    Manifest.create(spark, dir, wide, "p",
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    // lay several k-disjoint files, THEN rename the stats column — the
+    // recorded physical stats must keep pruning through the map
+    Manifest.cluster(spark, dir, "p", "k", targetBytes = 8192)
+    Manifest.renameColumn(spark, dir, "k", "id")
+    val all = Manifest.read(spark, dir).inputFiles.length
+    val ranged = Manifest.readRange(spark, dir, "id", Some("1"), Some("5"))
+    assert(ranged.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 5L))
+    assert(ranged.inputFiles.length < all,
+      s"range read must open fewer than all $all files")
+    val point = Manifest.readPoint(spark, dir, "id", "17")
+    assert(point.select("id").as[Long].collect().toSeq == Seq(17L))
+    assert(point.inputFiles.length < all)
+    // planner venue: a WHERE over the logical name pushes through the
+    // aliasing projection into the pruned physical scan
+    val scanned = graft.plans.ManifestScan
+      .scan(spark, dir, partitionCol = Some("p"))
+      .where($"id" === 17L && $"p" === 2L)
+    assert(scanned.select("id").as[Long].collect().toSeq == Seq(17L))
+  }
+
+  test("drop hides the column; re-adding the name binds a FRESH physical slot") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.dropColumn(spark, dir, "v")
+    val out = Manifest.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "p"))
+    // writes now carry only the visible columns; the dropped physical
+    // slot null-fills so the physical schema stays constant
+    Manifest.append(spark, dir, Seq((100L, 0L)).toDF("k", "p"), "p")
+    assert(Manifest.read(spark, dir).count() == 61)
+    // time travel before the drop still shows v
+    assert(Manifest.readVersion(spark, dir, 1L).columns.toSeq ==
+      Seq("k", "v", "p"))
+    // re-add the logical name: a fresh slot — old values must NOT leak
+    Manifest.evolve(spark, dir, Seq("v" -> "double"))
+    val re = Manifest.read(spark, dir)
+    assert(re.columns.toSeq == Seq("k", "p", "v"))
+    assert(re.where($"v".isNotNull).count() == 0,
+      "the re-added column is a fresh slot, not the dropped data")
+    Manifest.append(spark, dir, Seq((200L, 1L, 7.5)).toDF("k", "p", "v"), "p")
+    assert(Manifest.read(spark, dir).where($"v".isNotNull)
+      .select("k").as[Long].collect().toSeq == Seq(200L))
+  }
+
+  test("constraints translate to physical at add; drop of a constrained column refuses") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    Manifest.addConstraint(spark, dir, "amount_pos", "amount > 0")
+    // enforcement works on writes through the logical face
+    intercept[Manifest.ConstraintViolationException] {
+      Manifest.append(spark, dir,
+        Seq((500L, -1.0, 0L)).toDF("k", "amount", "p"), "p")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Manifest.dropColumn(spark, dir, "amount")
+    }
+    assert(e.getMessage.contains("constraint"))
+    Manifest.dropConstraint(spark, dir, "amount_pos")
+    Manifest.dropColumn(spark, dir, "amount")
+    assert(Manifest.read(spark, dir).columns.toSeq == Seq("k", "p"))
+  }
+
+  test("change feed and streaming-source schema speak the logical names") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    Manifest.append(spark, dir, Seq((100L, 9.0, 1L)).toDF("k", "amount", "p"),
+      "p")
+    val feed = Manifest.changes(spark, dir, 2L, 3L)
+    assert(feed.columns.toSeq == Seq("k", "amount", "p", "change"))
+    assert(feed.select("k", "change").as[(Long, String)].collect().toSeq ==
+      Seq((100L, "insert")))
+    val signed = Manifest.changesSigned(spark, dir, 2L, 3L)
+    assert(signed.columns.toSeq == Seq("k", "amount", "p", "sign"))
+    assert(Manifest.appendedBetween(spark, dir, 2L, 3L).get
+      .columns.toSeq == Seq("k", "amount", "p"))
+    assert(Manifest.tableSchema(spark, dir).fieldNames.toSeq ==
+      Seq("k", "amount", "p"))
+  }
+
+  test("DV-masked reads and the batch DataSource work on a mapped table") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    Manifest.deleteMor(spark, dir, Seq((5L, 2L)).toDF("k", "p"),
+      Seq("k"), "p")
+    val ds = spark.read.format("graft-manifest").load(dir)
+    assert(ds.columns.toSeq == Seq("k", "amount", "p"))
+    assert(ds.where($"k" === 5L).count() == 0,
+      "the DV mask applies under the logical face")
+    assert(ds.where($"amount" > 58.0).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(59L, 60L))
+    // writer through the DataSource speaks logical names too
+    Seq((100L, 9.0, 0L)).toDF("k", "amount", "p")
+      .write.format("graft-manifest").mode("append")
+      .option("partitionCol", "p").save(dir)
+    assert(spark.read.format("graft-manifest").load(dir).count() == 60)
+    // a mapped table WITHOUT DVs also routes through the logical-face
+    // relation: same answers
+    val dir2 = newDir()
+    Manifest.create(spark, dir2, base, "p")
+    Manifest.renameColumn(spark, dir2, "k", "id")
+    val ds2 = spark.read.format("graft-manifest").load(dir2)
+    assert(ds2.columns.toSeq == Seq("id", "v", "p"))
+    assert(ds2.where($"id" <= 3L).count() == 3)
+  }
+
+  test("rename/drop refusals: taken name, unknown column, last column") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    intercept[IllegalArgumentException] {
+      Manifest.renameColumn(spark, dir, "v", "k")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.renameColumn(spark, dir, "zz", "w")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.renameColumn(spark, dir, "v", "bad name")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.dropColumn(spark, dir, "zz")
+    }
+    Manifest.dropColumn(spark, dir, "v")
+    Manifest.dropColumn(spark, dir, "p")
+    intercept[IllegalArgumentException] {
+      Manifest.dropColumn(spark, dir, "k")
+    }
+  }
+}
