@@ -76,6 +76,7 @@ object ManifestPlanBench {
     if (mode == "tail") { tailMain(spark, root, n); return }
     if (mode == "chain") { chainMain(spark, root, n); return }
     if (mode == "stream") { streamMain(spark, root, n); return }
+    if (mode == "rename") { renameMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -116,6 +117,59 @@ object ManifestPlanBench {
         s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
         s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
         s""""list_all_sec":${f"$tList%.3f"}}""")
+  }
+
+  /** RENAME COLUMN at lake scale: the commit touches no data file (the
+    * map is sentinel metadata; the entry list re-roots DISTRIBUTED,
+    * executor-to-executor, like evolve/addConstraint), so the cost to
+    * price is the re-root's wall time plus proof that pruning through
+    * the renamed logical name keeps the identical kept set. */
+  private def renameMain(spark: org.apache.spark.sql.SparkSession,
+                         root: String, n: Int): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def monthFilter(name: String) = {
+      val attr = org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(name, DateType)()
+      org.apache.spark.sql.catalyst.expressions.And(
+        org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            java.sql.Date.valueOf("1993-06-01"), DateType)),
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            java.sql.Date.valueOf("1993-06-30"), DateType)))
+    }
+    // same venue selection as production planning: past ~10⁶ entries
+    // the driver collect stops fitting and the distributed index is
+    // the one that serves listings
+    def mkIndex() =
+      if (n <= 2000000) Left(new ManifestFileIndex(spark, root, Some("p")))
+      else Right(new graft.plans.DistributedManifestFileIndex(spark, root,
+        Some("p")))
+    def count(i: Either[ManifestFileIndex,
+                        graft.plans.DistributedManifestFileIndex]): Int =
+      i.fold(_.candidateCount(Seq(monthFilter("d"))),
+        _.candidateCount(Seq(monthFilter("d"))))
+    val kept0 = count(mkIndex())
+    val (_, tRename) = time(
+      graft.ops.Manifest.renameColumn(spark, root, "d", "event_date"))
+    // post-rename: plan THROUGH the map — the physical stats column is
+    // still "d", the predicate a reader pushes is still physical (the
+    // scan schema is physical; the logical face is a projection), and
+    // the kept set must be identical
+    val (idx1, tLoad) = time(mkIndex())
+    count(idx1) // warm (class loading)
+    val (kept1, tPrune) = time(count(idx1))
+    require(kept1 == kept0,
+      s"kept set diverged across the rename: $kept0 != $kept1")
+    println(
+      s"""{"metric":"manifest_rename","entries":$n,""" +
+        s""""rename_commit_sec":${f"$tRename%.2f"},""" +
+        s""""post_load_sec":${f"$tLoad%.2f"},""" +
+        s""""post_prune_sec":${f"$tPrune%.3f"},""" +
+        s""""kept_files":$kept1,"kept_parity":true}""")
   }
 
   /** The checkpoint-venue measurement: one-time planning-checkpoint
