@@ -787,6 +787,36 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // COMMIT PROVENANCE (ops.Manifest.history — DESCRIBE HISTORY):
+    // every commit's pointer carries op:/ts: tag lines; history()
+    // reads the retained pointers alone (no manifest or data file
+    // opened). The operation SEQUENCE is deterministic, so the oracle
+    // pins it literally; timestamps are excluded (wall clock).
+    "man_history" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_history_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderstatus")
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 2 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.upsert(s, dir,
+        orders.filter(col("o_orderkey") % 100 === 0), Seq("o_orderkey"),
+        "o_orderstatus")
+      graft.ops.Manifest.delete(s, dir,
+        orders.filter(col("o_orderkey") % 99 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.renameColumn(s, dir, "o_totalprice", "price")
+      graft.ops.Manifest.history(s, dir)
+        .select(col("version"), col("operation"), col("multi_table"))
+        .orderBy(col("version"))
+    }),
+
     // COLUMN MAPPING (ops.Manifest.renameColumn): RENAME is a
     // metadata-only commit — no data file rewrites — and every later
     // write speaks the new name; the read surfaces the logical face.
@@ -3646,6 +3676,16 @@ ORDER BY step"""
         |       (o_orderkey % 3 = 0) AS in_v1
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+
+    // The operation sequence is exactly the calls the builder made,
+    // in commit order; none were multi-table commits.
+    "man_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, operation,
+        |       CAST(0 AS BOOLEAN) AS multi_table
+        |FROM (VALUES (1, 'CREATE'), (2, 'APPEND'), (3, 'UPSERT'),
+        |             (4, 'DELETE'), (5, 'RENAME_COLUMN'))
+        |  AS t(v, operation)
+        |ORDER BY version""".stripMargin,
 
     // RENAME is metadata-only: the tip is simply the whole table with
     // the column under its new name, whichever side of the rename each

@@ -61,6 +61,12 @@ object ManifestRelation {
     v.orElse(ts.map(t => versionAt(spark, dir, parseTsMillis(spark, t), t)))
   }
 
+  /** [[versionAt]] from the raw timestamp spelling — shared with the
+    * streaming source's `afterTimestamp` anchor. */
+  private[io] def versionAtTime(spark: SparkSession, dir: String,
+                                raw: String): Long =
+    versionAt(spark, dir, parseTsMillis(spark, raw), raw)
+
   /** Newest version whose (monotonically adjusted) commit time is at or
     * before `millis` — [[Manifest.versionTimes]] supplies the series. */
   private def versionAt(spark: SparkSession, dir: String, millis: Long,

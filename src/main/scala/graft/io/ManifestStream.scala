@@ -105,6 +105,19 @@ object ManifestStream {
         s"afterVersion must be a version number, got '$s'"))
     }
 
+  /** The stream's anchor: `afterVersion` verbatim, or `afterTimestamp`
+    * resolved to the newest version committed at or before that time
+    * (same spellings and in-commit-timestamp resolution as the batch
+    * reader's `timestampAsOf`) — "stream every change since T". */
+  private[io] def anchorOpt(spark: SparkSession, dir: String,
+                            params: Map[String, String]): Option[Long] = {
+    val av = afterVersionOpt(params)
+    val at = optCI(params, "afterTimestamp")
+    require(av.isEmpty || at.isEmpty,
+      "afterVersion and afterTimestamp are mutually exclusive")
+    av.orElse(at.map(t => ManifestRelation.versionAtTime(spark, dir, t)))
+  }
+
   private[io] def maxVersionsOpt(params: Map[String, String]): Long =
     optCI(params, "maxVersionsPerTrigger").map { s =>
       s.toLongOption.filter(_ >= 1).getOrElse(
@@ -122,7 +135,7 @@ object ManifestStream {
     val mode = optCI(params, "mode").getOrElse("cdc").toLowerCase
     require(mode == "cdc" || mode == "append",
       s"graft-manifest mode must be 'cdc' or 'append', got '$mode'")
-    afterVersionOpt(params); maxVersionsOpt(params)
+    anchorOpt(spark, dir, params); maxVersionsOpt(params)
     val base = Manifest.tableSchema(spark, dir)
     Seq(ChangeCol, VersionCol).foreach { c =>
       require(!base.fieldNames.contains(c),
@@ -280,7 +293,7 @@ class ManifestStreamProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val dir = optCI(parameters, "path").get // validated in sourceSchema
     val mode = optCI(parameters, "mode").getOrElse("cdc").toLowerCase
-    val after = afterVersionOpt(parameters)
+    val after = anchorOpt(spark, dir, parameters)
     val maxV = maxVersionsOpt(parameters)
     new ManifestStreamSource(spark, dir, mode, after, maxV,
       ManifestStream.sourceSchema(spark, parameters),

@@ -97,6 +97,18 @@ case class ManifestEntry(path: String, values: Seq[String],
   * index (`_metadata.row_index`). Top-level for Encoder codegen. */
 case class DvEntry(path: String, pos: Long)
 
+/** One commit of [[Manifest.history]] — Delta's DESCRIBE HISTORY shape:
+  * version, monotone commit time (in-commit `ts:` line, mtime fallback),
+  * the operation that produced it (`op:` line; "" on pre-provenance
+  * pointers), the exactly-once txn marker if one rode the commit, and
+  * whether the commit was a multi-table participant. Top-level for
+  * Encoder codegen. */
+case class HistoryRow(version: Long, timestamp: java.sql.Timestamp,
+                      operation: String,
+                      txn_app_id: Option[String],
+                      txn_batch_id: Option[Long],
+                      multi_table: Boolean)
+
 /** One table's contribution to a [[Manifest.commitAll]] multi-table
   * commit: append `df` at `dir` (creating the table if absent), or
   * replace the whole snapshot when `overwrite`.
@@ -217,6 +229,12 @@ object Manifest {
     * monotonicity is restored at READ by [[versionTimes]]'s running
     * max, so the write path pays no extra round trip. */
   private val TsPrefix = "ts:"
+
+  /** Pointer line naming the OPERATION that produced the commit
+    * (CREATE, APPEND, UPSERT, RENAME_COLUMN, ...) — pure provenance
+    * for [[history]], Delta's DESCRIBE HISTORY shape. Absent on
+    * pre-provenance pointers (history shows ""). */
+  private val OpPrefix = "op:"
 
   /** Is a pointer with these lines a COMMITTED version? A pointer with
     * no `mtxn:` line is plainly committed; one carrying the line is
@@ -403,14 +421,16 @@ object Manifest {
     * [[ConditionalPutLogStore]]). */
   private def commit(fs: FileSystem, root: Path, v: Long,
                      manifestName: String,
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None,
+                     op: String = ""): Unit = {
     fs.mkdirs(new Path(root, VersionsDir))
     val target = versionPath(root, v)
     val content = manifestName + txn.map { case (app, b) =>
       require(!app.contains(':') && !app.contains('\n'),
         s"txn appId must not contain ':' or newline: $app")
       s"\ntxn:$app:$b"
-    }.getOrElse("") + s"\n$TsPrefix${System.currentTimeMillis()}"
+    }.getOrElse("") + s"\n$TsPrefix${System.currentTimeMillis()}" +
+      (if (op.isEmpty) "" else s"\n$OpPrefix$op")
     putPointer(fs, target, content.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -1988,7 +2008,8 @@ object Manifest {
       }
       commit(fs, root, v + 1,
         compactManifest(spark, root, meta, meta.ddl, Nil,
-          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })))
+          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
+        op = "RENAME_COLUMN")
     }
   }
 
@@ -2017,7 +2038,8 @@ object Manifest {
       val out = pairs.filterNot(_._1.equalsIgnoreCase(name))
       commit(fs, root, v + 1,
         compactManifest(spark, root, meta, meta.ddl, Nil,
-          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })))
+          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
+        op = "DROP_COLUMN")
     }
   }
 
@@ -2027,6 +2049,34 @@ object Manifest {
   def columnMapping(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val meta = snapshotMeta(spark, dir)
     effectivePairs(meta.ddl, meta.colMap)
+  }
+
+  /** DESCRIBE HISTORY: one row per RETAINED commit, ascending —
+    * version, monotone commit time, operation, txn marker, multi-table
+    * flag (see [[HistoryRow]]). Provenance is read from the pointer
+    * files alone: O(retained versions) one-line reads, no manifest or
+    * data file opened, so it is cheap at any table size (retention
+    * bounds the count — history older than the vacuum horizon is gone
+    * with the data it described). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    var floor = Long.MinValue
+    val rows = versions(spark, dir).map { v =>
+      val tagged = readPointerLines(fs, root, v).drop(1)
+      val t = tagged.find(_.startsWith(TsPrefix))
+        .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption)
+        .getOrElse(fs.getFileStatus(versionPath(root, v)).getModificationTime)
+      floor = math.max(floor, t)
+      val txn = tagged.find(_.startsWith("txn:")).map(_.stripPrefix("txn:"))
+      HistoryRow(v, new java.sql.Timestamp(floor),
+        tagged.find(_.startsWith(OpPrefix))
+          .map(_.stripPrefix(OpPrefix).trim).getOrElse(""),
+        txn.map(s => s.take(s.lastIndexOf(':'))),
+        txn.flatMap(s => s.drop(s.lastIndexOf(':') + 1).trim.toLongOption),
+        tagged.exists(_.startsWith(MtxnPrefix)))
+    }
+    rows.toDS().toDF()
   }
 
   // -------- public surface --------
@@ -2049,7 +2099,7 @@ object Manifest {
     commit(fs, root, 1L,
       writeManifest(spark, root, entries, nullableDdl(df.schema), statsCols,
         bloomCols, dvDirs = Nil, constraints = Nil),
-      txn)
+      txn, op = "CREATE")
   }
 
   /** Read the latest snapshot. */
@@ -2104,7 +2154,8 @@ object Manifest {
       val latest = vs.last
       if (latest == v) v
       else {
-        commit(fs, root, latest + 1, readPointer(fs, root, v))
+        commit(fs, root, latest + 1, readPointer(fs, root, v),
+          op = s"RESTORE v$v")
         latest + 1
       }
     }
@@ -2165,7 +2216,7 @@ object Manifest {
       if (ddlOut == meta.ddl && linkedAppendEligible(spark, fs, meta))
         linkManifest(spark, fs, root, meta, entries)
       else compactManifest(spark, root, meta, ddlOut, entries)
-    commit(fs, root, v + 1, name, txn)
+    commit(fs, root, v + 1, name, txn, op = "APPEND")
     maybeCheckpoint(spark, dir, pCol)
   }
 
@@ -2402,7 +2453,7 @@ object Manifest {
     commit(fs, root, v + 1,
       writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
-        prev = Some(snap)), txn)
+        prev = Some(snap)), txn, op = "OVERWRITE")
   }
 
   /** DYNAMIC PARTITION OVERWRITE under snapshot isolation: replace
@@ -2548,7 +2599,7 @@ object Manifest {
           meta.removedPaths.size + removes.size <= LinkedRemovesCap)
           linkManifest(spark, fs, root, meta, adds, removes)
         else compactManifest(spark, root, meta, meta.ddl, adds, removes)
-      commit(fs, root, v + 1, name, txn)
+      commit(fs, root, v + 1, name, txn, op = "OVERWRITE_PARTITIONS")
       pCol
     }
     maybeCheckpoint(spark, dir, pColOut)
@@ -2650,7 +2701,8 @@ object Manifest {
         val target = versionPath(root, v)
         putPointer(fs, target,
           (name + "\n" + MtxnPrefix + marker.toUri.toString +
-            s"\n$TsPrefix${System.currentTimeMillis()}")
+            s"\n$TsPrefix${System.currentTimeMillis()}" +
+            s"\n${OpPrefix}MULTI_COMMIT")
             .getBytes(StandardCharsets.UTF_8))
         created += ((fs, target))
         if (commitAllCrashAfter.contains(i + 1))
@@ -2757,7 +2809,7 @@ object Manifest {
         .map { case (l, p) => s"$l=$p" })
     commit(fs, root, v + 1,
       compactManifest(spark, root, meta, nullableDdl(widened), Nil,
-        colMapOut = mapOut))
+        colMapOut = mapOut), op = "ADD_COLUMNS")
   }
 
   /** Row-level CHANGE FEED between two committed versions — the CDC
@@ -3014,7 +3066,8 @@ object Manifest {
              keys: Seq[String], partitionCol: String,
              txn: Option[(String, Long)] = None): Unit = {
     rewriteKeyed(spark, dir, updates, partitionCol,
-      requireFullSchema = true, txn = txn, keys = keys) { (target, batch, k) =>
+      requireFullSchema = true, txn = txn, keys = keys,
+      op = "UPSERT") { (target, batch, k) =>
       val dataCols = batch.columns
       target.alias("t")
         .join(batch.alias("u"),
@@ -3039,7 +3092,8 @@ object Manifest {
       s"delete batch columns ${deletes.columns.mkString(",")} must be " +
         s"exactly ${expect.mkString(",")}")
     rewriteKeyed(spark, dir, deletes, partitionCol,
-      requireFullSchema = false, keys = keys) { (target, batch, k) =>
+      requireFullSchema = false, keys = keys,
+      op = "DELETE") { (target, batch, k) =>
       target.join(batch.select(k.map(col): _*).distinct(),
         k, "left_anti")
     }
@@ -3146,7 +3200,7 @@ object Manifest {
           linkManifest(spark, fs, root, meta, Nil, dvAdds = Seq(name))
         else compactManifest(spark, root, meta, meta.ddl, Nil,
           dvAdds = Seq(name))
-      commit(fs, root, v + 1, mName)
+      commit(fs, root, v + 1, mName, op = "DELETE_MOR")
     }
   }
 
@@ -3206,7 +3260,7 @@ object Manifest {
             dvAdds = dvName.toSeq)
         else compactManifest(spark, root, meta, meta.ddl, newEntries,
           dvAdds = dvName.toSeq)
-      commit(fs, root, v + 1, mName)
+      commit(fs, root, v + 1, mName, op = "UPSERT_MOR")
     }
   }
 
@@ -3230,7 +3284,7 @@ object Manifest {
       commit(fs, root, v + 1,
         writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
           snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
-          prev = Some(snap)))
+          prev = Some(snap)), op = "MATERIALIZE")
       return 0L
     }
     val dvd = snap.entries.filter(e => touched.contains(e.path))
@@ -3245,7 +3299,8 @@ object Manifest {
       writeManifest(spark, root,
         snap.entries.filterNot(e => touched.contains(e.path)) ++ newEntries,
         snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil,
-        constraints = snap.constraints, prev = Some(snap)))
+        constraints = snap.constraints, prev = Some(snap)),
+      op = "MATERIALIZE")
     touched.size.toLong
   }
 
@@ -3270,7 +3325,8 @@ object Manifest {
                                 partitionCol: String,
                                 requireFullSchema: Boolean,
                                 txn: Option[(String, Long)] = None,
-                                keys: Seq[String] = Nil)
+                                keys: Seq[String] = Nil,
+                                op: String = "REWRITE")
       (merge: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
@@ -3317,7 +3373,7 @@ object Manifest {
         meta.removedPaths.size + removes.size <= LinkedRemovesCap)
         linkManifest(spark, fs, root, meta, newEntries, removes)
       else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
-    commit(fs, root, v + 1, name, txn)
+    commit(fs, root, v + 1, name, txn, op = op)
     maybeCheckpoint(spark, dir, pCol)
   }
 
@@ -3375,7 +3431,7 @@ object Manifest {
         meta.removedPaths.size + removes.size <= LinkedRemovesCap)
         linkManifest(spark, fs, root, meta, newEntries, removes)
       else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
-    commit(fs, root, v + 1, name)
+    commit(fs, root, v + 1, name, op = "COMPACT")
     maybeCheckpoint(spark, dir, pCol)
     small.size.toLong
   }
@@ -3413,7 +3469,8 @@ object Manifest {
     if (viol > 0) throw ConstraintViolationException(name, sqlP, viol)
     commit(fs, root, v + 1,
       compactManifest(spark, root, meta, meta.ddl, Nil,
-        constraintsOut = Some(meta.constraints :+ s"$name: $sqlP")))
+        constraintsOut = Some(meta.constraints :+ s"$name: $sqlP")),
+      op = "ADD_CONSTRAINT")
   }
 
   /** DROP a CHECK constraint by name (error if absent). Metadata-only:
@@ -3431,7 +3488,7 @@ object Manifest {
       s"no constraint named '$name'")
     commit(fs, root, v + 1,
       compactManifest(spark, root, meta, meta.ddl, Nil,
-        constraintsOut = Some(kept)))
+        constraintsOut = Some(kept)), op = "DROP_CONSTRAINT")
   }
 
   /** The table's CHECK constraints as (name, sql) pairs. */
@@ -3493,7 +3550,7 @@ object Manifest {
     commit(fs, root, v + 1,
       writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
         snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
-        prev = Some(snap)))
+        prev = Some(snap)), op = "CLUSTER")
   }
 
   /** 2-D Z-ORDER clustering: rewrite the snapshot range-partitioned on

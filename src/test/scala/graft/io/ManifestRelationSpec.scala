@@ -202,6 +202,22 @@ class ManifestRelationSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE mrel_sql")
   }
 
+  test("CTAS: CREATE TABLE ... USING graft-manifest AS SELECT creates and reads back") {
+    val dir = s"${newDir()}/tbl"
+    base.createOrReplaceTempView("mrel_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS mrel_ctas")
+    spark.sql(s"CREATE TABLE mrel_ctas USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', partitionCol 'p') " +
+      "AS SELECT * FROM mrel_ctas_src WHERE k <= 10")
+    try {
+      assert(spark.sql("SELECT count(*) AS c FROM mrel_ctas")
+        .as[Long].head() == 10L)
+      // the CTAS landed as a real manifest commit, not a side write
+      assert(Manifest.latestVersion(spark, dir).contains(1L))
+      assert(rows(Manifest.read(spark, dir)) == rows(base.where($"k" <= 10)))
+    } finally spark.sql("DROP TABLE mrel_ctas")
+  }
+
   test("write-side contract refusals: time-travel options, late stats reconfiguration") {
     val dir = s"${newDir()}/tbl"
     Manifest.create(spark, dir, base, "p")

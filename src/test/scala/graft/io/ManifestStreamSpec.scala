@@ -200,6 +200,36 @@ class ManifestStreamSpec extends SparkSpec {
       "no batch may be dropped or duplicated across the paced restarts")
   }
 
+  test("afterTimestamp anchors at the newest commit at-or-before T (timestampAsOf spelling)") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((100L, 1.0, 0L)).toDF("k", "v", "p"), "p")
+    // a far-future T resolves to the CURRENT tip: the stream starts
+    // empty and delivers only what commits after it starts
+    val q = spark.readStream.format("graft-manifest")
+      .option("afterTimestamp", "99999999999999")
+      .load(dir)
+      .writeStream.format("memory").queryName("mstream_after_ts")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mstream_after_ts").count() == 0,
+        "history at-or-before the anchor must not replay")
+      Manifest.append(spark, dir, Seq((200L, 2.0, 1L)).toDF("k", "v", "p"),
+        "p")
+      q.processAllAvailable()
+      assert(spark.table("mstream_after_ts").select("k").as[Long]
+        .collect().toSeq == Seq(200L))
+    } finally q.stop()
+    // both anchors at once refuse at load time
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-manifest")
+        .option("afterVersion", "1").option("afterTimestamp", "0").load(dir)
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("cdc across a compaction commit: a pure rewrite nets ZERO change rows") {
     val root = newDir()
     val dir = s"$root/tbl"

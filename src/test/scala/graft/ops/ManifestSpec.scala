@@ -21,6 +21,34 @@ class ManifestSpec extends SparkSpec {
   private def baseState =
     (1L to 100L).map(k => k -> (k * 1.0, k / 50)).toMap
 
+  test("history: one row per retained commit with operation, monotone time, txn marker") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((200L, 2.0, 1L)).toDF("k", "v", "p"), "p")
+    Manifest.upsert(spark, dir, Seq((5L, 55.0, 0L)).toDF("k", "v", "p"),
+      Seq("k"), "p")
+    Manifest.appendIfAbsent(spark, dir,
+      Seq((300L, 3.0, 1L)).toDF("k", "v", "p"), "p", "hist_app", 7L)
+    Manifest.compact(spark, dir, "p", smallBytes = Long.MaxValue / 2)
+    val h = Manifest.history(spark, dir)
+      .select("version", "operation", "txn_app_id", "txn_batch_id",
+        "multi_table")
+      .as[(Long, String, Option[String], Option[Long], Boolean)]
+      .collect().toSeq
+    assert(h.map(r => (r._1, r._2)) == Seq((1L, "CREATE"), (2L, "APPEND"),
+      (3L, "UPSERT"), (4L, "APPEND"), (5L, "COMPACT")))
+    assert(h(3)._3.contains("hist_app") && h(3)._4.contains(7L),
+      "the exactly-once txn marker surfaces on its commit")
+    assert(h.forall(!_._5), "no commit here was multi-table")
+    val ts = Manifest.history(spark, dir).select("timestamp")
+      .as[java.sql.Timestamp].collect().map(_.getTime).toSeq
+    assert(ts == ts.sorted, "commit times are monotone by construction")
+    // vacuum trims history WITH the data it described
+    Manifest.vacuumOrphans(spark, dir, keepVersions = 2, staleMillis = 0L)
+    assert(Manifest.history(spark, dir).select("version")
+      .as[Long].collect().toSeq == Seq(4L, 5L))
+  }
+
   test("create / read round trip; append adds rows; versions accumulate") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
