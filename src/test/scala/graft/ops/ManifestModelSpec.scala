@@ -32,6 +32,7 @@ class ManifestModelSpec extends SparkSpec {
   case object Compact extends Op
   case object Materialize extends Op
   case object Cluster extends Op
+  case object Rename extends Op
 
   private val keyGen = Gen.choose(1L, 40L)
   private val rowsGen = for {
@@ -49,27 +50,32 @@ class ManifestModelSpec extends SparkSpec {
     } yield Delete(ks.toSeq, m)),
     1 -> Gen.const(Compact),
     1 -> Gen.const(Materialize),
-    1 -> Gen.const(Cluster))
+    1 -> Gen.const(Cluster),
+    1 -> Gen.const(Rename))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
 
   private def part(k: Long): Long = k % 3
 
-  private def toDf(rows: Seq[(Long, Double)]) =
-    rows.toDF("k", "v").select($"k", $"v", ($"k" % 3).as("p"))
+  private def toDf(rows: Seq[(Long, Double)], valCol: String) =
+    rows.toDF("k", valCol).select(col("k"), col(valCol),
+      (col("k") % 3).as("p"))
 
   /** Row MULTISET (sorted seq, not a map): a duplicate-row corruption
     * must fail the compare, not collapse into one arbitrary entry. */
-  private def tableState(dir: String): Seq[(Long, Double)] =
-    Manifest.read(spark, dir).select("k", "v").collect()
+  private def tableState(dir: String, valCol: String): Seq[(Long, Double)] =
+    Manifest.read(spark, dir).select("k", valCol).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
 
   test("random op sequences: table == model and the feed replays every step") {
     forSamples(seqGen, 12) { (ops, caseId) =>
       val dir = Files.createTempDirectory(s"graft-model-$caseId").toString + "/t"
       var model = Map[Long, Double](1L -> 1.0, 2L -> 2.0, 9L -> 9.0)
-      Manifest.create(spark, dir, toDf(model.toSeq), "p",
+      // the CURRENT logical name of the value column — Rename flips it,
+      // and every subsequent op (and compare) must speak the new name
+      var valCol = "v"
+      Manifest.create(spark, dir, toDf(model.toSeq, valCol), "p",
         statsCols = Seq("v"), bloomCols = Seq("k"))
 
       ops.foreach { op =>
@@ -81,13 +87,15 @@ class ManifestModelSpec extends SparkSpec {
             val fresh = rows.filterNot { case (k, _) => model.contains(k) }
               .distinctBy(_._1)
             if (fresh.nonEmpty) {
-              Manifest.append(spark, dir, toDf(fresh), "p")
+              Manifest.append(spark, dir, toDf(fresh, valCol), "p")
               model = model ++ fresh
             }
           case Upsert(rows, mor) =>
             val batch = rows.distinctBy(_._1)
-            if (mor) Manifest.upsertMor(spark, dir, toDf(batch), Seq("k"), "p")
-            else Manifest.upsert(spark, dir, toDf(batch), Seq("k"), "p")
+            if (mor) Manifest.upsertMor(spark, dir, toDf(batch, valCol),
+              Seq("k"), "p")
+            else Manifest.upsert(spark, dir, toDf(batch, valCol),
+              Seq("k"), "p")
             model = model ++ batch
           case Delete(keys, mor) =>
             val batch = keys.distinct.map(k => (k, part(k))).toDF("k", "p")
@@ -99,16 +107,20 @@ class ManifestModelSpec extends SparkSpec {
               smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
           case Materialize => Manifest.materialize(spark, dir, "p")
           case Cluster =>
-            Manifest.cluster(spark, dir, "p", "v", targetBytes = 1L << 16)
+            Manifest.cluster(spark, dir, "p", valCol, targetBytes = 1L << 16)
+          case Rename =>
+            val next = if (valCol == "v") "w" else "v"
+            Manifest.renameColumn(spark, dir, valCol, next)
+            valCol = next // model values unchanged: rename is metadata
         }
         val vAfter = Manifest.latestVersion(spark, dir).get
-        assert(tableState(dir) == model.toSeq.sorted,
+        assert(tableState(dir, valCol) == model.toSeq.sorted,
           s"case $caseId diverged after $op (v$vBefore->v$vAfter)")
 
         // feed replay: fold the step's changes over the BEFORE state
         if (vAfter > vBefore) {
           val feed = Manifest.changes(spark, dir, vBefore, vAfter)
-            .select("k", "v", "change").collect()
+            .select("k", valCol, "change").collect()
           val ins = feed.filter(_.getString(2) == "insert")
           assert(ins.map(_.getLong(0)).distinct.length == ins.length,
             s"case $caseId: duplicate insert keys in one step's feed")
