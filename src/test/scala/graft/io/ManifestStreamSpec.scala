@@ -230,6 +230,41 @@ class ManifestStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
+  test("a mid-stream RENAME fails the fixed-schema conformance loudly, never misreads") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    Manifest.create(spark, dir, base, "p")
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("mstream_rename")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mstream_rename").count() == 6)
+      // the stream's schema is fixed at load; a rename changes the
+      // logical face, so the next batch must refuse — a silent
+      // mis-selection would hand rows of the wrong shape downstream
+      Manifest.renameColumn(spark, dir, "v", "w")
+      Manifest.append(spark, dir, Seq((100L, 1.0, 0L)).toDF("k", "w", "p"),
+        "p")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("v") || Option(e.getCause).exists(
+        c => Option(c.getMessage).exists(_.contains("v"))),
+        s"the failure must name the vanished column, got: ${e.getMessage}")
+    } finally q.stop()
+    // a RESTARTED stream picks up the renamed schema and replays clean
+    val ckpt2 = s"$root/ckpt2"
+    val q2 = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("mstream_rename2")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("mstream_rename2").columns.contains("w"))
+      assert(spark.table("mstream_rename2").count() == 7)
+    } finally q2.stop()
+  }
+
   test("cdc across a compaction commit: a pure rewrite nets ZERO change rows") {
     val root = newDir()
     val dir = s"$root/tbl"
