@@ -123,7 +123,8 @@ object ManifestRelation {
     // both need a plan ON TOP of the bare file relation, which the V1
     // relation API can only express behind a row boundary
     else new MaskedManifestRelation(spark, dir, partitionCol, version,
-      Manifest.logicalStruct(relation.dataSchema, colMap))
+      Manifest.logicalStruct(relation.dataSchema, colMap),
+      relation.sizeInBytes)
   }
 
   /** Best-effort V1 `Filter` → `Column` translation for the masked
@@ -171,10 +172,17 @@ object ManifestRelation {
 class MaskedManifestRelation(spark: SparkSession, dir: String,
                              partitionCol: Option[String],
                              version: Option[Long],
-                             override val schema: StructType)
+                             override val schema: StructType,
+                             scanBytes: Long)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
+
+  /** The snapshot's own byte count, NOT the V1 default (which is
+    * effectively infinite and would bar a small mapped/DV table from
+    * ever broadcast-joining). DV masking only removes rows, so this is
+    * a sound over-estimate for the broadcast threshold. */
+  override def sizeInBytes: Long = scanBytes
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {

@@ -202,6 +202,22 @@ class ManifestRelationSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE mrel_sql")
   }
 
+  test("a small mapped table still broadcast-joins: sizeInBytes is the snapshot's, not the V1 default") {
+    val dir = s"${newDir()}/tbl"
+    Manifest.create(spark, dir, base, "p")
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    val small = spark.read.format("graft-manifest").load(dir) // masked venue
+    val big = spark.range(1, 100000)
+      .select($"id".as("k"), ($"id" % 7).as("g"))
+    val joined = big.join(small, Seq("k"))
+    assert(joined.count() == 60)
+    // the plan sits under the AQE wrapper: assert on its rendering
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 60-row mapped table must plan as the broadcast side; the V1 " +
+        s"default sizeInBytes would force a sort-merge join:\n${plan.take(2000)}")
+  }
+
   test("CTAS: CREATE TABLE ... USING graft-manifest AS SELECT creates and reads back") {
     val dir = s"${newDir()}/tbl"
     base.createOrReplaceTempView("mrel_ctas_src")
