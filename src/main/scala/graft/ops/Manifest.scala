@@ -2791,12 +2791,19 @@ object Manifest {
     // each new LOGICAL column binds a fresh PHYSICAL slot: usually its
     // own name, but a dropped column's slot still occupies the physical
     // schema (it null-fills forever — the immutability contract), so a
-    // re-added name takes a version-suffixed slot instead
-    val bound = addCols.map { case (n, t) =>
-      val p =
-        if (!schema.fieldNames.exists(_.equalsIgnoreCase(n))) n
-        else s"${n}_p${v + 1}"
-      (n, p, t)
+    // re-added name takes a version-suffixed slot instead — probed until
+    // free, since a user column could literally carry the suffix shape
+    val bound = addCols.foldLeft(Seq.empty[(String, String, String)]) {
+      case (acc, (n, t)) =>
+        def taken(c: String) =
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)) ||
+            acc.exists(_._2.equalsIgnoreCase(c))
+        val p =
+          if (!taken(n)) n
+          else Iterator.from(0)
+            .map(i => if (i == 0) s"${n}_p${v + 1}" else s"${n}_p${v + 1}_$i")
+            .find(!taken(_)).get
+        acc :+ ((n, p, t))
     }
     val widened = StructType(schema.fields ++ bound.map { case (_, p, t) =>
       StructField(p, DataType.fromDDL(t), nullable = true)
