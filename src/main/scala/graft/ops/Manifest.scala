@@ -2051,6 +2051,28 @@ object Manifest {
     effectivePairs(meta.ddl, meta.colMap)
   }
 
+  /** DESCRIBE DETAIL: one row summarizing the CURRENT snapshot —
+    * version, file/byte/row totals (aggregated WHERE the entries live,
+    * O(1) driver heap), visible columns, pruning configuration,
+    * constraints, live-DV count, and manifest chain depth. The
+    * at-a-glance operational face of the table. */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = snapshotMeta(spark, dir)
+    val (nFiles, nBytes, nRows) = entriesDataset(spark, meta)
+      .toDF().agg(count(lit(1)), coalesce(sum("bytes"), lit(0L)),
+        coalesce(sum("rows"), lit(0L)))
+      .as[(Long, Long, Long)].head()
+    Seq((meta.version, nFiles, nBytes, nRows,
+      effectivePairs(meta.ddl, meta.colMap).map(_._1),
+      meta.statsCols, meta.bloomCols,
+      meta.constraints.map(parseConstraint(_)._1),
+      meta.dvDirs.length.toLong, meta.manifestDirs.length.toLong))
+      .toDF("version", "num_files", "size_bytes", "num_rows", "columns",
+        "stats_columns", "bloom_columns", "constraints", "num_dv_dirs",
+        "chain_depth")
+  }
+
   /** DESCRIBE HISTORY: one row per RETAINED commit, ascending —
     * version, monotone commit time, operation, txn marker, multi-table
     * flag (see [[HistoryRow]]). Provenance is read from the pointer

@@ -49,6 +49,28 @@ class ManifestSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(4L, 5L))
   }
 
+  test("detail: snapshot totals, visible columns, pruning config, DV count") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("v"),
+      bloomCols = Seq("k"))
+    Manifest.deleteMor(spark, dir, Seq((5L, 0L)).toDF("k", "p"),
+      Seq("k"), "p")
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    Manifest.addConstraint(spark, dir, "amount_pos", "amount > 0")
+    val d = Manifest.detail(spark, dir).collect().head
+    assert(d.getAs[Long]("version") == 4L)
+    assert(d.getAs[Long]("num_rows") == 100L,
+      "num_rows counts FILE rows (the DV'd row still occupies its file)")
+    assert(d.getAs[Long]("num_files") >= 1 &&
+      d.getAs[Long]("size_bytes") > 0)
+    assert(d.getSeq[String](d.fieldIndex("columns")) == Seq("k", "amount", "p"))
+    assert(d.getSeq[String](d.fieldIndex("stats_columns")) == Seq("v"),
+      "pruning config is PHYSICAL — the stats slot keeps its birth name")
+    assert(d.getSeq[String](d.fieldIndex("bloom_columns")) == Seq("k"))
+    assert(d.getSeq[String](d.fieldIndex("constraints")) == Seq("amount_pos"))
+    assert(d.getAs[Long]("num_dv_dirs") == 1L)
+  }
+
   test("create / read round trip; append adds rows; versions accumulate") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p")
