@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -86,8 +86,11 @@ object ManifestRelation {
 
   /** Epoch millis from the accepted timestamp spellings; wall-clock
     * forms bind to the SESSION timezone (the same zone the engine's
-    * own timestamp rendering uses), never the JVM default. */
-  private def parseTsMillis(spark: SparkSession, s: String): Long = {
+    * own timestamp rendering uses), never the JVM default. Exposed to
+    * the streaming source's load-time validation (spelling only — the
+    * O(retained versions) pointer sweep runs once, at source
+    * construction, not again per validation). */
+  private[io] def parseTsMillis(spark: SparkSession, s: String): Long = {
     val t = s.trim
     if (t.matches("\\d+")) t.toLong
     else {
@@ -130,10 +133,29 @@ object ManifestRelation {
   /** Best-effort V1 `Filter` → `Column` translation for the masked
     * relation: a translated filter lands in the NESTED scan's plan
     * (manifest file skipping + parquet pushdown fire inside), an
-    * untranslatable one is simply skipped — sound either way, because
-    * the V1 contract re-applies EVERY filter above `buildScan` (this
-    * relation never claims handled filters). */
+    * untranslatable one is simply skipped. SOUNDNESS RULE: the injected
+    * filter must be IMPLIED BY the original (it may keep extra rows —
+    * the V1 re-apply above `buildScan` removes them — but must never
+    * drop one the original keeps). In positive polarity widening is
+    * therefore fine: an AND may drop untranslatable conjuncts, an OR
+    * may widen its children but needs BOTH (dropping a disjunct would
+    * narrow). Under NOT the direction FLIPS — negating a widened child
+    * narrows — so a negated subtree must translate EXACTLY. */
   private[io] def toColumn(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      (toColumn(l), toColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other) // a one-sided AND still prunes
+      }
+    case Or(l, r) => // both required; each may be a widened translation
+      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case other => exact(other)
+  }
+
+  /** The EXACT-only translation: `None` unless the produced Column is
+    * equivalent to the filter (no one-sided narrowing anywhere in the
+    * subtree). */
+  private def exact(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === v)
     case EqualNullSafe(a, v) => Some(col(a) <=> v)
     case GreaterThan(a, v) => Some(col(a) > v)
@@ -146,14 +168,11 @@ object ManifestRelation {
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case StringContains(a, v) => Some(col(a).contains(v))
-    case Not(c) => toColumn(c).map(!_)
-    case And(l, r) =>
-      (toColumn(l), toColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (one, other) => one.orElse(other) // a one-sided AND still prunes
-      }
-    case Or(l, r) => // a one-sided OR would WIDEN, so both or neither
-      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case Not(c) => exact(c).map(!_)
+    case And(l, r) => for (a <- exact(l); b <- exact(r)) yield a && b
+    case Or(l, r) => for (a <- exact(l); b <- exact(r)) yield a || b
     case _ => None
   }
 }

@@ -108,15 +108,38 @@ object ManifestStream {
   /** The stream's anchor: `afterVersion` verbatim, or `afterTimestamp`
     * resolved to the newest version committed at or before that time
     * (same spellings and in-commit-timestamp resolution as the batch
-    * reader's `timestampAsOf`) — "stream every change since T". */
+    * reader's `timestampAsOf`) — "stream every change since T".
+    * `resolve = false` checks option consistency and the timestamp
+    * SPELLING only (the load-time validation hook) without paying the
+    * O(retained versions) pointer sweep twice per stream start. */
   private[io] def anchorOpt(spark: SparkSession, dir: String,
-                            params: Map[String, String]): Option[Long] = {
+                            params: Map[String, String],
+                            resolve: Boolean = true): Option[Long] = {
     val av = afterVersionOpt(params)
     val at = optCI(params, "afterTimestamp")
     require(av.isEmpty || at.isEmpty,
       "afterVersion and afterTimestamp are mutually exclusive")
-    av.orElse(at.map(t => ManifestRelation.versionAtTime(spark, dir, t)))
+    if (!resolve) {
+      at.foreach(ManifestRelation.parseTsMillis(spark, _))
+      av
+    } else av.orElse(at.map(t => ManifestRelation.versionAtTime(spark, dir, t)))
   }
+
+  /** The ONE partition column from `.partitionBy` and/or the
+    * `partitionCol` option — shared by the sink and the batch writer.
+    * Agreement between the two spellings is CASE-INSENSITIVE, like
+    * every other column comparison in the stack. */
+  private[io] def onePartitionCol(partitionBy: Seq[String],
+                                  opt: Option[String],
+                                  who: String): String =
+    (partitionBy, opt) match {
+      case (Seq(one), None) => one
+      case (Seq(), Some(c)) => c
+      case (Seq(one), Some(c)) if one.equalsIgnoreCase(c) => c
+      case (ps, o) => throw new IllegalArgumentException(
+        s"$who needs exactly ONE partition column via .partitionBy or " +
+          s"""option("partitionCol") — got partitionBy=$ps, option=$o""")
+    }
 
   private[io] def maxVersionsOpt(params: Map[String, String]): Long =
     optCI(params, "maxVersionsPerTrigger").map { s =>
@@ -135,7 +158,7 @@ object ManifestStream {
     val mode = optCI(params, "mode").getOrElse("cdc").toLowerCase
     require(mode == "cdc" || mode == "append",
       s"graft-manifest mode must be 'cdc' or 'append', got '$mode'")
-    anchorOpt(spark, dir, params); maxVersionsOpt(params)
+    anchorOpt(spark, dir, params, resolve = false); maxVersionsOpt(params)
     val base = Manifest.tableSchema(spark, dir)
     Seq(ChangeCol, VersionCol).foreach { c =>
       require(!base.fieldNames.contains(c),
@@ -187,18 +210,11 @@ class ManifestStreamProvider extends StreamSourceProvider
       optCI(parameters, "timestampAsOf").isEmpty,
       "versionAsOf/timestampAsOf are read options — a write always " +
         "commits the next version")
-    val partitionCol =
-      (parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+    val partitionCol = onePartitionCol(
+      parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
         .map(DataSourceUtils.decodePartitioningColumns(_).toSeq)
         .getOrElse(Nil),
-        optCI(parameters, "partitionCol")) match {
-        case (Seq(one), None) => one
-        case (Seq(), Some(c)) => c
-        case (Seq(one), Some(c)) if one == c => c
-        case (ps, o) => throw new IllegalArgumentException(
-          "graft-manifest write needs exactly ONE partition column via " +
-            s".partitionBy or option(\"partitionCol\") — got partitionBy=$ps, option=$o")
-      }
+      optCI(parameters, "partitionCol"), "graft-manifest write")
     def listOpt(key: String) = optCI(parameters, key).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val statsCols = listOpt("statsCols")
@@ -207,25 +223,28 @@ class ManifestStreamProvider extends StreamSourceProvider
     val exists = Manifest.latestVersion(spark, dir).isDefined
     // stats/bloom configuration is a CREATE-time contract (StagedWrite's
     // rule): reconfiguring an existing table would silently fork its
-    // pruning semantics, so refuse rather than ignore
-    require(!exists || (statsCols.isEmpty && bloomCols.isEmpty),
-      s"statsCols/bloomCols configure a table at CREATE only; $dir " +
-        "already exists with its own pruning configuration")
+    // pruning semantics, so refuse rather than ignore — but ONLY on
+    // modes that would actually write (SaveMode.Ignore's contract is to
+    // no-op on an existing target, stale options included)
+    def refuseLateConfig(): Unit =
+      require(statsCols.isEmpty && bloomCols.isEmpty,
+        s"statsCols/bloomCols configure a table at CREATE only; $dir " +
+          "already exists with its own pruning configuration")
     mode match {
       case _ if !exists =>
-        if (mode == SaveMode.Ignore || mode == SaveMode.ErrorIfExists ||
-          mode == SaveMode.Append || mode == SaveMode.Overwrite)
-          Manifest.create(spark, dir, data, partitionCol, statsCols,
-            bloomCols = bloomCols)
+        Manifest.create(spark, dir, data, partitionCol, statsCols,
+          bloomCols = bloomCols)
       case SaveMode.ErrorIfExists =>
         throw new IllegalArgumentException(
           s"graft-manifest table already exists at $dir " +
             "(SaveMode.ErrorIfExists) — use append or overwrite")
       case SaveMode.Ignore => ()
       case SaveMode.Append =>
+        refuseLateConfig()
         Manifest.append(spark, dir, data, partitionCol,
           mergeSchema = mergeSchema)
       case SaveMode.Overwrite =>
+        refuseLateConfig()
         Manifest.overwrite(spark, dir, data, partitionCol)
     }
     createRelation(sqlContext, parameters)
@@ -252,14 +271,8 @@ class ManifestStreamProvider extends StreamSourceProvider
     val dir = optCI(parameters, "path").getOrElse(
       throw new IllegalArgumentException(
         "graft-manifest sink needs a table path: option(\"path\", dir)"))
-    val partitionCol = (partitionColumns, optCI(parameters, "partitionCol")) match {
-      case (Seq(one), None) => one
-      case (Seq(), Some(c)) => c
-      case (Seq(one), Some(c)) if one == c => c
-      case (ps, o) => throw new IllegalArgumentException(
-        "graft-manifest sink needs exactly ONE partition column via " +
-          s".partitionBy or option(\"partitionCol\") — got partitionBy=$ps, option=$o")
-    }
+    val partitionCol = onePartitionCol(partitionColumns,
+      optCI(parameters, "partitionCol"), "graft-manifest sink")
     val keys = optCI(parameters, "keys").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val statsCols = optCI(parameters, "statsCols").toSeq

@@ -376,16 +376,22 @@ object Manifest {
     * restores a total order without moving any version (Delta's
     * commit-timestamp discipline). Ascending by version; O(retained
     * versions) pointer reads, no entry read. */
+  /** One pointer's raw commit time: its in-commit `ts:` line, the file
+    * mtime for legacy/corrupt lines. Shared by [[versionTimes]] and
+    * [[history]] so the two can never disagree about a commit's time. */
+  private def rawCommitTime(fs: FileSystem, root: Path, v: Long,
+                            tagged: Seq[String]): Long =
+    tagged.find(_.startsWith(TsPrefix))
+      .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption)
+      .getOrElse(fs.getFileStatus(versionPath(root, v)).getModificationTime)
+
   private[graft] def versionTimes(spark: SparkSession,
                                   dir: String): Seq[(Long, Long)] = {
     val (fs, root) = fsOf(spark, dir)
     var floor = Long.MinValue
     versions(spark, dir).map { v =>
-      val t = readPointerLines(fs, root, v).drop(1)
-        .find(_.startsWith(TsPrefix))
-        .flatMap(l => l.stripPrefix(TsPrefix).trim.toLongOption)
-        .getOrElse(fs.getFileStatus(versionPath(root, v)).getModificationTime)
-      floor = math.max(floor, t)
+      floor = math.max(floor,
+        rawCommitTime(fs, root, v, readPointerLines(fs, root, v).drop(1)))
       (v, floor)
     }
   }
@@ -1171,12 +1177,18 @@ object Manifest {
                  partitionCol: Option[String] = None): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val meta = snapshotMeta(spark, dir)
-    // LENIENT name resolution: public callers pass the logical name,
-    // internal post-translation callers the physical one — both must
-    // land on the physical column (it's a layout hint, and an unknown
-    // name already degrades to a bound-less checkpoint below)
+    // Name resolution, PHYSICAL-FIRST: internal post-translation
+    // callers (the hot path: every interval commit) pass the physical
+    // name, which must never be re-translated — under a rename SWAP a
+    // logical name can equal a DIFFERENT column's physical name, and
+    // logical-first resolution would then flatten bounds for the wrong
+    // column. A name matching no physical column is tried as logical
+    // (the public checkpoint() caller); still unknown degrades to a
+    // bound-less checkpoint below, never an error.
+    val physNames = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+      .fieldNames
     val pColCk = partitionCol.map { c =>
-      if (meta.colMap.isEmpty) c
+      if (meta.colMap.isEmpty || physNames.exists(_.equalsIgnoreCase(c))) c
       else colPairs(meta.colMap).collectFirst {
         case (l, p) if l.equalsIgnoreCase(c) => p
       }.getOrElse(c)
@@ -2018,7 +2030,13 @@ object Manifest {
     * keeping the physical schema constant), it just stops being
     * visible. Refused while a CHECK constraint references the column
     * (Delta's rule — the constraint would silently start evaluating
-    * over nulls). Time travel before the drop still shows it. */
+    * over nulls). Time travel before the drop still shows it.
+    *
+    * CAUTION: the format does not record which column partitions the
+    * table, so dropping the PARTITION column cannot be refused here —
+    * it leaves the table readable but unwritable (every write names the
+    * partition column, which no longer resolves) until [[undropColumn]]
+    * re-binds the slot or [[restore]] rewinds past the drop. */
   def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
     val (fs, root) = fsOf(spark, dir)
     withConflictRetry() {
@@ -2030,8 +2048,18 @@ object Manifest {
         throw new IllegalArgumentException(
           s"no column $name (visible: ${pairs.map(_._1).mkString(", ")})"))
       require(pairs.size > 1, s"cannot drop the only column $name")
+      // a constraint blocks the drop only when its PARSED attribute set
+      // references the physical slot — raw substring matching would
+      // spuriously block any short name occurring inside a constraint
+      // name or literal
       meta.constraints.foreach { c =>
-        require(!c.toLowerCase.contains(hit._2.toLowerCase),
+        val (_, sql) = parseConstraint(c)
+        val refs = spark.sessionState.sqlParser.parseExpression(sql)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length == 1 => a.nameParts.head
+          }
+        require(!refs.exists(_.equalsIgnoreCase(hit._2)),
           s"cannot drop $name: constraint '$c' references it — drop the " +
             "constraint first")
       }
@@ -2040,6 +2068,39 @@ object Manifest {
         compactManifest(spark, root, meta, meta.ddl, Nil,
           colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
         op = "DROP_COLUMN")
+    }
+  }
+
+  /** UNDROP: re-bind an existing PHYSICAL slot (typically one
+    * [[dropColumn]] hid — its data never left the files) under logical
+    * name `as`. The recovery tool for an accidental drop, including the
+    * unwritable-table state a dropped PARTITION column leaves behind;
+    * also metadata-only. Refuses unknown physical slots, already-mapped
+    * slots, and taken logical names. */
+  def undropColumn(spark: SparkSession, dir: String, physical: String,
+                   as: String): Unit = {
+    require(as.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad column name '$as' (need [A-Za-z_][A-Za-z0-9_]*)")
+    val (fs, root) = fsOf(spark, dir)
+    withConflictRetry() {
+      val v = latestVersion(spark, dir)
+        .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+      val meta = snapshotMeta(spark, dir, Some(v))
+      val phys = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+      val slot = phys.fieldNames.find(_.equalsIgnoreCase(physical))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no physical column $physical in ${meta.ddl}"))
+      val pairs = effectivePairs(meta.ddl, meta.colMap)
+      require(!pairs.exists(_._2.equalsIgnoreCase(slot)),
+        s"physical column $slot is already visible as " +
+          pairs.find(_._2.equalsIgnoreCase(slot)).map(_._1).getOrElse(""))
+      require(!pairs.exists(_._1.equalsIgnoreCase(as)),
+        s"column $as already exists")
+      val out = pairs :+ ((as, slot))
+      commit(fs, root, v + 1,
+        compactManifest(spark, root, meta, meta.ddl, Nil,
+          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
+        op = "UNDROP_COLUMN")
     }
   }
 
@@ -2086,10 +2147,7 @@ object Manifest {
     var floor = Long.MinValue
     val rows = versions(spark, dir).map { v =>
       val tagged = readPointerLines(fs, root, v).drop(1)
-      val t = tagged.find(_.startsWith(TsPrefix))
-        .flatMap(_.stripPrefix(TsPrefix).trim.toLongOption)
-        .getOrElse(fs.getFileStatus(versionPath(root, v)).getModificationTime)
-      floor = math.max(floor, t)
+      floor = math.max(floor, rawCommitTime(fs, root, v, tagged))
       val txn = tagged.find(_.startsWith("txn:")).map(_.stripPrefix("txn:"))
       HistoryRow(v, new java.sql.Timestamp(floor),
         tagged.find(_.startsWith(OpPrefix))

@@ -69,6 +69,46 @@ class ManifestRelationSpec extends SparkSpec {
         .option("partitionCol", "k").save(dir)
     }
     assert(e.getMessage.contains("exactly ONE partition column"))
+    // agreement between the two spellings is case-insensitive, like
+    // every other column comparison in the stack
+    Seq((500L, 5.0, 1L)).toDF("k", "v", "p")
+      .write.format("graft-manifest").mode("append").partitionBy("P")
+      .option("partitionCol", "p").save(dir)
+    assert(readFmt(dir).count() == 61)
+  }
+
+  test("SaveMode.Ignore no-ops on an existing table even with stale create-time options") {
+    val dir = s"${newDir()}/tbl"
+    def createIfAbsent(): Unit =
+      base.write.format("graft-manifest").mode("ignore")
+        .option("partitionCol", "p").option("statsCols", "k").save(dir)
+    createIfAbsent() // creates, stats configured
+    createIfAbsent() // MUST no-op — not throw on the stale statsCols
+    assert(Manifest.latestVersion(spark, dir).contains(1L))
+    // the late-reconfiguration refusal still fires on writing modes
+    val e = intercept[Exception] {
+      base.write.format("graft-manifest").mode("append")
+        .option("partitionCol", "p").option("statsCols", "v").save(dir)
+    }
+    assert(e.getMessage.contains("CREATE only"))
+  }
+
+  test("pushed-filter translation: polarity-aware composites all translate") {
+    // sources.Filter is SEALED and every leaf currently translates
+    // exactly, so the widened-child-under-NOT narrowing can't be
+    // constructed here — the polarity rule lives in toColumn/exact's
+    // structure (NOT and OR route through the exact-only translator;
+    // only AND may take the one-sided widening). This pins the
+    // composites that ARE constructible.
+    import org.apache.spark.sql.sources
+    assert(ManifestRelation.toColumn(sources.Not(
+      sources.And(sources.EqualTo("k", 1L),
+        sources.GreaterThan("k", 0L)))).isDefined)
+    assert(ManifestRelation.toColumn(sources.Or(
+      sources.Not(sources.EqualTo("k", 1L)),
+      sources.AlwaysFalse())).isDefined)
+    assert(ManifestRelation.toColumn(sources.And(
+      sources.AlwaysTrue(), sources.In("k", Array(1L, 2L)))).isDefined)
   }
 
   test("versionAsOf parity with Manifest.readVersion; bad/mixed options refuse") {

@@ -145,9 +145,42 @@ class ManifestColumnMappingSpec extends SparkSpec {
       Manifest.dropColumn(spark, dir, "amount")
     }
     assert(e.getMessage.contains("constraint"))
+    // the guard matches PARSED attribute references, not substrings:
+    // "p" occurs inside "amount_pos"/"amount > 0" as letters, but the
+    // constraint does not reference column p — its drop must pass
+    Manifest.dropColumn(spark, dir, "k")
     Manifest.dropConstraint(spark, dir, "amount_pos")
     Manifest.dropColumn(spark, dir, "amount")
-    assert(Manifest.read(spark, dir).columns.toSeq == Seq("k", "p"))
+    assert(Manifest.read(spark, dir).columns.toSeq == Seq("p"))
+  }
+
+  test("undrop recovers a dropped PARTITION column (the unwritable-table escape hatch)") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.dropColumn(spark, dir, "p")
+    // the partition column is gone: every write path refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Manifest.append(spark, dir, Seq((100L, 9.0)).toDF("k", "v"), "p")
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // undrop re-binds the physical slot — also metadata-only — and the
+    // table is writable again; the hidden values were never lost
+    Manifest.undropColumn(spark, dir, "p", "p")
+    Manifest.append(spark, dir, Seq((100L, 9.0, 1L)).toDF("k", "v", "p"), "p")
+    assert(Manifest.read(spark, dir).where($"p".isNull).count() == 0,
+      "pre-drop partition values reappear intact after the undrop")
+    assert(Manifest.read(spark, dir).count() == 61)
+    // refusals: unknown slot, already-visible slot, taken logical name
+    intercept[IllegalArgumentException] {
+      Manifest.undropColumn(spark, dir, "zz", "zz")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.undropColumn(spark, dir, "v", "v2")
+    }
+    Manifest.dropColumn(spark, dir, "v")
+    intercept[IllegalArgumentException] {
+      Manifest.undropColumn(spark, dir, "v", "k")
+    }
   }
 
   test("change feed and streaming-source schema speak the logical names") {
