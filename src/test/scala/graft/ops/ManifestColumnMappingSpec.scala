@@ -105,6 +105,18 @@ class ManifestColumnMappingSpec extends SparkSpec {
       .scan(spark, dir, partitionCol = Some("p"))
       .where($"id" === 17L && $"p" === 2L)
     assert(scanned.select("id").as[Long].collect().toSeq == Seq(17L))
+    // COLUMN PRUNING crosses the projection too: a two-column read of a
+    // mapped table must reach the parquet scan with a two-column
+    // ReadSchema (physical names), not the full row
+    val narrow = graft.plans.ManifestScan.scan(spark, dir)
+      .where($"id" > 3998L).select("id")
+    val fileScan = narrow.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val readCols = fileScan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("k"),
+      s"the physical scan must read ONLY the pruned column, got $readCols")
+    assert(narrow.as[Long].collect().sorted.toSeq == Seq(3999L, 4000L))
   }
 
   test("drop hides the column; re-adding the name binds a FRESH physical slot") {
