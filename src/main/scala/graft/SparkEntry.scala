@@ -817,6 +817,34 @@ object SparkEntry {
         .orderBy(col("version"))
     }),
 
+    // DROP + UNDROP (ops.Manifest.dropColumn/undropColumn): both
+    // metadata-only — the dropped column's physical slot keeps its
+    // values in the files, invisible until the undrop re-binds it
+    // (possibly under a new logical name). Writes BETWEEN drop and
+    // undrop null-fill the hidden slot, so the re-exposed column is
+    // exactly "original values, null for rows written while hidden".
+    "man_undrop" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_undrop_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderstatus")
+      graft.ops.Manifest.dropColumn(s, dir, "o_totalprice")
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        "o_orderstatus")
+      graft.ops.Manifest.undropColumn(s, dir, "o_totalprice", "price2")
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("price2"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // COLUMN MAPPING (ops.Manifest.renameColumn): RENAME is a
     // metadata-only commit — no data file rewrites — and every later
     // write speaks the new name; the read surfaces the logical face.
@@ -3686,6 +3714,16 @@ ORDER BY step"""
         |             (4, 'DELETE'), (5, 'RENAME_COLUMN'))
         |  AS t(v, operation)
         |ORDER BY version""".stripMargin,
+
+    // Even keys committed BEFORE the drop keep their prices (the slot
+    // never left the files); odd keys, written while the column was
+    // hidden, read the re-exposed slot as NULL.
+    "man_undrop" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS price2,
+        |       o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     // RENAME is metadata-only: the tip is simply the whole table with
     // the column under its new name, whichever side of the rename each
