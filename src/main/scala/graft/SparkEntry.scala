@@ -787,6 +787,46 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // TABLE REPLICATION (ops.Manifest.applyChanges): B bootstraps from
+    // A's v1 snapshot, then ONE applyChanges call folds the net change
+    // feed changes(A, 1, tip) — upserted rows (including rows the
+    // update MOVED across partitions) land at their final state,
+    // deleted keys leave, all in one atomic commit. B's read must
+    // equal A's tip.
+    "man_replicate" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_replicate_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val a = s"$root/a"; val b = s"$root/b"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, a, orders, "o_orderstatus")
+      // v2: doubled prices for %10==0, MOVED to status 'R' (a
+      // partition-moving update); v3: delete %7==0
+      graft.ops.Manifest.upsert(s, a,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderstatus", lit("R")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.delete(s, a,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 10 === 0, lit("R"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.create(s, b,
+        graft.ops.Manifest.readVersion(s, a, 1L), "o_orderstatus")
+      graft.ops.Manifest.applyChanges(s, b,
+        graft.ops.Manifest.changes(s, a, 1L, 3L),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.read(s, b)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // COMMIT PROVENANCE (ops.Manifest.history — DESCRIBE HISTORY):
     // every commit's pointer carries op:/ts: tag lines; history()
     // reads the retained pointers alone (no manifest or data file
@@ -3703,6 +3743,19 @@ ORDER BY step"""
       """SELECT o_orderkey, o_totalprice * 2 AS tp2, o_orderstatus,
         |       (o_orderkey % 3 = 0) AS in_v1
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // B after the replication = A's tip: doubled-and-moved prices for
+    // %10 keys, %7 keys gone, everyone else untouched. ×2 on a ≤2dp
+    // double is exact in both engines.
+    "man_replicate" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |            ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 7 != 0
         |ORDER BY o_orderkey""".stripMargin,
 
     // The operation sequence is exactly the calls the builder made,

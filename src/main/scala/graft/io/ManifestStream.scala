@@ -278,6 +278,7 @@ class ManifestStreamProvider extends StreamSourceProvider
     val statsCols = optCI(parameters, "statsCols").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val mergeSchema = optCI(parameters, "mergeSchema").exists(_.toBoolean)
+    val cdc = optCI(parameters, "cdc").exists(_.toBoolean)
     require(outputMode != OutputMode.Complete(),
       "graft-manifest sink refuses Complete mode: rewriting the full " +
         "result every trigger is a batch overwrite, not a stream — use " +
@@ -287,8 +288,11 @@ class ManifestStreamProvider extends StreamSourceProvider
         "update-mode batch would blind-append re-emitted rows")
     require(!(keys.nonEmpty && mergeSchema),
       "mergeSchema applies to the append path only")
+    require(!cdc || keys.nonEmpty,
+      "cdc mode applies keyed deletes — option(\"keys\", ...) is required")
+    require(!(cdc && mergeSchema), "cdc and mergeSchema are exclusive")
     new ManifestSink(sqlContext.sparkSession, dir, partitionCol, keys,
-      statsCols, mergeSchema)
+      statsCols, mergeSchema, cdc)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -466,7 +470,8 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
   * sink-side bookkeeping beyond the marker the table already keeps. */
 class ManifestSink(spark: SparkSession, tableDir: String,
                    partitionCol: String, keys: Seq[String],
-                   statsCols: Seq[String], mergeSchema: Boolean)
+                   statsCols: Seq[String], mergeSchema: Boolean,
+                   cdc: Boolean = false)
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -476,7 +481,17 @@ class ManifestSink(spark: SparkSession, tableDir: String,
         "graft-manifest sink: no streaming query id on this thread — " +
           "addBatch must run inside a streaming query"))
     val batch = GraftStreamBridge.asBatch(data)
-    if (keys.nonEmpty)
+    if (cdc)
+      // REPLICATION sink: rows shaped like the cdc SOURCE's output
+      // (table columns + _change + _commit_version) apply as one
+      // commit per batch — deletes delete, inserts upsert, the commit
+      // version orders multi-commit batches. source(cdc) → this = B
+      // converges to A with exactly-once end to end.
+      Manifest.applyChangesIfAbsent(spark, tableDir, batch, keys,
+        partitionCol, appId, batchId,
+        changeCol = ManifestStream.ChangeCol,
+        orderCol = Some(ManifestStream.VersionCol), statsCols = statsCols)
+    else if (keys.nonEmpty)
       Manifest.upsertIfAbsent(spark, tableDir, batch, keys, partitionCol,
         appId, batchId, statsCols)
     else

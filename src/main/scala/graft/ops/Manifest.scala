@@ -1940,13 +1940,17 @@ object Manifest {
     }
 
   /** Key/partial batch (delete keys, MoR probes) → physical names:
-    * renames exactly the columns present, refusing unknown ones. */
-  private def renameToPhysical(df: DataFrame, raw: Seq[String]): DataFrame =
+    * renames exactly the columns present, refusing unknown ones except
+    * `passThrough` markers (caller-owned, kept verbatim). */
+  private def renameToPhysical(df: DataFrame, raw: Seq[String],
+                               passThrough: Seq[String] = Nil): DataFrame =
     if (raw.isEmpty) df
     else {
       val pairs = colPairs(raw)
+      val through = passThrough.map(_.toLowerCase).toSet
       df.select(df.columns.toIndexedSeq.map { c =>
-        pairs.collectFirst {
+        if (through.contains(c.toLowerCase)) col(c)
+        else pairs.collectFirst {
           case (l, p) if l.equalsIgnoreCase(c) => col(c).as(p)
         }.getOrElse(throw new IllegalArgumentException(
           s"column $c does not exist on this table (visible: " +
@@ -2487,6 +2491,93 @@ object Manifest {
       } else {
         upsert(spark, dir, updates, keys, partitionCol,
           txn = Some(appId -> batchId))
+        true
+      }
+    }
+
+  /** APPLY a CDC batch — rows shaped like [[changes]]' output (the
+    * table columns + `change` ∈ ('insert','delete'), plus an optional
+    * ordering column, [[graft.io.ManifestStream]]'s `_commit_version`)
+    * — in ONE atomic commit: deletes remove their keys, inserts upsert,
+    * and a key touched several times inside the batch lands at its
+    * FINAL state (max ordering value; at equal order an insert
+    * supersedes a delete — a delete+insert pair IS an update, the
+    * feed's own encoding). This is the downstream half of table→table
+    * REPLICATION: `changes(A, from, to)` piped here converges B to A.
+    * Null-keyed delete rows match nothing (the [[delete]] contract);
+    * null-keyed inserts append. Keyed-write pruning applies: only files
+    * whose partitions/blooms the batch touches rewrite. */
+  def applyChanges(spark: SparkSession, dir: String, batch: DataFrame,
+                   keys: Seq[String], partitionCol: String,
+                   changeCol: String = "change",
+                   orderCol: Option[String] = None,
+                   txn: Option[(String, Long)] = None): Unit = {
+    require(batch.columns.exists(_.equalsIgnoreCase(changeCol)),
+      s"CDC batch needs the $changeCol column ('insert'/'delete')")
+    val isIns = col(changeCol) === "insert"
+    val ordering = orderCol.map(col(_).desc).toSeq :+ isIns.cast("int").desc
+    // ONE representative row per (key, partition value) — NOT per key:
+    // an update that MOVES a row across partitions arrives as a delete
+    // in the old partition + an insert in the new, and the keyed
+    // rewrite's candidate selection is partition-driven, so the old
+    // partition must stay in the batch or its file would never be a
+    // candidate and the stale row would survive as a duplicate key
+    val wKP = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ partitionCol).map(col): _*).orderBy(ordering: _*)
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val finalState = batch
+      .withColumn("__graft_kp", row_number().over(wKP))
+      .withColumn("__graft_k", row_number().over(wK))
+      .filter(col("__graft_kp") === 1)
+      // only the key's GLOBALLY final row may re-insert; representatives
+      // of other touched partitions ride along solely to widen the
+      // candidate set (and the anti-join removes the key everywhere)
+      .withColumn("__graft_ins", isIns && col("__graft_k") === 1)
+      .drop("__graft_kp", "__graft_k", changeCol)
+      .drop(orderCol.toSeq: _*)
+    rewriteKeyed(spark, dir, finalState, partitionCol,
+      requireFullSchema = false, txn = txn, keys = keys,
+      op = "APPLY_CHANGES", passThrough = Seq("__graft_ins")) {
+      (target, b, k) =>
+        // every touched key leaves the target once; the inserts' final
+        // rows come back — deletes simply don't
+        target.join(b.select(k.map(col): _*).distinct(), k, "left_anti")
+          .unionByName(b.filter(col("__graft_ins"))
+            .select(target.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
+  /** Exactly-once [[applyChanges]]: the [[appendIfAbsent]] contract —
+    * marker and data in one pointer create, a checkpoint-replayed batch
+    * no-ops. The CDC-replication sink's per-batch primitive. Creates
+    * the table from the batch's INSERT rows when absent. Returns true
+    * iff this call committed. */
+  def applyChangesIfAbsent(spark: SparkSession, dir: String,
+                           batch: DataFrame, keys: Seq[String],
+                           partitionCol: String, appId: String,
+                           batchId: Long, changeCol: String = "change",
+                           orderCol: Option[String] = None,
+                           statsCols: Seq[String] = Nil): Boolean =
+    withConflictRetry() {
+      if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
+      else if (latestVersion(spark, dir).isEmpty) {
+        val isIns = col(changeCol) === "insert"
+        val ordering = orderCol.map(col(_).desc).toSeq :+
+          isIns.cast("int").desc
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+        val firstRows = batch
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1 && isIns)
+          .drop("__graft_rn", changeCol)
+          .drop(orderCol.toSeq: _*)
+        create(spark, dir, firstRows, partitionCol, statsCols,
+          txn = Some(appId -> batchId))
+        true
+      } else {
+        applyChanges(spark, dir, batch, keys, partitionCol, changeCol,
+          orderCol, txn = Some(appId -> batchId))
         true
       }
     }
@@ -3413,7 +3504,8 @@ object Manifest {
                                 requireFullSchema: Boolean,
                                 txn: Option[(String, Long)] = None,
                                 keys: Seq[String] = Nil,
-                                op: String = "REWRITE")
+                                op: String = "REWRITE",
+                                passThrough: Seq[String] = Nil)
       (merge: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
@@ -3422,10 +3514,12 @@ object Manifest {
     // the keyed rewrite stays O(touched + batch) driver-side
     val meta = snapshotMeta(spark, dir, Some(v))
     // mapped table: full batches reshape to the physical schema, key
-    // batches rename in place; below here everything speaks physical
+    // batches rename in place; below here everything speaks physical.
+    // `passThrough` columns (caller-owned markers like a CDC change
+    // flag) skip translation and are the caller's to strip in `merge`.
     val batch =
       if (requireFullSchema) toPhysicalFull(batch0, meta.colMap, meta.ddl)
-      else renameToPhysical(batch0, meta.colMap)
+      else renameToPhysical(batch0, meta.colMap, passThrough)
     val keysP = keys.map(physName(meta.colMap, _))
     val pCol = physName(meta.colMap, partitionCol)
     if (requireFullSchema)

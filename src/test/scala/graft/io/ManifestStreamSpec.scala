@@ -230,6 +230,42 @@ class ManifestStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
+  test("REPLICATION: cdc source into the cdc-apply sink converges B to A across restarts") {
+    val root = newDir()
+    val a = s"$root/a"; val b = s"$root/b"; val ckpt = s"$root/ckpt"
+    Manifest.create(spark, a, base, "p")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(a)
+        .writeStream.format("graft-manifest")
+        .option("path", b).option("partitionCol", "p")
+        .option("keys", "k").option("cdc", "true")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def stateOf(dir: String) = Manifest.read(spark, dir)
+      .select("k", "v", "p").as[(Long, Double, Long)].collect().toSet
+    replicate() // initial snapshot
+    assert(stateOf(b) == stateOf(a))
+    Manifest.append(spark, a, Seq((100L, 1.0, 0L)).toDF("k", "v", "p"), "p")
+    Manifest.upsert(spark, a, Seq((2L, 222.0, 0L)).toDF("k", "v", "p"),
+      Seq("k"), "p") // PARTITION-MOVING update: key 2 moves p 0 -> ... (was 0)
+    Manifest.upsert(spark, a, Seq((3L, 333.0, 0L)).toDF("k", "v", "p"),
+      Seq("k"), "p") // key 3 moves from p=1 to p=0
+    Manifest.delete(spark, a, Seq((4L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    replicate()
+    assert(stateOf(b) == stateOf(a),
+      "B must converge to A including the partition-moving update")
+    // a REPLAYED run (same checkpoint, no new commits) must not double-
+    // apply anything, and fresh commits after the restart still land
+    replicate()
+    Manifest.deleteMor(spark, a, Seq((5L, 1L)).toDF("k", "p"), Seq("k"), "p")
+    replicate()
+    assert(stateOf(b) == stateOf(a))
+    assert(Manifest.history(spark, b).select("operation")
+      .as[String].collect().count(_ == "APPLY_CHANGES") >= 2,
+      "the apply path, not a blind upsert, served the deltas")
+  }
+
   test("a mid-stream RENAME fails the fixed-schema conformance loudly, never misreads") {
     val root = newDir()
     val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
