@@ -789,10 +789,13 @@ object SparkEntry {
 
     // TABLE REPLICATION (ops.Manifest.applyChanges): B bootstraps from
     // A's v1 snapshot, then ONE applyChanges call folds the net change
-    // feed changes(A, 1, tip) — upserted rows (including rows the
-    // update MOVED across partitions) land at their final state,
-    // deleted keys leave, all in one atomic commit. B's read must
-    // equal A's tip.
+    // feed changes(A, 1, tip). The %10 keys genuinely MOVE partitions
+    // in A (delete at the old status + re-insert at 'R' — upsert's own
+    // contract forbids partition moves, so the move is the two-commit
+    // form), which makes the feed carry a cross-partition delete+insert
+    // pair per moved key: exactly the case applyChanges' per-(key,
+    // partition) representative logic exists for. B's read must equal
+    // A's tip.
     "man_replicate" -> ((s, d) => {
       val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
       val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_replicate_$tag"
@@ -802,14 +805,17 @@ object SparkEntry {
       val a = s"$root/a"; val b = s"$root/b"
       val orders = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val movers = orders.filter(col("o_orderkey") % 10 === 0)
       graft.ops.Manifest.create(s, a, orders, "o_orderstatus")
-      // v2: doubled prices for %10==0, MOVED to status 'R' (a
-      // partition-moving update); v3: delete %7==0
-      graft.ops.Manifest.upsert(s, a,
-        orders.filter(col("o_orderkey") % 10 === 0)
-          .withColumn("o_totalprice", col("o_totalprice") * 2)
-          .withColumn("o_orderstatus", lit("R")),
+      // v2+v3: move %10 keys to status 'R' at doubled price; v4:
+      // delete %7 keys (the %70 ones now live at 'R')
+      graft.ops.Manifest.delete(s, a,
+        movers.select(col("o_orderkey"), col("o_orderstatus")),
         Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.append(s, a,
+        movers.withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderstatus", lit("R")),
+        "o_orderstatus")
       graft.ops.Manifest.delete(s, a,
         orders.filter(col("o_orderkey") % 7 === 0)
           .select(col("o_orderkey"),
@@ -819,9 +825,14 @@ object SparkEntry {
       graft.ops.Manifest.create(s, b,
         graft.ops.Manifest.readVersion(s, a, 1L), "o_orderstatus")
       graft.ops.Manifest.applyChanges(s, b,
-        graft.ops.Manifest.changes(s, a, 1L, 3L),
+        graft.ops.Manifest.changes(s, a, 1L, 4L),
         Seq("o_orderkey"), "o_orderstatus")
-      graft.ops.Manifest.read(s, b)
+      // the defining property, asserted in-query: B == A's tip
+      val aTip = graft.ops.Manifest.read(s, a)
+      val bTip = graft.ops.Manifest.read(s, b)
+      require(bTip.exceptAll(aTip).isEmpty && aTip.exceptAll(bTip).isEmpty,
+        "replication divergence: B != A's tip")
+      bTip
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus").cast("string").as("o_orderstatus"))
         .orderBy(col("o_orderkey"))

@@ -283,14 +283,17 @@ class ManifestStreamProvider extends StreamSourceProvider
       "graft-manifest sink refuses Complete mode: rewriting the full " +
         "result every trigger is a batch overwrite, not a stream — use " +
         "foreachBatch with Manifest.overwritePartitions if that is really wanted")
+    // cdc-specific refusals FIRST, so their targeted messages actually
+    // surface (the generic keyed/mergeSchema checks below would
+    // otherwise shadow them)
+    require(!cdc || keys.nonEmpty,
+      "cdc mode applies keyed deletes — option(\"keys\", ...) is required")
+    require(!(cdc && mergeSchema), "cdc and mergeSchema are exclusive")
     require(keys.nonEmpty || outputMode == OutputMode.Append(),
       "Update mode needs option(\"keys\", ...) — without keys an " +
         "update-mode batch would blind-append re-emitted rows")
     require(!(keys.nonEmpty && mergeSchema),
       "mergeSchema applies to the append path only")
-    require(!cdc || keys.nonEmpty,
-      "cdc mode applies keyed deletes — option(\"keys\", ...) is required")
-    require(!(cdc && mergeSchema), "cdc and mergeSchema are exclusive")
     new ManifestSink(sqlContext.sparkSession, dir, partitionCol, keys,
       statsCols, mergeSchema, cdc)
   }

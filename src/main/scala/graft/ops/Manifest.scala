@@ -2504,14 +2504,17 @@ object Manifest {
     * supersedes a delete — a delete+insert pair IS an update, the
     * feed's own encoding). This is the downstream half of table→table
     * REPLICATION: `changes(A, from, to)` piped here converges B to A.
-    * Null-keyed delete rows match nothing (the [[delete]] contract);
-    * null-keyed inserts append. Keyed-write pruning applies: only files
-    * whose partitions/blooms the batch touches rewrite. */
+    * Keys compare NULL-SAFELY throughout (null is one key value, the
+    * [[upsertMor]] `<=>` convention — a null-keyed delete does remove
+    * the null-keyed row). Keyed-write pruning applies: only files whose
+    * partitions/blooms the batch touches rewrite. */
   def applyChanges(spark: SparkSession, dir: String, batch: DataFrame,
                    keys: Seq[String], partitionCol: String,
                    changeCol: String = "change",
                    orderCol: Option[String] = None,
                    txn: Option[(String, Long)] = None): Unit = {
+    require(keys.nonEmpty, "applyChanges needs the key columns — an " +
+      "empty key list would collapse the whole batch into one row")
     require(batch.columns.exists(_.equalsIgnoreCase(changeCol)),
       s"CDC batch needs the $changeCol column ('insert'/'delete')")
     val isIns = col(changeCol) === "insert"
@@ -2524,25 +2527,34 @@ object Manifest {
     // candidate and the stale row would survive as a duplicate key
     val wKP = org.apache.spark.sql.expressions.Window
       .partitionBy((keys :+ partitionCol).map(col): _*).orderBy(ordering: _*)
+    val repr = batch
+      .withColumn("__graft_kp", row_number().over(wKP))
+      .filter(col("__graft_kp") === 1).drop("__graft_kp")
+    // the key's GLOBAL winner is chosen among the surviving
+    // representatives, in a SECOND window over the SAME rows — ranking
+    // the raw batch with two independent windows could break an
+    // order-tie differently in each and mark no row as the winner
+    // (silently deleting the key); this way rank 1 exists by
+    // construction. Only the winner may re-insert; the other
+    // representatives ride along solely to widen the candidate set.
     val wK = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    val finalState = batch
-      .withColumn("__graft_kp", row_number().over(wKP))
-      .withColumn("__graft_k", row_number().over(wK))
-      .filter(col("__graft_kp") === 1)
-      // only the key's GLOBALLY final row may re-insert; representatives
-      // of other touched partitions ride along solely to widen the
-      // candidate set (and the anti-join removes the key everywhere)
-      .withColumn("__graft_ins", isIns && col("__graft_k") === 1)
-      .drop("__graft_kp", "__graft_k", changeCol)
+    val finalState = repr
+      .withColumn("__graft_ins", isIns && row_number().over(wK) === 1)
+      .drop(changeCol)
       .drop(orderCol.toSeq: _*)
     rewriteKeyed(spark, dir, finalState, partitionCol,
       requireFullSchema = false, txn = txn, keys = keys,
       op = "APPLY_CHANGES", passThrough = Seq("__graft_ins")) {
       (target, b, k) =>
-        // every touched key leaves the target once; the inserts' final
-        // rows come back — deletes simply don't
-        target.join(b.select(k.map(col): _*).distinct(), k, "left_anti")
+        // every touched key leaves the target once (null-safe, so a
+        // null-keyed delete really deletes); the inserts' final rows
+        // come back — deletes simply don't
+        val probe = b.select(k.map(col): _*).distinct().alias("d")
+        target.alias("t")
+          .join(probe,
+            k.map(c => col(s"t.$c") <=> col(s"d.$c")).reduce(_ && _),
+            "left_anti")
           .unionByName(b.filter(col("__graft_ins"))
             .select(target.columns.map(col).toIndexedSeq: _*))
     }

@@ -248,13 +248,19 @@ class ManifestStreamSpec extends SparkSpec {
     assert(stateOf(b) == stateOf(a))
     Manifest.append(spark, a, Seq((100L, 1.0, 0L)).toDF("k", "v", "p"), "p")
     Manifest.upsert(spark, a, Seq((2L, 222.0, 0L)).toDF("k", "v", "p"),
-      Seq("k"), "p") // PARTITION-MOVING update: key 2 moves p 0 -> ... (was 0)
-    Manifest.upsert(spark, a, Seq((3L, 333.0, 0L)).toDF("k", "v", "p"),
-      Seq("k"), "p") // key 3 moves from p=1 to p=0
+      Seq("k"), "p") // in-place update (key 2 stays in p=0)
+    // a REAL partition move: upsert's contract forbids moves, so key 3
+    // relocates p=1 → p=0 as delete + re-insert — the feed then carries
+    // the cross-partition delete+insert pair whose old-partition
+    // representative applyChanges must keep in its candidate set
+    Manifest.delete(spark, a, Seq((3L, 1L)).toDF("k", "p"), Seq("k"), "p")
+    Manifest.append(spark, a, Seq((3L, 333.0, 0L)).toDF("k", "v", "p"), "p")
     Manifest.delete(spark, a, Seq((4L, 0L)).toDF("k", "p"), Seq("k"), "p")
     replicate()
     assert(stateOf(b) == stateOf(a),
       "B must converge to A including the partition-moving update")
+    assert(Manifest.read(spark, b).where($"k" === 3L).count() == 1,
+      "the moved key must not survive as a duplicate in its old partition")
     // a REPLAYED run (same checkpoint, no new commits) must not double-
     // apply anything, and fresh commits after the restart still land
     replicate()
@@ -264,6 +270,24 @@ class ManifestStreamSpec extends SparkSpec {
     assert(Manifest.history(spark, b).select("operation")
       .as[String].collect().count(_ == "APPLY_CHANGES") >= 2,
       "the apply path, not a blind upsert, served the deltas")
+    // cdc-specific start refusals carry their own targeted messages
+    val e1 = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-manifest").load(a)
+        .writeStream.format("graft-manifest")
+        .option("path", s"$root/c").option("partitionCol", "p")
+        .option("cdc", "true")
+        .option("checkpointLocation", s"$root/ckpt_c").start()
+    }
+    assert(e1.getMessage.contains("keys"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-manifest").load(a)
+        .writeStream.format("graft-manifest")
+        .option("path", s"$root/c").option("partitionCol", "p")
+        .option("keys", "k").option("cdc", "true")
+        .option("mergeSchema", "true")
+        .option("checkpointLocation", s"$root/ckpt_c").start()
+    }
+    assert(e2.getMessage.contains("cdc and mergeSchema are exclusive"))
   }
 
   test("a mid-stream RENAME fails the fixed-schema conformance loudly, never misreads") {
