@@ -161,7 +161,10 @@ object ManifestStream {
     anchorOpt(spark, dir, params, resolve = false); maxVersionsOpt(params)
     val base = Manifest.tableSchema(spark, dir)
     Seq(ChangeCol, VersionCol).foreach { c =>
-      require(!base.fieldNames.contains(c),
+      // case-INSENSITIVE like every other column comparison in the
+      // stack — withColumn resolves case-insensitively, so a column
+      // differing only by case would be silently overwritten, not kept
+      require(!base.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"table column '$c' collides with the graft-manifest metadata column")
     }
     val extras =
@@ -483,22 +486,30 @@ class ManifestSink(spark: SparkSession, tableDir: String,
       .getOrElse(throw new IllegalStateException(
         "graft-manifest sink: no streaming query id on this thread — " +
           "addBatch must run inside a streaming query"))
-    val batch = GraftStreamBridge.asBatch(data)
-    if (cdc)
-      // REPLICATION sink: rows shaped like the cdc SOURCE's output
-      // (table columns + _change + _commit_version) apply as one
-      // commit per batch — deletes delete, inserts upsert, the commit
-      // version orders multi-commit batches. source(cdc) → this = B
-      // converges to A with exactly-once end to end.
-      Manifest.applyChangesIfAbsent(spark, tableDir, batch, keys,
-        partitionCol, appId, batchId,
-        changeCol = ManifestStream.ChangeCol,
-        orderCol = Some(ManifestStream.VersionCol), statsCols = statsCols)
-    else if (keys.nonEmpty)
-      Manifest.upsertIfAbsent(spark, tableDir, batch, keys, partitionCol,
-        appId, batchId, statsCols)
-    else
-      Manifest.appendIfAbsent(spark, tableDir, batch, partitionCol,
-        appId, batchId, statsCols, mergeSchema)
+    // The commit path runs SEVERAL actions over this plan (touched
+    // partitions, keyed candidates, the write, DV hits); for an
+    // Update-mode stateful aggregation each would re-execute the
+    // stateful plan and re-commit state-store versions within one
+    // trigger. Persist once — the same guard foreachBatch users are
+    // told to apply — and release whatever happens to the commit.
+    val batch = GraftStreamBridge.asBatch(data).persist()
+    try {
+      if (cdc)
+        // REPLICATION sink: rows shaped like the cdc SOURCE's output
+        // (table columns + _change + _commit_version) apply as one
+        // commit per batch — deletes delete, inserts upsert, the commit
+        // version orders multi-commit batches. source(cdc) → this = B
+        // converges to A with exactly-once end to end.
+        Manifest.applyChangesIfAbsent(spark, tableDir, batch, keys,
+          partitionCol, appId, batchId,
+          changeCol = ManifestStream.ChangeCol,
+          orderCol = Some(ManifestStream.VersionCol), statsCols = statsCols)
+      else if (keys.nonEmpty)
+        Manifest.upsertIfAbsent(spark, tableDir, batch, keys, partitionCol,
+          appId, batchId, statsCols)
+      else
+        Manifest.appendIfAbsent(spark, tableDir, batch, partitionCol,
+          appId, batchId, statsCols, mergeSchema)
+    } finally batch.unpersist()
   }
 }

@@ -2543,6 +2543,16 @@ object Manifest {
       .withColumn("__graft_ins", isIns && row_number().over(wK) === 1)
       .drop(changeCol)
       .drop(orderCol.toSeq: _*)
+    // On a mapped table the batch reaches the merge through
+    // renameToPhysical — VISIBLE columns only — while `target` speaks
+    // the full physical schema including hidden dropped slots, so the
+    // re-insert projection must null-fill exactly those slots (the
+    // toPhysicalFull shape); a missing VISIBLE column still refuses.
+    val mappedPhys = {
+      val m = snapshotMeta(spark, dir)
+      if (m.colMap.isEmpty) None
+      else Some(colPairs(m.colMap).map(_._2.toLowerCase).toSet)
+    }
     rewriteKeyed(spark, dir, finalState, partitionCol,
       requireFullSchema = false, txn = txn, keys = keys,
       op = "APPLY_CHANGES", passThrough = Seq("__graft_ins")) {
@@ -2551,12 +2561,21 @@ object Manifest {
         // null-keyed delete really deletes); the inserts' final rows
         // come back — deletes simply don't
         val probe = b.select(k.map(col): _*).distinct().alias("d")
+        val bCols = b.columns.map(_.toLowerCase).toSet
+        val inserts = b.filter(col("__graft_ins"))
+          .select(target.schema.fields.toIndexedSeq.map { f =>
+            if (bCols.contains(f.name.toLowerCase)) col(f.name)
+            else if (mappedPhys.exists(!_.contains(f.name.toLowerCase)))
+              lit(null).cast(f.dataType).as(f.name) // dropped slot
+            else throw new IllegalArgumentException(
+              s"CDC batch is missing column ${f.name} — insert rows " +
+                "must carry the table's full visible schema")
+          }: _*)
         target.alias("t")
           .join(probe,
             k.map(c => col(s"t.$c") <=> col(s"d.$c")).reduce(_ && _),
             "left_anti")
-          .unionByName(b.filter(col("__graft_ins"))
-            .select(target.columns.map(col).toIndexedSeq: _*))
+          .unionByName(inserts)
     }
   }
 

@@ -261,4 +261,36 @@ class ManifestColumnMappingSpec extends SparkSpec {
       Manifest.dropColumn(spark, dir, "k")
     }
   }
+
+  test("applyChanges works on a dropped-column table (CDC replication after DROP COLUMN)") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p", statsCols = Seq("k"))
+    Manifest.dropColumn(spark, dir, "v")
+    // the CDC batch speaks the VISIBLE face (k, p): delete k=1, update
+    // k=2 (delete+insert pair), insert k=100 — the hidden dropped slot
+    // must null-fill on the re-inserted rows, not fail unresolved
+    val batch = Seq(
+      (1L, 1L, "delete", 1L),
+      (2L, 2L, "delete", 1L), (2L, 2L, "insert", 2L),
+      (100L, 0L, "insert", 1L)
+    ).toDF("k", "p", "change", "ord")
+    Manifest.applyChanges(spark, dir, batch, Seq("k"), "p",
+      orderCol = Some("ord"))
+    val out = Manifest.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "p"))
+    val ks = out.select("k").as[Long].collect().toSet
+    assert(!ks.contains(1L) && ks.contains(2L) && ks.contains(100L))
+    assert(out.count() == 60)
+    // pre-drop versions still time-travel with v intact
+    assert(Manifest.readVersion(spark, dir, 1L).columns.toSeq ==
+      Seq("k", "v", "p"))
+    // a batch missing a VISIBLE column still refuses loudly
+    val dir2 = newDir()
+    Manifest.create(spark, dir2, base, "p")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.applyChanges(spark, dir2,
+        Seq((1L, 1L, "insert")).toDF("k", "p", "change"), Seq("k"), "p")
+    }
+    assert(e.getMessage.contains("missing column"))
+  }
 }
