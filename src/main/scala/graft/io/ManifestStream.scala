@@ -49,6 +49,12 @@ import graft.ops.Manifest
   *  - `maxVersionsPerTrigger` (default 64): admission control — at most
   *    this many commits per micro-batch, so a backlogged stream catches
   *    up in bounded, checkpointable steps instead of one giant batch.
+  *  - `maxBytesPerTrigger` (off by default): BYTES-based admission on
+  *    top of the version cap — commits vary by orders of magnitude in
+  *    size, so a catch-up batch additionally stops before the commit
+  *    that would push its added-data bytes past this budget (per-commit
+  *    sizes come from the delta sidecars; a sidecar-less oversized
+  *    commit fills a trigger alone; at least one commit always admits).
   *
   * Retention: the source owns one named pin (derived from the query's
   * checkpoint source path, stable across restarts) and advances it on
@@ -148,6 +154,13 @@ object ManifestStream {
           s"maxVersionsPerTrigger must be a positive integer, got '$s'"))
     }.getOrElse(64L)
 
+  private[io] def maxBytesOpt(params: Map[String, String]): Option[Long] =
+    optCI(params, "maxBytesPerTrigger").map { s =>
+      s.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxBytesPerTrigger must be a positive byte count, got '$s'"))
+    }
+
   /** Schema + full option validation — runs at `.load()` time (the
     * provider's sourceSchema hook), so a malformed option fails in the
     * caller's stack, not asynchronously on the stream thread. */
@@ -158,7 +171,8 @@ object ManifestStream {
     val mode = optCI(params, "mode").getOrElse("cdc").toLowerCase
     require(mode == "cdc" || mode == "append",
       s"graft-manifest mode must be 'cdc' or 'append', got '$mode'")
-    anchorOpt(spark, dir, params, resolve = false); maxVersionsOpt(params)
+    anchorOpt(spark, dir, params, resolve = false)
+    maxVersionsOpt(params); maxBytesOpt(params)
     val base = Manifest.tableSchema(spark, dir)
     Seq(ChangeCol, VersionCol).foreach { c =>
       // case-INSENSITIVE like every other column comparison in the
@@ -291,12 +305,12 @@ class ManifestStreamProvider extends StreamSourceProvider
     // otherwise shadow them)
     require(!cdc || keys.nonEmpty,
       "cdc mode applies keyed deletes — option(\"keys\", ...) is required")
-    require(!(cdc && mergeSchema), "cdc and mergeSchema are exclusive")
     require(keys.nonEmpty || outputMode == OutputMode.Append(),
       "Update mode needs option(\"keys\", ...) — without keys an " +
         "update-mode batch would blind-append re-emitted rows")
-    require(!(keys.nonEmpty && mergeSchema),
-      "mergeSchema applies to the append path only")
+    require(!(keys.nonEmpty && mergeSchema) || cdc,
+      "mergeSchema applies to the append path only (or to the cdc " +
+        "sink, where it folds a source schema evolution into the target)")
     new ManifestSink(sqlContext.sparkSession, dir, partitionCol, keys,
       statsCols, mergeSchema, cdc)
   }
@@ -318,9 +332,10 @@ class ManifestStreamProvider extends StreamSourceProvider
     val mode = optCI(parameters, "mode").getOrElse("cdc").toLowerCase
     val after = anchorOpt(spark, dir, parameters)
     val maxV = maxVersionsOpt(parameters)
+    val maxB = maxBytesOpt(parameters)
     new ManifestStreamSource(spark, dir, mode, after, maxV,
       ManifestStream.sourceSchema(spark, parameters),
-      pinName(spark, metadataPath))
+      pinName(spark, metadataPath), maxB)
   }
 }
 
@@ -328,7 +343,8 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
                            mode: String, afterVersion: Option[Long],
                            maxVersionsPerTrigger: Long,
                            override val schema: StructType,
-                           pin: String)
+                           pin: String,
+                           maxBytesPerTrigger: Option[Long] = None)
     extends Source with SupportsAdmissionControl {
   import ManifestStream._
 
@@ -371,7 +387,31 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
     floor match {
       case None => LongOffset(latest) // initial snapshot, never paced
       case Some(f) =>
-        val end = math.min(latest, f + maxVersionsPerTrigger)
+        val capV = math.min(latest, f + maxVersionsPerTrigger)
+        val end = maxBytesPerTrigger match {
+          case None => capV
+          case Some(maxB) =>
+            // BYTES-based admission on top of the version cap: commits
+            // vary by orders of magnitude in size, so count pacing
+            // alone lets one backlog trigger swallow a fat commit plus
+            // everything behind it. Per-commit added-bytes come from
+            // the delta sidecars (driver-side text reads, no job); a
+            // sidecar-less commit (exactly the oversized ones the
+            // sidecar economics skip) fills its trigger alone. At
+            // least one commit always admits — pacing bounds batches,
+            // it must never stall the stream.
+            var e = f
+            var acc = 0L
+            var full = false
+            while (!full && e < capV) {
+              val next = Manifest.commitAddedBytes(spark, tableDir, e + 1)
+                .getOrElse(Long.MaxValue / 4)
+              if (e == f || acc + next <= maxB) { e += 1; acc += next }
+              else full = true
+              if (acc >= maxB) full = true
+            }
+            e
+        }
         if (end > f) LongOffset(end) else null
     }
   }
@@ -453,9 +493,33 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
     * streaming (extra columns ignored until a restart picks them up); a
     * dropped or retyped column fails loudly HERE — handing
     * `internalCreateDataFrame` rows of the wrong shape would mis-read
-    * memory, not raise. */
+    * memory, not raise.
+    *
+    * A frame MISSING one of the stream's columns needs one distinction:
+    * after a restart adopts an upstream evolve, the engine replays the
+    * last batch's getBatch over PRE-evolution offsets — those frames
+    * legitimately lack the added column and null-fill (exactly what the
+    * old files read as under the widened schema). A column missing
+    * because it was DROPPED from the table stays a loud failure — the
+    * current table schema is the arbiter, one metadata-only read. */
   private def conform(df: DataFrame): DataFrame = {
-    val out = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = schema.fieldNames.filterNot(n =>
+      have.contains(n.toLowerCase))
+    val filled =
+      if (missing.isEmpty) df
+      else {
+        val current = Manifest.tableSchema(spark, tableDir).fieldNames
+        missing.foreach { n =>
+          require(current.exists(_.equalsIgnoreCase(n)),
+            s"column '$n' was dropped from the table mid-stream — " +
+              "restart the query to adopt the narrowed schema")
+        }
+        missing.foldLeft(df) { (d, n) =>
+          d.withColumn(n, lit(null).cast(schema(n).dataType))
+        }
+      }
+    val out = filled.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     schema.fields.zip(out.schema.fields).foreach { case (want, got) =>
       require(org.apache.spark.sql.types.DataType
           .equalsIgnoreNullability(want.dataType, got.dataType),
@@ -499,11 +563,14 @@ class ManifestSink(spark: SparkSession, tableDir: String,
         // (table columns + _change + _commit_version) apply as one
         // commit per batch — deletes delete, inserts upsert, the commit
         // version orders multi-commit batches. source(cdc) → this = B
-        // converges to A with exactly-once end to end.
+        // converges to A with exactly-once end to end. With
+        // mergeSchema, an upstream ADD COLUMNS folds into the target
+        // (evolve-then-apply, replay-safe) instead of refusing.
         Manifest.applyChangesIfAbsent(spark, tableDir, batch, keys,
           partitionCol, appId, batchId,
           changeCol = ManifestStream.ChangeCol,
-          orderCol = Some(ManifestStream.VersionCol), statsCols = statsCols)
+          orderCol = Some(ManifestStream.VersionCol), statsCols = statsCols,
+          evolveSchema = mergeSchema)
       else if (keys.nonEmpty)
         Manifest.upsertIfAbsent(spark, tableDir, batch, keys, partitionCol,
           appId, batchId, statsCols)

@@ -661,26 +661,17 @@ object Manifest {
   /** Every manifest leads with a schema SENTINEL entry (`path = ""`, no
     * file) carrying the table schema and stats configuration ONCE: a
     * snapshot whose rows were all deleted still knows its schema, and
-    * file entries stay slim.
-    *
-    * When `prev` names the parent snapshot (manifest name + entries),
-    * a DELTA SIDECAR (`_manifests/<name>/_graft_delta`, a plain text
-    * file) is additionally written: the entry-level adds/removes vs the parent
-    * plus the parent's name, so a between-checkpoints listing can plan
-    * from the newest checkpoint and REPLAY the short tail of deltas
-    * instead of full-scanning this manifest — the Delta/Iceberg
-    * checkpoint-plus-log shape (see [[tailReplay]]). The sidecar is
-    * skipped when the change set is large (a compaction, an overwrite
-    * — replaying it would approach the full scan it exists to avoid)
-    * or when no parent is known; readers then fall back to the exact
-    * distributed scan, never to a wrong answer. */
+    * file entries stay slim. This is the TABLE-BIRTH commit shape
+    * ([[create]], [[commitAll]]'s new-table branch): no parent exists,
+    * so no delta sidecar — every later commit stages through
+    * [[linkManifest]]/[[compactManifest]]/[[freshManifest]], which own
+    * their sidecar economics. */
   private def writeManifest(spark: SparkSession, root: Path,
                             entries: Seq[Entry], ddl: String,
                             statsCols: Seq[String],
                             bloomCols: Seq[String],
                             dvDirs: Seq[String],
-                            constraints: Seq[String],
-                            prev: Option[Snapshot] = None): String = {
+                            constraints: Seq[String]): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
@@ -688,9 +679,9 @@ object Manifest {
     // COLUMN MAP ("logical=physical" per entry, see [[renameColumn]]):
     // zero format change — every existing manifest reads as the empty
     // (identity) map, and every Entry-shaped consumer (checkpoints,
-    // delta sidecars, chain state) carries it verbatim. Inherited from
-    // the parent snapshot: plain data commits never change the mapping.
-    val sentinel = ManifestEntry("", prev.map(_.colMap).getOrElse(Seq.empty),
+    // delta sidecars, chain state) carries it verbatim. A newborn
+    // table's map is the identity (empty).
+    val sentinel = ManifestEntry("", Seq.empty,
       has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddl,
       stat_cols = statsCols, stat_mins = Seq.empty, stat_maxs = Seq.empty,
@@ -701,36 +692,8 @@ object Manifest {
       else e.copy(schema_ddl = "", stat_cols = Seq.empty,
         bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
     (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
-    prev.filter(_.name.nonEmpty)
-      .foreach(p => writeDelta(spark, root, name, slim, p))
     name
   }
-
-  /** Entry-level diff of `entries` vs the parent snapshot as the delta
-    * sidecar `_manifests/<name>/_graft_delta`. A CHANGED entry (same path,
-    * different stats — a DV attach, a recomputed bound) is an add
-    * whose path shadows the parent's version at replay. O(n) driver
-    * hash passes over seqs both already materialized at every commit;
-    * failure is swallowed (the sidecar is a pure planning accelerator
-    * — the manifest it describes is already complete). */
-  private def writeDelta(spark: SparkSession, root: Path, name: String,
-                         entries: Seq[Entry], prev: Snapshot): Unit =
-    try {
-      val prevByPath = prev.entries.iterator.map(e => e.path -> e).toMap
-      val newPaths = entries.iterator.map(_.path).toSet
-      val adds = entries.filter(e => !prevByPath.get(e.path).contains(e))
-      val removes = prev.entries.iterator.map(_.path)
-        .filterNot(newPaths.contains).toSeq
-      // oversized change set: replay cost would approach the scan it
-      // replaces — skip, and the reader falls back
-      if (adds.size + removes.size >
-        math.max(4096, entries.size / 8)) return
-      writeDeltaFile(spark, root, name,
-        ManifestDelta(prev.name, adds, removes))
-    } catch {
-      case scala.util.control.NonFatal(t) =>
-        System.err.println(s"[graft] delta sidecar for $name skipped: $t")
-    }
 
   /** Serialize one [[ManifestDelta]] as manifest `name`'s sidecar —
     * the single place the on-disk delta format is written
@@ -835,6 +798,20 @@ object Manifest {
       Some(TailReplay(removed.toSet ++ adds.keySet, adds.values.toSeq))
     } catch { case _: java.io.FileNotFoundException => None }
 
+  /** Bytes of the data files ADDED by commit `v`, read from its delta
+    * sidecar — the per-commit size that byte-based admission control
+    * paces on ([[graft.io.ManifestStream]]'s `maxBytesPerTrigger`).
+    * None when the sidecar is absent or torn — exactly the
+    * oversized-change-set commits the sidecar economics rule skips, so
+    * the caller treats those as trigger-filling on their own. One
+    * pointer read + one small text read, driver-side, no Spark job. */
+  private[graft] def commitAddedBytes(spark: SparkSession, dir: String,
+                                      v: Long): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val name = readPointerLines(fs, root, v).head.trim
+    readDelta(fs, root, name).map(_.adds.map(_.bytes).sum)
+  }
+
   private def readSnapshot(spark: SparkSession, root: Path,
                            v: Long): Snapshot = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -895,9 +872,16 @@ object Manifest {
     * `removedPaths` — sound as a flat subtraction because batch paths
     * are UUID'd and never reused, so a removed path cannot be re-added
     * by a later link. */
+  /** `colMap` is the chain-attached COLUMN MAP override: a metadata-only
+    * rename/drop/undrop rides the chain as cumulative `colmap:` lines
+    * (O(1) at any entry count, like a DV attach) instead of paying the
+    * distributed re-root; empty = no override, the base sentinel's map
+    * governs (sound because a mapped table's map is never empty — the
+    * last column cannot drop — so "no lines" is unambiguous). */
   private[graft] case class ChainState(names: Seq[String],
                                        removedPaths: Seq[String],
-                                       dvDirs: Seq[String])
+                                       dvDirs: Seq[String],
+                                       colMap: Seq[String] = Nil)
 
   /** Parse `name`'s [[BaseFile]]. The format is cumulative (each link
     * rewrites the full state), so resolution is one read at any depth
@@ -926,6 +910,7 @@ object Manifest {
     val bases = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[String]
+    val cmap = Seq.newBuilder[String]
     lines.dropRight(1).foreach {
       case l if l.startsWith("base:") =>
         val n = l.drop(5)
@@ -933,11 +918,12 @@ object Manifest {
         bases += n
       case l if l.startsWith("remove:") => removes += l.drop(7)
       case l if l.startsWith("dv:") => dvs += l.drop(3)
+      case l if l.startsWith("colmap:") => cmap += l.drop(7)
       case l => corrupt(s"unrecognized line '${l.take(40)}'")
     }
     val names = bases.result()
     if (names.isEmpty) corrupt("no base names")
-    ChainState(names :+ name, removes.result(), dvs.result())
+    ChainState(names :+ name, removes.result(), dvs.result(), cmap.result())
   }
 
   /** The manifest-name chain (base first, `name` last) — see
@@ -966,7 +952,7 @@ object Manifest {
     Snapshot(all.filter(_.path.nonEmpty), sentinel.schema_ddl,
       sentinel.stat_cols, sentinel.bloom_cols,
       sentinel.dv_dirs ++ st.dvDirs, sentinel.constraints, name,
-      colMap = sentinel.values)
+      colMap = if (st.colMap.nonEmpty) st.colMap else sentinel.values)
   }
 
   /** Lightweight snapshot HEADER: the sentinel's configuration plus
@@ -980,6 +966,10 @@ object Manifest {
   /** `dvDirs` is the EFFECTIVE set (root sentinel's ++ those attached
     * along the chain); `chainDvDirs` is the chain-attached subset — a
     * linked writer re-emits it cumulatively into the next base file. */
+  /** `chainColMap` is the chain-attached column-map override (empty =
+    * none) — a linked writer re-emits it cumulatively into the next
+    * base file, exactly like `chainDvDirs`; `colMap` is the EFFECTIVE
+    * map (chain override when present, else the sentinel's). */
   private[graft] case class SnapshotMeta(ddl: String, statsCols: Seq[String],
                                          bloomCols: Seq[String],
                                          dvDirs: Seq[String],
@@ -989,7 +979,8 @@ object Manifest {
                                          chainDvDirs: Seq[String],
                                          manifestBytes: Long,
                                          version: Long,
-                                         colMap: Seq[String] = Nil)
+                                         colMap: Seq[String] = Nil,
+                                         chainColMap: Seq[String] = Nil)
 
   /** On-disk size of the committed manifest chain itself (NOT the
     * data) — the cheap proxy [[graft.plans.ManifestScan.scan]] uses to
@@ -1025,7 +1016,8 @@ object Manifest {
     SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs ++ st.dvDirs,
       sentinel.constraints, dirs, st.removedPaths, st.dvDirs, bytes, ver,
-      colMap = sentinel.values)
+      colMap = if (st.colMap.nonEmpty) st.colMap else sentinel.values,
+      chainColMap = st.colMap)
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -2023,11 +2015,25 @@ object Manifest {
         if (l.equalsIgnoreCase(from)) (to, p) else (l, p)
       }
       commit(fs, root, v + 1,
-        compactManifest(spark, root, meta, meta.ddl, Nil,
-          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
+        commitColMap(spark, fs, root, meta,
+          out.map { case (l, p) => s"$l=$p" }),
         op = "RENAME_COLUMN")
     }
   }
+
+  /** Stage a COLUMN-MAP commit: an O(1) chain link carrying the new
+    * map as `colmap:` lines when the chain has headroom (the metadata-
+    * only promise of rename/drop/undrop held at ANY entry count —
+    * nothing entry-sized stages), else the distributed re-root that
+    * resets the chain anyway (which absorbs the map into the fresh
+    * sentinel). */
+  private def commitColMap(spark: SparkSession, fs: FileSystem, root: Path,
+                           meta: SnapshotMeta,
+                           mapOut: Seq[String]): String =
+    if (linkedAppendEligible(spark, fs, meta))
+      linkManifest(spark, fs, root, meta, Nil, colMapOut = Some(mapOut))
+    else compactManifest(spark, root, meta, meta.ddl, Nil,
+      colMapOut = Some(mapOut))
 
   /** DROP COLUMN — the same sentinel-only, metadata-only commit: the
     * physical slot stays in the files (and null-fills in later writes,
@@ -2069,8 +2075,8 @@ object Manifest {
       }
       val out = pairs.filterNot(_._1.equalsIgnoreCase(name))
       commit(fs, root, v + 1,
-        compactManifest(spark, root, meta, meta.ddl, Nil,
-          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
+        commitColMap(spark, fs, root, meta,
+          out.map { case (l, p) => s"$l=$p" }),
         op = "DROP_COLUMN")
     }
   }
@@ -2102,8 +2108,8 @@ object Manifest {
         s"column $as already exists")
       val out = pairs :+ ((as, slot))
       commit(fs, root, v + 1,
-        compactManifest(spark, root, meta, meta.ddl, Nil,
-          colMapOut = Some(out.map { case (l, p) => s"$l=$p" })),
+        commitColMap(spark, fs, root, meta,
+          out.map { case (l, p) => s"$l=$p" }),
         op = "UNDROP_COLUMN")
     }
   }
@@ -2194,14 +2200,18 @@ object Manifest {
   }
 
   /** Time travel: read a specific committed version. Valid until that
-    * version's files are [[vacuumOrphans]]ed. */
-  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val (_, root) = fsOf(spark, dir)
-    val snap = readSnapshot(spark, root, v)
-    toLogical(
-      readEntriesMasked(spark, root, snap.entries, snap.ddl, snap.dvDirs),
-      snap.colMap)
-  }
+    * version's files are [[vacuumOrphans]]ed.
+    *
+    * Plans through the pruning [[graft.plans.ManifestFileIndex]] — the
+    * same venue-switched path as the `graft-manifest` DataSource — so
+    * WHERE clauses over the result skip files on recorded stats, and a
+    * 10⁷-entry table never materializes its entry list on the driver
+    * (past the driver budget, only pruned paths/bytes reach it,
+    * lazily, at planning time; under it, the driver-resident index is
+    * still the latency winner — [[graft.plans.ManifestScan
+    * .DistributedMinBytesKey]]). */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame =
+    graft.plans.ManifestScan.scan(spark, dir, version = Some(v))
 
   /** RESTORE: make retained version `v` the table's CURRENT state
     * again, as a NEW commit (Delta's RESTORE shape) — the bad-deploy /
@@ -2340,7 +2350,8 @@ object Manifest {
   private def linkManifest(spark: SparkSession, fs: FileSystem, root: Path,
                            meta: SnapshotMeta, adds: Seq[Entry],
                            removes: Seq[String] = Nil,
-                           dvAdds: Seq[String] = Nil): String = {
+                           dvAdds: Seq[String] = Nil,
+                           colMapOut: Option[Seq[String]] = None): String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dst = new Path(new Path(root, ManifestsDir), name)
@@ -2365,8 +2376,13 @@ object Manifest {
     val chain = meta.manifestDirs.map(d => new Path(d).getName)
     val allRemoves = meta.removedPaths ++ removes
     val allDvs = meta.chainDvDirs ++ dvAdds
+    // the column map rides the chain like the DV set: cumulative
+    // re-emission of the attached override, replaced wholesale by a
+    // rename/drop/undrop commit (colMapOut)
+    val cmap = colMapOut.getOrElse(meta.chainColMap)
     val lines = chain.map(n => s"base:$n") ++
-      allRemoves.map(r => s"remove:$r") ++ allDvs.map(d => s"dv:$d")
+      allRemoves.map(r => s"remove:$r") ++ allDvs.map(d => s"dv:$d") ++
+      cmap.map(c => s"colmap:$c")
     val out = fs.create(new Path(dst, BaseFile), false)
     try out.write((lines.mkString("\n") + s"\nend:${lines.size}\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -2399,20 +2415,23 @@ object Manifest {
                               removes: Seq[String] = Nil,
                               dvAdds: Seq[String] = Nil,
                               constraintsOut: Option[Seq[String]] = None,
-                              colMapOut: Option[Seq[String]] = None)
+                              colMapOut: Option[Seq[String]] = None,
+                              dvOut: Option[Seq[String]] = None)
       : String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
     // the re-rooted sentinel absorbs the chain's effective DV set (and
     // this commit's own), so the fresh chain starts with no dv lines;
-    // `values` carries the column map (see [[writeManifest]])
+    // `dvOut` overrides the whole set (a DV-retiring commit like
+    // [[materialize]] re-roots with Nil); `values` carries the column
+    // map (see [[writeManifest]])
     val sentinel = ManifestEntry("", colMapOut.getOrElse(meta.colMap),
       has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddlOut,
       stat_cols = meta.statsCols, stat_mins = Seq.empty,
       stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
-      dv_dirs = meta.dvDirs ++ dvAdds,
+      dv_dirs = dvOut.getOrElse(meta.dvDirs ++ dvAdds),
       constraints = constraintsOut.getOrElse(meta.constraints))
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
       bloom_cols = Seq.empty, dv_dirs = Seq.empty,
@@ -2437,6 +2456,32 @@ object Manifest {
         case scala.util.control.NonFatal(t) =>
           System.err.println(s"[graft] delta sidecar for $name skipped: $t")
       }
+    name
+  }
+
+  /** Fresh, self-contained manifest: sentinel (from `meta`'s
+    * configuration — schema, stats, blooms, constraints, column map —
+    * with the DV set reset to `dvDirs`) + `adds` only. The
+    * full-REPLACEMENT commit shape ([[overwrite]], [[clusterBy]],
+    * [[commitAll]]'s overwrite writes): nothing carries from the parent,
+    * so staging is O(adds) driver-side with no parent entry
+    * materialization at any table size. No delta sidecar — the change
+    * set IS the table, exactly the case the sidecar economics rule
+    * skips; tail-replay readers fall back to the exact scan. */
+  private def freshManifest(spark: SparkSession, root: Path,
+                            meta: SnapshotMeta, adds: Seq[Entry],
+                            dvDirs: Seq[String] = Nil): String = {
+    import spark.implicits._
+    val name = s"m-${UUID.randomUUID()}"
+    val dir = new Path(new Path(root, ManifestsDir), name).toString
+    val sentinel = ManifestEntry("", meta.colMap, has_null = false,
+      overflow = false, rows = 0L, bytes = 0L, schema_ddl = meta.ddl,
+      stat_cols = meta.statsCols, stat_mins = Seq.empty,
+      stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
+      dv_dirs = dvDirs, constraints = meta.constraints)
+    val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
+      bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
+    (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
     name
   }
 
@@ -2583,13 +2628,26 @@ object Manifest {
     * marker and data in one pointer create, a checkpoint-replayed batch
     * no-ops. The CDC-replication sink's per-batch primitive. Creates
     * the table from the batch's INSERT rows when absent. Returns true
-    * iff this call committed. */
+    * iff this call committed.
+    *
+    * `evolveSchema = true` folds a SOURCE schema evolution into the
+    * target: batch columns absent from the target's visible face bind
+    * fresh physical slots ([[evolve]]) immediately before the change
+    * application — replication keeps converging across an upstream
+    * ALTER TABLE ADD COLUMNS instead of refusing. The fold is
+    * replay-safe: the evolve commit carries no txn marker, so a crash
+    * between it and the data commit replays into "columns already
+    * exist → skip evolve → apply batch (marker-guarded)". A renamed
+    * source column is NOT auto-folded (a CDC batch cannot distinguish
+    * a rename from a drop+add) — apply [[renameColumn]] on the target,
+    * and the stream continues under the new name. */
   def applyChangesIfAbsent(spark: SparkSession, dir: String,
                            batch: DataFrame, keys: Seq[String],
                            partitionCol: String, appId: String,
                            batchId: Long, changeCol: String = "change",
                            orderCol: Option[String] = None,
-                           statsCols: Seq[String] = Nil): Boolean =
+                           statsCols: Seq[String] = Nil,
+                           evolveSchema: Boolean = false): Boolean =
     withConflictRetry() {
       if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
       else if (latestVersion(spark, dir).isEmpty) {
@@ -2607,6 +2665,17 @@ object Manifest {
           txn = Some(appId -> batchId))
         true
       } else {
+        if (evolveSchema) {
+          val visible = tableSchema(spark, dir).fieldNames
+          val extras = batch.schema.fields.filterNot { f =>
+            f.name.equalsIgnoreCase(changeCol) ||
+              orderCol.exists(_.equalsIgnoreCase(f.name)) ||
+              visible.exists(_.equalsIgnoreCase(f.name))
+          }
+          if (extras.nonEmpty)
+            evolve(spark, dir,
+              extras.toSeq.map(f => f.name -> f.dataType.catalogString))
+        }
         applyChanges(spark, dir, batch, keys, partitionCol, changeCol,
           orderCol, txn = Some(appId -> batchId))
         true
@@ -2644,18 +2713,18 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    val dfP = toPhysicalFull(df, snap.colMap, snap.ddl)
-    val pCol = physName(snap.colMap, partitionCol)
-    require(nullableDdl(dfP.schema) == snap.ddl,
-      s"overwrite schema ${nullableDdl(dfP.schema)} != table schema ${snap.ddl}")
-    val entries = writeBatch(spark, root, dfP, pCol, snap.statsCols,
-      snap.constraints, bloomCols = snap.bloomCols)
+    // snapshot HEADER only — a full replacement never needs the
+    // parent's entry list (O(manifest files) driver cost at any size)
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val dfP = toPhysicalFull(df, meta.colMap, meta.ddl)
+    val pCol = physName(meta.colMap, partitionCol)
+    require(nullableDdl(dfP.schema) == meta.ddl,
+      s"overwrite schema ${nullableDdl(dfP.schema)} != table schema ${meta.ddl}")
+    val entries = writeBatch(spark, root, dfP, pCol, meta.statsCols,
+      meta.constraints, bloomCols = meta.bloomCols)
     // the whole snapshot is replaced, so every previous DV retires too
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, entries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
-        prev = Some(snap)), txn, op = "OVERWRITE")
+    commit(fs, root, v + 1, freshManifest(spark, root, meta, entries),
+      txn, op = "OVERWRITE")
   }
 
   /** DYNAMIC PARTITION OVERWRITE under snapshot isolation: replace
@@ -2848,8 +2917,7 @@ object Manifest {
     // phase 1: stage data + manifests (no pointers — pure orphans on crash)
     val staged = writes.map { w =>
       val (fs, root) = fsOf(spark, w.dir)
-      val (v, entries, ddl, statsCols, bloomCols, dvDirs, constraints,
-           prevSnap) =
+      val (v, name) =
         latestVersion(spark, w.dir) match {
           case None =>
             // a table born here gets the staged configuration, exactly
@@ -2859,9 +2927,8 @@ object Manifest {
                 s"stats column $c not in ${w.df.columns.mkString(",")}"))
             val e = writeBatch(spark, root, w.df, w.partitionCol,
               w.statsCols, w.constraints, bloomCols = w.bloomCols)
-            (0L, e, nullableDdl(w.df.schema), w.statsCols,
-              w.bloomCols, Seq.empty[String], w.constraints,
-              None: Option[Snapshot])
+            (0L, writeManifest(spark, root, e, nullableDdl(w.df.schema),
+              w.statsCols, w.bloomCols, Seq.empty[String], w.constraints))
           case Some(v) =>
             require(w.statsCols.isEmpty && w.bloomCols.isEmpty &&
               w.constraints.isEmpty,
@@ -2869,21 +2936,23 @@ object Manifest {
                 s"against the EXISTING table at ${w.dir} — the snapshot's " +
                 "own configuration governs; use addConstraint/create to " +
                 "change it")
-            val snap = readSnapshot(spark, root, v)
-            require(nullableDdl(w.df.schema) == snap.ddl,
+            // snapshot HEADER only: staging an append/overwrite against
+            // an existing table stays O(batch) driver-side — the append
+            // rides the linked chain, the overwrite a fresh manifest,
+            // exactly like their standalone counterparts
+            val meta = snapshotMeta(spark, w.dir, Some(v))
+            require(nullableDdl(w.df.schema) == meta.ddl,
               s"commitAll schema ${nullableDdl(w.df.schema)} != table " +
-                s"schema ${snap.ddl} at ${w.dir}")
+                s"schema ${meta.ddl} at ${w.dir}")
             val e = writeBatch(spark, root, w.df, w.partitionCol,
-              snap.statsCols, snap.constraints, bloomCols = snap.bloomCols)
-            if (w.overwrite)
-              (v, e, snap.ddl, snap.statsCols, snap.bloomCols,
-                Seq.empty[String], snap.constraints, Some(snap))
-            else
-              (v, snap.entries ++ e, snap.ddl, snap.statsCols,
-                snap.bloomCols, snap.dvDirs, snap.constraints, Some(snap))
+              meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+            val name =
+              if (w.overwrite) freshManifest(spark, root, meta, e)
+              else if (linkedAppendEligible(spark, fs, meta))
+                linkManifest(spark, fs, root, meta, e)
+              else compactManifest(spark, root, meta, meta.ddl, e)
+            (v, name)
         }
-      val name = writeManifest(spark, root, entries, ddl, statsCols,
-        bloomCols, dvDirs, constraints, prev = prevSnap)
       (fs, root, v + 1, name)
     }
     // phase 2: claim every slot with a pending pointer naming the
@@ -3484,33 +3553,40 @@ object Manifest {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
-    if (snap.dvDirs.isEmpty) return 0L
-    val touched = dvTouchedPaths(spark, root, snap.dvDirs)
-      .intersect(snap.entries.map(_.path).toSet)
-    if (touched.isEmpty) {
-      // only inert vectors (their files already rewritten): drop them
+    // snapshot HEADER only: planning collects the DV'd subset, never
+    // the full entry list — cost scales with the DV'd files at any
+    // table size (the same bound as the rewrite itself)
+    val meta = snapshotMeta(spark, dir, Some(v))
+    if (meta.dvDirs.isEmpty) return 0L
+    val dvPaths = dvTouchedPaths(spark, root, meta.dvDirs)
+    // live ∩ DV'd, resolved where the entries live; O(DV'd) driver heap
+    val dvd: Seq[Entry] =
+      if (dvPaths.isEmpty) Seq.empty
+      else {
+        val b = spark.sparkContext.broadcast(dvPaths)
+        entriesDataset(spark, meta).filter(e => b.value.contains(e.path))
+          .collect().toSeq
+      }
+    if (dvd.isEmpty) {
+      // only inert vectors (their files already rewritten): drop them;
+      // every entry carries over through the chain subtraction
       commit(fs, root, v + 1,
-        writeManifest(spark, root, snap.entries, snap.ddl, snap.statsCols,
-          snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
-          prev = Some(snap)), op = "MATERIALIZE")
+        compactManifest(spark, root, meta, meta.ddl, Nil,
+          dvOut = Some(Nil)), op = "MATERIALIZE")
       return 0L
     }
-    val dvd = snap.entries.filter(e => touched.contains(e.path))
-    val rewritten = readEntriesMasked(spark, root, dvd, snap.ddl,
-      snap.dvDirs)
+    val rewritten = readEntriesMasked(spark, root, dvd, meta.ddl,
+      meta.dvDirs)
     val newEntries =
       if (rewritten.isEmpty) Seq.empty
       else writeBatch(spark, root, rewritten,
-        physName(snap.colMap, partitionCol), snap.statsCols,
-        snap.constraints, bloomCols = snap.bloomCols)
+        physName(meta.colMap, partitionCol), meta.statsCols,
+        meta.constraints, bloomCols = meta.bloomCols)
     commit(fs, root, v + 1,
-      writeManifest(spark, root,
-        snap.entries.filterNot(e => touched.contains(e.path)) ++ newEntries,
-        snap.ddl, snap.statsCols, snap.bloomCols, dvDirs = Nil,
-        constraints = snap.constraints, prev = Some(snap)),
+      compactManifest(spark, root, meta, meta.ddl, newEntries,
+        removes = dvd.map(_.path), dvOut = Some(Nil)),
       op = "MATERIALIZE")
-    touched.size.toLong
+    dvd.size.toLong
   }
 
   /** Shared copy-on-write shape for [[upsert]]/[[delete]]: prune to
@@ -3736,33 +3812,41 @@ object Manifest {
   private def clusterBy(spark: SparkSession, dir: String,
                         partitionCol: String, clusterCols: Seq[String],
                         targetBytes: Long,
-                        key: (Snapshot, Seq[String]) =>
+                        key: (String, Seq[String]) =>
                           org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
-    val snap = readSnapshot(spark, root, v)
+    // snapshot HEADER only: the full-table read below plans through the
+    // venue-switched pruning FileIndex (paths reach the driver lazily,
+    // post-budget-switch), so a 10⁷-entry cluster never materializes
+    // the entry list driver-side
+    val meta = snapshotMeta(spark, dir, Some(v))
     // cluster columns arrive LOGICAL like every public name; stats
     // columns are stored physical
-    val clusterP = clusterCols.map(physName(snap.colMap, _))
-    clusterP.foreach(c => require(snap.statsCols.contains(c),
+    val clusterP = clusterCols.map(physName(meta.colMap, _))
+    clusterP.foreach(c => require(meta.statsCols.contains(c),
       s"cluster column $c is not a stats column " +
-        s"(${snap.statsCols.mkString(",")}) — pruning could never use it"))
-    if (snap.entries.isEmpty) return
-    val total = snap.entries.map(_.bytes).sum
+        s"(${meta.statsCols.mkString(",")}) — pruning could never use it"))
+    val total = entriesDataset(spark, meta).toDF()
+      .agg(coalesce(sum("bytes"), lit(0L))).as[Long].head()
+    if (total == 0L) return // no entries (parquet files are never empty)
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val rows = readEntriesMasked(spark, root, snap.entries, snap.ddl,
-      snap.dvDirs)
+    val (rel, dvDirs, _) = graft.plans.ManifestScan.planned(spark, dir,
+      version = Some(v))
+    val rows0 = spark.baseRelationToDataFrame(rel)
+    val rows =
+      if (dvDirs.isEmpty) rows0 else maskedByDv(spark, dir, rows0, dvDirs)
     val newEntries =
       if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
       else writeBatch(spark, root, rows,
-        physName(snap.colMap, partitionCol),
-        snap.statsCols, snap.constraints, numFiles = Some(nOut),
-        bloomCols = snap.bloomCols, clusterKey = Some(key(snap, clusterP)))
-    commit(fs, root, v + 1,
-      writeManifest(spark, root, newEntries, snap.ddl, snap.statsCols,
-        snap.bloomCols, dvDirs = Nil, constraints = snap.constraints,
-        prev = Some(snap)), op = "CLUSTER")
+        physName(meta.colMap, partitionCol),
+        meta.statsCols, meta.constraints, numFiles = Some(nOut),
+        bloomCols = meta.bloomCols,
+        clusterKey = Some(key(meta.ddl, clusterP)))
+    commit(fs, root, v + 1, freshManifest(spark, root, meta, newEntries),
+      op = "CLUSTER")
   }
 
   /** 2-D Z-ORDER clustering: rewrite the snapshot range-partitioned on
@@ -3777,7 +3861,7 @@ object Manifest {
                xCol: String, yCol: String,
                targetBytes: Long = 128L << 20): Unit =
     clusterBy(spark, dir, partitionCol, Seq(xCol, yCol), targetBytes,
-      (snap, colsP) => {
+      (ddl, colsP) => {
         // the Morton interleave reads the LOW 31 BITS of each value:
         // a non-integral TYPE is rejected loudly here (its cast would
         // null the key and silently collapse the table into one
@@ -3785,7 +3869,7 @@ object Manifest {
         // contract — they mask to the top of the 31-bit range and
         // degrade locality without erroring (checking data would cost
         // a scan).
-        val schema = DataType.fromDDL(snap.ddl).asInstanceOf[StructType]
+        val schema = DataType.fromDDL(ddl).asInstanceOf[StructType]
         colsP.foreach { c =>
           val dt = schema(c).dataType
           require(Seq(ByteType, ShortType, IntegerType, LongType)
@@ -3814,13 +3898,22 @@ object Manifest {
                dvFileFrac: Double = 0.1,
                keepVersions: Int = 2,
                staleMillis: Long = 3600 * 1000L): Map[String, Long] = {
-    val snap0 = loadSnapshot(spark, dir)
+    // header-only planning: the masked-file fraction is one distributed
+    // agg over the entry relation, never a driver entry collect
+    val meta0 = snapshotMeta(spark, dir)
     val (_, root) = fsOf(spark, dir)
-    val dvTouched = dvTouchedPaths(spark, root, snap0.dvDirs)
-      .intersect(snap0.entries.map(_.path).toSet).size
-    val doMaterialize = snap0.dvDirs.nonEmpty &&
-      (snap0.entries.isEmpty ||
-        dvTouched.toDouble / math.max(1, snap0.entries.size) >= dvFileFrac)
+    val doMaterialize = meta0.dvDirs.nonEmpty && {
+      import spark.implicits._
+      val b = spark.sparkContext.broadcast(
+        dvTouchedPaths(spark, root, meta0.dvDirs))
+      val (nEntries, dvTouched) = entriesDataset(spark, meta0)
+        .map(e => (1L, if (b.value.contains(e.path)) 1L else 0L))
+        .toDF("n", "t")
+        .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("t"), lit(0L)))
+        .as[(Long, Long)].head()
+      nEntries == 0L ||
+        dvTouched.toDouble / math.max(1L, nEntries) >= dvFileFrac
+    }
     // counters come from the ATTEMPT THAT COMMITTED (the ops return
     // what they actually did), not from pre-retry snapshots a
     // concurrent commit can stale
@@ -3848,13 +3941,76 @@ object Manifest {
   def describeHistory(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (fs, root) = fsOf(spark, dir)
-    versions(spark, dir).map { v =>
+    // per-version pointer + chain resolution: O(retained versions)
+    // one-line reads, like [[history]] — never a snapshot entry collect
+    val infos = versions(spark, dir).map { v =>
       val lines = readPointerLines(fs, root, v) // one open per version
-      val snap = readSnapshotByName(spark, root, lines.head.trim)
+      val st = chainState(fs, root, lines.head.trim)
       val txn = lines.drop(1).find(_.startsWith("txn:")).getOrElse("")
-      (v, snap.entries.size.toLong, snap.entries.map(_.rows).sum,
-        snap.entries.map(_.bytes).sum, snap.dvDirs.size.toLong,
-        snap.constraints.size.toLong, txn)
+      (v, st, txn)
+    }
+    if (infos.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, String)]
+        .toDF("version", "files", "rows", "bytes", "dv_dirs",
+          "constraints", "txn")
+    // ONE distributed pass over the distinct retained manifest dirs
+    // (versions share ancestors, each dir aggregates once): per-dir
+    // file/row/byte totals, per-dir sentinel shape, and the stats of
+    // every chain-removed path — a version's exact counts then fold
+    // driver-side as Σ(chain dirs) − Σ(its removed paths). Driver heap
+    // is O(dirs + removed paths), never O(entries).
+    val allDirs = infos.flatMap(_._2.names).distinct
+    val dirPaths = allDirs
+      .map(n => new Path(new Path(root, ManifestsDir), n).toString)
+    // mergeSchema: retained manifests can span library versions with
+    // different physical schemas; absent columns pad with neutrals
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(dirPaths: _*)
+      .withColumn("__m", regexp_extract(col("_metadata.file_path"),
+        s"/$ManifestsDir/(m-[0-9a-f-]{36})/", 1))
+    val need: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("path", lit("")), ("rows", lit(0L)), ("bytes", lit(0L)),
+      ("schema_ddl", lit("")), ("dv_dirs", array()),
+      ("constraints", array()))
+    val df = need.foldLeft(raw) { case (d, (n, neutral)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, neutral)
+    }
+    val perDir = df.filter($"path" =!= "")
+      .groupBy("__m")
+      .agg(count(lit(1)), coalesce(sum("rows"), lit(0L)),
+        coalesce(sum("bytes"), lit(0L)))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val sentinels = df.filter($"path" === "" && $"schema_ddl" =!= "")
+      .select($"__m", size($"dv_dirs").cast("long"),
+        size($"constraints").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val allRm = infos.flatMap(_._2.removedPaths).distinct
+    val rmStats: Map[String, (Long, Long)] =
+      if (allRm.isEmpty) Map.empty
+      else df.join(broadcast(allRm.toDF("__rm")), $"path" === $"__rm")
+        .select($"path", coalesce($"rows", lit(0L)),
+          coalesce($"bytes", lit(0L)))
+        .distinct() // a path carried across re-roots appears in 2+ dirs
+        .as[(String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    infos.map { case (v, st, txn) =>
+      val (f, r, b) = st.names
+        .map(n => perDir.getOrElse(n, (0L, 0L, 0L)))
+        .foldLeft((0L, 0L, 0L)) { case ((a1, a2, a3), (c1, c2, c3)) =>
+          (a1 + c1, a2 + c2, a3 + c3)
+        }
+      val (rmR, rmB) = st.removedPaths
+        .map(p => rmStats.getOrElse(p, (0L, 0L)))
+        .foldLeft((0L, 0L)) { case ((a1, a2), (c1, c2)) =>
+          (a1 + c1, a2 + c2)
+        }
+      // effective DV set = base sentinel's ++ chain-attached, exactly
+      // [[readSnapshotByName]]'s composition
+      val (sentDv, sentC) = sentinels.getOrElse(st.names.head, (0L, 0L))
+      (v, f - st.removedPaths.size, r - rmR, b - rmB,
+        sentDv + st.dvDirs.size, sentC, txn)
     }.toDF("version", "files", "rows", "bytes", "dv_dirs", "constraints",
       "txn")
   }

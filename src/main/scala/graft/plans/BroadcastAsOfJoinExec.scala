@@ -73,32 +73,46 @@ case class BroadcastAsOfJoinExec(leftKey: Expression, rightKey: Expression,
       val nullPayload = new GenericInternalRow(payloadAttrs.size)
       val joined = new JoinedRow
 
-      // per-task index: key -> (ts rows, payload rows) sorted by
-      // (ts, payload) ascending. Built once from the broadcast value.
-      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]]()
-      val grouped = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
-      broadcastRelation.value.foreach { r =>
-        val k = rKeyProj(r)
-        val t = rTsProj(r)
-        if (!k.isNullAt(0) && !t.isNullAt(0)) {
-          val buf = grouped.computeIfAbsent(k.copy(),
-            _ => scala.collection.mutable.ArrayBuffer.empty)
-          buf += ((t.copy(), payloadProj(r).copy()))
-        }
-      }
-      grouped.forEach { (k, buf) =>
-        val sorted = buf.toArray
-        java.util.Arrays.sort(sorted,
-          Ordering.Tuple2(tsOrd.on[UnsafeRow](identity), payloadOrd.on[UnsafeRow](identity)))
-        index.put(k, sorted)
-      }
+      // per-JVM index: key -> (ts rows, payload rows) sorted by
+      // (ts, payload) ascending. Built ONCE per (broadcast value, join
+      // signature) and shared by every task — with 32 executor threads
+      // the per-task rebuild this replaces paid the whole group+sort
+      // 32× per stage (the round-13 profile of this exec's bench
+      // drift). Weakly keyed on the broadcast array, so the index dies
+      // with the broadcast value.
+      val index = BroadcastAsOfJoinExec.indexFor(
+        broadcastRelation.value,
+        s"$rKeyExpr|$rTsExpr|${payloadAttrs.mkString(";")}", () => {
+          val built = new java.util.HashMap[UnsafeRow,
+            Array[(UnsafeRow, UnsafeRow)]]()
+          val grouped = new java.util.HashMap[UnsafeRow,
+            scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+          broadcastRelation.value.foreach { r =>
+            val k = rKeyProj(r)
+            val t = rTsProj(r)
+            if (!k.isNullAt(0) && !t.isNullAt(0)) {
+              val buf = grouped.computeIfAbsent(k.copy(),
+                _ => scala.collection.mutable.ArrayBuffer.empty)
+              buf += ((t.copy(), payloadProj(r).copy()))
+            }
+          }
+          grouped.forEach { (k, buf) =>
+            val sorted = buf.toArray
+            java.util.Arrays.sort(sorted,
+              Ordering.Tuple2(tsOrd.on[UnsafeRow](identity),
+                payloadOrd.on[UnsafeRow](identity)))
+            built.put(k, sorted)
+          }
+          built
+        })
 
       lIter.map { l =>
         var matched: InternalRow = null
         val lk = lKeyProj(l)
         if (!lk.isNullAt(0)) {
           val entries = index.get(lk)
+          // (reads of the shared map are safe: computeIfAbsent
+          // published the fully-built, never-mutated-again index)
           if (entries != null) {
             val lt = lTsProj(l)
             if (!lt.isNullAt(0)) {
@@ -120,5 +134,30 @@ case class BroadcastAsOfJoinExec(leftKey: Expression, rightKey: Expression,
         resultProj(joined(l, if (matched == null) nullPayload else matched))
       }
     }
+  }
+}
+
+object BroadcastAsOfJoinExec {
+
+  /** Per-JVM memo of built as-of indexes, weakly keyed on the broadcast
+    * value array (entries are reclaimed with the broadcast block) with
+    * an inner map per join signature — two different as-of joins can
+    * consume one reused broadcast exchange with different key/ts
+    * expressions and must not share an index. The HashedRelation
+    * build-once-per-executor shape, without a custom BroadcastMode. */
+  private val indexCache = new java.util.WeakHashMap[AnyRef,
+    java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private[plans] def indexFor[T <: AnyRef](rows: AnyRef, sig: String,
+                                           build: () => T): T = {
+    val inner = indexCache.synchronized {
+      var m = indexCache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        indexCache.put(rows, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(sig, _ => build()).asInstanceOf[T]
   }
 }

@@ -338,4 +338,46 @@ class ExpressionsSpec extends SparkSpec {
       assert(messages(e2).contains("null element"), s"cg=$cg: ${messages(e2)}")
     }
   }
+
+  test("BMP: the JDK's own ImageIO decodes the synthesized container; frames are the genuine bytes") {
+    val text = "hello bmp world — this payload spans more than forty-eight " +
+      "bytes so the image gets several real pixel rows"
+    val docs = Seq((1L, text), (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.asBmpTable(docs)
+    val blob = media.where($"media_id" === 1L)
+      .select($"content").as[Array[Byte]].head()
+    // INDEPENDENT decoder: the stock JDK reads our bytes as a real BMP
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(blob))
+    assert(img != null, "ImageIO must decode the synthesized BMP")
+    val payload = text.getBytes("UTF-8")
+    val h = (payload.length + 47) / 48
+    assert(img.getWidth == 16 && img.getHeight == h)
+    // every pixel's RGB equals the payload bytes at the real bottom-up
+    // offsets (file stores B,G,R per pixel; first file row = bottom)
+    def at(i: Int) = if (i < payload.length) payload(i) & 0xff else 0
+    for (y <- 0 until h; x <- 0 until 16) {
+      val rgb = img.getRGB(x, y)
+      val p = (h - 1 - y) * 48 + 3 * x
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+        ((at(p + 2), at(p + 1), at(p))), s"pixel ($x,$y) diverged")
+    }
+    // header parse reads the little-endian fields back exactly
+    val d = media.where($"media_id" === 1L)
+      .select(Multimodal.decodeBmp($"content").as("d")).select($"d.*").head()
+    assert((d.getInt(0), d.getInt(1), d.getInt(2), d.getInt(3),
+      d.getInt(4)) == ((54, 16, h, 24, 0)))
+    // frame extraction returns the genuine content: bottom-up
+    // reassembly is byte-identical to the zero-padded payload
+    val frames = Multimodal.bmpFrames(media).where($"media_id" === 1L)
+      .orderBy($"row_idx".desc).select("row_hex").as[String]
+      .collect().mkString
+    val paddedHex = payload.map("%02X".format(_)).mkString
+      .padTo(h * 96, '0').mkString
+    assert(frames == paddedHex,
+      "bmpFrames must extract the exact payload bytes")
+    // the 1-byte doc still yields one (padded) row
+    assert(Multimodal.bmpFrames(media).where($"media_id" === 2L)
+      .count() == 1)
+  }
 }

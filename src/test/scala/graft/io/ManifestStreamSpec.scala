@@ -141,6 +141,50 @@ class ManifestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger: a fat commit fills its own trigger; restart keeps parity") {
+    val root = newDir()
+    val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    Manifest.create(spark, dir, base, "p")                            // v1
+    Manifest.append(spark, dir,
+      Seq((1001L, 1.0, 0L)).toDF("k", "v", "p"), "p")                 // v2 small
+    Manifest.append(spark, dir, spark.range(20000, 30000)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"),
+        ($"id" % 2).as("p")), "p")                                    // v3 FAT
+    Manifest.append(spark, dir,
+      Seq((1002L, 2.0, 0L)).toDF("k", "v", "p"), "p")                 // v4 small
+    def run(opts: Map[String, String]): StreamingQuery = {
+      val r = opts.foldLeft(spark.readStream.format("graft-manifest")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      r.load(dir).writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+    }
+    val opts = Map("afterVersion" -> "1", "maxBytesPerTrigger" -> "4096")
+    val q = run(opts)
+    try {
+      q.processAllAvailable()
+      // the 10⁴-row commit must not bundle with the small ones: byte
+      // pacing splits the 3-commit backlog into 3 batches (count
+      // pacing alone would take all three in one)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"byte pacing must split small/FAT/small into 3 batches, got " +
+          s"$dataBatches: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+    // paced-restart parity: more commits, a fresh query on the same
+    // checkpoint — exact continuation, no drop, no dup
+    Manifest.append(spark, dir,
+      Seq((1003L, 3.0, 0L)).toDF("k", "v", "p"), "p")                 // v5
+    val q2 = run(opts)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 10000L, 4L -> 1L, 5L -> 1L),
+      s"paced stream must deliver every post-anchor commit exactly once, got $got")
+  }
+
   test("append mode: fast path streams appends, a rewrite fails loudly pointing at cdc") {
     val root = newDir()
     val dir = s"$root/tbl"
@@ -283,11 +327,50 @@ class ManifestStreamSpec extends SparkSpec {
       spark.readStream.format("graft-manifest").load(a)
         .writeStream.format("graft-manifest")
         .option("path", s"$root/c").option("partitionCol", "p")
-        .option("keys", "k").option("cdc", "true")
+        .option("keys", "k") // keyed upsert, NOT cdc
         .option("mergeSchema", "true")
         .option("checkpointLocation", s"$root/ckpt_c").start()
     }
-    assert(e2.getMessage.contains("cdc and mergeSchema are exclusive"))
+    assert(e2.getMessage.contains("append path"))
+  }
+
+  test("REPLICATION under schema evolution: an upstream ADD COLUMNS folds into the target") {
+    val root = newDir()
+    val a = s"$root/a"; val b = s"$root/b"; val ckpt = s"$root/ckpt"
+    Manifest.create(spark, a, base, "p")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(a)
+        .writeStream.format("graft-manifest")
+        .option("path", b).option("partitionCol", "p")
+        .option("keys", "k").option("cdc", "true")
+        .option("mergeSchema", "true") // opt-in: fold source evolves
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    replicate() // bootstrap at the pre-evolution schema
+    // upstream ALTER TABLE ADD COLUMNS, then data under the new schema
+    Manifest.evolve(spark, a, Seq("tag" -> "string"))
+    Manifest.append(spark, a,
+      Seq((100L, 1.0, 0L, "new")).toDF("k", "v", "p", "tag"), "p")
+    Manifest.upsert(spark, a,
+      Seq((2L, 222.0, 0L, "upd")).toDF("k", "v", "p", "tag"), Seq("k"), "p")
+    replicate() // the restart adopts the widened schema; the fold evolves B
+    def stateOf(dir: String) = Manifest.read(spark, dir)
+      .select("k", "v", "p", "tag")
+      .as[(Long, Double, Long, Option[String])].collect().toSet
+    assert(stateOf(b) == stateOf(a),
+      "B must converge to A across the evolution (old rows null-tagged)")
+    assert(Manifest.read(spark, b).where($"tag".isNotNull).count() == 2)
+    // restart-replay: same checkpoint, no new commits — no double apply,
+    // no second evolve
+    replicate()
+    assert(stateOf(b) == stateOf(a))
+    assert(Manifest.tableSchema(spark, b).fieldNames.count(
+      _.equalsIgnoreCase("tag")) == 1)
+    // and replication keeps converging beyond the evolution
+    Manifest.delete(spark, a, Seq((100L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    replicate()
+    assert(stateOf(b) == stateOf(a))
   }
 
   test("a mid-stream RENAME fails the fixed-schema conformance loudly, never misreads") {

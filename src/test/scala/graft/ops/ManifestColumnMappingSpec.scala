@@ -262,6 +262,45 @@ class ManifestColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("rename/drop/undrop ride the chain as O(1) colmap links, re-root absorbs") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((100L, 9.0, 1L)).toDF("k", "v", "p"), "p")
+    def depth() = Manifest.detail(spark, dir)
+      .select("chain_depth").as[Long].head()
+    val d0 = depth()
+    Manifest.renameColumn(spark, dir, "v", "amount")
+    // a LINK, not a re-root: the chain grew by one (a re-root resets
+    // depth to 1) — nothing entry-sized staged
+    assert(depth() == d0 + 1,
+      "rename must ride the chain as an O(1) colmap link")
+    assert(Manifest.read(spark, dir).columns.toSeq ==
+      Seq("k", "amount", "p"))
+    // time travel inside the same chain keeps the pre-rename face
+    assert(Manifest.readVersion(spark, dir, 2L).columns.toSeq ==
+      Seq("k", "v", "p"))
+    // later linked commits re-emit the map cumulatively
+    Manifest.append(spark, dir,
+      Seq((200L, 8.0, 2L)).toDF("k", "amount", "p"), "p")
+    assert(Manifest.columnMapping(spark, dir) ==
+      Seq(("k", "k"), ("amount", "v"), ("p", "p")))
+    // drop + undrop link too
+    Manifest.dropColumn(spark, dir, "amount")
+    assert(Manifest.read(spark, dir).columns.toSeq == Seq("k", "p"))
+    Manifest.undropColumn(spark, dir, "v", "amount2")
+    assert(Manifest.columnMapping(spark, dir) ==
+      Seq(("k", "k"), ("p", "p"), ("amount2", "v")))
+    // a re-root (evolve rewrites the sentinel DDL) absorbs the chain
+    // map into the fresh sentinel
+    Manifest.evolve(spark, dir, Seq("extra" -> "double"))
+    assert(depth() == 1L, "evolve must re-root the chain")
+    assert(Manifest.columnMapping(spark, dir) ==
+      Seq(("k", "k"), ("p", "p"), ("amount2", "v"), ("extra", "extra")))
+    val vals = Manifest.read(spark, dir).select("k", "amount2")
+      .as[(Long, Double)].collect().toMap
+    assert(vals(100L) == 9.0 && vals(200L) == 8.0 && vals(5L) == 5.0)
+  }
+
   test("applyChanges works on a dropped-column table (CDC replication after DROP COLUMN)") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p", statsCols = Seq("k"))

@@ -321,6 +321,36 @@ class ManifestDvSpec extends SparkSpec {
     assert(h(2).getString(6) == "txn:feeder:9")
   }
 
+  test("describeHistory parity: chain-derived counts equal each version's own snapshot") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir,
+      Seq((300L, 3.0, 4L)).toDF("k", "v", "p"), "p") // linked add
+    Manifest.deleteMor(spark, dir,
+      Seq((7L, 0L)).toDF("k", "p"), Seq("k"), "p") // DV attach
+    Manifest.upsert(spark, dir,
+      Seq((8L, 88.0, 0L)).toDF("k", "v", "p"), Seq("k"), "p") // removes
+    Manifest.renameColumn(spark, dir, "v", "amount") // re-root
+    Manifest.compact(spark, dir, "p", smallBytes = 1L << 30)
+    Manifest.overwrite(spark, dir,
+      Seq((1L, 1.0, 0L), (2L, 2.0, 1L)).toDF("k", "amount", "p"), "p")
+    Manifest.restore(spark, dir, 3L)
+    val got = Manifest.describeHistory(spark, dir)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // independent recomputation: the full per-version snapshot (the
+    // shape the pre-chain implementation collected per version)
+    val want = Manifest.versions(spark, dir).map { v =>
+      val s = Manifest.loadSnapshot(spark, dir, Some(v))
+      (v, s.entries.size.toLong, s.entries.map(_.rows).sum,
+        s.entries.map(_.bytes).sum, s.dvDirs.size.toLong,
+        s.constraints.size.toLong)
+    }
+    assert(got.toSeq == want,
+      s"chain-derived history diverged from the snapshot recomputation")
+  }
+
   test("planner scan masks DV'd rows and still prunes by stats") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p", statsCols = Seq("v"))

@@ -52,8 +52,11 @@ class ManifestEdgeSpec extends SparkSpec {
     Manifest.create(spark, mor, withNull, "p")
     Manifest.upsertMor(spark, mor, upd, Seq("k"), "p")
 
+    // total-order sort (value, then key rendering): collect order of
+    // tied rows is not a scan invariant
     def rows(dir: String) = Manifest.read(spark, dir).collect()
-      .map(r => (Option(r.get(0)), r.getDouble(1))).sortBy(_._2)
+      .map(r => (Option(r.get(0)), r.getDouble(1)))
+      .sortBy { case (k, v) => (v, k.map(_.toString).getOrElse("")) }
     assert(rows(mor).toSeq == rows(cow).toSeq,
       "null-keyed update must replace (not duplicate) the null-keyed row")
     assert(rows(mor).count(_._1.isEmpty) == 1,

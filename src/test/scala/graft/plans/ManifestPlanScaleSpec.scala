@@ -378,4 +378,68 @@ class ManifestPlanScaleSpec extends SparkSpec {
       .filter($"k" < 50).count()
     assert(viaDefault == 48)
   }
+
+  test("readVersion plans through the venue-switched pruning FileIndex — no full entry collect") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-readvenue").toString + "/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, root, 100000)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(ManifestScan.DistributedMinBytesKey, -1L)
+    try {
+      val df = graft.ops.Manifest.readVersion(spark, root, 1L)
+      // the plan's listing authority IS the distributed index: past the
+      // driver budget only pruned (path, bytes) pairs reach the driver,
+      // lazily, at listing time — never 10⁵ Entry objects
+      val locs = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location
+      }
+      assert(locs.nonEmpty &&
+        locs.forall(_.isInstanceOf[DistributedManifestFileIndex]),
+        s"readVersion must plan through the distributed index, got " +
+          locs.map(_.getClass.getSimpleName).mkString(","))
+      // a WHERE over the plain read prunes BEFORE any path reaches the
+      // driver: the June-93 predicate keeps exactly the stripes the
+      // first test's closed-form count predicts
+      val day0 = java.time.LocalDate.parse("1992-01-01")
+      val lo = java.time.LocalDate.parse("1993-06-01")
+      val hi = java.time.LocalDate.parse("1993-06-30")
+      val expected = (0 until 100000).count { i =>
+        val s = day0.plusDays((i * 37) % 1460)
+        !s.isAfter(hi) && !s.plusDays(6).isBefore(lo)
+      }
+      val narrow = df.where($"d" >= "1993-06-01" && $"d" <= "1993-06-30")
+      val kept = narrow.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      assert(kept == expected,
+        s"pruned listing must keep $expected files, got $kept")
+      assert(kept < 5000, "the month predicate must prune the vast majority")
+    } finally hconf.unset(ManifestScan.DistributedMinBytesKey)
+    // under the default budget the same read stays on the (cheaper)
+    // driver-resident index — the venue switch rides read/readVersion
+    val viaDefault = graft.ops.Manifest.read(spark, root)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location
+      }
+    assert(viaDefault.nonEmpty &&
+      viaDefault.forall(_.isInstanceOf[ManifestFileIndex]))
+  }
+
+  test("describeHistory: exact totals at 100k entries without a snapshot collect") {
+    val root = Files.createTempDirectory("graft-histscale").toString + "/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, root, 100000)
+    val t0 = System.nanoTime()
+    val h = graft.ops.Manifest.describeHistory(spark, root).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(h.length == 1)
+    assert(h(0).getLong(1) == 100000L)
+    assert(h(0).getLong(2) == 100000L * 100000L) // rows: 1e5 files × 1e5
+    assert(h(0).getLong(3) == 100000L * (128L << 20)) // bytes
+    assert(sec < 60.0,
+      f"describeHistory took $sec%.1f s at 100k entries — the " +
+        "per-version snapshot collect is back")
+  }
 }
