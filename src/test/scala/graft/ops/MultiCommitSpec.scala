@@ -206,6 +206,80 @@ class MultiCommitSpec extends SparkSpec {
     assert(Manifest.versions(spark, b).size == 4)
   }
 
+  test("sustained contention at 100k entries: linked appends, re-roots, MoR attaches, renames") {
+    // the round-12 commit-path rewrite (chains, remove-sets, compaction
+    // triggers) raced only small tables; this drives the SAME mix over
+    // a 100k-entry manifest with the chain cap forced low, so organic
+    // re-roots interleave with links, DV attaches, and colmap links —
+    // exact version count and end state prove no commit was lost,
+    // doubled, or half-applied
+    val root = newRoot()
+    val dir = s"$root/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, dir, 100000)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong(Manifest.AppendMaxChainKey, 4L) // re-root every few links
+    try {
+      // concurrent DDL renames the date column mid-race, so appenders
+      // adapt to the CURRENT visible names and retry the rename window
+      def appendAdaptive(key: Long): Unit = {
+        var tries = 0
+        var done = false
+        while (!done) {
+          try {
+            val names = Manifest.columnMapping(spark, dir).map(_._1)
+            val df = Seq((key, java.sql.Date.valueOf("1995-01-01"), "real"))
+              .toDF(names: _*)
+            Manifest.withConflictRetry(30) {
+              Manifest.append(spark, dir, df, names.last)
+            }
+            done = true
+          } catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("do not exist") && tries < 50 =>
+                tries += 1
+          }
+        }
+      }
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writers: Seq[() => Unit] = Seq(
+        () => (0 until 8).foreach(i => appendAdaptive(1000L + i)),
+        () => (0 until 8).foreach(i => appendAdaptive(2000L + i)),
+        () => (0 until 3).foreach { j => // MoR attach on its own keys
+          appendAdaptive(3000L + j)
+          Manifest.withConflictRetry(30) {
+            Manifest.deleteMor(spark, dir,
+              Seq((3000L + j, "real")).toDF("k", "p"), Seq("k"), "p")
+          }
+        },
+        () => Seq("d" -> "d1", "d1" -> "d2", "d2" -> "d3").foreach {
+          case (from, to) =>
+            Manifest.withConflictRetry(30) {
+              Manifest.renameColumn(spark, dir, from, to)
+            }
+        })
+      val threads = writers.map(w => new Thread(() =>
+        try w() catch { case t: Throwable => failures.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join(600000))
+      assert(failures.isEmpty, s"writers failed: ${failures.toArray.toSeq}")
+      // exact commit ledger: 1 synth + 8 + 8 + (3 appends + 3 deletes) + 3 renames
+      assert(Manifest.versions(spark, dir).last == 26L,
+        s"expected exactly 26 versions, got ${Manifest.versions(spark, dir)}")
+      // end state (partition-pruned read opens only the real files):
+      // every surviving key exactly once, every MoR-deleted key gone
+      val ks = Manifest.readPartitions(spark, dir, "p", Seq("real"))
+        .select("k").as[Long].collect().toSeq
+      val want = ((0 until 8).map(1000L + _) ++ (0 until 8).map(2000L + _))
+      assert(ks.sorted == want.sorted,
+        s"lost/duplicated/undeleted rows: ${ks.sorted}")
+      // the synthetic bulk carried through every re-root
+      assert(Manifest.detail(spark, dir).select("num_files")
+        .as[Long].head() >= 100000L)
+      // the DDL thread's final map won
+      assert(Manifest.columnMapping(spark, dir).map(_._1) ==
+        Seq("k", "d3", "p"))
+    } finally hconf.unset(Manifest.AppendMaxChainKey)
+  }
+
   test("txn-marker vacuum keeps referenced markers, sweeps unreferenced stale ones") {
     val root = newRoot()
     val (a, b, txns) = (s"$root/cat", s"$root/ord", s"$root/_txns")
