@@ -380,4 +380,64 @@ class ExpressionsSpec extends SparkSpec {
     assert(Multimodal.bmpFrames(media).where($"media_id" === 2L)
       .count() == 1)
   }
+
+  test("WAV: the JDK's own AudioSystem decodes the synthesized container; stats are the genuine samples") {
+    val text = "genuine audio payload — sixteen-bit little-endian " +
+      "samples decoded from these very bytes"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = Multimodal.asWavTable(docs)
+    val blob = media.select($"content").as[Array[Byte]].head()
+    // INDEPENDENT decoder: the stock JDK reads our bytes as a real WAV
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val payload = text.getBytes("UTF-8")
+    val ds = payload.length + (payload.length % 2)
+    assert(ais.getFrameLength == ds / 2)
+    val data = ais.readAllBytes()
+    assert(data.take(payload.length).toSeq == payload.toSeq,
+      "the PCM data must be the document bytes")
+    // wavStats parity with a direct JVM fold over the same samples
+    val st = media.select(Multimodal.wavStats($"content").as("s"))
+      .select($"s.*").head()
+    val samples = (0 until ds / 2).map { i =>
+      def at(j: Int) = if (j < payload.length) payload(j) & 0xff else 0
+      val v = (at(2 * i + 1) << 8) | at(2 * i)
+      if (v >= 32768) v - 65536 else v
+    }
+    assert(st.getInt(0) == ds / 2)
+    assert(st.getLong(1) == (ds / 2) * 1000L / 8000L)
+    assert(st.getLong(2) == samples.map(math.abs).max.toLong)
+    assert(st.getLong(3) == samples.map(s => s.toLong * s).sum)
+  }
+
+  test("AVI: the chunk walk extracts frames whose JPEG headers parse and whose bytes are the slices") {
+    val text = "video frames carved from this document's bytes — four " +
+      "slices, each framed as a header-real baseline JPEG chunk"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Multimodal.aviFrames(Multimodal.asAviTable(docs))
+      .orderBy($"frame_idx").collect()
+    assert(out.length == 4)
+    val payload = text.getBytes("UTF-8")
+    val fs = (payload.length + 3) / 4
+    val phex = payload.map("%02X".format(_)).mkString
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("format") == "jpeg", s"frame $i format")
+      // dims round-trip: synthesized from md5(payload_hex || i), read
+      // back by parsing the extracted frame's SOF bytes
+      val m = md5Of(phex + i)
+      assert(r.getAs[Int]("width") ==
+        (BigInt(m.substring(0, 8), 16) % 1920 + 1).toInt, s"frame $i w")
+      assert(r.getAs[Int]("height") ==
+        (BigInt(m.substring(8, 16), 16) % 1080 + 1).toInt, s"frame $i h")
+      // content round-trip: the carried slice is the genuine bytes
+      val slice = phex.slice(i * fs * 2, (i + 1) * fs * 2)
+        .padTo(fs * 2, '0').mkString
+      assert(r.getAs[String]("slice_md5") == md5Of(slice), s"frame $i slice")
+    }
+  }
 }
