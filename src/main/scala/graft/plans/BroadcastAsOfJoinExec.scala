@@ -73,71 +73,153 @@ case class BroadcastAsOfJoinExec(leftKey: Expression, rightKey: Expression,
       val nullPayload = new GenericInternalRow(payloadAttrs.size)
       val joined = new JoinedRow
 
-      // per-JVM index: key -> (ts rows, payload rows) sorted by
-      // (ts, payload) ascending. Built ONCE per (broadcast value, join
-      // signature) and shared by every task — with 32 executor threads
-      // the per-task rebuild this replaces paid the whole group+sort
-      // 32× per stage (the round-13 profile of this exec's bench
-      // drift). Weakly keyed on the broadcast array, so the index dies
-      // with the broadcast value.
-      val index = BroadcastAsOfJoinExec.indexFor(
-        broadcastRelation.value,
-        s"$rKeyExpr|$rTsExpr|${payloadAttrs.mkString(";")}", () => {
-          val built = new java.util.HashMap[UnsafeRow,
-            Array[(UnsafeRow, UnsafeRow)]]()
-          val grouped = new java.util.HashMap[UnsafeRow,
-            scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
-          broadcastRelation.value.foreach { r =>
-            val k = rKeyProj(r)
-            val t = rTsProj(r)
-            if (!k.isNullAt(0) && !t.isNullAt(0)) {
-              val buf = grouped.computeIfAbsent(k.copy(),
-                _ => scala.collection.mutable.ArrayBuffer.empty)
-              buf += ((t.copy(), payloadProj(r).copy()))
-            }
-          }
-          grouped.forEach { (k, buf) =>
-            val sorted = buf.toArray
-            java.util.Arrays.sort(sorted,
-              Ordering.Tuple2(tsOrd.on[UnsafeRow](identity),
-                payloadOrd.on[UnsafeRow](identity)))
-            built.put(k, sorted)
-          }
-          built
-        })
+      // Timestamp columns with a primitive physical representation
+      // (timestamp = epoch micros, date = epoch days, the integral
+      // types) probe over a primitive long array — the 1M-row probe
+      // side otherwise pays an interpreted RowOrdering comparison per
+      // binary-search step (the dominant cost of this exec in the
+      // round-13 profile). Other types take the generic row path.
+      import org.apache.spark.sql.types._
+      val tsKind: Int = tsType match {
+        case TimestampType | TimestampNTZType | LongType => 0
+        case IntegerType | DateType => 1
+        case ShortType => 2
+        case ByteType => 3
+        case _ => -1
+      }
+      def tsAsLong(r: InternalRow): Long = tsKind match {
+        case 0 => r.getLong(0)
+        case 1 => r.getInt(0).toLong
+        case 2 => r.getShort(0).toLong
+        case _ => r.getByte(0).toLong
+      }
 
-      lIter.map { l =>
-        var matched: InternalRow = null
-        val lk = lKeyProj(l)
-        if (!lk.isNullAt(0)) {
-          val entries = index.get(lk)
-          // (reads of the shared map are safe: computeIfAbsent
-          // published the fully-built, never-mutated-again index)
-          if (entries != null) {
-            val lt = lTsProj(l)
-            if (!lt.isNullAt(0)) {
-              // rightmost entry with ts <= lt (ties resolved by the
-              // ascending (ts, payload) sort: last match = max payload)
-              var lo = 0
-              var hi = entries.length - 1
-              var ans = -1
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                if (tsOrd.compare(entries(mid)._1, lt) <= 0) { ans = mid; lo = mid + 1 }
-                else hi = mid - 1
+      // per-JVM index: key -> entries sorted by (ts, payload)
+      // ascending. Built ONCE per (broadcast value, join signature)
+      // and shared by every task — with 32 executor threads the
+      // per-task rebuild this replaces paid the whole group+sort 32×
+      // per stage. Weakly keyed on the broadcast array, so the index
+      // dies with the broadcast value. (Reads of the shared maps are
+      // safe: computeIfAbsent publishes the fully-built,
+      // never-mutated-again index.)
+      val sig = s"$rKeyExpr|$rTsExpr|${payloadAttrs.mkString(";")}"
+
+      if (tsKind >= 0) {
+        val index = BroadcastAsOfJoinExec.indexFor(
+          broadcastRelation.value, sig, () => {
+            val built = new java.util.HashMap[UnsafeRow,
+              BroadcastAsOfJoinExec.LongTsEntries]()
+            val grouped = new java.util.HashMap[UnsafeRow,
+              scala.collection.mutable.ArrayBuffer[(Long, UnsafeRow)]]()
+            broadcastRelation.value.foreach { r =>
+              val k = rKeyProj(r)
+              val t = rTsProj(r)
+              if (!k.isNullAt(0) && !t.isNullAt(0)) {
+                val buf = grouped.computeIfAbsent(k.copy(),
+                  _ => scala.collection.mutable.ArrayBuffer.empty)
+                buf += ((tsAsLong(t), payloadProj(r).copy()))
               }
-              if (ans >= 0) matched = entries(ans)._2
+            }
+            grouped.forEach { (k, buf) =>
+              val sorted = buf.toArray
+              java.util.Arrays.sort(sorted,
+                Ordering.Tuple2(Ordering.Long,
+                  payloadOrd.on[UnsafeRow](identity)))
+              built.put(k, new BroadcastAsOfJoinExec.LongTsEntries(
+                sorted.map(_._1), sorted.map(_._2)))
+            }
+            built
+          })
+        lIter.map { l =>
+          var matched: InternalRow = null
+          val lk = lKeyProj(l)
+          if (!lk.isNullAt(0)) {
+            val e = index.get(lk)
+            if (e != null) {
+              val lt = lTsProj(l)
+              if (!lt.isNullAt(0)) {
+                // rightmost ts <= lt over the primitive array (ties
+                // resolved by the (ts, payload) sort: last = max)
+                val t = tsAsLong(lt)
+                val tss = e.tss
+                var lo = 0
+                var hi = tss.length - 1
+                var ans = -1
+                while (lo <= hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (tss(mid) <= t) { ans = mid; lo = mid + 1 }
+                  else hi = mid - 1
+                }
+                if (ans >= 0) matched = e.payloads(ans)
+              }
             }
           }
+          numOutputRows += 1
+          resultProj(joined(l, if (matched == null) nullPayload else matched))
         }
-        numOutputRows += 1
-        resultProj(joined(l, if (matched == null) nullPayload else matched))
+      } else {
+        val index = BroadcastAsOfJoinExec.indexFor(
+          broadcastRelation.value, sig + "|generic", () => {
+            val built = new java.util.HashMap[UnsafeRow,
+              Array[(UnsafeRow, UnsafeRow)]]()
+            val grouped = new java.util.HashMap[UnsafeRow,
+              scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+            broadcastRelation.value.foreach { r =>
+              val k = rKeyProj(r)
+              val t = rTsProj(r)
+              if (!k.isNullAt(0) && !t.isNullAt(0)) {
+                val buf = grouped.computeIfAbsent(k.copy(),
+                  _ => scala.collection.mutable.ArrayBuffer.empty)
+                buf += ((t.copy(), payloadProj(r).copy()))
+              }
+            }
+            grouped.forEach { (k, buf) =>
+              val sorted = buf.toArray
+              java.util.Arrays.sort(sorted,
+                Ordering.Tuple2(tsOrd.on[UnsafeRow](identity),
+                  payloadOrd.on[UnsafeRow](identity)))
+              built.put(k, sorted)
+            }
+            built
+          })
+        lIter.map { l =>
+          var matched: InternalRow = null
+          val lk = lKeyProj(l)
+          if (!lk.isNullAt(0)) {
+            val entries = index.get(lk)
+            if (entries != null) {
+              val lt = lTsProj(l)
+              if (!lt.isNullAt(0)) {
+                // rightmost entry with ts <= lt (ties resolved by the
+                // ascending (ts, payload) sort: last match = max payload)
+                var lo = 0
+                var hi = entries.length - 1
+                var ans = -1
+                while (lo <= hi) {
+                  val mid = (lo + hi) >>> 1
+                  if (tsOrd.compare(entries(mid)._1, lt) <= 0) {
+                    ans = mid; lo = mid + 1
+                  } else hi = mid - 1
+                }
+                if (ans >= 0) matched = entries(ans)._2
+              }
+            }
+          }
+          numOutputRows += 1
+          resultProj(joined(l, if (matched == null) nullPayload else matched))
+        }
       }
     }
   }
 }
 
 object BroadcastAsOfJoinExec {
+
+  /** One key's time-sorted entries in the primitive-timestamp fast
+    * path: parallel arrays, so a probe's binary search touches only a
+    * long[] — no per-step row comparison. */
+  private[plans] final class LongTsEntries(val tss: Array[Long],
+                                           val payloads: Array[UnsafeRow])
 
   /** Per-JVM memo of built as-of indexes, weakly keyed on the broadcast
     * value array (entries are reclaimed with the broadcast block) with

@@ -33,6 +33,8 @@ class ManifestModelSpec extends SparkSpec {
   case object Materialize extends Op
   case object Cluster extends Op
   case object Rename extends Op
+  case object DropUndrop extends Op
+  case object Restore extends Op
 
   private val keyGen = Gen.choose(1L, 40L)
   private val rowsGen = for {
@@ -51,7 +53,9 @@ class ManifestModelSpec extends SparkSpec {
     1 -> Gen.const(Compact),
     1 -> Gen.const(Materialize),
     1 -> Gen.const(Cluster),
-    1 -> Gen.const(Rename))
+    1 -> Gen.const(Rename),
+    1 -> Gen.const(DropUndrop),
+    1 -> Gen.const(Restore))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
@@ -77,6 +81,10 @@ class ManifestModelSpec extends SparkSpec {
       var valCol = "v"
       Manifest.create(spark, dir, toDf(model.toSeq, valCol), "p",
         statsCols = Seq("v"), bloomCols = Seq("k"))
+      // per-version (state, face) ledger: Restore rewinds the model to
+      // what the table held at the target version
+      var recorded = Map[Long, (Map[Long, Double], String)](
+        1L -> ((model, valCol)))
 
       ops.foreach { op =>
         val vBefore = Manifest.latestVersion(spark, dir).get
@@ -112,8 +120,27 @@ class ManifestModelSpec extends SparkSpec {
             val next = if (valCol == "v") "w" else "v"
             Manifest.renameColumn(spark, dir, valCol, next)
             valCol = next // model values unchanged: rename is metadata
+          case DropUndrop =>
+            // drop the value column (hidden, not lost), then re-bind its
+            // physical slot (always "v" — no evolve in this alphabet)
+            // under the flipped name: net metadata-only, values intact
+            Manifest.dropColumn(spark, dir, valCol)
+            assert(Manifest.read(spark, dir).columns.toSeq == Seq("k", "p"),
+              s"case $caseId: drop must hide $valCol")
+            val next = if (valCol == "v") "w" else "v"
+            Manifest.undropColumn(spark, dir, "v", next)
+            valCol = next
+          case Restore =>
+            // rewind to the middle retained version (deterministic pick)
+            val vs = Manifest.versions(spark, dir)
+            val target = vs(vs.length / 2)
+            Manifest.restore(spark, dir, target)
+            val (m2, c2) = recorded(target)
+            model = m2
+            valCol = c2
         }
         val vAfter = Manifest.latestVersion(spark, dir).get
+        recorded += vAfter -> ((model, valCol))
         assert(tableState(dir, valCol) == model.toSeq.sorted,
           s"case $caseId diverged after $op (v$vBefore->v$vAfter)")
 
