@@ -1244,6 +1244,58 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // Incrementally-maintained materialized JOIN view
+    // (ops.Incremental.refreshJoin — the bilinear Z-set delta
+    // Δ(A⋈B) = ΔA⋈B_new + A_old⋈ΔB over signed change feeds, with the
+    // packed two-sided watermark riding the fold commit atomically):
+    // bootstrap, then mutate BOTH sides (A: upsert that moves rows
+    // across price bands + keyed delete; B: upsert that moves
+    // customers to a new segment) and delta-refresh. The oracle
+    // recomputes the final inner join + multiplicity GROUP BY from
+    // scratch, so the hash match proves the two-sided delta fold
+    // converges to the full answer.
+    "man_incr_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_incrj_$tag"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val aDir = s"$root/a"; val bDir = s"$root/b"
+      val viewDir = s"$root/view"
+      def bandOf(price: org.apache.spark.sql.Column) =
+        floor(price / lit(1000.0)).as("price_band")
+      val orders = t(s, d, "orders")
+      val aRows = orders.select(col("o_orderkey"), col("o_custkey"),
+        bandOf(col("o_totalprice")), col("o_orderstatus"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          pmod(col("c_custkey"), lit(4L)).as("q"))
+      graft.ops.Manifest.create(s, aDir,
+        aRows.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.create(s, bDir, cust, "q")
+      graft.ops.Incremental.refreshJoin(s, aDir, bDir, viewDir,
+        "o_custkey", "c_custkey",
+        Seq("o_custkey", "price_band"), Seq("c_mktsegment"))
+      graft.ops.Manifest.upsert(s, aDir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            bandOf(col("o_totalprice") * 2), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.delete(s, aDir,
+        aRows.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.upsert(s, bDir,
+        cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("MOVED")),
+        Seq("c_custkey"), "q")
+      graft.ops.Incremental.refreshJoin(s, aDir, bDir, viewDir,
+        "o_custkey", "c_custkey",
+        Seq("o_custkey", "price_band"), Seq("c_mktsegment"))
+      graft.ops.Incremental.read(s, viewDir)
+        .orderBy(col("o_custkey"), col("price_band"), col("c_mktsegment"))
+    }),
+
     // Exactly-once streaming ingest into a Manifest table
     // (pipeline.Streaming.manifestIngest): orders arrive as files, the
     // stream appends each micro-batch under an atomic (appId, batchId)
@@ -3691,6 +3743,35 @@ ORDER BY step"""
         |       AS DOUBLE) AS sum_value,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // The join view must equal the from-scratch inner join +
+    // multiplicity GROUP BY over both FINAL base relations — any
+    // double-counted or dropped delta on either side hash-mismatches.
+    "man_incr_join" ->
+      """WITH basea AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    FLOOR(o_totalprice / 1000.0) AS price_band
+        |  FROM orders WHERE o_orderkey % 3 != 0
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    FLOOR(o_totalprice * 2 / 1000.0) AS price_band
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), finala AS (
+        |  SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+        |    COALESCE(u.price_band, b.price_band) AS price_band
+        |  FROM basea b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        |  WHERE COALESCE(u.o_orderkey, b.o_orderkey) % 7 != 0
+        |), finalb AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |)
+        |SELECT a.o_custkey, CAST(a.price_band AS BIGINT) AS price_band,
+        |  b.c_mktsegment, COUNT(*) AS n_rows
+        |FROM finala a JOIN finalb b ON a.o_custkey = b.c_custkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // The streamed table must hold exactly the full relation — a
     // dropped or double-applied micro-batch hash-mismatches.

@@ -172,4 +172,135 @@ object Incremental {
   /** The base version the view currently reflects (None = no view). */
   def refreshedAt(spark: SparkSession, viewDir: String): Option[Long] =
     Manifest.lastTxn(spark, viewDir, viewAppId)
+
+  // ---- incremental JOIN views ----
+
+  private def joinAppId: String = "graft-incr-join"
+
+  private def joinPinName(viewDir: String, side: String): String =
+    s"view$side-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(viewDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Both base watermarks packed into the view's single txn slot —
+    * monotone in (vA, vB) because versions only grow, so the
+    * exactly-once `lastTxn >= packed` comparison keeps working. 31
+    * bits per side bounds a view's base at ~2×10⁹ commits. */
+  private def packW(vA: Long, vB: Long): Long = (vA << 31) | vB
+  private def unpackW(p: Long): (Long, Long) = (p >>> 31, p & ((1L << 31) - 1))
+
+  /** Incrementally-maintained materialized INNER EQUI-JOIN view over
+    * two [[Manifest]] tables — the bilinear half of IVM the aggregate
+    * [[refresh]] can't express. The view is a Manifest table holding
+    * one row per DISTINCT joined output row (`aCols` from A, `bCols`
+    * from B) with its multiplicity `n_rows` (the Z-set encoding:
+    * counts make deletes exact), hash-bucketed like [[refresh]]'s.
+    *
+    * A refresh applies the standard bilinear delta
+    * `Δ(A⋈B) = ΔA⋈B_new + A_old⋈ΔB` (the ΔA⋈ΔB cross term is
+    * absorbed by joining ΔA against B at its NEW version) with SIGNED
+    * change feeds on both sides — uncancelled carried rows net to
+    * zero in the signed counts, exactly as in [[refresh]]. Cost
+    * shape: the delta reads open only each side's changed files; the
+    * joins stream the other side once (no rewrite of it); the fold
+    * rewrites only the view buckets the delta touches; and the packed
+    * (vA, vB) watermark rides the fold's commit atomically, so a
+    * crash-replayed refresh converges instead of double-counting.
+    * Unreadable watermarks (vacuumed base snapshots) degrade to one
+    * full rebuild, like [[refresh]]. Returns the (A, B) versions the
+    * view now reflects. */
+  def refreshJoin(spark: SparkSession, aDir: String, bDir: String,
+                  viewDir: String, aKey: String, bKey: String,
+                  aCols: Seq[String], bCols: Seq[String]): (Long, Long) = {
+    val all = aCols ++ bCols
+    require(all.distinct.size == all.size,
+      s"view columns must be disjoint across sides: ${all.mkString(",")}")
+    require(!all.exists(c => c == "n_rows" || c == "bucket" || c == "sign"),
+      "view columns n_rows/bucket/sign are reserved")
+    val vA = Manifest.latestVersion(spark, aDir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $aDir"))
+    val vB = Manifest.latestVersion(spark, bDir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $bDir"))
+    val outCols = all.map(col)
+
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.alias("a").join(b.alias("b"), col(s"a.$aKey") === col(s"b.$bKey"))
+        .select(aCols.map(c => col(s"a.$c")) ++
+          bCols.map(c => col(s"b.$c")): _*)
+
+    def fullBuild: DataFrame =
+      joined(Manifest.readVersion(spark, aDir, vA),
+        Manifest.readVersion(spark, bDir, vB))
+        .groupBy(outCols: _*).agg(count(lit(1)).as("n_rows"))
+        .select(outCols ++ Seq(col("n_rows")) :+ bucketOf(all): _*)
+
+    def pins(): Unit = {
+      Manifest.pin(spark, aDir, joinPinName(viewDir, "a"), vA)
+      Manifest.pin(spark, bDir, joinPinName(viewDir, "b"), vB)
+    }
+
+    def rebuild(): (Long, Long) = {
+      if (Manifest.latestVersion(spark, viewDir).isEmpty)
+        Manifest.create(spark, viewDir, fullBuild, "bucket",
+          txn = Some(joinAppId -> packW(vA, vB)))
+      else
+        Manifest.overwrite(spark, viewDir, fullBuild, "bucket",
+          txn = Some(joinAppId -> packW(vA, vB)))
+      pins()
+      (vA, vB)
+    }
+
+    Manifest.lastTxn(spark, viewDir, joinAppId) match {
+      case None => rebuild()
+      case Some(p) =>
+        val (wA, wB) = unpackW(p)
+        if (wA >= vA && wB >= vB) (wA, wB)
+        else if (!Manifest.versions(spark, aDir).contains(wA) ||
+          !Manifest.versions(spark, bDir).contains(wB)) rebuild()
+        else {
+          // ΔA ⋈ B@new carries ΔA's sign; A@old ⋈ ΔB carries ΔB's —
+          // each matched pair contributes sign × 1 to its output row's
+          // multiplicity, summed below
+          val parts = Seq(
+            if (vA > wA)
+              Some(Manifest.changesSigned(spark, aDir, wA, vA).alias("a")
+                .join(Manifest.readVersion(spark, bDir, vB).alias("b"),
+                  col(s"a.$aKey") === col(s"b.$bKey"))
+                .select(aCols.map(c => col(s"a.$c")) ++
+                  bCols.map(c => col(s"b.$c")) :+ col("a.sign"): _*))
+            else None,
+            if (vB > wB)
+              Some(Manifest.readVersion(spark, aDir, wA).alias("a")
+                .join(Manifest.changesSigned(spark, bDir, wB, vB).alias("b"),
+                  col(s"a.$aKey") === col(s"b.$bKey"))
+                .select(aCols.map(c => col(s"a.$c")) ++
+                  bCols.map(c => col(s"b.$c")) :+ col("b.sign"): _*))
+            else None).flatten
+          val delta = parts.reduce(_ unionByName _)
+            .groupBy(outCols: _*).agg(sum(col("sign")).as("d_rows"))
+            .filter(col("d_rows") =!= 0)
+            .select(outCols ++ Seq(col("d_rows")) :+ bucketOf(all): _*)
+            .persist()
+          try Manifest.rewrite(spark, viewDir, delta, "bucket",
+            requireFullSchema = false,
+            txn = Some(joinAppId -> packW(vA, vB))) { (target, batch) =>
+            target.alias("t").join(batch.alias("d"),
+              all.map(c => col(s"t.$c") <=> col(s"d.$c")).reduce(_ && _),
+              "full_outer")
+              .select(all.map(c =>
+                coalesce(col(s"t.$c"), col(s"d.$c")).as(c)) ++ Seq(
+                (coalesce(col("t.n_rows"), lit(0L)) +
+                  coalesce(col("d.d_rows"), lit(0L))).as("n_rows"),
+                coalesce(col("t.bucket"), col("d.bucket")).as("bucket")): _*)
+              .filter(col("n_rows") > 0)
+          } finally delta.unpersist()
+          pins()
+          (vA, vB)
+        }
+    }
+  }
+
+  /** The (A, B) base versions the join view reflects (None = no view). */
+  def joinRefreshedAt(spark: SparkSession,
+                      viewDir: String): Option[(Long, Long)] =
+    Manifest.lastTxn(spark, viewDir, joinAppId).map(unpackW)
 }

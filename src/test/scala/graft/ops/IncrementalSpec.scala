@@ -178,4 +178,71 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.refreshedAt(spark, viewDir) == Some(2L))
     assert(viewState(viewDir) == fullRecompute(Manifest.read(spark, baseDir)))
   }
+
+  // ---- incremental JOIN views ----
+
+  /** A = (k, j, band, p): join key j, band changes under upserts.
+    * B = (j, seg, q): dimension side. */
+  private def aRows = spark.range(1, 61)
+    .select($"id".as("k"), ($"id" % 10).as("j"),
+      ($"id" / 20).cast("long").as("band"), ($"id" % 3).as("p"))
+  private def bRows = spark.range(0, 10)
+    .select($"id".as("j"), concat(lit("s"), $"id" % 4).as("seg"),
+      ($"id" % 2).as("q"))
+
+  private def joinRecompute(a: DataFrame, b: DataFrame)
+      : Map[(Long, Long, String), Long] =
+    a.alias("a").join(b.alias("b"), $"a.j" === $"b.j")
+      .groupBy($"a.j", $"a.band", $"b.seg").count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+
+  private def joinViewState(viewDir: String): Map[(Long, Long, String), Long] =
+    Incremental.read(spark, viewDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+
+  test("refreshJoin maintains the inner-join multiset across changes on BOTH sides") {
+    val root = newDir("join")
+    val aDir = s"$root/a"; val bDir = s"$root/b"; val viewDir = s"$root/view"
+    Manifest.create(spark, aDir, aRows, "p")
+    Manifest.create(spark, bDir, bRows, "q")
+    def refresh() = Incremental.refreshJoin(spark, aDir, bDir, viewDir,
+      "j", "j", Seq("j", "band"), Seq("seg"))
+    assert(refresh() == ((1L, 1L)))
+    assert(joinViewState(viewDir) ==
+      joinRecompute(Manifest.read(spark, aDir), Manifest.read(spark, bDir)))
+    // A-side: band moves + deletes + fresh appends
+    Manifest.upsert(spark, aDir, spark.range(1, 31)
+      .select($"id".as("k"), ($"id" % 10).as("j"),
+        lit(9L).as("band"), ($"id" % 3).as("p")), Seq("k"), "p")
+    Manifest.delete(spark, aDir, spark.range(1, 61).filter($"id" % 7 === 0)
+      .select($"id".as("k"), ($"id" % 3).as("p")), Seq("k"), "p")
+    Manifest.append(spark, aDir,
+      Seq((100L, 3L, 5L, 1L)).toDF("k", "j", "band", "p"), "p")
+    // B-side: segment moves (dimension SCD1)
+    Manifest.upsert(spark, bDir, Seq((3L, "moved", 1L), (4L, "moved", 0L))
+      .toDF("j", "seg", "q"), Seq("j"), "q")
+    refresh()
+    assert(joinViewState(viewDir) ==
+      joinRecompute(Manifest.read(spark, aDir), Manifest.read(spark, bDir)),
+      "two-sided delta fold must equal the from-scratch join")
+    assert(Incremental.joinRefreshedAt(spark, viewDir).isDefined)
+    // idempotence: an already-current refresh no-ops (watermark holds)
+    val vView = Manifest.latestVersion(spark, viewDir)
+    refresh()
+    assert(Manifest.latestVersion(spark, viewDir) == vView,
+      "a current view must not commit an empty refresh")
+    // vacuumed A watermark: refresh degrades to one full rebuild
+    (1 to 3).foreach(i => Manifest.append(spark, aDir,
+      Seq((200L + i, 5L, 1L, 0L)).toDF("k", "j", "band", "p"), "p"))
+    Manifest.unpin(spark, aDir, Manifest.pins(spark, aDir).keys
+      .find(_.startsWith("viewa-")).get)
+    Manifest.vacuumOrphans(spark, aDir, keepVersions = 1, staleMillis = 0L)
+    refresh()
+    assert(joinViewState(viewDir) ==
+      joinRecompute(Manifest.read(spark, aDir), Manifest.read(spark, bDir)),
+      "rebuild fallback must converge after the watermark was vacuumed")
+  }
 }
