@@ -611,6 +611,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // 3-D Morton interleave (functions.ZOrder3, the clusterZ3 key):
+    // bit-for-bit oracle of the 21-bit three-way interleave.
+    "lay_zorder3" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          graft.functions.GraftExpressions.zorder3(col("o_custkey"), day,
+            col("o_orderkey")).as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // beyond-reference layout: join + aggregate over bucketed managed
     // tables (ops.Layout.bucketedTable) — results must be identical to
     // the plain-table plan (the oracle) while the physical plan is
@@ -3598,6 +3610,23 @@ ORDER BY step"""
         |FROM (
         |  SELECT o_orderkey, o_custkey, day,
         |    o_custkey & 2147483647 AS ck, day & 2147483647 AS dy
+        |  FROM (SELECT o_orderkey, o_custkey,
+        |          CAST(date_diff('day', DATE '1995-01-01',
+        |                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |        FROM orders)
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    // 3-way 21-bit interleave, bit positions 3i/3i+1/3i+2.
+    "lay_zorder3" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(list_sum(list_transform(range(0, 21), i ->
+        |    (((ck >> i) & 1) << (3 * i)) + (((dy >> i) & 1) << (3 * i + 1))
+        |    + (((ok >> i) & 1) << (3 * i + 2))
+        |  )) AS BIGINT) AS zkey
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, day,
+        |    o_custkey & 2097151 AS ck, day & 2097151 AS dy,
+        |    o_orderkey & 2097151 AS ok
         |  FROM (SELECT o_orderkey, o_custkey,
         |          CAST(date_diff('day', DATE '1995-01-01',
         |                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -614,6 +614,58 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** 3-D Morton interleave: the LOW 21 BITS of each input, bit i of
+    * input j landing at position 3i + j — per-file min/max ranges stay
+    * tight in all THREE dimensions, so a predicate on any one of them
+    * prunes ([[ZOrder2]]'s contract, one dimension wider; Delta/Iceberg
+    * `ZORDER BY (a, b, c)`). Same 31→21-bit trade the 2-D form makes
+    * at 31: the curve key must fit one long. */
+  case class ZOrder3(first: Expression, second: Expression,
+                     third: Expression) extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (LongType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+          s"zorder3 requires (bigint, bigint, bigint), got " +
+            s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+      }
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val x = a.asInstanceOf[Long] & 0x1FFFFFL
+      val y = b.asInstanceOf[Long] & 0x1FFFFFL
+      val w = c.asInstanceOf[Long] & 0x1FFFFFL
+      var z = 0L
+      var i = 0
+      while (i < 21) {
+        z |= ((x >>> i) & 1L) << (3 * i)
+        z |= ((y >>> i) & 1L) << (3 * i + 1)
+        z |= ((w >>> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      java.lang.Long.valueOf(z)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (x, y, w, z, i) = (ctx.freshName("zx"), ctx.freshName("zy"),
+        ctx.freshName("zw"), ctx.freshName("zz"), ctx.freshName("zi"))
+      nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+        |long $x = $a & 0x1FFFFFL;
+        |long $y = $b & 0x1FFFFFL;
+        |long $w = $c & 0x1FFFFFL;
+        |long $z = 0L;
+        |for (int $i = 0; $i < 21; $i++) {
+        |  $z |= (($x >>> $i) & 1L) << (3 * $i);
+        |  $z |= (($y >>> $i) & 1L) << (3 * $i + 1);
+        |  $z |= (($w >>> $i) & 1L) << (3 * $i + 2);
+        |}
+        |${ev.value} = $z;
+        |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): ZOrder3 =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** Product-quantization encoder (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): the input
     * vector is quantized to exact integers (`floor(x·scale)`), split
@@ -1038,6 +1090,8 @@ object GraftExpressions {
   def explode_shingles(text: Column, n: Int): Column = c(ExplodeShingles(e(text), n))
   def zorder2(x: Column, y: Column): Column =
     c(ZOrder2(e(x.cast("long")), e(y.cast("long"))))
+  def zorder3(x: Column, y: Column, z: Column): Column =
+    c(ZOrder3(e(x.cast("long")), e(y.cast("long")), e(z.cast("long"))))
   def pq_encode(vec: Column, codebook: Array[Long], m: Int, ksub: Int,
                 subDim: Int, scale: Int = 1000): Column =
     c(PqEncode(e(vec), codebook, m, ksub, subDim, scale))
@@ -1063,5 +1117,6 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder2", exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("zorder3", exprs => ZOrder3(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 }

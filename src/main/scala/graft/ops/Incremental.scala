@@ -181,6 +181,11 @@ object Incremental {
     s"view$side-" + java.security.MessageDigest.getInstance("MD5")
       .digest(viewDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
+  /** Max distinct delta join keys pushed as an `isin` pre-filter into
+    * the refresh's streamed side (past it, the In-list stops planning
+    * well and the scan is the right venue). */
+  private val KeyFilterCap = 10000
+
   /** Both base watermarks packed into the view's single txn slot —
     * monotone in (vA, vB) because versions only grow, so the
     * exactly-once `lastTxn >= packed` comparison keeps working. 31
@@ -259,22 +264,40 @@ object Incremental {
         else {
           // ΔA ⋈ B@new carries ΔA's sign; A@old ⋈ ΔB carries ΔB's —
           // each matched pair contributes sign × 1 to its output row's
-          // multiplicity, summed below
+          // multiplicity, summed below. The STREAMED side of each term
+          // pre-filters by the delta's distinct join keys when the
+          // delta is small: the `isin` reaches the pruning FileIndex
+          // (stats/bloom skipping) and the parquet row groups, so a
+          // ten-row delta against a 100 TB other side opens only the
+          // files that can match — sound for an inner join (filtered
+          // rows can't contribute), a plain scan past the cap.
+          def keyFiltered(big: DataFrame, keyCol: String,
+                          delta: DataFrame, deltaKey: String): DataFrame = {
+            val ks = delta.select(col(deltaKey)).distinct()
+              .limit(KeyFilterCap + 1).collect().map(_.get(0))
+            if (ks.length <= KeyFilterCap && ks.nonEmpty)
+              big.where(col(keyCol).isin(ks.toIndexedSeq: _*))
+            else big
+          }
           val parts = Seq(
-            if (vA > wA)
-              Some(Manifest.changesSigned(spark, aDir, wA, vA).alias("a")
-                .join(Manifest.readVersion(spark, bDir, vB).alias("b"),
+            if (vA > wA) {
+              val dA = Manifest.changesSigned(spark, aDir, wA, vA)
+              Some(dA.alias("a")
+                .join(keyFiltered(Manifest.readVersion(spark, bDir, vB),
+                  bKey, dA, aKey).alias("b"),
                   col(s"a.$aKey") === col(s"b.$bKey"))
                 .select(aCols.map(c => col(s"a.$c")) ++
                   bCols.map(c => col(s"b.$c")) :+ col("a.sign"): _*))
-            else None,
-            if (vB > wB)
-              Some(Manifest.readVersion(spark, aDir, wA).alias("a")
-                .join(Manifest.changesSigned(spark, bDir, wB, vB).alias("b"),
+            } else None,
+            if (vB > wB) {
+              val dB = Manifest.changesSigned(spark, bDir, wB, vB)
+              Some(keyFiltered(Manifest.readVersion(spark, aDir, wA),
+                aKey, dB, bKey).alias("a")
+                .join(dB.alias("b"),
                   col(s"a.$aKey") === col(s"b.$bKey"))
                 .select(aCols.map(c => col(s"a.$c")) ++
                   bCols.map(c => col(s"b.$c")) :+ col("b.sign"): _*))
-            else None).flatten
+            } else None).flatten
           val delta = parts.reduce(_ unionByName _)
             .groupBy(outCols: _*).agg(sum(col("sign")).as("d_rows"))
             .filter(col("d_rows") =!= 0)

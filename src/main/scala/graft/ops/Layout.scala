@@ -33,6 +33,8 @@ object Layout {
   /** Morton key of two dimension columns (bit-interleave of the low 31
     * bits of each; see [[graft.functions.GraftExpressions.ZOrder2]]). */
   def zorderKey(x: Column, y: Column): Column = GraftExpressions.zorder2(x, y)
+  def zorderKey3(x: Column, y: Column, z: Column): Column =
+    GraftExpressions.zorder3(x, y, z)
 
   /** Write `df` clustered on the z-order curve of (x, y): a range
     * exchange into `numFiles` curve segments, an intra-partition sort on

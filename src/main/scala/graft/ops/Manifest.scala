@@ -3884,6 +3884,29 @@ object Manifest {
         graft.ops.Layout.zorderKey(col(colsP.head), col(colsP(1)))
       })
 
+  /** 3-D Z-ORDER clustering: [[clusterZ]] one dimension wider — the
+    * Morton interleave reads the low 21 bits of each of THREE integral
+    * stats columns, so a predicate on any one of them prunes
+    * (Delta/Iceberg `ZORDER BY (a, b, c)`). Same commit/DV/constraint
+    * mechanics and the same loud non-integral refusal. */
+  def clusterZ3(spark: SparkSession, dir: String, partitionCol: String,
+                xCol: String, yCol: String, zCol: String,
+                targetBytes: Long = 128L << 20): Unit =
+    clusterBy(spark, dir, partitionCol, Seq(xCol, yCol, zCol), targetBytes,
+      (ddl, colsP) => {
+        val schema = DataType.fromDDL(ddl).asInstanceOf[StructType]
+        colsP.foreach { c =>
+          val dt = schema(c).dataType
+          require(Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(dt),
+            s"z-order column $c must be integral, got " +
+              s"${dt.catalogString} — a non-numeric cast would null the " +
+              "curve key (derive an integral column first)")
+        }
+        graft.ops.Layout.zorderKey3(col(colsP.head), col(colsP(1)),
+          col(colsP(2)))
+      })
+
   /** One-call table MAINTENANCE, each step a separate optimistic
     * commit under [[withConflictRetry]]: fold deletion vectors into
     * data when the masked-file fraction crosses `dvFileFrac` (the

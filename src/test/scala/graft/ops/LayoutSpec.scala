@@ -48,6 +48,33 @@ class LayoutSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("zorder3 interleaves three ways; masks to 21 bits; null-propagates") {
+    val rows = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (5L, 3L, 6L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL),
+      (1L << 40 | 6L, 9L, 2L), (-1L, 2L, 3L))
+      .toDF("x", "y", "z")
+      .select($"x", $"y", $"z",
+        GraftExpressions.zorder3($"x", $"y", $"z").as("m"))
+      .collect()
+    def ref(x: Long, y: Long, z: Long): Long = {
+      val (mx, my, mz) = (x & 0x1FFFFFL, y & 0x1FFFFFL, z & 0x1FFFFFL)
+      (0 until 21).foldLeft(0L)((a, i) =>
+        a | ((mx >>> i) & 1L) << (3 * i) |
+          ((my >>> i) & 1L) << (3 * i + 1) |
+          ((mz >>> i) & 1L) << (3 * i + 2))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) == ref(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"zorder3(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+    assert(ref(1, 0, 0) == 1L && ref(0, 1, 0) == 2L && ref(0, 0, 1) == 4L &&
+      ref(1, 1, 1) == 7L)
+    val nulls = Seq((Some(1L), Option.empty[Long], Some(2L)))
+      .toDF("x", "y", "z")
+      .select(GraftExpressions.zorder3($"x", $"y", $"z")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("z-ordered layout prunes row groups on BOTH dimensions; random layout scans everything") {
     val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
       .select($"o_orderkey", $"o_custkey",

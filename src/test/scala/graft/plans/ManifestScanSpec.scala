@@ -229,6 +229,39 @@ class ManifestScanSpec extends SparkSpec {
     assert(xSlice.count() == 256 && ySlice.count() == 256)
   }
 
+  test("clusterZ3 prunes on ALL THREE dimensions") {
+    val dir = newDir()
+    def grid(residue: Int): DataFrame =
+      spark.range(0, 4096).filter($"id" % 4 === residue).select(
+        $"id".as("k"), ($"id" % 16).as("x"),
+        (($"id" / 16) % 16).cast("long").as("y"),
+        ($"id" / 256).cast("long").as("z"), lit(0L).as("p"))
+    Manifest.create(spark, dir, grid(0), "p", statsCols = Seq("x", "y", "z"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, grid(i), "p"))
+    def slice(c: String) = ManifestScan.scan(spark, dir).filter(col(c) < 4)
+    assert(Seq("x", "y", "z").forall(c => filesScanned(slice(c)) == 4),
+      "pre-cluster: every axis slice scans everything")
+    val total = Manifest.detail(spark, dir)
+      .select("size_bytes").as[Long].head()
+    Manifest.clusterZ3(spark, dir, "p", "x", "y", "z",
+      targetBytes = total / 16 + 1)
+    val allZ = filesScanned(ManifestScan.scan(spark, dir))
+    assert(allZ >= 8, s"expected >=8 z-files, got $allZ")
+    Seq("x", "y", "z").foreach { c =>
+      val s = filesScanned(slice(c))
+      assert(s < allZ, s"3-D z-order must prune axis $c: $s of $allZ")
+    }
+    // parity: same relation, exact axis-slice counts
+    assert(ManifestScan.scan(spark, dir).count() == 4096)
+    assert(Seq("x", "y", "z").forall(c => slice(c).count() == 1024))
+    // a non-stats cluster column refuses loudly (shared clusterBy
+    // validation; the integral type guard is pinned by the 2-D test
+    // and shared verbatim)
+    intercept[IllegalArgumentException] {
+      Manifest.clusterZ3(spark, dir, "p", "x", "y", "k")
+    }
+  }
+
   test("version pin: scan of an old version ignores later commits") {
     val dir = newDir()
     mkDateBanded(dir)
