@@ -62,9 +62,10 @@ object ManifestRelation {
   }
 
   /** [[versionAt]] from the raw timestamp spelling — shared with the
-    * streaming source's `afterTimestamp` anchor. */
-  private[io] def versionAtTime(spark: SparkSession, dir: String,
-                                raw: String): Long =
+    * streaming source's `afterTimestamp` anchor and
+    * [[graft.ops.Manifest.readTimestamp]]. */
+  private[graft] def versionAtTime(spark: SparkSession, dir: String,
+                                   raw: String): Long =
     versionAt(spark, dir, parseTsMillis(spark, raw), raw)
 
   /** Newest version whose (monotonically adjusted) commit time is at or

@@ -2213,6 +2213,16 @@ object Manifest {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame =
     graft.plans.ManifestScan.scan(spark, dir, version = Some(v))
 
+  /** Time travel by TIMESTAMP: the newest version committed at or
+    * before `ts` — same accepted spellings (epoch millis, instants,
+    * session-zone wall-clock forms) and the same monotone
+    * in-commit-timestamp resolution as the DataSource's
+    * `timestampAsOf`; a pre-history timestamp refuses loudly naming
+    * the vacuum. */
+  def readTimestamp(spark: SparkSession, dir: String, ts: String): DataFrame =
+    readVersion(spark, dir,
+      graft.io.ManifestRelation.versionAtTime(spark, dir, ts))
+
   /** RESTORE: make retained version `v` the table's CURRENT state
     * again, as a NEW commit (Delta's RESTORE shape) — the bad-deploy /
     * fat-finger undo. Returns the new version (or `v` itself when it
@@ -3692,17 +3702,31 @@ object Manifest {
     * relation) and only the candidates reach the driver, so compacting
     * a 10⁷-entry table costs O(small files) driver heap — the commit
     * rides the linked-manifest chain (adds + removes) when eligible,
-    * exactly like [[rewrite]]. */
+    * exactly like [[rewrite]].
+    *
+    * `values` scopes the pass (`OPTIMIZE ... WHERE partition IN ...`):
+    * only small files whose recorded partition value-sets can
+    * intersect `values` fold (overflowed sets always qualify — they
+    * assert nothing), so the hot partition compacts without dragging
+    * cold history through the rewrite. Empty = whole table. */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
               smallBytes: Long = 32L << 20,
-              targetBytes: Long = 128L << 20): Long = {
+              targetBytes: Long = 128L << 20,
+              values: Seq[String] = Nil): Long = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     val meta = snapshotMeta(spark, dir, Some(v))
     val pCol = physName(meta.colMap, partitionCol)
-    val small = entriesDataset(spark, meta)
-      .filter(col("bytes") < smallBytes).collect().toSeq
+    val smallCond = col("bytes") < smallBytes
+    // an UNSAFE partition rendering (TimestampType) cannot scope: the
+    // value sets assert nothing, so every small file stays a candidate
+    // — correct, just unscoped (same soundness rule as the overwrite)
+    val cond =
+      if (values.isEmpty || !partitionValuesSafe(meta.ddl, pCol)) smallCond
+      else smallCond && (col("overflow") ||
+        arrays_overlap(col("values"), typedLit(values)))
+    val small = entriesDataset(spark, meta).filter(cond).collect().toSeq
     if (small.size < 2) return 0L // nothing to gain
     val total = small.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)

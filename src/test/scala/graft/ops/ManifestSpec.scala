@@ -494,6 +494,56 @@ class ManifestSpec extends SparkSpec {
     intercept[Exception] { Manifest.readVersion(spark, dir, 1L) }
   }
 
+  test("partition-scoped compact (OPTIMIZE WHERE) folds only the named partition's files") {
+    val dir = newDir()
+    // non-spanning layout: the base holds ONLY partition 0 (a create
+    // whose files span values would be a legitimate candidate — the
+    // documented spanning caveat — and would muddy the assertion)
+    val p0 = spark.range(1, 101)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), lit(0L).as("p"))
+    Manifest.create(spark, dir, p0, "p")
+    // fragment partitions 1 and 2 with small appends
+    (1 to 3).foreach(i => Manifest.append(spark, dir,
+      Seq((300L + i, 1.0, 1L)).toDF("k", "v", "p"), "p"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir,
+      Seq((400L + i, 1.0, 2L)).toDF("k", "v", "p"), "p"))
+    def filesOf(p: Long): Set[String] = Manifest.read(spark, dir)
+      .where($"p" === p).select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    val p0Before = filesOf(0L)
+    val p1Before = filesOf(1L)
+    val p2Before = filesOf(2L)
+    val folded = Manifest.compact(spark, dir, "p",
+      smallBytes = 32L << 20, values = Seq("1"))
+    assert(folded >= 3, s"the hot partition's small files must fold ($folded)")
+    assert(filesOf(1L) != p1Before, "partition 1 must be rewritten")
+    assert(filesOf(0L) == p0Before && filesOf(2L) == p2Before,
+      "cold partitions' files must carry by reference, untouched")
+    // content identical, and the cold partition folds on its own pass
+    val expect = (1L to 100L).map(k => k -> (k * 1.0, 0L)).toMap ++
+      (1 to 3).map(i => (300L + i) -> (1.0, 1L)) ++
+      (1 to 3).map(i => (400L + i) -> (1.0, 2L))
+    assert(state(dir) == expect)
+    assert(Manifest.compact(spark, dir, "p",
+      smallBytes = 32L << 20, values = Seq("2")) >= 3)
+    assert(state(dir) == expect)
+  }
+
+  test("readTimestamp resolves like the DataSource's timestampAsOf") {
+    val dir = newDir()
+    Manifest.create(spark, dir, base, "p")
+    Manifest.append(spark, dir, Seq((500L, 5.0, 0L)).toDF("k", "v", "p"), "p")
+    val times = Manifest.versionTimes(spark, dir)
+    assert(Manifest.readTimestamp(spark, dir,
+      times.head._2.toString).count() == 100)
+    assert(Manifest.readTimestamp(spark, dir,
+      times.last._2.toString).count() == 101)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.readTimestamp(spark, dir, (times.head._2 - 10).toString)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("txn markers: appendIfAbsent applies each (appId, batchId) at most once") {
     val dir = newDir()
     assert(Manifest.lastTxn(spark, dir, "app") == None)
