@@ -572,6 +572,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Multi-way dimension-CHAIN analytic join (the TPC-H Q5 "local
+    // supplier volume" shape) — exercises the star schema's full
+    // depth: lineitem ⋈ orders is the single fact-fact shuffle;
+    // customer/supplier/nation/region are explicit broadcasts, so at
+    // 100 TB the fact stream moves exactly once and every dim hop is
+    // map-side. Money in exact DECIMAL space end to end.
+    "join_dim_chain" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_nationkey"))
+      val sup = broadcast(t(s, d, "supplier")
+        .select("s_suppkey", "s_nationkey"))
+      val nat = broadcast(t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey"))
+      val reg = broadcast(t(s, d, "region")
+        .select("r_regionkey", "r_name").where(col("r_name") === "ASIA"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")) // LOCAL supplier
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(12,2)"))
+          .cast("decimal(38,4)").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Same as-of semantics through the NATIVE Catalyst operator
     // (graft.plans: custom LogicalPlan + Strategy + streaming-merge
     // SparkPlan via SparkSessionExtensions) — same DuckDB oracle as
@@ -3117,6 +3151,23 @@ ORDER BY step"""
       """SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+
+    // The dimension-chain join over the star schema's full depth —
+    // exact-decimal revenue, cast through DECIMAL(38,4) on both sides.
+    "join_dim_chain" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                CAST(1 - l_discount AS DECIMAL(12,2)))
+        |            AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     // ASOF tie rule parity: the Spark side breaks same-(key, ts) right
     // rows to the largest payload tuple, so the oracle pre-dedups to

@@ -38,6 +38,20 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortMergeJoin"), s"dim lookup must not sort-merge:\n$s")
   }
 
+  test("join_dim_chain: ONE fact-fact join, every dimension hop broadcast") {
+    val s = planString(q("join_dim_chain"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(s).length
+    assert(broadcasts >= 4,
+      s"all four dim hops (customer/supplier/nation/region) must " +
+        s"broadcast, got $broadcasts in:\n$s")
+    val shuffled = "SortMergeJoin".r.findAllIn(s).length +
+      "ShuffledHashJoin".r.findAllIn(s).length
+    assert(shuffled <= 1,
+      s"only lineitem⋈orders may shuffle, got $shuffled shuffle joins in:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s"no loop joins:\n$s")
+  }
+
   test("agg_order_kpi: partial aggregation before the shuffle") {
     val s = planString(q("agg_order_kpi"))
     assert(s.contains("HashAggregate"), s)
