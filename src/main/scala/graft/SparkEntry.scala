@@ -5327,5 +5327,11 @@ ORDER BY step"""
     "dedup_minhash", "dedup_simhash", "sim_topk_brute", "txt_quality",
     // round-3 continuation: the custom Catalyst operator and the
     // bucketed range join under driver-visible timing
-    "join_asof_native", "join_range")
+    "join_asof_native", "join_range",
+    // round-14 (VERDICT r13 #2): the manifest lake layer is most of the
+    // code but was invisible to BENCH_r{N} — these three cover its write
+    // (create+MoR upsert+MoR delete+read), incremental-view, and
+    // planner-pruned-scan paths. The 13→16 growth is a total-comparison
+    // discontinuity, recorded in BASELINE.md like the round-3 11→13 one.
+    "man_upsert_mor", "man_incr_kpi", "man_scan_prune")
 }

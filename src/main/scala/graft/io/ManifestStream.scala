@@ -371,6 +371,24 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
     case other => other.json.trim.toLong
   }
 
+  // Per-commit added-bytes memo for byte-paced admission: commits are
+  // immutable, so a version's sidecar size never changes once its
+  // pointer exists — without this, every latestOffset poll re-reads
+  // the pointer + delta sidecar of EVERY backlog commit, O(backlog)
+  // driver filesystem round-trips per trigger on remote stores.
+  // Entries below the advancing floor are evicted, so the memo stays
+  // O(current backlog). Sidecar-less commits memoize the
+  // trigger-filling sentinel.
+  private val addedBytesMemo =
+    scala.collection.mutable.TreeMap.empty[Long, Long]
+  private def addedBytesMemoized(v: Long): Long =
+    addedBytesMemo.getOrElseUpdate(v,
+      Manifest.commitAddedBytes(spark, tableDir, v)
+        .getOrElse(Long.MaxValue / 4))
+  private def evictBelow(floor: Long): Unit =
+    while (addedBytesMemo.nonEmpty && addedBytesMemo.firstKey <= floor)
+      addedBytesMemo.remove(addedBytesMemo.firstKey)
+
   /** The authoritative pacing hook ([[SupportsAdmissionControl]], the
     * path MicroBatchExecution prefers for V1 sources that offer it —
     * Delta's DeltaSource shape): the ENGINE supplies the true start
@@ -400,12 +418,12 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
             // sidecar economics skip) fills its trigger alone. At
             // least one commit always admits — pacing bounds batches,
             // it must never stall the stream.
+            evictBelow(f)
             var e = f
             var acc = 0L
             var full = false
             while (!full && e < capV) {
-              val next = Manifest.commitAddedBytes(spark, tableDir, e + 1)
-                .getOrElse(Long.MaxValue / 4)
+              val next = addedBytesMemoized(e + 1)
               if (e == f || acc + next <= maxB) { e += 1; acc += next }
               else full = true
               if (acc >= maxB) full = true

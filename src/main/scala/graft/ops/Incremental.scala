@@ -219,7 +219,10 @@ object Incremental {
     val all = aCols ++ bCols
     require(all.distinct.size == all.size,
       s"view columns must be disjoint across sides: ${all.mkString(",")}")
-    require(!all.exists(c => c == "n_rows" || c == "bucket" || c == "sign"),
+    // case-insensitive like Spark's own column resolution — a view
+    // column named "Sign" would otherwise pass and then collide
+    require(!all.exists(c => c.equalsIgnoreCase("n_rows") ||
+      c.equalsIgnoreCase("bucket") || c.equalsIgnoreCase("sign")),
       "view columns n_rows/bucket/sign are reserved")
     val vA = Manifest.latestVersion(spark, aDir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $aDir"))
@@ -279,43 +282,57 @@ object Incremental {
               big.where(col(keyCol).isin(ks.toIndexedSeq: _*))
             else big
           }
-          val parts = Seq(
-            if (vA > wA) {
-              val dA = Manifest.changesSigned(spark, aDir, wA, vA)
-              Some(dA.alias("a")
-                .join(keyFiltered(Manifest.readVersion(spark, bDir, vB),
-                  bKey, dA, aKey).alias("b"),
-                  col(s"a.$aKey") === col(s"b.$bKey"))
-                .select(aCols.map(c => col(s"a.$c")) ++
-                  bCols.map(c => col(s"b.$c")) :+ col("a.sign"): _*))
-            } else None,
-            if (vB > wB) {
-              val dB = Manifest.changesSigned(spark, bDir, wB, vB)
-              Some(keyFiltered(Manifest.readVersion(spark, aDir, wA),
-                aKey, dB, bKey).alias("a")
-                .join(dB.alias("b"),
-                  col(s"a.$aKey") === col(s"b.$bKey"))
-                .select(aCols.map(c => col(s"a.$c")) ++
-                  bCols.map(c => col(s"b.$c")) :+ col("b.sign"): _*))
-            } else None).flatten
-          val delta = parts.reduce(_ unionByName _)
-            .groupBy(outCols: _*).agg(sum(col("sign")).as("d_rows"))
-            .filter(col("d_rows") =!= 0)
-            .select(outCols ++ Seq(col("d_rows")) :+ bucketOf(all): _*)
-            .persist()
-          try Manifest.rewrite(spark, viewDir, delta, "bucket",
-            requireFullSchema = false,
-            txn = Some(joinAppId -> packW(vA, vB))) { (target, batch) =>
-            target.alias("t").join(batch.alias("d"),
-              all.map(c => col(s"t.$c") <=> col(s"d.$c")).reduce(_ && _),
-              "full_outer")
-              .select(all.map(c =>
-                coalesce(col(s"t.$c"), col(s"d.$c")).as(c)) ++ Seq(
-                (coalesce(col("t.n_rows"), lit(0L)) +
-                  coalesce(col("d.d_rows"), lit(0L))).as("n_rows"),
-                coalesce(col("t.bucket"), col("d.bucket")).as("bucket")): _*)
-              .filter(col("n_rows") > 0)
-          } finally delta.unpersist()
+          // each signed change feed is consumed TWICE (the keyFiltered
+          // key collect, then the join itself) — persist it so the
+          // changes scan runs once per side, not per consumer
+          val dAOpt =
+            if (vA > wA)
+              Some(Manifest.changesSigned(spark, aDir, wA, vA).persist())
+            else None
+          val dBOpt =
+            if (vB > wB)
+              Some(Manifest.changesSigned(spark, bDir, wB, vB).persist())
+            else None
+          try {
+            val parts = Seq(
+              dAOpt.map { dA =>
+                dA.alias("a")
+                  .join(keyFiltered(Manifest.readVersion(spark, bDir, vB),
+                    bKey, dA, aKey).alias("b"),
+                    col(s"a.$aKey") === col(s"b.$bKey"))
+                  .select(aCols.map(c => col(s"a.$c")) ++
+                    bCols.map(c => col(s"b.$c")) :+ col("a.sign"): _*)
+              },
+              dBOpt.map { dB =>
+                keyFiltered(Manifest.readVersion(spark, aDir, wA),
+                  aKey, dB, bKey).alias("a")
+                  .join(dB.alias("b"),
+                    col(s"a.$aKey") === col(s"b.$bKey"))
+                  .select(aCols.map(c => col(s"a.$c")) ++
+                    bCols.map(c => col(s"b.$c")) :+ col("b.sign"): _*)
+              }).flatten
+            val delta = parts.reduce(_ unionByName _)
+              .groupBy(outCols: _*).agg(sum(col("sign")).as("d_rows"))
+              .filter(col("d_rows") =!= 0)
+              .select(outCols ++ Seq(col("d_rows")) :+ bucketOf(all): _*)
+              .persist()
+            try Manifest.rewrite(spark, viewDir, delta, "bucket",
+              requireFullSchema = false,
+              txn = Some(joinAppId -> packW(vA, vB))) { (target, batch) =>
+              target.alias("t").join(batch.alias("d"),
+                all.map(c => col(s"t.$c") <=> col(s"d.$c")).reduce(_ && _),
+                "full_outer")
+                .select(all.map(c =>
+                  coalesce(col(s"t.$c"), col(s"d.$c")).as(c)) ++ Seq(
+                  (coalesce(col("t.n_rows"), lit(0L)) +
+                    coalesce(col("d.d_rows"), lit(0L))).as("n_rows"),
+                  coalesce(col("t.bucket"), col("d.bucket")).as("bucket")): _*)
+                .filter(col("n_rows") > 0)
+            } finally delta.unpersist()
+          } finally {
+            dAOpt.foreach(_.unpersist())
+            dBOpt.foreach(_.unpersist())
+          }
           pins()
           (vA, vB)
         }

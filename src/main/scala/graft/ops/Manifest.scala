@@ -3574,8 +3574,9 @@ object Manifest {
       if (dvPaths.isEmpty) Seq.empty
       else {
         val b = spark.sparkContext.broadcast(dvPaths)
-        entriesDataset(spark, meta).filter(e => b.value.contains(e.path))
+        try entriesDataset(spark, meta).filter(e => b.value.contains(e.path))
           .collect().toSeq
+        finally b.destroy() // long-lived sessions: don't leak per cycle
       }
     if (dvd.isEmpty) {
       // only inert vectors (their files already rewritten): drop them;
@@ -3766,18 +3767,24 @@ object Manifest {
     val meta = snapshotMeta(spark, dir, Some(v))
     require(!meta.constraints.map(parseConstraint(_)._1).contains(name),
       s"constraint '$name' already exists")
-    // the validation scan's file list is transient (Spark's scan
-    // planning needs the paths); the COMMIT is a distributed re-root —
-    // a sentinel-only change never re-serializes the entry list
-    // through the driver (same shape as [[evolve]])
     // mapped table: the caller's SQL speaks logical names; the stored
     // constraint validates PHYSICAL staged rows, so rewrite attribute
     // references through the map once, here
     val sqlP = sqlToPhysical(spark, sql, meta.colMap)
-    val entries = entriesDataset(spark, meta).collect().toSeq
-    val existing = readEntriesMasked(spark, root, entries, meta.ddl,
-      meta.dvDirs)
-    val viol = existing.filter(!coalesce(expr(sqlP), lit(true))).count()
+    // existing-row validation plans through the venue-switched pruning
+    // FileIndex — the same path as [[readVersion]] — so a 10⁷-entry
+    // table never materializes its entry list on the driver, and the
+    // violation count is one distributed aggregate. The scan surfaces
+    // the LOGICAL face (DV-masked), so it takes the caller's SQL as-is.
+    // Violation ⇔ the CHECK is FALSE, spelled `NOT p AND p IS NOT NULL`
+    // (not `!coalesce(p, true)`) because Catalyst simplifies THIS form
+    // to bare comparisons — `d >= X` becomes `d < X AND isnotnull(d)`,
+    // which the manifest's stats pruning compiles, so a constraint the
+    // file stats already prove scans ZERO data files.
+    val existing = graft.plans.ManifestScan.scan(spark, dir,
+      version = Some(v))
+    val p = expr(sql)
+    val viol = existing.filter(!p && p.isNotNull).count()
     if (viol > 0) throw ConstraintViolationException(name, sqlP, viol)
     commit(fs, root, v + 1,
       compactManifest(spark, root, meta, meta.ddl, Nil,
@@ -3953,11 +3960,13 @@ object Manifest {
       import spark.implicits._
       val b = spark.sparkContext.broadcast(
         dvTouchedPaths(spark, root, meta0.dvDirs))
-      val (nEntries, dvTouched) = entriesDataset(spark, meta0)
-        .map(e => (1L, if (b.value.contains(e.path)) 1L else 0L))
-        .toDF("n", "t")
-        .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("t"), lit(0L)))
-        .as[(Long, Long)].head()
+      val (nEntries, dvTouched) =
+        try entriesDataset(spark, meta0)
+          .map(e => (1L, if (b.value.contains(e.path)) 1L else 0L))
+          .toDF("n", "t")
+          .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("t"), lit(0L)))
+          .as[(Long, Long)].head()
+        finally b.destroy() // long-lived sessions: don't leak per cycle
       nEntries == 0L ||
         dvTouched.toDouble / math.max(1L, nEntries) >= dvFileFrac
     }
@@ -4037,9 +4046,14 @@ object Manifest {
     val rmStats: Map[String, (Long, Long)] =
       if (allRm.isEmpty) Map.empty
       else df.join(broadcast(allRm.toDF("__rm")), $"path" === $"__rm")
-        .select($"path", coalesce($"rows", lit(0L)),
-          coalesce($"bytes", lit(0L)))
-        .distinct() // a path carried across re-roots appears in 2+ dirs
+        // a path carried across re-roots appears in 2+ dirs; copies can
+        // DISAGREE (e.g. an old-format dir whose absent stats column
+        // was mergeSchema-padded to 0) — aggregate deterministically,
+        // keeping the best-informed copy, instead of distinct+toMap's
+        // arbitrary pick
+        .groupBy($"path")
+        .agg(max(coalesce($"rows", lit(0L))).as("r"),
+          max(coalesce($"bytes", lit(0L))).as("b"))
         .as[(String, Long, Long)].collect()
         .map(t => t._1 -> ((t._2, t._3))).toMap
     infos.map { case (v, st, txn) =>

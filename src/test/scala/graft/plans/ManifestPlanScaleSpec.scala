@@ -442,4 +442,27 @@ class ManifestPlanScaleSpec extends SparkSpec {
       f"describeHistory took $sec%.1f s at 100k entries — the " +
         "per-version snapshot collect is back")
   }
+
+  test("ADD CONSTRAINT at 100k entries: validation plans distributed, prunes on stats") {
+    // The synthesized entries carry FAKE data paths, which makes this
+    // test self-enforcing twice over: (1) the round-13 implementation
+    // collect()ed all 100k entries driver-side and then READ every
+    // file — here that throws FileNotFound; (2) the validation filter
+    // must reach the manifest's stats pruning (violation of
+    // `d >= min(all stat_mins)` is `d < 1992-01-01`, which every
+    // file's recorded range refutes) — an unpruned scan also throws.
+    // Passing means: no driver entry collect, violation count planned
+    // through the venue-switched FileIndex, ZERO data files opened.
+    val root = Files.createTempDirectory("graft-conscale").toString + "/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, root, 100000)
+    val t0 = System.nanoTime()
+    graft.ops.Manifest.addConstraint(spark, root, "d_floor",
+      "d >= DATE'1992-01-01'")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(graft.ops.Manifest.constraintsOf(spark, root)
+      .contains("d_floor" -> "d >= DATE'1992-01-01'"))
+    assert(sec < 60.0,
+      f"ADD CONSTRAINT took $sec%.1f s at 100k entries — validation " +
+        "is no longer a pruned distributed scan")
+  }
 }
