@@ -657,6 +657,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Non-integral z-order curve inputs (ops.Layout.mortonInput, the
+    // clusterZ/clusterZ3 mapping for DATE and STRING keys): epoch-day
+    // for dates, big-endian 3-byte UTF-8 window for strings, then the
+    // 31-bit interleave — bit-for-bit oracle of the production
+    // date+string clustering key (normalization is pinned separately
+    // in ManifestScanSpec; it needs table stats, not SQL).
+    "lay_zorder_date" -> ((s, d) => {
+      import org.apache.spark.sql.types.{DateType, StringType}
+      val x = graft.ops.Layout.mortonInput(DateType,
+        to_date(col("o_orderdate")), 31)
+      val y = graft.ops.Layout.mortonInput(StringType,
+        col("o_orderpriority"), 31)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), x.as("epoch_day"), y.as("prio_window"),
+          graft.functions.GraftExpressions.zorder2(x, y).as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // beyond-reference layout: join + aggregate over bucketed managed
     // tables (ops.Layout.bucketedTable) — results must be identical to
     // the plain-table plan (the oracle) while the physical plan is
@@ -3681,6 +3699,30 @@ ORDER BY step"""
         |  FROM (SELECT o_orderkey, o_custkey,
         |          CAST(date_diff('day', DATE '1995-01-01',
         |                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |        FROM orders)
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    // Date + string curve inputs: epoch-day via date_diff from the
+    // epoch; the 3-byte big-endian UTF-8 window via per-char codes
+    // (ASCII column, so code point = byte; shorter strings pad 0).
+    "lay_zorder_date" ->
+      """SELECT o_orderkey, epoch_day, prio_window,
+        |  CAST(list_sum(list_transform(range(0, 31), i ->
+        |    (((ed >> i) & 1) << (2 * i)) + (((pw >> i) & 1) << (2 * i + 1))
+        |  )) AS BIGINT) AS zkey
+        |FROM (
+        |  SELECT o_orderkey, epoch_day, prio_window,
+        |    epoch_day & 2147483647 AS ed, prio_window & 2147483647 AS pw
+        |  FROM (SELECT o_orderkey,
+        |          CAST(date_diff('day', DATE '1970-01-01',
+        |                         CAST(o_orderdate AS DATE)) AS BIGINT)
+        |            AS epoch_day,
+        |          CAST(COALESCE(ascii(substr(o_orderpriority, 1, 1)), 0)
+        |                 * 65536
+        |               + COALESCE(ascii(substr(o_orderpriority, 2, 1)), 0)
+        |                 * 256
+        |               + COALESCE(ascii(substr(o_orderpriority, 3, 1)), 0)
+        |               AS BIGINT) AS prio_window
         |        FROM orders)
         |) ORDER BY o_orderkey""".stripMargin,
 

@@ -36,6 +36,58 @@ object Layout {
   def zorderKey3(x: Column, y: Column, z: Column): Column =
     GraftExpressions.zorder3(x, y, z)
 
+  /** The integral Morton-curve input for a clustering column of type
+    * `dt` — the mapping that makes DATE/TIMESTAMP/STRING first-class
+    * z-order keys (date is THE production clustering axis; the
+    * integral-only refusal this replaces made users derive it by hand):
+    *
+    *  - integral types pass through (widened to long by the interleave);
+    *  - DATE → epoch-day (`unix_date`): ~2.9M days fit the 21-bit 3-D
+    *    budget with 3000 years to spare;
+    *  - TIMESTAMP (tz or ntz) → epoch-HOURS, not micros/seconds: the
+    *    interleave reads only the low `bitsPerDim` bits, so a granule
+    *    whose representable span overflows them WRAPS and destroys
+    *    locality (low 31 bits of epoch-micros wrap every ~35 minutes).
+    *    Epoch-hours span 239 years even at 21 bits, and an hour is far
+    *    below file granularity at lake scale, so nothing is lost;
+    *  - STRING → big-endian window of the UTF-8 bytes, one byte per
+    *    full 8 bits of the budget (3 bytes at 31, 2 at 21), zero-padded
+    *    on the right so shorter strings sort first — lexicographic
+    *    order on the window maps to numeric order, which is exactly
+    *    what range-partitioning the curve needs. `skipBytes` skips a
+    *    KNOWN-COMMON prefix first (URL schemes, id prefixes — the
+    *    common prefix of a column's global min and max is shared by
+    *    every value between them, so skipping it is order-preserving
+    *    and moves the window onto bytes that actually discriminate;
+    *    [[Manifest.clusterZ]] derives it from the manifest's own
+    *    stats, zero data read).
+    *
+    * Unsupported types (fractional, binary, nested) refuse loudly: a
+    * blind cast would null the curve key and silently collapse the
+    * table into one un-clustered range. NULL values map to NULL and
+    * range-partition into one end of the curve, like any sort. */
+  def mortonInput(dt: org.apache.spark.sql.types.DataType, c: Column,
+                  bitsPerDim: Int, skipBytes: Int = 0): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case DateType => unix_date(c).cast("long")
+      case TimestampType => floor(unix_micros(c) / lit(3600L * 1000000L))
+        .cast("long")
+      case TimestampNTZType =>
+        floor(unix_micros(c.cast(TimestampType)) / lit(3600L * 1000000L))
+          .cast("long")
+      case StringType =>
+        val nBytes = math.max(1, bitsPerDim / 8)
+        conv(rpad(hex(substring(c.cast("binary"), skipBytes + 1, nBytes)),
+          nBytes * 2, "0"), 16, 10).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"z-order column of type ${other.catalogString} is not " +
+          "curve-orderable — supported: integral, date, timestamp, " +
+          "string (derive an integral column for anything else)")
+    }
+  }
+
   /** Write `df` clustered on the z-order curve of (x, y): a range
     * exchange into `numFiles` curve segments, an intra-partition sort on
     * the curve position, then a plain parquet write (the curve key

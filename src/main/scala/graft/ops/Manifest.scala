@@ -3843,7 +3843,7 @@ object Manifest {
   private def clusterBy(spark: SparkSession, dir: String,
                         partitionCol: String, clusterCols: Seq[String],
                         targetBytes: Long,
-                        key: (String, Seq[String]) =>
+                        key: (SnapshotMeta, Seq[String]) =>
                           org.apache.spark.sql.Column): Unit = {
     import spark.implicits._
     val (fs, root) = fsOf(spark, dir)
@@ -3875,15 +3875,107 @@ object Manifest {
         physName(meta.colMap, partitionCol),
         meta.statsCols, meta.constraints, numFiles = Some(nOut),
         bloomCols = meta.bloomCols,
-        clusterKey = Some(key(meta.ddl, clusterP)))
+        clusterKey = Some(key(meta, clusterP)))
     commit(fs, root, v + 1, freshManifest(spark, root, meta, newEntries),
       op = "CLUSTER")
   }
 
+  /** Global (min, max) STAT STRINGS of a stats column across the live
+    * snapshot — METADATA ONLY, one tiny distributed agg over the entry
+    * relation, no data file read. None unless EVERY live file carries a
+    * usable stat for the column (all-null in some file, or a stats
+    * column added by a later evolve leaving old entries' arrays short):
+    * a partial min/max is not a bound, and every use below must be
+    * conservative. */
+  private def statMinMax(spark: SparkSession, meta: SnapshotMeta,
+                         colP: String): Option[(String, String)] = {
+    val idx = meta.statsCols.indexOf(colP)
+    if (idx < 0) return None
+    val has = size(col("stat_mins")) > idx && size(col("stat_maxs")) > idx &&
+      element_at(col("stat_mins"), idx + 1).isNotNull &&
+      element_at(col("stat_maxs"), idx + 1).isNotNull
+    val row = entriesDataset(spark, meta).toDF()
+      .filter(col("path") =!= "")
+      .agg(count(lit(1)), count(when(has, 1)),
+        min(when(has, element_at(col("stat_mins"), idx + 1))),
+        max(when(has, element_at(col("stat_maxs"), idx + 1))))
+      .head()
+    if (row.getLong(0) == 0L || row.getLong(0) != row.getLong(1)) None
+    else Some((row.getString(2), row.getString(3)))
+  }
+
+  /** The big-endian value of `nBytes` UTF-8 bytes of `s` starting after
+    * `skip` — the driver-side twin of [[Layout.mortonInput]]'s string
+    * window, used to turn stat strings into normalization bounds. */
+  private def stringWindowValue(s: String, skip: Int, nBytes: Int): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < nBytes) {
+      v = (v << 8) | (if (skip + i < b.length) b(skip + i) & 0xFFL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** The curve input for one physical cluster column: the integral
+    * mapping ([[Layout.mortonInput]]) NORMALIZED to the full
+    * `bitsPerDim` budget using the column's global min/max from the
+    * manifest's own stats. Normalization is the difference between a
+    * z-order that works and one that silently degrades to a sort: the
+    * interleave balances dimensions only when they occupy comparable
+    * bit ranges, and raw values never do (32 days of epoch-day vary in
+    * 5 low bits while a string byte-window varies in bits 8-17 — the
+    * range split would then be decided entirely by the string). Scaling
+    * each dimension to [0, 2^bits) is order-preserving and — like
+    * Delta's range_partition_id interleave — makes every dimension
+    * contribute to every split level. Strings additionally skip the
+    * global common prefix first (URL schemes, id prefixes), since the
+    * window would otherwise be constant. Files without usable stats,
+    * or types whose stat rendering can't parse (legacy manifests),
+    * fall back to the unscaled mapping — clustering degrades, never
+    * errors. */
+  private def mortonInputFor(spark: SparkSession, meta: SnapshotMeta,
+                             schema: StructType, colP: String,
+                             bitsPerDim: Int): org.apache.spark.sql.Column = {
+    val dt = schema(colP).dataType
+    val mm = statMinMax(spark, meta, colP)
+    val skip = (dt, mm) match {
+      case (StringType, Some((mn, mx))) =>
+        val a = mn.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = mx.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+        i
+      case _ => 0
+    }
+    val raw = graft.ops.Layout.mortonInput(dt, col(colP), bitsPerDim, skip)
+    // bounds of the RAW mapping, derived driver-side from the stat
+    // strings (every mapping is monotone, so bound(min)/bound(max)
+    // bound every value's image)
+    def bound(s: String): Option[Long] =
+      try dt match {
+        case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
+        case DateType => Some(java.time.LocalDate.parse(s).toEpochDay)
+        case TimestampType => Some(s.toLong / (3600L * 1000000L))
+        case StringType =>
+          Some(stringWindowValue(s, skip, math.max(1, bitsPerDim / 8)))
+        case _ => None // TimestampNTZ stats render wall-clock: skip
+      } catch { case _: RuntimeException => None }
+    (for { (mnS, mxS) <- mm; lo <- bound(mnS); hi <- bound(mxS) } yield {
+      val maxV = (1L << bitsPerDim) - 1
+      if (hi <= lo) lit(0L) // constant column: no signal to interleave
+      else least(lit(maxV), greatest(lit(0L),
+        ((raw - lit(lo)).cast("double") *
+          lit(maxV.toDouble / (hi - lo).toDouble)).cast("long")))
+    }).getOrElse(raw)
+  }
+
   /** 2-D Z-ORDER clustering: rewrite the snapshot range-partitioned on
     * the Morton interleave of two stats columns
-    * ([[graft.functions.GraftExpressions.ZOrder2]] — both cast to
-    * bigint, low 31 bits each), so per-file min/max ranges are tight in
+    * ([[graft.functions.GraftExpressions.ZOrder2]] — low 31 bits each;
+    * integral, date, timestamp, and string columns all curve-order via
+    * [[Layout.mortonInput]]), so per-file min/max ranges are tight in
     * BOTH dimensions and a predicate on EITHER column prunes
     * (single-column [[cluster]] serves one read pattern; this serves
     * two — Delta/Iceberg `ZORDER BY (a, b)`). Same commit/DV/constraint
@@ -3892,50 +3984,37 @@ object Manifest {
                xCol: String, yCol: String,
                targetBytes: Long = 128L << 20): Unit =
     clusterBy(spark, dir, partitionCol, Seq(xCol, yCol), targetBytes,
-      (ddl, colsP) => {
-        // the Morton interleave reads the LOW 31 BITS of each value:
-        // a non-integral TYPE is rejected loudly here (its cast would
-        // null the key and silently collapse the table into one
-        // un-clustered file). Negative VALUES remain the caller's
-        // contract — they mask to the top of the 31-bit range and
-        // degrade locality without erroring (checking data would cost
-        // a scan).
-        val schema = DataType.fromDDL(ddl).asInstanceOf[StructType]
-        colsP.foreach { c =>
-          val dt = schema(c).dataType
-          require(Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(dt),
-            s"z-order column $c must be integral, got " +
-              s"${dt.catalogString} — a non-numeric cast would null the " +
-              "curve key (derive an integral column first, e.g. " +
-              "datediff for dates)")
-        }
-        // zorderKey casts both inputs to long itself (Expressions
-        // .zorder2), so narrower integral types widen there
-        graft.ops.Layout.zorderKey(col(colsP.head), col(colsP(1)))
+      (meta, colsP) => {
+        // the Morton interleave reads the LOW 31 BITS of each value;
+        // non-integral types go through [[Layout.mortonInput]]'s
+        // curve-order-preserving integral mapping (date → epoch-day,
+        // timestamp → epoch-hour, string → big-endian byte window
+        // placed after the column's global common prefix, derived from
+        // the manifest's own stats) — genuinely un-orderable types are
+        // rejected loudly there (a blind cast would null the key and
+        // silently collapse the table into one un-clustered file).
+        // Negative VALUES remain the caller's contract — they mask to
+        // the top of the 31-bit range and degrade locality without
+        // erroring (checking data would cost a scan).
+        val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+        val ins = colsP.map(mortonInputFor(spark, meta, schema, _, 31))
+        graft.ops.Layout.zorderKey(ins.head, ins(1))
       })
 
   /** 3-D Z-ORDER clustering: [[clusterZ]] one dimension wider — the
-    * Morton interleave reads the low 21 bits of each of THREE integral
-    * stats columns, so a predicate on any one of them prunes
+    * Morton interleave reads the low 21 bits of each of THREE stats
+    * columns (integral, date, timestamp, or string, via
+    * [[Layout.mortonInput]]), so a predicate on any one of them prunes
     * (Delta/Iceberg `ZORDER BY (a, b, c)`). Same commit/DV/constraint
-    * mechanics and the same loud non-integral refusal. */
+    * mechanics and the same loud un-orderable-type refusal. */
   def clusterZ3(spark: SparkSession, dir: String, partitionCol: String,
                 xCol: String, yCol: String, zCol: String,
                 targetBytes: Long = 128L << 20): Unit =
     clusterBy(spark, dir, partitionCol, Seq(xCol, yCol, zCol), targetBytes,
-      (ddl, colsP) => {
-        val schema = DataType.fromDDL(ddl).asInstanceOf[StructType]
-        colsP.foreach { c =>
-          val dt = schema(c).dataType
-          require(Seq(ByteType, ShortType, IntegerType, LongType)
-            .contains(dt),
-            s"z-order column $c must be integral, got " +
-              s"${dt.catalogString} — a non-numeric cast would null the " +
-              "curve key (derive an integral column first)")
-        }
-        graft.ops.Layout.zorderKey3(col(colsP.head), col(colsP(1)),
-          col(colsP(2)))
+      (meta, colsP) => {
+        val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+        val ins = colsP.map(mortonInputFor(spark, meta, schema, _, 21))
+        graft.ops.Layout.zorderKey3(ins.head, ins(1), ins(2))
       })
 
   /** One-call table MAINTENANCE, each step a separate optimistic

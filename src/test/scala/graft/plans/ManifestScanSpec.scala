@@ -229,6 +229,44 @@ class ManifestScanSpec extends SparkSpec {
     assert(xSlice.count() == 256 && ySlice.count() == 256)
   }
 
+  test("clusterZ on a DATE + STRING pair prunes both axes; shared string prefix is skipped") {
+    val dir = newDir()
+    // 32 dates × 32 string codes, interleaved in 4 batches so neither
+    // axis predicate prunes pre-cluster. The string codes share the
+    // 8-byte prefix "section/" — longer than the 3-byte Morton window —
+    // so this only clusters if the global-common-prefix skip (derived
+    // from manifest stats, no data read) moves the window onto the
+    // discriminating bytes.
+    def grid(residue: Int): DataFrame =
+      spark.range(0, 1024).filter($"id" % 4 === residue).select(
+        $"id".as("k"),
+        date_add(lit(Date.valueOf("1995-01-01")), ($"id" % 32).cast("int"))
+          .as("d"),
+        concat(lit("section/"),
+          lpad(($"id" / 32).cast("long").cast("string"), 2, "0")).as("s"),
+        lit(0L).as("p"))
+    Manifest.create(spark, dir, grid(0), "p", statsCols = Seq("d", "s"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, grid(i), "p"))
+
+    def dSlice = ManifestScan.scan(spark, dir)
+      .filter($"d" < Date.valueOf("1995-01-09"))
+    def sSlice = ManifestScan.scan(spark, dir).filter($"s" < "section/08")
+    assert(filesScanned(ManifestScan.scan(spark, dir)) == 4 &&
+      filesScanned(dSlice) == 4 && filesScanned(sSlice) == 4,
+      "pre-cluster: every slice scans everything")
+
+    val total = Manifest.loadSnapshot(spark, dir).entries.map(_.bytes).sum
+    Manifest.clusterZ(spark, dir, "p", "d", "s", targetBytes = total / 16 + 1)
+    val allZ = filesScanned(ManifestScan.scan(spark, dir))
+    val dz = filesScanned(dSlice); val sz = filesScanned(sSlice)
+    assert(allZ >= 8, s"expected >=8 z-files, got $allZ")
+    assert(dz < allZ && sz < allZ,
+      s"date/string z-order must prune both axes: d=$dz s=$sz of $allZ")
+    // parity: the clustered table is the same relation
+    assert(ManifestScan.scan(spark, dir).count() == 1024)
+    assert(dSlice.count() == 256 && sSlice.count() == 256)
+  }
+
   test("clusterZ3 prunes on ALL THREE dimensions") {
     val dir = newDir()
     def grid(residue: Int): DataFrame =
