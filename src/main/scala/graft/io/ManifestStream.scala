@@ -537,7 +537,20 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
           d.withColumn(n, lit(null).cast(schema(n).dataType))
         }
       }
-    val out = filled.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val ordered = filled.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // a restart-replayed frame from PRE-WIDEN offsets arrives with the
+    // narrower type (time travel reads the old sentinel's ddl) —
+    // upcast losslessly to the stream schema, the same adoption
+    // contract as the null-fill above; anything else is a genuine
+    // re-type and stays a loud failure
+    val out = schema.fields.foldLeft(ordered) { (d, want) =>
+      val got = d.schema(want.name).dataType
+      if (!org.apache.spark.sql.types.DataType
+          .equalsIgnoreNullability(want.dataType, got) &&
+        Manifest.isWidening(got, want.dataType))
+        d.withColumn(want.name, col(want.name).cast(want.dataType))
+      else d
+    }
     schema.fields.zip(out.schema.fields).foreach { case (want, got) =>
       require(org.apache.spark.sql.types.DataType
           .equalsIgnoreNullability(want.dataType, got.dataType),

@@ -2642,12 +2642,18 @@ object Manifest {
     *
     * `evolveSchema = true` folds a SOURCE schema evolution into the
     * target: batch columns absent from the target's visible face bind
-    * fresh physical slots ([[evolve]]) immediately before the change
-    * application — replication keeps converging across an upstream
-    * ALTER TABLE ADD COLUMNS instead of refusing. The fold is
-    * replay-safe: the evolve commit carries no txn marker, so a crash
-    * between it and the data commit replays into "columns already
-    * exist → skip evolve → apply batch (marker-guarded)". A renamed
+    * fresh physical slots ([[evolve]]), and batch columns arriving
+    * WIDER than the target's type fold as metadata-only
+    * [[widenColumn]] commits (int→long, decimal growth — the
+    * Delta-class type-widening replication), immediately before the
+    * change application — replication keeps converging across an
+    * upstream ALTER TABLE ADD COLUMNS / widening ALTER COLUMN TYPE
+    * instead of refusing. Batches NARROWER than the target (a
+    * restart-replayed pre-widen frame) upcast losslessly; a mismatch
+    * that widens in neither direction still refuses loudly. The fold
+    * is replay-safe: the evolve/widen commits carry no txn marker, so
+    * a crash between them and the data commit replays into "schema
+    * already matches → skip → apply batch (marker-guarded)". A renamed
     * source column is NOT auto-folded (a CDC batch cannot distinguish
     * a rename from a drop+add) — apply [[renameColumn]] on the target,
     * and the stream continues under the new name. */
@@ -2675,18 +2681,53 @@ object Manifest {
           txn = Some(appId -> batchId))
         true
       } else {
-        if (evolveSchema) {
-          val visible = tableSchema(spark, dir).fieldNames
-          val extras = batch.schema.fields.filterNot { f =>
-            f.name.equalsIgnoreCase(changeCol) ||
-              orderCol.exists(_.equalsIgnoreCase(f.name)) ||
-              visible.exists(_.equalsIgnoreCase(f.name))
+        val applied =
+          if (!evolveSchema) batch
+          else {
+            val visible = tableSchema(spark, dir)
+            val isMeta = (f: StructField) =>
+              f.name.equalsIgnoreCase(changeCol) ||
+                orderCol.exists(_.equalsIgnoreCase(f.name))
+            val extras = batch.schema.fields.filterNot(f =>
+              isMeta(f) || visible.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+            if (extras.nonEmpty)
+              evolve(spark, dir,
+                extras.toSeq.map(f => f.name -> f.dataType.catalogString))
+            // fold upstream TYPE WIDENINGS (int→long, decimal growth)
+            // as metadata-only [[widenColumn]] commits — replay-safe
+            // like the add-columns fold (no txn marker; a crash
+            // between widen and data commit replays into "types
+            // already match → skip"). Anything neither equal nor
+            // widening in SOME direction refuses loudly here, before
+            // union coercion could smear it into the data.
+            val paired = batch.schema.fields.filterNot(isMeta).flatMap(f =>
+              visible.fields.find(_.name.equalsIgnoreCase(f.name))
+                .map(g => (f, g)))
+            paired.foreach { case (f, g) =>
+              if (!DataType.equalsIgnoreNullability(f.dataType, g.dataType) &&
+                !isWidening(g.dataType, f.dataType) &&
+                !isWidening(f.dataType, g.dataType))
+                throw new IllegalArgumentException(
+                  s"CDC column ${f.name} arrived as " +
+                    s"${f.dataType.catalogString} but the target holds " +
+                    s"${g.dataType.catalogString} — not a widening in " +
+                    "either direction; re-typing cannot replicate")
+            }
+            paired
+              .filter { case (f, g) => isWidening(g.dataType, f.dataType) }
+              .foreach { case (f, g) =>
+                widenColumn(spark, dir, g.name, f.dataType.catalogString)
+              }
+            // the OTHER direction — a batch NARROWER than the target
+            // (a restart-replayed pre-widen frame, or a target widened
+            // ahead of its source) — upcasts losslessly in the batch
+            paired
+              .filter { case (f, g) => isWidening(f.dataType, g.dataType) }
+              .foldLeft(batch) { case (b, (f, g)) =>
+                b.withColumn(f.name, col(f.name).cast(g.dataType))
+              }
           }
-          if (extras.nonEmpty)
-            evolve(spark, dir,
-              extras.toSeq.map(f => f.name -> f.dataType.catalogString))
-        }
-        applyChanges(spark, dir, batch, keys, partitionCol, changeCol,
+        applyChanges(spark, dir, applied, keys, partitionCol, changeCol,
           orderCol, txn = Some(appId -> batchId))
         true
       }
@@ -3052,6 +3093,67 @@ object Manifest {
     * columns with null; subsequent appends/upserts must carry the new
     * schema. `addCols` are (name, Spark DDL type) pairs; added columns
     * are nullable by construction. */
+  /** Is `from → to` a LOSSLESS widening the parquet reader performs on
+    * the fly (Spark 4's widening type promotions)? The whitelist behind
+    * [[widenColumn]]: integral up-ladder, {byte,short,int}/float →
+    * double, decimal growth that shrinks neither the integer digits nor
+    * the scale, and integral → decimal with room for every value.
+    * Date→timestamp and any narrowing/retyping are NOT here — stats
+    * comparability and round-trip safety are the contract, not "a cast
+    * exists". */
+  private[graft] def isWidening(from: DataType, to: DataType): Boolean = {
+    val ladder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val intDigits = Map[DataType, Int](ByteType -> 3, ShortType -> 5,
+      IntegerType -> 10, LongType -> 19)
+    (from, to) match {
+      case (f, t) if ladder.contains(f) && ladder.contains(t) =>
+        ladder.indexOf(f) < ladder.indexOf(t)
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
+        true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case (f, t: DecimalType) if ladder.contains(f) =>
+        t.precision - t.scale >= intDigits(f)
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type in place — METADATA-ONLY, like [[evolve]]:
+    * the sentinel commits a re-typed ddl and not one data file is
+    * rewritten; old files read under the widened schema through the
+    * parquet reader's widening promotions (verified: int→long,
+    * float/int→double, decimal precision/scale growth, integral→
+    * decimal). Only [[isWidening]] conversions are accepted — a lossy
+    * or re-typing change refuses loudly. Recorded per-file stats stay
+    * comparable (integral/decimal stat strings parse identically under
+    * the wider type), so data skipping is unaffected. The
+    * Delta-type-widening counterpart, and the fold target for CDC
+    * replication of an upstream widen ([[applyChangesIfAbsent]]). */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+                  newType: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val p = physName(meta.colMap, name)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val f = schema.fields.find(_.name.equalsIgnoreCase(p))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $name in ${meta.ddl}"))
+    val to = DataType.fromDDL(newType)
+    require(isWidening(f.dataType, to),
+      s"cannot widen $name: ${f.dataType.catalogString} → " +
+        s"${to.catalogString} is not a lossless widening (integral " +
+        "up-ladder, float/int→double, decimal growth)")
+    val widened = StructType(schema.fields.map(g =>
+      if (g.name.equalsIgnoreCase(p)) g.copy(dataType = to) else g))
+    commit(fs, root, v + 1,
+      compactManifest(spark, root, meta, nullableDdl(widened), Nil),
+      op = "WIDEN_COLUMN")
+  }
+
   def evolve(spark: SparkSession, dir: String,
              addCols: Seq[(String, String)]): Unit = {
     require(addCols.nonEmpty, "no columns to add")

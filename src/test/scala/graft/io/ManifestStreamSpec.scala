@@ -373,6 +373,51 @@ class ManifestStreamSpec extends SparkSpec {
     assert(stateOf(b) == stateOf(a))
   }
 
+  test("REPLICATION under TYPE WIDENING: an upstream int→long widen folds into the target") {
+    val root = newDir()
+    val a = s"$root/a"; val b = s"$root/b"; val ckpt = s"$root/ckpt"
+    // n starts INT; upstream widens it to BIGINT mid-stream
+    Manifest.create(spark, a,
+      Seq((1L, 10, 0L), (2L, 20, 0L)).toDF("k", "n", "p"), "p")
+    assert(Manifest.tableSchema(spark, a)("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(a)
+        .writeStream.format("graft-manifest")
+        .option("path", b).option("partitionCol", "p")
+        .option("keys", "k").option("cdc", "true")
+        .option("mergeSchema", "true") // opt-in: fold source evolves
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    replicate() // bootstrap at int
+    assert(Manifest.tableSchema(spark, b)("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // upstream widening ALTER COLUMN TYPE (metadata-only), then data
+    // only a LONG can hold — the round-trip the fold must preserve
+    Manifest.widenColumn(spark, a, "n", "bigint")
+    Manifest.append(spark, a,
+      Seq((3L, 5000000000L, 0L)).toDF("k", "n", "p"), "p")
+    Manifest.upsert(spark, a,
+      Seq((2L, 222L, 0L)).toDF("k", "n", "p"), Seq("k"), "p")
+    replicate() // the restart adopts the widened schema; the fold widens B
+    def stateOf(dir: String) = Manifest.read(spark, dir)
+      .select("k", "n", "p").as[(Long, Long, Long)].collect().toSet
+    assert(Manifest.tableSchema(spark, b)("n").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the fold must widen B's column, not rewrite data")
+    assert(stateOf(b) == stateOf(a),
+      "B must converge to A across the widen (old int files read as long)")
+    assert(stateOf(b).contains((3L, 5000000000L, 0L)))
+    // restart-replay: same checkpoint, no new commits — no double apply
+    replicate()
+    assert(stateOf(b) == stateOf(a))
+    // and replication keeps converging beyond the widen
+    Manifest.delete(spark, a, Seq((1L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    replicate()
+    assert(stateOf(b) == stateOf(a))
+  }
+
   test("a mid-stream RENAME fails the fixed-schema conformance loudly, never misreads") {
     val root = newDir()
     val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"

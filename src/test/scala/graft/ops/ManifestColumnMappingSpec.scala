@@ -301,6 +301,46 @@ class ManifestColumnMappingSpec extends SparkSpec {
     assert(vals(100L) == 9.0 && vals(200L) == 8.0 && vals(5L) == 5.0)
   }
 
+  test("widenColumn is metadata-only, speaks the logical name, refuses narrowing") {
+    val dir = newDir()
+    Manifest.create(spark, dir,
+      spark.range(1, 61).select($"id".as("k"),
+        ($"id" * 10).cast("int").as("n"), ($"id" % 3).as("p")),
+      "p", statsCols = Seq("n"))
+    val filesBefore = Manifest.read(spark, dir).inputFiles.toSet
+    // widen through a RENAMED face: logical name resolves to the
+    // physical slot like every public API
+    Manifest.renameColumn(spark, dir, "n", "amount")
+    Manifest.widenColumn(spark, dir, "amount", "bigint")
+    val out = Manifest.read(spark, dir)
+    assert(out.schema("amount").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.inputFiles.toSet == filesBefore,
+      "a widen must not touch one data file")
+    assert(out.select(sum($"amount")).as[Long].head() == (1L to 60L).map(_ * 10).sum)
+    // stats pruning still fires on the widened column (int stat strings
+    // order identically as longs)
+    assert(Manifest.read(spark, dir).where($"amount" > 999999L).count() == 0)
+    // post-widen writes carry longs; values beyond int range round-trip
+    Manifest.append(spark, dir,
+      Seq((100L, 5000000000L, 0L)).toDF("k", "amount", "p"), "p")
+    assert(Manifest.read(spark, dir).where($"amount" === 5000000000L)
+      .count() == 1)
+    // time travel reads the OLD type under the old sentinel
+    assert(Manifest.readVersion(spark, dir, 1L).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // refusals: narrowing, re-typing, unknown column
+    intercept[IllegalArgumentException] {
+      Manifest.widenColumn(spark, dir, "amount", "int")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.widenColumn(spark, dir, "amount", "string")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.widenColumn(spark, dir, "ghost", "bigint")
+    }
+  }
+
   test("applyChanges works on a dropped-column table (CDC replication after DROP COLUMN)") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p", statsCols = Seq("k"))
