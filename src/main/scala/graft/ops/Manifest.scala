@@ -3769,13 +3769,107 @@ object Manifest {
     // are inert from here on (they match no live file), rows on kept
     // files still mask
     val removes = cands.map(_.path)
-    val name =
-      if (linkedAppendEligible(spark, fs, meta) &&
-        meta.removedPaths.size + removes.size <= LinkedRemovesCap)
-        linkManifest(spark, fs, root, meta, newEntries, removes)
-      else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
-    commit(fs, root, v + 1, name, txn, op = op)
+    def stage(m: SnapshotMeta): String =
+      if (linkedAppendEligible(spark, fs, m) &&
+        m.removedPaths.size + removes.size <= LinkedRemovesCap)
+        linkManifest(spark, fs, root, m, newEntries, removes)
+      else compactManifest(spark, root, m, m.ddl, newEntries, removes)
+    commitRebasing(spark, fs, root, dir, meta, v, stage, txn, op,
+      readPaths = removes.toSet, wanted = wanted, wantNull = wantNull,
+      renderSafe = partitionValuesSafe(meta.ddl, pCol))
     maybeCheckpoint(spark, dir, pCol)
+  }
+
+  /** Ops whose delta sidecar faithfully describes the commit's whole
+    * change set — the only interleaved commits a lost race may REBASE
+    * across. RESTORE reuses an old manifest (its sidecar describes a
+    * historical change), OVERWRITE and CLUSTER stage fresh manifests
+    * (no sidecar), and metadata commits change the sentinel (caught by the
+    * config comparison, but excluded here too for belt-and-braces). */
+  private val RebasableOps = Set("APPEND", "UPSERT", "DELETE",
+    "APPLY_CHANGES", "COMPACT", "DELETE_MOR", "UPSERT_MOR", "REWRITE")
+
+  /** Commit the staged manifest at `baseV + 1`; on a LOST POINTER RACE,
+    * try to REBASE instead of making the caller re-plan and re-stage:
+    * when every interleaved commit is visible, sidecar-described, of a
+    * [[RebasableOps]] kind, touches neither the loser's read/remove set
+    * nor its partitions, carries no same-app txn marker, and leaves the
+    * snapshot's sentinel config (schema, stats/bloom cols, constraints,
+    * column map, DV set) unchanged, the loser's ALREADY-STAGED data
+    * files are exactly what a sequential re-run would produce — so the
+    * adds/removes re-link onto the new tip and commit there. Two
+    * writers touching disjoint partitions then land in exactly two
+    * commits with zero re-plans (Delta's disjoint-commit reconciliation
+    * shape). Anything ineligible rethrows the conflict and the caller's
+    * [[withConflictRetry]] re-plans as before — the rebase is an
+    * optimization with a conservative gate, never a semantics change. */
+  private def commitRebasing(spark: SparkSession, fs: FileSystem,
+                             root: Path, dir: String, baseMeta: SnapshotMeta,
+                             baseV: Long, stage: SnapshotMeta => String,
+                             txn: Option[(String, Long)], op: String,
+                             readPaths: Set[String], wanted: Set[String],
+                             wantNull: Boolean, renderSafe: Boolean): Unit = {
+    var m = baseMeta
+    var v = baseV
+    var name = stage(m)
+    var attempts = 0
+    while (true) {
+      try { commit(fs, root, v + 1, name, txn, op = op); return }
+      catch {
+        case t: Throwable if isConflict(t) && renderSafe && attempts < 5 =>
+          attempts += 1
+          rebaseTarget(spark, fs, root, dir, m, v, txn, readPaths,
+            wanted, wantNull) match {
+            case Some(metaL) => name = stage(metaL); m = metaL
+                                v = metaL.version
+            case None => throw t
+          }
+      }
+    }
+  }
+
+  /** The new tip to rebase onto, or None when any interleaved commit
+    * makes reuse of the staged result unsound (see [[commitRebasing]]).
+    * Every check is conservative: unreadable/pending pointers, missing
+    * sidecars, unknown ops, anything touching the loser's files or
+    * partitions, a same-app txn marker, or a changed sentinel config
+    * all abort into the ordinary retry. */
+  private def rebaseTarget(spark: SparkSession, fs: FileSystem, root: Path,
+                           dir: String, m: SnapshotMeta, v: Long,
+                           txn: Option[(String, Long)],
+                           readPaths: Set[String], wanted: Set[String],
+                           wantNull: Boolean): Option[SnapshotMeta] = {
+    val latest = latestVersion(spark, dir).getOrElse(return None)
+    if (latest <= v) return None
+    var vc = v + 1
+    while (vc <= latest) {
+      val lines =
+        try readPointerLines(fs, root, vc)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      if (!pointerVisible(fs, lines)) return None
+      if (txn.exists { case (app, _) =>
+        lines.drop(1).exists(_.startsWith(s"txn:$app:")) }) return None
+      val opC = lines.drop(1).find(_.startsWith(OpPrefix))
+        .map(_.stripPrefix(OpPrefix).trim).getOrElse("")
+      if (!RebasableOps.contains(opC)) return None
+      readDelta(fs, root, lines.head.trim) match {
+        case None => return None
+        case Some(d) =>
+          if (d.removePaths.exists(readPaths.contains)) return None
+          if (d.adds.exists(e => e.overflow || (wantNull && e.has_null) ||
+            e.values.exists(wanted.contains))) return None
+      }
+      vc += 1
+    }
+    val metaL = snapshotMeta(spark, dir, Some(latest))
+    val sameConfig = metaL.ddl == m.ddl &&
+      metaL.statsCols == m.statsCols &&
+      metaL.bloomCols == m.bloomCols &&
+      metaL.constraints == m.constraints &&
+      metaL.colMap == m.colMap &&
+      metaL.dvDirs.toSet == m.dvDirs.toSet &&
+      metaL.chainDvDirs.toSet == m.chainDvDirs.toSet
+    if (sameConfig) Some(metaL) else None
   }
 
   /** The partition-touched candidate set, selected WHERE the entries
