@@ -153,50 +153,152 @@ object Tokenize {
     // useful job-budget cap on its own
     while (step < numMerges && rounds < maxRounds && !done) {
       rounds += 1
-      val budget = math.min(batchCap, numMerges - step)
-      // budget+1 rows: the extra row (when present) upper-bounds every
-      // pair OUTSIDE the collected prefix
-      val top = pairCounts(words)
-        .orderBy(col("pair_count").desc, col("l"), col("r"))
-        .limit(budget + 1).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      if (top.isEmpty || top.head._3 < minPairCount) done = true
-      else {
-        val used = scala.collection.mutable.Set.empty[String]
-        val selected = ArrayBuffer.empty[(String, String, Long)]
-        // no pair outside the selection may exceed cStop; floor-1 covers
-        // the exhausted-dictionary case
-        var cStop = minPairCount - 1
-        var halted = false
-        for (p @ (l, r, c) <- top if !halted) {
-          if (c < minPairCount) halted = true
-          else if (selected.size == budget || used(l) || used(r)) {
-            cStop = c; halted = true
-          } else { selected += p; used += l; used += r }
-        }
-        // strictness trim (counts are non-increasing in rank order);
-        // a tie at cStop degrades to the always-correct single merge
-        val batch0 = selected.takeWhile(_._3 > cStop)
-        val batch = if (batch0.nonEmpty) batch0.toSeq else Seq(top.head)
-        batch.foreach { case (l, r, c) =>
-          step += 1; merges += ((step, l, r, l + r, c))
-        }
-        // disjointness makes the whole batch ONE fold pass
-        val folded = mergePairs(col("syms"), batch.map(p => (p._1, p._2)))
-        val next = words.withColumn("syms", folded).localCheckpoint(true)
-        words.unpersist()
-        words = next
+      val r = trainRound(words, math.min(batchCap, numMerges - step),
+        minPairCount)
+      words = r.words
+      if (r.batch.isEmpty) done = true
+      else r.batch.foreach { case (l, rt, c) =>
+        step += 1; merges += ((step, l, rt, l + rt, c))
       }
     }
     words.unpersist()
+    mergeTableDf(docs.sparkSession, merges.toSeq)
+  }
+
+  /** The merge-table schema every trainer returns. */
+  private def mergeTableDf(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq.map(Row.fromTuple), 1),
+      spark.sparkContext.parallelize(merges.map(Row.fromTuple), 1),
       StructType(Seq(
         StructField("step", IntegerType, nullable = false),
         StructField("left", StringType, nullable = false),
         StructField("right", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+
+  private case class RoundResult(words: DataFrame,
+                                 batch: Seq[(String, String, Long)])
+
+  /** ONE training round: select the provably-commuting batch (empty =
+    * trained out at `minPairCount`) and fold it into the dictionary in
+    * one pass. Shared verbatim by [[bpeTrain]] and
+    * [[bpeTrainResumable]] so resumption can never drift from the
+    * uninterrupted trainer. */
+  private def trainRound(words: DataFrame, budget: Int,
+                         minPairCount: Long): RoundResult = {
+    // budget+1 rows: the extra row (when present) upper-bounds every
+    // pair OUTSIDE the collected prefix
+    val top = pairCounts(words)
+      .orderBy(col("pair_count").desc, col("l"), col("r"))
+      .limit(budget + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (top.isEmpty || top.head._3 < minPairCount) RoundResult(words, Nil)
+    else {
+      val used = scala.collection.mutable.Set.empty[String]
+      val selected = ArrayBuffer.empty[(String, String, Long)]
+      // no pair outside the selection may exceed cStop; floor-1 covers
+      // the exhausted-dictionary case
+      var cStop = minPairCount - 1
+      var halted = false
+      for (p @ (l, r, c) <- top if !halted) {
+        if (c < minPairCount) halted = true
+        else if (selected.size == budget || used(l) || used(r)) {
+          cStop = c; halted = true
+        } else { selected += p; used += l; used += r }
+      }
+      // strictness trim (counts are non-increasing in rank order);
+      // a tie at cStop degrades to the always-correct single merge
+      val batch0 = selected.takeWhile(_._3 > cStop)
+      val batch = if (batch0.nonEmpty) batch0.toSeq else Seq(top.head)
+      // disjointness makes the whole batch ONE fold pass
+      val folded = mergePairs(col("syms"), batch.map(p => (p._1, p._2)))
+      val next = words.withColumn("syms", folded).localCheckpoint(true)
+      words.unpersist()
+      RoundResult(next, batch)
+    }
+  }
+
+  /** [[bpeTrain]] that SURVIVES A RESTART: the merge table and the
+    * symbolized word dictionary commit to two manifest tables under
+    * `stateDir` every `commitEveryRounds` rounds — atomically, as one
+    * [[Manifest.commitAll]] unit, so a crash can never publish a
+    * dictionary without its merges or vice versa. A re-run with the
+    * same `stateDir` resumes from the last committed state instead of
+    * re-paying hours of merge rounds; at most the uncommitted tail of
+    * rounds re-trains, and determinism (total-order argmax) makes the
+    * resumed table IDENTICAL to an uninterrupted run — TokenizeSpec
+    * pins the parity. A 32k-merge production run at the measured
+    * 0.07-0.78 s/merge is a multi-hour job; this is its checkpoint.
+    *
+    * The caller owns argument stability: resuming with a different
+    * corpus or `minPairCount` answers for neither. A finished run
+    * resumes as a no-op returning the stored table (one pair-count
+    * aggregate re-checks early-stop when the budget was not
+    * exhausted). */
+  def bpeTrainResumable(docs: DataFrame, numMerges: Int, stateDir: String,
+                        minPairCount: Long = 2L, idCol: String = "doc_id",
+                        textCol: String = "text", batchCap: Int = 32,
+                        commitEveryRounds: Int = 8): DataFrame = {
+    require(batchCap >= 1, s"batchCap must be >= 1: $batchCap")
+    require(commitEveryRounds >= 1,
+      s"commitEveryRounds must be >= 1: $commitEveryRounds")
+    val spark = docs.sparkSession
+    val wordsDir = s"$stateDir/words"
+    val mergesDir = s"$stateDir/merges"
+    val txns = s"$stateDir/_txns"
+    val merges = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var words = Manifest.latestVersion(spark, mergesDir) match {
+      case Some(_) =>
+        Manifest.read(spark, mergesDir)
+          .select("step", "left", "right", "merged", "pair_count")
+          .orderBy(col("step")).collect().foreach(r =>
+            merges += ((r.getInt(0), r.getString(1), r.getString(2),
+              r.getString(3), r.getLong(4))))
+        Manifest.read(spark, wordsDir).select("wc", "syms")
+          .localCheckpoint(true)
+      case None =>
+        wordDict(docs, idCol, textCol)
+          .select(col("wc"), initialSymbols(col("token")).as("syms"))
+          .localCheckpoint(true)
+    }
+    var step = merges.size
+    def commitState(): Unit = {
+      // 64 hash buckets: the dictionary overwrite writes one file per
+      // bucket, so checkpoint I/O parallelizes and no single file holds
+      // the whole Heaps'-law dictionary
+      val wdf = words.withColumn("bucket",
+        pmod(xxhash64(concat_ws(" ", col("syms"))), lit(64L)))
+      val mdf = mergeTableDf(spark, merges.toSeq)
+        .withColumn("bucket", lit(0L))
+      Manifest.withConflictRetry() {
+        Manifest.commitAll(spark, Seq(
+          StagedWrite(wordsDir, wdf, "bucket", overwrite = true),
+          StagedWrite(mergesDir, mdf, "bucket", overwrite = true)), txns)
+      }
+    }
+    var done = false
+    var sinceCommit = 0
+    while (step < numMerges && !done) {
+      val r = trainRound(words, math.min(batchCap, numMerges - step),
+        minPairCount)
+      words = r.words
+      if (r.batch.isEmpty) done = true
+      else {
+        r.batch.foreach { case (l, rt, c) =>
+          step += 1; merges += ((step, l, rt, l + rt, c))
+        }
+        sinceCommit += 1
+        if (sinceCommit >= commitEveryRounds) {
+          commitState(); sinceCommit = 0
+        }
+      }
+    }
+    if (sinceCommit > 0 || Manifest.latestVersion(spark, mergesDir).isEmpty)
+      commitState()
+    words.unpersist()
+    mergeTableDf(spark, merges.toSeq.takeWhile(_._1 <= numMerges))
   }
 
   /** Segment a word dictionary with an already-learned merge table —

@@ -81,6 +81,50 @@ class TokenizeSpec extends SparkSpec {
     assert(floored.isEmpty)
   }
 
+  test("bpeTrainResumable: resumed training equals the uninterrupted run exactly") {
+    val words = Map("aaab" -> 4L, "abab" -> 3L, "banana" -> 2L,
+      "bandana" -> 1L, "nab" -> 5L, "low" -> 5L, "lower" -> 2L,
+      "newest" -> 6L, "widest" -> 3L)
+    val text = words.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val docs = Seq((0L, text)).toDF("doc_id", "text")
+    val full = trained(docs, 14)
+
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .sortBy(_._1).toSeq
+
+    // "crash" after 6 merges (commit every round so nothing is lost),
+    // then resume to the full budget from the committed state
+    val state = s"${java.nio.file.Files.createTempDirectory("graft-bpe")}/st"
+    val first = tbl(Tokenize.bpeTrainResumable(docs, 6, state,
+      batchCap = 2, commitEveryRounds = 1))
+    assert(first == full.take(6), "pre-crash prefix must match")
+    val resumed = tbl(Tokenize.bpeTrainResumable(docs, 14, state,
+      batchCap = 2, commitEveryRounds = 1))
+    assert(resumed == full,
+      "resumed table must equal the uninterrupted run")
+    // merges + dictionary committed ATOMICALLY: both tables exist and
+    // the stored merge table IS the returned one
+    assert(tbl(Manifest.read(spark, s"$state/merges")
+      .select("step", "left", "right", "merged", "pair_count")) == full)
+    // a finished run resumes as a stored-table no-op (same result,
+    // no new training commits)
+    val vBefore = Manifest.versions(spark, s"$state/merges").last
+    assert(tbl(Tokenize.bpeTrainResumable(docs, 14, state,
+      batchCap = 2, commitEveryRounds = 1)) == full)
+    assert(Manifest.versions(spark, s"$state/merges").last == vBefore,
+      "a finished run must not re-commit state")
+    // an uncommitted TAIL retrains deterministically: commit every 3
+    // rounds so the 14-merge run ends with an uncommitted remainder,
+    // then resume past it
+    val state2 = s"${java.nio.file.Files.createTempDirectory("graft-bpe")}/st"
+    Tokenize.bpeTrainResumable(docs, 9, state2,
+      batchCap = 2, commitEveryRounds = 3)
+    assert(tbl(Tokenize.bpeTrainResumable(docs, 14, state2,
+      batchCap = 2, commitEveryRounds = 3)) == full)
+  }
+
   test("greedy left-to-right merge: 'a a a' under (a,a) gives [aa, a]") {
     val out = Seq(Tuple1(Seq("a", "a", "a")))
       .toDF("syms")
