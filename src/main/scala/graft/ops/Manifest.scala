@@ -2316,11 +2316,24 @@ object Manifest {
           s"${meta.ddl} (pass mergeSchema = true to widen)")
     val entries = writeBatch(spark, root, dfP, pCol, meta.statsCols,
       meta.constraints, bloomCols = meta.bloomCols)
-    val name =
-      if (ddlOut == meta.ddl && linkedAppendEligible(spark, fs, meta))
-        linkManifest(spark, fs, root, meta, entries)
-      else compactManifest(spark, root, meta, ddlOut, entries)
-    commit(fs, root, v + 1, name, txn, op = "APPEND")
+    if (ddlOut == meta.ddl) {
+      // an append reads NOTHING from the snapshot, so a lost pointer
+      // race rebases onto any new tip whose sentinel config is
+      // unchanged — no partition-disjointness needed (readless gate);
+      // under multi-writer ingest the staged batch commits without
+      // ever re-staging
+      def stage(m: SnapshotMeta): String =
+        if (linkedAppendEligible(spark, fs, m))
+          linkManifest(spark, fs, root, m, entries)
+        else compactManifest(spark, root, m, m.ddl, entries)
+      commitRebasing(spark, fs, root, dir, meta, v, stage, txn,
+        op = "APPEND", readPaths = Set.empty, wanted = Set.empty,
+        wantNull = false, renderSafe = true, readless = true)
+    } else
+      // a mergeSchema widen changes the sentinel — never rebased
+      commit(fs, root, v + 1,
+        compactManifest(spark, root, meta, ddlOut, entries),
+        txn, op = "APPEND")
     maybeCheckpoint(spark, dir, pCol)
   }
 
@@ -3808,7 +3821,8 @@ object Manifest {
                              baseV: Long, stage: SnapshotMeta => String,
                              txn: Option[(String, Long)], op: String,
                              readPaths: Set[String], wanted: Set[String],
-                             wantNull: Boolean, renderSafe: Boolean): Unit = {
+                             wantNull: Boolean, renderSafe: Boolean,
+                             readless: Boolean = false): Unit = {
     var m = baseMeta
     var v = baseV
     var name = stage(m)
@@ -3819,7 +3833,7 @@ object Manifest {
         case t: Throwable if isConflict(t) && renderSafe && attempts < 5 =>
           attempts += 1
           rebaseTarget(spark, fs, root, dir, m, v, txn, readPaths,
-            wanted, wantNull) match {
+            wanted, wantNull, readless) match {
             case Some(metaL) => name = stage(metaL); m = metaL
                                 v = metaL.version
             case None => throw t
@@ -3838,7 +3852,8 @@ object Manifest {
                            dir: String, m: SnapshotMeta, v: Long,
                            txn: Option[(String, Long)],
                            readPaths: Set[String], wanted: Set[String],
-                           wantNull: Boolean): Option[SnapshotMeta] = {
+                           wantNull: Boolean,
+                           readless: Boolean = false): Option[SnapshotMeta] = {
     val latest = latestVersion(spark, dir).getOrElse(return None)
     if (latest <= v) return None
     var vc = v + 1
@@ -3849,15 +3864,20 @@ object Manifest {
       if (!pointerVisible(fs, lines)) return None
       if (txn.exists { case (app, _) =>
         lines.drop(1).exists(_.startsWith(s"txn:$app:")) }) return None
-      val opC = lines.drop(1).find(_.startsWith(OpPrefix))
-        .map(_.stripPrefix(OpPrefix).trim).getOrElse("")
-      if (!RebasableOps.contains(opC)) return None
-      readDelta(fs, root, lines.head.trim) match {
-        case None => return None
-        case Some(d) =>
-          if (d.removePaths.exists(readPaths.contains)) return None
-          if (d.adds.exists(e => e.overflow || (wantNull && e.has_null) ||
-            e.values.exists(wanted.contains))) return None
+      // a READLESS commit (append) asserts nothing about the entries
+      // the winners touched — only pointer visibility, txn markers,
+      // and the sentinel-config comparison below gate it
+      if (!readless) {
+        val opC = lines.drop(1).find(_.startsWith(OpPrefix))
+          .map(_.stripPrefix(OpPrefix).trim).getOrElse("")
+        if (!RebasableOps.contains(opC)) return None
+        readDelta(fs, root, lines.head.trim) match {
+          case None => return None
+          case Some(d) =>
+            if (d.removePaths.exists(readPaths.contains)) return None
+            if (d.adds.exists(e => e.overflow || (wantNull && e.has_null) ||
+              e.values.exists(wanted.contains))) return None
+        }
       }
       vc += 1
     }

@@ -251,6 +251,35 @@ class MultiCommitSpec extends SparkSpec {
     }
   }
 
+  test("racing appends RECONCILE even on the SAME partition: readless rebase") {
+    // an append reads nothing from the snapshot, so unlike the keyed
+    // rewrite above it rebases across ANY data change — two unwrapped
+    // same-partition appenders must both land, exactly once each
+    (1 to 3).foreach { round =>
+      val dir = s"${newRoot()}/tbl"
+      Manifest.create(spark, dir,
+        Seq((0L, 0.0, 0L)).toDF("k", "v", "p"), "p")
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(1L, 2L).map { w =>
+        new Thread(() => try {
+          go.await()
+          Manifest.append(spark, dir,
+            Seq((w, w * 1.0, 0L)).toDF("k", "v", "p"), "p")
+        } catch { case t: Throwable => failures.add(t) })
+      }
+      threads.foreach(_.start()); go.countDown()
+      threads.foreach(_.join(180000))
+      assert(failures.isEmpty,
+        s"round $round: unwrapped append failed: ${failures.toArray.toSeq}")
+      assert(Manifest.versions(spark, dir).size == 3,
+        s"round $round: expected 3 versions")
+      assert(Manifest.read(spark, dir).select("k").as[Long]
+        .collect().sorted.toSeq == Seq(0L, 1L, 2L),
+        s"round $round: lost or duplicated append")
+    }
+  }
+
   test("OVERLAPPING-partition race still conflicts loudly without a retry wrapper") {
     // the rebase gate must NOT swallow a genuine write-write conflict:
     // stage a loser whose read set the winner rewrote, by committing a
