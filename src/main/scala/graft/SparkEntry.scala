@@ -1160,6 +1160,34 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Metadata-only TYPE WIDENING (ops.Manifest.widenColumn): the
+    // sentinel re-types qty int→bigint without rewriting a file; old
+    // int-physical parquet reads under the widened schema via the
+    // reader's widening promotions, and the appended rows carry values
+    // only a LONG can hold — the oracle recomputes the final relation
+    // from scratch, so the hash match proves the promotion is exact.
+    "man_widen" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_manwiden_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+      graft.ops.Manifest.create(s, dir,
+        orders.select(col("o_orderkey"),
+          (col("o_orderkey") % 1000).cast("int").as("qty"),
+          col("o_orderstatus")), "o_orderstatus")
+      graft.ops.Manifest.widenColumn(s, dir, "qty", "bigint")
+      graft.ops.Manifest.append(s, dir,
+        orders.select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          (col("o_orderkey") + lit(5000000000L)).as("qty"),
+          col("o_orderstatus")), "o_orderstatus")
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("qty"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"), col("qty"), col("o_orderstatus"))
+    }),
+
     // Row-level change feed between snapshots (ops.Manifest.changes):
     // the CDC source computed from the FILE diff — an update surfaces as
     // its delete+insert pair, unchanged rows of rewritten files cancel
@@ -3786,6 +3814,20 @@ ORDER BY step"""
         |SELECT o_orderkey, o_totalprice, o_orderstatus, 'late'
         |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // The widened relation recomputed from scratch: the base rows'
+    // int-physical qty must read back as exact BIGINTs alongside the
+    // appended beyond-int-range rows.
+    "man_widen" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS qty,
+        |         o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderkey + 5000000000,
+        |         o_orderstatus
+        |  FROM orders
+        |) ORDER BY o_orderkey, qty, o_orderstatus""".stripMargin,
 
     // The change feed between create and upsert: updated keys surface
     // as delete(old)+insert(new), brand-new keys as inserts only;

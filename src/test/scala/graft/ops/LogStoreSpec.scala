@@ -159,7 +159,9 @@ object CasStandInServer {
   * HDFS-default primitive lets two writers both "win" and silently
   * drops one commit; routing the SAME table over a conditional-put
   * [[LogStore]] turns that lost write into a clean optimistic-
-  * concurrency conflict that [[Manifest.withConflictRetry]] resolves. */
+  * concurrency conflict — which [[Manifest.withConflictRetry]]
+  * resolves by re-planning, and which (since round 14) the readless
+  * append rebase consumes internally so both racing appends land. */
 class LogStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -209,20 +211,33 @@ class LogStoreSpec extends SparkSpec {
     } finally CheckThenPutFileSystem.barrier = None
   }
 
-  test("same store + conditional-put LogStore: loser conflicts cleanly, retry lands both") {
+  test("same store + conditional-put LogStore: clean conflict at the store, both appends land") {
     val dir = "racycas://" + Files.createTempDirectory("graft-cas").toString + "/tbl"
     Manifest.create(spark, dir, base, "p")
+    // the clean-conflict SURFACE, pinned at the store itself (the core
+    // claim of this spec): the second create of a taken slot throws a
+    // retryable conflict, never silently wins
+    val fs = new Path(dir).getFileSystem(hconf)
+    val store = LogStore.forFs(fs)
+    val probe = new Path(dir, "_probe/slot")
+    store.putIfAbsent(fs, probe, "x".getBytes("UTF-8"))
+    val clash = intercept[Throwable] {
+      store.putIfAbsent(fs, probe, "y".getBytes("UTF-8"))
+    }
+    assert(Manifest.isConflict(clash),
+      s"the conditional put must surface a retryable conflict, got $clash")
+    // through the append API the same race now lands BOTH writers: the
+    // store's clean conflict feeds the round-14 readless append rebase,
+    // which re-links the loser's staged batch onto the winner's tip —
+    // contrast with the naive primitive above, which loses one batch
+    // SILENTLY on the same interleaving
     val outcomes = race(dir)
-    val conflicts = outcomes.flatten
-    assert(conflicts.size == 1 && Manifest.isConflict(conflicts.head),
-      s"exactly one writer must lose with a retryable conflict, got $outcomes")
-    // the loser's standard remedy: re-read + retry
-    val loser = if (outcomes.head.isDefined) batchA else batchB
-    Manifest.withConflictRetry() { Manifest.append(spark, dir, loser, "p") }
+    assert(outcomes.forall(_.isEmpty),
+      s"both racing appends must land via rebase, got $outcomes")
     assert(Manifest.versions(spark, dir) == Seq(1L, 2L, 3L))
     val ks = Manifest.read(spark, dir).select("k").as[Long].collect().toSet
     assert(Set(200L, 201L, 300L, 301L).subsetOf(ks) && ks.size == 64,
-      "both batches must be present after the conflict retry")
+      "both batches must be present")
   }
 
   test("HttpCasLogStore: config-only wiring, clean conflicts, healed slots release over HTTP") {
@@ -243,16 +258,26 @@ class LogStoreSpec extends SparkSpec {
       Manifest.create(spark, dir, base, "p")
       assert(!objects.isEmpty, "the commit must have claimed its key remotely")
 
-      // two writers race the same slot through the HTTP arbiter:
-      // exactly one loses, with a clean retryable conflict
+      // the HTTP arbiter surfaces a taken slot as a clean retryable
+      // conflict (pinned at the store; the dialect test below covers
+      // heal/release)
+      val hfs = new Path(dir).getFileSystem(hconf)
+      val hstore = LogStore.forFs(hfs)
+      val probe = new Path(dir, "_probe/slot")
+      hstore.putIfAbsent(hfs, probe, "x".getBytes("UTF-8"))
+      val clash = intercept[Throwable] {
+        hstore.putIfAbsent(hfs, probe, "y".getBytes("UTF-8"))
+      }
+      assert(Manifest.isConflict(clash),
+        s"the HTTP conditional put must conflict cleanly, got $clash")
+      // two writers race the same slot through the HTTP arbiter: the
+      // loser's clean conflict feeds the readless append rebase, so
+      // BOTH land with nothing lost
       CheckThenPutFileSystem.barrier = Some(new CyclicBarrier(2))
       val outcomes = try race(dir)
       finally CheckThenPutFileSystem.barrier = None
-      val conflicts = outcomes.flatten
-      assert(conflicts.size == 1 && Manifest.isConflict(conflicts.head),
-        s"exactly one writer must lose cleanly, got $outcomes")
-      val loser = if (outcomes.head.isDefined) batchA else batchB
-      Manifest.withConflictRetry() { Manifest.append(spark, dir, loser, "p") }
+      assert(outcomes.forall(_.isEmpty),
+        s"both racing appends must land via rebase, got $outcomes")
       assert(Manifest.versions(spark, dir) == Seq(1L, 2L, 3L))
       assert(Manifest.read(spark, dir).count() == 64)
 
