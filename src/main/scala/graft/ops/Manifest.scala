@@ -3470,7 +3470,10 @@ object Manifest {
              txn: Option[(String, Long)] = None): Unit = {
     rewriteKeyed(spark, dir, updates, partitionCol,
       requireFullSchema = true, txn = txn, keys = keys,
-      op = "UPSERT") { (target, batch, k) =>
+      op = "UPSERT",
+      // a full outer join is empty iff BOTH inputs are — skip the
+      // doubled exchange the generic emptiness probe would pay
+      emptyIffBothEmpty = true) { (target, batch, k) =>
       val dataCols = batch.columns
       target.alias("t")
         .join(batch.alias("u"),
@@ -3585,26 +3588,29 @@ object Manifest {
     // its COMMIT must not collect the snapshot either (the DV attach
     // rides the linked chain as a `dv:` line, no sentinel rewrite)
     val meta = snapshotMeta(spark, dir, Some(v))
-    val delP = renameToPhysical(deletes, meta.colMap)
-    val keysP = keys.map(physName(meta.colMap, _))
-    val pCol = physName(meta.colMap, partitionCol)
-    val touched = delP.select(col(pCol).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0)))
-    val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
-      partitionCandidates(spark, meta, pCol,
-        touched.flatten.toSet, touched.contains(None)),
-      delP, keysP)
-    if (cands.isEmpty) return
-    writeDv(spark, root,
-      dvHits(spark, root, meta.ddl, meta.dvDirs, cands, delP, keysP,
-        nullSafeKeys = false)).foreach { name =>
-      val mName =
-        if (linkedAppendEligible(spark, fs, meta))
-          linkManifest(spark, fs, root, meta, Nil, dvAdds = Seq(name))
-        else compactManifest(spark, root, meta, meta.ddl, Nil,
-          dvAdds = Seq(name))
-      commit(fs, root, v + 1, mName, op = "DELETE_MOR")
-    }
+    // persisted like the upsertMor batch: three independent consumers
+    val delP = renameToPhysical(deletes, meta.colMap).persist()
+    try {
+      val keysP = keys.map(physName(meta.colMap, _))
+      val pCol = physName(meta.colMap, partitionCol)
+      val touched = delP.select(col(pCol).cast("string")).distinct()
+        .collect().map(r => Option(r.getString(0)))
+      val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
+        partitionCandidates(spark, meta, pCol,
+          touched.flatten.toSet, touched.contains(None)),
+        delP, keysP)
+      if (cands.isEmpty) return
+      writeDv(spark, root,
+        dvHits(spark, root, meta.ddl, meta.dvDirs, cands, delP, keysP,
+          nullSafeKeys = false)).foreach { name =>
+        val mName =
+          if (linkedAppendEligible(spark, fs, meta))
+            linkManifest(spark, fs, root, meta, Nil, dvAdds = Seq(name))
+          else compactManifest(spark, root, meta, meta.ddl, Nil,
+            dvAdds = Seq(name))
+        commit(fs, root, v + 1, mName, op = "DELETE_MOR")
+      }
+    } finally delP.unpersist()
   }
 
   /** MERGE (upsert) as MERGE-ON-READ, same row semantics as [[upsert]]
@@ -3622,49 +3628,57 @@ object Manifest {
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
     // header-only planning, as in [[deleteMor]]
     val meta = snapshotMeta(spark, dir, Some(v))
-    val updP = toPhysicalFull(updates, meta.colMap, meta.ddl)
-    val keysP = keys.map(physName(meta.colMap, _))
-    val pCol = physName(meta.colMap, partitionCol)
-    require(nullableDdl(updP.schema) == meta.ddl,
-      s"batch schema ${nullableDdl(updP.schema)} != table schema ${meta.ddl}")
-    val touched = updP.select(col(pCol).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0)))
-    val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
-      partitionCandidates(spark, meta, pCol,
-        touched.flatten.toSet, touched.contains(None)),
-      updP, keysP)
-    val dataCols = updP.columns
-    val target = maskRows(readWithPos(spark, root, cands, meta.ddl),
-      dvRelation(spark, root, meta.dvDirs))
-    // column-wise merge for matched keys; unmatched updates pass
-    // through (left join leaves target columns null → coalesce = update)
-    val merged = updP.alias("u")
-      .join(target.alias("t"),
-        keysP.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
-        "left")
-      .select(dataCols.map(c =>
-        coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
-    // empty-batch guard, as in [[rewrite]]: an empty parquet write can
-    // land zero part files and the stats read-back then fails — an
-    // empty updates batch must no-op, not crash
-    val newEntries =
-      if (merged.isEmpty) Seq.empty
-      else writeBatch(spark, root, merged, pCol,
-        meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
-    val dvName =
-      if (newEntries.isEmpty) None
-      else writeDv(spark, root,
-        dvHits(spark, root, meta.ddl, meta.dvDirs, cands, updP, keysP,
-          nullSafeKeys = true))
-    if (newEntries.nonEmpty || dvName.nonEmpty) {
-      val mName =
-        if (linkedAppendEligible(spark, fs, meta))
-          linkManifest(spark, fs, root, meta, newEntries,
+    // PERSISTED: the batch feeds four independent actions (touched
+    // collect, bloom probe, the merge write, dvHits) — the change set
+    // is the small side by construction, so caching it is sound at any
+    // table size
+    val updP = toPhysicalFull(updates, meta.colMap, meta.ddl).persist()
+    try {
+      val keysP = keys.map(physName(meta.colMap, _))
+      val pCol = physName(meta.colMap, partitionCol)
+      require(nullableDdl(updP.schema) == meta.ddl,
+        s"batch schema ${nullableDdl(updP.schema)} != table schema ${meta.ddl}")
+      val touched = updP.select(col(pCol).cast("string")).distinct()
+        .collect().map(r => Option(r.getString(0)))
+      val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
+        partitionCandidates(spark, meta, pCol,
+          touched.flatten.toSet, touched.contains(None)),
+        updP, keysP)
+      val dataCols = updP.columns
+      val target = maskRows(readWithPos(spark, root, cands, meta.ddl),
+        dvRelation(spark, root, meta.dvDirs))
+      // column-wise merge for matched keys; unmatched updates pass
+      // through (left join leaves target columns null → coalesce = update)
+      val merged = updP.alias("u")
+        .join(target.alias("t"),
+          keysP.map(k => col(s"u.$k") <=> col(s"t.$k")).reduce(_ && _),
+          "left")
+        .select(dataCols.map(c =>
+          coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+      // empty-batch guard, as in [[rewrite]]: an empty parquet write can
+      // land zero part files and the stats read-back then fails — an
+      // empty updates batch must no-op, not crash. The merge is a LEFT
+      // join FROM the batch, so its row count equals the batch's —
+      // probe the (persisted) batch instead of executing the join twice
+      val newEntries =
+        if (updP.isEmpty) Seq.empty
+        else writeBatch(spark, root, merged, pCol,
+          meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+      val dvName =
+        if (newEntries.isEmpty) None
+        else writeDv(spark, root,
+          dvHits(spark, root, meta.ddl, meta.dvDirs, cands, updP, keysP,
+            nullSafeKeys = true))
+      if (newEntries.nonEmpty || dvName.nonEmpty) {
+        val mName =
+          if (linkedAppendEligible(spark, fs, meta))
+            linkManifest(spark, fs, root, meta, newEntries,
+              dvAdds = dvName.toSeq)
+          else compactManifest(spark, root, meta, meta.ddl, newEntries,
             dvAdds = dvName.toSeq)
-        else compactManifest(spark, root, meta, meta.ddl, newEntries,
-          dvAdds = dvName.toSeq)
-      commit(fs, root, v + 1, mName, op = "UPSERT_MOR")
-    }
+        commit(fs, root, v + 1, mName, op = "UPSERT_MOR")
+      }
+    } finally updP.unpersist()
   }
 
   /** Fold every live deletion vector into data: rewrite ONLY the files
@@ -3738,7 +3752,8 @@ object Manifest {
                                 txn: Option[(String, Long)] = None,
                                 keys: Seq[String] = Nil,
                                 op: String = "REWRITE",
-                                passThrough: Seq[String] = Nil)
+                                passThrough: Seq[String] = Nil,
+                                emptyIffBothEmpty: Boolean = false)
       (merge: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
@@ -3750,47 +3765,63 @@ object Manifest {
     // batches rename in place; below here everything speaks physical.
     // `passThrough` columns (caller-owned markers like a CDC change
     // flag) skip translation and are the caller's to strip in `merge`.
+    // PERSISTED: the batch feeds FOUR independent actions (the touched
+    // collect, the bloom candidate probe, the merge, and — for a
+    // complex upstream plan — each would otherwise recompute it from
+    // source; the change set is the small side by construction, so
+    // caching it is sound at any table size.
     val batch =
-      if (requireFullSchema) toPhysicalFull(batch0, meta.colMap, meta.ddl)
-      else renameToPhysical(batch0, meta.colMap, passThrough)
-    val keysP = keys.map(physName(meta.colMap, _))
-    val pCol = physName(meta.colMap, partitionCol)
-    if (requireFullSchema)
-      require(nullableDdl(batch.schema) == meta.ddl,
-        s"batch schema ${nullableDdl(batch.schema)} != table schema ${meta.ddl}")
-    // one row per touched partition — bounded by the batch, as in mergeInto
-    val touched = batch.select(col(pCol).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0)))
-    val wanted = touched.flatten.toSet
-    val wantNull = touched.contains(None)
-    // bloom-prune on the merge key where available: a candidate file
-    // holding NONE of the batch's keys would be rewritten bit-identical,
-    // so skipping it (it stays carried by reference) changes nothing
-    // but the rewrite volume
-    val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
-      partitionCandidates(spark, meta, pCol, wanted, wantNull),
-      batch, keysP)
-    // MASKED read: a candidate file's DV'd rows are logically gone and
-    // must not resurrect through the rewrite
-    val target = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
-    val merged = merge(target, batch, keysP)
-    val newEntries =
-      if (merged.isEmpty) Seq.empty
-      else writeBatch(spark, root, merged, pCol, meta.statsCols,
-        meta.constraints, bloomCols = meta.bloomCols)
-    // DV dirs carry over: rows referencing the dropped candidate files
-    // are inert from here on (they match no live file), rows on kept
-    // files still mask
-    val removes = cands.map(_.path)
-    def stage(m: SnapshotMeta): String =
-      if (linkedAppendEligible(spark, fs, m) &&
-        m.removedPaths.size + removes.size <= LinkedRemovesCap)
-        linkManifest(spark, fs, root, m, newEntries, removes)
-      else compactManifest(spark, root, m, m.ddl, newEntries, removes)
-    commitRebasing(spark, fs, root, dir, meta, v, stage, txn, op,
-      readPaths = removes.toSet, wanted = wanted, wantNull = wantNull,
-      renderSafe = partitionValuesSafe(meta.ddl, pCol))
-    maybeCheckpoint(spark, dir, pCol)
+      (if (requireFullSchema) toPhysicalFull(batch0, meta.colMap, meta.ddl)
+       else renameToPhysical(batch0, meta.colMap, passThrough)).persist()
+    try {
+      val keysP = keys.map(physName(meta.colMap, _))
+      val pCol = physName(meta.colMap, partitionCol)
+      if (requireFullSchema)
+        require(nullableDdl(batch.schema) == meta.ddl,
+          s"batch schema ${nullableDdl(batch.schema)} != table schema ${meta.ddl}")
+      // one row per touched partition — bounded by the batch, as in mergeInto
+      val touched = batch.select(col(pCol).cast("string")).distinct()
+        .collect().map(r => Option(r.getString(0)))
+      val wanted = touched.flatten.toSet
+      val wantNull = touched.contains(None)
+      // bloom-prune on the merge key where available: a candidate file
+      // holding NONE of the batch's keys would be rewritten bit-identical,
+      // so skipping it (it stays carried by reference) changes nothing
+      // but the rewrite volume
+      val cands = keyedCandidates(spark, root, meta.ddl, meta.bloomCols,
+        partitionCandidates(spark, meta, pCol, wanted, wantNull),
+        batch, keysP)
+      // MASKED read: a candidate file's DV'd rows are logically gone and
+      // must not resurrect through the rewrite
+      val target = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
+      val merged = merge(target, batch, keysP)
+      // the empty-write guard (an empty parquet write can land zero part
+      // files and the stats read-back then fails). `merged.isEmpty`
+      // EXECUTES the merge once before writeBatch executes it again —
+      // for a shuffle merge (upsert's full outer) that doubles the
+      // exchange — so callers whose merge is provably empty iff both
+      // inputs are (full outer) opt into the free driver-side check
+      val mergedEmpty =
+        if (emptyIffBothEmpty) cands.isEmpty && batch.isEmpty
+        else merged.isEmpty
+      val newEntries =
+        if (mergedEmpty) Seq.empty
+        else writeBatch(spark, root, merged, pCol, meta.statsCols,
+          meta.constraints, bloomCols = meta.bloomCols)
+      // DV dirs carry over: rows referencing the dropped candidate files
+      // are inert from here on (they match no live file), rows on kept
+      // files still mask
+      val removes = cands.map(_.path)
+      def stage(m: SnapshotMeta): String =
+        if (linkedAppendEligible(spark, fs, m) &&
+          m.removedPaths.size + removes.size <= LinkedRemovesCap)
+          linkManifest(spark, fs, root, m, newEntries, removes)
+        else compactManifest(spark, root, m, m.ddl, newEntries, removes)
+      commitRebasing(spark, fs, root, dir, meta, v, stage, txn, op,
+        readPaths = removes.toSet, wanted = wanted, wantNull = wantNull,
+        renderSafe = partitionValuesSafe(meta.ddl, pCol))
+      maybeCheckpoint(spark, dir, pCol)
+    } finally batch.unpersist()
   }
 
   /** Ops whose delta sidecar faithfully describes the commit's whole
