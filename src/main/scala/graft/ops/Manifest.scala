@@ -2439,7 +2439,8 @@ object Manifest {
                               dvAdds: Seq[String] = Nil,
                               constraintsOut: Option[Seq[String]] = None,
                               colMapOut: Option[Seq[String]] = None,
-                              dvOut: Option[Seq[String]] = None)
+                              dvOut: Option[Seq[String]] = None,
+                              bloomColsOut: Option[Seq[String]] = None)
       : String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
@@ -2453,7 +2454,8 @@ object Manifest {
       has_null = false,
       overflow = false, rows = 0L, bytes = 0L, schema_ddl = ddlOut,
       stat_cols = meta.statsCols, stat_mins = Seq.empty,
-      stat_maxs = Seq.empty, bloom_cols = meta.bloomCols,
+      stat_maxs = Seq.empty,
+      bloom_cols = bloomColsOut.getOrElse(meta.bloomCols),
       dv_dirs = dvOut.getOrElse(meta.dvDirs ++ dvAdds),
       constraints = constraintsOut.getOrElse(meta.constraints))
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
@@ -3106,44 +3108,89 @@ object Manifest {
     * columns with null; subsequent appends/upserts must carry the new
     * schema. `addCols` are (name, Spark DDL type) pairs; added columns
     * are nullable by construction. */
-  /** Is `from → to` a LOSSLESS widening the parquet reader performs on
-    * the fly (Spark 4's widening type promotions)? The whitelist behind
-    * [[widenColumn]]: integral up-ladder, {byte,short,int}/float →
-    * double, decimal growth that shrinks neither the integer digits nor
-    * the scale, and integral → decimal with room for every value.
-    * Date→timestamp and any narrowing/retyping are NOT here — stats
-    * comparability and round-trip safety are the contract, not "a cast
-    * exists". */
-  private[graft] def isWidening(from: DataType, to: DataType): Boolean = {
-    val ladder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-    val intDigits = Map[DataType, Int](ByteType -> 3, ShortType -> 5,
-      IntegerType -> 10, LongType -> 19)
+  private val WidenLadder =
+    Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+  private val IntDigits = Map[DataType, Int](ByteType -> 3, ShortType -> 5,
+    IntegerType -> 10, LongType -> 19)
+
+  /** Is `from → to` a LOSSLESS widening CAST (Spark 4's reader widening
+    * promotions)? This is the direction-check for UPCASTING a batch or
+    * a replayed stream frame — integral up-ladder, {byte,short,int}/
+    * float → double, decimal growth that shrinks neither the integer
+    * digits nor the scale, integral → decimal with room for every
+    * value. It is NOT sufficient for a metadata-only table widen —
+    * see [[isRenderStableWidening]]. */
+  private[graft] def isWidening(from: DataType, to: DataType): Boolean =
     (from, to) match {
-      case (f, t) if ladder.contains(f) && ladder.contains(t) =>
-        ladder.indexOf(f) < ladder.indexOf(t)
+      case (f, t) if WidenLadder.contains(f) && WidenLadder.contains(t) =>
+        WidenLadder.indexOf(f) < WidenLadder.indexOf(t)
       case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
         true
       case (f: DecimalType, t: DecimalType) =>
         t.scale >= f.scale &&
           t.precision - t.scale >= f.precision - f.scale &&
           (t.precision > f.precision || t.scale > f.scale)
-      case (f, t: DecimalType) if ladder.contains(f) =>
-        t.precision - t.scale >= intDigits(f)
+      case (f, t: DecimalType) if WidenLadder.contains(f) =>
+        t.precision - t.scale >= IntDigits(f)
       case _ => false
     }
-  }
+
+  /** The subset of [[isWidening]] that a METADATA-ONLY table widen can
+    * use: the stored STRING renderings (per-file partition value sets,
+    * stats min/max) must mean the same thing read under the new type,
+    * or every keyed write and pruned read after the widen compares
+    * apples to oranges — a decimal scale growth re-renders "5.00" as
+    * "5.0000" (partition equality breaks), and float→double exposes
+    * values ABOVE the recorded float-rendered max ("0.1"'s promoted
+    * value is 0.10000000149…, so stats would WRONG-PRUNE). Stable:
+    * the integral ladder, same-scale decimal precision growth, and
+    * integral → decimal(p, 0). Everything else needs a rewrite. */
+  private[graft] def isRenderStableWidening(from: DataType,
+                                            to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if WidenLadder.contains(f) && WidenLadder.contains(t) =>
+        WidenLadder.indexOf(f) < WidenLadder.indexOf(t)
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case (f, t: DecimalType) if WidenLadder.contains(f) =>
+        t.scale == 0 && t.precision >= IntDigits(f)
+      case _ => false
+    }
+
+  /** Does `xxhash64` hash a value IDENTICALLY under both types? Bloom
+    * bit positions are xxhash64-derived, so a widen of a bloom column
+    * that breaks this would make probes MISS old files' recorded bits —
+    * a skipped candidate is a lost update. Measured: byte/short/int
+    * hash alike (int-promoted), long differs; decimals hash by unscaled
+    * value at equal scale, but the ≤18-digit long-backed and >18-digit
+    * byte-array-backed representations hash differently. */
+  private[graft] def isHashStableWidening(from: DataType,
+                                          to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType | ShortType, ShortType | IntegerType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && (f.precision <= 18) == (t.precision <= 18)
+      case _ => false
+    }
 
   /** WIDEN a column's type in place — METADATA-ONLY, like [[evolve]]:
     * the sentinel commits a re-typed ddl and not one data file is
     * rewritten; old files read under the widened schema through the
-    * parquet reader's widening promotions (verified: int→long,
-    * float/int→double, decimal precision/scale growth, integral→
-    * decimal). Only [[isWidening]] conversions are accepted — a lossy
-    * or re-typing change refuses loudly. Recorded per-file stats stay
-    * comparable (integral/decimal stat strings parse identically under
-    * the wider type), so data skipping is unaffected. The
-    * Delta-type-widening counterpart, and the fold target for CDC
-    * replication of an upstream widen ([[applyChangesIfAbsent]]). */
+    * parquet reader's widening promotions (verified: int→long, decimal
+    * precision growth, integral→decimal). Only
+    * [[isRenderStableWidening]] conversions are accepted — lossless
+    * casts whose stored partition-value/stats renderings keep their
+    * meaning (integral ladder, same-scale decimal precision growth,
+    * integral→decimal(p,0)); a float→double or scale-changing widen
+    * would silently corrupt pruning and is refused toward an explicit
+    * rewrite ([[overwrite]] with the new schema). A widened BLOOM
+    * column whose xxhash64 rendering changes (e.g. int→long) is
+    * DROPPED from the bloom configuration in the same commit — old
+    * files' recorded bits can no longer answer for the new type, and a
+    * missed probe would be a lost update; keyed writes fall back to
+    * partition/stats candidate selection. The Delta-type-widening
+    * counterpart, and the fold target for CDC replication of an
+    * upstream widen ([[applyChangesIfAbsent]]). */
   def widenColumn(spark: SparkSession, dir: String, name: String,
                   newType: String): Unit = {
     val (fs, root) = fsOf(spark, dir)
@@ -3156,14 +3203,22 @@ object Manifest {
       .getOrElse(throw new IllegalArgumentException(
         s"no column $name in ${meta.ddl}"))
     val to = DataType.fromDDL(newType)
-    require(isWidening(f.dataType, to),
-      s"cannot widen $name: ${f.dataType.catalogString} → " +
-        s"${to.catalogString} is not a lossless widening (integral " +
-        "up-ladder, float/int→double, decimal growth)")
+    require(isRenderStableWidening(f.dataType, to),
+      s"cannot widen $name metadata-only: ${f.dataType.catalogString} → " +
+        s"${to.catalogString} is not a rendering-stable lossless widening " +
+        "(integral up-ladder, same-scale decimal precision growth, " +
+        "integral→decimal(p,0)) — rewrite the table (overwrite) for " +
+        "anything else")
+    val bloomOut =
+      if (meta.bloomCols.exists(_.equalsIgnoreCase(p)) &&
+        !isHashStableWidening(f.dataType, to))
+        Some(meta.bloomCols.filterNot(_.equalsIgnoreCase(p)))
+      else None
     val widened = StructType(schema.fields.map(g =>
       if (g.name.equalsIgnoreCase(p)) g.copy(dataType = to) else g))
     commit(fs, root, v + 1,
-      compactManifest(spark, root, meta, nullableDdl(widened), Nil),
+      compactManifest(spark, root, meta, nullableDdl(widened), Nil,
+        bloomColsOut = bloomOut),
       op = "WIDEN_COLUMN")
   }
 

@@ -341,6 +341,48 @@ class ManifestColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("widenColumn: hash-unstable bloom column is dropped; rendering-unstable widens refuse") {
+    val dir = newDir()
+    // n is BOTH the merge key and a bloom column; int→long changes its
+    // xxhash64, so keeping the bloom would let old files' bits MISS the
+    // long-typed probe and a keyed write would skip its candidate — the
+    // widen must drop the bloom and the upsert below must still find
+    // and rewrite the old row (lost-update check)
+    Manifest.create(spark, dir,
+      spark.range(1, 41).select($"id".as("k"),
+        ($"id" * 10).cast("int").as("n"),
+        ($"id" % 2).as("p"), ($"id".cast("float")).as("fv"),
+        ($"id".cast("decimal(10,2)")).as("dm")),
+      "p", bloomCols = Seq("n"))
+    assert(Manifest.loadSnapshot(spark, dir).bloomCols == Seq("n"))
+    Manifest.widenColumn(spark, dir, "n", "bigint")
+    assert(Manifest.loadSnapshot(spark, dir).bloomCols.isEmpty,
+      "int→long changes xxhash64 — the bloom must be dropped")
+    Manifest.upsert(spark, dir,
+      Seq((999L, 100L, 0L, 10.0f, BigDecimal(10)))
+        .toDF("k", "n", "p", "fv", "dm")
+        .select($"k", $"n", $"p", $"fv",
+          $"dm".cast("decimal(10,2)").as("dm")),
+      Seq("n"), "p")
+    val hit = Manifest.read(spark, dir).where($"n" === 100L)
+      .select("k").as[Long].collect().toSeq
+    assert(hit == Seq(999L),
+      s"keyed write after the widen must rewrite the old row, got $hit")
+    // rendering-unstable widens refuse toward a rewrite: float→double
+    // exposes values above the recorded float-rendered stats max, and
+    // a decimal scale growth re-renders stored partition values
+    intercept[IllegalArgumentException] {
+      Manifest.widenColumn(spark, dir, "fv", "double")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.widenColumn(spark, dir, "dm", "decimal(12,4)")
+    }
+    // same-scale decimal precision growth IS rendering- and hash-stable
+    Manifest.widenColumn(spark, dir, "dm", "decimal(14,2)")
+    assert(Manifest.read(spark, dir).schema("dm").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 2))
+  }
+
   test("applyChanges works on a dropped-column table (CDC replication after DROP COLUMN)") {
     val dir = newDir()
     Manifest.create(spark, dir, base, "p", statsCols = Seq("k"))
