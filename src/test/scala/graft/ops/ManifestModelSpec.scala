@@ -35,6 +35,7 @@ class ManifestModelSpec extends SparkSpec {
   case object Rename extends Op
   case object DropUndrop extends Op
   case object Restore extends Op
+  case object Widen extends Op
 
   private val keyGen = Gen.choose(1L, 40L)
   private val rowsGen = for {
@@ -55,16 +56,21 @@ class ManifestModelSpec extends SparkSpec {
     1 -> Gen.const(Cluster),
     1 -> Gen.const(Rename),
     1 -> Gen.const(DropUndrop),
-    1 -> Gen.const(Restore))
+    1 -> Gen.const(Restore),
+    1 -> Gen.const(Widen))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
 
   private def part(k: Long): Long = k % 3
 
-  private def toDf(rows: Seq[(Long, Double)], valCol: String) =
+  /** `q` is a derived int column that the Widen op re-types to bigint
+    * mid-sequence — batches must speak the table's CURRENT type. */
+  private def toDf(rows: Seq[(Long, Double)], valCol: String,
+                   qWide: Boolean) =
     rows.toDF("k", valCol).select(col("k"), col(valCol),
-      (col("k") % 3).as("p"))
+      (col("k") % 3).as("p"),
+      (col("k") % 100).cast(if (qWide) "bigint" else "int").as("q"))
 
   /** Row MULTISET (sorted seq, not a map): a duplicate-row corruption
     * must fail the compare, not collapse into one arbitrary entry. */
@@ -79,12 +85,15 @@ class ManifestModelSpec extends SparkSpec {
       // the CURRENT logical name of the value column — Rename flips it,
       // and every subsequent op (and compare) must speak the new name
       var valCol = "v"
-      Manifest.create(spark, dir, toDf(model.toSeq, valCol), "p",
-        statsCols = Seq("v"), bloomCols = Seq("k"))
-      // per-version (state, face) ledger: Restore rewinds the model to
-      // what the table held at the target version
-      var recorded = Map[Long, (Map[Long, Double], String)](
-        1L -> ((model, valCol)))
+      // whether q has been widened int→bigint (Restore can REWIND it,
+      // resurrecting the narrow sentinel — later writes must re-narrow)
+      var qWide = false
+      Manifest.create(spark, dir, toDf(model.toSeq, valCol, qWide), "p",
+        statsCols = Seq("v"), bloomCols = Seq("k", "q"))
+      // per-version (state, face, q-width) ledger: Restore rewinds the
+      // model to what the table held at the target version
+      var recorded = Map[Long, (Map[Long, Double], String, Boolean)](
+        1L -> ((model, valCol, qWide)))
 
       ops.foreach { op =>
         val vBefore = Manifest.latestVersion(spark, dir).get
@@ -95,14 +104,14 @@ class ManifestModelSpec extends SparkSpec {
             val fresh = rows.filterNot { case (k, _) => model.contains(k) }
               .distinctBy(_._1)
             if (fresh.nonEmpty) {
-              Manifest.append(spark, dir, toDf(fresh, valCol), "p")
+              Manifest.append(spark, dir, toDf(fresh, valCol, qWide), "p")
               model = model ++ fresh
             }
           case Upsert(rows, mor) =>
             val batch = rows.distinctBy(_._1)
-            if (mor) Manifest.upsertMor(spark, dir, toDf(batch, valCol),
-              Seq("k"), "p")
-            else Manifest.upsert(spark, dir, toDf(batch, valCol),
+            if (mor) Manifest.upsertMor(spark, dir,
+              toDf(batch, valCol, qWide), Seq("k"), "p")
+            else Manifest.upsert(spark, dir, toDf(batch, valCol, qWide),
               Seq("k"), "p")
             model = model ++ batch
           case Delete(keys, mor) =>
@@ -125,7 +134,8 @@ class ManifestModelSpec extends SparkSpec {
             // physical slot (always "v" — no evolve in this alphabet)
             // under the flipped name: net metadata-only, values intact
             Manifest.dropColumn(spark, dir, valCol)
-            assert(Manifest.read(spark, dir).columns.toSeq == Seq("k", "p"),
+            assert(Manifest.read(spark, dir).columns.toSeq ==
+              Seq("k", "p", "q"),
               s"case $caseId: drop must hide $valCol")
             val next = if (valCol == "v") "w" else "v"
             Manifest.undropColumn(spark, dir, "v", next)
@@ -135,12 +145,21 @@ class ManifestModelSpec extends SparkSpec {
             val vs = Manifest.versions(spark, dir)
             val target = vs(vs.length / 2)
             Manifest.restore(spark, dir, target)
-            val (m2, c2) = recorded(target)
+            val (m2, c2, q2) = recorded(target)
             model = m2
             valCol = c2
+            qWide = q2
+          case Widen =>
+            // metadata-only int→bigint on q (once; values unchanged);
+            // q is a bloom column, so the widen also drops its bloom —
+            // later keyed writes must stay exact without it
+            if (!qWide) {
+              Manifest.widenColumn(spark, dir, "q", "bigint")
+              qWide = true
+            }
         }
         val vAfter = Manifest.latestVersion(spark, dir).get
-        recorded += vAfter -> ((model, valCol))
+        recorded += vAfter -> ((model, valCol, qWide))
         assert(tableState(dir, valCol) == model.toSeq.sorted,
           s"case $caseId diverged after $op (v$vBefore->v$vAfter)")
 
