@@ -3658,12 +3658,18 @@ object Manifest {
       writeDv(spark, root,
         dvHits(spark, root, meta.ddl, meta.dvDirs, cands, delP, keysP,
           nullSafeKeys = false)).foreach { name =>
-        val mName =
-          if (linkedAppendEligible(spark, fs, meta))
-            linkManifest(spark, fs, root, meta, Nil, dvAdds = Seq(name))
-          else compactManifest(spark, root, meta, meta.ddl, Nil,
+        // rebasable like upsertMor: the standalone DV dir re-links onto
+        // a disjoint winner's tip; interleaved DV changes abort via the
+        // config compare
+        def stage(m: SnapshotMeta): String =
+          if (linkedAppendEligible(spark, fs, m))
+            linkManifest(spark, fs, root, m, Nil, dvAdds = Seq(name))
+          else compactManifest(spark, root, m, m.ddl, Nil,
             dvAdds = Seq(name))
-        commit(fs, root, v + 1, mName, op = "DELETE_MOR")
+        commitRebasing(spark, fs, root, dir, meta, v, stage, txn = None,
+          op = "DELETE_MOR", readPaths = cands.map(_.path).toSet,
+          wanted = touched.flatten.toSet, wantNull = touched.contains(None),
+          renderSafe = partitionValuesSafe(meta.ddl, pCol))
       }
     } finally delP.unpersist()
   }
@@ -3725,13 +3731,21 @@ object Manifest {
           dvHits(spark, root, meta.ddl, meta.dvDirs, cands, updP, keysP,
             nullSafeKeys = true))
       if (newEntries.nonEmpty || dvName.nonEmpty) {
-        val mName =
-          if (linkedAppendEligible(spark, fs, meta))
-            linkManifest(spark, fs, root, meta, newEntries,
+        // rebasable like the keyed rewrite: the staged files and the
+        // DV (standalone dirs, valid against the candidate files they
+        // name) re-link onto a disjoint winner's tip; an interleaved
+        // DV change aborts via the sentinel-config compare inside the
+        // gate (our hit positions were computed against the old set)
+        def stage(m: SnapshotMeta): String =
+          if (linkedAppendEligible(spark, fs, m))
+            linkManifest(spark, fs, root, m, newEntries,
               dvAdds = dvName.toSeq)
-          else compactManifest(spark, root, meta, meta.ddl, newEntries,
+          else compactManifest(spark, root, m, m.ddl, newEntries,
             dvAdds = dvName.toSeq)
-        commit(fs, root, v + 1, mName, op = "UPSERT_MOR")
+        commitRebasing(spark, fs, root, dir, meta, v, stage, txn = None,
+          op = "UPSERT_MOR", readPaths = cands.map(_.path).toSet,
+          wanted = touched.flatten.toSet, wantNull = touched.contains(None),
+          renderSafe = partitionValuesSafe(meta.ddl, pCol))
       }
     } finally updP.unpersist()
   }
@@ -3968,14 +3982,30 @@ object Manifest {
       vc += 1
     }
     val metaL = snapshotMeta(spark, dir, Some(latest))
-    val sameConfig = metaL.ddl == m.ddl &&
+    val sameCore = metaL.ddl == m.ddl &&
       metaL.statsCols == m.statsCols &&
       metaL.bloomCols == m.bloomCols &&
       metaL.constraints == m.constraints &&
-      metaL.colMap == m.colMap &&
-      metaL.dvDirs.toSet == m.dvDirs.toSet &&
-      metaL.chainDvDirs.toSet == m.chainDvDirs.toSet
-    if (sameConfig) Some(metaL) else None
+      metaL.colMap == m.colMap
+    if (!sameCore) return None
+    if (!readless) {
+      // deletion vectors: a winner's NEW vector matters only if it
+      // masks rows in files the loser READ (the loser's merge/DV-hit
+      // computation predates that deletion — rebasing would resurrect
+      // or double-delete those rows); vectors on other files coexist —
+      // two disjoint-partition MoR writers therefore reconcile. DV
+      // REMOVALS only come from ops outside [[RebasableOps]]
+      // (materialize, overwrites) and were already aborted above, but
+      // guard anyway: a vanished vector invalidates the loser's mask.
+      val oldDv = m.dvDirs.toSet
+      val newDv = metaL.dvDirs.toSet
+      if (!oldDv.subsetOf(newDv)) return None
+      val added = (newDv -- oldDv).toSeq
+      if (added.nonEmpty &&
+        dvTouchedPaths(spark, root, added).exists(readPaths.contains))
+        return None
+    }
+    Some(metaL)
   }
 
   /** The partition-touched candidate set, selected WHERE the entries

@@ -280,6 +280,53 @@ class MultiCommitSpec extends SparkSpec {
     }
   }
 
+  test("disjoint-partition MoR writers RECONCILE: DV attaches rebase like rewrites") {
+    (1 to 3).foreach { round =>
+      val dir = s"${newRoot()}/tbl"
+      // per-partition files (see the CoW sibling above)
+      Manifest.create(spark, dir,
+        (1L to 20L).map(k => (k, k * 1.0, 0L)).toDF("k", "v", "p"), "p")
+      Manifest.append(spark, dir,
+        (21L to 40L).map(k => (k, k * 1.0, 1L)).toDF("k", "v", "p"), "p")
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val go = new java.util.concurrent.CountDownLatch(1)
+      // writer 0: MoR-delete keys 1-5 (partition 0);
+      // writer 1: MoR-upsert keys 21-25 (partition 1) — disjoint files.
+      // BOTH attach DVs, and the rebase gate admits a winner's new
+      // vector when it masks none of the loser's read files — so the
+      // race must reconcile with ZERO surfaced conflicts.
+      val conflicted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = Seq(
+        () => Manifest.deleteMor(spark, dir,
+          (1L to 5L).map(k => (k, 0L)).toDF("k", "p"), Seq("k"), "p"),
+        () => Manifest.upsertMor(spark, dir,
+          (21L to 25L).map(k => (k, 999.0, 1L)).toDF("k", "v", "p"),
+          Seq("k"), "p")
+      ).map { w =>
+        new Thread(() => try { go.await(); w() } catch {
+          case t: Throwable if Manifest.isConflict(t) =>
+            // the conservative dv-change abort: re-run once, sequential
+            conflicted.incrementAndGet()
+            try w() catch { case t2: Throwable => failures.add(t2) }
+          case t: Throwable => failures.add(t)
+        })
+      }
+      threads.foreach(_.start()); go.countDown()
+      threads.foreach(_.join(180000))
+      assert(failures.isEmpty,
+        s"round $round: MoR race failed: ${failures.toArray.toSeq}")
+      assert(conflicted.get == 0,
+        s"round $round: a disjoint MoR race surfaced a conflict")
+      val st = Manifest.read(spark, dir).select("k", "v")
+        .as[(Long, Double)].collect().toMap
+      assert((1L to 5L).forall(!st.contains(_)),
+        s"round $round: MoR delete lost")
+      assert((21L to 25L).forall(st(_) == 999.0),
+        s"round $round: MoR upsert lost")
+      assert(st.size == 35, s"round $round: wrong row count ${st.size}")
+    }
+  }
+
   test("OVERLAPPING-partition race still conflicts loudly without a retry wrapper") {
     // the rebase gate must NOT swallow a genuine write-write conflict:
     // stage a loser whose read set the winner rewrote, by committing a
