@@ -3900,7 +3900,8 @@ object Manifest {
     * (no sidecar), and metadata commits change the sentinel (caught by the
     * config comparison, but excluded here too for belt-and-braces). */
   private val RebasableOps = Set("APPEND", "UPSERT", "DELETE",
-    "APPLY_CHANGES", "COMPACT", "DELETE_MOR", "UPSERT_MOR", "REWRITE")
+    "APPLY_CHANGES", "COMPACT", "DELETE_MOR", "UPSERT_MOR", "REWRITE",
+    "CLUSTER_WHERE")
 
   /** Commit the staged manifest at `baseV + 1`; on a LOST POINTER RACE,
     * try to REBASE instead of making the caller re-plan and re-stage:
@@ -4332,6 +4333,66 @@ object Manifest {
         val ins = colsP.map(mortonInputFor(spark, meta, schema, _, 31))
         graft.ops.Layout.zorderKey(ins.head, ins(1))
       })
+
+  /** PARTITION-SCOPED 2-D Z-order clustering — `OPTIMIZE ... WHERE
+    * partition IN (values) ZORDER BY (x, y)`: re-cluster only the files
+    * whose recorded partition value-sets can intersect `values`
+    * (overflowed sets always qualify), so the HOT partition gets curve
+    * locality without dragging cold history through a full-table
+    * rewrite (the [[compact]]-`values` sibling, for layout). Candidate
+    * files rewrite WHOLLY — a file spanning scoped and unscoped values
+    * keeps every row, just curve-ordered — masked (DVs fold), committed
+    * as adds+removes on the linked chain (rebasable across disjoint
+    * winners like any keyed rewrite). Curve inputs use the same
+    * stats-normalized [[Layout.mortonInput]] mapping as [[clusterZ]],
+    * with GLOBAL bounds, so files from different scoped passes order
+    * consistently. An UNSAFE partition rendering (TimestampType)
+    * refuses loudly — a "scoped" pass that silently rewrote everything
+    * would not be scoped. Returns the number of files re-clustered. */
+  def clusterZWhere(spark: SparkSession, dir: String, partitionCol: String,
+                    xCol: String, yCol: String, values: Seq[String],
+                    targetBytes: Long = 128L << 20): Long = {
+    require(values.nonEmpty, "clusterZWhere needs the partition values " +
+      "to scope to — use clusterZ for the whole table")
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val pCol = physName(meta.colMap, partitionCol)
+    require(partitionValuesSafe(meta.ddl, pCol),
+      s"partition column $partitionCol has no safe value rendering " +
+        "(TimestampType) — a scoped cluster cannot select its files; " +
+        "use clusterZ for the whole table")
+    val clusterP = Seq(xCol, yCol).map(physName(meta.colMap, _))
+    clusterP.foreach(c => require(meta.statsCols.contains(c),
+      s"cluster column $c is not a stats column " +
+        s"(${meta.statsCols.mkString(",")}) — pruning could never use it"))
+    val cands = partitionCandidates(spark, meta, pCol, values.toSet,
+      wantNull = false)
+    if (cands.isEmpty) return 0L
+    val rows = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val ins = clusterP.map(mortonInputFor(spark, meta, schema, _, 31))
+    val zkey = graft.ops.Layout.zorderKey(ins.head, ins(1))
+    val nOut = math.max(1, math.ceil(
+      cands.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val newEntries =
+      if (rows.isEmpty) Seq.empty // fully-DV'd candidates: they just drop
+      else writeBatch(spark, root, rows, pCol, meta.statsCols,
+        meta.constraints, numFiles = Some(nOut), bloomCols = meta.bloomCols,
+        clusterKey = Some(zkey))
+    val removes = cands.map(_.path)
+    def stage(m: SnapshotMeta): String =
+      if (linkedAppendEligible(spark, fs, m) &&
+        m.removedPaths.size + removes.size <= LinkedRemovesCap)
+        linkManifest(spark, fs, root, m, newEntries, removes)
+      else compactManifest(spark, root, m, m.ddl, newEntries, removes)
+    commitRebasing(spark, fs, root, dir, meta, v, stage, txn = None,
+      op = "CLUSTER_WHERE", readPaths = removes.toSet,
+      wanted = values.toSet, wantNull = false, renderSafe = true)
+    maybeCheckpoint(spark, dir, pCol)
+    cands.size.toLong
+  }
 
   /** 3-D Z-ORDER clustering: [[clusterZ]] one dimension wider — the
     * Morton interleave reads the low 21 bits of each of THREE stats

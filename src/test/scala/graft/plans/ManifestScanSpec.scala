@@ -267,6 +267,51 @@ class ManifestScanSpec extends SparkSpec {
     assert(dSlice.count() == 256 && sSlice.count() == 256)
   }
 
+  test("clusterZWhere re-clusters ONLY the scoped partition; cold files untouched") {
+    val dir = newDir()
+    // two partitions, each ingested as 4 interleaved batches over a
+    // 16×16 (x, y) grid — no axis predicate prunes pre-cluster
+    def grid(p: Long, residue: Int): DataFrame =
+      spark.range(0, 256).filter($"id" % 4 === residue).select(
+        ($"id" + p * 1000).as("k"), ($"id" % 16).as("x"),
+        ($"id" / 16).cast("long").as("y"), lit(p).as("p"))
+    Manifest.create(spark, dir, grid(0, 0), "p", statsCols = Seq("x", "y"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, grid(0, i), "p"))
+    (0 to 3).foreach(i => Manifest.append(spark, dir, grid(1, i), "p"))
+
+    def hotSlice = ManifestScan.scan(spark, dir, Some("p"))
+      .filter($"p" === 0 && $"x" < 4)
+    val preHot = filesScanned(hotSlice)
+    assert(preHot == 4, s"pre-cluster hot slice must scan all 4, got $preHot")
+    def coldEntryPaths = Manifest.loadSnapshot(spark, dir).entries
+      .filter(_.values == Seq("1")).map(_.path).toSet
+    val coldFiles = coldEntryPaths
+
+    val total = Manifest.loadSnapshot(spark, dir).entries
+      .filter(_.values == Seq("0")).map(_.bytes).sum
+    val n = Manifest.clusterZWhere(spark, dir, "p", "x", "y",
+      values = Seq("0"), targetBytes = total / 8 + 1)
+    assert(n == 4, s"exactly the 4 hot-partition files re-cluster, got $n")
+    // cold partition: same files byte-for-byte (carried by reference)
+    assert(coldEntryPaths == coldFiles,
+      "a scoped cluster must not touch the cold partition's files")
+    // hot partition: both axes now prune
+    val allHot = filesScanned(
+      ManifestScan.scan(spark, dir, Some("p")).filter($"p" === 0))
+    val hx = filesScanned(hotSlice)
+    val hy = filesScanned(ManifestScan.scan(spark, dir, Some("p"))
+      .filter($"p" === 0 && $"y" < 4))
+    assert(allHot >= 4 && hx < allHot && hy < allHot,
+      s"scoped z-order must prune the hot partition: x=$hx y=$hy of $allHot")
+    // answer invariant
+    assert(ManifestScan.scan(spark, dir).count() == 512)
+    assert(hotSlice.count() == 64)
+    // refusals: empty scope
+    intercept[IllegalArgumentException] {
+      Manifest.clusterZWhere(spark, dir, "p", "x", "y", Nil)
+    }
+  }
+
   test("clusterZ3 prunes on ALL THREE dimensions") {
     val dir = newDir()
     def grid(residue: Int): DataFrame =
