@@ -4351,9 +4351,25 @@ object Manifest {
     * would not be scoped. Returns the number of files re-clustered. */
   def clusterZWhere(spark: SparkSession, dir: String, partitionCol: String,
                     xCol: String, yCol: String, values: Seq[String],
-                    targetBytes: Long = 128L << 20): Long = {
-    require(values.nonEmpty, "clusterZWhere needs the partition values " +
-      "to scope to — use clusterZ for the whole table")
+                    targetBytes: Long = 128L << 20): Long =
+    clusterWhereBy(spark, dir, partitionCol, Seq(xCol, yCol), values,
+      targetBytes, bitsPerDim = 31)
+
+  /** [[clusterZWhere]] one dimension wider: the scoped 3-D curve
+    * rewrite (21 bits per dimension, as [[clusterZ3]]). */
+  def clusterZ3Where(spark: SparkSession, dir: String, partitionCol: String,
+                     xCol: String, yCol: String, zCol: String,
+                     values: Seq[String],
+                     targetBytes: Long = 128L << 20): Long =
+    clusterWhereBy(spark, dir, partitionCol, Seq(xCol, yCol, zCol), values,
+      targetBytes, bitsPerDim = 21)
+
+  private def clusterWhereBy(spark: SparkSession, dir: String,
+                             partitionCol: String, clusterCols: Seq[String],
+                             values: Seq[String], targetBytes: Long,
+                             bitsPerDim: Int): Long = {
+    require(values.nonEmpty, "a scoped cluster needs the partition " +
+      "values to scope to — use clusterZ/clusterZ3 for the whole table")
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
       .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
@@ -4363,7 +4379,7 @@ object Manifest {
       s"partition column $partitionCol has no safe value rendering " +
         "(TimestampType) — a scoped cluster cannot select its files; " +
         "use clusterZ for the whole table")
-    val clusterP = Seq(xCol, yCol).map(physName(meta.colMap, _))
+    val clusterP = clusterCols.map(physName(meta.colMap, _))
     clusterP.foreach(c => require(meta.statsCols.contains(c),
       s"cluster column $c is not a stats column " +
         s"(${meta.statsCols.mkString(",")}) — pruning could never use it"))
@@ -4372,8 +4388,10 @@ object Manifest {
     if (cands.isEmpty) return 0L
     val rows = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
-    val ins = clusterP.map(mortonInputFor(spark, meta, schema, _, 31))
-    val zkey = graft.ops.Layout.zorderKey(ins.head, ins(1))
+    val ins = clusterP.map(mortonInputFor(spark, meta, schema, _, bitsPerDim))
+    val zkey =
+      if (ins.size == 2) graft.ops.Layout.zorderKey(ins.head, ins(1))
+      else graft.ops.Layout.zorderKey3(ins.head, ins(1), ins(2))
     val nOut = math.max(1, math.ceil(
       cands.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val newEntries =
