@@ -382,9 +382,16 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
   private val addedBytesMemo =
     scala.collection.mutable.TreeMap.empty[Long, Long]
   private def addedBytesMemoized(v: Long): Long =
-    addedBytesMemo.getOrElseUpdate(v,
-      Manifest.commitAddedBytes(spark, tableDir, v)
-        .getOrElse(Long.MaxValue / 4))
+    addedBytesMemo.get(v).getOrElse {
+      // only a CACHEABLE answer memoizes: a sidecar that exists but
+      // failed to read may be a transient store error, and pinning its
+      // trigger-filling sentinel would mis-pace the stream forever
+      val (sz, cacheable) =
+        Manifest.commitAddedBytesCacheable(spark, tableDir, v)
+      val value = sz.getOrElse(Long.MaxValue / 4)
+      if (cacheable) addedBytesMemo.update(v, value)
+      value
+    }
   private def evictBelow(floor: Long): Unit =
     while (addedBytesMemo.nonEmpty && addedBytesMemo.firstKey <= floor)
       addedBytesMemo.remove(addedBytesMemo.firstKey)

@@ -806,10 +806,28 @@ object Manifest {
     * the caller treats those as trigger-filling on their own. One
     * pointer read + one small text read, driver-side, no Spark job. */
   private[graft] def commitAddedBytes(spark: SparkSession, dir: String,
-                                      v: Long): Option[Long] = {
+                                      v: Long): Option[Long] =
+    commitAddedBytesCacheable(spark, dir, v)._1
+
+  /** [[commitAddedBytes]] plus whether the answer may be MEMOIZED: a
+    * parsed sidecar or a deterministically ABSENT one (the file does
+    * not exist — permanent once the commit's pointer exists) cache
+    * fine; a sidecar that EXISTS but failed to read may be a transient
+    * store error ([[readDelta]] fail-softs every NonFatal into None),
+    * and caching its trigger-filling sentinel would mis-pace the
+    * stream forever instead of self-healing on the next poll. */
+  private[graft] def commitAddedBytesCacheable(spark: SparkSession,
+                                               dir: String, v: Long)
+      : (Option[Long], Boolean) = {
     val (fs, root) = fsOf(spark, dir)
     val name = readPointerLines(fs, root, v).head.trim
-    readDelta(fs, root, name).map(_.adds.map(_.bytes).sum)
+    val side = new Path(new Path(new Path(root, ManifestsDir), name),
+      DeltaFile)
+    if (!fs.exists(side)) (None, true)
+    else readDelta(fs, root, name) match {
+      case Some(d) => (Some(d.adds.map(_.bytes).sum), true)
+      case None => (None, false) // exists but unreadable: re-read later
+    }
   }
 
   private def readSnapshot(spark: SparkSession, root: Path,
@@ -2659,8 +2677,10 @@ object Manifest {
     * target: batch columns absent from the target's visible face bind
     * fresh physical slots ([[evolve]]), and batch columns arriving
     * WIDER than the target's type fold as metadata-only
-    * [[widenColumn]] commits (int→long, decimal growth — the
-    * Delta-class type-widening replication), immediately before the
+    * [[widenColumn]] commits (int→long, same-scale decimal precision
+    * growth — the Delta-class type-widening replication; widenings
+    * that are lossless but not rendering-stable, like float→double,
+    * refuse with a rewrite-the-target remedy), immediately before the
     * change application — replication keeps converging across an
     * upstream ALTER TABLE ADD COLUMNS / widening ALTER COLUMN TYPE
     * instead of refusing. Batches NARROWER than the target (a
@@ -2708,28 +2728,37 @@ object Manifest {
             if (extras.nonEmpty)
               evolve(spark, dir,
                 extras.toSeq.map(f => f.name -> f.dataType.catalogString))
-            // fold upstream TYPE WIDENINGS (int→long, decimal growth)
-            // as metadata-only [[widenColumn]] commits — replay-safe
-            // like the add-columns fold (no txn marker; a crash
-            // between widen and data commit replays into "types
-            // already match → skip"). Anything neither equal nor
-            // widening in SOME direction refuses loudly here, before
-            // union coercion could smear it into the data.
+            // fold upstream TYPE WIDENINGS (int→long, same-scale
+            // decimal precision growth) as metadata-only
+            // [[widenColumn]] commits — replay-safe like the
+            // add-columns fold (no txn marker; a crash between widen
+            // and data commit replays into "types already match →
+            // skip"). The fold gate is [[isRenderStableWidening]] —
+            // exactly what widenColumn accepts — so a lossless-but-
+            // unfoldable upstream widen (float→double, decimal scale
+            // growth) refuses HERE with the replication-level remedy
+            // instead of wedging the stream on widenColumn's require;
+            // anything widening in neither direction refuses too,
+            // before union coercion could smear it into the data.
             val paired = batch.schema.fields.filterNot(isMeta).flatMap(f =>
               visible.fields.find(_.name.equalsIgnoreCase(f.name))
                 .map(g => (f, g)))
             paired.foreach { case (f, g) =>
               if (!DataType.equalsIgnoreNullability(f.dataType, g.dataType) &&
-                !isWidening(g.dataType, f.dataType) &&
+                !isRenderStableWidening(g.dataType, f.dataType) &&
                 !isWidening(f.dataType, g.dataType))
                 throw new IllegalArgumentException(
                   s"CDC column ${f.name} arrived as " +
                     s"${f.dataType.catalogString} but the target holds " +
-                    s"${g.dataType.catalogString} — not a widening in " +
-                    "either direction; re-typing cannot replicate")
+                    s"${g.dataType.catalogString} — not foldable: only " +
+                    "rendering-stable widenings replicate metadata-only " +
+                    "(integral ladder, same-scale decimal precision " +
+                    "growth); rewrite the target with the new schema " +
+                    "(overwrite) and restart the stream")
             }
             paired
-              .filter { case (f, g) => isWidening(g.dataType, f.dataType) }
+              .filter { case (f, g) =>
+                isRenderStableWidening(g.dataType, f.dataType) }
               .foreach { case (f, g) =>
                 widenColumn(spark, dir, g.name, f.dataType.catalogString)
               }
@@ -3868,10 +3897,13 @@ object Manifest {
       // files and the stats read-back then fails). `merged.isEmpty`
       // EXECUTES the merge once before writeBatch executes it again —
       // for a shuffle merge (upsert's full outer) that doubles the
-      // exchange — so callers whose merge is provably empty iff both
-      // inputs are (full outer) opt into the free driver-side check
+      // exchange — so callers whose merge provably PRESERVES the batch
+      // rows (full outer) opt into the cheap persisted-batch probe: a
+      // nonempty batch means a nonempty merge. An EMPTY batch still
+      // probes the merge itself — candidate files can be entirely
+      // DV-masked, so cands.nonEmpty does NOT witness a nonempty target
       val mergedEmpty =
-        if (emptyIffBothEmpty) cands.isEmpty && batch.isEmpty
+        if (emptyIffBothEmpty && !batch.isEmpty) false
         else merged.isEmpty
       val newEntries =
         if (mergedEmpty) Seq.empty

@@ -295,7 +295,12 @@ object Tokenize {
         }
       }
     }
-    if (sinceCommit > 0 || Manifest.latestVersion(spark, mergesDir).isEmpty)
+    // nothing-learnable runs (no pair reached minPairCount — merges
+    // stays empty) skip the state commit entirely: an empty merges
+    // frame would be an empty parquet write, and a resume simply
+    // re-derives "done" from one pair-count aggregate
+    if (merges.nonEmpty &&
+      (sinceCommit > 0 || Manifest.latestVersion(spark, mergesDir).isEmpty))
       commitState()
     words.unpersist()
     mergeTableDf(spark, merges.toSeq.takeWhile(_._1 <= numMerges))

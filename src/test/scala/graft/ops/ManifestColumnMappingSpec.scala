@@ -381,6 +381,21 @@ class ManifestColumnMappingSpec extends SparkSpec {
     Manifest.widenColumn(spark, dir, "dm", "decimal(14,2)")
     assert(Manifest.read(spark, dir).schema("dm").dataType ==
       org.apache.spark.sql.types.DecimalType(14, 2))
+    // the CDC fold gate matches widenColumn's rule: an upstream
+    // float→double widen (lossless cast, NOT rendering-stable) refuses
+    // at the replication level with the rewrite remedy instead of
+    // wedging on widenColumn's require (code-review finding)
+    val batch = Seq((999L, 123L, 0L, 1.5d,
+        BigDecimal(1), "insert"))
+      .toDF("k", "n", "p", "fv", "dm", "change")
+      .select($"k", $"n", $"p", $"fv",
+        $"dm".cast("decimal(14,2)").as("dm"), $"change")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.applyChangesIfAbsent(spark, dir, batch, Seq("n"), "p",
+        "cmap-widen-app", 1L, evolveSchema = true)
+    }
+    assert(e.getMessage.contains("not foldable"),
+      s"expected the replication-level refusal, got: ${e.getMessage}")
   }
 
   test("applyChanges works on a dropped-column table (CDC replication after DROP COLUMN)") {

@@ -359,4 +359,23 @@ class ManifestDvSpec extends SparkSpec {
     assert(scanned.count() == 99)
     assert(scanned.filter($"k" === 7L).count() == 0)
   }
+
+  test("empty upsert over fully-DV-masked candidates no-ops (code-review finding)") {
+    // a TIMESTAMP partition column makes candidate selection unscoped
+    // (unsafe rendering → EVERY live entry is a candidate), so an empty
+    // batch still has nonempty candidates; MoR-delete every row so the
+    // masked target is empty too. The merged full outer is then empty
+    // with a nonempty candidate list — the empty-write guard must probe
+    // the MERGE, not infer emptiness from (cands, batch).
+    val dir = newDir()
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Manifest.create(spark, dir,
+      Seq((1L, 1.0, ts), (2L, 2.0, ts)).toDF("k", "v", "p"), "p")
+    Manifest.deleteMor(spark, dir,
+      Seq((1L, ts), (2L, ts)).toDF("k", "p"), Seq("k"), "p")
+    val empty = Seq.empty[(Long, Double, java.sql.Timestamp)]
+      .toDF("k", "v", "p")
+    Manifest.upsert(spark, dir, empty, Seq("k"), "p") // must not crash
+    assert(Manifest.read(spark, dir).count() == 0)
+  }
 }

@@ -125,6 +125,19 @@ class TokenizeSpec extends SparkSpec {
       batchCap = 2, commitEveryRounds = 3)) == full)
   }
 
+  test("bpeTrainResumable: a nothing-learnable corpus returns empty without a state commit") {
+    // every word unique → no pair reaches minPairCount → zero merges;
+    // committing the empty merge table would be an empty parquet write
+    // (code-review finding) — the run must skip the commit and a resume
+    // must re-derive "done" from scratch, also without crashing
+    val docs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val state = s"${java.nio.file.Files.createTempDirectory("graft-bpe0")}/st"
+    assert(Tokenize.bpeTrainResumable(docs, 5, state).collect().isEmpty)
+    assert(Manifest.latestVersion(spark, s"$state/merges").isEmpty,
+      "no state table may be created for zero merges")
+    assert(Tokenize.bpeTrainResumable(docs, 5, state).collect().isEmpty)
+  }
+
   test("greedy left-to-right merge: 'a a a' under (a,a) gives [aa, a]") {
     val out = Seq(Tuple1(Seq("a", "a", "a")))
       .toDF("syms")
