@@ -1160,6 +1160,34 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Partition-scoped Z-order (ops.Manifest.clusterZWhere — OPTIMIZE
+    // WHERE ... ZORDER BY): re-clusters ONLY the 'F' partition's files
+    // on the (custkey, order date) curve — a date key, so the
+    // stats-normalized non-integral Morton mapping runs inside a
+    // committed lifecycle — and the oracle recomputes the relation from
+    // scratch: layout maintenance must never change the answer.
+    "lay_zorder_where" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_zwhere_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderstatus",
+        statsCols = Seq("o_custkey", "o_date"))
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 2 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.clusterZWhere(s, dir, "o_orderstatus",
+        "o_custkey", "o_date", values = Seq("F"))
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Metadata-only TYPE WIDENING (ops.Manifest.widenColumn): the
     // sentinel re-types qty int→bigint without rewriting a file; old
     // int-physical parquet reads under the widened schema via the
@@ -3814,6 +3842,13 @@ ORDER BY step"""
         |SELECT o_orderkey, o_totalprice, o_orderstatus, 'late'
         |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Layout maintenance is answer-invariant: the scoped-cluster
+    // lifecycle's final relation is just the source projection.
+    "lay_zorder_where" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // The widened relation recomputed from scratch: the base rows'
     // int-physical qty must read back as exact BIGINTs alongside the
