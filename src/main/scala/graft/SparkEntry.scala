@@ -645,6 +645,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Hilbert index (functions.Hilbert2, the clusterHilbert key —
+    // Morton's locality-superior sibling): bit-for-bit oracle via a
+    // 31-step recursive-CTE replay of the classic xy2d walk.
+    "lay_hilbert" -> ((s, d) => {
+      val day = datediff(col("o_orderdate"),
+        lit("1995-01-01").cast("date")).cast("long")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          graft.functions.GraftExpressions.hilbert2(col("o_custkey"), day).as("hkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // 3-D Morton interleave (functions.ZOrder3, the clusterZ3 key):
     // bit-for-bit oracle of the 21-bit three-way interleave.
     "lay_zorder3" -> ((s, d) => {
@@ -1240,6 +1252,35 @@ object SparkEntry {
           col("o_orderstatus").cast("string").as("o_orderstatus"),
           col("change"))
         .orderBy(col("o_orderkey"), col("change"))
+    }),
+
+    // Predicate DELETE (`DELETE FROM t WHERE p`) through all three
+    // planning tiers: a retention predicate on the partition column
+    // drops whole months METADATA-ONLY (exact value-set tier), a
+    // price predicate rewrites only the files whose recorded min/max
+    // can match (stats tier), and a key predicate lands as one
+    // deletion vector (merge-on-read). The oracle recomputes the
+    // surviving relation from scratch — three deletes, one WHERE.
+    "man_delete_where" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mandelw_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+          trunc(col("o_orderdate"), "month").as("o_month"))
+      graft.ops.Manifest.create(s, dir, orders, "o_month",
+        statsCols = Seq("o_totalprice"))
+      graft.ops.Manifest.deleteWhere(s, dir,
+        "o_month < DATE '1994-01-01'", "o_month")
+      graft.ops.Manifest.deleteWhere(s, dir,
+        "o_totalprice > 400000.0", "o_month")
+      graft.ops.Manifest.deleteWhereMor(s, dir,
+        "o_orderkey % 10 = 0", "o_month")
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // Keyed DELETE on the Manifest path alone (the mrg_delete sibling):
@@ -3741,6 +3782,43 @@ ORDER BY step"""
         |        FROM orders)
         |) ORDER BY o_orderkey""".stripMargin,
 
+    // The 31-level Hilbert walk replayed exactly: per level, the
+    // quadrant pair adds s²·((3·rx) XOR ry) and the frame
+    // rotates/reflects when ry = 0 — pure integer recursion, so the
+    // hash match is bit-for-bit.
+    "lay_hilbert" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders
+        |), h AS (
+        |  SELECT o_orderkey,
+        |    o_custkey & 2147483647 AS x,
+        |    day & 2147483647 AS y,
+        |    CAST(0 AS BIGINT) AS dd,
+        |    CAST(1073741824 AS BIGINT) AS s
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      (CASE WHEN (x & s) <> 0 THEN s - 1 - y ELSE y END)
+        |    ELSE x END AS x,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      (CASE WHEN (x & s) <> 0 THEN s - 1 - x ELSE x END)
+        |    ELSE y END AS y,
+        |    dd + s * s * (CASE
+        |      WHEN (x & s) = 0 AND (y & s) = 0 THEN 0
+        |      WHEN (x & s) = 0 THEN 1
+        |      WHEN (y & s) <> 0 THEN 2
+        |      ELSE 3 END) AS dd,
+        |    s // 2 AS s
+        |  FROM h WHERE s > 0
+        |)
+        |SELECT p.o_orderkey, p.o_custkey, p.day, h.dd AS hkey
+        |FROM pts p JOIN h ON p.o_orderkey = h.o_orderkey AND h.s = 0
+        |ORDER BY p.o_orderkey""".stripMargin,
+
     // 3-way 21-bit interleave, bit positions 3i/3i+1/3i+2.
     "lay_zorder3" ->
       """SELECT o_orderkey, o_custkey, day,
@@ -3883,6 +3961,18 @@ ORDER BY step"""
         |    'insert' AS change FROM upd
         |)
         |ORDER BY o_orderkey, change""".stripMargin,
+
+    // Three predicate deletes (metadata-only month drop, stats-tier
+    // price rewrite, merge-on-read key mask) compose to one WHERE over
+    // the original relation — planning tiers must never change the
+    // answer.
+    "man_delete_where" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE NOT (date_trunc('month', o_orderdate) < DATE '1994-01-01')
+        |  AND NOT (o_totalprice > 400000.0)
+        |  AND NOT (o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Manifest delete keeps exactly the non-matching keys (same
     // semantics as mrg_delete, different commit protocol).

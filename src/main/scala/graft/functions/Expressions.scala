@@ -666,6 +666,73 @@ object GraftExpressions {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** HILBERT index of two dimension keys — [[ZOrder2]]'s
+    * locality-superior sibling (Delta Lake's liquid clustering moved
+    * from Morton to Hilbert for exactly this): consecutive curve
+    * positions are ALWAYS grid neighbors, so a sorted-by-key file's
+    * bounding box is tighter than Morton's (whose curve takes 2^k-long
+    * diagonal jumps between quadrant blocks, periodically inflating a
+    * file's min/max range in both dimensions).
+    *
+    * Standard iterative base-conversion (the classic `xy2d` of Hilbert
+    * 1891 via Butz's algorithm, as on the public curve literature):
+    * walk the 31 levels from the top; at each level the quadrant pair
+    * `(rx, ry)` contributes `s² · ((3·rx) XOR ry)` and the lower
+    * levels' frame rotates/reflects when `ry = 0`. Inputs mask to the
+    * low 31 bits each (same contract as [[ZOrder2]]); the result is a
+    * non-negative 62-bit long. Deterministic pure integer math: DuckDB
+    * replays it bit-for-bit with a 31-step recursive CTE
+    * (`lay_hilbert` oracle). */
+  case class Hilbert2(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"hilbert2 requires (bigint, bigint), got (${l.catalogString}, ${r.catalogString})")
+      }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      var x = a.asInstanceOf[Long] & 0x7FFFFFFFL
+      var y = b.asInstanceOf[Long] & 0x7FFFFFFFL
+      var d = 0L
+      var s = 1L << 30
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      java.lang.Long.valueOf(d)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (x, y, d, s, rx, ry, t) = (ctx.freshName("hx"), ctx.freshName("hy"),
+        ctx.freshName("hd"), ctx.freshName("hs"), ctx.freshName("hrx"),
+        ctx.freshName("hry"), ctx.freshName("ht"))
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |long $x = $a & 0x7FFFFFFFL;
+        |long $y = $b & 0x7FFFFFFFL;
+        |long $d = 0L;
+        |for (long $s = 1L << 30; $s > 0; $s >>= 1) {
+        |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+        |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+        |  $d += $s * $s * ((3L * $rx) ^ $ry);
+        |  if ($ry == 0) {
+        |    if ($rx == 1) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+        |    long $t = $x; $x = $y; $y = $t;
+        |  }
+        |}
+        |${ev.value} = $d;
+        |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Hilbert2 =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Product-quantization encoder (Jégou/Douze/Schmid, "Product
     * quantization for nearest neighbor search", TPAMI 2011): the input
     * vector is quantized to exact integers (`floor(x·scale)`), split
@@ -1092,6 +1159,8 @@ object GraftExpressions {
     c(ZOrder2(e(x.cast("long")), e(y.cast("long"))))
   def zorder3(x: Column, y: Column, z: Column): Column =
     c(ZOrder3(e(x.cast("long")), e(y.cast("long")), e(z.cast("long"))))
+  def hilbert2(x: Column, y: Column): Column =
+    c(Hilbert2(e(x.cast("long")), e(y.cast("long"))))
   def pq_encode(vec: Column, codebook: Array[Long], m: Int, ksub: Int,
                 subDim: Int, scale: Int = 1000): Column =
     c(PqEncode(e(vec), codebook, m, ksub, subDim, scale))
@@ -1118,5 +1187,6 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("sig_agreement", exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder2", exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder3", exprs => ZOrder3(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("hilbert2", exprs => Hilbert2(exprs(0), exprs(1)), "built-in")
   }
 }

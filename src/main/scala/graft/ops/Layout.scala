@@ -36,6 +36,13 @@ object Layout {
   def zorderKey3(x: Column, y: Column, z: Column): Column =
     GraftExpressions.zorder3(x, y, z)
 
+  /** Hilbert key of two dimension columns — the locality-superior
+    * curve ([[graft.functions.GraftExpressions.Hilbert2]]): consecutive
+    * key values are always grid neighbors, so range-partitioned files
+    * carry tighter per-dimension bounding boxes than Morton's. */
+  def hilbertKey(x: Column, y: Column): Column =
+    GraftExpressions.hilbert2(x, y)
+
   /** The integral Morton-curve input for a clustering column of type
     * `dt` — the mapping that makes DATE/TIMESTAMP/STRING first-class
     * z-order keys (date is THE production clustering axis; the

@@ -3589,6 +3589,250 @@ object Manifest {
     }
   }
 
+  /** Build the serializable per-entry DELETE-WHERE tier classifier:
+    * 0 = provably NO row matches the predicate, 1 = provably EVERY row
+    * matches, 2 = straddler (row-level work needed). `sqlP` speaks
+    * PHYSICAL names. The predicate is resolved and optimized by
+    * Catalyst against the physical schema once, here (constant folding,
+    * null-intolerance guards, NOT-pushdown into bare comparisons — the
+    * forms the shared stats pruning compiles); the returned closure
+    * captures only serializable pieces so it can run inside a
+    * `Dataset.map` over the manifest relation.
+    *
+    * The FULL tier (1) is EXACT, never approximate: it exists only when
+    * the predicate (a) constrains the PARTITION column alone — whose
+    * per-file value sets are exhaustive distinct values, (b) is
+    * deterministic, and (c) the rendering is session-independent
+    * ([[partitionValuesSafe]]). Then a non-overflowed file whose every
+    * recorded value evaluates TRUE (and which holds no null — a null
+    * predicate never deletes, SQL's WHERE contract) provably matches
+    * row-for-row. Min/max stats can never prove FULL (they carry no
+    * null counts), so everything else degrades to NONE-vs-MAYBE through
+    * [[graft.plans.ManifestScan.entryMayMatch]]. */
+  private def deleteTierClassifier(spark: SparkSession, meta: SnapshotMeta,
+                                   pCol: String,
+                                   sqlP: String): ManifestEntry => Int = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, BindReferences, Cast, EvalMode, Expression, GenericInternalRow, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    // an RDD-backed frame (NOT a LocalRelation): the optimizer cannot
+    // fold it away as known-empty, so the plan keeps its Filter node
+    // and we read the optimized condition out of it
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val plan = df0.filter(expr(sqlP)).queryExecution.optimizedPlan
+    val filters = plan.collect { case f: LFilter => f }
+    if (filters.isEmpty) {
+      // constant predicate, folded away entirely: FALSE prunes the plan
+      // to a known-empty relation (delete nothing); TRUE drops the
+      // Filter node (every file drops — metadata-only TRUNCATE)
+      val none = plan match {
+        case l: LocalRelation => l.data.isEmpty
+        case _ => false
+      }
+      return if (none) (_: ManifestEntry) => 0 else (_: ManifestEntry) => 1
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val conds = filters.flatMap(f => split(f.condition))
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val mayMatch = graft.plans.ManifestScan.entryMayMatch(
+      schema, meta.statsCols, Some(pCol), tz, conds)
+    val exact = conds.forall(c => c.deterministic &&
+      c.references.forall(_.name.equalsIgnoreCase(pCol))) &&
+      partitionValuesSafe(meta.ddl, pCol)
+    if (!exact) { (e: ManifestEntry) => if (mayMatch(e)) 2 else 0 }
+    else {
+      val out = filters.head.child.output
+      val bound = BindReferences.bindReference(
+        conds.reduce[Expression](CAnd(_, _)), out)
+      val ord = out.indexWhere(_.name.equalsIgnoreCase(pCol))
+      val dt = out(ord).dataType
+      val width = out.size
+      (e: ManifestEntry) => {
+        if (e.overflow) { if (mayMatch(e)) 2 else 0 }
+        else {
+          val row = new GenericInternalRow(width)
+          // a null partition value never satisfies the predicate, so it
+          // blocks FULL but cannot create a match
+          var full = !e.has_null && e.values.nonEmpty
+          var any = false
+          var unknown = false
+          e.values.foreach { s =>
+            val v =
+              if (dt == StringType) UTF8String.fromString(s)
+              else Cast(Literal(UTF8String.fromString(s), StringType),
+                dt, Some(tz), EvalMode.TRY).eval(null)
+            if (v == null) unknown = true // unparsable rendering: stay safe
+            else {
+              row.update(ord, v)
+              if (bound.eval(row) == true) any = true else full = false
+            }
+          }
+          if (unknown) 2
+          else if (!any) 0
+          else if (full) 1
+          else 2
+        }
+      }
+    }
+  }
+
+  /** [[deleteWhere]]/[[deleteWhereMor]]'s planning half: classify the
+    * snapshot's entries WHERE THEY LIVE (two jobs over the manifest
+    * relation — a tier count, then a collect of only the touched
+    * entries), so driver heap stays O(touched files) at any table size.
+    * Returns (total live files, provably-full entries, straddler
+    * entries, allFull): when EVERY file is provably full (`DELETE WHERE
+    * true`, or a predicate the whole table matches) the entry collect
+    * is skipped entirely — the caller re-roots a fresh empty manifest,
+    * a metadata-only truncate with no O(entries) driver work. */
+  private def deleteWhereTiers(spark: SparkSession, meta: SnapshotMeta,
+                               pCol: String, sqlP: String)
+      : (Long, Seq[Entry], Seq[Entry], Boolean) = {
+    import spark.implicits._
+    val classify = deleteTierClassifier(spark, meta, pCol, sqlP)
+    val tiers = entriesDataset(spark, meta).map(e => (classify(e), e))
+    val counts = tiers.toDF("tier", "e").groupBy("tier").count()
+      .as[(Int, Long)].collect().toMap
+    val nTotal = counts.values.sum
+    val nFull = counts.getOrElse(1, 0L)
+    if (nTotal > 0 && nFull == nTotal) (nTotal, Nil, Nil, true)
+    else if (nFull + counts.getOrElse(2, 0L) == 0L) (nTotal, Nil, Nil, false)
+    else {
+      val touched = tiers.filter(_._1 > 0).collect()
+      (nTotal, touched.filter(_._1 == 1).map(_._2).toSeq,
+        touched.filter(_._1 == 2).map(_._2).toSeq, false)
+    }
+  }
+
+  /** Predicate DELETE — `DELETE FROM t WHERE p` — planned from the
+    * manifest's own metadata in three tiers, the Delta-class shape for
+    * the 100 TB retention delete (`WHERE order_date < X`):
+    *
+    *  - files whose rows PROVABLY ALL match drop METADATA-ONLY (exact
+    *    partition-value-set evaluation: zero bytes read or written —
+    *    dropping a year of history from a date-partitioned table is a
+    *    pointer swap);
+    *  - files that PROVABLY CANNOT match (exact value sets, or min/max
+    *    stats through the same compiled pruning every planning venue
+    *    runs) are carried by reference, untouched;
+    *  - only the STRADDLERS are read (DV-masked) and rewritten without
+    *    their matching rows. Rows where `p` evaluates NULL are KEPT
+    *    (SQL's WHERE contract: only `p IS TRUE` deletes).
+    *
+    * `predicate` is ANSI SQL over the table's visible (logical)
+    * columns. The commit is adds+removes on the linked chain; a
+    * concurrent commit surfaces as a conflict with NO rebase — unlike
+    * the keyed writes, a predicate's future matches cannot be bounded
+    * to a partition set, so reusing the staged result across an
+    * interleaved winner could miss the winner's rows; re-plan via
+    * [[withConflictRetry]] instead. `DELETE WHERE true` degenerates to
+    * a metadata-only TRUNCATE (fresh sentinel re-root, no entry
+    * collect). Returns per-tier file counts. */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String,
+                  partitionCol: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val pCol = physName(meta.colMap, partitionCol)
+    val sqlP = sqlToPhysical(spark, predicate, meta.colMap)
+    val (nTotal, fulls, maybes, allFull) =
+      deleteWhereTiers(spark, meta, pCol, sqlP)
+    if (allFull) {
+      commit(fs, root, v + 1, freshManifest(spark, root, meta, Nil),
+        op = "DELETE_WHERE")
+      maybeCheckpoint(spark, dir, pCol)
+      return Map("files_dropped" -> nTotal, "files_rewritten" -> 0L)
+    }
+    if (fulls.isEmpty && maybes.isEmpty)
+      return Map("files_dropped" -> 0L, "files_rewritten" -> 0L)
+    val newEntries =
+      if (maybes.isEmpty) Seq.empty[Entry]
+      else {
+        val kept = readEntriesMasked(spark, root, maybes, meta.ddl,
+          meta.dvDirs)
+          .filter(!coalesce(expr(sqlP), lit(false)))
+          .persist()
+        try {
+          // empty-write guard, as in [[rewriteKeyed]]: the straddlers'
+          // kept rows can genuinely be zero
+          if (kept.isEmpty) Seq.empty[Entry]
+          else writeBatch(spark, root, kept, pCol, meta.statsCols,
+            meta.constraints, bloomCols = meta.bloomCols)
+        } finally kept.unpersist()
+      }
+    val removes = (fulls ++ maybes).map(_.path)
+    val name =
+      if (linkedAppendEligible(spark, fs, meta) &&
+        meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+        linkManifest(spark, fs, root, meta, newEntries, removes)
+      else compactManifest(spark, root, meta, meta.ddl, newEntries, removes)
+    commit(fs, root, v + 1, name, op = "DELETE_WHERE")
+    maybeCheckpoint(spark, dir, pCol)
+    Map("files_dropped" -> fulls.size.toLong,
+      "files_rewritten" -> maybes.size.toLong)
+  }
+
+  /** [[deleteWhere]] as MERGE-ON-READ: provably-full files still drop
+    * METADATA-ONLY (cheaper than any vector), provably-clean files are
+    * untouched, and the straddlers' matching rows are masked by ONE new
+    * deletion vector instead of rewritten — write cost O(matched rows),
+    * so the retention delete finishes in seconds regardless of file
+    * sizes; [[maintain]]/[[materialize]] fold the read debt later. Same
+    * predicate semantics and conflict contract as [[deleteWhere]].
+    * Returns `files_dropped` (metadata-only) and `files_masked`
+    * (straddler candidates the new vector may touch). */
+  def deleteWhereMor(spark: SparkSession, dir: String, predicate: String,
+                     partitionCol: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val pCol = physName(meta.colMap, partitionCol)
+    val sqlP = sqlToPhysical(spark, predicate, meta.colMap)
+    val (nTotal, fulls, maybes, allFull) =
+      deleteWhereTiers(spark, meta, pCol, sqlP)
+    if (allFull) {
+      commit(fs, root, v + 1, freshManifest(spark, root, meta, Nil),
+        op = "DELETE_WHERE_MOR")
+      maybeCheckpoint(spark, dir, pCol)
+      return Map("files_dropped" -> nTotal, "files_masked" -> 0L)
+    }
+    if (fulls.isEmpty && maybes.isEmpty)
+      return Map("files_dropped" -> 0L, "files_masked" -> 0L)
+    // positions of still-visible straddler rows the predicate matches:
+    // masking by the EXISTING vectors first keeps the new vector
+    // disjoint from them (re-deleting a dead row must not double-count
+    // in the change feed), as in [[dvHits]]
+    val dvName =
+      if (maybes.isEmpty) None
+      else writeDv(spark, root,
+        maskRows(readWithPos(spark, root, maybes, meta.ddl),
+          dvRelation(spark, root, meta.dvDirs))
+          .filter(coalesce(expr(sqlP), lit(false)))
+          .select(col("__rel").as("path"), col("__pos").as("pos")))
+    val removes = fulls.map(_.path)
+    if (dvName.isEmpty && removes.isEmpty)
+      return Map("files_dropped" -> 0L, "files_masked" -> 0L)
+    val name =
+      if (linkedAppendEligible(spark, fs, meta) &&
+        meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+        linkManifest(spark, fs, root, meta, Nil, removes,
+          dvAdds = dvName.toSeq)
+      else compactManifest(spark, root, meta, meta.ddl, Nil, removes,
+        dvAdds = dvName.toSeq)
+    commit(fs, root, v + 1, name, op = "DELETE_WHERE_MOR")
+    maybeCheckpoint(spark, dir, pCol)
+    Map("files_dropped" -> fulls.size.toLong,
+      "files_masked" -> (if (dvName.isEmpty) 0L else maybes.size.toLong))
+  }
+
   // -------- merge-on-read (deletion vectors) --------
 
   /** Positions of the still-visible candidate rows matching `keys` of
@@ -3933,7 +4177,7 @@ object Manifest {
     * config comparison, but excluded here too for belt-and-braces). */
   private val RebasableOps = Set("APPEND", "UPSERT", "DELETE",
     "APPLY_CHANGES", "COMPACT", "DELETE_MOR", "UPSERT_MOR", "REWRITE",
-    "CLUSTER_WHERE")
+    "CLUSTER_WHERE", "DELETE_WHERE", "DELETE_WHERE_MOR")
 
   /** Commit the staged manifest at `baseV + 1`; on a LOST POINTER RACE,
     * try to REBASE instead of making the caller re-plan and re-stage:
@@ -4364,6 +4608,25 @@ object Manifest {
         val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
         val ins = colsP.map(mortonInputFor(spark, meta, schema, _, 31))
         graft.ops.Layout.zorderKey(ins.head, ins(1))
+      })
+
+  /** 2-D HILBERT clustering — [[clusterZ]] on the locality-superior
+    * curve ([[graft.functions.GraftExpressions.Hilbert2]]; the move
+    * Delta's liquid clustering made from Morton): consecutive curve
+    * positions are always grid NEIGHBORS, so each range-partitioned
+    * file's bounding box is tighter than Morton's quadrant-jumping
+    * curve gives — the same predicates prune to fewer files. Identical
+    * input mapping ([[Layout.mortonInput]], stats-normalized to the
+    * full 31-bit budget), commit/DV/constraint mechanics, and refusal
+    * contract as [[clusterZ]]. */
+  def clusterHilbert(spark: SparkSession, dir: String, partitionCol: String,
+                     xCol: String, yCol: String,
+                     targetBytes: Long = 128L << 20): Unit =
+    clusterBy(spark, dir, partitionCol, Seq(xCol, yCol), targetBytes,
+      (meta, colsP) => {
+        val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+        val ins = colsP.map(mortonInputFor(spark, meta, schema, _, 31))
+        graft.ops.Layout.hilbertKey(ins.head, ins(1))
       })
 
   /** PARTITION-SCOPED 2-D Z-order clustering — `OPTIMIZE ... WHERE

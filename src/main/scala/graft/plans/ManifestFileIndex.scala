@@ -613,6 +613,26 @@ object ManifestScan {
   val DistributedMinBytesKey = "graft.manifest.planning.distributedMinBytes"
   val DistributedMinBytesDefault: Long = 128L << 20
 
+  /** Compile resolved, PHYSICAL-named predicate conjuncts into one
+    * entry-level may-match closure — the SAME exact pruning code all
+    * three planning venues run ([[ManifestPruning]]), exposed for
+    * ops-layer planners ([[graft.ops.Manifest.deleteWhere]]) that
+    * classify entries outside a FileIndex. Serializable, so it runs
+    * inside a `Dataset` over the manifest relation on executors.
+    * Sound over-approximation: `true` = the file MAY hold a matching
+    * row; `false` = it provably cannot. */
+  private[graft] def entryMayMatch(dataSchema: StructType,
+                                   statsCols: Seq[String],
+                                   partitionCol: Option[String],
+                                   sessionTimeZone: String,
+                                   conds: Seq[Expression])
+      : ManifestEntry => Boolean = {
+    val pruning = new ManifestPruning(dataSchema, statsCols,
+      partitionCol, sessionTimeZone)
+    val ps = conds.map(pruning.compile)
+    e => ps.forall(p => p(e))
+  }
+
   /** A manifest table as a planner-native DataFrame: file listing from
     * the committed snapshot (version `v`, default latest), data
     * skipping from the manifest's stats (see [[ManifestFileIndex]]),

@@ -75,6 +75,57 @@ class LayoutSpec extends SparkSpec {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("hilbert2: complete neighbor-walk over a 64×64 grid; masks to 31 bits; null-propagates") {
+    // full correctness certificate on a sub-grid: the 31-level Hilbert
+    // index restricted to [0,64)² is a bijection onto [0,4096) whose
+    // CONSECUTIVE positions are always grid neighbors — the defining
+    // property Morton lacks (its curve jumps across quadrant blocks),
+    // and the reason Hilbert files carry tighter bounding boxes
+    val pts = spark.range(0, 4096).select(
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+      .select($"x", $"y", GraftExpressions.hilbert2($"x", $"y").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pts.map(_._3).toSet == (0L until 4096L).toSet,
+      "hilbert2 over [0,64)² must be a bijection onto [0,4096)")
+    val path = pts.sortBy(_._3)
+    path.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1,
+        s"consecutive hilbert positions must be grid neighbors: $a -> $b")
+    }
+    // masking to the low 31 bits (zorder2's contract) on big/negative
+    // inputs, against an independent re-derivation of xy2d
+    def ref(x0: Long, y0: Long): Long = {
+      var x = x0 & 0x7FFFFFFFL; var y = y0 & 0x7FFFFFFFL
+      var d = 0L; var s = 1L << 30
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val big = Seq((0x7FFFFFFFL, 0x7FFFFFFFL), (1L << 40 | 6L, 9L), (-1L, 2L))
+      .toDF("x", "y")
+      .select($"x", $"y", GraftExpressions.hilbert2($"x", $"y").as("d"))
+      .collect()
+    big.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+      s"hilbert2(${r.getLong(0)}, ${r.getLong(1)})"))
+    // interpreted eval (no-codegen context) agrees with the codegen path
+    val e = GraftExpressions.Hilbert2(
+      org.apache.spark.sql.catalyst.expressions.Literal(123456789L),
+      org.apache.spark.sql.catalyst.expressions.Literal(987654321L))
+    assert(e.eval(null) == ref(123456789L, 987654321L))
+    val nulls = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .select(GraftExpressions.hilbert2($"x", $"y")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("z-ordered layout prunes row groups on BOTH dimensions; random layout scans everything") {
     val orders = Sources.table(spark, "/root/testdata/sf0.01", "orders")
       .select($"o_orderkey", $"o_custkey",

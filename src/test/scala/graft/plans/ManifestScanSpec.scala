@@ -229,6 +229,33 @@ class ManifestScanSpec extends SparkSpec {
     assert(xSlice.count() == 256 && ySlice.count() == 256)
   }
 
+  test("clusterHilbert prunes on BOTH dimensions; the relation is unchanged") {
+    val dir = newDir()
+    // same genuinely-2-D grid as the clusterZ case: 4 residue-interleaved
+    // batches, so pre-cluster neither axis predicate prunes anything
+    def grid(residue: Int): DataFrame =
+      spark.range(0, 1024).filter($"id" % 4 === residue).select(
+        $"id".as("k"), ($"id" % 32).as("x"),
+        ($"id" / 32).cast("long").as("y"), lit(0L).as("p"))
+    Manifest.create(spark, dir, grid(0), "p", statsCols = Seq("x", "y"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, grid(i), "p"))
+    def xSlice = ManifestScan.scan(spark, dir).filter($"x" < 8)
+    def ySlice = ManifestScan.scan(spark, dir).filter($"y" < 8)
+    assert(filesScanned(xSlice) == 4 && filesScanned(ySlice) == 4)
+
+    val total = Manifest.loadSnapshot(spark, dir).entries.map(_.bytes).sum
+    Manifest.clusterHilbert(spark, dir, "p", "x", "y",
+      targetBytes = total / 16 + 1)
+    val allH = filesScanned(ManifestScan.scan(spark, dir))
+    val xh = filesScanned(xSlice); val yh = filesScanned(ySlice)
+    assert(allH >= 8, s"expected >=8 hilbert files, got $allH")
+    assert(xh < allH && yh < allH,
+      s"hilbert order must prune both axes: x=$xh y=$yh of $allH")
+    // parity: clustering must never change the relation
+    assert(ManifestScan.scan(spark, dir).count() == 1024)
+    assert(xSlice.count() == 256 && ySlice.count() == 256)
+  }
+
   test("clusterZ on a DATE + STRING pair prunes both axes; shared string prefix is skipped") {
     val dir = newDir()
     // 32 dates × 32 string codes, interleaved in 4 batches so neither
