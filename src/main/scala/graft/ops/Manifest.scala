@@ -3430,9 +3430,35 @@ object Manifest {
             .drop("__rel", "__pos"))
         }
       }
+    // the MIRROR: a vector REMOVED across the range (RESTORE to a
+    // pre-MoR-delete version re-points to an old manifest, dropping
+    // later DVs while CARRYING the files they masked) RESURRECTS its
+    // rows — invisible to the entry diff, so they must surface as
+    // inserts here. Rows a metaTo vector still masks stay dead.
+    val dvGone = metaFrom.dvDirs.filterNot(metaTo.dvDirs.toSet)
+    val dvInsertRows =
+      if (dvGone.isEmpty) None
+      else {
+        val hit = dvTouchedPaths(spark, root, dvGone).toSeq
+        val inFrom = entriesByPaths(spark, metaFrom, hit)
+          .map(_.path).toSet
+        val files = entriesByPaths(spark, metaTo, hit)
+          .filter(e => inFrom.contains(e.path))
+        if (files.isEmpty) None
+        else {
+          val dvOld = dvRelation(spark, root, dvGone)
+          val risen = readWithPos(spark, root, files, metaTo.ddl)
+            .join(dvOld.select(col("path").as("__rel"),
+              col("pos").as("__pos")), Seq("__rel", "__pos"), "left_semi")
+          Some(maskRows(risen, dvRelation(spark, root, metaTo.dvDirs))
+            .drop("__rel", "__pos"))
+        }
+      }
+    val insertSide = dvInsertRows
+      .map(addedRows.unionByName(_)).getOrElse(addedRows)
     val deleteSide = dvDeleteRows
       .map(removedRows.unionByName(_)).getOrElse(removedRows)
-    (addedRows, deleteSide)
+    (insertSide, deleteSide)
   }
 
   /** The table's current (or `v`-pinned) schema, from the manifest's
@@ -3471,7 +3497,9 @@ object Manifest {
     val metaFrom = snapshotMeta(spark, dir, Some(fromV))
     val metaTo = snapshotMeta(spark, dir, Some(toV))
     val (added, removed) = entryDiff(spark, metaFrom, metaTo)
-    val hasDvDelta = metaTo.dvDirs.exists(!metaFrom.dvDirs.toSet.contains(_))
+    // any DV-set change breaks append-only: an added vector deletes
+    // rows, a removed one (restore) resurrects them
+    val hasDvDelta = metaTo.dvDirs.toSet != metaFrom.dvDirs.toSet
     if (removed.nonEmpty || hasDvDelta) None
     else Some(toLogical(readEntries(spark, root, added, metaTo.ddl),
       metaTo.colMap))
@@ -3487,6 +3515,9 @@ object Manifest {
     val hasAdded = added.nonEmpty
     val hasRemoved = removed.nonEmpty
     val hasDvDelta = metaTo.dvDirs.exists(!metaFrom.dvDirs.toSet.contains(_))
+    // a REMOVED vector (restore) resurrects rows: the insert side is
+    // nonempty even with zero added files
+    val hasDvGone = metaFrom.dvDirs.exists(!metaTo.dvDirs.toSet.contains(_))
     val (inserts, deletes) =
       changeParts(spark, root, metaFrom, metaTo, added, removed)
     // one-sided diffs (append-only / delete-only commit ranges) need no
@@ -3494,7 +3525,8 @@ object Manifest {
     val out =
       if (!hasRemoved && !hasDvDelta)
         inserts.withColumn("change", lit("insert"))
-      else if (!hasAdded) deletes.withColumn("change", lit("delete"))
+      else if (!hasAdded && !hasDvGone)
+        deletes.withColumn("change", lit("delete"))
       else inserts.exceptAll(deletes).withColumn("change", lit("insert"))
         .unionByName(
           deletes.exceptAll(inserts).withColumn("change", lit("delete")))

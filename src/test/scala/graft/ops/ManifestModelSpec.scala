@@ -36,6 +36,10 @@ class ManifestModelSpec extends SparkSpec {
   case object DropUndrop extends Op
   case object Restore extends Op
   case object Widen extends Op
+  /** Predicate delete through the three-tier planner: kind 0 = exact
+    * partition tier (`p = 0`), 1 = stats tier on the value column,
+    * 2 = unprunable key predicate (every file a straddler). */
+  case class DeleteWhere(mor: Boolean, kind: Int) extends Op
 
   private val keyGen = Gen.choose(1L, 40L)
   private val rowsGen = for {
@@ -57,7 +61,9 @@ class ManifestModelSpec extends SparkSpec {
     1 -> Gen.const(Rename),
     1 -> Gen.const(DropUndrop),
     1 -> Gen.const(Restore),
-    1 -> Gen.const(Widen))
+    1 -> Gen.const(Widen),
+    2 -> (for { m <- Gen.oneOf(true, false); k <- Gen.choose(0, 2) }
+      yield DeleteWhere(m, k)))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
@@ -156,6 +162,21 @@ class ManifestModelSpec extends SparkSpec {
             if (!qWide) {
               Manifest.widenColumn(spark, dir, "q", "bigint")
               qWide = true
+            }
+          case DeleteWhere(mor, kind) =>
+            val pred = kind match {
+              case 0 => "p = 0"
+              case 1 => s"$valCol >= 500.0"
+              case _ => "k % 5 = 1"
+            }
+            if (mor) Manifest.deleteWhereMor(spark, dir, pred, "p")
+            else Manifest.deleteWhere(spark, dir, pred, "p")
+            model = model.filterNot { case (k, v) =>
+              kind match {
+                case 0 => part(k) == 0
+                case 1 => v >= 500.0
+                case _ => k % 5 == 1
+              }
             }
         }
         val vAfter = Manifest.latestVersion(spark, dir).get

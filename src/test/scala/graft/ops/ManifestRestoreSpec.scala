@@ -55,6 +55,38 @@ class ManifestRestoreSpec extends SparkSpec {
       s"changes(tip, restored) must be the row-level undo, got $undo")
   }
 
+  test("the undo feed surfaces DV-RESURRECTED rows as inserts (restore across a MoR delete)") {
+    val dir = newDir() + "/tbl"
+    Manifest.create(spark, dir, base, "p")                               // v1
+    Manifest.deleteMor(spark, dir, Seq((2L, 0L), (5L, 1L)).toDF("k", "p"),
+      Seq("k"), "p")                                                     // v2 (DV only)
+    // the restore drops v2's vector while CARRYING every file — the
+    // entry diff is empty, so without the dv-removal mirror the feed
+    // would read as "no change" and every downstream (streaming CDC,
+    // incremental views) would silently miss the resurrection
+    Manifest.restore(spark, dir, 1L)                                     // v3
+    val undo = Manifest.changes(spark, dir, 2L, 3L)
+      .select("k", "change").as[(Long, String)].collect().toSet
+    assert(undo == Set((2L, "insert"), (5L, "insert")),
+      s"restore across a MoR delete must feed the resurrected rows, got $undo")
+    // signed feed: same rows, +1
+    val signed = Manifest.changesSigned(spark, dir, 2L, 3L)
+      .select("k", "sign").as[(Long, Long)].collect().toSet
+    assert(signed == Set((2L, 1L), (5L, 1L)))
+    // a row still masked at the range END must NOT resurrect: delete
+    // k=3 with a NEW vector, then diff from the v2 state — k=3 stays
+    // dead even though v2's vector is gone
+    Manifest.deleteMor(spark, dir, Seq((3L, 1L)).toDF("k", "p"),
+      Seq("k"), "p")                                                     // v4
+    val mixed = Manifest.changes(spark, dir, 2L, 4L)
+      .select("k", "change").as[(Long, String)].collect().toSet
+    assert(mixed == Set((2L, "insert"), (5L, "insert"), (3L, "delete")),
+      s"still-masked rows must not resurrect, got $mixed")
+    // appendedBetween must refuse the fast path across a DV removal
+    assert(Manifest.appendedBetween(spark, dir, 2L, 3L).isEmpty,
+      "a DV-removing range is not append-only")
+  }
+
   test("restore to the tip is a no-op; unretained versions refuse loudly") {
     val dir = newDir() + "/tbl"
     Manifest.create(spark, dir, base, "p")

@@ -443,6 +443,28 @@ class ManifestPlanScaleSpec extends SparkSpec {
         "per-version snapshot collect is back")
   }
 
+  test("DELETE WHERE at 100k entries: exact-tier drop is metadata-only, O(touched) driver") {
+    // Fake data paths make this self-enforcing: the partition predicate
+    // must classify every entry through the EXACT value-set tier (the
+    // matched files drop metadata-only, the rest carry by reference) —
+    // any straddler read, or any plan that opens data files at all,
+    // throws FileNotFound. The classification itself runs as Dataset
+    // jobs over the manifest relation, never an O(entries) driver
+    // entry collect.
+    val root = Files.createTempDirectory("graft-delwscale").toString + "/tbl"
+    graft.tools.ManifestPlanBench.synthesize(spark, root, 100000)
+    // i % 1024 == 7 for i < 100000: 98 files (100000 = 97·1024 + 672)
+    val t0 = System.nanoTime()
+    val out = graft.ops.Manifest.deleteWhere(spark, root, "p = '7'", "p")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out == Map("files_dropped" -> 98L, "files_rewritten" -> 0L))
+    assert(graft.ops.Manifest.loadSnapshot(spark, root).entries.size ==
+      100000 - 98)
+    assert(sec < 60.0,
+      f"DELETE WHERE took $sec%.1f s at 100k entries — the exact tier " +
+        "is no longer a metadata-only manifest pass")
+  }
+
   test("ADD CONSTRAINT at 100k entries: validation plans distributed, prunes on stats") {
     // The synthesized entries carry FAKE data paths, which makes this
     // test self-enforcing twice over: (1) the round-13 implementation
