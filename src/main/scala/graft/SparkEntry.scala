@@ -1254,6 +1254,39 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("change"))
     }),
 
+    // SHALLOW CLONE: a metadata-only fork — the clone lists the
+    // source's files by reference (zero data copied), then diverges:
+    // an append lands clone-local, a post-clone SOURCE delete must be
+    // invisible (snapshot independence), and a merge-on-read delete on
+    // the clone masks rows that live in SOURCE files (the DV keys on
+    // the root-independent path tail). The oracle recomputes the final
+    // clone relation from scratch.
+    "man_clone" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_manclone_$tag"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = s"$base/src_tbl"; val dst = s"$base/dst_tbl"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, src,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderstatus")
+      graft.ops.Manifest.shallowClone(s, src, dst)
+      graft.ops.Manifest.append(s, dst,
+        orders.filter(col("o_orderkey") % 2 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.delete(s, src,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.ops.Manifest.deleteWhereMor(s, dst,
+        "o_orderkey % 9 = 0", "o_orderstatus")
+      graft.ops.Manifest.read(s, dst)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Predicate DELETE (`DELETE FROM t WHERE p`) through all three
     // planning tiers: a retention predicate on the partition column
     // drops whole months METADATA-ONLY (exact value-set tier), a
@@ -3961,6 +3994,15 @@ ORDER BY step"""
         |    'insert' AS change FROM upd
         |)
         |ORDER BY o_orderkey, change""".stripMargin,
+
+    // The clone holds: the source's even keys at clone time (the
+    // post-clone source delete must NOT show) + the appended odd keys,
+    // minus the clone's own MoR delete of %9 keys — i.e. all orders
+    // except %9.
+    "man_clone" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 9 != 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Three predicate deletes (metadata-only month drop, stats-tier
     // price rewrite, merge-on-read key mask) compose to one WHERE over

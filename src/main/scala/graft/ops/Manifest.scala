@@ -1531,9 +1531,133 @@ object Manifest {
     val schema = DataType.fromDDL(ddl).asInstanceOf[StructType]
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
+    else {
+      val ext = extRoots(spark, root)
       spark.read.schema(schema)
-        .parquet(entries.map(e => new Path(root, e.path).toString): _*)
+        .parquet(entries.map(e => resolveData(root, ext, e.path).toString): _*)
+    }
+  }
+
+  // -------- shallow clones (external data roots) --------
+
+  /** The `_ext` sidecar of a SHALLOW CLONE: one line per batch dir
+    * whose data files live under ANOTHER table's root
+    * (`b-<uuid>=<qualified root uri>`). Written ONCE, before the
+    * clone's v1 pointer, and immutable from then on — later writes land
+    * local batch dirs (absent from the map), and rewrites only ever
+    * RETIRE external references, so a stale-read hazard cannot exist.
+    * Absent file = empty map = the ordinary single-root table, which
+    * takes exactly the pre-clone code paths. */
+  private val ExtFile = "_ext"
+
+  /** batch-dir → external-root map of `root`'s table (empty for
+    * ordinary tables). One small read; no Spark job. */
+  private[graft] def extRoots(spark: SparkSession,
+                              root: Path): Map[String, String] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(root, ExtFile)
+    if (!fs.exists(f)) Map.empty
+    else {
+      val in = fs.open(f)
+      val bytes =
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      new String(bytes, StandardCharsets.UTF_8).split('\n')
+        .map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val i = line.indexOf('=')
+          require(i > 0, s"malformed $ExtFile line at $root: $line")
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+    }
+  }
+
+  /** Resolve a manifest-relative data path (`data/b-<uuid>/<file>`)
+    * against its owning root: the clone map's root for external batch
+    * dirs, the table's own root otherwise. External roots are stored
+    * fully qualified, so cross-filesystem clones resolve to their own
+    * scheme. */
+  private[graft] def resolveData(root: Path, ext: Map[String, String],
+                                 tail: String): Path =
+    if (ext.isEmpty) new Path(root, tail)
+    else {
+      val parts = tail.split('/')
+      if (parts.length > 1 && ext.contains(parts(1)))
+        new Path(ext(parts(1)), tail)
+      else new Path(root, tail)
+    }
+
+  /** SHALLOW CLONE of `srcDir`'s snapshot (version `v`, default
+    * latest) at `dstDir` — METADATA-ONLY, Delta's `CLONE ... SHALLOW`:
+    * no data file is copied or moved; the clone's v1 manifest lists the
+    * source's files by reference through the `_ext` batch-dir map, and
+    * only its (kilobyte-scale) deletion-vector relations copy. The
+    * clone is a fully independent table from its first commit: writes
+    * land under ITS root, keyed rewrites and OPTIMIZE retire external
+    * references file by file (a full rewrite leaves it self-contained),
+    * and its history starts fresh at v1 (time travel into source
+    * history belongs to the source). Stats/bloom/constraint/column-map
+    * configuration carries verbatim, so pruning and DV masking work
+    * unchanged — deletion vectors key on the root-independent
+    * `data/b-<uuid>/<file>` tail, which is why external files mask
+    * exactly like local ones.
+    *
+    * The one operational caveat (same as Delta's): the source does NOT
+    * know it is referenced — a `vacuumOrphans` on the SOURCE can
+    * reclaim files a clone still lists. Clone for dev/test forks and
+    * experiments; coordinate retention for anything long-lived.
+    * Returns the number of source batch dirs referenced. */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String,
+                   version: Option[Long] = None): Long = {
+    import spark.implicits._
+    val (fsS, srcRoot) = fsOf(spark, srcDir)
+    val v = version.orElse(latestVersion(spark, srcDir))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $srcDir"))
+    val meta = snapshotMeta(spark, srcDir, Some(v))
+    val (fsD, dstRoot) = fsOf(spark, dstDir)
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"a table already exists at $dstDir")
+    // every live batch dir resolves to ITS owner: the source's own
+    // dirs to the source root, dirs the source itself borrowed (a
+    // clone of a clone) to THEIR original roots — references never
+    // chain through intermediaries, so a deleted intermediate clone
+    // cannot strand a descendant
+    val batches = entriesDataset(spark, meta)
+      .select(split(col("path"), "/").getItem(1)).distinct()
+      .as[String].collect()
+    val srcExt = extRoots(spark, srcRoot)
+    val qualifiedSrc = fsS.makeQualified(srcRoot).toString
+    val extOut = batches.sorted
+      .map(b => s"$b=${srcExt.getOrElse(b, qualifiedSrc)}")
+    // the DV relations are per-table mutable state (maintenance folds
+    // them); the clone takes its own copy — kilobytes
+    meta.dvDirs.foreach { d =>
+      val from = new Path(new Path(srcRoot, DvDir), d)
+      val to = new Path(new Path(dstRoot, DvDir), d)
+      require(org.apache.hadoop.fs.FileUtil.copy(fsS, from, fsD, to,
+        false, spark.sparkContext.hadoopConfiguration),
+        s"could not copy deletion vector $d into $dstDir")
+    }
+    // `_ext` lands BEFORE the pointer: a committed clone can never be
+    // read without its map (a crash in between leaves garbage a
+    // re-clone overwrites, never a half-table)
+    val out = fsD.create(new Path(dstRoot, ExtFile), true)
+    try out.write((extOut.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // distributed re-root staging, exactly a compaction's (the source
+    // manifest chain reads fine from here — its dirs are absolute);
+    // no delta sidecar: its parent link would name a source manifest
+    // this root does not retain
+    val name = compactManifest(spark, dstRoot, meta, meta.ddl, Nil,
+      writeSidecar = false)
+    commit(fsD, dstRoot, 1L, name, op = "CLONE")
+    batches.length.toLong
   }
 
   /** Top-level nullable rendering (nullability is not a parquet
@@ -1768,9 +1892,12 @@ object Manifest {
         bloomPosition(lit(value).cast(dt), i)): _*).head()
     val positions = (0 until BloomHashes).map(probeRow.getLong)
     // one bloom relation per batch dir holding candidate files
+    val extR = extRoots(spark, root)
     val bloomPaths = rangeCands.map(_.path.split('/')(1)).distinct
-      .map(b => new Path(root, s"$DataDir/$b/$BloomDir"))
-      .filter(fs.exists).map(_.toString)
+      .map(b => resolveData(root, extR, s"$DataDir/$b/$BloomDir"))
+      .filter(bp => bp.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(bp))
+      .map(_.toString)
     if (bloomPaths.isEmpty) return rangeCands
     val verdicts = spark.read.parquet(bloomPaths: _*)
       .where(col("column") === column)
@@ -1801,9 +1928,12 @@ object Manifest {
                                    keyCol: String): Seq[Entry] = {
     if (!bloomCols.contains(keyCol) || cands.isEmpty) return cands
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val extR = extRoots(spark, root)
     val bloomPaths = cands.map(_.path.split('/')(1)).distinct
-      .map(b => new Path(root, s"$DataDir/$b/$BloomDir"))
-      .filter(fs.exists).map(_.toString)
+      .map(b => resolveData(root, extR, s"$DataDir/$b/$BloomDir"))
+      .filter(bp => bp.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(bp))
+      .map(_.toString)
     if (bloomPaths.isEmpty) return cands
     // ONE pass over the batch: the capped distinct key set comes to the
     // driver (≤ cap+1 rows), and both gate checks read it locally —
@@ -2458,7 +2588,8 @@ object Manifest {
                               constraintsOut: Option[Seq[String]] = None,
                               colMapOut: Option[Seq[String]] = None,
                               dvOut: Option[Seq[String]] = None,
-                              bloomColsOut: Option[Seq[String]] = None)
+                              bloomColsOut: Option[Seq[String]] = None,
+                              writeSidecar: Boolean = true)
       : String = {
     import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
@@ -2492,7 +2623,8 @@ object Manifest {
       .coalesce(nFiles).write.parquet(dir)
     val tip = new Path(meta.manifestDirs.last).getName
     val estEntries = math.max(1L, meta.manifestBytes / 64)
-    if (slim.size + removes.size <= math.max(4096, estEntries / 8))
+    if (writeSidecar &&
+      slim.size + removes.size <= math.max(4096, estEntries / 8))
       try writeDeltaFile(spark, root, name,
         ManifestDelta(tip, slim, removes))
       catch {

@@ -83,9 +83,15 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val qualifiedRoot = fs.makeQualified(root)
 
+  /** Shallow-clone batch-dir map: external entries resolve to their
+    * owning root (already qualified); empty for ordinary tables. */
+  private val ext = Manifest.extRoots(spark, root)
+
   private def statusOf(e: ManifestEntry): FileStatus =
     new FileStatus(e.bytes, false, 1, 128L << 20, 0L,
-      fs.makeQualified(new Path(qualifiedRoot, e.path)))
+      if (ext.isEmpty)
+        fs.makeQualified(new Path(qualifiedRoot, e.path))
+      else Manifest.resolveData(qualifiedRoot, ext, e.path))
 
   /** FileStatus per entry, built ONCE: the index is frozen at one
     * snapshot, and Path/URI construction is the dominant cost of a
@@ -216,10 +222,17 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
   /** O(live files) driver memory by contract of the FileIndex API —
     * callers of inputFiles (DESCRIBE-style introspection) accept the
     * listing cost; planning itself never calls it. */
+  /** Shallow-clone batch-dir map, as in [[ManifestFileIndex]]. */
+  private val ext = Manifest.extRoots(spark, root)
+
+  private def resolve(p: String): Path =
+    if (ext.isEmpty) fs.makeQualified(new Path(qualifiedRoot, p))
+    else Manifest.resolveData(qualifiedRoot, ext, p)
+
   override def inputFiles: Array[String] = {
     import spark.implicits._
     entries.select("path").as[String].collect()
-      .map(p => fs.makeQualified(new Path(qualifiedRoot, p)).toString)
+      .map(p => resolve(p).toString)
   }
 
   /** One distributed agg, computed lazily and kept (Catalyst asks for
@@ -285,8 +298,7 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
       case None => manifestKept()
     }
     val files = kept.map { case (p, bytes) =>
-      new FileStatus(bytes, false, 1, 128L << 20, 0L,
-        fs.makeQualified(new Path(qualifiedRoot, p)))
+      new FileStatus(bytes, false, 1, 128L << 20, 0L, resolve(p))
     }
     Seq(PartitionDirectory(InternalRow.empty, files))
   }

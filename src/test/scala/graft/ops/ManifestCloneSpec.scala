@@ -1,0 +1,161 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SHALLOW CLONE ([[Manifest.shallowClone]]): a metadata-only fork —
+  * the clone's v1 lists the source's data files by reference through
+  * the `_ext` batch-dir map (zero data copied), deletion vectors copy
+  * (kilobytes), and from its first commit the clone is an independent
+  * table whose writes never touch the source. */
+class ManifestCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String) =
+    Files.createTempDirectory(s"graft-clone-$tag").toString + "/tbl"
+
+  private def base = spark.range(1, 101)
+    .select($"id".as("k"), ($"id" * 1.0).as("v"),
+      ($"id" % 4).as("p"))
+
+  private def state(dir: String): Map[Long, Double] =
+    Manifest.read(spark, dir).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+
+  private def baseState = (1L until 101L).map(k => k -> k * 1.0).toMap
+
+  private def dataFiles(dir: String): Set[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "data"))) return Set.empty
+    val it = fs.listFiles(new Path(root, "data"), true)
+    val b = scala.collection.mutable.Set[String]()
+    while (it.hasNext) {
+      val st = it.next(); if (st.isFile) b += st.getPath.toString
+    }
+    b.toSet
+  }
+
+  test("clone reads as the source snapshot with ZERO data files copied") {
+    val src = newDir("src"); val dst = newDir("dst")
+    Manifest.create(spark, src, base, "p", statsCols = Seq("v"))
+    Manifest.append(spark, src,
+      Seq((200L, 200.0, 0L)).toDF("k", "v", "p"), "p")
+    Manifest.shallowClone(spark, src, dst)
+    assert(dataFiles(dst).isEmpty, "a shallow clone must copy no data")
+    assert(state(dst) == state(src))
+    assert(Manifest.versions(spark, dst) == Seq(1L),
+      "the clone's history starts fresh at v1")
+    // version pin: clone of v1 sees only the pre-append source
+    val dst1 = newDir("dstv1")
+    Manifest.shallowClone(spark, src, dst1, version = Some(1L))
+    assert(state(dst1) == baseState)
+    // an existing table refuses
+    intercept[IllegalArgumentException] {
+      Manifest.shallowClone(spark, src, dst)
+    }
+  }
+
+  test("stats pruning carries: a ranged read of the clone skips external files") {
+    val src = newDir("psrc"); val dst = newDir("pdst")
+    // two appends with disjoint v ranges: stats separate them
+    Manifest.create(spark, src,
+      spark.range(0, 50).select($"id".as("k"), ($"id" * 1.0).as("v"),
+        lit(0L).as("p")), "p", statsCols = Seq("v"))
+    Manifest.append(spark, src,
+      spark.range(100, 150).select($"id".as("k"), ($"id" * 1.0).as("v"),
+        lit(0L).as("p")), "p")
+    Manifest.shallowClone(spark, src, dst)
+    def opened(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("_metadata.file_path")).distinct().count()
+    val all = opened(Manifest.read(spark, dst))
+    val pruned = Manifest.read(spark, dst).filter($"v" >= 100.0)
+    assert(opened(pruned) < all,
+      "the clone must prune on the carried stats")
+    assert(pruned.count() == 50)
+  }
+
+  test("writes on the clone never touch the source; rewrites retire external refs") {
+    val src = newDir("wsrc"); val dst = newDir("wdst")
+    Manifest.create(spark, src, base, "p", statsCols = Seq("v"))
+    val srcFiles = dataFiles(src)
+    Manifest.shallowClone(spark, src, dst)
+    // append lands locally
+    Manifest.append(spark, dst,
+      Seq((500L, 500.0, 1L)).toDF("k", "v", "p"), "p")
+    // keyed rewrite of partition 2: its external files retire, the
+    // rewritten rows land locally — the source is untouched throughout
+    Manifest.upsert(spark, dst,
+      Seq((2L, -2.0, 2L)).toDF("k", "v", "p"), Seq("k"), "p")
+    Manifest.deleteWhere(spark, dst, "k = 7", "p")
+    assert(dataFiles(src) == srcFiles, "the source must never change")
+    assert(state(src) == baseState)
+    assert(state(dst) ==
+      baseState + (500L -> 500.0) + (2L -> -2.0) - 7L)
+    // OPTIMIZE makes the clone fully self-contained (un-clone)
+    Manifest.compact(spark, dst, "p",
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    val ins = Manifest.read(spark, dst).inputFiles
+    assert(ins.nonEmpty && ins.forall(_.contains(new Path(dst).toUri.getPath)),
+      s"after a full rewrite every live file must be clone-local")
+    assert(state(dst) ==
+      baseState + (500L -> 500.0) + (2L -> -2.0) - 7L)
+  }
+
+  test("MoR on the clone: deletion vectors mask EXTERNAL files; source DVs copy") {
+    val src = newDir("msrc"); val dst = newDir("mdst")
+    Manifest.create(spark, src, base, "p")
+    // a source-side DV, present at clone time: must copy and keep masking
+    Manifest.deleteMor(spark, src, Seq((9L, 1L)).toDF("k", "p"),
+      Seq("k"), "p")
+    Manifest.shallowClone(spark, src, dst)
+    assert(state(dst) == baseState - 9L)
+    // a CLONE-side MoR delete masks rows that live in SOURCE files —
+    // the DV keys on the root-independent path tail
+    Manifest.deleteMor(spark, dst, Seq((10L, 2L)).toDF("k", "p"),
+      Seq("k"), "p")
+    assert(dataFiles(dst).isEmpty, "MoR on the clone writes no data file")
+    assert(state(dst) == baseState - 9L - 10L)
+    assert(state(src) == baseState - 9L, "the source keeps its own mask only")
+    // folding the source's vectors later must not affect the clone
+    Manifest.materialize(spark, src, "p")
+    assert(state(dst) == baseState - 9L - 10L)
+    // CoW rewrite on the clone folds its mask without resurrecting
+    Manifest.upsert(spark, dst, Seq((11L, -11.0, 3L)).toDF("k", "v", "p"),
+      Seq("k"), "p")
+    assert(state(dst) == baseState - 9L - 10L + (11L -> -11.0))
+  }
+
+  test("clone of a clone chains to the ORIGINAL roots; vacuum on the clone spares them") {
+    val a = newDir("a"); val b = newDir("b"); val c = newDir("c")
+    Manifest.create(spark, a, base, "p")
+    Manifest.shallowClone(spark, a, b)
+    Manifest.append(spark, b, Seq((300L, 3.0, 0L)).toDF("k", "v", "p"), "p")
+    Manifest.shallowClone(spark, b, c)
+    assert(state(c) == baseState + (300L -> 3.0))
+    // c references a's files DIRECTLY (and b's append under b) — b's
+    // own external map chains through, never an intermediary hop
+    val aFiles = dataFiles(a)
+    // vacuum on the clones must never reclaim another root's files
+    Manifest.vacuumOrphans(spark, c, keepVersions = 1, staleMillis = 0L)
+    Manifest.vacuumOrphans(spark, b, keepVersions = 1, staleMillis = 0L)
+    assert(dataFiles(a) == aFiles, "vacuum on a clone must spare the source")
+    assert(state(c) == baseState + (300L -> 3.0))
+  }
+
+  test("the change feed and incremental reads work over a cloned history") {
+    val src = newDir("fsrc"); val dst = newDir("fdst")
+    Manifest.create(spark, src, base, "p")
+    Manifest.shallowClone(spark, src, dst)
+    Manifest.append(spark, dst, Seq((400L, 4.0, 0L)).toDF("k", "v", "p"), "p")
+    Manifest.deleteWhere(spark, dst, "k <= 2", "p")
+    val feed = Manifest.changes(spark, dst, 1L, 3L)
+      .select("k", "change").as[(Long, String)].collect().toSet
+    assert(feed == Set((400L, "insert"), (1L, "delete"), (2L, "delete")),
+      s"got $feed")
+  }
+}
