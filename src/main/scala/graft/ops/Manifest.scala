@@ -3763,15 +3763,19 @@ object Manifest {
     * captures only serializable pieces so it can run inside a
     * `Dataset.map` over the manifest relation.
     *
-    * The FULL tier (1) is EXACT, never approximate: it exists only when
-    * the predicate (a) constrains the PARTITION column alone — whose
-    * per-file value sets are exhaustive distinct values, (b) is
-    * deterministic, and (c) the rendering is session-independent
-    * ([[partitionValuesSafe]]). Then a non-overflowed file whose every
-    * recorded value evaluates TRUE (and which holds no null — a null
-    * predicate never deletes, SQL's WHERE contract) provably matches
-    * row-for-row. Min/max stats can never prove FULL (they carry no
-    * null counts), so everything else degrades to NONE-vs-MAYBE through
+    * The FULL tier (1) has two provers, both sound:
+    *  - EXACT partition-value evaluation, when the predicate
+    *    (a) constrains the PARTITION column alone — whose per-file
+    *    value sets are exhaustive distinct values, (b) is
+    *    deterministic, and (c) the rendering is session-independent
+    *    ([[partitionValuesSafe]]). A non-overflowed file whose every
+    *    recorded value evaluates TRUE (and which holds no null — a
+    *    null predicate never deletes, SQL's WHERE contract) provably
+    *    matches row-for-row.
+    *  - STATS refutation of the negation, when every referenced column
+    *    carries a stored `IS NOT NULL` CHECK constraint and the
+    *    expression tree is null-intolerant — see the inline comment.
+    * Everything else degrades to NONE-vs-MAYBE through
     * [[graft.plans.ManifestScan.entryMayMatch]]. */
   private def deleteTierClassifier(spark: SparkSession, meta: SnapshotMeta,
                                    pCol: String,
@@ -3806,10 +3810,81 @@ object Manifest {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val mayMatch = graft.plans.ManifestScan.entryMayMatch(
       schema, meta.statsCols, Some(pCol), tz, conds)
+    // FULL via STATS, for predicates beyond the partition column (the
+    // `price < floor` retention sweep): a file provably drops when
+    //  (a) the pruning refutes the NEGATION — no row can make p FALSE
+    //      (the same compiled closures, over `filter(NOT p)`'s
+    //      Catalyst-optimized conjuncts);
+    //  (b) p can never evaluate NULL — a NULL keeps its row, and
+    //      min/max stats carry no null counts, so null-freedom must
+    //      come from stored `c IS NOT NULL` CHECK constraints covering
+    //      every referenced column, PLUS a null-intolerant expression
+    //      whitelist (comparisons/boolean algebra/widening casts; a
+    //      nullif/try_cast inside p could go NULL on non-null inputs,
+    //      so any unlisted node disables the tier, never unsounds it).
+    val statsFull: ManifestEntry => Boolean = {
+      val notNullCols: Set[String] = meta.constraints
+        .map(parseConstraint(_)._2).flatMap { sql =>
+          try spark.sessionState.sqlParser.parseExpression(sql) match {
+            case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+              a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute)
+              if a.nameParts.length == 1 =>
+              Some(a.nameParts.head.toLowerCase)
+            case _ => None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toSet
+      def nullIntolerant(x: Expression): Boolean = x match {
+        case _: org.apache.spark.sql.catalyst.expressions.AttributeReference |
+             _: Literal => true
+        case c: Cast =>
+          (c.child match {
+            case _: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              isWidening(c.child.dataType, c.dataType)
+            case _: Literal => true
+            case _ => false
+          }) && nullIntolerant(c.child)
+        case _: CAnd |
+             _: org.apache.spark.sql.catalyst.expressions.Or |
+             _: org.apache.spark.sql.catalyst.expressions.Not |
+             _: org.apache.spark.sql.catalyst.expressions.BinaryComparison |
+             _: org.apache.spark.sql.catalyst.expressions.In |
+             _: org.apache.spark.sql.catalyst.expressions.InSet |
+             _: org.apache.spark.sql.catalyst.expressions.IsNull |
+             _: org.apache.spark.sql.catalyst.expressions.IsNotNull |
+             _: org.apache.spark.sql.catalyst.expressions.StartsWith =>
+          x.children.forall(nullIntolerant)
+        case _ => false
+      }
+      val eligible = conds.forall(c => c.deterministic && nullIntolerant(c)) &&
+        conds.flatMap(_.references.map(_.name.toLowerCase)).distinct
+          .forall(notNullCols.contains)
+      if (!eligible) (_: ManifestEntry) => false
+      else {
+        val negPlan = df0.filter(!expr(sqlP)).queryExecution.optimizedPlan
+        val negFilters = negPlan.collect { case f: LFilter => f }
+        if (negFilters.isEmpty) {
+          // the negation folded away: FALSE (empty plan) means no row
+          // can fail p — with null-freedom proven, every file is full
+          val none = negPlan match {
+            case l: LocalRelation => l.data.isEmpty
+            case _ => false
+          }
+          if (none) (_: ManifestEntry) => true else (_: ManifestEntry) => false
+        } else {
+          val mayFail = graft.plans.ManifestScan.entryMayMatch(
+            schema, meta.statsCols, Some(pCol), tz,
+            negFilters.flatMap(f => split(f.condition)))
+          (e: ManifestEntry) => !mayFail(e)
+        }
+      }
+    }
     val exact = conds.forall(c => c.deterministic &&
       c.references.forall(_.name.equalsIgnoreCase(pCol))) &&
       partitionValuesSafe(meta.ddl, pCol)
-    if (!exact) { (e: ManifestEntry) => if (mayMatch(e)) 2 else 0 }
+    if (!exact) {
+      (e: ManifestEntry) =>
+        if (statsFull(e)) 1 else if (mayMatch(e)) 2 else 0
+    }
     else {
       val out = filters.head.child.output
       val bound = BindReferences.bindReference(
@@ -3818,7 +3893,9 @@ object Manifest {
       val dt = out(ord).dataType
       val width = out.size
       (e: ManifestEntry) => {
-        if (e.overflow) { if (mayMatch(e)) 2 else 0 }
+        if (e.overflow) {
+          if (statsFull(e)) 1 else if (mayMatch(e)) 2 else 0
+        }
         else {
           val row = new GenericInternalRow(width)
           // a null partition value never satisfies the predicate, so it
@@ -3860,15 +3937,19 @@ object Manifest {
       : (Long, Seq[Entry], Seq[Entry], Boolean) = {
     import spark.implicits._
     val classify = deleteTierClassifier(spark, meta, pCol, sqlP)
-    val tiers = entriesDataset(spark, meta).map(e => (classify(e), e))
-    val counts = tiers.toDF("tier", "e").groupBy("tier").count()
+    val ents = entriesDataset(spark, meta)
+    // count pass maps to the bare tier int — flowing whole entries
+    // through the aggregate serialized every one (measured 35 s vs
+    // ~1 s at 10⁷ entries)
+    val counts = ents.map(classify).groupBy("value").count()
       .as[(Int, Long)].collect().toMap
     val nTotal = counts.values.sum
     val nFull = counts.getOrElse(1, 0L)
     if (nTotal > 0 && nFull == nTotal) (nTotal, Nil, Nil, true)
     else if (nFull + counts.getOrElse(2, 0L) == 0L) (nTotal, Nil, Nil, false)
     else {
-      val touched = tiers.filter(_._1 > 0).collect()
+      val touched = ents.map(e => (classify(e), e)).filter(_._1 > 0)
+        .collect()
       (nTotal, touched.filter(_._1 == 1).map(_._2).toSeq,
         touched.filter(_._1 == 2).map(_._2).toSeq, false)
     }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.ManifestEntry
-import graft.plans.ManifestFileIndex
+import graft.plans.{DistributedManifestFileIndex, ManifestFileIndex}
 
 /** Measures the DRIVER cost of manifest planning at lake scale —
   * round-8 verdict #2: `Manifest.snapshot` collects every entry to the
@@ -77,6 +77,8 @@ object ManifestPlanBench {
     if (mode == "chain") { chainMain(spark, root, n); return }
     if (mode == "stream") { streamMain(spark, root, n); return }
     if (mode == "rename") { renameMain(spark, root, n); return }
+    if (mode == "delw") { delwMain(spark, root, n); return }
+    if (mode == "clone") { cloneMain(spark, root, n); return }
 
     def heapUsed(): Long = {
       System.gc(); Thread.sleep(200); System.gc()
@@ -117,6 +119,65 @@ object ManifestPlanBench {
         s""""retained_heap_mb":${(h1 - h0) / (1 << 20)},""" +
         s""""prune_month_sec":${f"$tPrune%.3f"},"kept_files":$kept,""" +
         s""""list_all_sec":${f"$tList%.3f"}}""")
+  }
+
+  /** DELETE WHERE at lake scale: the exact partition tier must price as
+    * a manifest-only pass (two classification jobs + one linked
+    * commit) — the synthesized entries carry FAKE data paths, so any
+    * plan that opens a data file throws. Prices (a) the no-match case
+    * (pure classification, no commit) and (b) a one-partition
+    * metadata-only drop. */
+  private def delwMain(spark: org.apache.spark.sql.SparkSession,
+                       root: String, n: Int): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm the classification path once on a no-match predicate
+    graft.ops.Manifest.deleteWhere(spark, root, "p = 'nope'", "p")
+    val (_, tClassify) = time(
+      graft.ops.Manifest.deleteWhere(spark, root, "p = 'nope'", "p"))
+    val (out, tDrop) = time(
+      graft.ops.Manifest.deleteWhere(spark, root, "p = '7'", "p"))
+    println(
+      s"""{"metric":"manifest_delete_where","entries":$n,""" +
+        s""""classify_only_sec":${f"$tClassify%.2f"},""" +
+        s""""exact_drop_sec":${f"$tDrop%.2f"},""" +
+        s""""files_dropped":${out("files_dropped")},""" +
+        s""""files_rewritten":${out("files_rewritten")}}""")
+  }
+
+  /** SHALLOW CLONE at lake scale: one distributed re-root staging plus
+    * the `_ext` sidecar — no entry collect, no data file opened (fake
+    * paths again make that self-enforcing). */
+  private def cloneMain(spark: org.apache.spark.sql.SparkSession,
+                        root: String, n: Int): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dst = root + "_clone"
+    val (_, tClone) = time(
+      graft.ops.Manifest.shallowClone(spark, root, dst))
+    // planning on the clone must stay a PRUNED listing — through the
+    // distributed venue (a full driver-resident listing of 10⁷ entries
+    // is the documented collect cliff on ANY table, clone or not)
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", DateType)()
+    val june93 = org.apache.spark.sql.catalyst.expressions.And(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-01"), DateType)),
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(attr,
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          java.sql.Date.valueOf("1993-06-30"), DateType)))
+    val idx = new DistributedManifestFileIndex(spark, dst,
+      partitionCol = Some("p"))
+    val (kept, tPlan) = time(idx.candidateCount(Seq(june93)))
+    println(
+      s"""{"metric":"manifest_shallow_clone","entries":$n,""" +
+        s""""clone_sec":${f"$tClone%.2f"},""" +
+        s""""clone_prune_month_sec":${f"$tPlan%.2f"},"kept_files":$kept}""")
   }
 
   /** RENAME COLUMN at lake scale: the commit touches no data file (the

@@ -122,6 +122,46 @@ class ManifestDeleteWhereSpec extends SparkSpec {
       "provably-clean files must carry by reference")
   }
 
+  test("stats tier proves FULL under a NOT NULL constraint: whole files drop unread") {
+    val dir = newDir()
+    val lo = spark.range(0, 100)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), lit(0L).as("p"))
+    val hi = spark.range(100, 200)
+      .select($"id".as("k"), ($"id" * 1.0).as("v"), lit(0L).as("p"))
+    Manifest.create(spark, dir, lo, "p", statsCols = Seq("v"))
+    Manifest.append(spark, dir, hi, "p")
+    Manifest.addConstraint(spark, dir, "v_nn", "v IS NOT NULL")
+    // the hi file's min/max refute `NOT (v >= 100)` and the constraint
+    // proves null-freedom: it must drop with its BYTES already gone
+    dropBytes2(dir, col("v") >= 100)
+    val out = Manifest.deleteWhere(spark, dir, "v >= 100.0", "p")
+    assert(out("files_dropped") > 0L && out("files_rewritten") == 0L,
+      s"expected a stats-tier metadata-only drop, got $out")
+    assert(keys(dir) == (0L until 100L).toSet)
+
+    // WITHOUT the constraint the same shape must stay a rewrite — the
+    // stats carry no null counts, so FULL cannot be proven
+    val dir2 = newDir()
+    Manifest.create(spark, dir2, lo, "p", statsCols = Seq("v"))
+    Manifest.append(spark, dir2, hi, "p")
+    val out2 = Manifest.deleteWhere(spark, dir2, "v >= 100.0", "p")
+    assert(out2("files_dropped") == 0L && out2("files_rewritten") > 0L)
+    assert(keys(dir2) == (0L until 100L).toSet)
+
+    // a null-INTRODUCING predicate (nullif) must disable the tier even
+    // under the constraint: nullif(v,150.0) IS NULL keeps k=150, so a
+    // FULL drop of its file would be wrong
+    val dir3 = newDir()
+    Manifest.create(spark, dir3, lo, "p", statsCols = Seq("v"))
+    Manifest.append(spark, dir3, hi, "p")
+    Manifest.addConstraint(spark, dir3, "v_nn", "v IS NOT NULL")
+    val out3 = Manifest.deleteWhere(spark, dir3,
+      "nullif(v, 150.0) >= 100.0", "p")
+    assert(out3("files_dropped") == 0L,
+      "a null-introducing predicate must never take the stats-FULL tier")
+    assert(keys(dir3) == ((0L until 100L) :+ 150L).toSet)
+  }
+
   test("rows where the predicate is NULL are kept (SQL WHERE contract)") {
     val dir = newDir()
     val rows = Seq((1L, Some(5.0), 0L), (2L, None, 0L), (3L, Some(50.0), 0L))
