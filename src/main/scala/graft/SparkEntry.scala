@@ -1316,6 +1316,35 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Predicate UPDATE (`UPDATE t SET ... WHERE p`): a date-banded
+    // CoW update (stats tier prunes the clean files) followed by a
+    // key-banded MERGE-ON-READ update (one deletion vector + updated
+    // re-inserts). The oracle recomputes both SETs as nested CASE
+    // WHENs — the tiers and the MoR shape must never change the
+    // answer.
+    "man_update_where" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_manupdw_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir, orders, "o_orderstatus",
+        statsCols = Seq("o_orderdate"))
+      graft.ops.Manifest.updateWhere(s, dir,
+        Seq("o_totalprice" -> "o_totalprice * 2"),
+        "o_orderdate < DATE '1994-01-01'", "o_orderstatus")
+      graft.ops.Manifest.updateWhereMor(s, dir,
+        Seq("o_totalprice" -> "o_totalprice + 1.0"),
+        "o_orderkey % 7 = 0", "o_orderstatus")
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Keyed DELETE on the Manifest path alone (the mrg_delete sibling):
     // a fully-emptied file just drops out of the manifest — no
     // emptied-directory special case — and the commit is the atomic
@@ -4014,6 +4043,19 @@ ORDER BY step"""
         |WHERE NOT (date_trunc('month', o_orderdate) < DATE '1994-01-01')
         |  AND NOT (o_totalprice > 400000.0)
         |  AND NOT (o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Two stacked predicate updates as nested CASE WHENs (the MoR one
+    // applies over the CoW one's result). Pure double arithmetic
+    // (*2, +1.0): IEEE-deterministic in both engines.
+    "man_update_where" ->
+      """SELECT o_orderkey,
+        |  (CASE WHEN o_orderdate < DATE '1994-01-01'
+        |        THEN o_totalprice * 2 ELSE o_totalprice END)
+        |  + (CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END)
+        |  AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
     // Manifest delete keeps exactly the non-matching keys (same

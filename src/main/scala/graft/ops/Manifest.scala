@@ -4078,6 +4078,163 @@ object Manifest {
       "files_masked" -> (if (dvName.isEmpty) 0L else maybes.size.toLong))
   }
 
+  /** Resolve an UPDATE's SET list: visible column names to physical,
+    * expressions through the column map, duplicates and unknown
+    * columns refused loudly. */
+  private def resolveSet(spark: SparkSession, meta: SnapshotMeta,
+                         schema: StructType, set: Seq[(String, String)])
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val out = set.map { case (c, e) =>
+      val phys = physName(meta.colMap, c)
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(phys)),
+        s"no column $c to SET " +
+          s"(visible: ${logicalStruct(schema, meta.colMap).fieldNames.mkString(", ")})")
+      phys -> expr(sqlToPhysical(spark, e, meta.colMap))
+    }
+    require(out.map(_._1.toLowerCase).distinct.size == out.size,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    out
+  }
+
+  /** Each SET column replaced (cast to ITS declared type) on rows
+    * `cond` selects, every other row and column verbatim. */
+  private def applySet(schema: StructType,
+                       setP: Seq[(String, org.apache.spark.sql.Column)],
+                       cond: Option[org.apache.spark.sql.Column])
+                      (df: DataFrame): DataFrame =
+    df.select(schema.fields.map { f =>
+      setP.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, e)) =>
+          val v = e.cast(f.dataType)
+          cond.map(p => when(p, v).otherwise(col(f.name)))
+            .getOrElse(v).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
+  /** `UPDATE t SET col = expr, ... WHERE p` — the DML sibling of
+    * [[deleteWhere]], planned from the same metadata tiers: files the
+    * predicate provably cannot touch carry by reference untouched;
+    * everything else (straddlers AND provably-full files — an update
+    * has no metadata-only form) reads DV-masked and rewrites with each
+    * SET column replaced on matching rows (`p IS TRUE`; a NULL
+    * predicate leaves its row unchanged, SQL's contract). `set` maps
+    * visible column names to ANSI SQL expressions over the OLD row's
+    * visible columns, cast to the column's declared type. CHECK
+    * constraints validate on the rewrite — a violating update fails
+    * loudly and commits nothing. SET on the partition column is
+    * allowed: rewritten files simply record their new value sets.
+    * `WHERE true` degenerates to one whole-table overwrite-shaped
+    * commit (read through the venue-switched planner, no entry
+    * collect). Same no-rebase conflict contract as [[deleteWhere]].
+    * Returns per-tier file counts. */
+  def updateWhere(spark: SparkSession, dir: String,
+                  set: Seq[(String, String)], predicate: String,
+                  partitionCol: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val pCol = physName(meta.colMap, partitionCol)
+    val sqlP = sqlToPhysical(spark, predicate, meta.colMap)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val setP = resolveSet(spark, meta, schema, set)
+    val matchCond = coalesce(expr(sqlP), lit(false))
+    val (nTotal, fulls, maybes, allFull) =
+      deleteWhereTiers(spark, meta, pCol, sqlP)
+    if (allFull) {
+      // whole-table rewrite, staged as an overwrite: rows come through
+      // the venue-switched planner (physical face, DV-masked), so the
+      // driver never materializes the entry list
+      val (rel, dvDirs, _) = graft.plans.ManifestScan.planned(
+        spark, dir, Some(pCol), Some(v))
+      val raw = spark.baseRelationToDataFrame(rel)
+      val rows = if (dvDirs.isEmpty) raw
+        else maskedByDv(spark, dir, raw, dvDirs)
+      val newEntries = writeBatch(spark, root,
+        applySet(schema, setP, Some(matchCond))(rows), pCol,
+        meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+      commit(fs, root, v + 1, freshManifest(spark, root, meta, newEntries),
+        op = "UPDATE_WHERE")
+      maybeCheckpoint(spark, dir, pCol)
+      return Map("files_rewritten" -> nTotal, "files_untouched" -> 0L)
+    }
+    val cands = fulls ++ maybes
+    if (cands.isEmpty)
+      return Map("files_rewritten" -> 0L, "files_untouched" -> nTotal)
+    val rewritten = applySet(schema, setP, Some(matchCond))(
+      readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs))
+      .persist()
+    try {
+      val newEntries =
+        if (rewritten.isEmpty) Seq.empty[Entry] // fully-DV'd candidates
+        else writeBatch(spark, root, rewritten, pCol, meta.statsCols,
+          meta.constraints, bloomCols = meta.bloomCols)
+      val removes = cands.map(_.path)
+      val name =
+        if (linkedAppendEligible(spark, fs, meta) &&
+          meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+          linkManifest(spark, fs, root, meta, newEntries, removes)
+        else compactManifest(spark, root, meta, meta.ddl, newEntries,
+          removes)
+      commit(fs, root, v + 1, name, op = "UPDATE_WHERE")
+    } finally rewritten.unpersist()
+    maybeCheckpoint(spark, dir, pCol)
+    Map("files_rewritten" -> cands.size.toLong,
+      "files_untouched" -> (nTotal - cands.size))
+  }
+
+  /** [[updateWhere]] as MERGE-ON-READ: the matched rows are masked by
+    * ONE new deletion vector and their UPDATED versions land as new
+    * files, committed atomically — write cost O(matched rows), no
+    * candidate file rewritten ([[upsertMor]]'s shape, driven by a
+    * predicate instead of keys). Returns the candidate count and
+    * whether a vector landed. */
+  def updateWhereMor(spark: SparkSession, dir: String,
+                     set: Seq[(String, String)], predicate: String,
+                     partitionCol: String): Map[String, Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val pCol = physName(meta.colMap, partitionCol)
+    val sqlP = sqlToPhysical(spark, predicate, meta.colMap)
+    val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val setP = resolveSet(spark, meta, schema, set)
+    val (_, fulls, maybes, allFull) =
+      deleteWhereTiers(spark, meta, pCol, sqlP)
+    val cands =
+      if (allFull) entriesDataset(spark, meta).collect().toSeq
+      else fulls ++ maybes
+    if (cands.isEmpty) return Map("files_masked" -> 0L)
+    // PERSISTED: feeds three actions (emptiness, the vector, the
+    // updated-row write); bounded by the matched rows
+    val matched = maskRows(readWithPos(spark, root, cands, meta.ddl),
+      dvRelation(spark, root, meta.dvDirs))
+      .filter(coalesce(expr(sqlP), lit(false)))
+      .persist()
+    try {
+      if (matched.isEmpty) return Map("files_masked" -> 0L)
+      val dvName = writeDv(spark, root,
+        matched.select(col("__rel").as("path"), col("__pos").as("pos")))
+      // matched rows update UNCONDITIONALLY (they matched); the new
+      // files and the vector swap in as ONE pointer create
+      val newEntries = writeBatch(spark, root,
+        applySet(schema, setP, None)(matched.drop("__rel", "__pos")),
+        pCol, meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+      val name =
+        if (linkedAppendEligible(spark, fs, meta))
+          linkManifest(spark, fs, root, meta, newEntries,
+            dvAdds = dvName.toSeq)
+        else compactManifest(spark, root, meta, meta.ddl, newEntries,
+          dvAdds = dvName.toSeq)
+      commit(fs, root, v + 1, name, op = "UPDATE_WHERE_MOR")
+    } finally matched.unpersist()
+    maybeCheckpoint(spark, dir, pCol)
+    Map("files_masked" -> cands.size.toLong)
+  }
+
   // -------- merge-on-read (deletion vectors) --------
 
   /** Positions of the still-visible candidate rows matching `keys` of
@@ -4422,7 +4579,8 @@ object Manifest {
     * config comparison, but excluded here too for belt-and-braces). */
   private val RebasableOps = Set("APPEND", "UPSERT", "DELETE",
     "APPLY_CHANGES", "COMPACT", "DELETE_MOR", "UPSERT_MOR", "REWRITE",
-    "CLUSTER_WHERE", "DELETE_WHERE", "DELETE_WHERE_MOR")
+    "CLUSTER_WHERE", "DELETE_WHERE", "DELETE_WHERE_MOR",
+    "UPDATE_WHERE", "UPDATE_WHERE_MOR")
 
   /** Commit the staged manifest at `baseV + 1`; on a LOST POINTER RACE,
     * try to REBASE instead of making the caller re-plan and re-stage:
