@@ -40,6 +40,9 @@ class ManifestModelSpec extends SparkSpec {
     * partition tier (`p = 0`), 1 = stats tier on the value column,
     * 2 = unprunable key predicate (every file a straddler). */
   case class DeleteWhere(mor: Boolean, kind: Int) extends Op
+  /** Predicate update (CoW rewrite / MoR vector + re-insert) of the
+    * value column across one partition. */
+  case class UpdateWhere(mor: Boolean) extends Op
 
   private val keyGen = Gen.choose(1L, 40L)
   private val rowsGen = for {
@@ -63,7 +66,8 @@ class ManifestModelSpec extends SparkSpec {
     1 -> Gen.const(Restore),
     1 -> Gen.const(Widen),
     2 -> (for { m <- Gen.oneOf(true, false); k <- Gen.choose(0, 2) }
-      yield DeleteWhere(m, k)))
+      yield DeleteWhere(m, k)),
+    2 -> Gen.oneOf(true, false).map(UpdateWhere.apply))
 
   private val seqGen: Gen[List[Op]] =
     Gen.choose(4, 9).flatMap(n => Gen.listOfN(n, opGen))
@@ -177,6 +181,13 @@ class ManifestModelSpec extends SparkSpec {
                 case 1 => v >= 500.0
                 case _ => k % 5 == 1
               }
+            }
+          case UpdateWhere(mor) =>
+            val setE = Seq(valCol -> s"$valCol + 1000.0")
+            if (mor) Manifest.updateWhereMor(spark, dir, setE, "p = 1", "p")
+            else Manifest.updateWhere(spark, dir, setE, "p = 1", "p")
+            model = model.map { case (k, v) =>
+              k -> (if (part(k) == 1) v + 1000.0 else v)
             }
         }
         val vAfter = Manifest.latestVersion(spark, dir).get
