@@ -83,6 +83,42 @@ class ManifestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc over a SHALLOW CLONE streams predicate DML: update pairs, delete rows, convergent") {
+    val root = newDir()
+    val src = s"$root/src"; val dir = s"$root/clone"
+    Manifest.create(spark, src, base, "p", statsCols = Seq("v"))
+    // the stream reads the CLONE: its initial snapshot and every later
+    // change-row read resolves SOURCE-resident files through _ext
+    Manifest.shallowClone(spark, src, dir)
+    val q = start(dir, s"$root/ckpt", "ms_cdc_dml")
+    try {
+      q.processAllAvailable()
+      // CoW predicate update of v>=5 rows (k=5,6), then a MoR predicate
+      // delete of k<=1 — both over source-resident files
+      Manifest.updateWhere(spark, dir, Seq("v" -> "v + 100.0"),
+        "v >= 5.0", "p")
+      Manifest.deleteWhereMor(spark, dir, "k <= 1", "p")
+      q.processAllAvailable()
+      val all = sinkRows("ms_cdc_dml")
+        .select("k", "v", "_change", "_commit_version")
+        .as[(Long, Double, String, Long)].collect().toSeq
+      val updated = all.filter(_._4 == 2L)
+      assert(updated.map(r => (r._1, r._2, r._3)).toSet ==
+        Set((5L, 5.0, "delete"), (5L, 105.0, "insert"),
+          (6L, 6.0, "delete"), (6L, 106.0, "insert")),
+        s"the predicate update must arrive as delete+insert pairs, got $updated")
+      val deleted = all.filter(_._4 == 3L)
+      assert(deleted.map(r => (r._1, r._3)).toSet == Set((1L, "delete")),
+        s"the MoR predicate delete must arrive as its delete row, got $deleted")
+      val expect = Manifest.read(spark, dir).select("k", "v")
+        .as[(Long, Double)].collect().toMap
+      assert(foldCdc(all) == expect,
+        "folding the CDC stream must reproduce the clone's state exactly")
+      // the source never changed
+      assert(Manifest.read(spark, src).count() == 6)
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes at the committed version; pin survives and retire drops it") {
     val root = newDir()
     val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"
