@@ -1639,6 +1639,9 @@ object Manifest {
     meta.dvDirs.foreach { d =>
       val from = new Path(new Path(srcRoot, DvDir), d)
       val to = new Path(new Path(dstRoot, DvDir), d)
+      // a crashed clone's half-copied dir must not nest the retry's
+      // copy inside itself (FileUtil.copy into an existing dir nests)
+      fsD.delete(to, true)
       require(org.apache.hadoop.fs.FileUtil.copy(fsS, from, fsD, to,
         false, spark.sparkContext.hadoopConfiguration),
         s"could not copy deletion vector $d into $dstDir")

@@ -147,6 +147,25 @@ class ManifestCloneSpec extends SparkSpec {
     assert(state(c) == baseState + (300L -> 3.0))
   }
 
+  test("a crashed half-clone is overwritten by the retry (no nested DV copies, stale _ext)") {
+    val src = newDir("xsrc"); val dst = newDir("xdst")
+    Manifest.create(spark, src, base, "p")
+    Manifest.deleteMor(spark, src, Seq((9L, 1L)).toDF("k", "p"),
+      Seq("k"), "p")
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvName = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(src, "_dv")).head.getPath.getName
+    // simulate a clone that crashed mid-copy: a half/nested DV dir and
+    // a stale _ext landed, but no version pointer ever did
+    fs.mkdirs(new Path(dst, s"_dv/$dvName/$dvName"))
+    val out = fs.create(new Path(dst, "_ext"), true)
+    out.write("b-dead-beef=file:/nowhere\n".getBytes("UTF-8"))
+    out.close()
+    Manifest.shallowClone(spark, src, dst)
+    assert(state(dst) == baseState - 9L,
+      "the retry must supersede every half-written artifact")
+  }
+
   test("the change feed and incremental reads work over a cloned history") {
     val src = newDir("fsrc"); val dst = newDir("fdst")
     Manifest.create(spark, src, base, "p")
