@@ -1632,8 +1632,23 @@ object Manifest {
       .as[String].collect()
     val srcExt = extRoots(spark, srcRoot)
     val qualifiedSrc = fsS.makeQualified(srcRoot).toString
-    val extOut = batches.sorted
-      .map(b => s"$b=${srcExt.getOrElse(b, qualifiedSrc)}")
+    val mine = batches.map(b => b -> srcExt.getOrElse(b, qualifiedSrc)).toMap
+    // MERGE with anything a racing or crashed clone already staged at
+    // dst: the union is monotone (a dead mapping matches no live entry
+    // and is inert), so a loser overwriting the file can never
+    // invalidate the winner's committed map — same-source clones stage
+    // identical mappings, and a DIFFERENT source conflicts loudly
+    // before anything is damaged. The DV copies below are likewise
+    // benign under the race: vector dirs are immutable content keyed
+    // by name, so delete+recopy lands identical bytes.
+    val existing = extRoots(spark, dstRoot)
+    existing.foreach { case (b, r) =>
+      require(!mine.contains(b) || mine(b) == r,
+        s"conflicting clone staging at $dstDir: batch dir $b maps to " +
+          s"both $r and ${mine(b)} — two clones from different sources?")
+    }
+    val extOut = (existing ++ mine).toSeq.sortBy(_._1)
+      .map { case (b, r) => s"$b=$r" }
     // the DV relations are per-table mutable state (maintenance folds
     // them); the clone takes its own copy — kilobytes
     meta.dvDirs.foreach { d =>
@@ -3545,50 +3560,39 @@ object Manifest {
       readEntriesMasked(spark, root, added, metaTo.ddl, metaTo.dvDirs)
     val removedRows =
       readEntriesMasked(spark, root, removed, metaTo.ddl, metaFrom.dvDirs)
-    val dvDelta = metaTo.dvDirs.filterNot(metaFrom.dvDirs.toSet)
-    val dvDeleteRows =
-      if (dvDelta.isEmpty) None
+    // rows of CARRIED files (present in BOTH versions) that a vector in
+    // `dvSet` hits, with their (__rel, __pos) identity — the shared
+    // scaffold of the DV-ADD and DV-REMOVE sides below; bounded by the
+    // vectors' file set
+    def dvHitRows(dvSet: Seq[String]): Option[DataFrame] =
+      if (dvSet.isEmpty) None
       else {
-        // carried ∩ DV-hit, all bounded by the new vectors' file set —
-        // a file is carried iff the hit path exists in BOTH versions
-        val hit = dvTouchedPaths(spark, root, dvDelta).toSeq
+        val hit = dvTouchedPaths(spark, root, dvSet).toSeq
         val inFrom = entriesByPaths(spark, metaFrom, hit)
           .map(_.path).toSet
         val files = entriesByPaths(spark, metaTo, hit)
           .filter(e => inFrom.contains(e.path))
         if (files.isEmpty) None
         else {
-          val dv = dvRelation(spark, root, dvDelta)
+          val dv = dvRelation(spark, root, dvSet)
           Some(readWithPos(spark, root, files, metaTo.ddl)
             .join(dv.select(col("path").as("__rel"), col("pos").as("__pos")),
-              Seq("__rel", "__pos"), "left_semi")
-            .drop("__rel", "__pos"))
+              Seq("__rel", "__pos"), "left_semi"))
         }
       }
+    // a vector ADDED across the range deletes its carried rows
+    val dvDeleteRows =
+      dvHitRows(metaTo.dvDirs.filterNot(metaFrom.dvDirs.toSet))
+        .map(_.drop("__rel", "__pos"))
     // the MIRROR: a vector REMOVED across the range (RESTORE to a
     // pre-MoR-delete version re-points to an old manifest, dropping
     // later DVs while CARRYING the files they masked) RESURRECTS its
     // rows — invisible to the entry diff, so they must surface as
     // inserts here. Rows a metaTo vector still masks stay dead.
-    val dvGone = metaFrom.dvDirs.filterNot(metaTo.dvDirs.toSet)
     val dvInsertRows =
-      if (dvGone.isEmpty) None
-      else {
-        val hit = dvTouchedPaths(spark, root, dvGone).toSeq
-        val inFrom = entriesByPaths(spark, metaFrom, hit)
-          .map(_.path).toSet
-        val files = entriesByPaths(spark, metaTo, hit)
-          .filter(e => inFrom.contains(e.path))
-        if (files.isEmpty) None
-        else {
-          val dvOld = dvRelation(spark, root, dvGone)
-          val risen = readWithPos(spark, root, files, metaTo.ddl)
-            .join(dvOld.select(col("path").as("__rel"),
-              col("pos").as("__pos")), Seq("__rel", "__pos"), "left_semi")
-          Some(maskRows(risen, dvRelation(spark, root, metaTo.dvDirs))
-            .drop("__rel", "__pos"))
-        }
-      }
+      dvHitRows(metaFrom.dvDirs.filterNot(metaTo.dvDirs.toSet))
+        .map(risen => maskRows(risen, dvRelation(spark, root, metaTo.dvDirs))
+          .drop("__rel", "__pos"))
     val insertSide = dvInsertRows
       .map(addedRows.unionByName(_)).getOrElse(addedRows)
     val deleteSide = dvDeleteRows
@@ -3837,8 +3841,9 @@ object Manifest {
           } catch { case scala.util.control.NonFatal(_) => None }
         }.toSet
       def nullIntolerant(x: Expression): Boolean = x match {
-        case _: org.apache.spark.sql.catalyst.expressions.AttributeReference |
-             _: Literal => true
+        case _: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          true
+        case l: Literal => l.value != null // `... OR NULL` can go NULL
         case c: Cast =>
           (c.child match {
             case _: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
@@ -3858,9 +3863,18 @@ object Manifest {
           x.children.forall(nullIntolerant)
         case _ => false
       }
-      val eligible = conds.forall(c => c.deterministic && nullIntolerant(c)) &&
-        conds.flatMap(_.references.map(_.name.toLowerCase)).distinct
-          .forall(notNullCols.contains)
+      // the whitelist MUST judge the ANALYZED tree, not the optimized
+      // conjuncts: ReplaceNullWithFalseInPredicate is sound for the
+      // positive filter but ERASES the very NULL literals (`... OR
+      // NULL`, `IN (..., NULL)`) that make p NULL-capable — a
+      // null-freedom proof over the sanitized form would escalate a
+      // NULL-keeping predicate into a whole-table drop
+      val analyzedCond = df0.filter(expr(sqlP)).queryExecution.analyzed
+        .collectFirst { case f: LFilter => f.condition }
+      val eligible = analyzedCond.exists(c => c.deterministic &&
+        nullIntolerant(c) &&
+        c.references.map(_.name.toLowerCase).toSeq.distinct
+          .forall(notNullCols.contains))
       if (!eligible) (_: ManifestEntry) => false
       else {
         val negPlan = df0.filter(!expr(sqlP)).queryExecution.optimizedPlan
@@ -3895,16 +3909,26 @@ object Manifest {
       val ord = out.indexWhere(_.name.equalsIgnoreCase(pCol))
       val dt = out(ord).dataType
       val width = out.size
+      // whether a NULL partition value satisfies the predicate — FALSE
+      // for ordinary comparisons (they evaluate NULL, not TRUE) but
+      // TRUE for `p IS NULL` / `p <=> NULL`, which must classify
+      // has_null files as matching, not clean. Evaluated once: the
+      // answer is value-independent.
+      val nullMatch = {
+        val row = new GenericInternalRow(width)
+        bound.eval(row) == true
+      }
       (e: ManifestEntry) => {
         if (e.overflow) {
           if (statsFull(e)) 1 else if (mayMatch(e)) 2 else 0
         }
         else {
           val row = new GenericInternalRow(width)
-          // a null partition value never satisfies the predicate, so it
-          // blocks FULL but cannot create a match
-          var full = !e.has_null && e.values.nonEmpty
-          var any = false
+          var any = e.has_null && nullMatch
+          // FULL needs every row matching: all recorded values TRUE and
+          // any null rows covered by a null-matching predicate
+          var full = (!e.has_null || nullMatch) &&
+            (e.values.nonEmpty || e.has_null)
           var unknown = false
           e.values.foreach { s =>
             val v =
@@ -4207,9 +4231,14 @@ object Manifest {
     val setP = resolveSet(spark, meta, schema, set)
     val (_, fulls, maybes, allFull) =
       deleteWhereTiers(spark, meta, pCol, sqlP)
-    val cands =
-      if (allFull) entriesDataset(spark, meta).collect().toSeq
-      else fulls ++ maybes
+    if (allFull)
+      // masking 100% of the rows would duplicate the table on disk AND
+      // tax every later read — a provably-full MoR update degrades to
+      // [[updateWhere]]'s overwrite-shaped whole-table rewrite
+      // (identical semantics, planned without an entry collect)
+      return updateWhere(spark, dir, set, predicate, partitionCol) +
+        ("files_masked" -> 0L)
+    val cands = fulls ++ maybes
     if (cands.isEmpty) return Map("files_masked" -> 0L)
     // PERSISTED: feeds three actions (emptiness, the vector, the
     // updated-row write); bounded by the matched rows

@@ -219,9 +219,6 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
 
   override def partitionSchema: StructType = new StructType()
 
-  /** O(live files) driver memory by contract of the FileIndex API —
-    * callers of inputFiles (DESCRIBE-style introspection) accept the
-    * listing cost; planning itself never calls it. */
   /** Shallow-clone batch-dir map, as in [[ManifestFileIndex]]. */
   private val ext = Manifest.extRoots(spark, root)
 
@@ -229,6 +226,9 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
     if (ext.isEmpty) fs.makeQualified(new Path(qualifiedRoot, p))
     else Manifest.resolveData(qualifiedRoot, ext, p)
 
+  /** O(live files) driver memory by contract of the FileIndex API —
+    * callers of inputFiles (DESCRIBE-style introspection) accept the
+    * listing cost; planning itself never calls it. */
   override def inputFiles: Array[String] = {
     import spark.implicits._
     entries.select("path").as[String].collect()

@@ -160,6 +160,20 @@ class ManifestDeleteWhereSpec extends SparkSpec {
     assert(out3("files_dropped") == 0L,
       "a null-introducing predicate must never take the stats-FULL tier")
     assert(keys(dir3) == ((0L until 100L) :+ 150L).toSet)
+
+    // a literal NULL the optimizer sanitizes OUT of the positive filter
+    // (`... OR NULL`) must not escalate into a whole-table drop: the
+    // null-freedom proof judges the ANALYZED tree, where the literal
+    // still exists
+    val dir4 = newDir()
+    Manifest.create(spark, dir4, lo, "p", statsCols = Seq("v"))
+    Manifest.append(spark, dir4, hi, "p")
+    Manifest.addConstraint(spark, dir4, "v_nn", "v IS NOT NULL")
+    val out4 = Manifest.deleteWhere(spark, dir4, "v >= 100.0 OR NULL", "p")
+    assert(out4("files_dropped") == 0L,
+      "a NULL-capable predicate must never take the stats-FULL tier")
+    assert(keys(dir4) == (0L until 100L).toSet,
+      "only p IS TRUE rows delete; p IS NULL rows survive")
   }
 
   test("rows where the predicate is NULL are kept (SQL WHERE contract)") {
@@ -171,7 +185,7 @@ class ManifestDeleteWhereSpec extends SparkSpec {
     assert(keys(dir) == Set(2L), "null-v row must survive a v > 0 delete")
   }
 
-  test("null partition values never match; straddling value sets rewrite") {
+  test("null partition values never match comparisons, but p IS NULL takes them") {
     val dir = newDir()
     val rows = Seq((1L, Some(0L)), (2L, Some(1L)), (3L, Option.empty[Long]))
       .toDF("k", "p")
@@ -179,6 +193,11 @@ class ManifestDeleteWhereSpec extends SparkSpec {
     Manifest.deleteWhere(spark, dir, "p = 0", "p")
     assert(keys(dir) == Set(2L, 3L),
       "null-p row is not deleted by p = 0")
+    // a NULL-MATCHING predicate on the partition column must delete the
+    // null rows — the exact tier once classified has_null files as
+    // provably clean under any predicate
+    Manifest.deleteWhere(spark, dir, "p IS NULL", "p")
+    assert(keys(dir) == Set(2L), "p IS NULL must delete the null-p rows")
   }
 
   test("DELETE WHERE false commits nothing; WHERE true truncates metadata-only") {
