@@ -1550,11 +1550,36 @@ object Manifest {
     * takes exactly the pre-clone code paths. */
   private val ExtFile = "_ext"
 
+  /** Per-JVM memo of [[extRoots]]: `_ext` is written before a clone's
+    * v1 pointer and frozen from then on (a clone destination must not
+    * already exist), so the parsed map — and its absence — is safe to
+    * cache for the life of the JVM; without it every [[readEntries]]
+    * and bloom probe pays a filesystem existence check that is a HEAD
+    * round-trip on object stores. Local [[shallowClone]]s update their
+    * entry. The one staleness window is ANOTHER driver deleting a table
+    * and re-creating a clone at the same path: the stale entry then
+    * fails LOUDLY (unresolvable data paths), never silently, and a
+    * driver restart clears it. */
+  private val extCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
   /** batch-dir → external-root map of `root`'s table (empty for
-    * ordinary tables). One small read; no Spark job. */
+    * ordinary tables). One small read, memoized per JVM; no Spark
+    * job. */
   private[graft] def extRoots(spark: SparkSession,
                               root: Path): Map[String, String] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(root).toString
+    val hit = extCache.get(key)
+    if (hit != null) return hit
+    val out = extRootsUncached(spark, fs, root)
+    extCache.put(key, out)
+    out
+  }
+
+  private def extRootsUncached(spark: SparkSession,
+                               fs: FileSystem,
+                               root: Path): Map[String, String] = {
     val f = new Path(root, ExtFile)
     if (!fs.exists(f)) Map.empty
     else {
@@ -1641,13 +1666,16 @@ object Manifest {
     // before anything is damaged. The DV copies below are likewise
     // benign under the race: vector dirs are immutable content keyed
     // by name, so delete+recopy lands identical bytes.
-    val existing = extRoots(spark, dstRoot)
+    // UNCACHED read: a crashed/racing clone's pre-commit _ext is
+    // exactly what the memo may not have seen
+    val existing = extRootsUncached(spark, fsD, dstRoot)
     existing.foreach { case (b, r) =>
       require(!mine.contains(b) || mine(b) == r,
         s"conflicting clone staging at $dstDir: batch dir $b maps to " +
           s"both $r and ${mine(b)} — two clones from different sources?")
     }
-    val extOut = (existing ++ mine).toSeq.sortBy(_._1)
+    val merged = existing ++ mine
+    val extOut = merged.toSeq.sortBy(_._1)
       .map { case (b, r) => s"$b=$r" }
     // the DV relations are per-table mutable state (maintenance folds
     // them); the clone takes its own copy — kilobytes
@@ -1668,6 +1696,7 @@ object Manifest {
     try out.write((extOut.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    extCache.put(fsD.makeQualified(dstRoot).toString, merged)
     // distributed re-root staging, exactly a compaction's (the source
     // manifest chain reads fine from here — its dirs are absolute);
     // no delta sidecar: its parent link would name a source manifest
