@@ -1658,52 +1658,105 @@ object Manifest {
     val srcExt = extRoots(spark, srcRoot)
     val qualifiedSrc = fsS.makeQualified(srcRoot).toString
     val mine = batches.map(b => b -> srcExt.getOrElse(b, qualifiedSrc)).toMap
-    // MERGE with anything a racing or crashed clone already staged at
-    // dst: the union is monotone (a dead mapping matches no live entry
-    // and is inert), so a loser overwriting the file can never
-    // invalidate the winner's committed map — same-source clones stage
-    // identical mappings, and a DIFFERENT source conflicts loudly
-    // before anything is damaged. The DV copies below are likewise
-    // benign under the race: vector dirs are immutable content keyed
-    // by name, so delete+recopy lands identical bytes.
-    // UNCACHED read: a crashed/racing clone's pre-commit _ext is
-    // exactly what the memo may not have seen
-    val existing = extRootsUncached(spark, fsD, dstRoot)
-    existing.foreach { case (b, r) =>
-      require(!mine.contains(b) || mine(b) == r,
-        s"conflicting clone staging at $dstDir: batch dir $b maps to " +
-          s"both $r and ${mine(b)} — two clones from different sources?")
-    }
-    val merged = existing ++ mine
-    val extOut = merged.toSeq.sortBy(_._1)
-      .map { case (b, r) => s"$b=$r" }
     // the DV relations are per-table mutable state (maintenance folds
-    // them); the clone takes its own copy — kilobytes
+    // them); the clone takes its own copy — kilobytes. When a
+    // crashed/racing attempt already landed a dir with MATCHING content
+    // (file count + bytes: vector dirs are immutable content keyed by
+    // name), skip it entirely — the delete+recopy of identical bytes
+    // would otherwise open a window where a concurrent reader of an
+    // already-COMMITTED winner sees a partially-copied vector and
+    // silently resurrects deleted rows. Only a genuinely partial copy
+    // (a crash mid-copy) is deleted and retried, and then no committed
+    // reader can exist (the commit below postdates every DV copy).
     meta.dvDirs.foreach { d =>
       val from = new Path(new Path(srcRoot, DvDir), d)
       val to = new Path(new Path(dstRoot, DvDir), d)
-      // a crashed clone's half-copied dir must not nest the retry's
-      // copy inside itself (FileUtil.copy into an existing dir nests)
-      fsD.delete(to, true)
-      require(org.apache.hadoop.fs.FileUtil.copy(fsS, from, fsD, to,
-        false, spark.sparkContext.hadoopConfiguration),
-        s"could not copy deletion vector $d into $dstDir")
+      val same = fsD.exists(to) && {
+        val a = fsS.getContentSummary(from)
+        val b = fsD.getContentSummary(to)
+        a.getFileCount == b.getFileCount && a.getLength == b.getLength
+      }
+      if (!same) {
+        // a half-copied dir must not nest the retry's copy inside
+        // itself (FileUtil.copy into an existing dir nests)
+        fsD.delete(to, true)
+        require(org.apache.hadoop.fs.FileUtil.copy(fsS, from, fsD, to,
+          false, spark.sparkContext.hadoopConfiguration),
+          s"could not copy deletion vector $d into $dstDir")
+      }
     }
+    // MERGE with anything a racing or crashed clone already staged at
+    // dst (the union is monotone: a dead mapping matches no live entry
+    // and is inert; same-source clones stage identical mappings, a
+    // DIFFERENT source conflicts loudly) — then publish and VERIFY
+    // around the commit. The ordering hazard this guards: a loser that
+    // read `_ext` before the winner wrote it would stage a map MISSING
+    // the winner's entries, and an unguarded overwrite after the
+    // winner's v1 commit would leave committed data paths unresolvable
+    // with no re-clone possible. Three fences close it: (1) the merge
+    // reads UNCACHED immediately before the write (the stale-read
+    // window shrinks from the whole DV-copy span to microseconds);
+    // (2) a pointer re-check immediately before the write fails loudly
+    // once any clone has committed — from then on no loser can touch
+    // the file; (3) the winner re-verifies its mappings AFTER its
+    // commit and repairs by re-merging, so even a write that slipped
+    // between (2) and the commit is healed before the winner returns.
+    def stageExt(): Map[String, String] = {
+      val existing = extRootsUncached(spark, fsD, dstRoot)
+      existing.foreach { case (b, r) =>
+        require(!mine.contains(b) || mine(b) == r,
+          s"conflicting clone staging at $dstDir: batch dir $b maps to " +
+            s"both $r and ${mine(b)} — two clones from different sources?")
+      }
+      val merged = existing ++ mine
+      val extOut = merged.toSeq.sortBy(_._1)
+        .map { case (b, r) => s"$b=$r" }
+      // tmp + atomic-overwrite rename (the pin-publish discipline): a
+      // reader never observes a truncated half-written map
+      val tmp = new Path(dstRoot, s".$ExtFile-${UUID.randomUUID()}.tmp")
+      val out = fsD.create(tmp, true)
+      try out.write((extOut.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new Path(dstRoot, ExtFile)
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(fsD.getUri, fsD.getConf)
+        .rename(fsD.makeQualified(tmp), fsD.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fsD.delete(target, false)
+          require(fsD.rename(tmp, target),
+            s"could not publish $ExtFile at $dstDir")
+      }
+      merged
+    }
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"a concurrent clone committed at $dstDir while this one staged")
+    val merged = stageExt()
     // `_ext` lands BEFORE the pointer: a committed clone can never be
     // read without its map (a crash in between leaves garbage a
-    // re-clone overwrites, never a half-table)
-    val out = fsD.create(new Path(dstRoot, ExtFile), true)
-    try out.write((extOut.mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    extCache.put(fsD.makeQualified(dstRoot).toString, merged)
-    // distributed re-root staging, exactly a compaction's (the source
-    // manifest chain reads fine from here — its dirs are absolute);
-    // no delta sidecar: its parent link would name a source manifest
-    // this root does not retain
+    // re-clone overwrites, never a half-table). Distributed re-root
+    // staging, exactly a compaction's (the source manifest chain reads
+    // fine from here — its dirs are absolute); no delta sidecar: its
+    // parent link would name a source manifest this root does not
+    // retain.
     val name = compactManifest(spark, dstRoot, meta, meta.ddl, Nil,
       writeSidecar = false)
     commit(fsD, dstRoot, 1L, name, op = "CLONE")
+    // post-commit verification (fence 3): if a loser's stale overwrite
+    // slipped in, re-merge OUR mappings back over whatever is there
+    // now — the loser's own commit can never succeed (v1 is taken), so
+    // after this repair the committed map is final
+    val committed = extRootsUncached(spark, fsD, dstRoot)
+    val healed =
+      if (mine.forall { case (b, r) => committed.get(b).contains(r) })
+        committed
+      else stageExt()
+    // cache only AFTER the successful commit: a loser caching its
+    // pre-commit map would shadow the winner's committed one for the
+    // rest of this JVM's life
+    extCache.put(fsD.makeQualified(dstRoot).toString, healed)
     batches.length.toLong
   }
 
@@ -1932,7 +1985,6 @@ object Manifest {
       Some(value), Some(value))
     if (!meta.bloomCols.contains(column) || rangeCands.isEmpty)
       return rangeCands
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // probe positions via the same Spark expressions the writer used
     val probeRow = spark.range(1).select(
       (0 until BloomHashes).map(i =>
@@ -1974,7 +2026,6 @@ object Manifest {
                                    cands: Seq[Entry], batch: DataFrame,
                                    keyCol: String): Seq[Entry] = {
     if (!bloomCols.contains(keyCol) || cands.isEmpty) return cands
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val extR = extRoots(spark, root)
     val bloomPaths = cands.map(_.path.split('/')(1)).distinct
       .map(b => resolveData(root, extR, s"$DataDir/$b/$BloomDir"))
@@ -4883,9 +4934,11 @@ object Manifest {
         constraintsOut = Some(kept)), op = "DROP_CONSTRAINT")
   }
 
-  /** The table's CHECK constraints as (name, sql) pairs. */
+  /** The table's CHECK constraints as (name, sql) pairs — snapshot
+    * HEADER only (pointer + chain + sentinel), never the entry list:
+    * introspection must stay O(1) in file count at any table size. */
   def constraintsOf(spark: SparkSession, dir: String): Seq[(String, String)] =
-    loadSnapshot(spark, dir).constraints.map(parseConstraint)
+    snapshotMeta(spark, dir).constraints.map(parseConstraint)
 
   /** CLUSTER: rewrite the whole snapshot range-partitioned on
     * `sortCol`, so per-file min/max ranges for it become DISJOINT and a

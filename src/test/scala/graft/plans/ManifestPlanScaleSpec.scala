@@ -481,8 +481,15 @@ class ManifestPlanScaleSpec extends SparkSpec {
     graft.ops.Manifest.addConstraint(spark, root, "d_floor",
       "d >= DATE'1992-01-01'")
     val sec = (System.nanoTime() - t0) / 1e9
+    // introspection is snapshot-HEADER-only (round-14's one weak mark:
+    // it collected the full 100k-entry list to read sentinel strings)
+    val t1 = System.nanoTime()
     assert(graft.ops.Manifest.constraintsOf(spark, root)
       .contains("d_floor" -> "d >= DATE'1992-01-01'"))
+    val introSec = (System.nanoTime() - t1) / 1e9
+    assert(introSec < 10.0,
+      f"constraintsOf took $introSec%.1f s at 100k entries — the " +
+        "full-entry-list collect is back")
     assert(sec < 60.0,
       f"ADD CONSTRAINT took $sec%.1f s at 100k entries — validation " +
         "is no longer a pruned distributed scan")
