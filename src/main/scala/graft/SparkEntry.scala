@@ -1345,6 +1345,79 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SQL STATEMENT surface over a registered manifest table: the same
+    // three-tier DELETE lifecycle as man_delete_where plus a predicate
+    // UPDATE and an OPTIMIZE, every step issued as SQL TEXT
+    // (graft.sql.GraftSqlParser routes DELETE FROM / UPDATE / OPTIMIZE
+    // to the existing planners; the registered view refreshes after
+    // each statement, so the final SELECT is SQL end-to-end too).
+    "sql_dml_surface" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqldml_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+          trunc(col("o_orderdate"), "month").as("o_month"))
+      graft.ops.Manifest.create(s, dir, orders, "o_month",
+        statsCols = Seq("o_totalprice"))
+      graft.plans.ManifestScan.register(s, "sqldml_t", dir, Some("o_month"))
+      s.sql("DELETE FROM sqldml_t WHERE o_month < DATE '1994-01-01'")
+      s.sql("DELETE FROM sqldml_t WHERE o_totalprice > 400000.0")
+      s.conf.set("graft.sql.dml.mor", "true")
+      try s.sql("DELETE FROM sqldml_t WHERE o_orderkey % 10 = 0")
+      finally s.conf.unset("graft.sql.dml.mor")
+      s.sql("UPDATE sqldml_t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderdate < DATE '1995-01-01'")
+      s.sql("OPTIMIZE sqldml_t")
+      s.sql("SELECT o_orderkey, o_totalprice, o_orderdate FROM sqldml_t " +
+        "ORDER BY o_orderkey")
+    }),
+
+    // Conditional-clause MERGE INTO as one atomic commit, issued as
+    // SQL: matched DELETE (guarded), matched UPDATE, NOT MATCHED
+    // INSERT, and a guarded NOT MATCHED BY SOURCE UPDATE — the oracle
+    // replays the clause algebra as joins over the same source
+    // derivation. Source: the %3 keys as updates (+1000), the %5 keys
+    // NEGATED as guaranteed-new inserts.
+    "mrg_merge_clauses" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mrgcl_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir, orders, "o_orderstatus")
+      graft.plans.ManifestScan.register(s, "mrgcl_t", dir,
+        Some("o_orderstatus"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 1000.0).as("nv"),
+          col("o_orderstatus").as("st"))
+        // o_orderkey 0 exists in the testdata: -0 = 0 would collide
+        // with the %3 branch's key 0, tripping the (correct)
+        // multiple-match refusal — negate strictly positive keys only
+        .unionByName(orders.filter(col("o_orderkey") % 5 === 0 &&
+            col("o_orderkey") > 0)
+          .select((-col("o_orderkey")).as("k"),
+            col("o_totalprice").as("nv"), col("o_orderstatus").as("st")))
+        .createOrReplaceTempView("mrgcl_src")
+      s.sql(
+        """MERGE INTO mrgcl_t AS t USING mrgcl_src AS s ON t.o_orderkey = s.k
+          |WHEN MATCHED AND s.nv > 200000.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.nv
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+          |  VALUES (s.k, s.nv, s.st)
+          |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000.0
+          |  THEN UPDATE SET o_totalprice = 0.0
+          |""".stripMargin)
+      s.sql("SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderstatus AS STRING) AS o_orderstatus FROM mrgcl_t " +
+        "ORDER BY o_orderkey")
+    }),
+
     // Keyed DELETE on the Manifest path alone (the mrg_delete sibling):
     // a fully-emptied file just drops out of the manifest — no
     // emptied-directory special case — and the commit is the atomic
@@ -4056,6 +4129,47 @@ ORDER BY step"""
         |  AS o_totalprice,
         |  o_orderstatus
         |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The SQL-statement lifecycle composes to one WHERE + one CASE
+    // over the original relation — identical tier semantics to
+    // man_delete_where/man_update_where, driven through SQL text.
+    "sql_dml_surface" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderdate < DATE '1995-01-01'
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE NOT (date_trunc('month', o_orderdate) < DATE '1994-01-01')
+        |  AND NOT (o_totalprice > 400000.0)
+        |  AND NOT (o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Clause algebra replayed as joins: matched rows either delete
+    // (nv > 200000), or take the update value; unmatched targets with
+    // totalprice < 50000 zero out; unmatched source rows insert.
+    "mrg_merge_clauses" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS nv,
+        |         o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey > 0
+        |)
+        |SELECT * FROM (
+        |  SELECT t.o_orderkey,
+        |         CASE WHEN s.k IS NOT NULL THEN s.nv
+        |              WHEN t.o_totalprice < 50000.0 THEN 0.0
+        |              ELSE t.o_totalprice END AS o_totalprice,
+        |         t.o_orderstatus
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.k
+        |  WHERE NOT (s.k IS NOT NULL AND s.nv > 200000.0)
+        |  UNION ALL
+        |  SELECT s.k, s.nv, s.st
+        |  FROM src s LEFT JOIN orders t ON t.o_orderkey = s.k
+        |  WHERE t.o_orderkey IS NULL
+        |)
         |ORDER BY o_orderkey""".stripMargin,
 
     // Manifest delete keeps exactly the non-matching keys (same

@@ -311,8 +311,12 @@ class ManifestStreamProvider extends StreamSourceProvider
     require(!(keys.nonEmpty && mergeSchema) || cdc,
       "mergeSchema applies to the append path only (or to the cdc " +
         "sink, where it folds a source schema evolution into the target)")
+    val schemaFrom = optCI(parameters, "replicateSchemaFrom")
+    require(schemaFrom.isEmpty || (cdc && mergeSchema),
+      "replicateSchemaFrom folds source rename/drop provenance into " +
+        "the target — it needs cdc mode with mergeSchema")
     new ManifestSink(sqlContext.sparkSession, dir, partitionCol, keys,
-      statsCols, mergeSchema, cdc)
+      statsCols, mergeSchema, cdc, schemaFrom)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -497,7 +501,12 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
       val stepEnd = v + 1
       val step =
         if (mode == "cdc")
-          Manifest.changes(spark, tableDir, v, stepEnd)
+          // every step renders with the BATCH-END face: per-step faces
+          // would fail the union below as soon as the range spans a
+          // rename/drop commit (the physical rows are identical — the
+          // rename is sentinel-only — so one face is always right)
+          Manifest.changes(spark, tableDir, v, stepEnd,
+            renderAsOf = Some(toV))
             .withColumnRenamed("change", ChangeCol)
         else Manifest.appendedBetween(spark, tableDir, v, stepEnd)
           .getOrElse(throw new IllegalStateException(
@@ -579,7 +588,8 @@ class ManifestStreamSource(spark: SparkSession, tableDir: String,
 class ManifestSink(spark: SparkSession, tableDir: String,
                    partitionCol: String, keys: Seq[String],
                    statsCols: Seq[String], mergeSchema: Boolean,
-                   cdc: Boolean = false)
+                   cdc: Boolean = false,
+                   schemaFrom: Option[String] = None)
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -604,11 +614,15 @@ class ManifestSink(spark: SparkSession, tableDir: String,
         // converges to A with exactly-once end to end. With
         // mergeSchema, an upstream ADD COLUMNS folds into the target
         // (evolve-then-apply, replay-safe) instead of refusing.
+        // With replicateSchemaFrom, the SOURCE's rename/drop
+        // provenance replays onto the target before the batch applies
+        // (Manifest.replaySchemaOps) — replication converges across an
+        // upstream RENAME instead of forking it into add+null-fill.
         Manifest.applyChangesIfAbsent(spark, tableDir, batch, keys,
           partitionCol, appId, batchId,
           changeCol = ManifestStream.ChangeCol,
           orderCol = Some(ManifestStream.VersionCol), statsCols = statsCols,
-          evolveSchema = mergeSchema)
+          evolveSchema = mergeSchema, schemaFrom = schemaFrom)
       else if (keys.nonEmpty)
         Manifest.upsertIfAbsent(spark, tableDir, batch, keys, partitionCol,
           appId, batchId, statsCols)

@@ -97,6 +97,29 @@ case class ManifestEntry(path: String, values: Seq[String],
   * index (`_metadata.row_index`). Top-level for Encoder codegen. */
 case class DvEntry(path: String, pos: Long)
 
+/** The conditional-clause MERGE INTO algebra ([[Manifest.mergeClauses]]
+  * — SQL's `WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE`,
+  * `WHEN NOT MATCHED [AND c] THEN INSERT …`,
+  * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …/DELETE`).
+  * Conditions and value expressions are ANSI SQL over the two row
+  * sides, referenced through the merge call's target/source aliases
+  * (default `t` / `s`); column names are the table's VISIBLE (logical)
+  * names. Within each group, clauses apply FIRST-MATCH-WINS in
+  * declaration order; a row no clause matches is untouched. */
+object MergeClause {
+  sealed trait Action
+  /** visible column → SQL expression. Empty set list = `UPDATE SET *`:
+    * every visible column takes the source's same-named value. */
+  case class Update(set: Seq[(String, String)]) extends Action
+  case object Delete extends Action
+  case class Matched(action: Action, cond: Option[String] = None)
+  /** visible column → SQL over the source side; omitted columns
+    * insert NULL. Empty values list = `INSERT *`. */
+  case class NotMatched(values: Seq[(String, String)],
+                        cond: Option[String] = None)
+  case class NotMatchedBySource(action: Action, cond: Option[String] = None)
+}
+
 /** One commit of [[Manifest.history]] — Delta's DESCRIBE HISTORY shape:
   * version, monotone commit time (in-commit `ts:` line, mtime fallback),
   * the operation that produced it (`op:` line; "" on pre-provenance
@@ -1658,6 +1681,34 @@ object Manifest {
     val srcExt = extRoots(spark, srcRoot)
     val qualifiedSrc = fsS.makeQualified(srcRoot).toString
     val mine = batches.map(b => b -> srcExt.getOrElse(b, qualifiedSrc)).toMap
+    // RETENTION PINS on every owning source root, BEFORE any further
+    // source read: from here a source `vacuumOrphans` that would drop
+    // the anchored version REFUSES ([[RetentionPinnedException]])
+    // instead of silently reclaiming files this clone references —
+    // the checked-contract upgrade of the old "coordinate retention"
+    // caveat (`force = true` still overrides, and then the clone's
+    // next read of a reclaimed file fails loudly, never silently).
+    // The immediate source anchors at the cloned version `v` (whose
+    // manifest lists every referenced file). A clone OF a clone
+    // borrows the intermediate's own pin version on the ORIGINAL root
+    // (the same files-live guarantee), falling back to the original's
+    // latest for pre-pin-era intermediates. A crashed clone's pins
+    // release in the catch below; [[releaseCloneSourcePins]] releases
+    // once the clone is self-contained or about to be dropped.
+    val dstQ = fsD.makeQualified(dstRoot).toString
+    val pinName = clonePinName(dstQ)
+    val srcPinName = clonePinName(qualifiedSrc)
+    mine.values.toSet[String].foreach { r =>
+      val anchor =
+        if (r == qualifiedSrc) v
+        else pins(spark, r).getOrElse(srcPinName,
+          latestVersion(spark, r).getOrElse(0L))
+      pin(spark, r, pinName, anchor)
+    }
+    def unpinAll(): Unit =
+      mine.values.toSet[String].foreach(r =>
+        try unpin(spark, r, pinName) catch { case _: Exception => () })
+    try {
     // the DV relations are per-table mutable state (maintenance folds
     // them); the clone takes its own copy — kilobytes. When a
     // crashed/racing attempt already landed a dir with MATCHING content
@@ -1756,8 +1807,49 @@ object Manifest {
     // cache only AFTER the successful commit: a loser caching its
     // pre-commit map would shadow the winner's committed one for the
     // rest of this JVM's life
-    extCache.put(fsD.makeQualified(dstRoot).toString, healed)
+    extCache.put(dstQ, healed)
     batches.length.toLong
+    } catch {
+      case t: Throwable => unpinAll(); throw t
+    }
+  }
+
+  /** Deterministic name of the retention pin a clone at `dstQualified`
+    * holds on each of its source roots. */
+  private def clonePinName(dstQualified: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dstQualified.getBytes(StandardCharsets.UTF_8))
+    "clone-" + d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Release the retention pins the clone at `dir` holds on source
+    * roots it NO LONGER references: once a full rewrite (OPTIMIZE /
+    * cluster / whole-table update) has retired every external batch
+    * dir of a root, that source's vacuum is unblocked. With
+    * `force = true` every pin releases regardless of remaining
+    * references — the pre-DROP step for deleting a clone (a forced
+    * release while references remain re-opens the reclamation window
+    * the pin closed, exactly as intended for a drop). Returns the
+    * number of roots released. No-op on ordinary tables. */
+  def releaseCloneSourcePins(spark: SparkSession, dir: String,
+                             force: Boolean = false): Long = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    val ext = extRoots(spark, root)
+    if (ext.isEmpty) return 0L
+    val stillNeeded: Set[String] =
+      if (force) Set.empty
+      else {
+        val meta = snapshotMeta(spark, dir)
+        val liveBatches = entriesDataset(spark, meta)
+          .select(split(col("path"), "/").getItem(1)).distinct()
+          .as[String].collect().toSet
+        liveBatches.intersect(ext.keySet).map(ext)
+      }
+    val name = clonePinName(fs.makeQualified(root).toString)
+    val releasable = ext.values.toSet -- stillNeeded
+    releasable.foreach(r => unpin(spark, r, name))
+    releasable.size.toLong
   }
 
   /** Top-level nullable rendering (nullability is not a parquet
@@ -2325,6 +2417,71 @@ object Manifest {
           out.map { case (l, p) => s"$l=$p" }),
         op = "DROP_COLUMN")
     }
+  }
+
+  /** Replay the SOURCE table's retained RENAME/DROP COLUMN history
+    * onto `dir` as the target's OWN metadata-only colmap commits — the
+    * provenance-driven half of CDC schema replication
+    * ([[applyChangesIfAbsent]]'s `schemaFrom`). A rename/drop commit
+    * produces NO change-feed rows, so the data stream alone can never
+    * see it; the source's `op:` pointer provenance can. For each
+    * retained source version tagged RENAME_COLUMN / DROP_COLUMN, the
+    * logical faces of `v-1` and `v` diff by PHYSICAL slot (same slot,
+    * new logical name = rename; slot gone = drop) and the change
+    * applies to the target BY LOGICAL NAME (the two tables' physical
+    * names are independent).
+    *
+    * IDEMPOTENT by construction, so any replay cadence is safe: a
+    * rename whose old name is already gone and new name present
+    * skips; a drop of an absent column skips; a rename whose old AND
+    * new names are both visible on the target refuses loudly (the
+    * target grew a conflicting column — converging would clobber it).
+    * Cost: O(retained source versions) pointer reads per call, plus
+    * two header reads per schema-op version found — no entry read, no
+    * data read, at any table size. Returns ops applied. */
+  def replaySchemaOps(spark: SparkSession, dir: String,
+                      sourceDir: String): Long = {
+    val (fsS, srcRoot) = fsOf(spark, sourceDir)
+    val vs = versions(spark, sourceDir)
+    var applied = 0L
+    vs.foreach { v =>
+      val op = readPointerLines(fsS, srcRoot, v).drop(1)
+        .find(_.startsWith(OpPrefix))
+        .map(_.stripPrefix(OpPrefix).trim).getOrElse("")
+      if ((op == "RENAME_COLUMN" || op == "DROP_COLUMN") &&
+        vs.contains(v - 1)) {
+        def face(at: Long) = {
+          val m = snapshotMeta(spark, sourceDir, Some(at))
+          effectivePairs(m.ddl, m.colMap)
+        }
+        val before = face(v - 1)
+        val afterByPhys = face(v).map { case (l, p) => p -> l }.toMap
+        // target face re-read per op: consecutive source renames of
+        // the same column must each see the previous replay's result
+        before.foreach { case (lB, p) =>
+          lazy val tgt = tableSchema(spark, dir).fieldNames
+          afterByPhys.get(p) match {
+            case Some(lA) if !lA.equalsIgnoreCase(lB) =>
+              val hasOld = tgt.exists(_.equalsIgnoreCase(lB))
+              val hasNew = tgt.exists(_.equalsIgnoreCase(lA))
+              if (hasOld && hasNew)
+                throw new IllegalArgumentException(
+                  s"cannot replay source rename $lB -> $lA: the target " +
+                    s"already has BOTH columns — resolve the conflict " +
+                    "manually (rename or drop the target's own column)")
+              else if (hasOld) {
+                renameColumn(spark, dir, lB, lA); applied += 1
+              } // already replayed (or never present): skip
+            case None =>
+              if (tgt.exists(_.equalsIgnoreCase(lB))) {
+                dropColumn(spark, dir, lB); applied += 1
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+    applied
   }
 
   /** UNDROP: re-bind an existing PHYSICAL slot (typically one
@@ -2918,17 +3075,24 @@ object Manifest {
     * that widens in neither direction still refuses loudly. The fold
     * is replay-safe: the evolve/widen commits carry no txn marker, so
     * a crash between them and the data commit replays into "schema
-    * already matches → skip → apply batch (marker-guarded)". A renamed
-    * source column is NOT auto-folded (a CDC batch cannot distinguish
-    * a rename from a drop+add) — apply [[renameColumn]] on the target,
-    * and the stream continues under the new name. */
+    * already matches → skip → apply batch (marker-guarded)". A CDC
+    * batch alone cannot distinguish a RENAME from a drop+add — but the
+    * source's commit PROVENANCE can: pass `schemaFrom = Some(srcDir)`
+    * and the source's retained RENAME/DROP COLUMN history replays onto
+    * the target as its OWN metadata-only colmap commits
+    * ([[replaySchemaOps]]) before each batch applies, so replication
+    * converges across an upstream rename instead of forking the
+    * renamed column into add+null-fill. Without `schemaFrom`, apply
+    * [[renameColumn]] on the target manually and the stream continues
+    * under the new name. */
   def applyChangesIfAbsent(spark: SparkSession, dir: String,
                            batch: DataFrame, keys: Seq[String],
                            partitionCol: String, appId: String,
                            batchId: Long, changeCol: String = "change",
                            orderCol: Option[String] = None,
                            statsCols: Seq[String] = Nil,
-                           evolveSchema: Boolean = false): Boolean =
+                           evolveSchema: Boolean = false,
+                           schemaFrom: Option[String] = None): Boolean =
     withConflictRetry() {
       if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
       else if (latestVersion(spark, dir).isEmpty) {
@@ -2946,6 +3110,11 @@ object Manifest {
           txn = Some(appId -> batchId))
         true
       } else {
+        // fold upstream RENAME/DROP through provenance BEFORE the
+        // add-columns fold below can mistake a renamed column's new
+        // name for a brand-new column (replay is idempotent — a crash
+        // between it and the data commit re-skips already-applied ops)
+        schemaFrom.foreach(src => replaySchemaOps(spark, dir, src))
         val applied =
           if (!evolveSchema) batch
           else {
@@ -3725,7 +3894,7 @@ object Manifest {
   }
 
   def changes(spark: SparkSession, dir: String, fromV: Long,
-              toV: Long): DataFrame = {
+              toV: Long, renderAsOf: Option[Long] = None): DataFrame = {
     require(fromV < toV, s"need fromV < toV (got $fromV, $toV)")
     val (_, root) = fsOf(spark, dir)
     val metaFrom = snapshotMeta(spark, dir, Some(fromV))
@@ -3749,8 +3918,26 @@ object Manifest {
       else inserts.exceptAll(deletes).withColumn("change", lit("insert"))
         .unionByName(
           deletes.exceptAll(inserts).withColumn("change", lit("delete")))
-    // the feed speaks the TO version's logical names, like its schema
-    toLogical(out, metaTo.colMap, extras = Seq("change"))
+    // the feed speaks the TO version's logical names, like its schema —
+    // or, with `renderAsOf`, THAT version's names: a streaming consumer
+    // unioning per-commit steps across a RENAME/DROP boundary must
+    // render every step with ONE face or the union cannot resolve
+    // (rename and drop are sentinel-only, so the physical columns
+    // beneath are identical at every step; a physical slot bound by a
+    // LATER evolve simply null-fills here, which is its true value in
+    // the older versions)
+    renderAsOf match {
+      case None => toLogical(out, metaTo.colMap, extras = Seq("change"))
+      case Some(r) =>
+        val rMeta = snapshotMeta(spark, dir, Some(r))
+        val phys = DataType.fromDDL(rMeta.ddl).asInstanceOf[StructType]
+        val have = out.columns.map(_.toLowerCase).toSet
+        val padded = phys.fields.toSeq
+          .filterNot(f => have.contains(f.name.toLowerCase))
+          .foldLeft(out)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        toLogical(padded, rMeta.colMap, extras = Seq("change"))
+    }
   }
 
   /** UNCANCELLED signed change rows between two versions: every row of
@@ -4345,6 +4532,232 @@ object Manifest {
     } finally matched.unpersist()
     maybeCheckpoint(spark, dir, pCol)
     Map("files_masked" -> cands.size.toLong)
+  }
+
+  /** Conditional-clause MERGE INTO ([[MergeClause]] — the full SQL
+    * `WHEN MATCHED / NOT MATCHED / NOT MATCHED BY SOURCE` algebra) as
+    * ONE atomic merge-on-read commit: every matched/by-source UPDATE or
+    * DELETE masks its old row through a single new deletion vector,
+    * updated rows and inserts land as new files, and the whole outcome
+    * swaps in with one pointer create — write cost O(action rows), no
+    * candidate file rewritten (the [[upsertMor]] shape generalized to
+    * the clause algebra; [[maintain]] folds the read debt later).
+    *
+    * `on` is the equi-join key list as (targetColumn, sourceColumn)
+    * pairs over VISIBLE names — SQL `=` semantics (a NULL key matches
+    * nothing). Candidate planning rides the existing keyed pruning:
+    * single-key merges probe per-file bloom filters
+    * ([[bloomBatchCandidates]]); when the partition column is itself an
+    * ON key, the exact partition value-set tier applies first — so a
+    * small batch against a 10⁷-file table opens only the files that
+    * can hold its keys. A `notMatchedBySource` clause makes every live
+    * file a candidate BY SEMANTICS (any file may hold unmatched rows —
+    * Delta scans the full table for these too); that path's entry
+    * collect is O(live files) driver heap, the same bound every
+    * planner venue accepts.
+    *
+    * SQL's nondeterminism guard: a target row that takes a matched
+    * action from TWO source rows is refused loudly before anything is
+    * written (which source row wins would be arbitrary). One source
+    * row fanning out to many target rows is fine.
+    *
+    * Returns `rows_updated` / `rows_deleted` / `rows_inserted`. */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+                   on: Seq[(String, String)], partitionCol: String,
+                   matched: Seq[MergeClause.Matched] = Nil,
+                   notMatched: Seq[MergeClause.NotMatched] = Nil,
+                   notMatchedBySource: Seq[MergeClause.NotMatchedBySource] = Nil,
+                   targetAlias: String = "t", sourceAlias: String = "s")
+      : Map[String, Long] = {
+    import MergeClause._
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
+    require(on.nonEmpty, "MERGE needs at least one ON key pair")
+    require(!targetAlias.equalsIgnoreCase(sourceAlias),
+      s"target and source aliases must differ (both '$targetAlias')")
+    val tA = targetAlias; val sA = sourceAlias
+    val physSchema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+    val visible = logicalStruct(physSchema, meta.colMap)
+    Seq("__s_hit", "__rel", "__pos").foreach { c =>
+      require(!source.columns.exists(_.equalsIgnoreCase(c)),
+        s"source column $c collides with a merge-internal marker")
+    }
+    on.foreach { case (tk, sk) =>
+      require(visible.fieldNames.exists(_.equalsIgnoreCase(tk)),
+        s"ON target column $tk is not a visible column " +
+          s"(visible: ${visible.fieldNames.mkString(", ")})")
+      require(source.columns.exists(_.equalsIgnoreCase(sk)),
+        s"ON source column $sk is not a source column " +
+          s"(source: ${source.columns.mkString(", ")})")
+    }
+    // normalize the star forms; validate SET/INSERT column lists
+    def starSet = visible.fieldNames.toSeq.map(c => c -> s"$sA.$c")
+    def checkCols(what: String, cols: Seq[String]): Unit = {
+      cols.foreach(c => require(
+        visible.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$what column $c is not a visible column " +
+          s"(visible: ${visible.fieldNames.mkString(", ")})"))
+      require(cols.map(_.toLowerCase).distinct.size == cols.size,
+        s"duplicate $what column in ${cols.mkString(", ")}")
+    }
+    def normAction(a: Action): Action = a match {
+      case Update(set) =>
+        val s0 = if (set.isEmpty) {
+          visible.fieldNames.foreach(c => require(
+            source.columns.exists(_.equalsIgnoreCase(c)),
+            s"UPDATE SET * needs source column $c"))
+          starSet
+        } else set
+        checkCols("SET", s0.map(_._1)); Update(s0)
+      case Delete => Delete
+    }
+    val matchedN = matched.map(m => m.copy(action = normAction(m.action)))
+    val nmbsN = notMatchedBySource
+      .map(m => m.copy(action = normAction(m.action)))
+    val notMatchedN = notMatched.map { m =>
+      val v0 = if (m.values.isEmpty) {
+        visible.fieldNames.foreach(c => require(
+          source.columns.exists(_.equalsIgnoreCase(c)),
+          s"INSERT * needs source column $c"))
+        starSet
+      } else m.values
+      checkCols("INSERT", v0.map(_._1)); m.copy(values = v0)
+    }
+    val pColP = physName(meta.colMap, partitionCol)
+    val sourceP = source.persist()
+    try {
+      // ---- candidate planning ----
+      val cands: Seq[Entry] =
+        if (nmbsN.nonEmpty) entriesDataset(spark, meta).collect().toSeq
+        else {
+          val base = on.find(_._1.equalsIgnoreCase(partitionCol)) match {
+            case Some((_, sk)) =>
+              val touched = sourceP.select(col(sk).cast("string"))
+                .distinct().collect().map(r => Option(r.getString(0)))
+              partitionCandidates(spark, meta, pColP,
+                touched.flatten.toSet, touched.contains(None))
+            case None => entriesDataset(spark, meta).collect().toSeq
+          }
+          if (on.size == 1) {
+            val tkP = physName(meta.colMap, on.head._1)
+            bloomBatchCandidates(spark, root, meta.ddl, meta.bloomCols,
+              base, sourceP.select(col(on.head._2).as(tkP)), tkP)
+          } else base
+        }
+      // ---- the one logical pass: classify every joined row ----
+      val target = toLogical(
+        maskRows(readWithPos(spark, root, cands, meta.ddl),
+          dvRelation(spark, root, meta.dvDirs)),
+        meta.colMap, Seq("__rel", "__pos")).alias(tA)
+      val src = sourceP.withColumn("__s_hit", lit(true)).alias(sA)
+      val onCond = on.map { case (tk, sk) =>
+        col(s"$tA.$tk") === col(s"$sA.$sk")
+      }.reduce(_ && _)
+      val joined = target.join(src, onCond, "full_outer")
+      val tPresent = col(s"$tA.__rel").isNotNull
+      val sPresent = col(s"$sA.__s_hit").isNotNull
+      def cnd(o: Option[String]) =
+        o.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
+      // first-match-wins index within a clause group (0 = none fires)
+      def firstIdx(guard: org.apache.spark.sql.Column,
+                   conds: Seq[org.apache.spark.sql.Column]) =
+        conds.zipWithIndex.foldLeft(when(lit(false), lit(0))) {
+          case (acc, (c, i)) => acc.when(guard && c, lit(i + 1))
+        }.otherwise(lit(0))
+      val mIdx = firstIdx(tPresent && sPresent, matchedN.map(m => cnd(m.cond)))
+      val iIdx = firstIdx(!tPresent && sPresent,
+        notMatchedN.map(m => cnd(m.cond)))
+      val nIdx = firstIdx(tPresent && !sPresent, nmbsN.map(m => cnd(m.cond)))
+      // action kinds: 1 matched-update 2 matched-delete 3 insert
+      //               4 by-source-update 5 by-source-delete
+      def updRow(set: Seq[(String, String)]) = struct(
+        visible.fields.toIndexedSeq.map { f =>
+          set.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(s"$tA.${f.name}").as(f.name)
+          }
+        }: _*)
+      def insRow(values: Seq[(String, String)]) = struct(
+        visible.fields.toIndexedSeq.map { f =>
+          values.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) => expr(e).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      val nullRow = lit(null).cast(visible)
+      // per-clause dispatch on the group's first-match index; the
+      // groups' guards are disjoint, so nesting order is immaterial
+      def pick[A](idx: org.apache.spark.sql.Column, clauses: Seq[A],
+                  default: org.apache.spark.sql.Column)
+                 (f: A => org.apache.spark.sql.Column) =
+        clauses.zipWithIndex.foldRight(default) {
+          case ((cl, i), els) => when(idx === (i + 1), f(cl)).otherwise(els)
+        }
+      val kind =
+        pick(mIdx, matchedN,
+          when(iIdx > 0, lit(3)).otherwise(
+            pick(nIdx, nmbsN, lit(0))(m => m.action match {
+              case Update(_) => lit(4); case Delete => lit(5)
+            }))) { m => m.action match {
+          case Update(_) => lit(1); case Delete => lit(2)
+        }}
+      val outRow =
+        pick(mIdx, matchedN,
+          pick(iIdx, notMatchedN,
+            pick(nIdx, nmbsN, nullRow)(m => m.action match {
+              case Update(s0) => updRow(s0); case Delete => nullRow
+            }))(m => insRow(m.values))) { m => m.action match {
+          case Update(s0) => updRow(s0); case Delete => nullRow
+        }}
+      // PERSISTED: the action set feeds four actions (the guard count,
+      // the vector, the new-file write, the result counts) and is the
+      // true change set — bounded by action rows, not the table
+      val acted = joined.select(
+        col(s"$tA.__rel").as("__rel"), col(s"$tA.__pos").as("__pos"),
+        kind.as("__kind"), outRow.as("__row"))
+        .filter(col("__kind") > 0)
+        .persist()
+      try {
+        val dups = acted.filter(col("__kind").isin(1, 2))
+          .groupBy(col("__rel"), col("__pos")).count()
+          .filter(col("count") > 1)
+        require(dups.isEmpty,
+          "MERGE: multiple source rows matched and attempted to modify " +
+            "the same target row — make the ON keys unique per target " +
+            "row or narrow the matched clause conditions")
+        val counts = acted.groupBy(col("__kind")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val out = Map(
+          "rows_updated" -> (counts.getOrElse(1, 0L) + counts.getOrElse(4, 0L)),
+          "rows_deleted" -> (counts.getOrElse(2, 0L) + counts.getOrElse(5, 0L)),
+          "rows_inserted" -> counts.getOrElse(3, 0L))
+        val dvName = writeDv(spark, root,
+          acted.filter(col("__kind").isin(1, 2, 4, 5))
+            .select(col("__rel").as("path"), col("__pos").as("pos")))
+        val newRows = acted.filter(col("__row").isNotNull)
+          .select(col("__row.*"))
+        val newEntries =
+          if (newRows.isEmpty) Seq.empty[Entry]
+          else writeBatch(spark, root,
+            toPhysicalFull(newRows, meta.colMap, meta.ddl), pColP,
+            meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+        if (newEntries.nonEmpty || dvName.nonEmpty) {
+          val name =
+            if (linkedAppendEligible(spark, fs, meta))
+              linkManifest(spark, fs, root, meta, newEntries,
+                dvAdds = dvName.toSeq)
+            else compactManifest(spark, root, meta, meta.ddl, newEntries,
+              dvAdds = dvName.toSeq)
+          commit(fs, root, v + 1, name, op = "MERGE")
+          maybeCheckpoint(spark, dir, pColP)
+        }
+        out
+      } finally acted.unpersist()
+    } finally sourceP.unpersist()
   }
 
   // -------- merge-on-read (deletion vectors) --------
@@ -5176,10 +5589,22 @@ object Manifest {
     clusterWhereBy(spark, dir, partitionCol, Seq(xCol, yCol, zCol), values,
       targetBytes, bitsPerDim = 21)
 
+  /** [[clusterZWhere]] on the locality-superior HILBERT curve — the
+    * scoped sibling of [[clusterHilbert]], for `OPTIMIZE ... WHERE
+    * partition IN (values) HILBERT BY (x, y)`. Same candidate
+    * selection, commit, and refusal contract. */
+  def clusterHilbertWhere(spark: SparkSession, dir: String,
+                          partitionCol: String, xCol: String, yCol: String,
+                          values: Seq[String],
+                          targetBytes: Long = 128L << 20): Long =
+    clusterWhereBy(spark, dir, partitionCol, Seq(xCol, yCol), values,
+      targetBytes, bitsPerDim = 31, hilbert = true)
+
   private def clusterWhereBy(spark: SparkSession, dir: String,
                              partitionCol: String, clusterCols: Seq[String],
                              values: Seq[String], targetBytes: Long,
-                             bitsPerDim: Int): Long = {
+                             bitsPerDim: Int,
+                             hilbert: Boolean = false): Long = {
     require(values.nonEmpty, "a scoped cluster needs the partition " +
       "values to scope to — use clusterZ/clusterZ3 for the whole table")
     val (fs, root) = fsOf(spark, dir)
@@ -5202,7 +5627,9 @@ object Manifest {
     val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
     val ins = clusterP.map(mortonInputFor(spark, meta, schema, _, bitsPerDim))
     val zkey =
-      if (ins.size == 2) graft.ops.Layout.zorderKey(ins.head, ins(1))
+      if (ins.size == 2 && hilbert)
+        graft.ops.Layout.hilbertKey(ins.head, ins(1))
+      else if (ins.size == 2) graft.ops.Layout.zorderKey(ins.head, ins(1))
       else graft.ops.Layout.zorderKey3(ins.head, ins(1), ins(2))
     val nOut = math.max(1, math.ceil(
       cands.map(_.bytes).sum.toDouble / targetBytes).toInt)
@@ -5283,10 +5710,16 @@ object Manifest {
       compact(spark, dir, partitionCol, smallBytes, targetBytes)
     }
     val reclaimed = vacuumOrphans(spark, dir, keepVersions, staleMillis)
+    // a CLONE whose rewrites have retired a source root's last external
+    // reference releases that root's retention pin here — maintenance
+    // is the natural "no longer borrowing" checkpoint (no-op for
+    // ordinary tables: one memoized map probe)
+    val released = releaseCloneSourcePins(spark, dir)
     Map(
       "materialized_files" -> materialized,
       "compacted_files" -> compacted,
-      "vacuumed_objects" -> reclaimed)
+      "vacuumed_objects" -> reclaimed,
+      "released_source_pins" -> released)
   }
 
   /** Commit log as a relation — one row per committed version with the

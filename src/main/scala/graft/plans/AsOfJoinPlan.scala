@@ -87,6 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL DML + maintenance verbs on registered manifest tables
+    // (DELETE FROM / UPDATE / MERGE INTO / VACUUM / OPTIMIZE) — see
+    // graft.sql.GraftSqlDml; all other statements pass through the
+    // delegate untouched
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectFunction(fn("rolling_hash64", 1)(e => RollingHash64(e.head)))
     ext.injectFunction(fn("simhash64", 1)(e => SimHash64(e.head)))
     ext.injectFunction(fn("byte_histogram", 1)(e => ByteHistogram(e.head)))

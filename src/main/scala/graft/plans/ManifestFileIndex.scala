@@ -709,9 +709,17 @@ object ManifestScan {
     * FileIndex like any [[scan]] DataFrame (SQL WHERE clauses become the
     * same pushed dataFilters). Re-registering refreshes to the then-
     * latest snapshot — a view is FROZEN at its registration version,
-    * which is snapshot isolation, not staleness. */
+    * which is snapshot isolation, not staleness.
+    *
+    * Registration also enables SQL DML and maintenance STATEMENTS on
+    * the name (`DELETE FROM` / `UPDATE` / `MERGE INTO` / `VACUUM` /
+    * `OPTIMIZE` — [[graft.sql.GraftSqlDml]]), which need
+    * `partitionCol`; each such statement re-registers the view at the
+    * new snapshot, so a follow-up SELECT sees the write. */
   def register(spark: SparkSession, name: String, dir: String,
                partitionCol: Option[String] = None,
-               version: Option[Long] = None): Unit =
+               version: Option[Long] = None): Unit = {
     scan(spark, dir, partitionCol, version).createOrReplaceTempView(name)
+    graft.sql.GraftSqlTables.put(name, dir, partitionCol)
+  }
 }

@@ -29,7 +29,7 @@ object ManifestPlanBench {
     * per file, 7-day date stat stripes over a 4-year span. Shared by
     * the bench main and the spec that pins planning cost/behavior. */
   def synthesize(spark: org.apache.spark.sql.SparkSession, root: String,
-                 n: Int): Unit = {
+                 n: Int, realBatch: Boolean = false): Unit = {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ddl = "k BIGINT,d DATE,p STRING"
@@ -49,8 +49,36 @@ object ManifestPlanBench {
         stat_mins = Seq(lo.toString), stat_maxs = Seq(lo.plusDays(6).toString),
         bloom_cols = Seq.empty)
     }
+    // one REAL batch (year-2000 date range, partition "real") among n
+    // fake entries: a write path priced against this table reads ONLY
+    // what its planning admits — a plan that opens any of the n fake
+    // files throws, so the measurement is self-enforcing at every tier
+    val realEntries: Seq[ManifestEntry] =
+      if (!realBatch) Nil
+      else {
+        val rb = s"b-${UUID.randomUUID()}"
+        spark.range(100000L)
+          .select($"id".as("k"),
+            org.apache.spark.sql.functions.date_add(
+              org.apache.spark.sql.functions.lit(
+                java.sql.Date.valueOf("2000-01-01")),
+              ($"id" % 7).cast("int")).as("d"),
+            org.apache.spark.sql.functions.lit("real").as("p"))
+          .coalesce(2).write.parquet(s"$root/data/$rb")
+        fs.listStatus(new Path(s"$root/data/$rb"))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .toSeq.map { st =>
+            ManifestEntry(s"data/$rb/${st.getPath.getName}",
+              values = Seq("real"), has_null = false, overflow = false,
+              rows = 50000L, bytes = st.getLen, schema_ddl = "",
+              stat_cols = Seq.empty,
+              stat_mins = Seq("2000-01-01"), stat_maxs = Seq("2000-01-07"),
+              bloom_cols = Seq.empty)
+          }
+      }
     val mName = s"m-${UUID.randomUUID()}"
     spark.createDataset(Seq(sentinel)).union(entries)
+      .union(spark.createDataset(realEntries))
       .toDF().coalesce(4).write.parquet(s"$root/_manifests/$mName")
     fs.mkdirs(new Path(root, "_versions"))
     val out = fs.create(new Path(root, "_versions/v00000001"), false)
@@ -69,8 +97,12 @@ object ManifestPlanBench {
 
     val root = java.nio.file.Files.createTempDirectory("graft-planbench")
       .toString + "/tbl"
-    synthesize(spark, root, n)
+    synthesize(spark, root, n,
+      realBatch = mode == "updw" || mode == "delwmor" || mode == "mrg")
 
+    if (mode == "updw") { updwMain(spark, root, n); return }
+    if (mode == "delwmor") { delwmorMain(spark, root, n); return }
+    if (mode == "mrg") { mrgMain(spark, root, n); return }
     if (mode == "dist") { distMain(spark, root, n); return }
     if (mode == "ckpt") { ckptMain(spark, root, n); return }
     if (mode == "tail") { tailMain(spark, root, n); return }
@@ -145,6 +177,90 @@ object ManifestPlanBench {
         s""""exact_drop_sec":${f"$tDrop%.2f"},""" +
         s""""files_dropped":${out("files_dropped")},""" +
         s""""files_rewritten":${out("files_rewritten")}}""")
+  }
+
+  /** Predicate UPDATE at lake scale (the delw sibling for the WRITE
+    * paths): classification is the same two tier jobs; the CoW rewrite
+    * and the MoR mask then read ONLY the one real batch the stats tier
+    * admits — opening any of the n fake files throws, so both write
+    * costs are provably O(matched) + O(entries) planning, never
+    * O(table) read. */
+  private def updwMain(spark: org.apache.spark.sql.SparkSession,
+                       root: String, n: Int): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm classification + codegen once on a no-match predicate
+    graft.ops.Manifest.updateWhere(spark, root,
+      Seq("k" -> "k"), "p = 'nope'", "p")
+    val (_, tClassify) = time(graft.ops.Manifest.updateWhere(spark, root,
+      Seq("k" -> "k"), "p = 'nope'", "p"))
+    val (outCow, tCow) = time(graft.ops.Manifest.updateWhere(spark, root,
+      Seq("k" -> "k + 1"), "d >= DATE '2000-01-01'", "p"))
+    val (outMor, tMor) = time(graft.ops.Manifest.updateWhereMor(spark, root,
+      Seq("k" -> "k + 2"), "d >= DATE '2000-01-01' AND k % 2 = 0", "p"))
+    println(
+      s"""{"metric":"manifest_update_where","entries":$n,""" +
+        s""""classify_only_sec":${f"$tClassify%.2f"},""" +
+        s""""cow_rewrite_sec":${f"$tCow%.2f"},""" +
+        s""""files_rewritten":${outCow("files_rewritten")},""" +
+        s""""mor_mask_sec":${f"$tMor%.2f"},""" +
+        s""""files_masked":${outMor("files_masked")}}""")
+  }
+
+  /** MoR predicate DELETE at lake scale: the metadata-only exact-tier
+    * drop (fake files — zero reads), then a straddler predicate whose
+    * deletion vector touches only the real batch. */
+  private def delwmorMain(spark: org.apache.spark.sql.SparkSession,
+                          root: String, n: Int): Unit = {
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    graft.ops.Manifest.deleteWhereMor(spark, root, "p = 'nope'", "p")
+    val (_, tClassify) = time(
+      graft.ops.Manifest.deleteWhereMor(spark, root, "p = 'nope'", "p"))
+    val (outDrop, tDrop) = time(
+      graft.ops.Manifest.deleteWhereMor(spark, root, "p = '7'", "p"))
+    val (outMask, tMask) = time(graft.ops.Manifest.deleteWhereMor(spark,
+      root, "d >= DATE '2000-01-01' AND k % 3 = 0", "p"))
+    println(
+      s"""{"metric":"manifest_delete_where_mor","entries":$n,""" +
+        s""""classify_only_sec":${f"$tClassify%.2f"},""" +
+        s""""exact_drop_sec":${f"$tDrop%.2f"},""" +
+        s""""files_dropped":${outDrop("files_dropped")},""" +
+        s""""mask_sec":${f"$tMask%.2f"},""" +
+        s""""files_masked":${outMask("files_masked")}}""")
+  }
+
+  /** Clause MERGE at lake scale: ON keys on the partition column, so
+    * the exact value-set tier admits only the real batch — the join,
+    * vector, and new-file write all run against O(matched), with the
+    * n fake entries crossing only the (distributed) candidate jobs. */
+  private def mrgMain(spark: org.apache.spark.sql.SparkSession,
+                      root: String, n: Int): Unit = {
+    import spark.implicits._
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // 400 keys hit the real batch (k < 100000), 600 are fresh inserts
+    val src = spark.range(1000L)
+      .select(($"id" * 250).as("k"), lit("real").as("p"),
+        ($"id" + 7).as("nv"))
+    val (out, tMerge) = time(graft.ops.Manifest.mergeClauses(spark, root,
+      src, on = Seq("p" -> "p", "k" -> "k"), partitionCol = "p",
+      matched = Seq(graft.ops.MergeClause.Matched(
+        graft.ops.MergeClause.Update(Seq("k" -> "s.nv")))),
+      notMatched = Seq(graft.ops.MergeClause.NotMatched(Seq(
+        "k" -> "s.k", "p" -> "s.p",
+        "d" -> "DATE '2000-01-03'")))))
+    println(
+      s"""{"metric":"manifest_merge_clauses","entries":$n,""" +
+        s""""merge_sec":${f"$tMerge%.2f"},""" +
+        s""""rows_updated":${out("rows_updated")},""" +
+        s""""rows_inserted":${out("rows_inserted")}}""")
   }
 
   /** SHALLOW CLONE at lake scale: one distributed re-root staging plus

@@ -454,6 +454,59 @@ class ManifestStreamSpec extends SparkSpec {
     assert(stateOf(b) == stateOf(a))
   }
 
+  test("REPLICATION across RENAME/DROP: provenance replays as the target's own colmap commits") {
+    val root = newDir()
+    val a = s"$root/a"; val b = s"$root/b"; val ckpt = s"$root/ckpt"
+    Manifest.create(spark, a,
+      Seq((1L, 1.0, 0L, "x"), (2L, 2.0, 1L, "y"))
+        .toDF("k", "v", "p", "junk"), "p")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-manifest").load(a)
+        .writeStream.format("graft-manifest")
+        .option("path", b).option("partitionCol", "p")
+        .option("keys", "k").option("cdc", "true")
+        .option("mergeSchema", "true")
+        .option("replicateSchemaFrom", a) // fold rename/drop provenance
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    replicate() // bootstrap at the original schema
+    assert(Manifest.tableSchema(spark, b).fieldNames.toSet ==
+      Set("k", "v", "p", "junk"))
+    // upstream ALTER TABLE RENAME + DROP (both metadata-only), then
+    // data under the new face — the batch arrives with `amount`, which
+    // an add-columns fold alone would fork into a brand-new column
+    Manifest.renameColumn(spark, a, "v", "amount")
+    Manifest.dropColumn(spark, a, "junk")
+    Manifest.upsert(spark, a,
+      Seq((2L, 222.0, 1L), (3L, 3.0, 0L)).toDF("k", "amount", "p"),
+      Seq("k"), "p")
+    replicate() // restart adopts the renamed schema; provenance replays
+    def stateOf(dir: String) = Manifest.read(spark, dir)
+      .select("k", "amount", "p").as[(Long, Double, Long)].collect().toSet
+    assert(Manifest.tableSchema(spark, b).fieldNames.toSet ==
+      Set("k", "amount", "p"),
+      "the target must RENAME v->amount and DROP junk, not fork " +
+        "amount as a new null-filled column")
+    assert(stateOf(b) == stateOf(a))
+    assert(stateOf(b).contains((2L, 222.0, 1L)))
+    // the target's own history records the replayed ops — they are
+    // its commits, not a side effect smeared into a data batch
+    val ops = Manifest.history(spark, b).select("operation")
+      .as[String].collect().toSet
+    assert(ops.contains("RENAME_COLUMN") && ops.contains("DROP_COLUMN"),
+      s"target history must show the replayed colmap ops, got $ops")
+    // restart-replay: idempotent — no second rename, no double apply
+    replicate()
+    assert(stateOf(b) == stateOf(a))
+    assert(Manifest.tableSchema(spark, b).fieldNames.count(
+      _.equalsIgnoreCase("amount")) == 1)
+    // and replication keeps converging beyond the rename
+    Manifest.delete(spark, a, Seq((1L, 0L)).toDF("k", "p"), Seq("k"), "p")
+    replicate()
+    assert(stateOf(b) == stateOf(a))
+  }
+
   test("a mid-stream RENAME fails the fixed-schema conformance loudly, never misreads") {
     val root = newDir()
     val dir = s"$root/tbl"; val ckpt = s"$root/ckpt"

@@ -177,4 +177,66 @@ class ManifestCloneSpec extends SparkSpec {
     assert(feed == Set((400L, "insert"), (1L, "delete"), (2L, "delete")),
       s"got $feed")
   }
+
+  test("a live clone PINS its source: vacuum refuses; forced vacuum breaks loudly") {
+    val src = newDir("psrc"); val dst = newDir("pdst")
+    Manifest.create(spark, src, base, "p")
+    Manifest.shallowClone(spark, src, dst)
+    assert(Manifest.pins(spark, src).exists(_._1.startsWith("clone-")),
+      "the clone must register a retention pin on its source")
+    // move the source PAST the cloned snapshot: a whole-table update
+    // retires every v1 file, so an unpinned vacuum would reclaim the
+    // exact files the clone still lists
+    Manifest.updateWhere(spark, src, Seq("v" -> "v + 1"), "true", "p")
+    intercept[Manifest.RetentionPinnedException] {
+      Manifest.vacuumOrphans(spark, src, keepVersions = 1, staleMillis = 0L)
+    }
+    assert(state(dst) == baseState, "the refused vacuum reclaimed nothing")
+    // FORCE overrides the pin — and then the clone's next read fails
+    // LOUDLY (unresolvable data files), never silently
+    Manifest.vacuumOrphans(spark, src, keepVersions = 1, staleMillis = 0L,
+      force = true)
+    intercept[Exception] { state(dst) }
+  }
+
+  test("a self-contained clone releases its source pins; maintain auto-releases") {
+    val src = newDir("rsrc"); val dst = newDir("rdst")
+    Manifest.create(spark, src, base, "p")
+    Manifest.shallowClone(spark, src, dst)
+    assert(Manifest.pins(spark, src).size == 1)
+    // while the clone still references the source, release is a no-op
+    assert(Manifest.releaseCloneSourcePins(spark, dst) == 0L)
+    assert(Manifest.pins(spark, src).size == 1)
+    // a whole-table rewrite retires every external reference; the next
+    // maintenance pass releases the pin and the source vacuums freely
+    Manifest.updateWhere(spark, dst, Seq("v" -> "v"), "true", "p")
+    val m = Manifest.maintain(spark, dst, "p", keepVersions = 1,
+      staleMillis = 0L)
+    assert(m("released_source_pins") == 1L, s"got $m")
+    assert(Manifest.pins(spark, src).isEmpty)
+    Manifest.append(spark, src, Seq((500L, 5.0, 0L)).toDF("k", "v", "p"), "p")
+    Manifest.vacuumOrphans(spark, src, keepVersions = 1, staleMillis = 0L)
+    assert(state(dst) == baseState, "the released clone is self-contained")
+  }
+
+  test("clone-of-a-clone pins the ORIGINAL at the intermediate's anchor") {
+    val a = newDir("ga"); val b = newDir("gb"); val c = newDir("gc")
+    Manifest.create(spark, a, base, "p")
+    Manifest.shallowClone(spark, a, b)
+    val anchorOnA = Manifest.pins(spark, a).values.head
+    Manifest.shallowClone(spark, b, c)
+    val pinsOnA = Manifest.pins(spark, a)
+    assert(pinsOnA.size == 2, s"grand-clone must pin the original: $pinsOnA")
+    assert(pinsOnA.values.toSet == Set(anchorOnA),
+      "the grand-clone reuses the intermediate's anchor version")
+    // dropping the INTERMEDIATE (force-release + delete) keeps the
+    // grand-clone protected: its own pin on the original survives
+    Manifest.releaseCloneSourcePins(spark, b, force = true)
+    assert(Manifest.pins(spark, a).size == 1)
+    Manifest.updateWhere(spark, a, Seq("v" -> "v + 1"), "true", "p")
+    intercept[Manifest.RetentionPinnedException] {
+      Manifest.vacuumOrphans(spark, a, keepVersions = 1, staleMillis = 0L)
+    }
+    assert(state(c) == baseState)
+  }
 }

@@ -1,0 +1,186 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Manifest
+import graft.plans.ManifestScan
+
+/** The SQL statement surface over registered manifest tables
+  * ([[GraftSqlParser]] via `spark.sql.extensions`): DELETE FROM /
+  * UPDATE / MERGE INTO reroute to the three-tier predicate planner and
+  * the clause merge, VACUUM / OPTIMIZE parse as extension verbs, every
+  * other statement passes through stock Spark. The load-bearing
+  * assertions: the SQL route returns the SAME tier counts as the API
+  * route on a twin table (the planner is shared, not re-implemented),
+  * and a follow-up SELECT over the registered name sees the write. */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String) =
+    Files.createTempDirectory(s"graft-sqldml-$tag").toString + "/tbl"
+
+  /** k 0..199, v = k, p = k % 4 — one append per partition value so
+    * the exact tier has whole files to drop. */
+  private def mkTable(dir: String): Unit = {
+    def slice(p: Long) = spark.range(200).filter($"id" % 4 === p)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0), "p", statsCols = Seq("k"))
+    (1L to 3L).foreach(p => Manifest.append(spark, dir, slice(p), "p"))
+  }
+
+  private def metrics(sql: String): Map[String, Long] =
+    spark.sql(sql).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("SQL DELETE hits the same planning tiers as the API route") {
+    val dirA = newDir("dela"); val dirB = newDir("delb")
+    mkTable(dirA); mkTable(dirB)
+    ManifestScan.register(spark, "sqldel_t", dirA, Some("p"))
+    // partition predicate: exact tier, metadata-only
+    val viaSql = metrics("DELETE FROM sqldel_t WHERE p = 3")
+    val viaApi = Manifest.deleteWhere(spark, dirB, "p = 3", "p")
+    assert(viaSql == viaApi)
+    assert(viaSql("files_dropped") > 0 && viaSql("files_rewritten") == 0L)
+    // stats predicate: straddler rewrite, same counts both routes
+    val viaSql2 = metrics("DELETE FROM sqldel_t WHERE k >= 190")
+    val viaApi2 = Manifest.deleteWhere(spark, dirB, "k >= 190", "p")
+    assert(viaSql2 == viaApi2)
+    // the registered view refreshed: SELECT sees both deletes
+    val left = spark.sql("SELECT count(*) AS c FROM sqldel_t")
+      .as[Long].head()
+    assert(left == Manifest.read(spark, dirB).count())
+    // p=3 drops 50 (k ≡ 3 mod 4); k>=190 drops the 7 survivors of
+    // 190..199 (191/195/199 were already gone)
+    assert(left == 143L)
+  }
+
+  test("SQL DELETE honors the merge-on-read switch") {
+    val dir = newDir("delmor")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqldelmor_t", dir, Some("p"))
+    spark.conf.set("graft.sql.dml.mor", "true")
+    try {
+      val m = metrics("DELETE FROM sqldelmor_t WHERE k % 10 = 0")
+      assert(m.contains("files_masked"), s"expected a MoR delete, got $m")
+    } finally spark.conf.unset("graft.sql.dml.mor")
+    assert(spark.sql("SELECT count(*) AS c FROM sqldelmor_t")
+      .as[Long].head() == 180L)
+  }
+
+  test("SQL UPDATE routes SET list and predicate; qualified refs resolve") {
+    val dirA = newDir("upda"); val dirB = newDir("updb")
+    mkTable(dirA); mkTable(dirB)
+    ManifestScan.register(spark, "sqlupd_t", dirA, Some("p"))
+    val viaSql = metrics(
+      "UPDATE sqlupd_t SET v = sqlupd_t.v * 2 WHERE sqlupd_t.k < 100")
+    val viaApi = Manifest.updateWhere(spark, dirB,
+      Seq("v" -> "v * 2"), "k < 100", "p")
+    assert(viaSql == viaApi)
+    val got = spark.sql("SELECT k, v FROM sqlupd_t")
+      .as[(Long, Double)].collect().toMap
+    assert(got(10L) == 20.0 && got(150L) == 150.0)
+  }
+
+  test("SQL MERGE INTO: full clause algebra against a source view") {
+    val dir = newDir("mrg")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqlmrg_t", dir, Some("p"))
+    spark.range(150, 250).select($"id".as("k"),
+      lit(-1.0).as("nv"), ($"id" % 4).as("p"))
+      .createOrReplaceTempView("sqlmrg_src")
+    val m = metrics(
+      """MERGE INTO sqlmrg_t AS t USING sqlmrg_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.k < 160 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.nv, s.p)
+        |""".stripMargin)
+    assert(m == Map("rows_updated" -> 40L, "rows_deleted" -> 10L,
+      "rows_inserted" -> 50L))
+    val got = spark.sql("SELECT k, v FROM sqlmrg_t")
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(155L))
+    assert(got(170L) == -1.0 && got(220L) == -1.0 && got(10L) == 10.0)
+  }
+
+  test("SQL MERGE: NOT MATCHED BY SOURCE and star forms") {
+    val dir = newDir("mrgstar")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqlmrgs_t", dir, Some("p"))
+    spark.range(100).select($"id".as("k"),
+      ($"id" * 2).cast("double").as("v"), ($"id" % 4).as("p"))
+      .createOrReplaceTempView("sqlmrgs_src")
+    val m = metrics(
+      """MERGE INTO sqlmrgs_t t USING sqlmrgs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    assert(m == Map("rows_updated" -> 100L, "rows_deleted" -> 100L,
+      "rows_inserted" -> 0L))
+    val got = spark.sql("SELECT k, v FROM sqlmrgs_t")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 100 && got(40L) == 80.0 && !got.contains(150L))
+  }
+
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER/HILBERT BY re-cluster; WHERE scopes") {
+    val dir = newDir("opt")
+    mkTable(dir)
+    // re-create with stats on both curve keys
+    val dir2 = newDir("optz")
+    Manifest.create(spark, dir2,
+      spark.range(2000).select($"id".as("k"),
+        ($"id" * 7 % 1000).as("v"), ($"id" % 4).as("p")),
+      "p", statsCols = Seq("k", "v"))
+    (1 to 3).foreach { _ =>
+      Manifest.append(spark, dir2,
+        spark.range(2000).select($"id".as("k"),
+          ($"id" * 13 % 1000).as("v"), ($"id" % 4).as("p")), "p")
+    }
+    ManifestScan.register(spark, "sqlopt_t", dir2, Some("p"))
+    val before = Manifest.read(spark, dir2).inputFiles.length
+    val m = metrics("OPTIMIZE sqlopt_t")
+    assert(m("files_touched") > 0)
+    assert(Manifest.read(spark, dir2).inputFiles.length < before)
+    val cnt = spark.sql("SELECT count(*) AS c FROM sqlopt_t").as[Long].head()
+    assert(cnt == 8000L)
+    metrics("OPTIMIZE sqlopt_t ZORDER BY (k, v)")
+    assert(spark.sql("SELECT count(*) AS c FROM sqlopt_t")
+      .as[Long].head() == 8000L)
+    val mh = metrics("OPTIMIZE sqlopt_t WHERE p IN (1, 2) HILBERT BY (k, v)")
+    assert(mh("files_touched") >= 0)
+    assert(spark.sql("SELECT count(*) AS c FROM sqlopt_t")
+      .as[Long].head() == 8000L)
+  }
+
+  test("VACUUM reclaims retired files under RETAIN/stale controls") {
+    val dir = newDir("vac")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqlvac_t", dir, Some("p"))
+    metrics("DELETE FROM sqlvac_t WHERE p = 0") // retires whole files
+    spark.conf.set("graft.vacuum.staleMillis", "0")
+    try {
+      val m = metrics("VACUUM sqlvac_t")
+      assert(m("files_reclaimed") > 0L)
+    } finally spark.conf.unset("graft.vacuum.staleMillis")
+    assert(spark.sql("SELECT count(*) AS c FROM sqlvac_t")
+      .as[Long].head() == 150L)
+  }
+
+  test("non-manifest statements pass through stock Spark untouched") {
+    Seq((1, "a"), (2, "b")).toDF("id", "s").createOrReplaceTempView("plainv")
+    assert(spark.sql("SELECT sum(id) AS s FROM plainv").as[Long].head() == 3L)
+    // DML on a plain temp view still fails the STOCK way (not ours)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM plainv WHERE id = 1")
+    }
+    assert(!e.getMessage.contains("manifest"),
+      s"stock error expected, got: ${e.getMessage}")
+    // an extension verb over an unregistered name is loud and named
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("VACUUM not_registered_anywhere")
+    }
+    assert(e2.getMessage.contains("not a registered manifest table"))
+  }
+}
