@@ -1200,6 +1200,35 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // INCREMENTAL (liquid-style) clustering: a first full curve pass
+    // starts the watermark, a second ingest wave lands un-curved, and
+    // the incremental pass rewrites ONLY the post-watermark files —
+    // maintenance must never change the answer, so the oracle is the
+    // plain relation.
+    "lay_cluster_incr" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_clincr_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_orderstatus",
+        statsCols = Seq("o_custkey", "o_date"))
+      graft.ops.Manifest.clusterIncremental(s, dir, "o_orderstatus",
+        "o_custkey", "o_date") // full pass; watermark starts
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 2 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.clusterIncremental(s, dir, "o_orderstatus",
+        "o_custkey", "o_date", hilbert = true) // curves ONLY the wave
+      graft.ops.Manifest.read(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Metadata-only TYPE WIDENING (ops.Manifest.widenColumn): the
     // sentinel re-types qty int→bigint without rewriting a file; old
     // int-physical parquet reads under the widened schema via the
@@ -4059,6 +4088,13 @@ ORDER BY step"""
     // Layout maintenance is answer-invariant: the scoped-cluster
     // lifecycle's final relation is just the source projection.
     "lay_zorder_where" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Incremental clustering is pure maintenance: full pass + wave +
+    // incremental pass compose to the identity relation.
+    "lay_cluster_incr" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(o_orderdate AS DATE) AS o_date, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -5600,6 +5600,93 @@ object Manifest {
     clusterWhereBy(spark, dir, partitionCol, Seq(xCol, yCol), values,
       targetBytes, bitsPerDim = 31, hilbert = true)
 
+  /** Name of the retention pin that anchors [[clusterIncremental]]'s
+    * last-pass snapshot (the diff base). */
+  val ClusterWatermarkPin = "cluster-incr"
+
+  /** INCREMENTAL (liquid-style) clustering: curve-rewrite ONLY the
+    * files added since the last clustering pass, so a streamed-into
+    * table regains curve locality at O(new data) per maintenance cycle
+    * instead of the full-snapshot rewrite [[clusterZ]]/[[clusterHilbert]]
+    * pay (or the partition-scoped one [[clusterZWhere]] pays when the
+    * hot set IS a partition). The last pass's snapshot version anchors
+    * as a RETENTION PIN ([[ClusterWatermarkPin]]) — doubling as vacuum
+    * protection for the diff base; each pass re-pins at its own commit,
+    * so retention only has to span one maintenance interval. The first
+    * call (or a call whose watermark version was force-vacuumed)
+    * degrades to the full curve pass and starts the watermark.
+    *
+    * The incremental pass curve-orders the NEW files among themselves
+    * (stats-normalized to the CURRENT global bounds, so new ranges
+    * interleave consistently with the old layout's); existing files
+    * keep their ranges — per-file min/max stay tight on both axes, so
+    * pruning holds across the whole table without touching a byte of
+    * already-clustered history. Cost: one distributed path anti-join
+    * (O(entries) executor work, O(new files) driver), then read+write
+    * of the new files only. Returns the number of files rewritten. */
+  def clusterIncremental(spark: SparkSession, dir: String,
+                         partitionCol: String, xCol: String, yCol: String,
+                         targetBytes: Long = 128L << 20,
+                         hilbert: Boolean = false): Long = {
+    import spark.implicits._
+    val (fs, root) = fsOf(spark, dir)
+    val v = latestVersion(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $dir"))
+    val meta = snapshotMeta(spark, dir, Some(v))
+    val wm = pins(spark, dir).get(ClusterWatermarkPin)
+      .filter(w => versions(spark, dir).contains(w))
+    wm match {
+      case None =>
+        val n = entriesDataset(spark, meta).count()
+        if (hilbert) clusterHilbert(spark, dir, partitionCol, xCol, yCol,
+          targetBytes)
+        else clusterZ(spark, dir, partitionCol, xCol, yCol, targetBytes)
+        pin(spark, dir, ClusterWatermarkPin,
+          latestVersion(spark, dir).getOrElse(v))
+        n
+      case Some(w) =>
+        val baseMeta = snapshotMeta(spark, dir, Some(w))
+        // files born since the watermark (appends AND rewrites — a
+        // rewrite's output is a new path): distributed anti-join on
+        // path, only the new files' entries reach the driver
+        val newE: Seq[Entry] = entriesDataset(spark, meta).toDF()
+          .join(entriesDataset(spark, baseMeta).select(col("path")),
+            Seq("path"), "left_anti")
+          .as[Entry].collect().toSeq
+        if (newE.isEmpty) { pin(spark, dir, ClusterWatermarkPin, v); return 0L }
+        val pColP = physName(meta.colMap, partitionCol)
+        val clusterP = Seq(xCol, yCol).map(physName(meta.colMap, _))
+        clusterP.foreach(c => require(meta.statsCols.contains(c),
+          s"cluster column $c is not a stats column " +
+            s"(${meta.statsCols.mkString(",")}) — pruning could never use it"))
+        val schema = DataType.fromDDL(meta.ddl).asInstanceOf[StructType]
+        val ins = clusterP.map(mortonInputFor(spark, meta, schema, _, 31))
+        val zkey =
+          if (hilbert) graft.ops.Layout.hilbertKey(ins.head, ins(1))
+          else graft.ops.Layout.zorderKey(ins.head, ins(1))
+        val rows = readEntriesMasked(spark, root, newE, meta.ddl,
+          meta.dvDirs)
+        val nOut = math.max(1, math.ceil(
+          newE.map(_.bytes).sum.toDouble / targetBytes).toInt)
+        val newEntries =
+          if (rows.isEmpty) Seq.empty[Entry] // fully-DV'd new files drop
+          else writeBatch(spark, root, rows, pColP, meta.statsCols,
+            meta.constraints, numFiles = Some(nOut),
+            bloomCols = meta.bloomCols, clusterKey = Some(zkey))
+        val removes = newE.map(_.path)
+        val name =
+          if (linkedAppendEligible(spark, fs, meta) &&
+            meta.removedPaths.size + removes.size <= LinkedRemovesCap)
+            linkManifest(spark, fs, root, meta, newEntries, removes)
+          else compactManifest(spark, root, meta, meta.ddl, newEntries,
+            removes)
+        commit(fs, root, v + 1, name, op = "CLUSTER_INCR")
+        maybeCheckpoint(spark, dir, pColP)
+        pin(spark, dir, ClusterWatermarkPin, v + 1)
+        newE.size.toLong
+    }
+  }
+
   private def clusterWhereBy(spark: SparkSession, dir: String,
                              partitionCol: String, clusterCols: Seq[String],
                              values: Seq[String], targetBytes: Long,

@@ -136,16 +136,32 @@ case class GraftVacuumCommand(name: String, dir: String,
   }
 }
 
-/** `OPTIMIZE <manifest table> [WHERE pcol IN (...)] [ZORDER BY (x, y
-  * [, z]) | HILBERT BY (x, y)]` → [[Manifest.compact]] /
-  * `clusterZ[3][Where]` / `clusterHilbert[Where]`. */
+/** `OPTIMIZE <manifest table> [INCREMENTAL] [WHERE pcol IN (...)]
+  * [ZORDER BY (x, y[, z]) | HILBERT BY (x, y)]` → [[Manifest.compact]]
+  * / `clusterZ[3][Where]` / `clusterHilbert[Where]` /
+  * [[Manifest.clusterIncremental]]. */
 case class GraftOptimizeCommand(name: String, dir: String, pCol: String,
                                 values: Seq[String], curve: Option[String],
-                                curveCols: Seq[String])
+                                curveCols: Seq[String],
+                                incremental: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlDml.metricOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val n: Long = (curve, curveCols, values) match {
+      case _ if incremental =>
+        require(values.isEmpty,
+          "OPTIMIZE INCREMENTAL takes no WHERE — it scopes itself to " +
+            "the files added since the last pass")
+        (curve, curveCols) match {
+          case (Some("ZORDER"), Seq(x, y)) =>
+            Manifest.clusterIncremental(spark, dir, pCol, x, y)
+          case (Some("HILBERT"), Seq(x, y)) =>
+            Manifest.clusterIncremental(spark, dir, pCol, x, y,
+              hilbert = true)
+          case _ => throw new IllegalArgumentException(
+            "OPTIMIZE INCREMENTAL needs ZORDER BY (x, y) or " +
+              "HILBERT BY (x, y)")
+        }
       case (None, _, vs) =>
         Manifest.compact(spark, dir, pCol, values = vs)
       case (Some("ZORDER"), Seq(x, y), Nil) =>
@@ -169,6 +185,55 @@ case class GraftOptimizeCommand(name: String, dir: String, pCol: String,
   }
 }
 
+/** `DESCRIBE HISTORY <manifest table>` → [[Manifest.describeHistory]]
+  * (per-version snapshot shape; O(retained versions), no entry
+  * collect). */
+case class GraftDescribeHistoryCommand(name: String, dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("dv_dirs", LongType, nullable = false)(),
+    AttributeReference("constraints", LongType, nullable = false)(),
+    AttributeReference("txn", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = Manifest.describeHistory(spark, dir)
+    require(df.columns.toSeq == output.map(_.name),
+      s"describeHistory schema drifted: ${df.columns.mkString(",")}")
+    df.collect().toSeq
+  }
+}
+
+/** `RESTORE <manifest table> [TO] VERSION AS OF <n>` →
+  * [[Manifest.restore]] (a new commit re-pointing at version n's
+  * manifest; history is append-only, nothing is erased). */
+case class GraftRestoreCommand(name: String, dir: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = Manifest.restore(spark, dir, version)
+    GraftSqlTables.refresh(spark, name)
+    GraftSqlDml.metricRows(Map("restored_as_version" -> v))
+  }
+}
+
+/** `CLONE <manifest table> TO '<dir>' [AS <name>]` →
+  * [[Manifest.shallowClone]]; with AS the clone registers for SQL
+  * under the new name (source's partition column carries). */
+case class GraftCloneCommand(srcName: String, srcDir: String,
+                             pCol: Option[String], dstDir: String,
+                             asName: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = Manifest.shallowClone(spark, srcDir, dstDir)
+    asName.foreach(a => ManifestScan.register(spark, a, dstDir, pCol))
+    GraftSqlDml.metricRows(Map("batch_dirs_referenced" -> n))
+  }
+}
+
 object GraftSqlDml {
   private[sql] def metricOutput: Seq[Attribute] = Seq(
     AttributeReference("metric", StringType, nullable = false)(),
@@ -185,7 +250,13 @@ object GraftSqlDml {
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.*?))?(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(\s+INCREMENTAL)?(?:\s+WHERE\s+(.*?))?(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val CloneRe =
+    """(?is)^\s*CLONE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+'([^']+)'(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s*;?\s*$""".r
 
   /** Parse a graft extension statement, or None for everything else
     * (the delegate parser then sees the text untouched). A matched
@@ -198,7 +269,7 @@ object GraftSqlDml {
         val ref = lookupOrThrow(name, "VACUUM")
         Some(GraftVacuumCommand(name, ref.dir,
           Option(retain).map(_.toInt).getOrElse(1), force != null))
-      case OptimizeRe(name, where, curve, cols) =>
+      case OptimizeRe(name, incr, where, curve, cols) =>
         val ref = lookupOrThrow(name, "OPTIMIZE")
         val pCol = ref.pCol(name)
         val values = Option(where).map(w =>
@@ -209,7 +280,17 @@ object GraftSqlDml {
           .filter(_.nonEmpty).toSeq).getOrElse(Nil)
         Some(GraftOptimizeCommand(name, ref.dir, pCol, values,
           Option(curve).map(_.toUpperCase(java.util.Locale.ROOT)),
-          curveCols))
+          curveCols, incremental = incr != null))
+      case DescribeHistoryRe(name) =>
+        val ref = lookupOrThrow(name, "DESCRIBE HISTORY")
+        Some(GraftDescribeHistoryCommand(name, ref.dir))
+      case RestoreRe(name, v) =>
+        val ref = lookupOrThrow(name, "RESTORE")
+        Some(GraftRestoreCommand(name, ref.dir, v.toLong))
+      case CloneRe(name, dstDir, asName) =>
+        val ref = lookupOrThrow(name, "CLONE")
+        Some(GraftCloneCommand(name, ref.dir, ref.partitionCol, dstDir,
+          Option(asName)))
       case _ => None
     }
 

@@ -339,6 +339,48 @@ class ManifestScanSpec extends SparkSpec {
     }
   }
 
+  test("clusterIncremental: second pass rewrites ONLY post-watermark files; both axes prune") {
+    val dir = newDir()
+    def grid(off: Long, residue: Int): DataFrame =
+      spark.range(0, 256).filter($"id" % 4 === residue).select(
+        ($"id" + off).as("k"), ($"id" % 16).as("x"),
+        ($"id" / 16).cast("long").as("y"), lit(0L).as("p"))
+    Manifest.create(spark, dir, grid(0, 0), "p", statsCols = Seq("x", "y"))
+    (1 to 3).foreach(i => Manifest.append(spark, dir, grid(0, i), "p"))
+    val total = Manifest.loadSnapshot(spark, dir).entries.map(_.bytes).sum
+    // first pass: no watermark yet → the full curve pass; watermark starts
+    val n1 = Manifest.clusterIncremental(spark, dir, "p", "x", "y",
+      targetBytes = total / 8 + 1)
+    assert(n1 == 4)
+    assert(Manifest.pins(spark, dir).contains(Manifest.ClusterWatermarkPin))
+    val clustered = Manifest.loadSnapshot(spark, dir).entries
+      .map(_.path).toSet
+    // a second wave streams in, un-curved
+    (0 to 3).foreach(i => Manifest.append(spark, dir, grid(1000, i), "p"))
+    val n2 = Manifest.clusterIncremental(spark, dir, "p", "x", "y",
+      targetBytes = total / 8 + 1)
+    assert(n2 == 4, s"only the 4 post-watermark files rewrite, got $n2")
+    val after = Manifest.loadSnapshot(spark, dir).entries.map(_.path).toSet
+    assert(clustered.subsetOf(after),
+      "the first pass's files must carry by reference untouched")
+    // both axes prune across both generations
+    val all = filesScanned(ManifestScan.scan(spark, dir))
+    val xs = filesScanned(ManifestScan.scan(spark, dir).filter($"x" < 4))
+    val ys = filesScanned(ManifestScan.scan(spark, dir).filter($"y" < 4))
+    assert(xs < all && ys < all,
+      s"incremental clustering must prune both axes: x=$xs y=$ys of $all")
+    // answer invariant; an idle pass is a watermark-advancing no-op
+    assert(ManifestScan.scan(spark, dir).count() == 512)
+    assert(Manifest.clusterIncremental(spark, dir, "p", "x", "y") == 0L)
+    // the hilbert flag takes the same path on the superior curve
+    val hdir = newDir()
+    Manifest.create(spark, hdir, grid(0, 0), "p", statsCols = Seq("x", "y"))
+    (1 to 3).foreach(i => Manifest.append(spark, hdir, grid(0, i), "p"))
+    assert(Manifest.clusterIncremental(spark, hdir, "p", "x", "y",
+      targetBytes = total / 8 + 1, hilbert = true) == 4L)
+    assert(ManifestScan.scan(spark, hdir).count() == 256)
+  }
+
   test("clusterZ3 prunes on ALL THREE dimensions") {
     val dir = newDir()
     def grid(residue: Int): DataFrame =

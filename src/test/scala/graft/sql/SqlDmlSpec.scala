@@ -168,6 +168,52 @@ class SqlDmlSpec extends SparkSpec {
       .as[Long].head() == 150L)
   }
 
+  test("DESCRIBE HISTORY / RESTORE / CLONE / OPTIMIZE INCREMENTAL verbs") {
+    val dir = newDir("hist")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqlhist_t", dir, Some("p"))
+    metrics("DELETE FROM sqlhist_t WHERE p = 0")
+    // history: one row per retained version, exact file totals
+    val hist = spark.sql("DESCRIBE HISTORY sqlhist_t").collect()
+    assert(hist.length >= 5, s"expected >=5 versions, got ${hist.length}")
+    assert(hist.map(_.getLong(0)).toSeq.sorted ==
+      hist.map(_.getLong(0)).toSeq)
+    // restore to the pre-delete version: the rows come back
+    val preDelete = hist.map(_.getLong(0)).sorted.apply(hist.length - 2)
+    val m = metrics(s"RESTORE sqlhist_t TO VERSION AS OF $preDelete")
+    assert(m.contains("restored_as_version"))
+    assert(spark.sql("SELECT count(*) AS c FROM sqlhist_t")
+      .as[Long].head() == 200L)
+    // shallow clone through SQL, registered and queryable under AS
+    val dst = newDir("histclone")
+    val mc = metrics(s"CLONE sqlhist_t TO '$dst' AS sqlhist_clone")
+    assert(mc("batch_dirs_referenced") > 0L)
+    assert(spark.sql("SELECT count(*) AS c FROM sqlhist_clone")
+      .as[Long].head() == 200L)
+    assert(Manifest.pins(spark, dir).exists(_._1.startsWith("clone-")))
+    // incremental clustering through SQL: first pass full, second only
+    // the new wave; both verbs answer-invariant
+    val zdir = newDir("inczs")
+    Manifest.create(spark, zdir,
+      spark.range(512).select($"id".as("k"), ($"id" % 16).as("x"),
+        ($"id" / 16).cast("long").as("y"), lit(0L).as("p")),
+      "p", statsCols = Seq("x", "y"))
+    ManifestScan.register(spark, "sqlincr_t", zdir, Some("p"))
+    val m1 = metrics("OPTIMIZE sqlincr_t INCREMENTAL ZORDER BY (x, y)")
+    assert(m1("files_touched") >= 1L)
+    Manifest.append(spark, zdir,
+      spark.range(512, 1024).select($"id".as("k"), ($"id" % 16).as("x"),
+        (($"id" - 512) / 16).cast("long").as("y"), lit(0L).as("p")), "p")
+    val m2 = metrics("OPTIMIZE sqlincr_t INCREMENTAL HILBERT BY (x, y)")
+    assert(m2("files_touched") >= 1L)
+    assert(spark.sql("SELECT count(*) AS c FROM sqlincr_t")
+      .as[Long].head() == 1024L)
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE sqlincr_t INCREMENTAL WHERE p = 0 ZORDER BY (x, y)")
+    }
+    assert(e.getMessage.contains("INCREMENTAL takes no WHERE"))
+  }
+
   test("non-manifest statements pass through stock Spark untouched") {
     Seq((1, "a"), (2, "b")).toDF("id", "s").createOrReplaceTempView("plainv")
     assert(spark.sql("SELECT sum(id) AS s FROM plainv").as[Long].head() == 3L)
