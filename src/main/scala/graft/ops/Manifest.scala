@@ -4546,15 +4546,17 @@ object Manifest {
     * `on` is the equi-join key list as (targetColumn, sourceColumn)
     * pairs over VISIBLE names — SQL `=` semantics (a NULL key matches
     * nothing). Candidate planning rides the existing keyed pruning:
-    * single-key merges probe per-file bloom filters
-    * ([[bloomBatchCandidates]]); when the partition column is itself an
-    * ON key, the exact partition value-set tier applies first — so a
-    * small batch against a 10⁷-file table opens only the files that
-    * can hold its keys. A `notMatchedBySource` clause makes every live
-    * file a candidate BY SEMANTICS (any file may hold unmatched rows —
-    * Delta scans the full table for these too); that path's entry
-    * collect is O(live files) driver heap, the same bound every
-    * planner venue accepts.
+    * when the partition column is itself an ON key, the exact
+    * partition value-set tier bounds the candidates to the touched
+    * partitions, and any bloom-able ON key then probes per-file bloom
+    * filters ([[bloomBatchCandidates]]) — so a small batch against a
+    * 10⁷-file table opens only the files that can hold its keys.
+    * Without a partition ON key — or with a `notMatchedBySource`
+    * clause, which makes every live file a candidate BY SEMANTICS
+    * (any file may hold unmatched rows; Delta scans the full table
+    * for these too) — the target reads whole-table through the
+    * venue-switched planner with NO driver entry collect at any
+    * table size.
     *
     * SQL's nondeterminism guard: a target row that takes a matched
     * action from TWO source rows is refused loudly before anything is
@@ -4631,28 +4633,46 @@ object Manifest {
     val sourceP = source.persist()
     try {
       // ---- candidate planning ----
-      val cands: Seq[Entry] =
-        if (nmbsN.nonEmpty) entriesDataset(spark, meta).collect().toSeq
-        else {
-          val base = on.find(_._1.equalsIgnoreCase(partitionCol)) match {
-            case Some((_, sk)) =>
-              val touched = sourceP.select(col(sk).cast("string"))
-                .distinct().collect().map(r => Option(r.getString(0)))
-              partitionCandidates(spark, meta, pColP,
-                touched.flatten.toSet, touched.contains(None))
-            case None => entriesDataset(spark, meta).collect().toSeq
+      // When the partition column is an ON key (and no by-source
+      // clause widens the touched set to the whole table), the exact
+      // value-set tier bounds the candidate list to the touched
+      // partitions — an O(touched files) driver list — and any
+      // bloom-able ON key then prunes it per file. Otherwise the
+      // target reads WHOLE-TABLE through the venue-switched planner
+      // (position identity bolted on, existing DVs masked): no entry
+      // ever reaches the driver, at any table size — a merge without
+      // a partition key may genuinely touch any file, exactly like a
+      // by-source clause does, and Delta scans the full table for
+      // these too.
+      val partitionOn =
+        if (nmbsN.isEmpty) on.find(_._1.equalsIgnoreCase(partitionCol))
+        else None
+      val target0: DataFrame = partitionOn match {
+        case Some((_, skP)) =>
+          val touched = sourceP.select(col(skP).cast("string"))
+            .distinct().collect().map(r => Option(r.getString(0)))
+          var cands = partitionCandidates(spark, meta, pColP,
+            touched.flatten.toSet, touched.contains(None))
+          on.find(p => meta.bloomCols.contains(
+            physName(meta.colMap, p._1))).foreach { case (tk, sk2) =>
+            val tkP = physName(meta.colMap, tk)
+            cands = bloomBatchCandidates(spark, root, meta.ddl,
+              meta.bloomCols, cands,
+              sourceP.select(col(sk2).as(tkP)), tkP)
           }
-          if (on.size == 1) {
-            val tkP = physName(meta.colMap, on.head._1)
-            bloomBatchCandidates(spark, root, meta.ddl, meta.bloomCols,
-              base, sourceP.select(col(on.head._2).as(tkP)), tkP)
-          } else base
-        }
+          maskRows(readWithPos(spark, root, cands, meta.ddl),
+            dvRelation(spark, root, meta.dvDirs))
+        case None =>
+          val (rel, _, _) = graft.plans.ManifestScan.planned(
+            spark, dir, Some(pColP), Some(v))
+          maskRows(spark.baseRelationToDataFrame(rel)
+              .withColumn("__rel", relPathCol)
+              .withColumn("__pos", col("_metadata.row_index")),
+            dvRelation(spark, root, meta.dvDirs))
+      }
       // ---- the one logical pass: classify every joined row ----
-      val target = toLogical(
-        maskRows(readWithPos(spark, root, cands, meta.ddl),
-          dvRelation(spark, root, meta.dvDirs)),
-        meta.colMap, Seq("__rel", "__pos")).alias(tA)
+      val target = toLogical(target0, meta.colMap, Seq("__rel", "__pos"))
+        .alias(tA)
       val src = sourceP.withColumn("__s_hit", lit(true)).alias(sA)
       val onCond = on.map { case (tk, sk) =>
         col(s"$tA.$tk") === col(s"$sA.$sk")

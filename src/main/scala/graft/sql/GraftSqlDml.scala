@@ -351,11 +351,23 @@ object GraftSqlDml {
         UnresolvedAttribute(u.nameParts.tail)
     }
 
+  /** DML predicates re-render to text and re-parse inside the
+    * operators, which evaluate them per row against the table alone —
+    * a subquery (`WHERE k IN (SELECT ...)`) cannot survive that trip;
+    * refuse with the remedy instead of a downstream parse error. */
+  private def refuseSubqueries(e: Expression, where: String): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new IllegalArgumentException(
+        s"subqueries are not supported in $where on manifest tables — " +
+          "materialize the subquery (e.g. a temp view joined via MERGE " +
+          "INTO, or Manifest.delete with a keys DataFrame) instead")
+
   /** Reroute a Spark-parsed DML plan whose target is a registered
     * manifest table; every other plan passes through untouched. */
   def reroute(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable =>
       targetOf(d.table).map { case (name, alias, ref) =>
+        refuseSubqueries(d.condition, "DELETE conditions")
         val quals = Set(name.toLowerCase(java.util.Locale.ROOT),
           alias.toLowerCase(java.util.Locale.ROOT))
         GraftDeleteCommand(name, ref.dir, ref.pCol(name),
@@ -363,6 +375,9 @@ object GraftSqlDml {
       }.getOrElse(plan)
     case u: UpdateTable =>
       targetOf(u.table).map { case (name, alias, ref) =>
+        u.condition.foreach(refuseSubqueries(_, "UPDATE conditions"))
+        u.assignments.foreach(a =>
+          refuseSubqueries(a.value, "UPDATE SET expressions"))
         val quals = Set(name.toLowerCase(java.util.Locale.ROOT),
           alias.toLowerCase(java.util.Locale.ROOT))
         val set = u.assignments.map { a =>
@@ -433,7 +448,18 @@ object GraftSqlDml {
           case other => throw new IllegalArgumentException(
             s"SET key must be a column; got ${other.sql}")
         }
+        refuseSubqueries(a.value, "MERGE SET/VALUES expressions")
         k -> a.value.sql
+      }
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .foreach {
+        case UpdateAction(c, _, _) =>
+          c.foreach(refuseSubqueries(_, "MERGE clause conditions"))
+        case DeleteAction(c) =>
+          c.foreach(refuseSubqueries(_, "MERGE clause conditions"))
+        case InsertAction(c, _) =>
+          c.foreach(refuseSubqueries(_, "MERGE clause conditions"))
+        case _ => ()
       }
     val matched = m.matchedActions.map {
       case UpdateAction(c, assigns, _) =>
@@ -476,6 +502,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlDml.parseExtension(sqlText, delegate)
       .getOrElse(GraftSqlDml.reroute(delegate.parsePlan(sqlText)))
+
+  // the parameterized-sql entry point (spark.sql(text, args)): the
+  // interface DEFAULT ignores the parameters, so it MUST forward to
+  // the delegate's own implementation or every parameterized query on
+  // this session would silently lose its arguments. Extension verbs
+  // (regex-parsed, parameter-free) still intercept; a PARAMETERIZED
+  // DML statement arrives wrapped in the parameter node, does not
+  // match the reroute, and keeps stock Spark's behavior — our commands
+  // re-parse predicate TEXT, so substituting markers is not ours to do
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    GraftSqlDml.parseExtension(sqlText, delegate)
+      .getOrElse(GraftSqlDml.reroute(
+        delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -229,4 +229,23 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not a registered manifest table"))
   }
+
+  test("subqueries in manifest DML refuse loudly with the remedy") {
+    val dir = newDir("subq")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqlsubq_t", dir, Some("p"))
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("sqlsubq_keys")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        "DELETE FROM sqlsubq_t WHERE k IN (SELECT id FROM sqlsubq_keys)")
+    }
+    assert(e.getMessage.contains("subqueries are not supported"),
+      s"got: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE sqlsubq_t SET v = (SELECT max(id) FROM sqlsubq_keys)")
+    }
+    assert(e2.getMessage.contains("subqueries are not supported"))
+    assert(spark.sql("SELECT count(*) AS c FROM sqlsubq_t")
+      .as[Long].head() == 200L, "a refused statement must change nothing")
+  }
 }
