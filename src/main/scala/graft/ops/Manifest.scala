@@ -4647,6 +4647,16 @@ object Manifest {
       val partitionOn =
         if (nmbsN.isEmpty) on.find(_._1.equalsIgnoreCase(partitionCol))
         else None
+      // the whole-table MoR read (physical face + position identity),
+      // built lazily: only the by-source path consumes it wholesale
+      def wholeTable(): DataFrame = {
+        val (rel, _, _) = graft.plans.ManifestScan.planned(
+          spark, dir, Some(pColP), Some(v))
+        maskRows(spark.baseRelationToDataFrame(rel)
+            .withColumn("__rel", relPathCol)
+            .withColumn("__pos", col("_metadata.row_index")),
+          dvRelation(spark, root, meta.dvDirs))
+      }
       val target0: DataFrame = partitionOn match {
         case Some((_, skP)) =>
           val touched = sourceP.select(col(skP).cast("string"))
@@ -4662,13 +4672,42 @@ object Manifest {
           }
           maskRows(readWithPos(spark, root, cands, meta.ddl),
             dvRelation(spark, root, meta.dvDirs))
-        case None =>
-          val (rel, _, _) = graft.plans.ManifestScan.planned(
-            spark, dir, Some(pColP), Some(v))
-          maskRows(spark.baseRelationToDataFrame(rel)
-              .withColumn("__rel", relPathCol)
-              .withColumn("__pos", col("_metadata.row_index")),
+        case None if nmbsN.isEmpty =>
+          // Delta's findTouchedFiles shape: ONE broadcast-probe scan
+          // (source is the small side by construction — no shuffle of
+          // the table) finds the files holding any actual key match;
+          // the clause pass then joins only those files' rows plus the
+          // source, so the table's untouched bulk is never shuffled.
+          // An unmatched source row stays unmatched in phase 2 (its
+          // inserts need no target rows), and files whose only matches
+          // are DV-dead rows never become candidates (the probe reads
+          // masked).
+          val keyPairs = on.map { case (tk, sk) =>
+            (physName(meta.colMap, tk), s"__mk_${physName(meta.colMap, tk)}", sk)
+          }
+          val srcKeys = broadcast(sourceP.select(keyPairs.map {
+            case (_, mk, sk) => col(sk).as(mk)
+          }: _*).distinct())
+          val touchedPaths = wholeTable()
+            .join(srcKeys, keyPairs.map { case (tkP, mk, _) =>
+              col(tkP) === col(mk)
+            }.reduce(_ && _), "inner")
+            .select(col("__rel")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val cands: Seq[Entry] =
+            if (touchedPaths.isEmpty) Seq.empty
+            else {
+              val b = spark.sparkContext.broadcast(touchedPaths)
+              try entriesDataset(spark, meta)
+                .filter(e => b.value.contains(e.path)).collect().toSeq
+              finally b.destroy()
+            }
+          maskRows(readWithPos(spark, root, cands, meta.ddl),
             dvRelation(spark, root, meta.dvDirs))
+        case None =>
+          // a by-source clause touches every file BY SEMANTICS (Delta
+          // scans the full table for these too)
+          wholeTable()
       }
       // ---- the one logical pass: classify every joined row ----
       val target = toLogical(target0, meta.colMap, Seq("__rel", "__pos"))

@@ -132,6 +132,10 @@ case class GraftVacuumCommand(name: String, dir: String,
     val stale = spark.conf.getOption("graft.vacuum.staleMillis")
       .map(_.toLong).getOrElse(3600 * 1000L)
     val n = Manifest.vacuumOrphans(spark, dir, keepVersions, stale, force)
+    // the registered view may be frozen at a version this vacuum just
+    // dropped — re-register at the surviving latest so the next SELECT
+    // never opens a reclaimed file
+    GraftSqlTables.refresh(spark, name)
     GraftSqlDml.metricRows(Map("files_reclaimed" -> n))
   }
 }

@@ -164,6 +164,25 @@ class MergeClausesSpec extends SparkSpec {
     assert(got(0L) == 0L)
   }
 
+  test("non-partition-key merge: all-new keys insert through an empty touched set") {
+    // ON k (not the partition col) drives the broadcast-probe
+    // findTouchedFiles path; a source matching NOTHING must still
+    // insert every row (phase 2 runs against zero candidate files)
+    val dir = newDir()
+    mkTarget(dir)
+    val src = spark.range(100, 103).select($"id".as("k"),
+      ($"id" * 5).as("nv"), ($"id" % 2).as("p"))
+    val out = Manifest.mergeClauses(spark, dir, src,
+      on = Seq("k" -> "k"), partitionCol = "p",
+      matched = Seq(Matched(Update(Seq("v" -> "s.nv")))),
+      notMatched = Seq(NotMatched(Seq("k" -> "s.k", "v" -> "s.nv",
+        "p" -> "s.p"))))
+    assert(out == Map("rows_updated" -> 0L, "rows_deleted" -> 0L,
+      "rows_inserted" -> 3L))
+    val got = rows(dir)
+    assert(got(100L) == 500L && got(102L) == 510L && got.size == 13)
+  }
+
   test("change feed sees merge deletes and updates as one version's changes") {
     val dir = newDir()
     mkTarget(dir)
