@@ -107,11 +107,34 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  /** One quietness probe: calibration time + steal/total snapshot. */
-  private case class Probe(calib: Double, steal: Long, total: Long)
+  /** One quietness probe: calibration time + steal/total snapshot +
+    * an fsync round-trip. The CPU calibration loop cannot flag
+    * FILESYSTEM stalls (dirty-page writeback storms, a co-tenant's
+    * fsync queue) — exactly the noise mode that inflates the
+    * commit-bound `man_*` lifecycle queries while every CPU probe
+    * reads quiet (round-15 variance budget). A 4 KB create+fsync+
+    * delete round-trip measures that axis directly; its spread ships
+    * in the JSON (`fsync_calib`) so the artifact self-describes. */
+  private case class Probe(calib: Double, steal: Long, total: Long,
+                           fsync: Double)
   private def probe(): Probe = {
     val (st, tot) = readSteal()
-    Probe(calibrate(), st, tot)
+    Probe(calibrate(), st, tot, fsyncProbe())
+  }
+
+  private def fsyncProbe(): Double = {
+    val t0 = System.nanoTime()
+    try {
+      val f = java.io.File.createTempFile("graft-fsync", ".probe")
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(new Array[Byte](4096)))
+        ch.force(true)
+      } finally ch.close()
+      f.delete()
+    } catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** One timed query sample with its bracketing probes. */
@@ -224,7 +247,12 @@ object Bench {
     val stealMax =
       if (allSamples.isEmpty) 0.0 else allSamples.map(_.stealFrac).max
     val loadJson = loadavgs.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","est":"min_of_passes","queries":$qs,"spread":$spread,"calib":$calibJson,"quiet_passes":$quietPasses,"steal_max_frac":${fmt(stealMax)},"loadavg":$loadJson,"passes":$pass,"sf":"$sfDir"}""")
+    val allFsyncs = allSamples.flatMap(s =>
+      Seq(s.before.fsync, s.after.fsync))
+    val fsyncJson =
+      if (allFsyncs.isEmpty) """{"best":-1,"median":-1,"worst":-1}"""
+      else s"""{"best":${fmt(allFsyncs.min)},"median":${fmt(median(allFsyncs))},"worst":${fmt(allFsyncs.max)}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","est":"min_of_passes","queries":$qs,"spread":$spread,"calib":$calibJson,"fsync_calib":$fsyncJson,"quiet_passes":$quietPasses,"steal_max_frac":${fmt(stealMax)},"loadavg":$loadJson,"passes":$pass,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1404,6 +1404,82 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // SQL time travel: `FROM t VERSION AS OF 1` must read back EXACTLY
+    // the create input, the later upsert notwithstanding — the SQL
+    // spelling of man_timetravel, resolved through the same pruning
+    // scan pinned at the old snapshot.
+    "sql_time_travel" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqltt_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      graft.ops.Manifest.create(s, dir, base, "o_orderstatus")
+      graft.ops.Manifest.upsert(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "o_orderstatus")
+      graft.plans.ManifestScan.register(s, "sqltt_t", dir,
+        Some("o_orderstatus"))
+      s.sql("SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderstatus AS STRING) AS o_orderstatus " +
+        "FROM sqltt_t VERSION AS OF 1 ORDER BY o_orderkey")
+    }),
+
+    // Catalog-unified SQL DML: the table is known to the session ONLY
+    // through `CREATE TABLE ... USING graft-manifest` — DELETE/UPDATE/
+    // INSERT resolve the manifest dir from the catalog relation, no
+    // Scala registration anywhere, and each write invalidates the
+    // cached relation so the next statement sees it.
+    "sql_catalog_dml" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqlcat_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+          trunc(col("o_orderdate"), "month").as("o_month"))
+      graft.ops.Manifest.create(s, dir, orders, "o_month",
+        statsCols = Seq("o_totalprice"))
+      s.sql("DROP TABLE IF EXISTS sqlcat_t")
+      s.sql(s"CREATE TABLE sqlcat_t USING `graft-manifest` " +
+        s"OPTIONS (path '$dir', partitionCol 'o_month')")
+      s.sql("DELETE FROM sqlcat_t WHERE o_totalprice > 400000.0")
+      s.sql("UPDATE sqlcat_t SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderdate < DATE '1995-01-01'")
+      s.sql("INSERT INTO sqlcat_t VALUES " +
+        "(-1, CAST(111.5 AS DOUBLE), DATE '1997-06-15', DATE '1997-06-01')")
+      s.sql("SELECT o_orderkey, o_totalprice, o_orderdate FROM sqlcat_t " +
+        "ORDER BY o_orderkey")
+    }),
+
+    // The change-feed TVF: table_changes('t', 1, 2) between the create
+    // and an append is exactly the appended rows flagged 'insert' —
+    // the SQL spelling of the CDC read, oracle-replayed as the plain
+    // append-side SELECT.
+    "sql_table_changes" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqltvf_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 3 === 0), "o_orderstatus")
+      graft.plans.ManifestScan.register(s, "sqltvf_t", dir,
+        Some("o_orderstatus"))
+      s.sql("SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderstatus AS STRING) AS o_orderstatus, change " +
+        "FROM table_changes('sqltvf_t', 1, 2) ORDER BY o_orderkey")
+    }),
+
     // Conditional-clause MERGE INTO as one atomic commit, issued as
     // SQL: matched DELETE (guarded), matched UPDATE, NOT MATCHED
     // INSERT, and a guarded NOT MATCHED BY SOURCE UPDATE — the oracle
@@ -4179,6 +4255,38 @@ ORDER BY step"""
         |WHERE NOT (date_trunc('month', o_orderdate) < DATE '1994-01-01')
         |  AND NOT (o_totalprice > 400000.0)
         |  AND NOT (o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // VERSION AS OF 1 is the unmodified create input (the SQL twin of
+    // man_timetravel's oracle).
+    "sql_time_travel" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey % 3 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The catalog-table DML lifecycle composes to one WHERE + one CASE
+    // over the original relation, plus the single inserted row.
+    "sql_catalog_dml" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderdate < DATE '1995-01-01'
+        |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM orders
+        |  WHERE NOT (o_totalprice > 400000.0)
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT) AS o_orderkey,
+        |    CAST(111.5 AS DOUBLE) AS o_totalprice,
+        |    DATE '1997-06-15' AS o_orderdate
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    // Changes between the create (v1) and the append (v2) are exactly
+    // the appended rows, each flagged 'insert'.
+    "sql_table_changes" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |       'insert' AS change
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
     // Clause algebra replayed as joins: matched rows either delete

@@ -1699,15 +1699,42 @@ object Manifest {
     val pinName = clonePinName(dstQ)
     val srcPinName = clonePinName(qualifiedSrc)
     mine.values.toSet[String].foreach { r =>
+      val rootPins = pins(spark, r)
       val anchor =
         if (r == qualifiedSrc) v
-        else pins(spark, r).getOrElse(srcPinName,
+        else rootPins.getOrElse(srcPinName,
           latestVersion(spark, r).getOrElse(0L))
-      pin(spark, r, pinName, anchor)
+      // NEVER RAISE an existing same-name anchor: two racing clones to
+      // the same dst share this pin name, and the loser may have read a
+      // LATER source version — overwriting the winner's lower anchor
+      // would let a source vacuum reclaim files the committed winner
+      // still lists. min() keeps the conservative anchor; the extra
+      // retention a dead loser leaves is released at drop
+      // ([[releaseCloneSourcePins]] force) or by retiring the pin.
+      val effective = rootPins.get(pinName).fold(anchor)(math.min(_, anchor))
+      if (!rootPins.get(pinName).contains(effective))
+        try pin(spark, r, pinName, effective)
+        catch {
+          case e: java.io.IOException =>
+            // read-only source mount/bucket: fall back to the
+            // documented coordinate-retention caveat instead of
+            // failing the clone — the reference stays UNPINNED and a
+            // source vacuum can reclaim files this clone lists (the
+            // clone's next read then fails loudly, never silently)
+            System.err.println(s"[graft] clone of $srcDir: source root " +
+              s"$r refused the retention-pin write (${e.getMessage}); " +
+              "proceeding UNPINNED — coordinate source vacuum retention " +
+              "manually for this clone")
+        }
     }
+    // only the attempt that can PROVE no clone has committed at dst may
+    // GC the shared-name pins: once any racer's v1 commit lands, these
+    // pins belong to the committed clone, and a losing attempt (or a
+    // post-commit hiccup in the winner's own heal step) must leave them
     def unpinAll(): Unit =
-      mine.values.toSet[String].foreach(r =>
-        try unpin(spark, r, pinName) catch { case _: Exception => () })
+      if (latestVersion(spark, dstDir).isEmpty)
+        mine.values.toSet[String].foreach(r =>
+          try unpin(spark, r, pinName) catch { case _: Exception => () })
     try {
     // the DV relations are per-table mutable state (maintenance folds
     // them); the clone takes its own copy — kilobytes. When a
@@ -2436,20 +2463,49 @@ object Manifest {
     * skips; a drop of an absent column skips; a rename whose old AND
     * new names are both visible on the target refuses loudly (the
     * target grew a conflicting column — converging would clobber it).
-    * Cost: O(retained source versions) pointer reads per call, plus
-    * two header reads per schema-op version found — no entry read, no
-    * data read, at any table size. Returns ops applied. */
+    *
+    * WATERMARKED: the target records the newest source version it has
+    * already replayed (`_schema_replay/<source-hash>`, published after
+    * the scan like a pin), so a steady-state call costs O(NEW source
+    * versions) pointer reads — a streaming replica of a long-history
+    * source no longer re-walks the full retained list every batch.
+    * The mark publishes AFTER the (idempotent) ops apply, so a crash
+    * in between re-scans and re-skips — never misses an op.
+    *
+    * `upToV` bounds the replay at the CALLER'S batch horizon: a
+    * replication batch whose rows render as-of version `toV` must not
+    * replay a rename committed AFTER `toV` (the rows still carry the
+    * old name — the schema-evolution fold would re-add it as a fresh
+    * column, and the next batch's replay would then hit the
+    * both-names-visible refusal, wedging the stream). Ops past `upToV`
+    * stay unreplayed AND unwatermarked, and face replay once their
+    * rows do. Returns ops applied. */
   def replaySchemaOps(spark: SparkSession, dir: String,
-                      sourceDir: String): Long = {
+                      sourceDir: String,
+                      upToV: Option[Long] = None): Long = {
     val (fsS, srcRoot) = fsOf(spark, sourceDir)
-    val vs = versions(spark, sourceDir)
+    val (fsT, tgtRoot) = fsOf(spark, dir)
+    val markPath = new Path(new Path(tgtRoot, SchemaReplayDir),
+      replayMarkName(fsS.makeQualified(srcRoot).toString))
+    val watermark: Long =
+      if (!fsT.exists(markPath)) 0L
+      else {
+        val in = fsT.open(markPath)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim
+        finally in.close()
+        s.toLongOption.getOrElse(0L)
+      }
+    val retained = versions(spark, sourceDir)
+    val window = retained.filter(v =>
+      v > watermark && upToV.forall(v <= _))
     var applied = 0L
-    vs.foreach { v =>
+    window.foreach { v =>
       val op = readPointerLines(fsS, srcRoot, v).drop(1)
         .find(_.startsWith(OpPrefix))
         .map(_.stripPrefix(OpPrefix).trim).getOrElse("")
       if ((op == "RENAME_COLUMN" || op == "DROP_COLUMN") &&
-        vs.contains(v - 1)) {
+        retained.contains(v - 1)) {
         def face(at: Long) = {
           val m = snapshotMeta(spark, sourceDir, Some(at))
           effectivePairs(m.ddl, m.colMap)
@@ -2481,7 +2537,36 @@ object Manifest {
         }
       }
     }
+    window.lastOption.filter(_ > watermark).foreach { newMark =>
+      fsT.mkdirs(new Path(tgtRoot, SchemaReplayDir))
+      val tmp = new Path(new Path(tgtRoot, SchemaReplayDir),
+        s".${markPath.getName}-${UUID.randomUUID()}.tmp")
+      val out = fsT.create(tmp, true)
+      try out.write(newMark.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(fsT.getUri, fsT.getConf)
+        .rename(fsT.makeQualified(tmp), fsT.makeQualified(markPath),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fsT.delete(markPath, false)
+          // best-effort: a lost mark only costs the next call a rescan
+          if (!fsT.rename(tmp, markPath)) fsT.delete(tmp, false)
+      }
+    }
     applied
+  }
+
+  /** The per-source replay watermark's sentinel dir on the TARGET root
+    * — deliberately NOT `_pins` (a pin on the target would anchor the
+    * TARGET's vacuum at a SOURCE version number). */
+  private val SchemaReplayDir = "_schema_replay"
+
+  private def replayMarkName(srcQualified: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(srcQualified.getBytes(StandardCharsets.UTF_8))
+    "replay-" + d.take(8).map(b => f"$b%02x").mkString
   }
 
   /** UNDROP: re-bind an existing PHYSICAL slot (typically one
@@ -3113,8 +3198,22 @@ object Manifest {
         // fold upstream RENAME/DROP through provenance BEFORE the
         // add-columns fold below can mistake a renamed column's new
         // name for a brand-new column (replay is idempotent — a crash
-        // between it and the data commit re-skips already-applied ops)
-        schemaFrom.foreach(src => replaySchemaOps(spark, dir, src))
+        // between it and the data commit re-skips already-applied ops).
+        // The replay is BOUNDED at this batch's own commit horizon
+        // (max source version among its rows): a rename committed
+        // after the batch's end version must not replay yet — the
+        // batch's rows still carry the OLD name, and an early replay
+        // would make the evolve fold below re-add that old name as a
+        // brand-new column (then the NEXT batch's replay hits the
+        // both-names-visible refusal and wedges the stream)
+        schemaFrom.foreach { src =>
+          val horizon = orderCol.flatMap(oc =>
+            Option(batch.agg(max(col(oc).cast("long"))).head().get(0))
+              .map(_.asInstanceOf[Long]))
+          if (orderCol.isEmpty) replaySchemaOps(spark, dir, src)
+          else horizon.foreach(h =>
+            replaySchemaOps(spark, dir, src, Some(h)))
+        }
         val applied =
           if (!evolveSchema) batch
           else {

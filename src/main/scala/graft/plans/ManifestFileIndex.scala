@@ -69,6 +69,10 @@ class ManifestFileIndex(spark: SparkSession, dir: String,
                         partitionCol: Option[String] = None,
                         version: Option[Long] = None) extends FileIndex {
 
+  /** The manifest root this index reads — the SQL DML layer compares
+    * it against its registry to detect a rebound temp view. */
+  private[graft] def tableDir: String = dir
+
   private[graft] val snap = Manifest.loadSnapshot(spark, dir, version)
 
   val dataSchema: StructType =
@@ -158,6 +162,9 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
                                    partitionCol: Option[String] = None,
                                    version: Option[Long] = None)
   extends FileIndex {
+
+  /** See [[ManifestFileIndex.tableDir]]. */
+  private[graft] def tableDir: String = dir
 
   private[graft] val meta = Manifest.snapshotMeta(spark, dir, version)
 

@@ -2,42 +2,55 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DateType, LongType, StringType, StructType}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DateType, LongType, StringType, StructType, TimestampType}
 
 import graft.ops.{Manifest, MergeClause}
-import graft.plans.ManifestScan
+import graft.plans.{DistributedManifestFileIndex, ManifestFileIndex, ManifestScan}
 
 /** SQL STATEMENT surface for the manifest lake layer: `DELETE FROM` /
-  * `UPDATE` / `MERGE INTO` on a registered manifest table route to the
-  * three-tier predicate planner and the clause-merge operator, and the
-  * maintenance verbs Spark's grammar lacks (`VACUUM t [RETAIN n
-  * VERSIONS] [FORCE]`, `OPTIMIZE t [WHERE p IN (...)] [ZORDER BY
-  * (x, y[, z]) | HILBERT BY (x, y)]`) parse here directly — Delta's
+  * `UPDATE` / `MERGE INTO` / `INSERT INTO` on a manifest table route to
+  * the three-tier predicate planner, the clause-merge operator, and the
+  * append/overwrite commit paths; the maintenance verbs Spark's grammar
+  * lacks (`VACUUM t [RETAIN n VERSIONS] [FORCE]`, `OPTIMIZE t [WHERE p
+  * IN (...)] [ZORDER BY (x, y[, z]) | HILBERT BY (x, y)]`,
+  * `CREATE/DROP MANIFEST TABLE`) parse here directly — Delta's
   * statement set, served by [[GraftSqlParser]] through
   * `spark.sql.extensions` with zero new grammar for the DML verbs
   * (Spark's own parser produces `DeleteFromTable` / `UpdateTable` /
-  * `MergeIntoTable`; this layer only REROUTES those plans when the
-  * target is a registered manifest table, so every other table's DML
-  * behaves exactly as stock Spark).
+  * `MergeIntoTable` / `InsertIntoStatement`; this layer only REROUTES
+  * those plans when the target is a manifest table, so every other
+  * table's DML behaves exactly as stock Spark).
   *
-  * Registration is [[ManifestScan.register]]: the same call that
-  * publishes the SELECT temp view records the name → (dir,
-  * partitionCol) mapping DML needs. After every successful statement
-  * the temp view re-registers at the new latest snapshot, so a
-  * follow-up SELECT sees the write (the frozen-at-registration
-  * snapshot-isolation contract still holds between writes). */
+  * A statement's target resolves through TWO doors, no Scala call
+  * required for the second:
+  *  1. the [[ManifestScan.register]] registry (the temp-view door) —
+  *     verified still-current against the session catalog at statement
+  *     time, so a view the user dropped or rebound can never be
+  *     silently mutated through a stale registry entry;
+  *  2. the SESSION CATALOG: a table created as `CREATE TABLE ... USING
+  *     graft-manifest OPTIONS (path '...', partitionCol '...')` (or
+  *     the `CREATE MANIFEST TABLE` verb) resolves its dir + partition
+  *     column from the catalog relation directly.
+  * After every successful statement the resolved name refreshes (the
+  * temp view re-registers at the new latest snapshot; a catalog
+  * relation's cache invalidates), so a follow-up SELECT sees the
+  * write. */
 object GraftSqlTables {
   case class Ref(dir: String, partitionCol: Option[String]) {
     def pCol(name: String): String = partitionCol.getOrElse(
       throw new IllegalArgumentException(
-        s"manifest table $name was registered without a partition " +
-          "column — ManifestScan.register(name, dir, Some(partitionCol)) " +
-          "to enable SQL DML"))
+        s"manifest table $name has no partition column — register with " +
+          "ManifestScan.register(name, dir, Some(partitionCol)), or add " +
+          "OPTIONS (partitionCol '...') to the catalog table, to enable " +
+          "SQL DML"))
   }
 
   /** name(lowercased) → table ref. JVM-global like the session's temp
@@ -56,11 +69,121 @@ object GraftSqlTables {
   def drop(name: String): Unit =
     reg.remove(name.toLowerCase(java.util.Locale.ROOT))
 
-  /** Re-publish `name`'s temp view at the table's LATEST snapshot —
-    * every DML command's last step, so SQL readers see the write. */
-  def refresh(spark: SparkSession, name: String): Unit =
+  /** Resolve a statement's target name to a manifest table ref —
+    * registry first (VERIFIED against the live temp view), session
+    * catalog second. None = not a manifest table; the statement keeps
+    * stock Spark's behavior. */
+  private[graft] def resolveRef(spark: SparkSession,
+                                parts: Seq[String]): Option[Ref] =
+    parts match {
+      case Seq(n) =>
+        lookup(n) match {
+          case Some(r) => verifiedRegistryRef(spark, n, r)
+          case None =>
+            // an UNREGISTERED temp view shadows any catalog table of
+            // the same name for SELECT — DML must not reach past it to
+            // mutate a table the user's reads don't see
+            if (spark.sessionState.catalog.getTempView(n).isDefined) None
+            else catalogRef(spark, n, TableIdentifier(n))
+        }
+      case Seq(db, t) =>
+        catalogRef(spark, parts.mkString("."), TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        catalogRef(spark, parts.mkString("."), TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+
+  /** A registry hit is only valid while the session's temp view of the
+    * name still IS the registered manifest scan: the user may have
+    * dropped the view (registry entry GCs, resolution falls through to
+    * the catalog) or rebound the name to a different relation (REFUSE —
+    * mutating the old dir while SELECT reads the new relation is the
+    * silent-divergence bug this check exists to close). */
+  private def verifiedRegistryRef(spark: SparkSession, name: String,
+                                  r: Ref): Option[Ref] =
+    spark.sessionState.catalog.getTempView(name) match {
+      case None =>
+        drop(name)
+        catalogRef(spark, name, TableIdentifier(name))
+      case Some(view) =>
+        val scanDirs = view.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case h: HadoopFsRelation => h.location match {
+              case i: ManifestFileIndex => Some(i.tableDir)
+              case i: DistributedManifestFileIndex => Some(i.tableDir)
+              case _ => None
+            }
+            case _ => None
+          }
+        }.flatten
+        if (scanDirs.contains(r.dir)) Some(r)
+        else throw new IllegalStateException(
+          s"temp view $name was rebound after its manifest registration " +
+            s"(registered dir ${r.dir}, current view reads " +
+            s"${if (scanDirs.isEmpty) "a non-manifest relation"
+            else scanDirs.mkString(", ")}) — re-run " +
+            "ManifestScan.register to point SQL DML at the new table, " +
+            "or drop the view to fall back to a catalog table")
+    }
+
+  /** A `CREATE TABLE ... USING graft-manifest` catalog entry, resolved
+    * to its manifest dir + partition column. Time-travel-pinned names
+    * (versionAsOf/timestampAsOf options) refuse DML loudly: the pin is
+    * a READ face — mutating the live table through a name that reads
+    * history would split what the user sees from what they changed. */
+  private def catalogRef(spark: SparkSession, display: String,
+                         ti: TableIdentifier): Option[Ref] = {
+    val meta =
+      try {
+        val cat = spark.sessionState.catalog
+        if (cat.tableExists(ti)) Some(cat.getTableMetadata(ti)) else None
+      } catch {
+        // a nonexistent database in a qualified name is "not ours",
+        // never an error at reroute time
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException =>
+          None
+      }
+    meta.filter(_.provider.exists(_.equalsIgnoreCase("graft-manifest")))
+      .map { m =>
+        val opts = CaseInsensitiveMap(m.storage.properties)
+        if (opts.contains("versionAsOf") || opts.contains("timestampAsOf"))
+          throw new IllegalArgumentException(
+            s"$display is a time-travel-pinned graft-manifest table — DML " +
+              "would mutate the LIVE table while this name reads history; " +
+              "target an unpinned name for the same path instead")
+        val dir = opts.get("path")
+          .orElse(m.storage.locationUri.map(u =>
+            new org.apache.hadoop.fs.Path(u).toString))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-manifest table $display has no path — recreate with " +
+              "OPTIONS (path '...') or LOCATION"))
+        Ref(dir, opts.get("partitionCol"))
+      }
+  }
+
+  /** Re-publish `name` at the table's LATEST snapshot — every DML
+    * command's last step, so SQL readers see the write. Registered
+    * temp views re-register; catalog tables invalidate their cached
+    * relation (the V1 relation cache would otherwise serve the
+    * PRE-WRITE FileIndex to every later SELECT). */
+  def refresh(spark: SparkSession, name: String): Unit = {
     lookup(name).foreach(r =>
       ManifestScan.register(spark, name, r.dir, r.partitionCol))
+    try {
+      val parts = name.split('.').toSeq
+      val ti = parts match {
+        case Seq(n) => Some(TableIdentifier(n))
+        case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+        case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+          Some(TableIdentifier(t, Some(db)))
+        case _ => None
+      }
+      val cat = spark.sessionState.catalog
+      if (ti.exists(i => (parts.size > 1 ||
+          cat.getTempView(parts.head).isEmpty) && cat.tableExists(i)))
+        spark.catalog.refreshTable(name)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 }
 
 /** `DELETE FROM <manifest table> [WHERE p]` → the three-tier predicate
@@ -120,10 +243,62 @@ case class GraftMergeCommand(name: String, dir: String, pCol: String,
   }
 }
 
+/** `INSERT INTO/OVERWRITE <manifest table> [(cols)] <query>` →
+  * [[Manifest.append]] / [[Manifest.overwrite]] — one snapshot commit,
+  * never a raw file write into the table root (stock Spark's
+  * InsertIntoHadoopFsRelationCommand would drop parquet files the
+  * manifest never lists: invisible to every read, stranded until
+  * vacuum). Column handling is stock-shaped: positional with casts by
+  * default, by-name for `BY NAME` / explicit column lists; every table
+  * column must be provided (the manifest has no DEFAULT surface). */
+case class GraftInsertCommand(name: String, dir: String, pCol: String,
+                              query: LogicalPlan, cols: Seq[String],
+                              overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.GraftPlanApi.ofRows(spark, query)
+    val target = Manifest.tableSchema(spark, dir)
+    val named =
+      if (cols.nonEmpty) {
+        require(cols.size == df.columns.length,
+          s"INSERT column list names ${cols.size} columns but the query " +
+            s"produces ${df.columns.length}")
+        df.toDF(cols: _*)
+      } else if (byName) df
+      else {
+        require(df.columns.length == target.fields.length,
+          s"INSERT provides ${df.columns.length} columns but $name has " +
+            s"${target.fields.length} (${target.fieldNames.mkString(", ")})")
+        df.toDF(target.fieldNames.toIndexedSeq: _*)
+      }
+    target.fields.foreach(f =>
+      require(named.columns.exists(_.equalsIgnoreCase(f.name)),
+        s"INSERT must provide every column of $name; missing ${f.name} " +
+          "(manifest tables have no DEFAULT surface — supply the value " +
+          "explicitly)"))
+    require(named.columns.length == target.fields.length,
+      s"INSERT names ${named.columns.mkString(", ")}; $name has exactly " +
+        s"${target.fieldNames.mkString(", ")}")
+    val aligned = named.select(target.fields.toIndexedSeq.map { f =>
+      val src = named.columns.find(_.equalsIgnoreCase(f.name)).get
+      col(src).cast(f.dataType).as(f.name)
+    }: _*)
+    if (overwrite) Manifest.overwrite(spark, dir, aligned, pCol)
+    else Manifest.append(spark, dir, aligned, pCol)
+    GraftSqlTables.refresh(spark, name)
+    GraftSqlDml.metricRows(Map(
+      "committed_version" -> Manifest.latestVersion(spark, dir).getOrElse(-1L)))
+  }
+}
+
 /** `VACUUM <manifest table> [RETAIN n VERSIONS] [FORCE]` →
   * [[Manifest.vacuumOrphans]] (age floor from
   * `graft.vacuum.staleMillis`, default 1 h — set 0 only in
-  * single-writer maintenance windows). */
+  * single-writer maintenance windows). Without RETAIN the statement
+  * keeps `graft.sql.vacuum.defaultKeepVersions` (default 10) versions
+  * — dropping ALL history in one bare statement was judged too sharp;
+  * say `RETAIN 1 VERSIONS` explicitly for that. */
 case class GraftVacuumCommand(name: String, dir: String,
                               keepVersions: Int, force: Boolean)
     extends LeafRunnableCommand {
@@ -238,6 +413,58 @@ case class GraftCloneCommand(srcName: String, srcDir: String,
   }
 }
 
+/** `CREATE MANIFEST TABLE <name> (<schema>) PARTITIONED BY (c)
+  * LOCATION '<dir>' [STATS BY (c, ...)] [BLOOM BY (c, ...)]` →
+  * [[Manifest.create]] with an empty first snapshot, then
+  * [[ManifestScan.register]] so the name SELECTs and DMLs immediately —
+  * the all-SQL birth of a table (`INSERT INTO` fills it). */
+case class GraftCreateTableCommand(name: String, dir: String, ddl: String,
+                                   pCol: String, statsCols: Seq[String],
+                                   bloomCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = StructType.fromDDL(ddl)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(pCol)),
+      s"PARTITIONED BY column $pCol is not in the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    Manifest.create(spark, dir, empty, pCol, statsCols,
+      bloomCols = bloomCols)
+    ManifestScan.register(spark, name, dir, Some(pCol))
+    GraftSqlDml.metricRows(Map("created_version" -> 1L))
+  }
+}
+
+/** `DROP MANIFEST TABLE <name> [PURGE]` — releases every clone
+  * retention pin the table holds on its sources (forced: a drop is
+  * exactly the re-open-the-window act the pin docs describe), drops
+  * the temp view + registry entry (and any same-name catalog entry),
+  * and with PURGE deletes the table's files recursively. */
+case class GraftDropTableCommand(name: String, dir: String,
+                                 purge: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val released = Manifest.releaseCloneSourcePins(spark, dir, force = true)
+    spark.catalog.dropTempView(name)
+    GraftSqlTables.drop(name)
+    val cat = spark.sessionState.catalog
+    val ti = TableIdentifier(name)
+    if (cat.tableExists(ti) && cat.getTableMetadata(ti).provider
+        .exists(_.equalsIgnoreCase("graft-manifest")))
+      cat.dropTable(ti, ignoreIfNotExists = true, purge = false)
+    if (purge) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    GraftSqlDml.metricRows(Map("pins_released" -> released,
+      "purged" -> (if (purge) 1L else 0L)))
+  }
+}
+
 object GraftSqlDml {
   private[sql] def metricOutput: Seq[Attribute] = Seq(
     AttributeReference("metric", StringType, nullable = false)(),
@@ -249,32 +476,54 @@ object GraftSqlDml {
   private[sql] def morEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("graft.sql.dml.mor").exists(_.toBoolean)
 
+  /** Bare-`VACUUM` retention when no RETAIN clause is given. */
+  val VacuumDefaultKeepKey = "graft.sql.vacuum.defaultKeepVersions"
+  val VacuumDefaultKeep = 10
+
   // ---- extension statements Spark's grammar lacks ----
 
+  // statement targets may be 1-3-part dotted identifiers (temp view /
+  // db.table / spark_catalog.db.table)
+  private val N = """([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*){0,2})"""
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+""" + N +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""").r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(\s+INCREMENTAL)?(?:\s+WHERE\s+(.*?))?(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+""" + N +
+      """(\s+INCREMENTAL)?(?:\s+WHERE\s+(.*?))?(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""").r
   private val DescribeHistoryRe =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + N + """\s*;?\s*$""").r
   private val RestoreRe =
-    """(?is)^\s*RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    ("""(?is)^\s*RESTORE\s+""" + N +
+      """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val CloneRe =
-    """(?is)^\s*CLONE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+'([^']+)'(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s*;?\s*$""".r
+    ("""(?is)^\s*CLONE\s+""" + N +
+      """\s+TO\s+'([^']+)'(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s*;?\s*$""").r
+  private val CreateRe =
+    ("""(?is)^\s*CREATE\s+MANIFEST\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*""" +
+      """\((.+)\)\s+PARTITIONED\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+""" +
+      """LOCATION\s+'([^']+)'(?:\s+STATS\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+BLOOM\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  private val DropRe =
+    """(?is)^\s*DROP\s+MANIFEST\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)(\s+PURGE)?\s*;?\s*$""".r
 
   /** Parse a graft extension statement, or None for everything else
     * (the delegate parser then sees the text untouched). A matched
-    * verb over an UNREGISTERED name is a loud error, not a fallthrough
+    * verb over an unresolvable name is a loud error, not a fallthrough
     * — the delegate could only produce a worse message. */
   def parseExtension(sqlText: String,
                      delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case VacuumRe(name, retain, force) =>
-        val ref = lookupOrThrow(name, "VACUUM")
-        Some(GraftVacuumCommand(name, ref.dir,
-          Option(retain).map(_.toInt).getOrElse(1), force != null))
+        val spark = SparkSession.active
+        val ref = resolveOrThrow(spark, name, "VACUUM")
+        val keep = Option(retain).map(_.toInt).getOrElse(
+          spark.conf.getOption(VacuumDefaultKeepKey).map(_.toInt)
+            .getOrElse(VacuumDefaultKeep))
+        Some(GraftVacuumCommand(name, ref.dir, keep, force != null))
       case OptimizeRe(name, incr, where, curve, cols) =>
-        val ref = lookupOrThrow(name, "OPTIMIZE")
+        val spark = SparkSession.active
+        val ref = resolveOrThrow(spark, name, "OPTIMIZE")
         val pCol = ref.pCol(name)
         val values = Option(where).map(w =>
           partitionValues(delegate.parseExpression(w), pCol))
@@ -286,23 +535,37 @@ object GraftSqlDml {
           Option(curve).map(_.toUpperCase(java.util.Locale.ROOT)),
           curveCols, incremental = incr != null))
       case DescribeHistoryRe(name) =>
-        val ref = lookupOrThrow(name, "DESCRIBE HISTORY")
+        val ref = resolveOrThrow(SparkSession.active, name,
+          "DESCRIBE HISTORY")
         Some(GraftDescribeHistoryCommand(name, ref.dir))
       case RestoreRe(name, v) =>
-        val ref = lookupOrThrow(name, "RESTORE")
+        val ref = resolveOrThrow(SparkSession.active, name, "RESTORE")
         Some(GraftRestoreCommand(name, ref.dir, v.toLong))
       case CloneRe(name, dstDir, asName) =>
-        val ref = lookupOrThrow(name, "CLONE")
+        val ref = resolveOrThrow(SparkSession.active, name, "CLONE")
         Some(GraftCloneCommand(name, ref.dir, ref.partitionCol, dstDir,
           Option(asName)))
+      case CreateRe(name, ddl, pCol, loc, stats, bloom) =>
+        def cols(s: String): Seq[String] = Option(s).map(_.split(',')
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        Some(GraftCreateTableCommand(name, loc, ddl.trim, pCol,
+          cols(stats), cols(bloom)))
+      case DropRe(name, purge) =>
+        val ref = resolveOrThrow(SparkSession.active, name,
+          "DROP MANIFEST TABLE")
+        Some(GraftDropTableCommand(name, ref.dir, purge != null))
       case _ => None
     }
 
-  private def lookupOrThrow(name: String, verb: String): GraftSqlTables.Ref =
-    GraftSqlTables.lookup(name).getOrElse(
+  private def resolveOrThrow(spark: SparkSession, name: String,
+                             verb: String): GraftSqlTables.Ref =
+    GraftSqlTables.resolveRef(spark, name.split('.').toSeq).getOrElse(
       throw new IllegalArgumentException(
         s"$verb targets $name, which is not a registered manifest " +
-          "table (ManifestScan.register it first)"))
+          "table or a graft-manifest catalog table — " +
+          "ManifestScan.register it, or CREATE TABLE ... USING " +
+          "graft-manifest OPTIONS (path '...', partitionCol '...')"))
 
   /** `OPTIMIZE ... WHERE` accepts exactly the scope the scoped
     * operators take: `pcol = v` or `pcol IN (v, ...)` over literals —
@@ -333,15 +596,18 @@ object GraftSqlDml {
 
   // ---- rerouting Spark-parsed DML plans ----
 
-  /** The registered manifest table a DML target names, if any: unwraps
-    * one optional alias, requires a single-part name. */
+  /** The manifest table a DML target names, if any: unwraps one
+    * optional alias, resolves through the registry (verified) or the
+    * session catalog. */
   private def targetOf(plan: LogicalPlan)
       : Option[(String, String, GraftSqlTables.Ref)] = plan match {
     case SubqueryAlias(ident, child) =>
       targetOf(child).map { case (n, _, r) => (n, ident.name, r) }
-    case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
-      val n = r.multipartIdentifier.head
-      GraftSqlTables.lookup(n).map(ref => (n, n, ref))
+    case r: UnresolvedRelation =>
+      val parts = r.multipartIdentifier
+      val display = parts.mkString(".")
+      GraftSqlTables.resolveRef(SparkSession.active, parts)
+        .map(ref => (display, parts.last, ref))
     case _ => None
   }
 
@@ -366,8 +632,8 @@ object GraftSqlDml {
           "materialize the subquery (e.g. a temp view joined via MERGE " +
           "INTO, or Manifest.delete with a keys DataFrame) instead")
 
-  /** Reroute a Spark-parsed DML plan whose target is a registered
-    * manifest table; every other plan passes through untouched. */
+  /** Reroute a Spark-parsed DML plan whose target is a manifest table;
+    * every other plan passes through untouched. */
   def reroute(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable =>
       targetOf(d.table).map { case (name, alias, ref) =>
@@ -401,7 +667,122 @@ object GraftSqlDml {
       targetOf(m.targetTable).map { case (name, tAlias, ref) =>
         rerouteMerge(m, name, tAlias, ref): LogicalPlan
       }.getOrElse(plan)
+    case i: InsertIntoStatement =>
+      targetOf(i.table).map { case (name, _, ref) =>
+        require(i.partitionSpec.isEmpty,
+          s"INSERT ... PARTITION is not supported on manifest table " +
+            s"$name — the manifest clusters by its partition column " +
+            "automatically; drop the PARTITION clause")
+        require(!i.ifPartitionNotExists,
+          s"INSERT ... IF NOT EXISTS is not supported on manifest " +
+            s"table $name")
+        GraftInsertCommand(name, ref.dir, ref.pCol(name), i.query,
+          i.userSpecifiedCols, i.overwrite, i.byName): LogicalPlan
+      }.getOrElse(plan)
     case _ => plan
+  }
+
+  /** Reroute manifest READ spellings nested anywhere in a query plan:
+    * `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF ts` becomes
+    * the version-pinned [[ManifestScan.scan]] (same pruning FileIndex,
+    * frozen snapshot), and `table_changes('t', v1[, v2])` becomes
+    * [[Manifest.changes]] between the two versions (v2 default: the
+    * tip). Non-manifest names pass through for whatever the session's
+    * other extensions make of them. */
+  def rerouteReads(plan: LogicalPlan): LogicalPlan = {
+    def spark = SparkSession.active
+    plan.transformUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        GraftSqlTables.resolveRef(spark, u.multipartIdentifier) match {
+          case None => tt
+          case Some(ref) =>
+            val v: Long = ver match {
+              case Some(s) => s.toLongOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"VERSION AS OF on manifest table " +
+                    s"${u.multipartIdentifier.mkString(".")} needs an " +
+                    s"integer version; got '$s'"))
+              case None =>
+                val raw = ts match {
+                  case Some(Literal(s, StringType)) if s != null =>
+                    s.toString
+                  case Some(Literal(micros, TimestampType))
+                      if micros != null =>
+                    (micros.asInstanceOf[Long] / 1000L).toString
+                  case Some(Cast(Literal(s, StringType), _, _, _))
+                      if s != null =>
+                    s.toString
+                  case other => throw new IllegalArgumentException(
+                    "TIMESTAMP AS OF on a manifest table needs a literal " +
+                      s"timestamp; got ${other.map(_.sql).getOrElse("none")}")
+                }
+                graft.io.ManifestRelation.versionAtTime(spark, ref.dir, raw)
+            }
+            SubqueryAlias(u.multipartIdentifier.last,
+              ManifestScan.scan(spark, ref.dir, ref.partitionCol, Some(v))
+                .queryExecution.analyzed)
+        }
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_changes") =>
+        def str(e: Expression): String = e match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes: first argument must be a literal table " +
+              s"name string; got ${other.sql}")
+        }
+        def ver(e: Expression): Long = e match {
+          case Literal(v, dt) if v != null &&
+              (dt == LongType || dt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+                dt.isInstanceOf[org.apache.spark.sql.types.ShortType]) =>
+            v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"table_changes: version arguments must be integer " +
+              s"literals; got ${other.sql}")
+        }
+        val (nameArg, fromV, toV) = tvf.functionArgs match {
+          case Seq(n, a) => (str(n), ver(a), None)
+          case Seq(n, a, b) => (str(n), ver(a), Some(ver(b)))
+          case _ => throw new IllegalArgumentException(
+            "table_changes takes (table, fromVersion[, toVersion])")
+        }
+        val ref = resolveOrThrow(spark, nameArg, "table_changes")
+        val tip = toV.getOrElse(Manifest.latestVersion(spark, ref.dir)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no table at ${ref.dir}")))
+        SubqueryAlias("table_changes",
+          Manifest.changes(spark, ref.dir, fromV, tip)
+            .queryExecution.analyzed)
+    }
+  }
+
+  /** A PARAMETERIZED DML statement over a manifest table arrives
+    * wrapped in the parameter node, misses [[reroute]] (which matches
+    * DML at the plan ROOT), and would die downstream with stock
+    * Spark's "DELETE is only supported with v2 tables" — refuse HERE
+    * with the remedy instead. Our commands re-render predicates to
+    * TEXT and re-parse them inside the operators; substituting the
+    * session's parameter markers into that text is not ours to do. */
+  def refuseParameterizedManifestDml(plan: LogicalPlan): Unit = {
+    def manifestName(target: LogicalPlan): Option[String] =
+      targetOf(target).map(_._1)
+    def refuse(verb: String, n: String): Nothing =
+      throw new IllegalArgumentException(
+        s"parameterized $verb on manifest table $n is not supported — " +
+          "inline the literal values into the statement text, or use " +
+          "the Scala API (Manifest.deleteWhere / updateWhere / " +
+          "mergeClauses) with your own argument binding")
+    plan.foreach {
+      case d: DeleteFromTable =>
+        manifestName(d.table).foreach(refuse("DELETE", _))
+      case u: UpdateTable =>
+        manifestName(u.table).foreach(refuse("UPDATE", _))
+      case m: MergeIntoTable =>
+        manifestName(m.targetTable).foreach(refuse("MERGE", _))
+      case i: InsertIntoStatement =>
+        manifestName(i.table).foreach(refuse("INSERT", _))
+      case _ => ()
+    }
   }
 
   private def rerouteMerge(m: MergeIntoTable, name: String,
@@ -499,29 +880,36 @@ object GraftSqlDml {
 
 /** The `spark.sql.extensions`-injected parser: graft's maintenance
   * verbs first, then the delegate's full grammar with DML plans over
-  * registered manifest tables rerouted ([[GraftSqlDml.reroute]]).
-  * Everything else — including DML on non-manifest tables — is the
-  * delegate's output verbatim. */
+  * manifest tables rerouted ([[GraftSqlDml.reroute]]) and manifest
+  * time-travel / change-feed read spellings substituted
+  * ([[GraftSqlDml.rerouteReads]]). Everything else — including DML on
+  * non-manifest tables — is the delegate's output verbatim. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlDml.parseExtension(sqlText, delegate)
-      .getOrElse(GraftSqlDml.reroute(delegate.parsePlan(sqlText)))
+      .getOrElse(GraftSqlDml.rerouteReads(
+        GraftSqlDml.reroute(delegate.parsePlan(sqlText))))
 
   // the parameterized-sql entry point (spark.sql(text, args)): the
   // interface DEFAULT ignores the parameters, so it MUST forward to
   // the delegate's own implementation or every parameterized query on
   // this session would silently lose its arguments. Extension verbs
   // (regex-parsed, parameter-free) still intercept; a PARAMETERIZED
-  // DML statement arrives wrapped in the parameter node, does not
-  // match the reroute, and keeps stock Spark's behavior — our commands
-  // re-parse predicate TEXT, so substituting markers is not ours to do
+  // DML statement over a manifest table cannot be rerouted (our
+  // commands re-parse predicate TEXT — marker substitution is the
+  // session's, not ours) and REFUSES with the remedy instead of stock
+  // Spark's downstream "v2 tables only" error.
   override def parsePlanWithParameters(
       sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan =
-    GraftSqlDml.parseExtension(sqlText, delegate)
-      .getOrElse(GraftSqlDml.reroute(
-        delegate.parsePlanWithParameters(sqlText, ctx)))
+    GraftSqlDml.parseExtension(sqlText, delegate).getOrElse {
+      val parsed = delegate.parsePlanWithParameters(sqlText, ctx)
+      val rerouted = GraftSqlDml.reroute(parsed)
+      if (rerouted eq parsed)
+        GraftSqlDml.refuseParameterizedManifestDml(parsed)
+      GraftSqlDml.rerouteReads(rerouted)
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -532,7 +920,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseMultipartIdentifier(sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    GraftSqlDml.rerouteReads(delegate.parseQuery(sqlText))
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String): StructType =

@@ -7,6 +7,27 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Local fs that refuses every write under `_pins/` — the read-only
+  * source bucket/mount shape: a clone must fall back to the documented
+  * coordinate-retention caveat (warn + skip pinning), not fail. */
+class PinRefusingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "ropinfs"
+  override def getUri: java.net.URI = java.net.URI.create("ropinfs:///")
+  override def create(p: Path, overwrite: Boolean)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (p.toUri.getPath.contains("/_pins/"))
+      throw new java.io.IOException(
+        s"read-only filesystem (injected): cannot write $p")
+    super.create(p, overwrite)
+  }
+  override def mkdirs(p: Path): Boolean = {
+    if (p.toUri.getPath.endsWith("/_pins"))
+      throw new java.io.IOException(
+        s"read-only filesystem (injected): cannot mkdir $p")
+    super.mkdirs(p)
+  }
+}
+
 /** SHALLOW CLONE ([[Manifest.shallowClone]]): a metadata-only fork —
   * the clone's v1 lists the source's data files by reference through
   * the `_ext` batch-dir map (zero data copied), deletion vectors copy
@@ -238,5 +259,44 @@ class ManifestCloneSpec extends SparkSpec {
       Manifest.vacuumOrphans(spark, a, keepVersions = 1, staleMillis = 0L)
     }
     assert(state(c) == baseState)
+  }
+
+  test("a re-clone to the same dst never RAISES an existing pin anchor (min wins)") {
+    val src = newDir("minsrc"); val dst = newDir("mindst")
+    Manifest.create(spark, src, base, "p")
+    Manifest.append(spark, src, Seq((200L, 200.0, 0L)).toDF("k", "v", "p"),
+      "p")
+    Manifest.shallowClone(spark, src, dst) // anchors at v2
+    val (pinName, anchor) = Manifest.pins(spark, src).head
+    assert(anchor == 2L)
+    // the dst dies (crash cleanup / test teardown), the source moves
+    // on, and a new clone lands at the SAME dst path — the shared
+    // deterministic pin name must keep the LOWER anchor: raising it
+    // would let a source vacuum reclaim files a racing same-dst winner
+    // (which anchored lower) still lists
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dst), true)
+    Manifest.append(spark, src, Seq((300L, 300.0, 1L)).toDF("k", "v", "p"),
+      "p")
+    Manifest.shallowClone(spark, src, dst) // would anchor at v3
+    assert(Manifest.pins(spark, src) == Map(pinName -> 2L),
+      "the existing lower anchor must survive the second clone")
+    assert(state(dst) == state(src))
+  }
+
+  test("clone from a read-only source (pin write refused) proceeds UNPINNED with the caveat") {
+    val local = newDir("rosrc")
+    spark.sparkContext.hadoopConfiguration.set("fs.ropinfs.impl",
+      classOf[PinRefusingFileSystem].getName)
+    val src = s"ropinfs://$local"
+    Manifest.create(spark, src, base, "p")
+    val dst = newDir("rodst")
+    // the pin write throws IOException on this scheme; the clone must
+    // fall back to the old coordinate-retention caveat instead of
+    // failing — and end fully readable
+    Manifest.shallowClone(spark, src, dst)
+    assert(Manifest.pins(spark, src).isEmpty,
+      "no pin can exist on the read-only source")
+    assert(state(dst) == baseState)
   }
 }

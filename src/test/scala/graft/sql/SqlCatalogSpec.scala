@@ -1,0 +1,299 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Manifest
+import graft.plans.ManifestScan
+
+/** Round-16 SQL unification: the full DML/maintenance lifecycle on a
+  * table the session only knows through `CREATE TABLE ... USING
+  * graft-manifest` (ZERO Scala registration), INSERT INTO rerouted to
+  * manifest commits (stock Spark would drop raw parquet into the table
+  * root — files no manifest lists), SQL time travel (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`) and the `table_changes` TVF, loud refusal of
+  * parameterized manifest DML, registry-staleness verification for
+  * rebound temp views, and the all-SQL `CREATE/DROP MANIFEST TABLE`
+  * birth-to-death lifecycle. */
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String) =
+    Files.createTempDirectory(s"graft-sqlcat-$tag").toString + "/tbl"
+
+  private def mkTable(dir: String): Unit = {
+    def slice(p: Long) = spark.range(200).filter($"id" % 4 === p)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0), "p", statsCols = Seq("k"))
+    (1L to 3L).foreach(p => Manifest.append(spark, dir, slice(p), "p"))
+  }
+
+  private def metrics(sql: String): Map[String, Long] =
+    spark.sql(sql).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def cnt(name: String): Long =
+    spark.sql(s"SELECT count(*) AS c FROM $name").as[Long].head()
+
+  test("catalog table: full DML lifecycle with zero Scala registration") {
+    val dir = newDir("cat")
+    mkTable(dir)
+    spark.sql("DROP TABLE IF EXISTS cat_t")
+    spark.sql(s"CREATE TABLE cat_t USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    try {
+      assert(cnt("cat_t") == 200L)
+      // DELETE routes to the manifest planner AND the next SELECT sees
+      // it (the catalog's cached V1 relation must invalidate — a stale
+      // FileIndex would keep serving the pre-delete snapshot)
+      val m = metrics("DELETE FROM cat_t WHERE p = 3")
+      assert(m("files_dropped") > 0)
+      assert(cnt("cat_t") == 150L)
+      // UPDATE
+      metrics("UPDATE cat_t SET v = v + 1000 WHERE k < 8")
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM cat_t WHERE v >= 1000").as[Long]
+        .head() == 6L) // k in 0..7 minus p=3 (k=3,7)
+      // INSERT INTO appends through a manifest commit, never raw files
+      val vBefore = Manifest.latestVersion(spark, dir).get
+      metrics("INSERT INTO cat_t VALUES (1000, 1.5, 0)")
+      assert(Manifest.latestVersion(spark, dir).contains(vBefore + 1),
+        "INSERT must be one snapshot commit")
+      assert(cnt("cat_t") == 151L)
+      // MERGE with the catalog table as target
+      Seq((1000L, 9.0), (2000L, 2.5)).toDF("mk", "mv")
+        .createOrReplaceTempView("cat_src")
+      metrics("""MERGE INTO cat_t AS t USING cat_src AS s ON t.k = s.mk
+        WHEN MATCHED THEN UPDATE SET v = s.mv
+        WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.mk, s.mv, 0)""")
+      assert(cnt("cat_t") == 152L)
+      assert(spark.sql("SELECT v FROM cat_t WHERE k = 1000")
+        .as[Double].head() == 9.0)
+      // maintenance verbs resolve through the catalog too
+      assert(metrics("OPTIMIZE cat_t")("files_touched") >= 0L)
+      assert(spark.sql("DESCRIBE HISTORY cat_t").count() >= 5L)
+      metrics(s"RESTORE cat_t TO VERSION AS OF $vBefore")
+      assert(cnt("cat_t") == 150L)
+      spark.conf.set("graft.vacuum.staleMillis", "0")
+      try metrics("VACUUM cat_t RETAIN 1 VERSIONS")
+      finally spark.conf.unset("graft.vacuum.staleMillis")
+      assert(cnt("cat_t") == 150L)
+      assert(Manifest.versions(spark, dir).size == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS cat_t")
+  }
+
+  test("INSERT INTO: positional casts, column lists, OVERWRITE, refusals") {
+    val dir = newDir("ins")
+    mkTable(dir)
+    ManifestScan.register(spark, "ins_t", dir, Some("p"))
+    // positional with an int->double cast, like stock INSERT
+    metrics("INSERT INTO ins_t VALUES (500, 7, 2)")
+    assert(spark.sql("SELECT v FROM ins_t WHERE k = 500")
+      .as[Double].head() == 7.0)
+    // explicit column list in a different order
+    metrics("INSERT INTO ins_t (p, v, k) VALUES (1, 2.5, 501)")
+    assert(spark.sql("SELECT v FROM ins_t WHERE k = 501")
+      .as[Double].head() == 2.5)
+    // INSERT ... SELECT
+    metrics("INSERT INTO ins_t SELECT k + 10000, v, p FROM ins_t " +
+      "WHERE k < 2")
+    assert(cnt("ins_t") == 204L)
+    // partial column list refuses with the no-DEFAULT remedy
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO ins_t (k, v) VALUES (502, 1.0)")
+    }
+    assert(e.getMessage.contains("every column"),
+      s"expected the missing-column refusal, got: ${e.getMessage}")
+    // static partition spec refuses with the drop-the-clause remedy
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO ins_t PARTITION (p = 1) VALUES (503, 1.0)")
+    }
+    assert(e2.getMessage.contains("PARTITION"),
+      s"got: ${e2.getMessage}")
+    // INSERT OVERWRITE replaces the snapshot atomically
+    metrics("INSERT OVERWRITE ins_t VALUES (1, 1.0, 0)")
+    assert(cnt("ins_t") == 1L)
+    // old versions stay time-travelable after the overwrite
+    assert(Manifest.readVersion(spark, dir, 4L).count() == 200L)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on manifest names") {
+    val dir = newDir("tt")
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0, 100), "p")
+    Manifest.append(spark, dir, slice(100, 200), "p")
+    ManifestScan.register(spark, "tt_t", dir, Some("p"))
+    assert(cnt("tt_t") == 200L)
+    assert(spark.sql("SELECT count(*) AS c FROM tt_t VERSION AS OF 1")
+      .as[Long].head() == 100L)
+    // the pinned read is the SAME pruning scan: a WHERE still prunes
+    assert(spark.sql(
+      "SELECT sum(k) AS s FROM tt_t VERSION AS OF 1 WHERE p = 0")
+      .as[Long].head() == (0L until 100L by 4).sum)
+    // joins between two versions of the same table resolve
+    val grew = spark.sql(
+      """SELECT count(*) AS c FROM tt_t cur
+        |LEFT ANTI JOIN tt_t VERSION AS OF 1 old ON cur.k = old.k""".stripMargin)
+      .as[Long].head()
+    assert(grew == 100L)
+    // TIMESTAMP AS OF: a time at/past the tip reads the tip
+    assert(spark.sql("SELECT count(*) AS c FROM tt_t TIMESTAMP AS OF " +
+      s"'${java.time.Instant.now().plusSeconds(60)}'").as[Long].head() == 200L)
+    // on a catalog-created name too
+    spark.sql("DROP TABLE IF EXISTS tt_cat")
+    spark.sql(s"CREATE TABLE tt_cat USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    try assert(spark.sql(
+      "SELECT count(*) AS c FROM tt_cat VERSION AS OF 1")
+      .as[Long].head() == 100L)
+    finally spark.sql("DROP TABLE tt_cat")
+    // a bad version string is a loud, named error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM tt_t VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("integer version"))
+  }
+
+  test("table_changes TVF equals Manifest.changes; defaults to the tip") {
+    val dir = newDir("tvf")
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0, 50), "p")
+    Manifest.append(spark, dir, slice(50, 80), "p")
+    Manifest.delete(spark, dir,
+      slice(0, 10).select($"k", $"p"), Seq("k"), "p")
+    ManifestScan.register(spark, "tvf_t", dir, Some("p"))
+    val viaSql = spark.sql(
+      "SELECT k, v, p, change FROM table_changes('tvf_t', 1, 3) " +
+        "ORDER BY change, k").collect().toSeq
+    val viaApi = Manifest.changes(spark, dir, 1L, 3L)
+      .select($"k", $"v", $"p", $"change")
+      .orderBy($"change", $"k").collect().toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+    // two-arg form reads to the tip; inserts count: 30 added - 10 del
+    val twoArg = spark.sql(
+      "SELECT count(*) AS c FROM table_changes('tvf_t', 1)")
+      .as[Long].head()
+    assert(twoArg == viaApi.size)
+    // aggregating over the TVF works like any relation
+    val dels = spark.sql("SELECT count(*) AS c FROM " +
+      "table_changes('tvf_t', 2, 3) WHERE change = 'delete'")
+      .as[Long].head()
+    assert(dels == 10L)
+  }
+
+  test("parameterized DML on a manifest table binds and executes (or refuses loudly, never the stock v2 error)") {
+    val dir = newDir("param")
+    mkTable(dir)
+    ManifestScan.register(spark, "param_t", dir, Some("p"))
+    // Spark 4.1 binds positional/named parameters INTO the parsed plan
+    // (ParameterContext at parse), so the bound DML reroutes like any
+    // literal statement and must execute with the bound values
+    spark.sql("DELETE FROM param_t WHERE k = ?", Array(7))
+    assert(cnt("param_t") == 199L)
+    assert(spark.sql("SELECT count(*) AS c FROM param_t WHERE k = 7")
+      .as[Long].head() == 0L)
+    spark.sql("UPDATE param_t SET v = :nv WHERE k = :key",
+      Map("nv" -> 123.5, "key" -> 11))
+    assert(spark.sql("SELECT v FROM param_t WHERE k = 11")
+      .as[Double].head() == 123.5)
+    // parameterized SELECT on the same table works (stock path)
+    assert(spark.sql("SELECT count(*) AS c FROM param_t WHERE p = ?",
+      Array(0)).as[Long].head() == 50L)
+    // the backstop: a parameter node that survives parse unrerouted
+    // must hit OUR remedy-bearing refusal, not stock Spark's "DELETE is
+    // only supported with v2 tables" (exercised directly — the current
+    // session binds at parse, so the wrapped shape cannot be produced
+    // through spark.sql)
+    // build the wrapped shape by hand (parsePlan would already reroute)
+    val del = org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+        Seq("param_t")),
+      org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("k"),
+        org.apache.spark.sql.catalyst.expressions.Literal(1)))
+    val wrapped = org.apache.spark.sql.catalyst.analysis
+      .NameParameterizedQuery(del, Seq("x"),
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(1)))
+    val e = intercept[IllegalArgumentException] {
+      GraftSqlDml.refuseParameterizedManifestDml(wrapped)
+    }
+    assert(e.getMessage.contains("parameterized DELETE") &&
+      e.getMessage.contains("inline the literal"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("a rebound or dropped temp view can never be mutated through a stale registry") {
+    val dir = newDir("stale")
+    mkTable(dir)
+    ManifestScan.register(spark, "stale_t", dir, Some("p"))
+    assert(cnt("stale_t") == 200L)
+    // the user rebinds the name to an unrelated relation: DML must
+    // refuse loudly, NOT mutate the old dir while SELECT reads the new
+    Seq((1L, 2.0, 0L)).toDF("k", "v", "p")
+      .createOrReplaceTempView("stale_t")
+    val e = intercept[IllegalStateException] {
+      spark.sql("DELETE FROM stale_t WHERE k = 1")
+    }
+    assert(e.getMessage.contains("rebound"),
+      s"got: ${e.getMessage}")
+    assert(Manifest.read(spark, dir).count() == 200L,
+      "the old manifest dir must be untouched")
+    // dropping the view GCs the registry entry: the verb no longer
+    // resolves (and names the remedy)
+    spark.catalog.dropTempView("stale_t")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("VACUUM stale_t")
+    }
+    assert(e2.getMessage.contains("not a registered manifest table"))
+  }
+
+  test("CREATE MANIFEST TABLE ... DROP MANIFEST TABLE: all-SQL birth to death") {
+    val dir = newDir("ddl")
+    spark.sql(s"CREATE MANIFEST TABLE ddl_t " +
+      "(k BIGINT, v DOUBLE, p BIGINT) PARTITIONED BY (p) " +
+      s"LOCATION '$dir' STATS BY (k) BLOOM BY (k)")
+    assert(cnt("ddl_t") == 0L)
+    assert(Manifest.latestVersion(spark, dir).contains(1L))
+    metrics("INSERT INTO ddl_t SELECT id, CAST(id AS DOUBLE), id % 4 " +
+      "FROM range(100)")
+    assert(cnt("ddl_t") == 100L)
+    metrics("DELETE FROM ddl_t WHERE p = 0")
+    assert(cnt("ddl_t") == 75L)
+    // the declared stats/bloom configuration took: the snapshot prunes
+    val hist = spark.sql("DESCRIBE HISTORY ddl_t").count()
+    assert(hist >= 3L)
+    val m = metrics("DROP MANIFEST TABLE ddl_t PURGE")
+    assert(m("purged") == 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      "PURGE must remove the table's files")
+    val e = intercept[Exception] { cnt("ddl_t") }
+    assert(e.getMessage.toLowerCase.contains("table_or_view_not_found") ||
+      e.getMessage.contains("ddl_t"))
+  }
+
+  test("DML on a time-travel-pinned catalog name refuses loudly") {
+    val dir = newDir("pin")
+    mkTable(dir)
+    spark.sql("DROP TABLE IF EXISTS pin_v1")
+    spark.sql(s"CREATE TABLE pin_v1 USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', partitionCol 'p', versionAsOf '1')")
+    try {
+      assert(cnt("pin_v1") == 50L)
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM pin_v1 WHERE k = 1")
+      }
+      assert(e.getMessage.contains("time-travel-pinned"),
+        s"got: ${e.getMessage}")
+      assert(Manifest.read(spark, dir).count() == 200L)
+    } finally spark.sql("DROP TABLE pin_v1")
+  }
+}

@@ -161,8 +161,20 @@ class SqlDmlSpec extends SparkSpec {
     metrics("DELETE FROM sqlvac_t WHERE p = 0") // retires whole files
     spark.conf.set("graft.vacuum.staleMillis", "0")
     try {
-      val m = metrics("VACUUM sqlvac_t")
+      // bare VACUUM keeps graft.sql.vacuum.defaultKeepVersions (10):
+      // with only 5 versions here it must retain ALL history — dropping
+      // every old version on an unqualified statement was judged too
+      // sharp. (True orphans — files no retained manifest ever listed —
+      // may still reclaim; retention is about VERSIONS.)
+      metrics("VACUUM sqlvac_t")
+      assert(Manifest.versions(spark, dir).size == 5,
+        "bare VACUUM must keep all history under the default retention")
+      // time travel to the pre-delete snapshot still works
+      assert(Manifest.readVersion(spark, dir, 4L).count() == 200L)
+      // explicit RETAIN 1 VERSIONS is the drop-all-history spelling
+      val m = metrics("VACUUM sqlvac_t RETAIN 1 VERSIONS")
       assert(m("files_reclaimed") > 0L)
+      assert(Manifest.versions(spark, dir).size == 1)
     } finally spark.conf.unset("graft.vacuum.staleMillis")
     assert(spark.sql("SELECT count(*) AS c FROM sqlvac_t")
       .as[Long].head() == 150L)
