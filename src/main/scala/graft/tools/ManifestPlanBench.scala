@@ -29,7 +29,8 @@ object ManifestPlanBench {
     * per file, 7-day date stat stripes over a 4-year span. Shared by
     * the bench main and the spec that pins planning cost/behavior. */
   def synthesize(spark: org.apache.spark.sql.SparkSession, root: String,
-                 n: Int, realBatch: Boolean = false): Unit = {
+                 n: Int, realBatch: Boolean = false,
+                 fakeBytes: Long = 128L << 20): Unit = {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ddl = "k BIGINT,d DATE,p STRING"
@@ -44,7 +45,7 @@ object ManifestPlanBench {
       val lo = day0.plusDays(((i * 37) % span).toInt)
       ManifestEntry(s"data/$batch/part-$i.parquet",
         values = Seq((i % 1024).toString), has_null = false,
-        overflow = false, rows = 100000L, bytes = 128L << 20,
+        overflow = false, rows = 100000L, bytes = fakeBytes,
         schema_ddl = "", stat_cols = Seq.empty,
         stat_mins = Seq(lo.toString), stat_maxs = Seq(lo.plusDays(6).toString),
         bloom_cols = Seq.empty)
@@ -97,12 +98,32 @@ object ManifestPlanBench {
 
     val root = java.nio.file.Files.createTempDirectory("graft-planbench")
       .toString + "/tbl"
+    // mrgprobe's fake entries are SLIM (1 KB claimed, zero open cost):
+    // the probe scan legitimately schedules over every listed file, and
+    // the 128 MB default would turn the decade curve into a pure
+    // empty-task-scheduling measurement (~100k tasks/decade) instead of
+    // the manifest-side cost it exists to isolate — on a real table the
+    // probe's data cost is the constant real batch here by construction
+    // ~256 files per scan task: FileScanRDD advances past an
+    // empty/missing file by RECURSION, so thousands of consecutive
+    // fake files in one partition overflow the task stack; 4 MB / 16 KB
+    // caps the depth while keeping task counts sane. The probe's
+    // per-file visit cost is real at any scale — findTouchedFiles IS
+    // O(table files) absent a partition/bloom key — so the curve
+    // honestly carries it.
+    if (mode == "mrgprobe") {
+      spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    }
     synthesize(spark, root, n,
-      realBatch = mode == "updw" || mode == "delwmor" || mode == "mrg")
+      realBatch = mode == "updw" || mode == "delwmor" || mode == "mrg" ||
+        mode == "mrgprobe",
+      fakeBytes = if (mode == "mrgprobe") 1024L else 128L << 20)
 
     if (mode == "updw") { updwMain(spark, root, n); return }
     if (mode == "delwmor") { delwmorMain(spark, root, n); return }
     if (mode == "mrg") { mrgMain(spark, root, n); return }
+    if (mode == "mrgprobe") { mrgprobeMain(spark, root, n); return }
     if (mode == "dist") { distMain(spark, root, n); return }
     if (mode == "ckpt") { ckptMain(spark, root, n); return }
     if (mode == "tail") { tailMain(spark, root, n); return }
@@ -261,6 +282,62 @@ object ManifestPlanBench {
         s""""merge_sec":${f"$tMerge%.2f"},""" +
         s""""rows_updated":${out("rows_updated")},""" +
         s""""rows_inserted":${out("rows_inserted")}}""")
+  }
+
+  /** Non-partition-key MERGE — the findTouchedFiles PROBE path
+    * (commit 9a08a36) — priced by manifest decade with a non-trivial
+    * source. ON keys exclude the partition column, so planning runs
+    * ONE probe scan of the table with the source keys BROADCAST
+    * (never shuffling the table), collects only the touched paths,
+    * and the clause pass re-reads just those files.
+    *
+    * This is the one mode that cannot use the fail-on-open fake-path
+    * discipline for the probe itself: a keyed probe legitimately scans
+    * the WHOLE table (Delta's findTouchedFiles does too) — so fake
+    * files are declared absent instead (`ignoreMissingFiles=true`,
+    * contributing zero rows), the constant real batch carries the data
+    * axis, and the decade curve isolates the MANIFEST-side cost
+    * (pruning-FileIndex listing + O(n) distributed candidate filter +
+    * commit planning). Two self-checks ride along: exact
+    * updated/inserted counts (the probe found precisely the real
+    * matches), and total shuffle-write bytes (the table side must stay
+    * un-shuffled — bytes are O(source + touched rows), flat across
+    * decades, not O(table)). */
+  private def mrgprobeMain(spark: org.apache.spark.sql.SparkSession,
+                           root: String, n: Int): Unit = {
+    import spark.implicits._
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    // 50k even keys hit the real batch (k in 0..99999), 50k are fresh
+    val src = spark.range(100000L)
+      .select(($"id" * 2).as("k"), ($"id" + 7).as("nv"))
+    spark.sparkContext.addSparkListener(listener)
+    val (out, tMerge) = time(graft.ops.Manifest.mergeClauses(spark, root,
+      src, on = Seq("k" -> "k"), partitionCol = "p",
+      matched = Seq(graft.ops.MergeClause.Matched(
+        graft.ops.MergeClause.Update(Seq("d" -> "DATE '2000-01-09'")))),
+      notMatched = Seq(graft.ops.MergeClause.NotMatched(Seq(
+        "k" -> "s.k", "p" -> "'real'", "d" -> "DATE '2000-01-03'")))))
+    Thread.sleep(2000) // listener bus drains async
+    spark.sparkContext.removeSparkListener(listener)
+    require(out("rows_updated") == 50000L && out("rows_inserted") == 50000L,
+      s"probe found the wrong match set: $out")
+    println(
+      s"""{"metric":"manifest_merge_probe","entries":$n,""" +
+        s""""merge_sec":${f"$tMerge%.2f"},""" +
+        s""""rows_updated":${out("rows_updated")},""" +
+        s""""rows_inserted":${out("rows_inserted")},""" +
+        s""""shuffle_mb":${f"${shuffleBytes.get() / 1048576.0}%.1f"}}""")
   }
 
   /** SHALLOW CLONE at lake scale: one distributed re-root staging plus
