@@ -1457,6 +1457,32 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // The ALTER TABLE surface, all metadata-only: RENAME COLUMN (a
+    // colmap commit), ADD COLUMNS (sentinel evolve, null-filled), a
+    // predicate UPDATE filling the new column, DROP COLUMN (slot
+    // hidden) — the oracle replays the whole lifecycle as one SELECT
+    // with a CASE over the original relation.
+    "sql_alter_surface" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqlalter_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"),
+          col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir, orders, "o_orderstatus")
+      graft.plans.ManifestScan.register(s, "sqlalter_t", dir,
+        Some("o_orderstatus"))
+      s.sql("ALTER TABLE sqlalter_t RENAME COLUMN o_totalprice TO price")
+      s.sql("ALTER TABLE sqlalter_t ADD COLUMNS (bonus DOUBLE)")
+      s.sql("UPDATE sqlalter_t SET bonus = price * 0.5 " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql("ALTER TABLE sqlalter_t DROP COLUMN o_custkey")
+      s.sql("SELECT o_orderkey, price, bonus FROM sqlalter_t " +
+        "ORDER BY o_orderkey")
+    }),
+
     // The change-feed TVF: table_changes('t', 1, 2) between the create
     // and an append is exactly the appended rows flagged 'insert' —
     // the SQL spelling of the CDC read, oracle-replayed as the plain
@@ -4279,6 +4305,17 @@ ORDER BY step"""
         |    CAST(111.5 AS DOUBLE) AS o_totalprice,
         |    DATE '1997-06-15' AS o_orderdate
         |) ORDER BY o_orderkey""".stripMargin,
+
+    // Rename + evolve + conditional fill + drop compose to a SELECT
+    // with one CASE; the evolved column is NULL where the UPDATE's
+    // predicate did not fill it.
+    "sql_alter_surface" ->
+      """SELECT o_orderkey,
+        |  o_totalprice AS price,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 0.5
+        |       ELSE NULL END AS bonus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Changes between the create (v1) and the append (v2) are exactly
     // the appended rows, each flagged 'insert'.

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTable, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -413,6 +413,63 @@ case class GraftCloneCommand(srcName: String, srcDir: String,
   }
 }
 
+/** The ALTER TABLE verbs a manifest table supports, rerouted from
+  * Spark's parsed v2 nodes ([[GraftSqlDml.reroute]]) to the
+  * metadata-only schema operators — every one is a sentinel/colmap
+  * commit, no data file rewrites, at any table size. */
+sealed trait GraftAlterOp
+object GraftAlterOp {
+  case class Rename(from: String, to: String) extends GraftAlterOp
+  case class Drop(cols: Seq[String], ifExists: Boolean) extends GraftAlterOp
+  case class Add(cols: Seq[(String, String)]) extends GraftAlterOp
+  case class Widen(col: String, newType: String) extends GraftAlterOp
+  case class AddCheck(constraintName: String, sql: String) extends GraftAlterOp
+  case class DropCheck(constraintName: String, ifExists: Boolean)
+    extends GraftAlterOp
+}
+
+/** `ALTER TABLE <manifest table> RENAME COLUMN / DROP COLUMN(S) /
+  * ADD COLUMNS / ALTER COLUMN ... TYPE / ADD CONSTRAINT ... CHECK /
+  * DROP CONSTRAINT` → [[Manifest.renameColumn]] / [[Manifest.dropColumn]]
+  * / [[Manifest.evolve]] / [[Manifest.widenColumn]] /
+  * [[Manifest.addConstraint]] / [[Manifest.dropConstraint]]. */
+case class GraftAlterCommand(name: String, dir: String, op: GraftAlterOp)
+    extends LeafRunnableCommand {
+  import GraftAlterOp._
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val applied: Long = op match {
+      case Rename(from, to) =>
+        Manifest.renameColumn(spark, dir, from, to); 1L
+      case Drop(cols, ifExists) =>
+        val have = Manifest.tableSchema(spark, dir).fieldNames
+        val todo = cols.filter(c =>
+          have.exists(_.equalsIgnoreCase(c)) || {
+            require(ifExists, s"cannot drop $c: no such column in $name " +
+              s"(${have.mkString(", ")})")
+            false
+          })
+        todo.foreach(Manifest.dropColumn(spark, dir, _)); todo.size.toLong
+      case Add(cols) =>
+        Manifest.evolve(spark, dir, cols); cols.size.toLong
+      case Widen(c, t) =>
+        Manifest.widenColumn(spark, dir, c, t); 1L
+      case AddCheck(n, sql) =>
+        Manifest.addConstraint(spark, dir, n, sql); 1L
+      case DropCheck(n, ifExists) =>
+        val have = Manifest.constraintsOf(spark, dir).map(_._1)
+        if (have.contains(n)) { Manifest.dropConstraint(spark, dir, n); 1L }
+        else {
+          require(ifExists, s"cannot drop constraint $n: $name has " +
+            s"${if (have.isEmpty) "no constraints" else have.mkString(", ")}")
+          0L
+        }
+    }
+    GraftSqlTables.refresh(spark, name)
+    GraftSqlDml.metricRows(Map("ops_applied" -> applied))
+  }
+}
+
 /** `CREATE MANIFEST TABLE <name> (<schema>) PARTITIONED BY (c)
   * LOCATION '<dir>' [STATS BY (c, ...)] [BLOOM BY (c, ...)]` →
   * [[Manifest.create]] with an empty first snapshot, then
@@ -679,7 +736,85 @@ object GraftSqlDml {
         GraftInsertCommand(name, ref.dir, ref.pCol(name), i.query,
           i.userSpecifiedCols, i.overwrite, i.byName): LogicalPlan
       }.getOrElse(plan)
+    case RenameColumn(t, from, to) =>
+      alterTargetOf(t).map { case (name, ref) =>
+        GraftAlterCommand(name, ref.dir,
+          GraftAlterOp.Rename(topLevel(name, from, "RENAME COLUMN"),
+            to)): LogicalPlan
+      }.getOrElse(plan)
+    case DropColumns(t, cols, ifExists) =>
+      alterTargetOf(t).map { case (name, ref) =>
+        GraftAlterCommand(name, ref.dir,
+          GraftAlterOp.Drop(cols.map(c =>
+            topLevel(name, c, "DROP COLUMN")), ifExists)): LogicalPlan
+      }.getOrElse(plan)
+    case AddColumns(t, colsToAdd) =>
+      alterTargetOf(t).map { case (name, ref) =>
+        val cols = colsToAdd.map { c =>
+          require(c.path.isEmpty,
+            s"ADD COLUMNS into a nested field is not supported on " +
+              s"manifest table $name")
+          require(c.position.isEmpty && c.default.isEmpty,
+            s"ADD COLUMNS with FIRST/AFTER or DEFAULT is not supported " +
+              s"on manifest table $name — new columns append and " +
+              "null-fill")
+          c.colName -> c.dataType.catalogString
+        }
+        GraftAlterCommand(name, ref.dir,
+          GraftAlterOp.Add(cols)): LogicalPlan
+      }.getOrElse(plan)
+    case AlterColumns(t, specs) =>
+      alterTargetOf(t).map { case (name, ref) =>
+        require(specs.size == 1,
+          s"one ALTER COLUMN at a time on manifest table $name")
+        val s = specs.head
+        require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+          s.newComment.isEmpty && s.newPosition.isEmpty &&
+          s.newDefaultExpression.isEmpty,
+          s"only ALTER COLUMN ... TYPE (a rendering-stable widening) " +
+            s"is supported on manifest table $name")
+        GraftAlterCommand(name, ref.dir,
+          GraftAlterOp.Widen(topLevel(name, s.column, "ALTER COLUMN"),
+            s.newDataType.get.catalogString)): LogicalPlan
+      }.getOrElse(plan)
+    case AddCheckConstraint(t, cc) =>
+      // the constraint's child is the existing-row VALIDATION plan
+      // (Filter(NOT cond, relation)) — the table sits inside it as a
+      // relation, not an UnresolvedTable; Manifest.addConstraint runs
+      // its own distributed validation, so only the name is needed
+      t.collectFirst { case r: UnresolvedRelation => r.multipartIdentifier }
+        .flatMap(parts => GraftSqlTables
+          .resolveRef(SparkSession.active, parts)
+          .map(ref => GraftAlterCommand(parts.mkString("."), ref.dir,
+            GraftAlterOp.AddCheck(cc.name, cc.condition)): LogicalPlan))
+        .getOrElse(plan)
+    case DropConstraint(t, cname, ifExists, cascade) =>
+      alterTargetOf(t).map { case (name, ref) =>
+        require(!cascade,
+          s"DROP CONSTRAINT ... CASCADE is not supported on manifest " +
+            s"table $name — constraints have no dependents here")
+        GraftAlterCommand(name, ref.dir,
+          GraftAlterOp.DropCheck(cname, ifExists)): LogicalPlan
+      }.getOrElse(plan)
     case _ => plan
+  }
+
+  /** ALTER TABLE's target child is an [[UnresolvedTable]] (not a
+    * relation): resolve it through the same registry/catalog doors. */
+  private def alterTargetOf(plan: LogicalPlan)
+      : Option[(String, GraftSqlTables.Ref)] = plan match {
+    case t: UnresolvedTable =>
+      val parts = t.multipartIdentifier
+      GraftSqlTables.resolveRef(SparkSession.active, parts)
+        .map(r => (parts.mkString("."), r))
+    case _ => None
+  }
+
+  private def topLevel(name: String, f: FieldName, verb: String): String = {
+    require(f.name.size == 1,
+      s"$verb on a nested field (${f.name.mkString(".")}) is not " +
+        s"supported on manifest table $name")
+    f.name.head
   }
 
   /** Reroute manifest READ spellings nested anywhere in a query plan:

@@ -280,6 +280,82 @@ class SqlCatalogSpec extends SparkSpec {
       e.getMessage.contains("ddl_t"))
   }
 
+  test("ALTER TABLE verbs route to the metadata-only schema operators") {
+    val dir = newDir("alter")
+    mkTable(dir)
+    ManifestScan.register(spark, "alt_t", dir, Some("p"))
+    val files = Manifest.read(spark, dir).inputFiles.toSet
+    // RENAME COLUMN is a colmap commit; data reads under the new face
+    spark.sql("ALTER TABLE alt_t RENAME COLUMN v TO amount")
+    assert(spark.sql("SELECT sum(amount) AS s FROM alt_t")
+      .as[Double].head() == (0 until 200).map(_.toDouble).sum)
+    // ADD COLUMNS null-fills; ALTER COLUMN TYPE widens metadata-only
+    spark.sql("ALTER TABLE alt_t ADD COLUMNS (tag STRING, n INT)")
+    spark.sql("ALTER TABLE alt_t ALTER COLUMN n TYPE BIGINT")
+    assert(Manifest.tableSchema(spark, dir)("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("UPDATE alt_t SET n = k * 2 WHERE k < 3")
+    assert(spark.sql("SELECT sum(n) AS s FROM alt_t").as[Long].head() == 6L)
+    // DROP COLUMN hides the slot; IF EXISTS tolerates a second drop
+    spark.sql("ALTER TABLE alt_t DROP COLUMN tag")
+    spark.sql("ALTER TABLE alt_t DROP COLUMN IF EXISTS tag")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE alt_t DROP COLUMN tag")
+    }
+    assert(e.getMessage.contains("no such column"))
+    assert(Manifest.tableSchema(spark, dir).fieldNames.toSet ==
+      Set("k", "amount", "p", "n"))
+    // CHECK constraints: violating INSERT refused, DROP CONSTRAINT frees
+    spark.sql("ALTER TABLE alt_t ADD CONSTRAINT amount_pos " +
+      "CHECK (amount >= 0)")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO alt_t VALUES (900, -5.0, 0, 1)")
+    }
+    assert(e2.getMessage.contains("amount_pos"),
+      s"constraint must refuse by name: ${e2.getMessage}")
+    spark.sql("ALTER TABLE alt_t DROP CONSTRAINT amount_pos")
+    spark.sql("INSERT INTO alt_t VALUES (900, -5.0, 0, 1)")
+    assert(cnt("alt_t") == 201L)
+    // every verb above was metadata-only except the UPDATE + INSERT:
+    // the original files never rewrote
+    assert(files.subsetOf(
+      Manifest.readVersion(spark, dir, 4L).inputFiles.toSet ++ files))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE alt_t DROP CONSTRAINT nope")
+    }
+    assert(e3.getMessage.contains("cannot drop constraint"))
+  }
+
+  test("table_changes equals a ChangeFeed.poll delivery over the same range") {
+    val dir = newDir("pollq")
+    val cursor = newDir("pollc")
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0, 50), "p")
+    ManifestScan.register(spark, "poll_t", dir, Some("p"))
+    // initial poll: cursor lands at v1
+    graft.ops.ChangeFeed.poll(spark, dir, cursor) { (_, _, _) => () }
+    Manifest.append(spark, dir, slice(50, 90), "p")
+    Manifest.delete(spark, dir,
+      slice(0, 5).select($"k", $"p"), Seq("k"), "p")
+    // the poll delivery for (v1 -> v3] must equal the TVF over the
+    // same version range — same rows, same change flags
+    var delivered: Seq[(Long, Double, Long, String)] = Nil
+    var range = (0L, 0L)
+    graft.ops.ChangeFeed.poll(spark, dir, cursor) { (df, fromV, toV) =>
+      range = (fromV, toV)
+      delivered = df.select($"k", $"v", $"p", $"change")
+        .as[(Long, Double, Long, String)].collect().toSeq.sorted
+    }
+    assert(range == (1L, 3L))
+    val viaTvf = spark.sql(
+      s"SELECT k, v, p, change FROM table_changes('poll_t', " +
+        s"${range._1}, ${range._2})")
+      .as[(Long, Double, Long, String)].collect().toSeq.sorted
+    assert(delivered.nonEmpty && viaTvf == delivered)
+  }
+
   test("DML on a time-travel-pinned catalog name refuses loudly") {
     val dir = newDir("pin")
     mkTable(dir)
