@@ -1457,6 +1457,33 @@ object SparkEntry {
         "ORDER BY o_orderkey")
     }),
 
+    // CONVERT-IN-PLACE: adopt a plain parquet dir as a manifest table
+    // by reference (zero rewrite — the 100 TB onboarding path), then
+    // prove the table is LIVE: a merge-on-read delete masks rows
+    // INSIDE the adopted files (the raw-path rel derivation keying the
+    // DVs) and a SQL statement drives it — the oracle replays both as
+    // one WHERE over the original relation.
+    "man_convert" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val rootT = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_convert_$tag"
+      val fs = new org.apache.hadoop.fs.Path(rootT)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(rootT), true)
+      val pdir = s"$rootT/raw"; val dir = s"$rootT/orders_tbl"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders.repartition(4).write.parquet(pdir)
+      s.sql(s"CONVERT TO MANIFEST '$pdir' AS conv_t " +
+        s"PARTITIONED BY (o_orderstatus) LOCATION '$dir' " +
+        "STATS BY (o_totalprice)")
+      s.conf.set("graft.sql.dml.mor", "true")
+      try s.sql("DELETE FROM conv_t WHERE o_orderkey % 7 = 0")
+      finally s.conf.unset("graft.sql.dml.mor")
+      s.sql("SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderstatus AS STRING) AS o_orderstatus FROM conv_t " +
+        "ORDER BY o_orderkey")
+    }),
+
     // The ALTER TABLE surface, all metadata-only: RENAME COLUMN (a
     // colmap commit), ADD COLUMNS (sentinel evolve, null-filled), a
     // predicate UPDATE filling the new column, DROP COLUMN (slot
@@ -4305,6 +4332,13 @@ ORDER BY step"""
         |    CAST(111.5 AS DOUBLE) AS o_totalprice,
         |    DATE '1997-06-15' AS o_orderdate
         |) ORDER BY o_orderkey""".stripMargin,
+
+    // The adopted files hold every original row; the MoR delete drops
+    // the %7 keys via deletion vectors over those very files.
+    "man_convert" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderkey % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Rename + evolve + conditional fill + drop compose to a SELECT
     // with one CASE; the evolved column is NULL where the UPDATE's

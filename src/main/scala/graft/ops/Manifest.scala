@@ -1625,19 +1625,32 @@ object Manifest {
     }
   }
 
+  /** `_ext` value prefix marking a RAW external dir (a converted
+    * plain-parquet directory, see [[convert]]): the batch's files live
+    * DIRECTLY under the mapped dir — resolution appends only the tail
+    * AFTER the batch segment, not the whole `data/b-…/…` tail a
+    * clone's source-root layout carries. */
+  private[graft] val RawExtPrefix = "raw:"
+
   /** Resolve a manifest-relative data path (`data/b-<uuid>/<file>`)
     * against its owning root: the clone map's root for external batch
-    * dirs, the table's own root otherwise. External roots are stored
-    * fully qualified, so cross-filesystem clones resolve to their own
-    * scheme. */
+    * dirs (whole tail appended — the source IS a manifest table with
+    * the same layout), a converted `raw:` dir for adopted plain
+    * parquet (file name only), the table's own root otherwise.
+    * External roots are stored fully qualified, so cross-filesystem
+    * clones resolve to their own scheme. */
   private[graft] def resolveData(root: Path, ext: Map[String, String],
                                  tail: String): Path =
     if (ext.isEmpty) new Path(root, tail)
     else {
       val parts = tail.split('/')
-      if (parts.length > 1 && ext.contains(parts(1)))
-        new Path(ext(parts(1)), tail)
-      else new Path(root, tail)
+      if (parts.length > 1 && ext.contains(parts(1))) {
+        val r = ext(parts(1))
+        if (r.startsWith(RawExtPrefix))
+          new Path(r.stripPrefix(RawExtPrefix),
+            parts.drop(2).mkString("/"))
+        else new Path(r, tail)
+      } else new Path(root, tail)
     }
 
   /** SHALLOW CLONE of `srcDir`'s snapshot (version `v`, default
@@ -1698,7 +1711,11 @@ object Manifest {
     val dstQ = fsD.makeQualified(dstRoot).toString
     val pinName = clonePinName(dstQ)
     val srcPinName = clonePinName(qualifiedSrc)
-    mine.values.toSet[String].foreach { r =>
+    // `raw:` roots (converted plain-parquet dirs) hold no manifest to
+    // pin — their retention is the owner's, the documented
+    // coordinate-retention caveat
+    mine.values.toSet[String]
+      .filterNot(_.startsWith(RawExtPrefix)).foreach { r =>
       val rootPins = pins(spark, r)
       val anchor =
         if (r == qualifiedSrc) v
@@ -1733,8 +1750,9 @@ object Manifest {
     // post-commit hiccup in the winner's own heal step) must leave them
     def unpinAll(): Unit =
       if (latestVersion(spark, dstDir).isEmpty)
-        mine.values.toSet[String].foreach(r =>
-          try unpin(spark, r, pinName) catch { case _: Exception => () })
+        mine.values.toSet[String]
+          .filterNot(_.startsWith(RawExtPrefix)).foreach(r =>
+            try unpin(spark, r, pinName) catch { case _: Exception => () })
     try {
     // the DV relations are per-table mutable state (maintenance folds
     // them); the clone takes its own copy — kilobytes. When a
@@ -1874,9 +1892,151 @@ object Manifest {
         liveBatches.intersect(ext.keySet).map(ext)
       }
     val name = clonePinName(fs.makeQualified(root).toString)
-    val releasable = ext.values.toSet -- stillNeeded
+    val releasable = (ext.values.toSet -- stillNeeded)
+      .filterNot(_.startsWith(RawExtPrefix)) // raw dirs were never pinned
     releasable.foreach(r => unpin(spark, r, name))
     releasable.size.toLong
+  }
+
+  /** CONVERT-IN-PLACE: adopt an EXISTING plain-parquet directory as a
+    * manifest table without rewriting, copying, or moving a byte —
+    * Delta's `CONVERT TO DELTA`, expressed through the clone
+    * machinery's external-batch map. One synthetic batch dir per LEAF
+    * directory maps to it with the [[RawExtPrefix]] form (entry tails
+    * are single file names, which [[resolveData]] and the rel-path
+    * derivation reverse exactly); per-file partition-value sets, row
+    * counts, byte sizes, and optional column stats come from ONE
+    * distributed read-back pass — the same pass every ordinary write
+    * performs — with sizes from `_metadata` (no per-file driver RPC);
+    * the v1 commit lists the files by reference.
+    *
+    * From then on the table is fully live: appends land local batches,
+    * keyed/predicate rewrites and OPTIMIZE retire converted references
+    * file by file (a full rewrite leaves it self-contained),
+    * merge-on-read DVs mask converted files exactly like local ones,
+    * clustering/SQL/streaming all work. The adopted files are NEVER
+    * deleted by this table's vacuum (they live outside its root);
+    * deleting the source dir breaks the table — the same
+    * external-reference caveat a shallow clone carries, without the
+    * retention pin (a plain dir has no manifest to pin).
+    *
+    * Refusals: a Hive-partitioned layout (`.../p=v/...`) — the
+    * partition column lives in dir names, not the files, and a bare
+    * file read would lose it; a source on a different filesystem than
+    * the table root (file identity here is path-based); a leaf dir
+    * carrying a `_bloom` collision. All files must share one schema
+    * (the read uses Spark's stock parquet schema resolution).
+    * Returns the number of files adopted. */
+  def convert(spark: SparkSession, dir: String, parquetDir: String,
+              partitionCol: String,
+              statsCols: Seq[String] = Nil): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    require(latestVersion(spark, dir).isEmpty,
+      s"a table already exists at $dir")
+    val (fsP, pRootRaw) = fsOf(spark, parquetDir)
+    require(fsP.getUri == fs.getUri,
+      s"convert source $parquetDir must live on the table root's " +
+        s"filesystem (${fs.getUri}) — adopted file identity is " +
+        "path-based")
+    require(fsP.exists(pRootRaw), s"no such directory $parquetDir")
+    val df = spark.read.parquet(parquetDir)
+    (partitionCol +: statsCols).foreach(c =>
+      require(df.columns.contains(c),
+        s"column $c not in the converted schema " +
+          df.columns.mkString(",")))
+    val pPathOnly = fsP.makeQualified(pRootRaw).toUri.getPath
+      .stripSuffix("/")
+    def statRender(agg: org.apache.spark.sql.Column, c: String) =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(agg).cast("string")
+        case _ => agg.cast("string")
+      }
+    val statAggs =
+      if (statsCols.isEmpty)
+        Seq(typedLit(Seq.empty[String]).as("stat_mins"),
+          typedLit(Seq.empty[String]).as("stat_maxs"))
+      else Seq(
+        array(statsCols.map(c => statRender(min(col(c)), c)): _*)
+          .as("stat_mins"),
+        array(statsCols.map(c => statRender(max(col(c)), c)): _*)
+          .as("stat_maxs"))
+    val aggList = Seq(
+      slice(sort_array(collect_set(col(partitionCol).cast("string"))),
+        1, ValuesCap + 1).as("values"),
+      max(col(partitionCol).isNull.cast("int")).as("has_null"),
+      count(lit(1)).as("rows"),
+      first(col("_metadata.file_size")).as("bytes")) ++ statAggs
+    val stats = df
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggList.head, aggList.tail: _*)
+      .collect()
+    require(stats.nonEmpty, s"no parquet rows under $parquetDir")
+    val files = stats.map { r =>
+      val p = new Path(r.getString(0)).toUri.getPath
+      require(p.startsWith(pPathOnly + "/"),
+        s"unexpected file path $p outside $pPathOnly")
+      val rel = p.stripPrefix(pPathOnly + "/")
+      require(!rel.split('/').exists(_.contains("=")),
+        s"$parquetDir is Hive-partitioned ($rel): the partition column " +
+          "lives in directory names, not in the files — a manifest " +
+          "read of the bare files would lose it; rewrite through " +
+          "Manifest.create (one pass), or convert a layout that " +
+          "carries the column in the files")
+      val i = p.lastIndexOf('/')
+      (p.substring(0, i), p.substring(i + 1), r)
+    }
+    val ddl = nullableDdl(df.schema)
+    val dirs = files.map(_._1).distinct.sorted
+    val batchOf = dirs.map(d => d -> s"b-${UUID.randomUUID()}").toMap
+    dirs.foreach(d => require(!fsP.exists(new Path(d, BloomDir)),
+      s"$d contains a $BloomDir entry — refusing to adopt a directory " +
+        "that collides with manifest side metadata"))
+    val entries: Seq[Entry] = files.toSeq.map { case (parent, fname, r) =>
+      val vals = r.getSeq[String](1)
+      ManifestEntry(s"$DataDir/${batchOf(parent)}/$fname",
+        values = vals.take(ValuesCap),
+        has_null = r.getInt(2) == 1,
+        overflow = vals.length > ValuesCap,
+        rows = r.getLong(3),
+        bytes = r.getLong(4),
+        schema_ddl = ddl,
+        stat_cols = Seq.empty,
+        stat_mins = r.getSeq[String](5),
+        stat_maxs = r.getSeq[String](6),
+        bloom_cols = Seq.empty)
+    }
+    // `_ext` lands BEFORE the pointer (the clone ordering): a
+    // committed convert can never be read without its map
+    require(latestVersion(spark, dir).isEmpty,
+      s"a table appeared at $dir while converting")
+    val mapped: Map[String, String] = dirs.map { d =>
+      val q = fsP.makeQualified(new Path(d)).toString
+      batchOf(d) -> s"$RawExtPrefix$q"
+    }.toMap
+    fs.mkdirs(root)
+    val tmp = new Path(root, s".$ExtFile-${UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((mapped.toSeq.sortBy(_._1)
+      .map { case (b, r) => s"$b=$r" }.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(root, ExtFile)
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, fs.getConf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(target, false)
+        require(fs.rename(tmp, target),
+          s"could not publish $ExtFile at $dir")
+    }
+    val name = writeManifest(spark, root, entries, ddl, statsCols,
+      bloomCols = Nil, dvDirs = Nil, constraints = Nil)
+    commit(fs, root, 1L, name, op = "CONVERT")
+    // cache only after the successful commit, like a clone
+    extCache.put(fs.makeQualified(root).toString, mapped)
+    entries.size.toLong
   }
 
   /** Top-level nullable rendering (nullability is not a parquet
@@ -1894,11 +2054,43 @@ object Manifest {
     * mis-segments (yielding `data/data/b-...`, which matches no
     * manifest entry — DV masking would silently skip and deleted rows
     * resurrect). The UUID'd batch dir cannot occur anywhere but the
-    * table's own data dir, so the rightmost match is always exact. */
-  private def relPathCol: org.apache.spark.sql.Column =
-    concat(lit(s"$DataDir/"),
+    * table's own data dir, so the rightmost match is always exact.
+    *
+    * CONVERTED ([[convert]]) raw batches break that anchor: their
+    * physical paths are the ADOPTED dir's own layout, with no
+    * `data/b-…` segment anywhere — so when the table's `_ext` map
+    * carries `raw:` entries, each gets a when-branch matching files
+    * DIRECTLY under its dir (scheme/authority stripped on both sides:
+    * [[convert]] requires source and table share one filesystem, so
+    * the path alone is a sound identity) and deriving
+    * `data/<batch>/<file name>`. Tables without raw entries — the
+    * overwhelming steady state — keep the single-regex fast path. */
+  private def relPathCol(spark: SparkSession,
+                         root: Path): org.apache.spark.sql.Column = {
+    val base = concat(lit(s"$DataDir/"),
       regexp_extract(col("_metadata.file_path"),
         s"/$DataDir/(b-[0-9a-f-]{36}/[^/]+)$$", 1))
+    val raws = extRoots(spark, root).toSeq
+      .filter(_._2.startsWith(RawExtPrefix)).sortBy(_._1)
+    if (raws.isEmpty) base
+    else {
+      // "scheme://authority/p" and "scheme:/p" both reduce to "/p"
+      val pathOnly = regexp_replace(
+        regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+      raws.foldLeft(base) { case (acc, (b, r)) =>
+        val d = new Path(r.stripPrefix(RawExtPrefix)).toUri.getPath
+          .stripSuffix("/")
+        val fileName = regexp_extract(pathOnly, "([^/]+)$", 1)
+        // DIRECTLY under d: the remainder after "d/" is one segment
+        val direct = pathOnly.startsWith(d + "/") &&
+          length(pathOnly) === lit(d.length + 1) + length(fileName)
+        when(direct, concat(lit(s"$DataDir/$b/"), fileName))
+          .otherwise(acc)
+      }
+    }
+  }
 
   /** The union of the snapshot's deletion-vector relations (empty
     * DataFrame of (path, pos) when the snapshot has none). */
@@ -1930,7 +2122,7 @@ object Manifest {
         .withColumn("__pos", lit(null).cast(LongType))
     else
       readEntries(spark, root, entries, ddl)
-        .withColumn("__rel", relPathCol)
+        .withColumn("__rel", relPathCol(spark, root))
         .withColumn("__pos", col("_metadata.row_index"))
 
   /** Anti-join the DV mask. `dv` may reference files outside `df` —
@@ -1948,7 +2140,7 @@ object Manifest {
                                 df: DataFrame,
                                 dvDirs: Seq[String]): DataFrame = {
     val (_, root) = fsOf(spark, dir)
-    maskRows(df.withColumn("__rel", relPathCol)
+    maskRows(df.withColumn("__rel", relPathCol(spark, root))
         .withColumn("__pos", col("_metadata.row_index")),
       dvRelation(spark, root, dvDirs))
       .drop("__rel", "__pos")
@@ -4752,7 +4944,7 @@ object Manifest {
         val (rel, _, _) = graft.plans.ManifestScan.planned(
           spark, dir, Some(pColP), Some(v))
         maskRows(spark.baseRelationToDataFrame(rel)
-            .withColumn("__rel", relPathCol)
+            .withColumn("__rel", relPathCol(spark, root))
             .withColumn("__pos", col("_metadata.row_index")),
           dvRelation(spark, root, meta.dvDirs))
       }

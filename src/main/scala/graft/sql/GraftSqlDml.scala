@@ -494,6 +494,23 @@ case class GraftCreateTableCommand(name: String, dir: String, ddl: String,
   }
 }
 
+/** `CONVERT TO MANIFEST '<parquetDir>' AS <name> PARTITIONED BY (c)
+  * LOCATION '<tableDir>' [STATS BY (c, ...)]` → [[Manifest.convert]]
+  * (adopt an existing plain-parquet directory by reference, zero
+  * rewrite), then [[ManifestScan.register]] so the name SELECTs and
+  * DMLs immediately. */
+case class GraftConvertCommand(name: String, dir: String,
+                               parquetDir: String, pCol: String,
+                               statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.metricOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = Manifest.convert(spark, dir, parquetDir, pCol, statsCols)
+    ManifestScan.register(spark, name, dir, Some(pCol))
+    GraftSqlDml.metricRows(Map("files_adopted" -> n))
+  }
+}
+
 /** `DROP MANIFEST TABLE <name> [PURGE]` — releases every clone
   * retention pin the table holds on its sources (forced: a drop is
   * exactly the re-open-the-window act the pin docs describe), drops
@@ -563,6 +580,11 @@ object GraftSqlDml {
       """(?:\s+BLOOM\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val DropRe =
     """(?is)^\s*DROP\s+MANIFEST\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)(\s+PURGE)?\s*;?\s*$""".r
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+MANIFEST\s+'([^']+)'\s+AS\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+PARTITIONED\s+BY\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+LOCATION\s+'([^']+)'""" +
+      """(?:\s+STATS\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
 
   /** Parse a graft extension statement, or None for everything else
     * (the delegate parser then sees the text untouched). A matched
@@ -612,6 +634,11 @@ object GraftSqlDml {
         val ref = resolveOrThrow(SparkSession.active, name,
           "DROP MANIFEST TABLE")
         Some(GraftDropTableCommand(name, ref.dir, purge != null))
+      case ConvertRe(pdir, name, pCol, loc, stats) =>
+        val statsCols = Option(stats).map(_.split(',')
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        Some(GraftConvertCommand(name, loc, pdir, pCol, statsCols))
       case _ => None
     }
 
