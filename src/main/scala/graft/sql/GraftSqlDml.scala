@@ -69,6 +69,13 @@ object GraftSqlTables {
   def drop(name: String): Unit =
     reg.remove(name.toLowerCase(java.util.Locale.ROOT))
 
+  /** All registered names, sorted — the `SHOW MANIFEST TABLES`
+    * registry half. */
+  def all(): Seq[(String, Ref)] = {
+    import scala.jdk.CollectionConverters._
+    reg.asScala.toSeq.sortBy(_._1)
+  }
+
   /** Resolve a statement's target name to a manifest table ref —
     * registry first (VERIFIED against the live temp view), session
     * catalog second. None = not a manifest table; the statement keeps
@@ -385,6 +392,64 @@ case class GraftDescribeHistoryCommand(name: String, dir: String)
   }
 }
 
+/** `DESCRIBE DETAIL <manifest table>` → [[Manifest.detail]] (one row:
+  * version, file/byte/row totals, visible columns, pruning config,
+  * constraints, DV count, chain depth — list columns render
+  * comma-joined for a fixed command schema). */
+case class GraftDescribeDetailCommand(name: String, dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)(),
+    AttributeReference("stats_columns", StringType, nullable = false)(),
+    AttributeReference("bloom_columns", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("num_dv_dirs", LongType, nullable = false)(),
+    AttributeReference("chain_depth", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = Manifest.detail(spark, dir).head()
+    Seq(Row(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getSeq[String](4).mkString(","), r.getSeq[String](5).mkString(","),
+      r.getSeq[String](6).mkString(","), r.getSeq[String](7).mkString(","),
+      r.getLong(8), r.getLong(9)))
+  }
+}
+
+/** `SHOW MANIFEST TABLES` — every name SQL statements can target:
+  * the verified registry (temp-view door) plus the session catalog's
+  * `graft-manifest` tables. */
+case class GraftShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("dir", StringType, nullable = false)(),
+    AttributeReference("partition_col", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    val reg = GraftSqlTables.all().map { case (n, r) =>
+      Row(n, "registry", r.dir, r.partitionCol.getOrElse(""))
+    }
+    val db = cat.getCurrentDatabase
+    val catalogRows = cat.listTables(db).flatMap { ti =>
+      try {
+        val m = cat.getTableMetadata(ti)
+        if (!m.provider.exists(_.equalsIgnoreCase("graft-manifest"))) None
+        else {
+          val opts = CaseInsensitiveMap(m.storage.properties)
+          Some(Row(ti.table, "catalog",
+            opts.get("path").orElse(m.storage.locationUri.map(u =>
+              new org.apache.hadoop.fs.Path(u).toString)).getOrElse(""),
+            opts.get("partitionCol").getOrElse("")))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    (reg ++ catalogRows).sortBy(_.getString(0))
+  }
+}
+
 /** `RESTORE <manifest table> [TO] VERSION AS OF <n>` →
   * [[Manifest.restore]] (a new commit re-pointing at version n's
   * manifest; history is append-only, nothing is erased). */
@@ -567,6 +632,10 @@ object GraftSqlDml {
       """(\s+INCREMENTAL)?(?:\s+WHERE\s+(.*?))?(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""").r
   private val DescribeHistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + N + """\s*;?\s*$""").r
+  private val DescribeDetailRe =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + N + """\s*;?\s*$""").r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+MANIFEST\s+TABLES\s*;?\s*$""".r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+""" + N +
       """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -617,6 +686,12 @@ object GraftSqlDml {
         val ref = resolveOrThrow(SparkSession.active, name,
           "DESCRIBE HISTORY")
         Some(GraftDescribeHistoryCommand(name, ref.dir))
+      case DescribeDetailRe(name) =>
+        val ref = resolveOrThrow(SparkSession.active, name,
+          "DESCRIBE DETAIL")
+        Some(GraftDescribeDetailCommand(name, ref.dir))
+      case ShowTablesRe() =>
+        Some(GraftShowTablesCommand())
       case RestoreRe(name, v) =>
         val ref = resolveOrThrow(SparkSession.active, name, "RESTORE")
         Some(GraftRestoreCommand(name, ref.dir, v.toLong))

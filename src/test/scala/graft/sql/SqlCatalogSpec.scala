@@ -356,6 +356,29 @@ class SqlCatalogSpec extends SparkSpec {
     assert(delivered.nonEmpty && viaTvf == delivered)
   }
 
+  test("DESCRIBE DETAIL and SHOW MANIFEST TABLES surface the ops console") {
+    val dir = newDir("detail")
+    mkTable(dir)
+    ManifestScan.register(spark, "det_t", dir, Some("p"))
+    val d = spark.sql("DESCRIBE DETAIL det_t").head()
+    assert(d.getAs[Long]("version") == 4L)
+    assert(d.getAs[Long]("num_rows") == 200L)
+    assert(d.getAs[String]("columns") == "k,v,p")
+    assert(d.getAs[String]("stats_columns") == "k")
+    spark.sql("DROP TABLE IF EXISTS det_cat")
+    spark.sql(s"CREATE TABLE det_cat USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', partitionCol 'p')")
+    try {
+      val rows = spark.sql("SHOW MANIFEST TABLES").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.get("det_t").contains("registry"))
+      assert(rows.get("det_cat").contains("catalog"))
+      // detail resolves through the catalog door too
+      assert(spark.sql("DESCRIBE DETAIL det_cat").head()
+        .getAs[Long]("num_rows") == 200L)
+    } finally spark.sql("DROP TABLE det_cat")
+  }
+
   test("DML on a time-travel-pinned catalog name refuses loudly") {
     val dir = newDir("pin")
     mkTable(dir)
