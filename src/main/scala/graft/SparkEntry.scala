@@ -1453,6 +1453,10 @@ object SparkEntry {
         "WHERE o_orderdate < DATE '1995-01-01'")
       s.sql("INSERT INTO sqlcat_t VALUES " +
         "(-1, CAST(111.5 AS DOUBLE), DATE '1997-06-15', DATE '1997-06-01')")
+      // partial-column INSERT: omitted nullable columns fill NULL
+      // (ANSI DEFAULT NULL)
+      s.sql("INSERT INTO sqlcat_t (o_orderkey, o_orderdate) VALUES " +
+        "(-2, DATE '1997-07-01')")
       s.sql("SELECT o_orderkey, o_totalprice, o_orderdate FROM sqlcat_t " +
         "ORDER BY o_orderkey")
     }),
@@ -1481,6 +1485,38 @@ object SparkEntry {
       finally s.conf.unset("graft.sql.dml.mor")
       s.sql("SELECT o_orderkey, o_totalprice, " +
         "CAST(o_orderstatus AS STRING) AS o_orderstatus FROM conv_t " +
+        "ORDER BY o_orderkey")
+    }),
+
+    // CONVERT-IN-PLACE over a HIVE-PARTITIONED layout (`status=X/`
+    // dirs — the most common plain-parquet lake shape): the partition
+    // column lives in directory names, never in the files, and every
+    // read re-derives it from each file's own path. DML-liveness is
+    // the proof: a CoW DELETE prunes by the dir-derived values and
+    // rewrites adopted files locally (the rewritten files carry the
+    // column in-data, coexisting with path-derived files in one scan),
+    // then an UPDATE hits another partition. Oracle replays both over
+    // the original relation.
+    "man_convert_hive" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val rootT = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_converth_$tag"
+      val fs = new org.apache.hadoop.fs.Path(rootT)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(rootT), true)
+      val pdir = s"$rootT/hive"; val dir = s"$rootT/orders_tbl"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+      orders.write.partitionBy("o_orderstatus").parquet(pdir)
+      s.sql(s"CONVERT TO MANIFEST '$pdir' AS convh_t " +
+        s"PARTITIONED BY (o_orderstatus) LOCATION '$dir' " +
+        "STATS BY (o_totalprice)")
+      s.sql("DELETE FROM convh_t " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+      s.sql("UPDATE convh_t SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderstatus = 'O'")
+      s.sql("SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderstatus AS STRING) AS o_orderstatus FROM convh_t " +
         "ORDER BY o_orderkey")
     }),
 
@@ -1531,6 +1567,42 @@ object SparkEntry {
       s.sql("SELECT o_orderkey, o_totalprice, " +
         "CAST(o_orderstatus AS STRING) AS o_orderstatus, change " +
         "FROM table_changes('sqltvf_t', 1, 2) ORDER BY o_orderkey")
+    }),
+
+    // The change-feed TVF with TIMESTAMP bounds — "changes since
+    // yesterday", the spelling a debugging user actually types —
+    // resolved through the same monotone in-commit-timestamp machinery
+    // as TIMESTAMP AS OF, so it returns exactly what the version
+    // spelling of the same range returns (the oracle is the same
+    // append-side SELECT as sql_table_changes).
+    "sql_table_changes_ts" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sqltvfts_$tag/orders_tbl"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.ops.Manifest.create(s, dir,
+        orders.filter(col("o_orderkey") % 3 =!= 0), "o_orderstatus")
+      Thread.sleep(1100) // distinct in-commit millis for v1 vs v2
+      graft.ops.Manifest.append(s, dir,
+        orders.filter(col("o_orderkey") % 3 === 0), "o_orderstatus")
+      graft.plans.ManifestScan.register(s, "sqltvfts_t", dir,
+        Some("o_orderstatus"))
+      // render commit times in the session zone (UTC) explicitly — a
+      // JVM default-zone Timestamp.toString would skew the literal
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+      val ts = graft.ops.Manifest.history(s, dir)
+        .select(col("version"), col("timestamp")).collect()
+        .map(r => r.getLong(0) -> fmt.format(r.getTimestamp(1).toInstant))
+        .toMap
+      s.sql("SELECT o_orderkey, o_totalprice, " +
+        "CAST(o_orderstatus AS STRING) AS o_orderstatus, change " +
+        s"FROM table_changes('sqltvfts_t', TIMESTAMP '${ts(1L)}', " +
+        s"TIMESTAMP '${ts(2L)}') ORDER BY o_orderkey")
     }),
 
     // Conditional-clause MERGE INTO as one atomic commit, issued as
@@ -4331,6 +4403,10 @@ ORDER BY step"""
         |  SELECT CAST(-1 AS BIGINT) AS o_orderkey,
         |    CAST(111.5 AS DOUBLE) AS o_totalprice,
         |    DATE '1997-06-15' AS o_orderdate
+        |  UNION ALL
+        |  SELECT CAST(-2 AS BIGINT) AS o_orderkey,
+        |    CAST(NULL AS DOUBLE) AS o_totalprice,
+        |    DATE '1997-07-01' AS o_orderdate
         |) ORDER BY o_orderkey""".stripMargin,
 
     // The adopted files hold every original row; the MoR delete drops
@@ -4338,6 +4414,18 @@ ORDER BY step"""
     "man_convert" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |WHERE o_orderkey % 7 != 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The dir-derived partition column round-trips exactly; the CoW
+    // delete drops its rows and the update shifts the 'O' partition.
+    "man_convert_hive" ->
+      """SELECT o_orderkey,
+        |  o_totalprice
+        |    + CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END
+        |    AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
 
     // Rename + evolve + conditional fill + drop compose to a SELECT
@@ -4354,6 +4442,15 @@ ORDER BY step"""
     // Changes between the create (v1) and the append (v2) are exactly
     // the appended rows, each flagged 'insert'.
     "sql_table_changes" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |       'insert' AS change
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The TIMESTAMP spelling resolves to the same (v1, v2] range, so
+    // the oracle is identical to the version spelling's.
+    "sql_table_changes_ts" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus,
         |       'insert' AS change
         |FROM orders

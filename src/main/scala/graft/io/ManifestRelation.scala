@@ -122,7 +122,13 @@ object ManifestRelation {
                           version: Option[Long]): BaseRelation = {
     val (relation, dvDirs, colMap) = ManifestScan.planned(spark, dir,
       partitionCol, version)
-    if (dvDirs.isEmpty && colMap.isEmpty) relation
+    // a converted-Hive table needs the path-derived partition-column
+    // projection on top of the bare file relation (Manifest
+    // .hiveInjected), so it routes through the masked wrapper like a
+    // DV'd or column-mapped snapshot
+    val hive = graft.ops.Manifest
+      .extHive(spark, new org.apache.hadoop.fs.Path(dir)).isDefined
+    if (dvDirs.isEmpty && colMap.isEmpty && !hive) relation
     // live DVs (mask join) or a column map (logical-face projection):
     // both need a plan ON TOP of the bare file relation, which the V1
     // relation API can only express behind a row boundary

@@ -1556,8 +1556,17 @@ object Manifest {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val ext = extRoots(spark, root)
-      spark.read.schema(schema)
+      val hive = extHive(spark, root)
+      // a Hive-converted table's adopted paths are `…/col=value/file`:
+      // recursiveFileLookup turns OFF Spark's own partition inference
+      // over the explicit file list, so path shape can never conflict
+      // between adopted and local files — [[hiveInjected]] owns the
+      // column instead
+      val reader = spark.read.schema(schema)
+      val base = (if (hive.isDefined)
+        reader.option("recursiveFileLookup", "true") else reader)
         .parquet(entries.map(e => resolveData(root, ext, e.path).toString): _*)
+      if (hive.isDefined) hiveInjected(spark, root, base) else base
     }
   }
 
@@ -1588,9 +1597,15 @@ object Manifest {
 
   /** batch-dir → external-root map of `root`'s table (empty for
     * ordinary tables). One small read, memoized per JVM; no Spark
-    * job. */
+    * job. Reserved non-batch keys ([[HiveExtKey]]) are stripped here,
+    * so every consumer sees exactly the batch map. */
   private[graft] def extRoots(spark: SparkSession,
-                              root: Path): Map[String, String] = {
+                              root: Path): Map[String, String] =
+    extFull(spark, root) - HiveExtKey
+
+  /** The FULL cached `_ext` map, reserved keys included. */
+  private def extFull(spark: SparkSession,
+                      root: Path): Map[String, String] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = fs.makeQualified(root).toString
     val hit = extCache.get(key)
@@ -1631,6 +1646,106 @@ object Manifest {
     * AFTER the batch segment, not the whole `data/b-…/…` tail a
     * clone's source-root layout carries. */
   private[graft] val RawExtPrefix = "raw:"
+
+  /** Reserved `_ext` key carrying a CONVERTED Hive layout's partition
+    * spec (see [[convert]]): value is
+    * `hive:<url-enc adopted root path>:<url-enc col>/<url-enc col>…`.
+    * Not a batch-dir mapping — [[extRoots]] strips it, so every
+    * batch-map consumer (resolution, clone pinning, rel-path
+    * derivation) is oblivious; only [[extHive]] reads it. */
+  private val HiveExtKey = "__hive__"
+  private val HiveValPrefix = "hive:"
+
+  /** A converted Hive layout's read-time partition spec: the adopted
+    * root (scheme-free path) every raw batch dir lives under, and the
+    * partition columns IN DIRECTORY ORDER (physical names). */
+  private[graft] case class HiveSpec(rootPath: String, cols: Seq[String])
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def renderHiveSpec(spec: HiveSpec): String =
+    HiveValPrefix + urlEnc(spec.rootPath) + ":" +
+      spec.cols.map(urlEnc).mkString("/")
+
+  /** The table's converted-Hive spec, if any — one cached `_ext` read,
+    * no Spark job ([[extRoots]]' cache). */
+  private[graft] def extHive(spark: SparkSession, root: Path)
+      : Option[HiveSpec] =
+    extFull(spark, root).get(HiveExtKey).map { v =>
+      require(v.startsWith(HiveValPrefix),
+        s"malformed $HiveExtKey line at $root: $v")
+      val body = v.stripPrefix(HiveValPrefix)
+      val i = body.indexOf(':')
+      require(i > 0, s"malformed $HiveExtKey line at $root: $v")
+      HiveSpec(urlDec(body.substring(0, i)),
+        body.substring(i + 1).split('/').toSeq.map(urlDec))
+    }
+
+  /** `_metadata.file_path` is a URI STRING — percent-encoded (an
+    * on-disk '%' reads as "%25", a Hive-escaped '=' — "%3D" on disk —
+    * as "%253D"). This strips scheme/authority and applies ONE URI
+    * percent-decode ('+' protected: URI paths never encode space as
+    * '+', so a literal '+' must survive), yielding the raw on-disk
+    * path — the SAME rendering as `Path.toUri.getPath`, which is what
+    * the `_ext` map, manifest entry tails, and [[extHive]]'s root all
+    * carry. Every consumer comparing `_metadata.file_path` against
+    * those MUST go through this. An undecodable remainder (never
+    * produced by a real URI) is kept verbatim. */
+  private def rawPathCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val stripped = regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+    coalesce(call_function("try_url_decode",
+      regexp_replace(stripped, "\\+", "%2B")), stripped)
+  }
+
+  /** Read-time injection of a converted Hive layout's partition
+    * columns ([[convert]]): adopted files carry those columns in
+    * DIRECTORY NAMES, not in the parquet footers, so a bare file read
+    * yields null — this projection fills each such column from the
+    * file's own path (`coalesce(in-file, parsed-from-path)`), which is
+    * also exactly right for LOCAL batches written after the convert:
+    * their files carry the column in-data (every write flows through a
+    * scan that already materialized it), the parse never matches a
+    * local `data/b-…` path, and coalesce short-circuits on the in-file
+    * value. Value decoding mirrors Hive/Spark dir escaping: `%xx`
+    * unescaping ('+' preserved; an undecodable raw value is kept
+    * verbatim — it IS the value), `__HIVE_DEFAULT_PARTITION__` → null,
+    * then a cast to the column's declared type in the session time
+    * zone (the same resolution Spark's own partition discovery
+    * applies). Tables without a Hive spec — the overwhelming steady
+    * state — return `df` untouched: zero plan change on the hot
+    * path. */
+  private[graft] def hiveInjected(spark: SparkSession, root: Path,
+                                  df: DataFrame): DataFrame =
+    extHive(spark, root) match {
+      case None => df
+      case Some(HiveSpec(hroot, cols)) =>
+        val schema = df.schema
+        val pathOnly = rawPathCol(col("_metadata.file_path"))
+        val rel = when(pathOnly.startsWith(hroot + "/"),
+          substring(pathOnly, hroot.length + 2, Int.MaxValue))
+        val segs = split(rel, "/")
+        cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+          if (!schema.fieldNames.contains(c)) acc
+          else {
+            val seg = element_at(segs, i + 1)
+            val prefix = c + "="
+            val raw = when(seg.startsWith(prefix),
+              substring(seg, lit(prefix.length + 1), lit(Int.MaxValue)))
+            val decoded = coalesce(
+              call_function("try_url_decode",
+                regexp_replace(raw, "\\+", "%2B")), raw)
+            val v = when(decoded === "__HIVE_DEFAULT_PARTITION__",
+              lit(null)).otherwise(decoded).cast(schema(c).dataType)
+            acc.withColumn(c, coalesce(col(c), v))
+          }
+        }
+    }
 
   /** Resolve a manifest-relative data path (`data/b-<uuid>/<file>`)
     * against its owning root: the clone map's root for external batch
@@ -1694,6 +1809,13 @@ object Manifest {
     val srcExt = extRoots(spark, srcRoot)
     val qualifiedSrc = fsS.makeQualified(srcRoot).toString
     val mine = batches.map(b => b -> srcExt.getOrElse(b, qualifiedSrc)).toMap
+    // a converted-Hive source's partition spec rides along: the clone
+    // references the same raw dirs, and without the spec its reads
+    // would silently null the directory-derived columns. `mine` stays
+    // the pure batch map (the pin loops below iterate its values as
+    // roots); only the STAGED file carries the extra line.
+    val mineStaged = mine ++
+      extHive(spark, srcRoot).map(hs => HiveExtKey -> renderHiveSpec(hs))
     // RETENTION PINS on every owning source root, BEFORE any further
     // source read: from here a source `vacuumOrphans` that would drop
     // the anchored version REFUSES ([[RetentionPinnedException]])
@@ -1800,11 +1922,11 @@ object Manifest {
     def stageExt(): Map[String, String] = {
       val existing = extRootsUncached(spark, fsD, dstRoot)
       existing.foreach { case (b, r) =>
-        require(!mine.contains(b) || mine(b) == r,
+        require(!mineStaged.contains(b) || mineStaged(b) == r,
           s"conflicting clone staging at $dstDir: batch dir $b maps to " +
-            s"both $r and ${mine(b)} — two clones from different sources?")
+            s"both $r and ${mineStaged(b)} — two clones from different sources?")
       }
-      val merged = existing ++ mine
+      val merged = existing ++ mineStaged
       val extOut = merged.toSeq.sortBy(_._1)
         .map { case (b, r) => s"$b=$r" }
       // tmp + atomic-overwrite rename (the pin-publish discipline): a
@@ -1846,7 +1968,7 @@ object Manifest {
     // after this repair the committed map is final
     val committed = extRootsUncached(spark, fsD, dstRoot)
     val healed =
-      if (mine.forall { case (b, r) => committed.get(b).contains(r) })
+      if (mineStaged.forall { case (b, r) => committed.get(b).contains(r) })
         committed
       else stageExt()
     // cache only AFTER the successful commit: a loser caching its
@@ -1920,16 +2042,35 @@ object Manifest {
     * external-reference caveat a shallow clone carries, without the
     * retention pin (a plain dir has no manifest to pin).
     *
-    * Refusals: a Hive-partitioned layout (`.../p=v/...`) — the
-    * partition column lives in dir names, not the files, and a bare
-    * file read would lose it; a source on a different filesystem than
-    * the table root (file identity here is path-based); a leaf dir
-    * carrying a `_bloom` collision. All files must share one schema
-    * (the read uses Spark's stock parquet schema resolution).
-    * Returns the number of files adopted. */
+    * HIVE-PARTITIONED layouts (`…/col=value/…` — the single most
+    * common plain-parquet lake shape) convert too: Spark's own
+    * partition discovery supplies the directory-derived columns to the
+    * stats pass, the adopted schema records them, and every read
+    * re-derives the value from the file's own path
+    * ([[hiveInjected]] — Delta's `CONVERT TO DELTA
+    * PARTITIONED BY` parity, still zero-rewrite). `%xx`-escaped
+    * values and `__HIVE_DEFAULT_PARTITION__` nulls resolve exactly as
+    * Spark discovery resolves them. Layouts that MIX plain and
+    * `col=value` directory levels, or carry different key sequences at
+    * different leaves, refuse loudly. A plain FILE whose name contains
+    * `=` is just a file.
+    *
+    * Refusals: a source on a different filesystem than the table root
+    * (file identity here is path-based); table root and source nested
+    * either way; a leaf dir carrying a `_bloom` collision. All files
+    * must share one schema (the read uses Spark's stock parquet schema
+    * resolution).
+    *
+    * SCALE: the per-file stats pass is one distributed aggregation and
+    * STAYS distributed — the manifest is staged as
+    * `sentinel ∪ entries-DataFrame` exactly like a compaction, so
+    * driver heap is O(leaf dirs) (the `_ext` map is one line per dir
+    * regardless), never O(adopted files). Returns the number of files
+    * adopted. */
   def convert(spark: SparkSession, dir: String, parquetDir: String,
               partitionCol: String,
               statsCols: Seq[String] = Nil): Long = {
+    import spark.implicits._
     val (fs, root) = fsOf(spark, dir)
     require(latestVersion(spark, dir).isEmpty,
       s"a table already exists at $dir")
@@ -1939,13 +2080,23 @@ object Manifest {
         s"filesystem (${fs.getUri}) — adopted file identity is " +
         "path-based")
     require(fsP.exists(pRootRaw), s"no such directory $parquetDir")
+    val pPathOnly = fsP.makeQualified(pRootRaw).toUri.getPath
+      .stripSuffix("/")
+    val rootPathOnly = fs.makeQualified(root).toUri.getPath
+      .stripSuffix("/")
+    // nesting either way is refused: a table root inside the adopted
+    // dir would sit local `data/b-…` batches where the Hive-value
+    // parse could misfire, and an adopted dir inside the table root
+    // would sit foreign files where vacuum hunts orphans
+    require(pPathOnly != rootPathOnly &&
+      !(pPathOnly + "/").startsWith(rootPathOnly + "/") &&
+      !(rootPathOnly + "/").startsWith(pPathOnly + "/"),
+      s"table root $dir and convert source $parquetDir must not nest")
     val df = spark.read.parquet(parquetDir)
     (partitionCol +: statsCols).foreach(c =>
       require(df.columns.contains(c),
         s"column $c not in the converted schema " +
           df.columns.mkString(",")))
-    val pPathOnly = fsP.makeQualified(pRootRaw).toUri.getPath
-      .stripSuffix("/")
     def statRender(agg: org.apache.spark.sql.Column, c: String) =
       df.schema(c).dataType match {
         case TimestampType => unix_micros(agg).cast("string")
@@ -1962,81 +2113,168 @@ object Manifest {
           .as("stat_maxs"))
     val aggList = Seq(
       slice(sort_array(collect_set(col(partitionCol).cast("string"))),
-        1, ValuesCap + 1).as("values"),
+        1, ValuesCap + 1).as("values_full"),
       max(col(partitionCol).isNull.cast("int")).as("has_null"),
       count(lit(1)).as("rows"),
       first(col("_metadata.file_size")).as("bytes")) ++ statAggs
+    // ONE distributed read-back pass — the same pass every ordinary
+    // write performs — kept distributed end to end
     val stats = df
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(aggList.head, aggList.tail: _*)
-      .collect()
-    require(stats.nonEmpty, s"no parquet rows under $parquetDir")
-    val files = stats.map { r =>
-      val p = new Path(r.getString(0)).toUri.getPath
-      require(p.startsWith(pPathOnly + "/"),
-        s"unexpected file path $p outside $pPathOnly")
-      val rel = p.stripPrefix(pPathOnly + "/")
-      require(!rel.split('/').exists(_.contains("=")),
-        s"$parquetDir is Hive-partitioned ($rel): the partition column " +
-          "lives in directory names, not in the files — a manifest " +
-          "read of the bare files would lose it; rewrite through " +
-          "Manifest.create (one pass), or convert a layout that " +
-          "carries the column in the files")
-      val i = p.lastIndexOf('/')
-      (p.substring(0, i), p.substring(i + 1), r)
-    }
-    val ddl = nullableDdl(df.schema)
-    val dirs = files.map(_._1).distinct.sorted
-    val batchOf = dirs.map(d => d -> s"b-${UUID.randomUUID()}").toMap
-    dirs.foreach(d => require(!fsP.exists(new Path(d, BloomDir)),
-      s"$d contains a $BloomDir entry — refusing to adopt a directory " +
-        "that collides with manifest side metadata"))
-    val entries: Seq[Entry] = files.toSeq.map { case (parent, fname, r) =>
-      val vals = r.getSeq[String](1)
-      ManifestEntry(s"$DataDir/${batchOf(parent)}/$fname",
-        values = vals.take(ValuesCap),
-        has_null = r.getInt(2) == 1,
-        overflow = vals.length > ValuesCap,
-        rows = r.getLong(3),
-        bytes = r.getLong(4),
-        schema_ddl = ddl,
-        stat_cols = Seq.empty,
-        stat_mins = r.getSeq[String](5),
-        stat_maxs = r.getSeq[String](6),
-        bloom_cols = Seq.empty)
-    }
-    // `_ext` lands BEFORE the pointer (the clone ordering): a
-    // committed convert can never be read without its map
-    require(latestVersion(spark, dir).isEmpty,
-      s"a table appeared at $dir while converting")
-    val mapped: Map[String, String] = dirs.map { d =>
-      val q = fsP.makeQualified(new Path(d)).toString
-      batchOf(d) -> s"$RawExtPrefix$q"
-    }.toMap
-    fs.mkdirs(root)
-    val tmp = new Path(root, s".$ExtFile-${UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((mapped.toSeq.sortBy(_._1)
-      .map { case (b, r) => s"$b=$r" }.mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new Path(root, ExtFile)
-    try org.apache.hadoop.fs.FileContext
-      .getFileContext(fs.getUri, fs.getConf)
-      .rename(fs.makeQualified(tmp), fs.makeQualified(target),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+      .withColumn("p", rawPathCol(col("file")))
+      .withColumn("parent", regexp_extract(col("p"), "^(.*)/[^/]+$", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirs = stats.select("parent").distinct().as[String]
+        .collect().sorted.toSeq
+      require(dirs.nonEmpty, s"no parquet rows under $parquetDir")
+      dirs.foreach(d => require(d == pPathOnly ||
+        d.startsWith(pPathOnly + "/"),
+        s"unexpected file dir $d outside $pPathOnly"))
+      // Hive detection reads DIRECTORY segments only (a file name with
+      // '=' is just a file); mixed or ragged layouts refuse
+      val rels = dirs.map(_.stripPrefix(pPathOnly).stripPrefix("/"))
+      val hiveSpec: Option[HiveSpec] =
+        if (!rels.exists(_.split('/').exists(_.contains("=")))) None
+        else {
+          val keySeqs: Seq[Seq[String]] = rels.map { r =>
+            require(r.nonEmpty,
+              s"$parquetDir mixes files at the root with " +
+                "`col=value` directories — a Hive layout must be " +
+                "uniform; rewrite through Manifest.create")
+            r.split('/').toSeq.map { s =>
+              val i = s.indexOf('=')
+              require(i > 0,
+                s"$parquetDir mixes plain and `col=value` directory " +
+                  s"levels ($r): a Hive layout must be uniformly " +
+                  "`col=value` at every level; rewrite through " +
+                  "Manifest.create")
+              hiveUnescape(s.substring(0, i))
+            }
+          }
+          val keys = keySeqs.head
+          require(keySeqs.forall(_ == keys),
+            s"$parquetDir is Hive-partitioned at mixed depths or with " +
+              s"mixed keys (${keySeqs.distinct.take(3).map(_.mkString("/"))
+                .mkString(" vs ")}): every leaf directory must carry " +
+              "the same `col=value` levels")
+          require(keys.distinct.size == keys.size,
+            s"duplicate Hive partition column in $parquetDir: " +
+              keys.mkString("/"))
+          keys.foreach(k => require(df.columns.contains(k),
+            s"Hive partition column $k (from directory names) missing " +
+              s"from the discovered schema ${df.columns.mkString(",")}"))
+          Some(HiveSpec(pPathOnly, keys))
+        }
+      val batchOf = dirs.map(d => d -> s"b-${UUID.randomUUID()}").toMap
+      dirs.foreach(d => require(!fsP.exists(new Path(d, BloomDir)),
+        s"$d contains a $BloomDir entry — refusing to adopt a " +
+          "directory that collides with manifest side metadata"))
+      val mapped: Map[String, String] = dirs.map { d =>
+        val q = fsP.makeQualified(new Path(d)).toString
+        batchOf(d) -> s"$RawExtPrefix$q"
+      }.toMap ++ hiveSpec.map(hs => HiveExtKey -> renderHiveSpec(hs))
+      // `_ext` lands BEFORE the pointer (the clone ordering): a
+      // committed convert can never be read without its map
+      require(latestVersion(spark, dir).isEmpty,
+        s"a table appeared at $dir while converting")
+      fs.mkdirs(root)
+      val target = new Path(root, ExtFile)
+      // EXCLUSIVE publish: an `_ext` already here (with no committed
+      // table) is a crashed or in-flight convert/clone — refuse
+      // loudly rather than overwrite a racer's just-committed map;
+      // the loser of a true race fails on this check, the rename, or
+      // the pointer's exclusive create, and the post-commit heal
+      // below repairs any overwrite that still slips the window
+      require(!fs.exists(target),
+        s"$ExtFile already exists at $dir with no committed table — " +
+          "a crashed or concurrent convert/clone staged it; remove " +
+          "it or convert into a fresh root")
+      val tmp = new Path(root, s".$ExtFile-${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((mapped.toSeq.sortBy(_._1)
+        .map { case (b, r) => s"$b=$r" }.mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, target),
+        s"could not publish $ExtFile at $dir (concurrent convert?)")
+      // entry staging is DISTRIBUTED: the per-file stats frame maps
+      // straight to slim manifest rows; only the O(dirs) batch map
+      // rides the plan (one literal map — the `_ext` file is the same
+      // size, so dirs are bounded by design, files are not)
+      val batchMap = typedLit(batchOf)
+      val entriesDf = stats.select(
+        concat(lit(s"$DataDir/"),
+          coalesce(element_at(batchMap, col("parent")),
+            raise_error(concat(
+              lit(s"file appeared under $parquetDir while converting: "),
+              col("p"))).cast("string")),
+          lit("/"), regexp_extract(col("p"), "([^/]+)$", 1)).as("path"),
+        slice(col("values_full"), 1, ValuesCap).as("values"),
+        (col("has_null") === 1).as("has_null"),
+        (size(col("values_full")) > ValuesCap).as("overflow"),
+        col("rows"), col("bytes"),
+        lit("").as("schema_ddl"),
+        typedLit(Seq.empty[String]).as("stat_cols"),
+        col("stat_mins"), col("stat_maxs"),
+        typedLit(Seq.empty[String]).as("bloom_cols"),
+        typedLit(Seq.empty[String]).as("dv_dirs"),
+        typedLit(Seq.empty[String]).as("constraints"))
+      val nEntries = stats.count()
+      val name = writeManifestDist(spark, root, entriesDf,
+        nullableDdl(df.schema), statsCols, nEntries)
+      commit(fs, root, 1L, name, op = "CONVERT")
+      // post-commit heal (the clone fence): if a racing convert's map
+      // overwrote ours between publish and commit, rewrite ours — the
+      // racer can no longer commit (v1 is taken), so after this the
+      // committed map is final
+      if (extRootsUncached(spark, fs, root) != mapped) {
+        val tmp2 = new Path(root, s".$ExtFile-${UUID.randomUUID()}.tmp")
+        val out2 = fs.create(tmp2, true)
+        try out2.write((mapped.toSeq.sortBy(_._1)
+          .map { case (b, r) => s"$b=$r" }.mkString("\n") + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally out2.close()
         fs.delete(target, false)
-        require(fs.rename(tmp, target),
-          s"could not publish $ExtFile at $dir")
-    }
-    val name = writeManifest(spark, root, entries, ddl, statsCols,
-      bloomCols = Nil, dvDirs = Nil, constraints = Nil)
-    commit(fs, root, 1L, name, op = "CONVERT")
-    // cache only after the successful commit, like a clone
-    extCache.put(fs.makeQualified(root).toString, mapped)
-    entries.size.toLong
+        require(fs.rename(tmp2, target),
+          s"could not heal $ExtFile at $dir after commit")
+      }
+      // cache only after the successful commit, like a clone
+      extCache.put(fs.makeQualified(root).toString, mapped)
+      nEntries
+    } finally stats.unpersist()
+  }
+
+  /** Driver-side inverse of Hive/Spark dir-name escaping (`%xx`; '+'
+    * is literal): used for partition-column NAMES parsed from
+    * `col=value` segments. An undecodable name is kept verbatim. */
+  private def hiveUnescape(s: String): String =
+    try urlDec(s.replace("+", "%2B"))
+    catch { case _: IllegalArgumentException => s }
+
+  /** [[writeManifest]]'s DISTRIBUTED twin for table-birth commits whose
+    * entry set is already a DataFrame ([[convert]] adopting 10⁷
+    * files): sentinel ∪ entries straight to parquet, sized like a
+    * compaction — the per-file list never visits the driver. */
+  private[graft] def writeManifestDist(spark: SparkSession, root: Path,
+                                       entriesDf: DataFrame, ddl: String,
+                                       statsCols: Seq[String],
+                                       nEntries: Long): String = {
+    import spark.implicits._
+    val name = s"m-${UUID.randomUUID()}"
+    val dir = new Path(new Path(root, ManifestsDir), name).toString
+    val sentinel = ManifestEntry("", Seq.empty,
+      has_null = false, overflow = false, rows = 0L, bytes = 0L,
+      schema_ddl = ddl, stat_cols = statsCols,
+      stat_mins = Seq.empty, stat_maxs = Seq.empty,
+      bloom_cols = Seq.empty, dv_dirs = Seq.empty,
+      constraints = Seq.empty)
+    // ~120 B per slim entry on disk — the compaction sizing yardstick
+    val nFiles = math.max(1L, nEntries * 120L / ManifestTargetBytes).toInt
+    Seq(sentinel).toDF().unionByName(entriesDf)
+      .coalesce(nFiles).write.parquet(dir)
+    name
   }
 
   /** Top-level nullable rendering (nullability is not a parquet
@@ -2074,11 +2312,12 @@ object Manifest {
       .filter(_._2.startsWith(RawExtPrefix)).sortBy(_._1)
     if (raws.isEmpty) base
     else {
-      // "scheme://authority/p" and "scheme:/p" both reduce to "/p"
-      val pathOnly = regexp_replace(
-        regexp_replace(col("_metadata.file_path"),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+      // scheme/authority off AND percent-DECODED ([[rawPathCol]]): the
+      // `raw:` dirs below came through Path.toUri.getPath, so an
+      // adopted dir or file with a '%'/'='-bearing name (every escaped
+      // Hive value) would otherwise miss its prefix match and
+      // resurrect DV-deleted rows
+      val pathOnly = rawPathCol(col("_metadata.file_path"))
       raws.foldLeft(base) { case (acc, (b, r)) =>
         val d = new Path(r.stripPrefix(RawExtPrefix)).toUri.getPath
           .stripSuffix("/")
@@ -3359,9 +3598,14 @@ object Manifest {
     * the target as its OWN metadata-only colmap commits
     * ([[replaySchemaOps]]) before each batch applies, so replication
     * converges across an upstream rename instead of forking the
-    * renamed column into add+null-fill. Without `schemaFrom`, apply
-    * [[renameColumn]] on the target manually and the stream continues
-    * under the new name. */
+    * renamed column into add+null-fill. The replay horizon is bounded
+    * by the batch's max SOURCE COMMIT VERSION — from `sourceVersionCol`
+    * (dropped before the data applies), or from `orderCol` when that
+    * column IS the CDC stream's `_commit_version`; with `schemaFrom`
+    * and any other orderCol the call refuses loudly (a timestamp or
+    * per-key sequence cannot bound a version replay). Without
+    * `schemaFrom`, apply [[renameColumn]] on the target manually and
+    * the stream continues under the new name. */
   def applyChangesIfAbsent(spark: SparkSession, dir: String,
                            batch: DataFrame, keys: Seq[String],
                            partitionCol: String, appId: String,
@@ -3369,7 +3613,8 @@ object Manifest {
                            orderCol: Option[String] = None,
                            statsCols: Seq[String] = Nil,
                            evolveSchema: Boolean = false,
-                           schemaFrom: Option[String] = None): Boolean =
+                           schemaFrom: Option[String] = None,
+                           sourceVersionCol: Option[String] = None): Boolean =
     withConflictRetry() {
       if (lastTxn(spark, dir, appId).exists(_ >= batchId)) false
       else if (latestVersion(spark, dir).isEmpty) {
@@ -3383,6 +3628,7 @@ object Manifest {
           .filter(col("__graft_rn") === 1 && isIns)
           .drop("__graft_rn", changeCol)
           .drop(orderCol.toSeq: _*)
+          .drop(sourceVersionCol.toSeq: _*)
         create(spark, dir, firstRows, partitionCol, statsCols,
           txn = Some(appId -> batchId))
         true
@@ -3398,11 +3644,27 @@ object Manifest {
         // would make the evolve fold below re-add that old name as a
         // brand-new column (then the NEXT batch's replay hits the
         // both-names-visible refusal and wedges the stream)
+        // The horizon is a SOURCE COMMIT VERSION, so it may only come
+        // from a column that actually carries one: an explicit
+        // `sourceVersionCol`, or an `orderCol` that IS the CDC
+        // stream's `_commit_version` (the long-standing convention).
+        // Any other orderCol (a timestamp, a per-key sequence) cannot
+        // bound the replay — small values would defer a rename past
+        // the evolve fold (forking the old column), huge ones would
+        // un-bound it (the early-replay wedge) — so schemaFrom then
+        // refuses loudly with the remedy.
         schemaFrom.foreach { src =>
-          val horizon = orderCol.flatMap(oc =>
-            Option(batch.agg(max(col(oc).cast("long"))).head().get(0))
+          val verCol = sourceVersionCol.orElse(
+            orderCol.filter(_.equalsIgnoreCase("_commit_version")))
+          require(orderCol.isEmpty || verCol.isDefined,
+            s"schemaFrom needs the batch's SOURCE COMMIT VERSION to " +
+              s"bound the rename/drop replay, and orderCol " +
+              s"'${orderCol.get}' is not one — pass sourceVersionCol " +
+              "(the CDC stream's _commit_version column)")
+          val horizon = verCol.flatMap(vc =>
+            Option(batch.agg(max(col(vc).cast("long"))).head().get(0))
               .map(_.asInstanceOf[Long]))
-          if (orderCol.isEmpty) replaySchemaOps(spark, dir, src)
+          if (verCol.isEmpty) replaySchemaOps(spark, dir, src)
           else horizon.foreach(h =>
             replaySchemaOps(spark, dir, src, Some(h)))
         }
@@ -3412,7 +3674,8 @@ object Manifest {
             val visible = tableSchema(spark, dir)
             val isMeta = (f: StructField) =>
               f.name.equalsIgnoreCase(changeCol) ||
-                orderCol.exists(_.equalsIgnoreCase(f.name))
+                orderCol.exists(_.equalsIgnoreCase(f.name)) ||
+                sourceVersionCol.exists(_.equalsIgnoreCase(f.name))
             val extras = batch.schema.fields.filterNot(f =>
               isMeta(f) || visible.fieldNames.exists(_.equalsIgnoreCase(f.name)))
             if (extras.nonEmpty)
@@ -3461,7 +3724,13 @@ object Manifest {
                 b.withColumn(f.name, col(f.name).cast(g.dataType))
               }
           }
-        applyChanges(spark, dir, applied, keys, partitionCol, changeCol,
+        // a DEDICATED sourceVersionCol is replication metadata, not
+        // data — drop it before the apply (an orderCol doubling as the
+        // version column is dropped by applyChanges itself)
+        val applied2 = sourceVersionCol
+          .filterNot(c => orderCol.exists(_.equalsIgnoreCase(c)))
+          .fold(applied)(applied.drop(_))
+        applyChanges(spark, dir, applied2, keys, partitionCol, changeCol,
           orderCol, txn = Some(appId -> batchId))
         true
       }
@@ -6367,7 +6636,29 @@ object Manifest {
   def vacuumOrphans(spark: SparkSession, dir: String,
                     keepVersions: Int = 1,
                     staleMillis: Long = 3600 * 1000L,
-                    force: Boolean = false): Long = {
+                    force: Boolean = false): Long =
+    vacuumImpl(spark, dir, keepVersions, staleMillis, force,
+      dryRun = false)("files_reclaimed")
+
+  /** `VACUUM ... DRY RUN`: the PREVIEW of [[vacuumOrphans]] — the
+    * exact same orphan classification (age floor, pin refusal, Bloom
+    * membership, young-batch protection) with every delete suppressed.
+    * Returns what the real call would reclaim: `files_reclaimed`,
+    * `bytes_reclaimed`, `versions_dropped`. Running the real vacuum
+    * immediately after (same retention, no concurrent writes) reclaims
+    * exactly these counters — the way to price a retention change
+    * before pulling the trigger. */
+  def vacuumDryRun(spark: SparkSession, dir: String,
+                   keepVersions: Int = 1,
+                   staleMillis: Long = 3600 * 1000L,
+                   force: Boolean = false): Map[String, Long] =
+    vacuumImpl(spark, dir, keepVersions, staleMillis, force,
+      dryRun = true)
+
+  private def vacuumImpl(spark: SparkSession, dir: String,
+                         keepVersions: Int, staleMillis: Long,
+                         force: Boolean,
+                         dryRun: Boolean): Map[String, Long] = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val (fs, root) = fsOf(spark, dir)
     val vs = versions(spark, dir)
@@ -6409,6 +6700,7 @@ object Manifest {
       keep.flatMap(v => manifestChain(fs, root, readPointer(fs, root, v)))
         .toSet
     var reclaimed = 0L
+    var bytes = 0L
     // data files outside the union of kept snapshots, old enough that
     // they cannot be a concurrent writer's staged batch
     val dataRoot = new Path(root, DataDir)
@@ -6420,7 +6712,7 @@ object Manifest {
       // THEN delete — so an old file never falls to a doomed-list built
       // before its sibling young file marked the batch
       val it = fs.listFiles(dataRoot, true)
-      val doomed = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+      val doomed = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
       while (it.hasNext) {
         val st = it.next()
         val rel = s"$DataDir${st.getPath.toUri.getPath.stripPrefix(dataRoot.toUri.getPath)}"
@@ -6431,16 +6723,19 @@ object Manifest {
           liveBatches.contains(parts(1))
         if (st.isFile && !live.mightContain(rel) && !isLiveBloom &&
           st.getModificationTime < cutoff)
-          doomed += ((st.getPath, parts(1)))
+          doomed += ((st.getPath, parts(1), st.getLen))
       }
-      doomed.foreach { case (p, batch) =>
-        if (!youngBatches.contains(batch)) { reclaimed += 1; fs.delete(p, false) }
+      doomed.foreach { case (p, batch, len) =>
+        if (!youngBatches.contains(batch)) {
+          reclaimed += 1; bytes += len
+          if (!dryRun) fs.delete(p, false)
+        }
       }
       // sweep fully-dead batch dirs (recursive: removes the emptied
       // _bloom/ subtree too). The dir's OWN mtime guards a batch born
       // after the file scan above (its files were never seen, so
       // youngBatches cannot vouch for it).
-      fs.listStatus(dataRoot).foreach { st =>
+      if (!dryRun) fs.listStatus(dataRoot).foreach { st =>
         if (st.isDirectory && !liveBatches.contains(st.getPath.getName) &&
           !youngBatches.contains(st.getPath.getName) &&
           st.getModificationTime < cutoff)
@@ -6456,9 +6751,12 @@ object Manifest {
     val dvRoot = new Path(root, DvDir)
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
       if (!liveDvs.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff &&
-        !fs.listStatus(st.getPath).exists(_.getModificationTime >= cutoff)) {
-        reclaimed += 1; fs.delete(st.getPath, true)
+        st.getModificationTime < cutoff) {
+        val kids = fs.listStatus(st.getPath)
+        if (!kids.exists(_.getModificationTime >= cutoff)) {
+          reclaimed += 1; bytes += kids.map(_.getLen).sum
+          if (!dryRun) fs.delete(st.getPath, true)
+        }
       }
     }
     // retired manifests + pointers — same age floor: a freshly written
@@ -6467,12 +6765,16 @@ object Manifest {
     val md = new Path(root, ManifestsDir)
     if (fs.exists(md)) fs.listStatus(md).foreach { st =>
       if (!liveManifests.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff &&
-        !fs.listStatus(st.getPath).exists(_.getModificationTime >= cutoff)) {
-        reclaimed += 1; fs.delete(st.getPath, true)
+        st.getModificationTime < cutoff) {
+        val kids = fs.listStatus(st.getPath)
+        if (!kids.exists(_.getModificationTime >= cutoff)) {
+          reclaimed += 1; bytes += kids.map(_.getLen).sum
+          if (!dryRun) fs.delete(st.getPath, true)
+        }
       }
     }
-    vs.dropRight(keepVersions).foreach { v =>
+    val versionsDropped = vs.dropRight(keepVersions).size.toLong
+    if (!dryRun) vs.dropRight(keepVersions).foreach { v =>
       fs.delete(versionPath(root, v), false)
       // old slots are never re-created, but releasing keeps a
       // conditional-put store's claim registry from growing without
@@ -6489,12 +6791,16 @@ object Manifest {
       val n = st.getPath.getName
       if (n.matches("v\\d{8}") && !visible.contains(n.drop(1).toLong) &&
         st.getModificationTime < cutoff) {
-        reclaimed += 1; fs.delete(st.getPath, false)
-        // this slot WILL be retried by the next writer: without the
-        // release a conditional-put store would conflict it forever
-        LogStore.forFs(fs).release(fs, st.getPath)
+        reclaimed += 1; bytes += st.getLen
+        if (!dryRun) {
+          fs.delete(st.getPath, false)
+          // this slot WILL be retried by the next writer: without the
+          // release a conditional-put store would conflict it forever
+          LogStore.forFs(fs).release(fs, st.getPath)
+        }
       }
     }
-    reclaimed
+    Map("files_reclaimed" -> reclaimed, "bytes_reclaimed" -> bytes,
+      "versions_dropped" -> versionsDropped)
   }
 }

@@ -665,11 +665,16 @@ object ManifestScan {
     val (relation, dvDirs, colMap) = planned(spark, dir, partitionCol,
       version)
     val df = spark.baseRelationToDataFrame(relation)
+    // converted-Hive tables re-derive their directory-named partition
+    // columns from each file's own path (no-op projection for every
+    // other table — see Manifest.hiveInjected); DV masking stacks on
+    // top, resolving `_metadata` through the injection projection
+    val injected = Manifest.hiveInjected(spark, new Path(dir), df)
     // merge-on-read: snapshots with live deletion vectors get the
     // row-position anti-join on top; pruning still applies underneath
     val masked =
-      if (dvDirs.isEmpty) df
-      else Manifest.maskedByDv(spark, dir, df, dvDirs)
+      if (dvDirs.isEmpty) injected
+      else Manifest.maskedByDv(spark, dir, injected, dvDirs)
     // column-mapped tables surface their LOGICAL face as one aliasing
     // projection on top — Catalyst pushes WHERE predicates straight
     // through the aliases into the physical scan, so file skipping and
@@ -727,6 +732,6 @@ object ManifestScan {
                partitionCol: Option[String] = None,
                version: Option[Long] = None): Unit = {
     scan(spark, dir, partitionCol, version).createOrReplaceTempView(name)
-    graft.sql.GraftSqlTables.put(name, dir, partitionCol)
+    graft.sql.GraftSqlTables.put(spark, name, dir, partitionCol)
   }
 }

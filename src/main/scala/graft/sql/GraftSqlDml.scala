@@ -53,27 +53,39 @@ object GraftSqlTables {
           "SQL DML"))
   }
 
-  /** name(lowercased) → table ref. JVM-global like the session's temp
-    * views are session-global in this single-session engine; names are
-    * case-insensitive, as SQL identifiers are. */
+  /** (session, name-lowercased) → table ref. Entries are
+    * SESSION-SCOPED, exactly as the temp views they shadow are: in a
+    * multi-session JVM (the Thrift-server shape) a second
+    * SparkSession resolving a name session A registered sees no entry
+    * of its own — it can neither mutate A's table through the stale
+    * name nor GC A's registration from its own temp-view-absence.
+    * Names are case-insensitive, as SQL identifiers are. */
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[String, Ref]()
 
-  def put(name: String, dir: String, partitionCol: Option[String]): Unit =
-    reg.put(name.toLowerCase(java.util.Locale.ROOT),
-      Ref(dir, partitionCol))
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.GraftSqlBridge.sessionUUID(spark)
+  private def keyOf(spark: SparkSession, name: String): String =
+    sessionKey(spark) + "/" + name.toLowerCase(java.util.Locale.ROOT)
 
-  def lookup(name: String): Option[Ref] =
-    Option(reg.get(name.toLowerCase(java.util.Locale.ROOT)))
+  def put(spark: SparkSession, name: String, dir: String,
+          partitionCol: Option[String]): Unit =
+    reg.put(keyOf(spark, name), Ref(dir, partitionCol))
 
-  def drop(name: String): Unit =
-    reg.remove(name.toLowerCase(java.util.Locale.ROOT))
+  def lookup(spark: SparkSession, name: String): Option[Ref] =
+    Option(reg.get(keyOf(spark, name)))
 
-  /** All registered names, sorted — the `SHOW MANIFEST TABLES`
-    * registry half. */
-  def all(): Seq[(String, Ref)] = {
+  def drop(spark: SparkSession, name: String): Unit =
+    reg.remove(keyOf(spark, name))
+
+  /** This session's registered names, sorted — the
+    * `SHOW MANIFEST TABLES` registry half. */
+  def all(spark: SparkSession): Seq[(String, Ref)] = {
     import scala.jdk.CollectionConverters._
-    reg.asScala.toSeq.sortBy(_._1)
+    val prefix = sessionKey(spark) + "/"
+    reg.asScala.toSeq.collect {
+      case (k, r) if k.startsWith(prefix) => k.stripPrefix(prefix) -> r
+    }.sortBy(_._1)
   }
 
   /** Resolve a statement's target name to a manifest table ref —
@@ -84,7 +96,7 @@ object GraftSqlTables {
                                 parts: Seq[String]): Option[Ref] =
     parts match {
       case Seq(n) =>
-        lookup(n) match {
+        lookup(spark, n) match {
           case Some(r) => verifiedRegistryRef(spark, n, r)
           case None =>
             // an UNREGISTERED temp view shadows any catalog table of
@@ -110,7 +122,7 @@ object GraftSqlTables {
                                   r: Ref): Option[Ref] =
     spark.sessionState.catalog.getTempView(name) match {
       case None =>
-        drop(name)
+        drop(spark, name)
         catalogRef(spark, name, TableIdentifier(name))
       case Some(view) =>
         val scanDirs = view.collect {
@@ -174,7 +186,7 @@ object GraftSqlTables {
     * relation (the V1 relation cache would otherwise serve the
     * PRE-WRITE FileIndex to every later SELECT). */
   def refresh(spark: SparkSession, name: String): Unit = {
-    lookup(name).foreach(r =>
+    lookup(spark, name).foreach(r =>
       ManifestScan.register(spark, name, r.dir, r.partitionCol))
     try {
       val parts = name.split('.').toSeq
@@ -256,8 +268,11 @@ case class GraftMergeCommand(name: String, dir: String, pCol: String,
   * InsertIntoHadoopFsRelationCommand would drop parquet files the
   * manifest never lists: invisible to every read, stranded until
   * vacuum). Column handling is stock-shaped: positional with casts by
-  * default, by-name for `BY NAME` / explicit column lists; every table
-  * column must be provided (the manifest has no DEFAULT surface). */
+  * default (full arity required), by-name for `BY NAME` / explicit
+  * column lists — and THERE an omitted column null-fills (ANSI
+  * `DEFAULT NULL`; manifest schemas are recorded nullable, and a
+  * `c IS NOT NULL` CHECK constraint still refuses the commit loudly,
+  * which is exactly the non-nullable refusal path). */
 case class GraftInsertCommand(name: String, dir: String, pCol: String,
                               query: LogicalPlan, cols: Seq[String],
                               overwrite: Boolean, byName: Boolean)
@@ -279,17 +294,25 @@ case class GraftInsertCommand(name: String, dir: String, pCol: String,
             s"${target.fields.length} (${target.fieldNames.mkString(", ")})")
         df.toDF(target.fieldNames.toIndexedSeq: _*)
       }
-    target.fields.foreach(f =>
-      require(named.columns.exists(_.equalsIgnoreCase(f.name)),
-        s"INSERT must provide every column of $name; missing ${f.name} " +
-          "(manifest tables have no DEFAULT surface — supply the value " +
-          "explicitly)"))
-    require(named.columns.length == target.fields.length,
-      s"INSERT names ${named.columns.mkString(", ")}; $name has exactly " +
-        s"${target.fieldNames.mkString(", ")}")
+    named.columns.foreach(c =>
+      require(target.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"INSERT names column $c, which $name does not have " +
+          s"(${target.fieldNames.mkString(", ")})"))
+    require(named.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+        .distinct.length == named.columns.length,
+      s"INSERT names a column twice: ${named.columns.mkString(", ")}")
+    // explicit-list / BY NAME inserts may OMIT columns (filled NULL);
+    // positional inserts checked full arity above
+    val partial = cols.nonEmpty || byName
     val aligned = named.select(target.fields.toIndexedSeq.map { f =>
-      val src = named.columns.find(_.equalsIgnoreCase(f.name)).get
-      col(src).cast(f.dataType).as(f.name)
+      named.columns.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None =>
+          require(partial,
+            s"INSERT must provide every column of $name; missing ${f.name}")
+          org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+      }
     }: _*)
     if (overwrite) Manifest.overwrite(spark, dir, aligned, pCol)
     else Manifest.append(spark, dir, aligned, pCol)
@@ -307,18 +330,27 @@ case class GraftInsertCommand(name: String, dir: String, pCol: String,
   * — dropping ALL history in one bare statement was judged too sharp;
   * say `RETAIN 1 VERSIONS` explicitly for that. */
 case class GraftVacuumCommand(name: String, dir: String,
-                              keepVersions: Int, force: Boolean)
+                              keepVersions: Int, force: Boolean,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlDml.metricOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val stale = spark.conf.getOption("graft.vacuum.staleMillis")
       .map(_.toLong).getOrElse(3600 * 1000L)
-    val n = Manifest.vacuumOrphans(spark, dir, keepVersions, stale, force)
-    // the registered view may be frozen at a version this vacuum just
-    // dropped — re-register at the surviving latest so the next SELECT
-    // never opens a reclaimed file
-    GraftSqlTables.refresh(spark, name)
-    GraftSqlDml.metricRows(Map("files_reclaimed" -> n))
+    if (dryRun) {
+      // `DRY RUN`: the identical classification with every delete
+      // suppressed — preview a retention change before pulling the
+      // trigger; table state is untouched (no refresh needed)
+      val m = Manifest.vacuumDryRun(spark, dir, keepVersions, stale, force)
+      GraftSqlDml.metricRows(m + ("dry_run" -> 1L))
+    } else {
+      val n = Manifest.vacuumOrphans(spark, dir, keepVersions, stale, force)
+      // the registered view may be frozen at a version this vacuum just
+      // dropped — re-register at the surviving latest so the next SELECT
+      // never opens a reclaimed file
+      GraftSqlTables.refresh(spark, name)
+      GraftSqlDml.metricRows(Map("files_reclaimed" -> n))
+    }
   }
 }
 
@@ -429,7 +461,7 @@ case class GraftShowTablesCommand() extends LeafRunnableCommand {
     AttributeReference("partition_col", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = spark.sessionState.catalog
-    val reg = GraftSqlTables.all().map { case (n, r) =>
+    val reg = GraftSqlTables.all(spark).map { case (n, r) =>
       Row(n, "registry", r.dir, r.partitionCol.getOrElse(""))
     }
     val db = cat.getCurrentDatabase
@@ -588,7 +620,7 @@ case class GraftDropTableCommand(name: String, dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val released = Manifest.releaseCloneSourcePins(spark, dir, force = true)
     spark.catalog.dropTempView(name)
-    GraftSqlTables.drop(name)
+    GraftSqlTables.drop(spark, name)
     val cat = spark.sessionState.catalog
     val ti = TableIdentifier(name)
     if (cat.tableExists(ti) && cat.getTableMetadata(ti).provider
@@ -626,7 +658,7 @@ object GraftSqlDml {
   private val N = """([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*){0,2})"""
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + N +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+FORCE)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?(\s+FORCE)?\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + N +
       """(\s+INCREMENTAL)?(?:\s+WHERE\s+(.*?))?(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]*?)\s*\))?\s*;?\s*$""").r
@@ -662,13 +694,14 @@ object GraftSqlDml {
   def parseExtension(sqlText: String,
                      delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case VacuumRe(name, retain, force) =>
+      case VacuumRe(name, retain, dry, force) =>
         val spark = SparkSession.active
         val ref = resolveOrThrow(spark, name, "VACUUM")
         val keep = Option(retain).map(_.toInt).getOrElse(
           spark.conf.getOption(VacuumDefaultKeepKey).map(_.toInt)
             .getOrElse(VacuumDefaultKeep))
-        Some(GraftVacuumCommand(name, ref.dir, keep, force != null))
+        Some(GraftVacuumCommand(name, ref.dir, keep, force != null,
+          dryRun = dry != null))
       case OptimizeRe(name, incr, where, curve, cols) =>
         val spark = SparkSession.active
         val ref = resolveOrThrow(spark, name, "OPTIMIZE")
@@ -835,7 +868,11 @@ object GraftSqlDml {
         require(!i.ifPartitionNotExists,
           s"INSERT ... IF NOT EXISTS is not supported on manifest " +
             s"table $name")
-        GraftInsertCommand(name, ref.dir, ref.pCol(name), i.query,
+        // the command is a LEAF (its query is a field, not a child),
+        // so the top-level rerouteReads pass cannot reach read
+        // spellings nested in the source — substitute them here
+        GraftInsertCommand(name, ref.dir, ref.pCol(name),
+          rerouteReads(i.query),
           i.userSpecifiedCols, i.overwrite, i.byName): LogicalPlan
       }.getOrElse(plan)
     case RenameColumn(t, from, to) =>
@@ -968,22 +1005,42 @@ object GraftSqlDml {
             s"table_changes: first argument must be a literal table " +
               s"name string; got ${other.sql}")
         }
-        def ver(e: Expression): Long = e match {
+        val (nameArg, aRaw, bRaw) = tvf.functionArgs match {
+          case Seq(n, a) => (str(n), a, None)
+          case Seq(n, a, b) => (str(n), a, Some(b))
+          case _ => throw new IllegalArgumentException(
+            "table_changes takes (table, fromVersion|fromTimestamp" +
+              "[, toVersion|toTimestamp])")
+        }
+        val ref = resolveOrThrow(spark, nameArg, "table_changes")
+        // a bound is an integer VERSION or a TIMESTAMP/DATE literal —
+        // the timestamp spelling ("changes since yesterday") resolves
+        // through the same monotone in-commit-timestamp machinery as
+        // `TIMESTAMP AS OF` (newest version committed at or before the
+        // bound), so the two spellings of one range return identical
+        // rows
+        def bound(e: Expression): Long = e match {
           case Literal(v, dt) if v != null &&
               (dt == LongType || dt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
                 dt.isInstanceOf[org.apache.spark.sql.types.ShortType]) =>
             v.toString.toLong
+          case Literal(micros, TimestampType) if micros != null =>
+            graft.io.ManifestRelation.versionAtTime(spark, ref.dir,
+              (micros.asInstanceOf[Long] / 1000L).toString)
+          case Literal(days, DateType) if days != null =>
+            graft.io.ManifestRelation.versionAtTime(spark, ref.dir,
+              java.time.LocalDate.ofEpochDay(
+                days.asInstanceOf[Int].toLong).toString)
+          case Cast(Literal(s, StringType), TimestampType, _, _)
+              if s != null =>
+            graft.io.ManifestRelation.versionAtTime(spark, ref.dir,
+              s.toString)
           case other => throw new IllegalArgumentException(
-            s"table_changes: version arguments must be integer " +
-              s"literals; got ${other.sql}")
+            s"table_changes: bounds must be integer versions or " +
+              s"TIMESTAMP/DATE literals; got ${other.sql}")
         }
-        val (nameArg, fromV, toV) = tvf.functionArgs match {
-          case Seq(n, a) => (str(n), ver(a), None)
-          case Seq(n, a, b) => (str(n), ver(a), Some(ver(b)))
-          case _ => throw new IllegalArgumentException(
-            "table_changes takes (table, fromVersion[, toVersion])")
-        }
-        val ref = resolveOrThrow(spark, nameArg, "table_changes")
+        val fromV = bound(aRaw)
+        val toV = bRaw.map(bound)
         val tip = toV.getOrElse(Manifest.latestVersion(spark, ref.dir)
           .getOrElse(throw new IllegalArgumentException(
             s"no table at ${ref.dir}")))
@@ -1110,7 +1167,10 @@ object GraftSqlDml {
       case other => throw new IllegalArgumentException(
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
-    GraftMergeCommand(name, ref.dir, ref.pCol(name), srcPlan, on,
+    // srcPlan is a command FIELD, not a child — nested read spellings
+    // (VERSION AS OF, table_changes) substitute here or never
+    GraftMergeCommand(name, ref.dir, ref.pCol(name),
+      rerouteReads(srcPlan), on,
       tAlias, sAlias, matched, notMatched, nmbs)
   }
 }

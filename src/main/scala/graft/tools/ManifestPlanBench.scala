@@ -115,6 +115,9 @@ object ManifestPlanBench {
       spark.conf.set("spark.sql.files.openCostInBytes", "16384")
       spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
     }
+    // convert modes build their own source — no synthetic manifest
+    if (mode == "convert") { convertMain(spark, root, n); return }
+    if (mode == "convertstage") { convertStageMain(spark, root, n); return }
     synthesize(spark, root, n,
       realBatch = mode == "updw" || mode == "delwmor" || mode == "mrg" ||
         mode == "mrgprobe",
@@ -371,6 +374,78 @@ object ManifestPlanBench {
       s"""{"metric":"manifest_shallow_clone","entries":$n,""" +
         s""""clone_sec":${f"$tClone%.2f"},""" +
         s""""clone_prune_month_sec":${f"$tPlan%.2f"},"kept_files":$kept}""")
+  }
+
+  /** CONVERT-IN-PLACE end-to-end at n REAL adopted files (one-row
+    * parquet files across 1024 Hive `p=…` dirs; file creation is
+    * setup, untimed): prices the whole distributed stats pass +
+    * staging + `_ext` publish at 10⁵-10⁶ adopted files. 10⁷ REAL
+    * local files are an inode budget, not a Spark cost — the staging
+    * half (the formerly-collected path, the r16 weak mark) prices
+    * alone at any n via [[convertStageMain]]. */
+  private def convertMain(spark: org.apache.spark.sql.SparkSession,
+                          root: String, n: Int): Unit = {
+    import spark.implicits._
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val src = root + "_src"
+    spark.range(n.toLong)
+      .select($"id".as("k"), ($"id" % 1024).as("p"))
+      .repartition(n).write.partitionBy("p").parquet(src)
+    val h0 = heapUsed()
+    val (adopted, tConv) = time(
+      graft.ops.Manifest.convert(spark, root, src, "p"))
+    val h1 = heapUsed()
+    // the adopted table must plan and read: one partition's rows
+    val (cnt, tRead) = time(graft.ops.Manifest
+      .readPartitions(spark, root, "p", Seq("7")).count())
+    println(
+      s"""{"metric":"manifest_convert","files":$n,""" +
+        s""""adopted":$adopted,"convert_sec":${f"$tConv%.2f"},""" +
+        s""""staging_heap_mb":${(h1 - h0) / (1 << 20)},""" +
+        s""""read_partition_sec":${f"$tRead%.2f"},"rows_read":$cnt}""")
+  }
+
+  /** The STAGING half of convert alone — the exact path that was the
+    * r16 weak mark (an O(adopted files) driver collect): an n-row
+    * slim-entry DataFrame unions the sentinel and writes as the v1
+    * manifest through `Manifest.writeManifestDist`, sized like a
+    * compaction. Driver heap must stay FLAT in n. */
+  private def convertStageMain(spark: org.apache.spark.sql.SparkSession,
+                               root: String, n: Int): Unit = {
+    import spark.implicits._
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val batch = s"b-${UUID.randomUUID()}"
+    val entries = spark.range(n.toLong).map { i =>
+      ManifestEntry(s"data/$batch/part-$i.parquet",
+        values = Seq((i % 1024).toString), has_null = false,
+        overflow = false, rows = 1L, bytes = 1024L, schema_ddl = "",
+        stat_cols = Seq.empty, stat_mins = Seq((i % 512).toString),
+        stat_maxs = Seq((i % 512 + 7).toString), bloom_cols = Seq.empty)
+    }.toDF()
+    val h0 = heapUsed()
+    val (name, t) = time(graft.ops.Manifest.writeManifestDist(
+      spark, new Path(root), entries, "k BIGINT,p STRING", Seq.empty,
+      n.toLong))
+    val h1 = heapUsed()
+    println(
+      s"""{"metric":"manifest_convert_stage","entries":$n,""" +
+        s""""stage_sec":${f"$t%.2f"},""" +
+        s""""stage_heap_mb":${(h1 - h0) / (1 << 20)},""" +
+        s""""manifest":"${name.take(8)}"}""")
   }
 
   /** RENAME COLUMN at lake scale: the commit touches no data file (the

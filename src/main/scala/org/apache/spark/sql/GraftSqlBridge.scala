@@ -18,4 +18,13 @@ object GraftSqlBridge {
     * same hop `Dataset.sortInternal` uses. */
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The session's stable UUID (`private[sql]` on the classic
+    * session) — the key that scopes graft's SQL registry per session,
+    * as temp views are. Non-classic sessions fall back to session-state
+    * identity (same lifetime, same uniqueness within a JVM). */
+  def sessionUUID(spark: SparkSession): String = spark match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => "id-" + System.identityHashCode(other.sessionState)
+  }
 }

@@ -150,15 +150,8 @@ class ManifestConvertSpec extends SparkSpec {
     assert(Manifest.pins(spark, dir).exists(_._1.startsWith("clone-")))
   }
 
-  test("refusals: hive layout, existing table, missing column, empty dir") {
+  test("refusals: existing table, missing column, nesting, staged _ext leftover") {
     val root = newRoot("refuse")
-    val hive = s"$root/hive"
-    base.write.partitionBy("p").parquet(hive)
-    val e = intercept[IllegalArgumentException] {
-      Manifest.convert(spark, s"$root/t1", hive, "p")
-    }
-    assert(e.getMessage.contains("Hive-partitioned"),
-      s"got: ${e.getMessage}")
     val pdir = s"$root/raw"; mkParquet(pdir)
     Manifest.convert(spark, s"$root/t2", pdir, "p")
     val e2 = intercept[IllegalArgumentException] {
@@ -169,6 +162,120 @@ class ManifestConvertSpec extends SparkSpec {
       Manifest.convert(spark, s"$root/t3", pdir, "nope")
     }
     assert(e3.getMessage.contains("not in the converted schema"))
+    // table root nested inside the source (either way) refuses
+    val e4 = intercept[IllegalArgumentException] {
+      Manifest.convert(spark, s"$pdir/tbl", pdir, "p")
+    }
+    assert(e4.getMessage.contains("must not nest"))
+    // a crashed convert's staged _ext (no committed table) refuses
+    // loudly instead of silently overwriting
+    val fs = new Path(root.toString).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/t5"))
+    val out = fs.create(new Path(s"$root/t5/_ext"), true)
+    out.write("b-dead=raw:/nowhere\n".getBytes("UTF-8")); out.close()
+    val e5 = intercept[IllegalArgumentException] {
+      Manifest.convert(spark, s"$root/t5", pdir, "p")
+    }
+    assert(e5.getMessage.contains("_ext already exists"))
+  }
+
+  test("a file whose NAME contains '=' is just a file, not a Hive layout") {
+    val root = newRoot("eqname")
+    val pdir = s"$root/raw"; val dir = s"$root/tbl"
+    base.coalesce(1).write.parquet(pdir)
+    val fs = new Path(pdir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val f = fs.listStatus(new Path(pdir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .head.getPath
+    assert(fs.rename(f, new Path(pdir, "part-0=retry.parquet")))
+    assert(Manifest.convert(spark, dir, pdir, "p") == 1L)
+    assert(state(dir) == baseState)
+  }
+
+  // ---- Hive-partitioned layouts: dir names ARE the partition column
+
+  private def hiveState(dir: String): Map[Long, Long] =
+    Manifest.read(spark, dir).select("k", "p")
+      .as[(Long, Long)].collect().toMap
+
+  test("hive convert: dir-derived column injected exactly, DML-live, DV masking keys adopted files") {
+    val root = newRoot("hive")
+    val pdir = s"$root/hive"; val dir = s"$root/tbl"
+    base.write.partitionBy("p").parquet(pdir)
+    val n = Manifest.convert(spark, dir, pdir, "p", statsCols = Seq("k"))
+    assert(n >= 4L)
+    assert(dataFiles(dir).isEmpty, "hive convert must copy no data")
+    // the directory-derived column reads back exactly (typed long, as
+    // Spark's own discovery infers it)
+    assert(hiveState(dir) == (0L until 100L).map(k => k -> k % 4).toMap)
+    assert(state(dir) == baseState)
+    // exact partition pruning via entry value sets (readPartitions)
+    assert(Manifest.readPartitions(spark, dir, "p", Seq("1")).count() == 25L)
+    // MoR delete: DVs must mask rows inside adopted hive files
+    Manifest.deleteWhereMor(spark, dir, "p = 2 AND k < 50", "p")
+    val afterMor = hiveState(dir)
+    assert(afterMor.size == 100 - 12 && !afterMor.contains(2L) &&
+      afterMor.contains(54L))
+    // append + CoW rewrite: local files carry the column IN-DATA and
+    // coexist with path-derived adopted files in one scan (note the
+    // discovery-inferred INT type for the dir-derived column)
+    Manifest.append(spark, dir, Seq((500L, 500.0, 7)).toDF("k", "v", "p"),
+      "p")
+    assert(hiveState(dir)(500L) == 7L)
+    Manifest.updateWhere(spark, dir, Seq("v" -> "v + 1000.0"),
+      "p = 3", "p")
+    val vs = Manifest.read(spark, dir).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(vs(3L) == 1003.0 && vs(4L) == 4.0)
+    // time travel back to the adopted v1 still injects
+    assert(Manifest.readVersion(spark, dir, 1L)
+      .where($"p" === 2).count() == 25L)
+  }
+
+  test("hive convert: escaped values and __HIVE_DEFAULT_PARTITION__ nulls round-trip") {
+    val root = newRoot("hiveesc")
+    val pdir = s"$root/hive"; val dir = s"$root/tbl"
+    val df = Seq((1L, "a b"), (2L, "x=y%z"), (3L, "c+d"), (4L, null))
+      .toDF("k", "s")
+    df.write.partitionBy("s").parquet(pdir)
+    Manifest.convert(spark, dir, pdir, "s")
+    val got = Manifest.read(spark, dir).select("k", "s")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("a b"), 2L -> Some("x=y%z"),
+      3L -> Some("c+d"), 4L -> None), s"got $got")
+  }
+
+  test("hive convert: multi-level layout injects every level; mixed depth refuses") {
+    val root = newRoot("hive2")
+    val pdir = s"$root/hive"; val dir = s"$root/tbl"
+    base.withColumn("q", ($"k" % 2).cast("long"))
+      .write.partitionBy("p", "q").parquet(pdir)
+    Manifest.convert(spark, dir, pdir, "p")
+    val got = Manifest.read(spark, dir).select("k", "p", "q")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 100 &&
+      got.forall { case (k, p, q) => p == k % 4 && q == k % 2 })
+    // mixed plain/hive directory levels refuse loudly
+    val mixed = s"$root/mixed"
+    base.where($"p" === 0).write.parquet(s"$mixed/x/p=0")
+    base.where($"p" === 1).write.parquet(s"$mixed/x/p=1")
+    val e = intercept[Exception] {
+      Manifest.convert(spark, s"$root/tmix", mixed, "p")
+    }
+    assert(e.getMessage.contains("col=value") ||
+      e.getMessage.contains("Conflicting"), s"got: ${e.getMessage}")
+  }
+
+  test("a shallow clone of a hive-converted table keeps the injection spec") {
+    val root = newRoot("hiveclone")
+    val pdir = s"$root/hive"; val dir = s"$root/tbl"
+    val dst = s"$root/clone"
+    base.write.partitionBy("p").parquet(pdir)
+    Manifest.convert(spark, dir, pdir, "p")
+    Manifest.shallowClone(spark, dir, dst)
+    assert(hiveState(dst) == (0L until 100L).map(k => k -> k % 4).toMap)
   }
 
   test("time travel across post-convert writes reaches the adopted v1") {

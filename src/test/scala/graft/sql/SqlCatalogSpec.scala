@@ -100,12 +100,17 @@ class SqlCatalogSpec extends SparkSpec {
     metrics("INSERT INTO ins_t SELECT k + 10000, v, p FROM ins_t " +
       "WHERE k < 2")
     assert(cnt("ins_t") == 204L)
-    // partial column list refuses with the no-DEFAULT remedy
+    // partial column list: omitted (nullable) columns fill NULL —
+    // ANSI DEFAULT NULL
+    metrics("INSERT INTO ins_t (k, v) VALUES (502, 1.0)")
+    val pRow = spark.sql("SELECT p FROM ins_t WHERE k = 502").collect()
+    assert(pRow.length == 1 && pRow.head.isNullAt(0))
+    // an unknown column in the list refuses loudly
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO ins_t (k, v) VALUES (502, 1.0)")
+      spark.sql("INSERT INTO ins_t (k, nope) VALUES (503, 1.0)")
     }
-    assert(e.getMessage.contains("every column"),
-      s"expected the missing-column refusal, got: ${e.getMessage}")
+    assert(e.getMessage.contains("does not have"),
+      s"expected the unknown-column refusal, got: ${e.getMessage}")
     // static partition spec refuses with the drop-the-clause remedy
     val e2 = intercept[Exception] {
       spark.sql("INSERT INTO ins_t PARTITION (p = 1) VALUES (503, 1.0)")
@@ -394,5 +399,109 @@ class SqlCatalogSpec extends SparkSpec {
         s"got: ${e.getMessage}")
       assert(Manifest.read(spark, dir).count() == 200L)
     } finally spark.sql("DROP TABLE pin_v1")
+  }
+
+  test("partial-column INSERT matrix: BY NAME fill, duplicate refusal, NOT NULL constraint refusal") {
+    val dir = newDir("partial")
+    mkTable(dir)
+    ManifestScan.register(spark, "part_t", dir, Some("p"))
+    // BY NAME with a missing column null-fills it too
+    metrics("INSERT INTO part_t BY NAME " +
+      "SELECT 600 AS k, CAST(2 AS BIGINT) AS p")
+    val r = spark.sql("SELECT v, p FROM part_t WHERE k = 600").head()
+    assert(r.isNullAt(0) && r.getLong(1) == 2L)
+    // naming a column twice refuses
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO part_t (k, k, v) VALUES (601, 602, 1.0)")
+    }
+    assert(e.getMessage.contains("twice"), s"got: ${e.getMessage}")
+    // a NOT NULL CHECK constraint is the non-nullable refusal path:
+    // the null-fill commits through append, which enforces constraints
+    Manifest.addConstraint(spark, dir, "p_not_null", "p IS NOT NULL")
+    GraftSqlTables.refresh(spark, "part_t")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO part_t (k, v) VALUES (603, 1.0)")
+    }
+    assert(e2.getMessage.contains("p_not_null") ||
+      e2.getMessage.contains("constraint"), s"got: ${e2.getMessage}")
+    assert(cnt("part_t") == 201L,
+      "the refused partial insert must not have committed")
+  }
+
+  test("registry entries are session-scoped: a second session neither resolves nor GCs them") {
+    val dir = newDir("sess")
+    mkTable(dir)
+    ManifestScan.register(spark, "sess_t", dir, Some("p"))
+    assert(cnt("sess_t") == 200L)
+    val b = spark.newSession()
+    // session B has no temp view sess_t and no registry entry of its
+    // own: its DML falls through to ITS catalog (stock error), it
+    // cannot mutate A's table through the stale name...
+    val e = intercept[Exception] { b.sql("DELETE FROM sess_t WHERE k = 0") }
+    assert(!e.getMessage.contains("graft"),
+      s"B must fall through to stock resolution, got: ${e.getMessage}")
+    assert(Manifest.read(spark, dir).count() == 200L)
+    // ...its SHOW lists nothing of A's...
+    assert(!b.sql("SHOW MANIFEST TABLES").collect()
+      .exists(_.getString(0) == "sess_t"))
+    // ...and crucially it did NOT GC A's registration (the r16 bug):
+    // A's DML still routes through the registry afterwards
+    spark.sql("DELETE FROM sess_t WHERE p = 3")
+    assert(cnt("sess_t") == 150L)
+  }
+
+  test("table_changes accepts TIMESTAMP bounds; spellings of one range agree") {
+    val dir = newDir("tvfts")
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0, 50), "p")
+    Thread.sleep(1100) // distinct in-commit millis per version
+    Manifest.append(spark, dir, slice(50, 80), "p")
+    Thread.sleep(1100)
+    Manifest.delete(spark, dir,
+      slice(0, 10).select($"k", $"p"), Seq("k"), "p")
+    ManifestScan.register(spark, "tvfts_t", dir, Some("p"))
+    val ts = Manifest.history(spark, dir)
+      .select($"version", $"timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    def q(sql: String) = spark.sql(sql).collect().toSeq
+    val byVersion = q("SELECT k, v, p, change FROM " +
+      "table_changes('tvfts_t', 1, 3) ORDER BY change, k")
+    val byTs = q("SELECT k, v, p, change FROM table_changes('tvfts_t', " +
+      s"TIMESTAMP '${ts(1L)}', TIMESTAMP '${ts(3L)}') ORDER BY change, k")
+    assert(byTs == byVersion && byTs.nonEmpty)
+    // mixed spelling too: version start, timestamp end
+    val mixed = q("SELECT k, v, p, change FROM table_changes('tvfts_t', " +
+      s"1, TIMESTAMP '${ts(3L)}') ORDER BY change, k")
+    assert(mixed == byVersion)
+    // a one-sided timestamp reads to the tip ("changes since then")
+    val since = spark.sql("SELECT count(*) AS c FROM " +
+      s"table_changes('tvfts_t', TIMESTAMP '${ts(2L)}')").as[Long].head()
+    assert(since == q("SELECT * FROM table_changes('tvfts_t', 2)").size)
+  }
+
+  test("read spellings nested in DML sources reroute: INSERT/MERGE over VERSION AS OF and table_changes") {
+    val dir = newDir("nest"); val dir2 = newDir("nest2")
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select($"id".as("k"), $"id".cast("double").as("v"),
+        ($"id" % 4).as("p"))
+    Manifest.create(spark, dir, slice(0, 50), "p")
+    Manifest.append(spark, dir, slice(50, 80), "p")
+    ManifestScan.register(spark, "nest_src", dir, Some("p"))
+    Manifest.create(spark, dir2, slice(1000, 1001), "p")
+    ManifestScan.register(spark, "nest_dst", dir2, Some("p"))
+    // INSERT ... SELECT FROM <time travel> — the source pins at v1
+    metrics("INSERT INTO nest_dst SELECT k, v, p FROM " +
+      "nest_src VERSION AS OF 1")
+    assert(cnt("nest_dst") == 51L)
+    // MERGE USING table_changes(...): the v1→v2 inserts upsert in
+    metrics("""MERGE INTO nest_dst AS t
+      |USING (SELECT k, v, p FROM table_changes('nest_src', 1, 2)
+      |       WHERE change = 'insert') AS s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(cnt("nest_dst") == 81L)
   }
 }

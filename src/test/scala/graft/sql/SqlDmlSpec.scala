@@ -180,6 +180,31 @@ class SqlDmlSpec extends SparkSpec {
       .as[Long].head() == 150L)
   }
 
+  test("VACUUM ... DRY RUN previews the delete set exactly and touches nothing") {
+    val dir = newDir("vacdry")
+    mkTable(dir)
+    ManifestScan.register(spark, "sqlvacdry_t", dir, Some("p"))
+    metrics("DELETE FROM sqlvacdry_t WHERE p = 0")
+    spark.conf.set("graft.vacuum.staleMillis", "0")
+    try {
+      val before = Manifest.versions(spark, dir)
+      val dry = metrics("VACUUM sqlvacdry_t RETAIN 1 VERSIONS DRY RUN")
+      assert(dry("dry_run") == 1L)
+      assert(dry("files_reclaimed") > 0L && dry("bytes_reclaimed") > 0L)
+      assert(dry("versions_dropped") == before.size - 1L)
+      // state untouched: every version still present, time travel live
+      assert(Manifest.versions(spark, dir) == before)
+      assert(Manifest.readVersion(spark, dir, 4L).count() == 200L)
+      // the real vacuum then reclaims EXACTLY what the preview said
+      val real = metrics("VACUUM sqlvacdry_t RETAIN 1 VERSIONS")
+      assert(real("files_reclaimed") == dry("files_reclaimed"),
+        s"dry=$dry real=$real")
+      assert(Manifest.versions(spark, dir).size == 1)
+    } finally spark.conf.unset("graft.vacuum.staleMillis")
+    assert(spark.sql("SELECT count(*) AS c FROM sqlvacdry_t")
+      .as[Long].head() == 150L)
+  }
+
   test("DESCRIBE HISTORY / RESTORE / CLONE / OPTIMIZE INCREMENTAL verbs") {
     val dir = newDir("hist")
     mkTable(dir)
