@@ -68,8 +68,15 @@ object Sources {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** The schema comes from ONE footer read driver-side when possible:
+    * stock inference funnels a representative footer through a whole
+    * Spark job (`mergeSchemasInParallel`) even with `mergeSchema=false`
+    * — pure scheduling overhead paid once per table read, on every
+    * query. Falls back to stock inference when no data file is found. */
   def parquet(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    org.apache.spark.sql.GraftParquetBridge.localInferSchema(spark, path)
+      .map(s => spark.read.schema(s).parquet(path))
+      .getOrElse(spark.read.parquet(path))
 
   /** Fan a frame out to cluster parallelism before heavy per-row compute
     * (signatures, decode, feature extraction), but ONLY when the scan is

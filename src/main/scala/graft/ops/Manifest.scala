@@ -689,13 +689,36 @@ object Manifest {
     * so no delta sidecar — every later commit stages through
     * [[linkManifest]]/[[compactManifest]]/[[freshManifest]], which own
     * their sidecar economics. */
+  /** Write a DRIVER-RESIDENT entry list as one parquet part file in
+    * `dir`, without a Spark job: every manifest commit used to pay a
+    * full `toDF().coalesce(1).write.parquet` job submit (~100 ms of
+    * scheduler overhead for a few KB of rows) — at a multi-commit
+    * lifecycle that overhead IS the commit cost. Goes through the same
+    * encoder + `ParquetWriteSupport` pipeline as the executor path
+    * ([[GraftParquetBridge]]), so the physical parquet schema stays
+    * identical to executor-written manifest parts (linked-chain
+    * eligibility reads exactly that schema). Distributed staging for
+    * BIG entry relations stays on [[writeManifestDist]]. */
+  private def writeEntriesLocal(spark: SparkSession, dir: Path,
+                                entries: Seq[Entry]): Unit = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.Encoders.product[ManifestEntry]
+        .asInstanceOf[org.apache.spark.sql.catalyst.encoders
+          .AgnosticEncoder[ManifestEntry]])
+    val ser = enc.createSerializer()
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val file = new Path(dir, s"part-00000-${UUID.randomUUID()}.parquet")
+    org.apache.spark.sql.GraftParquetBridge.writeLocalParquet(
+      spark, enc.schema, entries.iterator.map(ser(_)), file.toString)
+  }
+
   private def writeManifest(spark: SparkSession, root: Path,
                             entries: Seq[Entry], ddl: String,
                             statsCols: Seq[String],
                             bloomCols: Seq[String],
                             dvDirs: Seq[String],
                             constraints: Seq[String]): String = {
-    import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dir = new Path(new Path(root, ManifestsDir), name).toString
     // the sentinel's (otherwise meaningless) `values` slot carries the
@@ -714,7 +737,7 @@ object Manifest {
         e.bloom_cols.isEmpty && e.dv_dirs.isEmpty && e.constraints.isEmpty) e
       else e.copy(schema_ddl = "", stat_cols = Seq.empty,
         bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
-    (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
+    writeEntriesLocal(spark, new Path(dir), sentinel +: slim)
     name
   }
 
@@ -877,7 +900,12 @@ object Manifest {
   private def paddedManifest(spark: SparkSession,
                              manifestDirs: Seq[String],
                              removedPaths: Seq[String]): DataFrame = {
-    val raw = spark.read.parquet(manifestDirs: _*)
+    // chains are schema-uniform by the linked-append eligibility gate,
+    // so ONE driver-side footer read covers every dir — no inference job
+    val raw = org.apache.spark.sql.GraftParquetBridge
+      .localInferSchema(spark, manifestDirs.head)
+      .map(sc => spark.read.schema(sc).parquet(manifestDirs: _*))
+      .getOrElse(spark.read.parquet(manifestDirs: _*))
     val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
     val padded = want.fields.foldLeft(raw) { (df, f) =>
       if (df.columns.contains(f.name)) df
@@ -1037,6 +1065,25 @@ object Manifest {
         .map(_.getLen).sum).sum
   }
 
+  /** Bounded per-JVM memo of [[snapshotMeta]]'s manifest-derived parts,
+    * keyed by (root, MANIFEST NAME). Sound because a committed manifest
+    * dir `m-<uuid>` is immutable (names are never reused; links only
+    * ever ADD new dirs with new names), so the header derived from it —
+    * sentinel config, chain state, on-disk bytes — is a pure function
+    * of the name. A lifecycle (create → refresh → upsert → … ) resolves
+    * the SAME snapshot header several times per op (planner, change
+    * feed from/to, commit gate); each repeat used to re-pay the chain
+    * reads plus a whole Spark `head` job for the sentinel row. The
+    * pointer read itself (version → name) stays uncached — it is the
+    * mutable step. Delta caches its Snapshot the same way. */
+  private val snapshotMetaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, SnapshotMeta](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, SnapshotMeta]): Boolean =
+          size() > 64
+      })
+
   private[graft] def snapshotMeta(spark: SparkSession, dir: String,
                                   v: Option[Long] = None): SnapshotMeta = {
     import spark.implicits._
@@ -1046,7 +1093,11 @@ object Manifest {
     val lines = readPointerLines(fs, root, ver)
     require(pointerVisible(fs, lines),
       s"version $ver at $root is a pending multi-table commit, not committed")
-    val st = chainState(fs, root, lines.head.trim)
+    val name = lines.head.trim
+    val key = s"$root#$name"
+    val cached = snapshotMetaCache.get(key)
+    if (cached != null) return cached.copy(version = ver)
+    val st = chainState(fs, root, name)
     val dirs = st.names
       .map(n => new Path(new Path(root, ManifestsDir), n).toString)
     val bytes = dirs.map(d => fs.listStatus(new Path(d))
@@ -1054,11 +1105,13 @@ object Manifest {
     val sentinel = paddedManifest(spark, dirs, Nil)
       .filter(col("path") === "" && col("schema_ddl") =!= "")
       .as[Entry].head()
-    SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
+    val meta = SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs ++ st.dvDirs,
       sentinel.constraints, dirs, st.removedPaths, st.dvDirs, bytes, ver,
       colMap = if (st.colMap.nonEmpty) st.colMap else sentinel.values,
       chainColMap = st.colMap)
+    snapshotMetaCache.put(key, meta)
+    meta
   }
 
   /** The snapshot's file entries as a DISTRIBUTED dataset (sentinel
@@ -1459,6 +1512,18 @@ object Manifest {
       case (None, None) => df.repartition(col(partitionCol))
     }
     clustered.write.parquet(batchDir.toString)
+    // one LIST of the batch dir serves both the empty-write guard and
+    // every entry's byte size (a per-entry getFileStatus is O(files)
+    // driver RPCs). An all-empty batch (a merge that nets to nothing,
+    // an empty update set) lands zero part files — the guard here makes
+    // writeBatch TOTAL on empty inputs, so callers stage nothing
+    // instead of pre-probing emptiness with an extra execution of
+    // their (often shuffle-heavy) merge plan.
+    val partLen: Map[String, Long] = fs.listStatus(batchDir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    if (partLen.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     val ddl = nullableDdl(df.schema)
     val rootUri = batchDir.toUri.getPath // file-scheme-free for relativizing
     // TIMESTAMP stats are stored as epoch-micros strings, NOT the
@@ -1499,10 +1564,15 @@ object Manifest {
         1, ValuesCap + 1).as("values"),
       max(col(partitionCol).isNull.cast("int")).as("has_null"),
       count(lit(1)).as("rows")) ++ statAggs ++ bloomAggs ++ violAggs
-    val stats = spark.read.parquet(batchDir.toString)
+    val stats = spark.read
+      .schema(DataType.fromDDL(ddl).asInstanceOf[StructType])
+      .parquet(batchDir.toString)
       .groupBy(input_file_name().as("file"))
       .agg(aggList.head, aggList.tail: _*)
       .collect()
+    // rows can be zero with part files present (a single empty part
+    // from a coalesced empty shuffle): same empty-batch contract
+    if (stats.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     parsed.zipWithIndex.foreach { case ((name, sql), i) =>
       val viol = stats.map(_.getAs[Long](s"viol_$i")).sum
       // throwing here aborts BEFORE any manifest/pointer exists: the
@@ -1515,7 +1585,6 @@ object Manifest {
       s"$DataDir/${batchDir.getName}${fileUri.stripPrefix(rootUri)}"
     }
     if (bloomCols.nonEmpty) {
-      import spark.implicits._
       val bloomRows = stats.flatMap { r =>
         val rel = relOf(r)
         bloomCols.zipWithIndex.map { case (c, ci) =>
@@ -1529,8 +1598,19 @@ object Manifest {
             words.toSeq.padTo(BloomBits / 64, 0L))
         }
       }.toSeq
-      bloomRows.toDS().coalesce(1).write
-        .parquet(new Path(batchDir, BloomDir).toString)
+      // driver-resident rows (O(batch files)): single-part local write,
+      // no Spark job — same rationale as [[writeEntriesLocal]]
+      val bEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.Encoders.product[BloomEntry]
+          .asInstanceOf[org.apache.spark.sql.catalyst.encoders
+            .AgnosticEncoder[BloomEntry]])
+      val bSer = bEnc.createSerializer()
+      val bDir = new Path(batchDir, BloomDir)
+      fs.mkdirs(bDir)
+      org.apache.spark.sql.GraftParquetBridge.writeLocalParquet(
+        spark, bEnc.schema,
+        bloomRows.iterator.map(bSer(_)),
+        new Path(bDir, s"part-00000-${UUID.randomUUID()}.parquet").toString)
     }
     stats.map { r =>
       val rel = relOf(r)
@@ -1540,7 +1620,7 @@ object Manifest {
         has_null = r.getInt(2) == 1,
         overflow = vals.length > ValuesCap,
         rows = r.getLong(3),
-        bytes = fs.getFileStatus(new Path(root, rel)).getLen,
+        bytes = partLen(rel.substring(rel.lastIndexOf('/') + 1)),
         schema_ddl = ddl, // stripped to the sentinel by writeManifest
         stat_cols = Seq.empty,
         stat_mins = r.getSeq[String](4),
@@ -2092,7 +2172,10 @@ object Manifest {
       !(pPathOnly + "/").startsWith(rootPathOnly + "/") &&
       !(rootPathOnly + "/").startsWith(pPathOnly + "/"),
       s"table root $dir and convert source $parquetDir must not nest")
-    val df = spark.read.parquet(parquetDir)
+    val df = org.apache.spark.sql.GraftParquetBridge
+      .localInferSchema(spark, parquetDir)
+      .map(sc => spark.read.schema(sc).parquet(parquetDir))
+      .getOrElse(spark.read.parquet(parquetDir))
     (partitionCol +: statsCols).foreach(c =>
       require(df.columns.contains(c),
         s"column $c not in the converted schema " +
@@ -2337,8 +2420,10 @@ object Manifest {
                          dvDirs: Seq[String]): DataFrame = {
     import spark.implicits._
     if (dvDirs.isEmpty) spark.emptyDataset[DvEntry].toDF()
-    else spark.read.parquet(dvDirs.map(d =>
-      new Path(new Path(root, DvDir), d).toString): _*)
+    else spark.read
+      .schema(org.apache.spark.sql.Encoders.product[DvEntry].schema)
+      .parquet(dvDirs.map(d =>
+        new Path(new Path(root, DvDir), d).toString): _*)
   }
 
   /** Data files (by manifest-relative path) that any DV row references
@@ -2548,7 +2633,9 @@ object Manifest {
         spark.sparkContext.hadoopConfiguration).exists(bp))
       .map(_.toString)
     if (bloomPaths.isEmpty) return rangeCands
-    val verdicts = spark.read.parquet(bloomPaths: _*)
+    val verdicts = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[BloomEntry].schema)
+      .parquet(bloomPaths: _*)
       .where(col("column") === column)
       .select(col("path"),
         positions.map(p => bloomBitTest(col("bits"), lit(p)))
@@ -2602,7 +2689,9 @@ object Manifest {
         StructType(Seq(batch.schema(keyCol).copy(name = keyCol))))
       .select((0 until BloomHashes).map(i =>
         bloomPosition(col(keyCol).cast(dt), i).cast("int").as(s"p$i")): _*)
-    val bloom = spark.read.parquet(bloomPaths: _*)
+    val bloom = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[BloomEntry].schema)
+      .parquet(bloomPaths: _*)
       .where(col("column") === keyCol)
     val covered = bloom.select("path").distinct()
       .collect().map(_.getString(0)).toSet
@@ -3274,8 +3363,9 @@ object Manifest {
     if (meta.manifestDirs.length >=
       conf.getLong(AppendMaxChainKey, AppendMaxChainDefault)) return false
     val want = org.apache.spark.sql.Encoders.product[ManifestEntry].schema
-    val got = try spark.read.parquet(meta.manifestDirs.head).schema
-    catch { case scala.util.control.NonFatal(_) => return false }
+    val got = org.apache.spark.sql.GraftParquetBridge
+      .localInferSchema(spark, meta.manifestDirs.head)
+      .getOrElse(return false)
     got.fields.map(f => (f.name, f.dataType)).toSeq ==
       want.fields.map(f => (f.name, f.dataType)).toSeq
   }
@@ -3294,26 +3384,16 @@ object Manifest {
                            removes: Seq[String] = Nil,
                            dvAdds: Seq[String] = Nil,
                            colMapOut: Option[Seq[String]] = None): String = {
-    import spark.implicits._
     val name = s"m-${UUID.randomUUID()}"
     val dst = new Path(new Path(root, ManifestsDir), name)
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
       bloom_cols = Seq.empty, dv_dirs = Seq.empty,
       constraints = Seq.empty))
-    if (slim.nonEmpty) {
-      // spark-write to a dotted temp (invisible to manifest listing),
-      // move the part in — the same encoder pipeline that wrote the
-      // parent chain, so the physical schemas stay identical
-      val tmp = new Path(new Path(root, ManifestsDir), s".tmp-$name")
-      slim.toDF().coalesce(1).write.parquet(tmp.toString)
-      fs.mkdirs(dst)
-      fs.listStatus(tmp)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-        .foreach(s => require(
-          fs.rename(s.getPath, new Path(dst, s.getPath.getName)),
-          s"could not stage linked manifest part into $dst"))
-      fs.delete(tmp, true)
-    } else fs.mkdirs(dst)
+    // driver-side single-part write — the same encoder +
+    // ParquetWriteSupport pipeline that wrote the parent chain, so the
+    // physical schemas stay identical; no Spark job for a few KB
+    if (slim.nonEmpty) writeEntriesLocal(spark, dst, slim)
+    else fs.mkdirs(dst)
     val tip = new Path(meta.manifestDirs.last).getName
     val chain = meta.manifestDirs.map(d => new Path(d).getName)
     val allRemoves = meta.removedPaths ++ removes
@@ -3427,7 +3507,7 @@ object Manifest {
       dv_dirs = dvDirs, constraints = meta.constraints)
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
       bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
-    (sentinel +: slim).toDF().coalesce(1).write.parquet(dir)
+    writeEntriesLocal(spark, new Path(dir), sentinel +: slim)
     name
   }
 
@@ -3904,15 +3984,13 @@ object Manifest {
               if (wantNull) nonReplaced.filter(col(pCol).isNotNull)
               else nonReplaced
             }
-          if (keptRows.isEmpty) Seq.empty
-          else writeBatch(spark, root, keptRows, pCol, meta.statsCols,
+          writeBatch(spark, root, keptRows, pCol, meta.statsCols,
             meta.constraints, bloomCols = meta.bloomCols)
         }
       // a single slice is provably non-empty here (touched was); only
       // multi-slice calls pay the per-slice emptiness probe
       val newEntries = slicesP.flatMap { df =>
-        if (slicesP.sizeIs > 1 && df.isEmpty) Seq.empty
-        else writeBatch(spark, root, df, pCol,
+        writeBatch(spark, root, df, pCol,
           meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
       }
       val removes = cands.map(_.path)
@@ -4552,10 +4630,7 @@ object Manifest {
              txn: Option[(String, Long)] = None): Unit = {
     rewriteKeyed(spark, dir, updates, partitionCol,
       requireFullSchema = true, txn = txn, keys = keys,
-      op = "UPSERT",
-      // a full outer join is empty iff BOTH inputs are — skip the
-      // doubled exchange the generic emptiness probe would pay
-      emptyIffBothEmpty = true) { (target, batch, k) =>
+      op = "UPSERT") { (target, batch, k) =>
       val dataCols = batch.columns
       target.alias("t")
         .join(batch.alias("u"),
@@ -4858,13 +4933,10 @@ object Manifest {
           meta.dvDirs)
           .filter(!coalesce(expr(sqlP), lit(false)))
           .persist()
-        try {
-          // empty-write guard, as in [[rewriteKeyed]]: the straddlers'
-          // kept rows can genuinely be zero
-          if (kept.isEmpty) Seq.empty[Entry]
-          else writeBatch(spark, root, kept, pCol, meta.statsCols,
+        try // zero kept straddler rows stage nothing (writeBatch is total)
+          writeBatch(spark, root, kept, pCol, meta.statsCols,
             meta.constraints, bloomCols = meta.bloomCols)
-        } finally kept.unpersist()
+        finally kept.unpersist()
       }
     val removes = (fulls ++ maybes).map(_.path)
     val name =
@@ -5021,9 +5093,8 @@ object Manifest {
       readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs))
       .persist()
     try {
-      val newEntries =
-        if (rewritten.isEmpty) Seq.empty[Entry] // fully-DV'd candidates
-        else writeBatch(spark, root, rewritten, pCol, meta.statsCols,
+      val newEntries = // empty (fully-DV'd candidates) stages nothing
+        writeBatch(spark, root, rewritten, pCol, meta.statsCols,
           meta.constraints, bloomCols = meta.bloomCols)
       val removes = cands.map(_.path)
       val name =
@@ -5359,11 +5430,9 @@ object Manifest {
             .select(col("__rel").as("path"), col("__pos").as("pos")))
         val newRows = acted.filter(col("__row").isNotNull)
           .select(col("__row.*"))
-        val newEntries =
-          if (newRows.isEmpty) Seq.empty[Entry]
-          else writeBatch(spark, root,
-            toPhysicalFull(newRows, meta.colMap, meta.ddl), pColP,
-            meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+        val newEntries = writeBatch(spark, root,
+          toPhysicalFull(newRows, meta.colMap, meta.ddl), pColP,
+          meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
         if (newEntries.nonEmpty || dvName.nonEmpty) {
           val name =
             if (linkedAppendEligible(spark, fs, meta))
@@ -5428,10 +5497,20 @@ object Manifest {
     val dir = new Path(new Path(root, DvDir), name)
     hits.write.parquet(dir.toString)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an all-empty write may land zero part files (schema unreadable)
-    val hasParts = fs.listStatus(dir)
-      .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
-    if (!hasParts || spark.read.parquet(dir.toString).isEmpty) {
+    // an all-empty write may land zero part files, or one 0-row part
+    // (a coalesced empty shuffle). Row counts come from the parquet
+    // FOOTERS driver-side — O(1) per part file, no Spark job for the
+    // emptiness probe a `read.parquet(...).isEmpty` would schedule.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    if (rows == 0L) {
       fs.delete(dir, true)
       None
     } else Some(name)
@@ -5535,15 +5614,9 @@ object Manifest {
           "left")
         .select(dataCols.map(c =>
           coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
-      // empty-batch guard, as in [[rewrite]]: an empty parquet write can
-      // land zero part files and the stats read-back then fails — an
-      // empty updates batch must no-op, not crash. The merge is a LEFT
-      // join FROM the batch, so its row count equals the batch's —
-      // probe the (persisted) batch instead of executing the join twice
-      val newEntries =
-        if (updP.isEmpty) Seq.empty
-        else writeBatch(spark, root, merged, pCol,
-          meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
+      // no emptiness pre-probe: writeBatch is total on empty inputs
+      val newEntries = writeBatch(spark, root, merged, pCol,
+        meta.statsCols, meta.constraints, bloomCols = meta.bloomCols)
       val dvName =
         if (newEntries.isEmpty) None
         else writeDv(spark, root,
@@ -5605,11 +5678,9 @@ object Manifest {
     }
     val rewritten = readEntriesMasked(spark, root, dvd, meta.ddl,
       meta.dvDirs)
-    val newEntries =
-      if (rewritten.isEmpty) Seq.empty
-      else writeBatch(spark, root, rewritten,
-        physName(meta.colMap, partitionCol), meta.statsCols,
-        meta.constraints, bloomCols = meta.bloomCols)
+    val newEntries = writeBatch(spark, root, rewritten,
+      physName(meta.colMap, partitionCol), meta.statsCols,
+      meta.constraints, bloomCols = meta.bloomCols)
     commit(fs, root, v + 1,
       compactManifest(spark, root, meta, meta.ddl, newEntries,
         removes = dvd.map(_.path), dvOut = Some(Nil)),
@@ -5640,8 +5711,7 @@ object Manifest {
                                 txn: Option[(String, Long)] = None,
                                 keys: Seq[String] = Nil,
                                 op: String = "REWRITE",
-                                passThrough: Seq[String] = Nil,
-                                emptyIffBothEmpty: Boolean = false)
+                                passThrough: Seq[String] = Nil)
       (merge: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
     val (fs, root) = fsOf(spark, dir)
     val v = latestVersion(spark, dir)
@@ -5683,22 +5753,12 @@ object Manifest {
       // must not resurrect through the rewrite
       val target = readEntriesMasked(spark, root, cands, meta.ddl, meta.dvDirs)
       val merged = merge(target, batch, keysP)
-      // the empty-write guard (an empty parquet write can land zero part
-      // files and the stats read-back then fails). `merged.isEmpty`
-      // EXECUTES the merge once before writeBatch executes it again —
-      // for a shuffle merge (upsert's full outer) that doubles the
-      // exchange — so callers whose merge provably PRESERVES the batch
-      // rows (full outer) opt into the cheap persisted-batch probe: a
-      // nonempty batch means a nonempty merge. An EMPTY batch still
-      // probes the merge itself — candidate files can be entirely
-      // DV-masked, so cands.nonEmpty does NOT witness a nonempty target
-      val mergedEmpty =
-        if (emptyIffBothEmpty && !batch.isEmpty) false
-        else merged.isEmpty
-      val newEntries =
-        if (mergedEmpty) Seq.empty
-        else writeBatch(spark, root, merged, pCol, meta.statsCols,
-          meta.constraints, bloomCols = meta.bloomCols)
+      // no emptiness pre-probe: writeBatch is total on empty inputs
+      // (stages nothing), so the merge plan — for an upsert a full
+      // outer join whose exchange an `isEmpty` probe would pay TWICE —
+      // executes exactly once
+      val newEntries = writeBatch(spark, root, merged, pCol, meta.statsCols,
+        meta.constraints, bloomCols = meta.bloomCols)
       // DV dirs carry over: rows referencing the dropped candidate files
       // are inert from here on (they match no live file), rows on kept
       // files still mask
@@ -5890,10 +5950,9 @@ object Manifest {
     // masked: compaction materializes any DVs on the small files
     val compacted = readEntriesMasked(spark, root, small, meta.ddl,
       meta.dvDirs)
-    val newEntries = if (compacted.isEmpty) Seq.empty
-                     else writeBatch(spark, root, compacted, pCol,
-                       meta.statsCols, meta.constraints,
-                       numFiles = Some(nOut), bloomCols = meta.bloomCols)
+    val newEntries = writeBatch(spark, root, compacted, pCol,
+      meta.statsCols, meta.constraints,
+      numFiles = Some(nOut), bloomCols = meta.bloomCols)
     val removes = small.map(_.path)
     val name =
       if (linkedAppendEligible(spark, fs, meta) &&
@@ -6027,9 +6086,8 @@ object Manifest {
     val rows0 = spark.baseRelationToDataFrame(rel)
     val rows =
       if (dvDirs.isEmpty) rows0 else maskedByDv(spark, dir, rows0, dvDirs)
-    val newEntries =
-      if (rows.isEmpty) Seq.empty // fully-DV'd table: snapshot goes empty
-      else writeBatch(spark, root, rows,
+    val newEntries = // a fully-DV'd table stages nothing (snapshot empties)
+      writeBatch(spark, root, rows,
         physName(meta.colMap, partitionCol),
         meta.statsCols, meta.constraints, numFiles = Some(nOut),
         bloomCols = meta.bloomCols,
@@ -6287,9 +6345,8 @@ object Manifest {
           meta.dvDirs)
         val nOut = math.max(1, math.ceil(
           newE.map(_.bytes).sum.toDouble / targetBytes).toInt)
-        val newEntries =
-          if (rows.isEmpty) Seq.empty[Entry] // fully-DV'd new files drop
-          else writeBatch(spark, root, rows, pColP, meta.statsCols,
+        val newEntries = // fully-DV'd new files stage nothing
+          writeBatch(spark, root, rows, pColP, meta.statsCols,
             meta.constraints, numFiles = Some(nOut),
             bloomCols = meta.bloomCols, clusterKey = Some(zkey))
         val removes = newE.map(_.path)
@@ -6339,9 +6396,8 @@ object Manifest {
       else graft.ops.Layout.zorderKey3(ins.head, ins(1), ins(2))
     val nOut = math.max(1, math.ceil(
       cands.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    val newEntries =
-      if (rows.isEmpty) Seq.empty // fully-DV'd candidates: they just drop
-      else writeBatch(spark, root, rows, pCol, meta.statsCols,
+    val newEntries = // fully-DV'd candidates stage nothing
+      writeBatch(spark, root, rows, pCol, meta.statsCols,
         meta.constraints, numFiles = Some(nOut), bloomCols = meta.bloomCols,
         clusterKey = Some(zkey))
     val removes = cands.map(_.path)

@@ -218,7 +218,10 @@ class DistributedManifestFileIndex(spark: SparkSession, dir: String,
   private[graft] def usesCheckpoint: Boolean = ckpt.isDefined
   private[graft] def usesTailReplay: Boolean = ckptTail.isDefined
   private lazy val ckDf: Option[DataFrame] =
-    ckpt.map(ci => spark.read.parquet(ci.dir))
+    ckpt.map(ci => org.apache.spark.sql.GraftParquetBridge
+      .localInferSchema(spark, ci.dir)
+      .map(sc => spark.read.schema(sc).parquet(ci.dir))
+      .getOrElse(spark.read.parquet(ci.dir)))
   private lazy val ckCols: Set[String] =
     ckDf.map(_.columns.toSet).getOrElse(Set.empty)
 
