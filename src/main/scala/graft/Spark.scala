@@ -18,6 +18,15 @@ object Spark {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
+      // whole-stage-codegen class cache (STATIC conf, default 100
+      // entries): a session that alternates more than ~100 distinct
+      // codegen units — the 16-query bench sweep, any multi-query
+      // service — thrashes the LRU and pays Janino recompilation
+      // (~50-200 ms/unit) on every revisit. Compiled classes are
+      // small; 5000 entries is a few hundred MB ceiling at worst and
+      // the right default for a long-lived session at any scale.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.session.timeZone", "UTC")
       // graft's Catalyst extension: plans graft.plans.AsOfJoinPlan into
       // the streaming-merge AsOfJoinExec

@@ -689,6 +689,45 @@ object Manifest {
     * so no delta sidecar — every later commit stages through
     * [[linkManifest]]/[[compactManifest]]/[[freshManifest]], which own
     * their sidecar economics. */
+  /** Sentinel JSON sidecar inside a manifest dir: the sentinel row
+    * (schema/stats/bloom/constraints/DV/colmap configuration) written
+    * once, at staging time, next to the parquet part that carries it —
+    * so [[snapshotMeta]] resolves a snapshot HEADER with zero Spark
+    * jobs (the parquet sentinel row used to cost a whole `head` job
+    * per resolution). Pure cache of the authoritative parquet row:
+    * absence (older manifests) or a parse failure falls back to the
+    * Spark read. Underscore-prefixed, so the manifest relation's
+    * parquet listing never sees it (like [[BaseFile]]); immutable
+    * after the commit pointer lands, like everything in the dir. */
+  private val SentinelFile = "_graft_sentinel"
+
+  private def writeSentinelFile(fs: FileSystem, dirPath: Path,
+                                sentinel: Entry): Unit =
+    try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val out = fs.create(new Path(dirPath, SentinelFile), true)
+      try out.write(org.json4s.jackson.Serialization.write(sentinel)
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        System.err.println(s"[graft] sentinel sidecar skipped: $t")
+    }
+
+  private def readSentinelFile(fs: FileSystem,
+                               dirPath: Path): Option[Entry] =
+    try {
+      val p = new Path(dirPath, SentinelFile)
+      if (!fs.exists(p)) None
+      else {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(org.json4s.jackson.Serialization.read[ManifestEntry](txt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Write a DRIVER-RESIDENT entry list as one parquet part file in
     * `dir`, without a Spark job: every manifest commit used to pay a
     * full `toDF().coalesce(1).write.parquet` job submit (~100 ms of
@@ -738,6 +777,8 @@ object Manifest {
       else e.copy(schema_ddl = "", stat_cols = Seq.empty,
         bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
     writeEntriesLocal(spark, new Path(dir), sentinel +: slim)
+    writeSentinelFile(root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir), sentinel)
     name
   }
 
@@ -1102,9 +1143,13 @@ object Manifest {
       .map(n => new Path(new Path(root, ManifestsDir), n).toString)
     val bytes = dirs.map(d => fs.listStatus(new Path(d))
       .filter(_.isFile).map(_.getLen).sum).sum
-    val sentinel = paddedManifest(spark, dirs, Nil)
-      .filter(col("path") === "" && col("schema_ddl") =!= "")
-      .as[Entry].head()
+    // sentinel from the chain ROOT's JSON sidecar (zero Spark jobs);
+    // older manifests without one fall back to the parquet row
+    val sentinel = readSentinelFile(fs,
+      new Path(new Path(root, ManifestsDir), st.names.head))
+      .getOrElse(paddedManifest(spark, dirs, Nil)
+        .filter(col("path") === "" && col("schema_ddl") =!= "")
+        .as[Entry].head())
     val meta = SnapshotMeta(sentinel.schema_ddl, sentinel.stat_cols,
       sentinel.bloom_cols, sentinel.dv_dirs ++ st.dvDirs,
       sentinel.constraints, dirs, st.removedPaths, st.dvDirs, bytes, ver,
@@ -2357,6 +2402,8 @@ object Manifest {
     val nFiles = math.max(1L, nEntries * 120L / ManifestTargetBytes).toInt
     Seq(sentinel).toDF().unionByName(entriesDf)
       .coalesce(nFiles).write.parquet(dir)
+    writeSentinelFile(root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir), sentinel)
     name
   }
 
@@ -3472,6 +3519,8 @@ object Manifest {
         meta.removedPaths ++ removes).filter(col("path") =!= "")
     (sentinel +: slim).toDF().unionByName(carried)
       .coalesce(nFiles).write.parquet(dir)
+    writeSentinelFile(root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir), sentinel)
     val tip = new Path(meta.manifestDirs.last).getName
     val estEntries = math.max(1L, meta.manifestBytes / 64)
     if (writeSidecar &&
@@ -3508,6 +3557,8 @@ object Manifest {
     val slim = adds.map(e => e.copy(schema_ddl = "", stat_cols = Seq.empty,
       bloom_cols = Seq.empty, dv_dirs = Seq.empty, constraints = Seq.empty))
     writeEntriesLocal(spark, new Path(dir), sentinel +: slim)
+    writeSentinelFile(root.getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(dir), sentinel)
     name
   }
 
