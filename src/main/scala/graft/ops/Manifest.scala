@@ -162,6 +162,13 @@ object Manifest {
     * file is marked overflow and never pruned out. */
   val ValuesCap: Int = 64
 
+  /** One-pass write stats (default true): collect per-file manifest
+    * stats during the batch write instead of a full read-back of the
+    * just-written files. `false` restores the read-back pass — kept as
+    * the parity oracle for the spec and as an operational escape
+    * hatch. */
+  val WriteInlineStatsKey = "graft.write.inlineStats"
+
   /** Bloom filter geometry: m bits per file per column, k seeded
     * hashes. 32 Ki bits = 4 KiB/file/col — ~1% false positives at
     * ~3.3k distinct values per file, saturated-but-sound (no false
@@ -1556,7 +1563,34 @@ object Manifest {
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n.toLong)))
       case (None, None) => df.repartition(col(partitionCol))
     }
-    clustered.write.parquet(batchDir.toString)
+    // ---- ONE-PASS write + stats (default): the per-file stats are
+    // collected DURING the write through a WriteJobStatsTracker (the
+    // Delta-log mechanism) instead of a second full read of every byte
+    // just written. The probe expressions are built through the
+    // ordinary Column API against a dummy frame, so the analyzer
+    // resolves casts / session timezone / eval mode EXACTLY as the
+    // read-back aggregation did, then bind to row ordinals; min/max
+    // accumulate on raw values under the same interpreted ordering the
+    // Min/Max aggregates use and render through the same Cast. The
+    // read-back pass survives behind [[WriteInlineStatsKey]]=false as
+    // the parity oracle (ManifestWriteStatsSpec compares the two).
+    val parsed = constraints.map(parseConstraint)
+    val inline = spark.sparkContext.hadoopConfiguration
+      .getBoolean(WriteInlineStatsKey, true)
+    val trackerOpt =
+      if (!inline) None
+      else Some(new org.apache.spark.sql.GraftWriteBridge
+        .GraftBatchStatsTracker(
+          boundProbeExprs(spark, df.schema, partitionCol, statsCols,
+            bloomCols, parsed),
+          statsCols.map(c => df.schema(c).dataType),
+          bloomCols.size, BloomHashes, BloomBits, parsed.size, ValuesCap))
+    trackerOpt match {
+      case Some(tracker) =>
+        org.apache.spark.sql.GraftWriteBridge.writeParquet(
+          spark, clustered, batchDir.toString, Seq(tracker))
+      case None => clustered.write.parquet(batchDir.toString)
+    }
     // one LIST of the batch dir serves both the empty-write guard and
     // every entry's byte size (a per-entry getFileStatus is O(files)
     // driver RPCs). An all-empty batch (a merge that nets to nothing,
@@ -1570,6 +1604,11 @@ object Manifest {
       .map(st => st.getPath.getName -> st.getLen).toMap
     if (partLen.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     val ddl = nullableDdl(df.schema)
+
+    trackerOpt.foreach { tracker =>
+      return entriesFromTracker(spark, fs, batchDir, tracker.results, df,
+        partitionCol, statsCols, bloomCols, parsed, partLen, ddl)
+    }
     val rootUri = batchDir.toUri.getPath // file-scheme-free for relativizing
     // TIMESTAMP stats are stored as epoch-micros strings, NOT the
     // session-timezone cast-to-string rendering: a reader session with
@@ -1599,7 +1638,6 @@ object Manifest {
     // CHECK constraints ride the SAME read-back pass (zero extra
     // scans): SQL-standard semantics — a row violates when the
     // expression is FALSE, null/UNKNOWN passes
-    val parsed = constraints.map(parseConstraint)
     val violAggs = parsed.zipWithIndex.map { case ((_, sql), i) =>
       sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L))
         .as(s"viol_$i")
@@ -1672,6 +1710,114 @@ object Manifest {
         stat_maxs = r.getSeq[String](5),
         bloom_cols = Seq.empty)
     }.toSeq
+  }
+
+  /** Probe expressions for the one-pass write stats, in the layout
+    * [[org.apache.spark.sql.GraftWriteBridge.GraftBatchStatsTracker]]
+    * expects: partition value cast to string, raw stat columns,
+    * nullable bloom bit positions, constraint-violation indicators —
+    * analyzer-resolved over a dummy frame (same casts/timezone/eval
+    * mode as the former read-back aggregation), bound to schema
+    * ordinals. */
+  private def boundProbeExprs(spark: SparkSession, schema: StructType,
+                              partitionCol: String, statsCols: Seq[String],
+                              bloomCols: Seq[String],
+                              parsed: Seq[(String, String)])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      Seq(col(partitionCol).cast("string")) ++
+        statsCols.map(col) ++
+        bloomCols.flatMap(c => (0 until BloomHashes).map(i =>
+          when(col(c).isNotNull, bloomPosition(col(c), i)))) ++
+        parsed.map { case (_, sql) =>
+          when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L) }
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val projectList = dummy.select(probeCols: _*).queryExecution.analyzed
+      .collectFirst {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          pr.projectList
+      }.getOrElse(throw new IllegalStateException(
+        "probe plan did not analyze to a Project"))
+    val ordOf = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase -> i }.toMap
+    projectList.map(_.transform {
+      case a: AttributeReference =>
+        BoundReference(ordOf(a.name.toLowerCase), a.dataType, a.nullable)
+    })
+  }
+
+  /** Render one raw min/max value the way the read-back aggregation
+    * did: TIMESTAMP as its zone-free epoch-micros string
+    * (`unix_micros(...).cast("string")`), everything else through the
+    * same session-configured `Cast` to string. */
+  private def renderStatValue(v: Any, dt: DataType, tz: String): String =
+    if (v == null) null
+    else dt match {
+      case TimestampType => v.toString // raw Catalyst value IS micros
+      case _ =>
+        val out = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt),
+          StringType, Option(tz)).eval(null)
+        if (out == null) null else out.toString
+    }
+
+  /** Assemble [[ManifestEntry]]s (+ the bloom sidecar, + the
+    * constraint gate) from the one-pass tracker results — the exact
+    * counterpart of the legacy read-back assembly. */
+  private def entriesFromTracker(spark: SparkSession, fs: FileSystem,
+                                 batchDir: Path,
+                                 fileStats: Seq[org.apache.spark.sql
+                                   .GraftWriteBridge.FileStat],
+                                 df: DataFrame, partitionCol: String,
+                                 statsCols: Seq[String],
+                                 bloomCols: Seq[String],
+                                 parsed: Seq[(String, String)],
+                                 partLen: Map[String, Long],
+                                 ddl: String): Seq[Entry] = {
+    if (fileStats.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
+    parsed.zipWithIndex.foreach { case ((name, sql), i) =>
+      val viol = fileStats.map(_.violations(i)).sum
+      if (viol > 0) throw ConstraintViolationException(name, sql, viol)
+    }
+    val statTypes = statsCols.map(c => df.schema(c).dataType)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    def relOf(name: String) = s"$DataDir/${batchDir.getName}/$name"
+    if (bloomCols.nonEmpty) {
+      val bloomRows = fileStats.flatMap { st =>
+        bloomCols.zipWithIndex.map { case (c, ci) =>
+          BloomEntry(relOf(st.name), c,
+            st.bloomWords(ci).toSeq.padTo(BloomBits / 64, 0L))
+        }
+      }
+      val bEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.Encoders.product[BloomEntry]
+          .asInstanceOf[org.apache.spark.sql.catalyst.encoders
+            .AgnosticEncoder[BloomEntry]])
+      val bSer = bEnc.createSerializer()
+      val bDir = new Path(batchDir, BloomDir)
+      fs.mkdirs(bDir)
+      org.apache.spark.sql.GraftParquetBridge.writeLocalParquet(
+        spark, bEnc.schema,
+        bloomRows.iterator.map(bSer(_)),
+        new Path(bDir, s"part-00000-${UUID.randomUUID()}.parquet").toString)
+    }
+    fileStats.map { st =>
+      ManifestEntry(relOf(st.name),
+        values = st.values.take(ValuesCap).map(_.toString),
+        has_null = st.hasNull,
+        overflow = st.valuesOverflow,
+        rows = st.rows,
+        bytes = partLen(st.name),
+        schema_ddl = ddl, // stripped to the sentinel by writeManifest
+        stat_cols = Seq.empty,
+        stat_mins = statsCols.indices
+          .map(i => renderStatValue(st.statMins(i), statTypes(i), tz)),
+        stat_maxs = statsCols.indices
+          .map(i => renderStatValue(st.statMaxs(i), statTypes(i), tz)),
+        bloom_cols = Seq.empty)
+    }
   }
 
   private def readEntries(spark: SparkSession, root: Path,
