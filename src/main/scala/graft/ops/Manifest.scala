@@ -924,6 +924,79 @@ object Manifest {
     }
   }
 
+  /** Driver-LOCAL manifest entry read: parquet-mr Group decoding of
+    * the chain's part files, zero Spark jobs — the metadata twin of
+    * the driver-resident planning venue. A distributed read of a
+    * few-KB manifest costs a whole Spark job (several under AQE) per
+    * snapshot resolution, and one lifecycle resolves snapshots dozens
+    * of times. Gated by the SAME budget as planning venue choice
+    * ([[graft.plans.ManifestScan.DistributedMinBytesKey]]); above it
+    * callers stay on the distributed chokepoint. Decoding mirrors
+    * [[paddedManifest]]'s forward-compat contract exactly: a column
+    * missing from an old manifest's physical schema pads with its
+    * neutral default ("" / 0 / false / empty list); chain removes are
+    * subtracted here as there. Parity is spec-pinned
+    * (ManifestLocalReadSpec: local == distributed, field for field). */
+  private def localReadBudget(spark: SparkSession): Long =
+    spark.sparkContext.hadoopConfiguration.getLong(
+      graft.plans.ManifestScan.DistributedMinBytesKey,
+      graft.plans.ManifestScan.DistributedMinBytesDefault)
+
+  private def decodeEntry(g: org.apache.parquet.example.data.Group): Entry = {
+    val t = g.getType
+    def has(n: String) = t.containsField(n)
+    def set(n: String) = has(n) && g.getFieldRepetitionCount(n) > 0
+    def str(n: String): String =
+      if (!has(n)) "" // column predates the field: neutral default
+      else if (g.getFieldRepetitionCount(n) == 0) null
+      else g.getBinary(n, 0).toStringUsingUTF8
+    def lng(n: String): Long = if (set(n)) g.getLong(n, 0) else 0L
+    def bool(n: String): Boolean = if (set(n)) g.getBoolean(n, 0) else false
+    def strs(n: String): Seq[String] =
+      if (!has(n) || g.getFieldRepetitionCount(n) == 0) Seq.empty
+      else {
+        val lst = g.getGroup(n, 0) // 3-level standard list encoding
+        (0 until lst.getFieldRepetitionCount(0)).map { i =>
+          val el = lst.getGroup(0, i)
+          if (el.getFieldRepetitionCount(0) == 0) null
+          else el.getBinary(0, 0).toStringUsingUTF8
+        }
+      }
+    ManifestEntry(str("path"), strs("values"), bool("has_null"),
+      bool("overflow"), lng("rows"), lng("bytes"), str("schema_ddl"),
+      strs("stat_cols"), strs("stat_mins"), strs("stat_maxs"),
+      strs("bloom_cols"), strs("dv_dirs"), strs("constraints"))
+  }
+
+  private def readEntriesLocalParquet(fs: FileSystem, conf:
+      org.apache.hadoop.conf.Configuration, manifestDirs: Seq[String],
+      removedPaths: Seq[String]): Seq[Entry] = {
+    val removed = removedPaths.toSet
+    val out = Seq.newBuilder[Entry]
+    manifestDirs.foreach { d =>
+      fs.listStatus(new Path(d))
+        .filter(st => st.isFile && st.getLen > 0 &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              st.getPath)
+            .withConf(conf).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              val e = decodeEntry(g)
+              if (removed.isEmpty || !removed.contains(e.path)) out += e
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+    }
+    out.result()
+  }
+
   private def readSnapshot(spark: SparkSession, root: Path,
                            v: Long): Snapshot = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1057,12 +1130,21 @@ object Manifest {
   private def readSnapshotByName(spark: SparkSession, root: Path,
                                  name: String): Snapshot = {
     import spark.implicits._
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
     val st = chainState(fs, root, name)
-    val padded = paddedManifest(spark,
-      st.names.map(n => new Path(new Path(root, ManifestsDir), n).toString),
-      st.removedPaths)
-    val all = padded.as[Entry].collect().toSeq
+    val dirs = st.names
+      .map(n => new Path(new Path(root, ManifestsDir), n).toString)
+    // venue switch, same budget as planning: below it the chain decodes
+    // driver-side with zero Spark jobs; above it the distributed
+    // chokepoint collects (its driver heap argument is unchanged)
+    val bytes = dirs.map(d => fs.listStatus(new Path(d))
+      .filter(_.isFile).map(_.getLen).sum).sum
+    val all: Seq[Entry] =
+      if (bytes < localReadBudget(spark))
+        readEntriesLocalParquet(fs, conf, dirs, st.removedPaths)
+      else paddedManifest(spark, dirs, st.removedPaths)
+        .as[Entry].collect().toSeq
     val sentinel = all.find(e => e.path.isEmpty && e.schema_ddl.nonEmpty)
       .getOrElse(throw new IllegalStateException(
         s"manifest $name has no schema sentinel"))
@@ -6096,13 +6178,26 @@ object Manifest {
     * argument as [[overwritePartitionsSliced]]). */
   private def partitionCandidates(spark: SparkSession, meta: SnapshotMeta,
                                   partitionCol: String, wanted: Set[String],
-                                  wantNull: Boolean): Seq[Entry] =
-    if (partitionValuesSafe(meta.ddl, partitionCol)) {
+                                  wantNull: Boolean): Seq[Entry] = {
+    // driver-local venue under the planning budget (zero Spark jobs);
+    // the predicate is the same either way
+    if (meta.manifestBytes < localReadBudget(spark)) {
+      val (fs, _) = (new Path(meta.manifestDirs.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), ())
+      val live = readEntriesLocalParquet(fs,
+        spark.sparkContext.hadoopConfiguration, meta.manifestDirs,
+        meta.removedPaths).filter(_.path.nonEmpty)
+      if (partitionValuesSafe(meta.ddl, partitionCol))
+        live.filter(e => e.overflow || e.values.exists(wanted.contains) ||
+          (wantNull && e.has_null))
+      else live
+    } else if (partitionValuesSafe(meta.ddl, partitionCol)) {
       val cond = col("overflow") ||
         arrays_overlap(col("values"), typedLit(wanted.toSeq)) ||
         (if (wantNull) col("has_null") else lit(false))
       entriesDataset(spark, meta).filter(cond).collect().toSeq
     } else entriesDataset(spark, meta).collect().toSeq
+  }
 
   /** OPTIMIZE: rewrite the snapshot's small files (< `smallBytes`) into
     * ~`targetBytes` files, swap atomically. Untouched files carry over
